@@ -1,0 +1,15 @@
+"""process_nwb_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of BouchardLab/process_nwb (see SURVEY.md).
+
+Layers:
+- dsp/        pure-NumPy spectral kernels (resample, notch, wavelet, CAR oracle)
+- operators/  Spark operators (pack/repack, kernel ops, Catalyst CAR/z-score)
+- pipelines   end-to-end preprocessing dataflow with lineage naming
+- relational/ the declared relational operator surface (SURVEY §2C) + LLM
+              data-pipeline ops (dedup, similarity, text analysis)
+- streaming/  Structured Streaming tier on the events table
+"""
+from .session import get_spark  # noqa: F401
+from .pipelines import preprocess, high_gamma_trace, PreprocessResult  # noqa: F401
+
+__version__ = "0.1.0"

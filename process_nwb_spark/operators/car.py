@@ -1,0 +1,89 @@
+"""Common average reference — pure Catalyst (no Python UDFs).
+
+The reference's CAR (common_referencing.py:11-68) is a trimmed-mean
+aggregation across channels per timepoint followed by a broadcast subtract.
+In Spark that is a window aggregate over (series_id, sample_idx): one
+shuffle, no join, whole-stage codegen throughout.
+
+Semantics preserved exactly (SURVEY.md §2A #4-5):
+- n_exclude = ceil(n_channels * (1 - mean_frac) / 2) per side
+  (common_referencing.py:37; round_func=ceil default);
+- error when 2*n_exclude >= n_channels (common_referencing.py:38-39);
+- NaN-skipping mean; NaNs sort last (numpy and Spark agree) and count
+  toward n_channels, matching np.sort + nanmean (common_referencing.py:40-41).
+
+Scale note: the window group size equals n_channels (small, bounded), so
+there is no skew risk; the shuffle key (series_id, sample_idx) is maximally
+fine-grained and AQE coalesces the partitions.
+"""
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _nan_skipping_mean(arr: Column) -> Column:
+    """mean of non-NaN elements of an array column (NULL if none)."""
+    s = F.aggregate(
+        arr,
+        F.struct(F.lit(0.0).alias("s"), F.lit(0).cast("long").alias("c")),
+        lambda acc, x: F.when(
+            F.isnan(x), acc
+        ).otherwise(F.struct((acc["s"] + x).alias("s"),
+                             (acc["c"] + F.lit(1).cast("long")).alias("c"))),
+    )
+    return F.when(s["c"] > 0, s["s"] / s["c"])
+
+
+def car_column(mean_frac: float = 0.95, value_col: str = "value",
+               n_channels: int | None = None) -> Column:
+    """The CAR as a window expression over (series_id, sample_idx).
+
+    If `n_channels` is given, the exclusion-count guard is checked eagerly
+    on the driver (mirrors common_referencing.py:38-39).
+    """
+    w = Window.partitionBy("series_id", "sample_idx")
+    if mean_frac == 1.0:
+        # Spark avg ignores NULLs; map NaN->NULL for nanmean semantics.
+        v = F.col(value_col)
+        return F.avg(F.when(~F.isnan(v), v)).over(w)
+
+    if n_channels is not None:
+        n_exclude = math.ceil(n_channels * (1.0 - mean_frac) / 2.0)
+        if 2 * n_exclude >= n_channels:
+            raise ValueError(
+                f"mean_frac={mean_frac} excludes all {n_channels} channels")
+
+    arr = F.array_sort(F.collect_list(value_col).over(w))
+    n = F.size(arr)
+    n_excl = F.ceil(n * (1.0 - mean_frac) / 2.0).cast("int")
+    mid = F.slice(arr, n_excl + 1, F.greatest(n - 2 * n_excl, F.lit(0)))
+    return _nan_skipping_mean(mid)
+
+
+def subtract_car(df: DataFrame, mean_frac: float = 0.95,
+                 value_col: str = "value",
+                 n_channels: int | None = None) -> DataFrame:
+    """X - CAR(X) on a long signals DataFrame. Parity: common_referencing.py:45-68."""
+    return df.withColumn(
+        value_col,
+        F.col(value_col) - car_column(mean_frac, value_col, n_channels))
+
+
+def car_df(df: DataFrame, mean_frac: float = 0.95,
+           value_col: str = "value") -> DataFrame:
+    """The reference itself, one row per (series_id, sample_idx) — the
+    groupBy-aggregate formulation (what store_subtract_CAR persists as the
+    'CAR' series, common_referencing.py:117-125)."""
+    if mean_frac == 1.0:
+        v = F.col(value_col)
+        return df.groupBy("series_id", "sample_idx").agg(
+            F.avg(F.when(~F.isnan(v), v)).alias("car"))
+    arr = F.array_sort(F.collect_list(value_col))
+    n = F.size(arr)
+    n_excl = F.ceil(n * (1.0 - mean_frac) / 2.0).cast("int")
+    mid = F.slice(arr, n_excl + 1, F.greatest(n - 2 * n_excl, F.lit(0)))
+    return df.groupBy("series_id", "sample_idx").agg(
+        _nan_skipping_mean(mid).alias("car"))

@@ -1,0 +1,130 @@
+"""Spark operators wrapping the NumPy spectral kernels.
+
+All operate on the *packed* layout (one row per channel, full time axis in
+an ARRAY<DOUBLE>) via `mapInPandas` — a narrow transformation: after the
+single pack() shuffle, any chain of these runs pipelined inside one stage,
+one Arrow round-trip per operator (or one total with `fused_ops`).
+
+Scale note (100 TB): parallelism = n_series x n_channels tasks; a channel's
+array must fit in one task (~1e8 float64 samples = 800 MB upper bound).
+Longer recordings are handled upstream by splitting series into bounded
+segments with pad overlap — the same pad/trim machinery these kernels
+already use (see SURVEY.md §7 "whole-axis FFT vs partitioned data").
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..dsp import kernels as K
+
+PACKED_SCHEMA = "series_id STRING, channel INT, values ARRAY<DOUBLE>"
+
+
+def _map_values(df: DataFrame, fn) -> DataFrame:
+    """Apply `fn(np.ndarray (n_time,)) -> np.ndarray` to each packed row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = [np.asarray(fn(np.asarray(v, dtype=np.float64)), dtype=np.float64)
+                   for v in pdf["values"]]
+            yield pd.DataFrame({
+                "series_id": pdf["series_id"].values,
+                "channel": pdf["channel"].values,
+                "values": out,
+            })
+
+    return df.mapInPandas(run, PACKED_SCHEMA)
+
+
+def scale_packed(df: DataFrame, scaling: float) -> DataFrame:
+    """Projection x scaling, JVM-side (no Python). Parity: resample.py:186-189."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "values", F.transform("values", lambda v: v * F.lit(float(scaling))))
+
+
+def resample_op(df: DataFrame, new_freq: float, old_freq: float,
+                npad="fast", precision: str = "single") -> DataFrame:
+    """FFT rational resample of every channel. Parity: resample.py:105-153."""
+    return _map_values(
+        df, lambda x: K.resample(x, new_freq, old_freq, npad=npad,
+                                 precision=precision))
+
+
+def notch_op(df: DataFrame, rate: float, noise_hz: float = 60.0,
+             npad="fast", precision: str = "single") -> DataFrame:
+    """60 Hz + harmonics notch. Parity: linenoise_notch.py:55-92."""
+    return _map_values(
+        df, lambda x: K.apply_linenoise_notch(x, rate, noise_hz=noise_hz,
+                                              npad=npad, precision=precision))
+
+
+def fused_ops(df: DataFrame, *fns) -> DataFrame:
+    """Chain ndarray->ndarray kernels in ONE Python crossing (the Spark
+    analog of the reference's fused notch+CAR stage pipelines.py:114-173 —
+    here used for resample+notch, which are adjacent per-channel stages)."""
+
+    def chained(x):
+        for f in fns:
+            x = f(x)
+        return x
+
+    return _map_values(df, chained)
+
+
+WAVELET_SCHEMA = ("series_id STRING, channel INT, band INT, cf DOUBLE, "
+                  "sd DOUBLE, amp ARRAY<DOUBLE>, phase ARRAY<DOUBLE>")
+
+
+def wavelet_op(df: DataFrame, rate: float, filters: str = "rat",
+               hg_only: bool = True, abs_only: bool = True,
+               post_resample_rate: float | None = None, npad="fast",
+               precision: str = "single") -> DataFrame:
+    """Morlet wavelet decomposition: one input row (channel) fans out to
+    n_bands output rows carrying amplitude (and optionally phase) arrays.
+
+    The channel's forward FFT (X_fft_h) is computed once and shared across
+    its bands — the Spark placement of the reference's per-channel cache
+    (wavelet_transform.py:198-207). Optional post-resample of amplitudes
+    mirrors store_wavelet_transform (wavelet_transform.py:403-409); phase
+    + resample is rejected as in the reference (wavelet_transform.py:423-424).
+    Parity: wavelet_transform.py:238-322, 325-444.
+    """
+    if not abs_only and post_resample_rate is not None:
+        raise ValueError("Wavelet phase should not be resampled.")
+    from ..dsp.filterbank import band_params, check_nyquist
+
+    cfs, sds = band_params(filters, hg_only)
+    check_nyquist(np.asarray(cfs), rate)
+    cfs_l, sds_l = [float(c) for c in cfs], [float(s) for s in sds]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for sid, ch, vals in zip(pdf["series_id"], pdf["channel"],
+                                     pdf["values"]):
+                x = np.asarray(vals, dtype=np.float64)[:, np.newaxis]
+                Xh, _, _, _ = K.wavelet_transform(
+                    x, rate, filters=filters, hg_only=hg_only, npad=npad,
+                    precision=precision)
+                rows = []
+                for b in range(Xh.shape[-1]):
+                    amp = np.abs(Xh[:, 0, b])
+                    if post_resample_rate is not None:
+                        amp = K.resample(amp, post_resample_rate, rate,
+                                         precision=precision)
+                    phase = (None if abs_only
+                             else np.angle(Xh[:, 0, b]).astype(np.float64))
+                    rows.append((sid, ch, b, cfs_l[b], sds_l[b],
+                                 amp.astype(np.float64), phase))
+                yield pd.DataFrame(
+                    rows, columns=["series_id", "channel", "band", "cf",
+                                   "sd", "amp", "phase"])
+
+    return df.mapInPandas(run, WAVELET_SCHEMA)

@@ -1,0 +1,101 @@
+"""End-to-end preprocessing pipelines (the engine's flagship dataflow).
+
+Spark-first re-expression of the reference pipeline
+(/root/reference/src/process_nwb/pipelines.py:15-111):
+
+    scan -> x1e6 scale -> resample(initial_rate) -> notch(60) ->
+    subtract_CAR(0.95) -> wavelet(filters, hg_only) -> |.| ->
+    resample(final_rate) [-> z-score -> band mean]
+
+Everything is a lazily-composed DataFrame transformation; Catalyst fuses
+the narrow stages. `all_steps=True` materializes named intermediates with
+the reference's lineage names (downsampled_X, CAR_ln_X, wvlt_amp_X —
+resample.py:196, pipelines.py:148, wavelet_transform.py:389), the catalog
+analog of the NWB processing module.
+
+Physical plan (3 repacking shuffles — SURVEY.md §3):
+  pack (shuffle 1) -> [resample+notch fused kernel, narrow] -> unpack ->
+  CAR window (shuffle 2) -> pack (shuffle 3) -> wavelet kernel (narrow,
+  fans out to bands) -> unpack -> relational tail.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dsp import kernels as K
+from .operators.car import subtract_car
+from .operators.kernel_ops import (fused_ops, notch_op, resample_op,
+                                   scale_packed, wavelet_op)
+from .operators.repack import pack, unpack
+from .operators.zscore import band_mean, zscore_baseline
+
+SCALING = 1e6  # V -> uV, resample.py:11
+
+
+@dataclass
+class PreprocessResult:
+    """Lazily-composed stage DataFrames, lineage-named like the reference."""
+    tf: DataFrame                       # long (series_id, channel, band, cf, sd, sample_idx, amp)
+    stages: dict = field(default_factory=dict)
+
+    def materialize(self, spark, base_name: str = "ECoG"):
+        """`all_steps` analog: register every stage as a temp view with the
+        reference's lineage naming (pipelines.py:69-82)."""
+        for name, df in self.stages.items():
+            df.createOrReplaceTempView(f"{name}_{base_name}")
+        return sorted(f"{n}_{base_name}" for n in self.stages)
+
+
+def preprocess(signals: DataFrame, rate: float,
+               initial_resample_rate: float = 3200.0,
+               final_resample_rate: float = 400.0,
+               filters: str = "rat", hg_only: bool = True,
+               mean_frac: float = 0.95, scaling: float = SCALING,
+               abs_only: bool = True, precision: str = "single",
+               fuse: bool = True) -> PreprocessResult:
+    """The default pipeline on a long signals DataFrame
+    (series_id, channel, sample_idx, value). Parity: pipelines.py:15-111.
+    """
+    stages: dict[str, DataFrame] = {}
+
+    packed = pack(signals)
+    packed = scale_packed(packed, scaling)
+    if fuse:
+        ds = fused_ops(
+            packed,
+            lambda x: K.resample(x, initial_resample_rate, rate,
+                                 precision=precision),
+            lambda x: K.apply_linenoise_notch(x, initial_resample_rate,
+                                              precision=precision),
+        )
+    else:
+        ds = resample_op(packed, initial_resample_rate, rate,
+                         precision=precision)
+        stages["downsampled"] = unpack(ds)
+        ds = notch_op(ds, initial_resample_rate, precision=precision)
+
+    long_ds = unpack(ds)
+    car_ln = subtract_car(long_ds, mean_frac=mean_frac)
+    stages["CAR_ln_downsampled"] = car_ln
+
+    repacked = pack(car_ln)
+    wv = wavelet_op(repacked, initial_resample_rate, filters=filters,
+                    hg_only=hg_only, abs_only=abs_only,
+                    post_resample_rate=final_resample_rate,
+                    precision=precision)
+    tf = unpack(wv.drop("phase"), values_col="amp", value_col="amp",
+                extra_keys=("band", "cf", "sd"))
+    stages["wvlt_amp"] = tf
+    return PreprocessResult(tf=tf, stages=stages)
+
+
+def high_gamma_trace(result: PreprocessResult, baseline_seconds: float = 0.25,
+                     final_rate: float = 400.0) -> DataFrame:
+    """Tutorial tail: z-score against the first `baseline_seconds`, then
+    mean over bands (examples/plot_ECoG_preprocessing_tutorial.py:164-167)."""
+    n_baseline = int(baseline_seconds * final_rate)
+    z = zscore_baseline(result.tf, n_baseline, value_col="amp")
+    return band_mean(z, value_col="amp")
