@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship query on /root/testdata/sf0.001 (smoke check)
+queries()      -> name -> callable(spark, sf_dir) -> DataFrame, one entry per
+                  implemented operator from SURVEY.md §2 (registry lives in
+                  process_nwb_spark/relational/)
+oracle_sql()   -> name -> equivalent DuckDB-runnable ANSI SQL (omitted for
+                  sketch-based ops, which get a rows-only check)
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_SMOKE_DIR = "/root/testdata/sf0.001"
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Apply engine session confs the driver's plain SparkSession lacks."""
+    for k, v in [
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable in this session; engine still works
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: revenue-per-nation star join (broadcast dims + hash agg)."""
+    from process_nwb_spark.relational.core import all_queries
+
+    _configure(spark)
+    return all_queries()["join_inner_broadcast"].fn(spark, _SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from process_nwb_spark.relational.core import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {}
+    for name, spec in all_queries().items():
+        # bind via default arg to avoid late-binding closures
+        def run(spark, sf_dir, _spec=spec):
+            return _spec.fn(_configure(spark), sf_dir)
+
+        out[name] = run
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from process_nwb_spark.relational.core import all_queries
+
+    return {name: spec.oracle for name, spec in all_queries().items()
+            if spec.oracle is not None}

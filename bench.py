@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "agg_pricing_summary", "join_inner_broadcast", "join_asof",
+    "agg_trimmed_mean", "win_topk_per_group", "win_running_frames",
+    # event-time windowing
+    "win_tumbling", "win_session",
+    # LLM data-pipeline ops
+    "dedup_exact", "minhash_lsh_candidates", "ngram_jaccard_pairs",
+    "simhash_fingerprints", "embed_cosine_topk", "text_quality",
+    # signal engine (relational faces)
+    "sig_car_subtract", "sig_zscore_baseline",
+]
+
+
+def bench_signal_pipeline(spark) -> float:
+    """Flagship DSP dataflow: synthetic 32ch x 10s @ 3200 Hz through
+    scale -> resample -> notch -> CAR -> wavelet -> z-score -> band mean."""
+    from process_nwb_spark import preprocess, high_gamma_trace
+    from process_nwb_spark.synth import generate_synthetic_data, to_long_df
+
+    X = generate_synthetic_data(10.0, 32, 3200.0, seed=0)
+    df = to_long_df(spark, X)
+    t0 = time.time()
+    res = preprocess(df, 3200.0, initial_resample_rate=1600.0,
+                     final_resample_rate=400.0, filters="rat", hg_only=True)
+    hg = high_gamma_trace(res, 0.25, 400.0)
+    hg.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from process_nwb_spark.session import get_spark
+    from process_nwb_spark.relational.core import all_queries
+
+    spark = get_spark("bench")
+    registry = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        df = spec.fn(spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    timings["signal_pipeline"] = round(bench_signal_pipeline(spark), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Query registry: every declared operator (SURVEY.md §2C) is a named entry
+pairing a Spark DataFrame program with an equivalent ANSI-SQL oracle that
+DuckDB runs on the same parquet tables.
+
+Cross-engine determinism rules (SURVEY.md §2C normalization):
+- alias every computed column identically on both sides;
+- round float aggregates (reorder noise differs between engines);
+- never SUM integers raw (DuckDB widens to HUGEINT) — cast to DOUBLE/BIGINT;
+- render timestamps as strings at second precision (parquet ns vs us);
+- total ORDER BY before any LIMIT (tie-broken), though the driver's
+  value-hash is order-insensitive.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as int64 ns
+        # under spark.sql.legacy.parquet.nanosAsLong (set in session.py).
+        # Integer-divide to us (double math would lose precision past 2^53).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        T(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # ANSI SQL for DuckDB; None -> rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: Optional[str], doc: str = ""):
+    """Decorator registering a (spark_fn, oracle_sql) pair."""
+
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # import side-effect modules exactly once
+    from . import tpch_core  # noqa: F401
+    from . import llm_ops  # noqa: F401
+    from . import event_windows  # noqa: F401
+    from . import signal_queries  # noqa: F401
+    return REGISTRY

@@ -1,0 +1,155 @@
+"""Event-time windowing on `events` — the batch-checkable face of the
+streaming tier (process_nwb_spark/streaming has the readStream versions;
+these run the same operators in batch so DuckDB can replay them).
+
+Window-origin note: Spark tumbling windows align to the 1970 epoch, DuckDB
+time_bucket to 2000-01-01; both are midnight-aligned so any window width
+dividing 24 h bucketizes identically.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .core import T, query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "win_tumbling",
+    """
+    SELECT STRFTIME(TIME_BUCKET(INTERVAL '5 minutes', ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           ROUND(SUM(CAST(value AS DOUBLE)), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling event-time window (F.window 5 min) + agg; streaming twin "
+        "uses withWatermark + the same window expression",
+)
+def win_tumbling(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum(F.col("value").cast("double")), 2).alias("total_value"))
+        .select(F.date_format("w.start", _TS_FMT).alias("window_start"),
+                "event_type", "n", "total_value")
+    )
+
+
+@query(
+    "win_sliding",
+    """
+    WITH buckets AS (
+      SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) AS ws, * FROM events
+      UNION ALL
+      SELECT TIME_BUCKET(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS ws, *
+      FROM events
+    )
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(value AS DOUBLE)), 2) AS total_value
+    FROM buckets
+    GROUP BY ws
+    """,
+    doc="sliding window (10 min length, 5 min slide): every event lands in "
+        "two windows; oracle materializes both bucket assignments",
+)
+def win_sliding(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"),
+             # sum, not avg: 2-decimal inputs sum exactly in doubles, while a
+             # rounded avg can land on a half-case and flip between engines
+             F.round(F.sum(F.col("value").cast("double")), 2).alias("total_value"))
+        .select(F.date_format("w.start", _TS_FMT).alias("window_start"),
+                "n", "total_value")
+    )
+
+
+@query(
+    "win_session",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    doc="session windows (30 min gap) per user; oracle is the "
+        "gaps-and-islands formulation of F.session_window",
+)
+def win_session(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id",
+                F.date_format("w.start", _TS_FMT).alias("session_start"),
+                "n_events")
+    )
+
+
+@query(
+    "stream_dedup_first",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id AS first_event_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM ranked WHERE rn = 1
+    """,
+    doc="stateful dedup semantics (dropDuplicates within watermark) made "
+        "deterministic: keep the earliest event per (user_id, event_type)",
+)
+def stream_dedup_first(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type",
+                F.col("event_id").alias("first_event_id"),
+                F.date_format("ts", _TS_FMT).alias("first_ts"))
+    )
+
+
+@query(
+    "stream_static_join",
+    """
+    SELECT e.event_id, e.event_type, c.c_name, c.c_mktsegment
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="stream-static enrichment join (events stream x broadcast customer "
+        "dim); batch-checkable twin of the streaming version",
+)
+def stream_static_join(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    c = T(spark, sf_dir, "customer")
+    return e.join(F.broadcast(c), e.user_id == c.c_custkey).select(
+        "event_id", "event_type", "c_name", "c_mktsegment")

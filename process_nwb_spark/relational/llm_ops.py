@@ -1,0 +1,492 @@
+"""LLM training-data pipeline operators on `documents` / `embeddings`.
+
+Dedup (exact, minhash/LSH, simhash, n-gram Jaccard), similarity search
+(brute-force cosine top-k, centroids), text analysis (lang-ID heuristic,
+quality scoring, token counting, fingerprinting), multimodal metadata.
+
+Cross-engine determinism trick: all hashing is md5-based — identical hex in
+Spark and DuckDB — so even the MinHash/SimHash sketches hash-match the
+oracle exactly. At 100 TB scale the same plans hold: shingle explosion is a
+flatMap (narrow), signatures are one hash-agg, LSH banding turns the
+quadratic pair search into an equi-join on band keys, and the
+document-frequency stop-shingle filter bounds the join's skew.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .core import T, query
+
+
+def _words(col="text"):
+    return F.split(col, " ")
+
+
+def _shingles_df(spark, sf_dir, k: int = 3):
+    """Distinct word-k-gram shingles per doc: (doc_id, sh)."""
+    d = T(spark, sf_dir, "documents")
+    words = _words()
+    # sequence(0, size-k) inclusive -> size-k+1 shingles
+    sh = F.transform(F.sequence(F.lit(0), F.size(words) - k),
+                     lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    return (d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+            .filter(F.size(words) >= k))
+
+
+_SHINGLE_SQL = """
+      SELECT DISTINCT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 1)),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents) t
+      WHERE LEN(words) >= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    """
+    SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id,
+                 MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+          FROM documents) t
+    GROUP BY fp
+    HAVING COUNT(*) >= 1
+    """,
+    doc="exact dedup: normalize -> md5 fingerprint -> hash-groupBy keeping "
+        "min doc_id (deterministic, unlike dropDuplicates row pick)",
+)
+def dedup_exact(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+_N_SIGS = 8
+
+_minhash_sig_cols_sql = ",\n           ".join(
+    f"MIN(MD5(sh || ':{s}')) AS sig{s}" for s in range(_N_SIGS))
+
+
+@query(
+    "minhash_signatures",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT doc_id,
+           {_minhash_sig_cols_sql}
+    FROM sh
+    GROUP BY doc_id
+    """,
+    doc="MinHash signatures over word-3-gram shingles; md5-salted hash "
+        "family so the sketch is engine-independent. shingle fan-out is a "
+        "narrow flatMap; signature build is one hash-agg",
+)
+def minhash_signatures(spark, sf_dir):
+    sh = _shingles_df(spark, sf_dir)
+    aggs = [F.min(F.md5(F.concat(F.col("sh"), F.lit(f":{s}")))).alias(f"sig{s}")
+            for s in range(_N_SIGS)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@query(
+    "minhash_lsh_candidates",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id, {_minhash_sig_cols_sql}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, MD5(sig0 || sig1) AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, MD5(sig2 || sig3) FROM sig
+      UNION ALL SELECT doc_id, 2, MD5(sig4 || sig5) FROM sig
+      UNION ALL SELECT doc_id, 3, MD5(sig6 || sig7) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+    WHERE a.doc_id < b.doc_id
+    """,
+    doc="LSH banding (4 bands x 2 rows): candidate pairs via equi-join on "
+        "band keys — the scalable alternative to the quadratic pair scan",
+)
+def minhash_lsh_candidates(spark, sf_dir):
+    sig = minhash_signatures(spark, sf_dir)
+    bands = None
+    for b in range(_N_SIGS // 2):
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"sig{2*b}"), F.col(f"sig{2*b+1}"))).alias("bkey"))
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    return (
+        a.join(b2, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact pair similarity)
+# --------------------------------------------------------------------------
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    df AS (SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY sh),
+    filtered AS (SELECT s.doc_id, s.sh FROM sh s JOIN df ON s.sh = df.sh
+                 WHERE df.n_docs <= 100),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM filtered GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM filtered a JOIN filtered b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.shared AS DOUBLE) /
+                 (sa.n_sh + sb.n_sh - p.shared), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.shared) >= 0.1
+    """,
+    doc="exact n-gram Jaccard similarity via shingle equi-join; "
+        "document-frequency stop-shingle filter (df<=100) bounds join skew "
+        "at scale",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    sh = _shingles_df(spark, sf_dir)
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("n_docs"))
+    filtered = (sh.join(df_counts.filter(F.col("n_docs") <= 100), "sh")
+                .select("doc_id", "sh"))
+    sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.1)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprint (16-bit, md5-nibble bits)
+# --------------------------------------------------------------------------
+@query(
+    "simhash_fingerprints",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN ((STRPOS('0123456789abcdef',
+                                SUBSTR(MD5(w), CAST(b // 4 AS INT) + 1, 1)) - 1)
+                        >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+      FROM tok, (SELECT UNNEST(RANGE(0, 16)) AS b)
+    ),
+    votes AS (SELECT doc_id, b, SUM(sgn) AS v FROM bits GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    doc="SimHash: per-token md5-derived bit votes, majority per bit -> "
+        "16-bit fingerprint; near-dups share fingerprints (hamming-0 bucket)",
+)
+def simhash_fingerprints(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", F.explode(_words()).alias("w"))
+           .select("doc_id", F.md5("w").alias("h")))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        "h",
+    ).select(
+        "doc_id", "b",
+        # nibble = hex digit b//4 of md5(w); sign = bit (b%4) of the nibble
+        F.expr(
+            "CASE WHEN (CAST(conv(substr(h, (b div 4) + 1, 1), 16, 10)"
+            "           AS INT) >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END"
+        ).alias("sgn"),
+    )
+    votes = bits.groupBy("doc_id", "b").agg(F.sum("sgn").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << b"))
+              .otherwise(0)).cast("long").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@query(
+    "text_quality",
+    """
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_m,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')) AS INT) AS n_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?,;]')) AS INT) AS n_punct,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\d')) AS INT) AS n_digits,
+           ROUND(CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                 '\\b(the|a|an|and|or|of|to|in)\\b')) AS DOUBLE) /
+                 GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')), 1), 4)
+             AS stopword_ratio,
+           ROUND(CAST(LENGTH(text) AS DOUBLE) /
+                 GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')), 1), 4)
+             AS chars_per_token
+    FROM documents
+    """,
+    doc="quality scoring: token/punct/digit counts, stopword ratio, "
+        "chars-per-token — pure JVM regexp (no UDF)",
+)
+def text_quality(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    n_tok = F.regexp_count("text", F.lit(r"\w+"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.regexp_count("text", F.lit(r"[.!?,;]")).alias("n_punct"),
+        F.regexp_count("text", F.lit(r"\d")).alias("n_digits"),
+        F.round(
+            F.regexp_count(F.lower("text"),
+                           F.lit(r"\b(the|a|an|and|or|of|to|in)\b"))
+            .cast("double") / F.greatest(n_tok, F.lit(1)), 4)
+        .alias("stopword_ratio"),
+        F.round(F.length("text").cast("double") / F.greatest(n_tok, F.lit(1)), 4)
+        .alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_langid",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(the|and|of)\\b')) AS s_en,
+             LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(der|und|die)\\b')) AS s_de,
+             LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(el|los|que)\\b')) AS s_es,
+             LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(le|les|est)\\b')) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+    doc="language-ID n-gram/stopword heuristic with argmax CASE chain; "
+        "`lang` column retained as ground truth",
+)
+def text_langid(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    low = F.lower("text")
+    s = {k: F.regexp_count(low, F.lit(rf"\b({p})\b")).alias(f"s_{k}")
+         for k, p in [("en", "the|and|of"), ("de", "der|und|die"),
+                      ("es", "el|los|que"), ("fr", "le|les|est")]}
+    scored = d.select("doc_id", "lang", *s.values())
+    return scored.select(
+        "doc_id", "lang",
+        F.when((F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es"))
+               & (F.col("s_en") >= F.col("s_fr")), "en")
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr").alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_source_stats",
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="corpus stats rollup by (source, lang)",
+)
+def text_source_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity search
+# --------------------------------------------------------------------------
+@query(
+    "embed_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id, e.label,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(q.qv,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+               AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cosine FROM sims
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    doc="brute-force cosine top-k against a broadcast query vector — the "
+        "exact ANN baseline; dot/norm via zip_with + aggregate (JVM "
+        "higher-order fns, no UDF)",
+)
+def embed_cosine_topk(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qv")))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label",
+                F.round(dot / (norm("embedding") * norm("qv")), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "embed_centroids",
+    """
+    SELECT label, dim, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS centroid_x
+    FROM (SELECT label,
+                 UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
+                 UNNEST(embedding) AS x
+          FROM embeddings) t
+    GROUP BY label, dim
+    """,
+    doc="per-label centroids via posexplode + hash agg (element-wise array "
+        "mean expressed relationally — partial-agg friendly at scale)",
+)
+def embed_centroids(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim0", "x"))
+        .select("label", (F.col("dim0") + 1).cast("long").alias("dim"),
+                F.col("x").cast("double").alias("x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("centroid_x"))
+    )
+
+
+@query(
+    "embed_knn_per_label",
+    """
+    WITH cents AS (
+      SELECT label, dim, AVG(CAST(x AS DOUBLE)) AS cx
+      FROM (SELECT label, UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
+                   UNNEST(embedding) AS x FROM embeddings) t
+      GROUP BY label, dim
+    ),
+    flat AS (
+      SELECT vec_id, label, UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
+             UNNEST(embedding) AS x
+      FROM embeddings
+    ),
+    dists AS (
+      SELECT f.vec_id, f.label,
+             SQRT(SUM((CAST(f.x AS DOUBLE) - c.cx) *
+                      (CAST(f.x AS DOUBLE) - c.cx))) AS dist
+      FROM flat f JOIN cents c ON f.label = c.label AND f.dim = c.dim
+      GROUP BY f.vec_id, f.label
+    ),
+    ranked AS (
+      SELECT vec_id, label, ROUND(dist, 6) AS dist,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY ROUND(dist, 6), vec_id) AS rn
+      FROM dists
+    )
+    SELECT label, vec_id, dist, rn FROM ranked WHERE rn <= 5
+    """,
+    doc="IVF-style building block: distance of every vector to its label "
+        "centroid, top-5 most-central per label (join on exploded dims + "
+        "window top-k)",
+)
+def embed_knn_per_label(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    flat = (e.select("vec_id", "label", F.posexplode("embedding").alias("dim0", "x"))
+            .select("vec_id", "label", (F.col("dim0") + 1).cast("long").alias("dim"),
+                    F.col("x").cast("double").alias("x")))
+    cents = flat.groupBy("label", "dim").agg(F.avg("x").alias("cx"))
+    dists = (
+        flat.join(cents, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))))
+             .alias("dist"))
+    )
+    w = Window.partitionBy("label").orderBy(F.round(F.col("dist"), 6), F.col("vec_id"))
+    return (
+        dists.select("label", "vec_id", F.round("dist", 6).alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("label", "vec_id", "dist", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns (binary payload plumbing; decode is a deterministic stub)
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+           MD5(text) AS content_hash,
+           SUBSTR(MD5(text), 1, 8) AS chunk_key
+    FROM documents
+    """,
+    doc="multimodal column pattern: opaque binary payload + typed metadata; "
+        "byte length, content hash, partition/chunk key. Real decode "
+        "(image/audio) is a mapInPandas stub — see llm/multimodal.py",
+)
+def multimodal_meta(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5("text").alias("content_hash"),
+        F.substring(F.md5("text"), 1, 8).alias("chunk_key"),
+    )

@@ -1,0 +1,158 @@
+"""Signal-engine operators exposed through the relational gate.
+
+The driver's testdata has no signals table, so these queries *generate* a
+deterministic multichannel signal relationally (spark.range / DuckDB range —
+identical values in both engines) and then run the engine's actual signal
+operators (Catalyst CAR, baseline z-score, band dimension build) on it.
+This puts the reference's relational stages (SURVEY.md §2B) under the same
+duckdb hash gate as the TPC-H surface.
+
+Signal: 8 channels x 2000 samples,
+  value = round(sin(2*pi*5*(idx/1000)) + channel*0.1, 6)
+with channel 7 spiked (+100) on every 100th sample to exercise the trimmed
+mean's outlier rejection.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .core import query
+from ..operators.car import subtract_car
+
+N_CH = 8
+N_T = 2000
+
+_GEN_SQL = f"""
+      SELECT CAST(i % {N_CH} AS INT) AS channel,
+             CAST(i // {N_CH} AS BIGINT) AS sample_idx,
+             ROUND(SIN(2 * PI() * 5 * ((i // {N_CH}) / 1000.0))
+                   + (i % {N_CH}) * 0.1
+                   + CASE WHEN i % {N_CH} = {N_CH - 1}
+                               AND (i // {N_CH}) % 100 = 0
+                          THEN 100.0 ELSE 0.0 END, 6) AS value
+      FROM RANGE(0, {N_CH * N_T}) t(i)
+"""
+
+
+def _signals(spark):
+    i = F.col("id")
+    ch = (i % N_CH).cast("int")
+    idx = (i / N_CH).cast("bigint")
+    spike = F.when((ch == N_CH - 1) & (idx % 100 == 0), 100.0).otherwise(0.0)
+    value = F.round(
+        F.sin(2 * F.lit(3.141592653589793) * 5 * (idx.cast("double") / 1000.0))
+        + ch.cast("double") * 0.1 + spike, 6)
+    return (spark.range(0, N_CH * N_T)
+            .select(F.lit("synth").alias("series_id"), ch.alias("channel"),
+                    idx.alias("sample_idx"), value.alias("value")))
+
+
+@query(
+    "sig_car_subtract",
+    f"""
+    WITH signals AS ({_GEN_SQL}),
+    ranked AS (
+      SELECT channel, sample_idx, value,
+             ROW_NUMBER() OVER (PARTITION BY sample_idx ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY sample_idx) AS n
+      FROM signals
+    ),
+    car AS (
+      SELECT sample_idx, AVG(value) AS car
+      FROM ranked
+      WHERE rn > CAST(CEIL(n * 0.025) AS BIGINT)
+        AND rn <= n - CAST(CEIL(n * 0.025) AS BIGINT)
+      GROUP BY sample_idx
+    )
+    SELECT s.channel, s.sample_idx, ROUND(s.value - c.car, 6) AS value_car
+    FROM signals s JOIN car c ON s.sample_idx = c.sample_idx
+    """,
+    doc="the engine's Catalyst trimmed-mean CAR (operators/car.py, parity "
+        "common_referencing.py:11-68) on a generated signal; the spiked "
+        "channel demonstrates outlier rejection",
+)
+def sig_car_subtract(spark, sf_dir):
+    df = subtract_car(_signals(spark), mean_frac=0.95, n_channels=N_CH)
+    return df.select("channel", "sample_idx",
+                     F.round("value", 6).alias("value_car"))
+
+
+@query(
+    "sig_zscore_baseline",
+    f"""
+    WITH signals AS ({_GEN_SQL}),
+    stats AS (
+      SELECT channel, AVG(value) AS mu, STDDEV_POP(value) AS sigma
+      FROM signals WHERE sample_idx < 250
+      GROUP BY channel
+    )
+    SELECT s.channel, s.sample_idx,
+           ROUND((s.value - st.mu) / st.sigma, 6) AS z
+    FROM signals s JOIN stats st ON s.channel = st.channel
+    """,
+    doc="baseline-window z-score (operators/zscore.py; tutorial stage "
+        "SURVEY.md §2A #28): filtered aggregate + broadcast join + projection",
+)
+def sig_zscore_baseline(spark, sf_dir):
+    df = _signals(spark)
+    stats = (df.filter(F.col("sample_idx") < 250)
+             .groupBy("channel")
+             .agg(F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")))
+    return (df.join(F.broadcast(stats), "channel")
+            .select("channel", "sample_idx",
+                    F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+                    .alias("z")))
+
+
+@query(
+    "sig_band_dim",
+    """
+    WITH cfs AS (
+      SELECT i AS band0,
+             POW(10, LOG10(2.6308) + i * (LOG10(1200.0) - LOG10(2.6308)) / 53)
+               AS cf
+      FROM RANGE(0, 54) t(i)
+    ),
+    hg AS (
+      SELECT cf, ROW_NUMBER() OVER (ORDER BY cf) - 1 AS band
+      FROM cfs WHERE cf >= 70 AND cf <= 150
+    )
+    SELECT CAST(band AS INT) AS band, ROUND(cf, 6) AS cf, ROUND(cf / 8, 6) AS sd
+    FROM hg
+    """,
+    doc="the wavelet filterbank as a dimension-table build + filter "
+        "(get_filterbank hg subselect, wavelet_transform.py:104-133): "
+        "'rat' 54 log-spaced cfs -> 6 high-gamma bands, const-Q sd = cf/8",
+)
+def sig_band_dim(spark, sf_dir):
+    from ..dsp.filterbank import bands_df
+
+    return (bands_df(spark, "rat", hg_only=True)
+            .select("band", F.round("cf", 6).alias("cf"),
+                    F.round("sd", 6).alias("sd")))
+
+
+@query(
+    "sig_resample_lengths",
+    """
+    SELECT CAST(n_time AS INT) AS n_time,
+           CAST(new_freq AS DOUBLE) AS new_freq,
+           CAST(old_freq AS DOUBLE) AS old_freq,
+           CAST(CEIL(n_time * CAST(new_freq AS DOUBLE)
+                     / CAST(old_freq AS DOUBLE)) AS BIGINT) AS new_n_time
+    FROM (VALUES (999, 211.0, 400.0), (1000, 100.0, 400.0),
+                 (1001, 800.0, 400.0), (5077, 3200.0, 12207.03125),
+                 (123561, 3200.0, 12207.03125))
+         AS t(n_time, new_freq, old_freq)
+    """,
+    doc="the resample output-length contract (ceil, resample.py:140) as a "
+        "relational check over the reference's own awkward test lengths",
+)
+def sig_resample_lengths(spark, sf_dir):
+    from ..dsp.kernels import resample_num
+
+    rows = [(999, 211.0, 400.0), (1000, 100.0, 400.0), (1001, 800.0, 400.0),
+            (5077, 3200.0, 12207.03125), (123561, 3200.0, 12207.03125)]
+    data = [(n, nf, of, resample_num(n, nf, of)) for n, nf, of in rows]
+    return spark.createDataFrame(
+        data, "n_time INT, new_freq DOUBLE, old_freq DOUBLE, new_n_time BIGINT")

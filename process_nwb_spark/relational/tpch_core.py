@@ -1,0 +1,878 @@
+"""Core relational operator surface (SURVEY.md §2C) on the TPC-H-ish tables.
+
+Each entry is an idiomatic DataFrame program; the paired oracle is ANSI SQL
+DuckDB runs on the same parquet. Scale notes are inline: broadcast the
+dimension side of every star join, let AQE pick shuffle partition counts,
+keep aggregates partial-agg friendly (no driver-side collects).
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .core import T, query
+
+
+# --------------------------------------------------------------------------
+# Projection / filter / CASE / IN / BETWEEN / LIKE / null predicates
+# --------------------------------------------------------------------------
+@query(
+    "proj_filter_case",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net_price,
+           CASE WHEN l_quantity >= 30 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid'
+                ELSE 'small' END AS qty_class,
+           (l_returnflag = 'R') AS returned
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_quantity BETWEEN 5 AND 45
+      AND l_linestatus LIKE 'F%'
+      AND l_discount IS NOT NULL
+    """,
+    doc="projection, CASE WHEN, IN, BETWEEN, LIKE, null predicate; filters "
+        "push down to the parquet scan (PushedFilters)",
+)
+def proj_filter_case(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_returnflag").isin("A", "R")
+            & F.col("l_quantity").between(5, 45)
+            & F.col("l_linestatus").like("F%")
+            & F.col("l_discount").isNotNull()
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double").alias("net_price"),
+            F.when(F.col("l_quantity") >= 30, "bulk")
+            .when(F.col("l_quantity") >= 10, "mid")
+            .otherwise("small").alias("qty_class"),
+            (F.col("l_returnflag") == "R").alias("returned"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+@query(
+    "join_inner_broadcast",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           ROUND(SUM(CAST(o.o_totalprice AS DOUBLE)), 2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    doc="star join: facts joined to broadcast dims (customer/nation/region), "
+        "hash aggregate on top",
+)
+def join_inner_broadcast(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_left_coalesce",
+    """
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DOUBLE)), 0.0), 2) AS spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    doc="left outer join preserving customers without orders; COUNT of a "
+        "nullable key + COALESCE",
+)
+def join_left_coalesce(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum(F.col("o_totalprice").cast("double")),
+                               F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_right",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM nation n
+    RIGHT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    """,
+    doc="right outer join (dim side preserved)",
+)
+def join_right(spark, sf_dir):
+    n = T(spark, sf_dir, "nation")
+    s = T(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "right")
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@query(
+    "join_full_outer",
+    """
+    SELECT COALESCE(cu.k, su.k) AS nationkey,
+           COALESCE(cu.n_cust, 0) AS n_cust,
+           COALESCE(su.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) cu
+    FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) su
+      ON cu.k = su.k
+    """,
+    doc="full outer join of two aggregates with COALESCE over both sides",
+)
+def join_full_outer(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    cu = c.groupBy(F.col("c_nationkey").alias("k")).agg(F.count("*").alias("n_cust"))
+    su = s.groupBy(F.col("s_nationkey").alias("k")).agg(F.count("*").alias("n_supp"))
+    return (
+        cu.join(su, "k", "full")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+    doc="left semi join (EXISTS)",
+)
+def join_semi(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="left anti join (NOT EXISTS)",
+)
+def join_anti(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    """
+    SELECT r.r_name AS region, et.event_type, et.n_events
+    FROM region r
+    CROSS JOIN (SELECT event_type, COUNT(*) AS n_events
+                FROM events GROUP BY event_type) et
+    """,
+    doc="cross join of two small relations (5 x 5)",
+)
+def join_cross(spark, sf_dir):
+    r = T(spark, sf_dir, "region")
+    et = (T(spark, sf_dir, "events")
+          .groupBy("event_type").agg(F.count("*").alias("n_events")))
+    return r.crossJoin(et).select(F.col("r_name").alias("region"),
+                                  "event_type", "n_events")
+
+
+@query(
+    "join_range_bucket",
+    """
+    SELECT b.bucket, COUNT(*) AS n_parts,
+           ROUND(AVG(CAST(p.p_retailprice AS DOUBLE)), 2) AS avg_price
+    FROM part p
+    JOIN (VALUES ('tiny', 0, 10), ('small', 10, 25), ('large', 25, 50),
+                 ('huge', 50, 2000000000)) AS b(bucket, lo, hi)
+      ON p.p_size >= b.lo AND p.p_size < b.hi
+    GROUP BY b.bucket
+    """,
+    doc="non-equi (range/theta) join against a broadcast bucket dim",
+)
+def join_range_bucket(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    b = spark.createDataFrame(
+        [("tiny", 0, 10), ("small", 10, 25), ("large", 25, 50),
+         ("huge", 50, 2_000_000_000)],
+        "bucket STRING, lo INT, hi INT")
+    return (
+        p.join(F.broadcast(b), (p.p_size >= b.lo) & (p.p_size < b.hi))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_parts"),
+             F.round(F.avg(F.col("p_retailprice").cast("double")), 2)
+             .alias("avg_price"))
+    )
+
+
+@query(
+    "join_asof",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, o_orderkey AS asof_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS asof_totalprice
+    FROM ranked WHERE rn = 1
+    """,
+    doc="as-of join: each event matched to the user's most recent order as "
+        "of event time, via range join + window top-1 (tie-broken on "
+        "o_orderkey)",
+)
+def join_asof(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    o = T(spark, sf_dir, "orders")
+    j = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"),
+                                               F.desc("o_orderkey"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", F.col("o_orderkey").alias("asof_orderkey"),
+                F.col("o_totalprice").cast("double").alias("asof_totalprice"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+@query(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+           ROUND(SUM(CAST(l_extendedprice AS DOUBLE)), 2) AS sum_base_price,
+           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)), 2) AS sum_disc_price,
+           ROUND(AVG(CAST(l_quantity AS DOUBLE)), 4) AS avg_qty,
+           ROUND(AVG(CAST(l_discount AS DOUBLE)), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: multi-aggregate hash agg with "
+        "map-side partial aggregation",
+)
+def agg_pricing_summary(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("double")), 2)
+            .alias("sum_base_price"),
+            F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                          .cast("double")), 2).alias("sum_disc_price"),
+            F.round(F.avg(F.col("l_quantity").cast("double")), 4).alias("avg_qty"),
+            F.round(F.avg(F.col("l_discount").cast("double")), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    """
+    SELECT c_nationkey,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="exact distinct aggregation (expand + two-phase agg in Spark)",
+)
+def agg_count_distinct(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@query(
+    "agg_approx_count_distinct",
+    None,  # HLL sketches differ across engines; driver does a rows-only check
+    doc="approx_count_distinct (HyperLogLog++); sketch-based so no exact "
+        "cross-engine oracle",
+)
+def agg_approx_count_distinct(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_custs"))
+
+
+@query(
+    "agg_trimmed_mean",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag, l_quantity,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           ROUND(AVG(CAST(l_quantity AS DOUBLE)), 4) AS trimmed_mean_qty
+    FROM ranked
+    WHERE rn > CAST(CEIL(n * 0.025) AS BIGINT)
+      AND rn <= n - CAST(CEIL(n * 0.025) AS BIGINT)
+    GROUP BY l_returnflag
+    """,
+    doc="the CAR operator's trimmed mean (mean_frac=0.95, ceil-per-side — "
+        "common_referencing.py:37) as a relational aggregate, via "
+        "sort_array/slice/aggregate higher-order functions",
+)
+def agg_trimmed_mean(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    arr = F.array_sort(F.collect_list(F.col("l_quantity").cast("double")))
+    n = F.size(arr)
+    n_excl = F.ceil(n * F.lit(0.025)).cast("int")
+    mid = F.slice(arr, n_excl + 1, F.greatest(n - 2 * n_excl, F.lit(0)))
+    mean = F.aggregate(
+        mid,
+        F.struct(F.lit(0.0).alias("s"), F.lit(0).cast("long").alias("c")),
+        lambda acc, x: F.struct((acc["s"] + x).alias("s"),
+                                (acc["c"] + 1).alias("c")),
+        lambda acc: acc["s"] / acc["c"],
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(mean, 4).alias("trimmed_mean_qty"))
+    )
+
+
+@query(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(CAST(l_extendedprice AS DOUBLE)), 2) AS sd_price,
+           ROUND(STDDEV_POP(CAST(l_extendedprice AS DOUBLE)), 2) AS sdp_price,
+           ROUND(QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.5), 2) AS median_price,
+           ROUND(MIN(CAST(l_extendedprice AS DOUBLE)), 2) AS min_price,
+           ROUND(MAX(CAST(l_extendedprice AS DOUBLE)), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="stddev_samp/pop + exact interpolated median (percentile) + min/max",
+)
+def agg_stats(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp(p), 2).alias("sd_price"),
+        F.round(F.stddev_pop(p), 2).alias("sdp_price"),
+        F.round(F.expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)"), 2)
+        .alias("median_price"),
+        F.round(F.min(p), 2).alias("min_price"),
+        F.round(F.max(p), 2).alias("max_price"),
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n, ROUND(SUM(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP with GROUPING() markers",
+)
+def agg_rollup(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping("l_returnflag").cast("long").alias("g_flag"),
+             F.grouping("l_linestatus").cast("long").alias("g_status"),
+             F.count("*").alias("n"),
+             F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over two dimensions",
+)
+def agg_cube(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum(F.col("o_totalprice").cast("double")), 2).alias("total"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="explicit GROUPING SETS",
+)
+def agg_grouping_sets(spark, sf_dir):
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+@query(
+    "agg_collect_sorted",
+    """
+    SELECT o_orderpriority,
+           STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_csv
+    FROM orders
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority
+    """,
+    doc="collect_list + sort_array + array_join (deterministic CSV rendering "
+        "of a grouped collection)",
+)
+def agg_collect_sorted(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_orderpriority")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("o_orderkey")),
+                        lambda x: x.cast("string")), ",").alias("keys_csv"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+@query(
+    "win_topk_per_group",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ranked WHERE rn <= 3
+    """,
+    doc="per-group top-k via row_number (tie-broken), the scalable top-k idiom",
+)
+def win_topk_per_group(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey",
+                 F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_rank_dense",
+    """
+    SELECT p_brand, p_partkey, p_size,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS size_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS size_dense_rank
+    FROM part
+    """,
+    doc="rank vs dense_rank with real ties",
+)
+def win_rank_dense(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    return p.select(
+        "p_brand", "p_partkey", "p_size",
+        F.rank().over(w).cast("long").alias("size_rank"),
+        F.dense_rank().over(w).cast("long").alias("size_dense_rank"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    """
+    SELECT user_id, event_id,
+           ROUND(CAST(value AS DOUBLE) -
+                 LAG(CAST(value AS DOUBLE)) OVER w, 2) AS delta_prev,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead over an event-time ordering",
+)
+def win_lag_lead(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("double")
+    return e.select(
+        "user_id", "event_id",
+        F.round(v - F.lag(v).over(w), 2).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "win_running_frames",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(CAST(o_totalprice AS DOUBLE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           ROUND(AVG(CAST(o_totalprice AS DOUBLE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg_3
+    FROM orders
+    """,
+    doc="running aggregate + bounded moving frame (ROWS BETWEEN)",
+)
+def win_running_frames(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    p = F.col("o_totalprice").cast("double")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum(p).over(base.rowsBetween(Window.unboundedPreceding,
+                                               Window.currentRow)), 2)
+        .alias("running_spend"),
+        F.round(F.avg(p).over(base.rowsBetween(-2, Window.currentRow)), 2)
+        .alias("moving_avg_3"),
+    )
+
+
+@query(
+    "win_range_frame",
+    """
+    SELECT o_orderstatus, o_orderkey,
+           COUNT(*) OVER (
+             PARTITION BY o_orderstatus ORDER BY CAST(o_totalprice AS DOUBLE)
+             RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS n_similar_cheaper
+    FROM orders
+    """,
+    doc="RANGE frame over a numeric ordering (value-based window)",
+)
+def win_range_frame(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    # float RANGE bounds need the SQL frame syntax (pyspark rangeBetween
+    # only takes ints/unbounded markers)
+    return o.select(
+        "o_orderstatus", "o_orderkey",
+        F.expr(
+            "COUNT(*) OVER (PARTITION BY o_orderstatus "
+            "ORDER BY CAST(o_totalprice AS DOUBLE) "
+            "RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)"
+        ).alias("n_similar_cheaper"))
+
+
+@query(
+    "win_zscore",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND((CAST(l_extendedprice AS DOUBLE) -
+                  AVG(CAST(l_extendedprice AS DOUBLE)) OVER w) /
+                 STDDEV_POP(CAST(l_extendedprice AS DOUBLE)) OVER w, 4) AS price_z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+    doc="per-partition z-score (the reference tutorial's normalization stage "
+        "as a window aggregate)",
+)
+def win_zscore(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    p = F.col("l_extendedprice").cast("double")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round((p - F.avg(p).over(w)) / F.stddev_pop(p).over(w), 4)
+        .alias("price_z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops
+# --------------------------------------------------------------------------
+@query(
+    "sort_nulls_limit",
+    """
+    SELECT c_custkey, c_name, bal
+    FROM (SELECT c_custkey, c_name,
+                 CASE WHEN c_acctbal < 0 THEN NULL
+                      ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+          FROM customer) t
+    ORDER BY bal ASC NULLS FIRST, c_custkey ASC
+    LIMIT 25
+    """,
+    doc="global sort with explicit NULLS FIRST + deterministic LIMIT",
+)
+def sort_nulls_limit(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name",
+                 F.when(F.col("c_acctbal") < 0, None)
+                 .otherwise(F.col("c_acctbal").cast("double")).alias("bal"))
+        .orderBy(F.col("bal").asc_nulls_first(), F.col("c_custkey").asc())
+        .limit(25)
+    )
+
+
+@query(
+    "set_union_all",
+    """
+    SELECT k FROM (
+      SELECT c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT s_nationkey AS k FROM supplier
+    ) t
+    """,
+    doc="UNION ALL (bag semantics)",
+)
+def set_union_all(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionAll(s)
+
+
+@query(
+    "set_union_distinct",
+    """
+    SELECT c_nationkey AS k FROM customer
+    UNION
+    SELECT s_nationkey AS k FROM supplier
+    """,
+    doc="UNION (set semantics)",
+)
+def set_union_distinct(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT
+    SELECT s_nationkey AS k FROM supplier
+    """,
+    doc="INTERSECT (distinct)",
+)
+def set_intersect(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    """
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT
+    SELECT s_nationkey AS k FROM supplier
+    """,
+    doc="EXCEPT (distinct)",
+)
+def set_except(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.subtract(s)  # EXCEPT DISTINCT (exceptAll would be bag-except)
+
+
+# --------------------------------------------------------------------------
+# Scalar functions: string / date / math / array / map+JSON
+# --------------------------------------------------------------------------
+@query(
+    "fn_string",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_u,
+           LOWER(p_type) AS type_l,
+           TRIM(CONCAT(p_name, ' ')) AS name_t,
+           SUBSTRING(p_name, 1, 5) AS name5,
+           LENGTH(p_name) AS name_len,
+           REGEXP_EXTRACT(p_type, '([A-Z]+)', 1) AS type_word,
+           CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INT) AS n_words
+    FROM part
+    """,
+    doc="string functions: concat/substring/lower/upper/trim/split/regexp_extract",
+)
+def fn_string(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.trim(F.concat(F.col("p_name"), F.lit(" "))).alias("name_t"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len").cast("long"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("type_word"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+    )
+
+
+@query(
+    "fn_date",
+    """
+    SELECT o_orderkey,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS order_dow,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS order_epoch,
+           DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
+    FROM orders
+    """,
+    doc="date functions: date_trunc, extract, unix epoch, datediff",
+)
+def fn_date(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+        .alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+    )
+
+
+@query(
+    "fn_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(LOG10(CAST(l_extendedprice AS DOUBLE)), 6) AS log_price,
+           ROUND(SQRT(CAST(l_quantity AS DOUBLE)), 6) AS sqrt_qty,
+           ROUND(POW(CAST(l_discount AS DOUBLE), 2), 6) AS disc_sq,
+           ABS(ROUND(CAST(l_quantity AS DOUBLE) - 25.0, 1)) AS dist25,
+           ROUND(CAST(l_tax AS DOUBLE), 1) AS tax_r1,
+           ROUND(ATAN2(CAST(l_quantity AS DOUBLE), CAST(l_tax AS DOUBLE) + 1.0), 6) AS angle,
+           ROUND(SQRT(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE) +
+                      CAST(l_tax AS DOUBLE) * CAST(l_tax AS DOUBLE)), 6) AS hyp
+    FROM lineitem
+    WHERE l_orderkey % 7 = 0
+    """,
+    doc="math functions: log10/sqrt/pow/abs/round/atan2/hypot",
+)
+def fn_math(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    q = F.col("l_quantity").cast("double")
+    tax = F.col("l_tax").cast("double")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.log10(F.col("l_extendedprice").cast("double")), 6).alias("log_price"),
+        F.round(F.sqrt(q), 6).alias("sqrt_qty"),
+        F.round(F.pow(F.col("l_discount").cast("double"), 2), 6).alias("disc_sq"),
+        F.abs(F.round(q - 25.0, 1)).alias("dist25"),
+        F.round(tax, 1).alias("tax_r1"),
+        F.round(F.atan2(q, tax + 1.0), 6).alias("angle"),
+        F.round(F.hypot(q, tax), 6).alias("hyp"),
+    )
+
+
+@query(
+    "fn_array",
+    """
+    SELECT doc_id,
+           words[1] AS first_word,
+           CAST(LEN(words) AS INT) AS n_words,
+           CAST(LEN(LIST_DISTINCT(words)) AS INT) AS n_unique,
+           ARRAY_TO_STRING(LIST_SORT(words[1:5]), '|') AS first5_sorted,  -- [1:5] inclusive = 5 elems
+           CAST(LIST_SUM(LIST_TRANSFORM(words, w -> LENGTH(w))) AS BIGINT) AS total_chars,
+           ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, 4), i -> CAST(i * doc_id AS VARCHAR)), ',') AS seq_csv
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents) t
+    """,
+    doc="array functions: split/element_at/size/array_distinct/sort_array/"
+        "slice/transform/aggregate/sequence/array_join",
+)
+def fn_array(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    t = d.select("doc_id", words.alias("words"))
+    return t.select(
+        "doc_id",
+        F.element_at("words", 1).alias("first_word"),
+        F.size("words").alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_unique"),
+        F.array_join(F.sort_array(F.slice("words", 1, 5)), "|").alias("first5_sorted"),
+        F.aggregate(F.transform("words", F.length),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("total_chars"),
+        F.array_join(F.transform(F.sequence(F.lit(1), F.lit(3)),
+                                 lambda i: (i * F.col("doc_id")).cast("string")),
+                     ",").alias("seq_csv"),
+    )
+
+
+@query(
+    "fn_json_map",
+    """
+    SELECT event_id,
+           CAST(props->>'$.k' AS VARCHAR) AS k_str,
+           CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k_int,
+           'k' AS first_key
+    FROM events
+    """,
+    doc="JSON extraction (get_json_object / from_json) + map access "
+        "(map_keys / element_at)",
+)
+def fn_json_map(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.element_at(m, "k").alias("k_int"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+    )

@@ -30,9 +30,12 @@ def get_spark(app_name: str = "process-nwb-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Reference semantics are non-ANSI (e.g. silent casts); pin it.
         .config("spark.sql.ansi.enabled", "false")
+        # testdata events.ts is TIMESTAMP(NANOS): read as int64, convert in T()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in extra.items():
         b = b.config(k, v)

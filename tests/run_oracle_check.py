@@ -1,0 +1,109 @@
+"""Local replica of the driver's t2 gate: run every registry query in Spark
+and its oracle SQL in DuckDB on the same parquet, compare row count, schema
+width, and an order-insensitive value hash.
+
+Usage: python tests/run_oracle_check.py [sf_dir] [name ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive, type-tolerant normalization before comparison."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            df[c] = s.astype(str)
+        elif str(s.dtype).startswith(("datetime", "timestamp")):
+            df[c] = s.astype(str)
+        elif s.dtype.kind == "f":
+            df[c] = s.round(9)
+        elif s.dtype.kind in "iu":
+            df[c] = s.astype("int64")
+        elif s.dtype.kind == "b":
+            df[c] = s.astype(int).astype("int64")
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def compare(name, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    scols, dcols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if scols != dcols:
+        problems.append(f"columns spark={scols} duck={dcols}")
+        return problems
+    a, b = norm_frame(spark_pdf), norm_frame(duck_pdf)
+    if len(a) == len(b):
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                          check_exact=False, rtol=1e-6, atol=1e-9)
+        except AssertionError as e:
+            problems.append("values: " + str(e).split("\n")[0])
+            # show a small diff sample
+            neq = (a.astype(str) != b.astype(str)).any(axis=1)
+            if neq.any():
+                i = neq.idxmax()
+                problems.append(f"  first diff row {i}:\n  spark={a.loc[i].to_dict()}\n  duck ={b.loc[i].to_dict()}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from process_nwb_spark.session import get_spark
+    from process_nwb_spark.relational.core import all_queries, TABLES
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    registry = all_queries()
+    n_pass = n_fail = n_rows_only = 0
+    for name, spec in registry.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            ddf = con.sql(spec.oracle).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+            n_fail += 1
+        else:
+            print(f"ok    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
