@@ -56,7 +56,11 @@ def car_column(mean_frac: float = 0.95, value_col: str = "value",
             raise ValueError(
                 f"mean_frac={mean_frac} excludes all {n_channels} channels")
 
-    arr = F.array_sort(F.collect_list(value_col).over(w))
+    # NULL -> NaN so missing channels still count toward n_channels and sort
+    # last, exactly like np.sort + nanmean (common_referencing.py:40-41);
+    # collect_list would otherwise silently drop NULLs.
+    v = F.coalesce(F.col(value_col), F.lit(float("nan")))
+    arr = F.array_sort(F.collect_list(v).over(w))
     n = F.size(arr)
     n_excl = F.ceil(n * (1.0 - mean_frac) / 2.0).cast("int")
     mid = F.slice(arr, n_excl + 1, F.greatest(n - 2 * n_excl, F.lit(0)))
@@ -81,7 +85,8 @@ def car_df(df: DataFrame, mean_frac: float = 0.95,
         v = F.col(value_col)
         return df.groupBy("series_id", "sample_idx").agg(
             F.avg(F.when(~F.isnan(v), v)).alias("car"))
-    arr = F.array_sort(F.collect_list(value_col))
+    arr = F.array_sort(F.collect_list(
+        F.coalesce(F.col(value_col), F.lit(float("nan")))))
     n = F.size(arr)
     n_excl = F.ceil(n * (1.0 - mean_frac) / 2.0).cast("int")
     mid = F.slice(arr, n_excl + 1, F.greatest(n - 2 * n_excl, F.lit(0)))

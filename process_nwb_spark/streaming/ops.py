@@ -1,0 +1,121 @@
+"""Structured Streaming tier on the `events` stream.
+
+The reference has no streaming capability; its closest analog is the
+chunked iterative writer (wavelet_transform.py:142-235), whose Spark
+replacement is `foreachBatch` incremental sinks (see `foreach_batch_parquet`).
+Everything here is built-in Structured Streaming: event-time windows,
+watermarks + late-data drop, stateful dedup, stream-static joins.
+
+Batch twins of these operators live in relational/event_windows.py where
+DuckDB can replay them; tests/test_streaming.py checks stream == batch.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = ("event_id BIGINT, ts BIGINT, user_id BIGINT, "
+                 "event_type STRING, value DOUBLE, props STRING")
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """events parquet as a file-source stream (ts: parquet ns -> timestamp).
+
+    Requires spark.sql.legacy.parquet.nanosAsLong=true (set in session.py):
+    the nanos column arrives as int64 and is converted exactly like the
+    batch loader (relational/core.py).
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # point at the events file specifically: a bare directory glob would
+    # sweep in the other tables' parquet and null-pad their rows
+    path = sf_dir if sf_dir.endswith(".parquet") else f"{sf_dir}/events*.parquet"
+    sdf = reader.parquet(path)
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window counts with late-data drop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes",
+                   slide: str = "5 minutes",
+                   watermark: str = "1 hour") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user (gap-merged), the stateful window operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str | None = "1 hour") -> DataFrame:
+    """Stateful dedup: first event per (user_id, event_type).
+
+    With a watermark, state for keys older than the horizon is evicted —
+    bounded memory, but a key may re-emit after the horizon (the documented
+    dropDuplicates-with-watermark trade-off). watermark=None keeps state
+    unbounded for exact global dedup."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return events.dropDuplicates(["user_id", "event_type"])
+
+
+def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer dim
+    (static side is broadcast; no state needed)."""
+    dim = customers.select(F.col("c_custkey").alias("user_id"),
+                           "c_name", "c_mktsegment")
+    # No F.broadcast() hint here: wrapping the static side of a
+    # stream-static join in a broadcast hint breaks attribute remapping at
+    # query start (Spark 4.1.2); the dim is below the auto-broadcast
+    # threshold so the planner broadcasts it anyway.
+    return events.join(dim, on="user_id").select(
+        "event_id", "ts", "event_type", "c_name", "c_mktsegment")
+
+
+def foreach_batch_parquet(out_dir: str):
+    """Incremental partitioned-parquet sink — the Spark analog of the
+    reference's chunked HDF5 writer (wavelet_transform.py:219: DataChunk
+    appends addressed by (channel, band); here: epoch-partitioned append)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        (batch_df.withColumn("_batch", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    return write_batch
+
+
+def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession,
+                  mode: str = "complete"):
+    """Drain a stream with availableNow into an in-memory table; returns the
+    final batch DataFrame. mode='complete' for aggregations, 'append' for
+    dedup/joins. Test/utility helper."""
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)

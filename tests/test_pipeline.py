@@ -1,0 +1,98 @@
+"""End-to-end pipeline equivalence vs the dense NumPy composition
+(mirrors tests/test_pipeline.py:25-154 differential strategy)."""
+import numpy as np
+import pytest
+
+from process_nwb_spark import high_gamma_trace, preprocess
+from process_nwb_spark.dsp import kernels as K
+from process_nwb_spark.synth import generate_synthetic_data, to_long_df
+
+RATE = 2000.0
+INIT, FINAL = 1000.0, 250.0
+
+
+@pytest.fixture(scope="module")
+def dense():
+    return generate_synthetic_data(2.0, 8, RATE, seed=0)
+
+
+def _dense_pipeline(X, abs_only=True):
+    Xs = X * 1e6
+    Xr = K.resample(Xs, INIT, RATE, precision="double")
+    Xn = K.apply_linenoise_notch(Xr, INIT, precision="double")
+    Xc = K.subtract_car(Xn, 0.95, precision="double")
+    Xh, _, cfs, sds = K.wavelet_transform(Xc, INIT, "rat", True, precision="double")
+    amp = np.abs(Xh)
+    out = np.stack([np.stack([K.resample(amp[:, c, b], FINAL, INIT,
+                                         precision="double")
+                              for b in range(amp.shape[2])], 1)
+                    for c in range(amp.shape[1])], 1)
+    return out, cfs  # (time, ch, band)
+
+
+def test_preprocess_matches_dense(spark, dense):
+    res = preprocess(to_long_df(spark, dense), RATE, INIT, FINAL,
+                     precision="double")
+    out = res.tf.toPandas().sort_values(["channel", "band", "sample_idx"])
+    want, cfs = _dense_pipeline(dense)
+    got = out.amp.to_numpy().reshape(8, len(cfs), -1)
+    np.testing.assert_allclose(got, np.transpose(want, (1, 2, 0)),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_preprocess_unfused_matches_fused(spark, dense):
+    a = preprocess(to_long_df(spark, dense), RATE, INIT, FINAL,
+                   precision="double", fuse=True).tf.toPandas()
+    b = preprocess(to_long_df(spark, dense), RATE, INIT, FINAL,
+                   precision="double", fuse=False).tf.toPandas()
+    key = ["channel", "band", "sample_idx"]
+    a, b = a.sort_values(key), b.sort_values(key)
+    np.testing.assert_allclose(a.amp.to_numpy(), b.amp.to_numpy(),
+                               rtol=1e-9)
+
+
+def test_float32_default_within_reference_tolerance(spark, dense):
+    """precision='single' (the reference default) agrees with the float64
+    path within the reference's own chunked tolerance rtol=0.01
+    (tests/test_pipeline.py:154)."""
+    got = (preprocess(to_long_df(spark, dense), RATE, INIT, FINAL,
+                      precision="single").tf.toPandas()
+           .sort_values(["channel", "band", "sample_idx"]).amp.to_numpy())
+    want, cfs = _dense_pipeline(dense)
+    want = np.transpose(want, (1, 2, 0)).ravel()
+    mask = np.abs(want) > 1e-3 * np.abs(want).max()
+    rel = np.abs(got[mask] - want[mask]) / np.abs(want[mask])
+    assert np.quantile(rel, 0.999) < 0.01
+
+
+def test_materialize_lineage_names(spark, dense):
+    res = preprocess(to_long_df(spark, dense), RATE, INIT, FINAL)
+    names = res.materialize(spark, "ECoG")
+    assert "CAR_ln_downsampled_ECoG" in names
+    assert "wvlt_amp_ECoG" in names
+    assert spark.table("wvlt_amp_ECoG").columns == res.tf.columns
+
+
+def test_high_gamma_trace_shape(spark, dense):
+    res = preprocess(to_long_df(spark, dense), RATE, INIT, FINAL,
+                     precision="double")
+    hg = high_gamma_trace(res, 0.25, FINAL).toPandas()
+    n_t = K.resample_num(K.resample_num(int(2.0 * RATE), INIT, RATE), FINAL, INIT)
+    assert len(hg) == 8 * n_t
+    assert set(hg.columns) == {"series_id", "channel", "sample_idx", "amp"}
+
+
+def test_multi_series_grouping(spark, dense):
+    """Multiple series process independently in one job (the
+    preprocess_folder analog: series_id is just another group key)."""
+    import pandas as pd
+
+    df1 = to_long_df(spark, dense, "rec_a")
+    df2 = to_long_df(spark, dense * 2.0, "rec_b")
+    res = preprocess(df1.unionAll(df2), RATE, INIT, FINAL, precision="double")
+    pdf = res.tf.toPandas()
+    a = pdf[pdf.series_id == "rec_a"].sort_values(["channel", "band", "sample_idx"])
+    b = pdf[pdf.series_id == "rec_b"].sort_values(["channel", "band", "sample_idx"])
+    assert len(a) == len(b) > 0
+    # pipeline is linear up to the wavelet amplitude: 2x input -> 2x amplitude
+    np.testing.assert_allclose(b.amp.to_numpy(), 2 * a.amp.to_numpy(), rtol=1e-7)

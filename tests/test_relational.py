@@ -1,0 +1,62 @@
+"""Relational surface spot checks at sf0.001 (fast); the exhaustive gate is
+tests/run_oracle_check.py at sf0.01 (the driver's t2 replica)."""
+import duckdb
+import pytest
+
+from process_nwb_spark.relational.core import TABLES, all_queries
+
+SF = "/root/testdata/sf0.001"
+
+FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
+        "agg_pricing_summary", "agg_trimmed_mean", "agg_rollup",
+        "win_topk_per_group", "win_session", "set_except", "fn_array",
+        "fn_json_map", "dedup_exact", "minhash_lsh_candidates",
+        "simhash_fingerprints", "embed_cosine_topk", "sig_car_subtract",
+        "sig_band_dim"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_query_matches_oracle(spark, duck, name):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tests.run_oracle_check import compare
+
+    spec = all_queries()[name]
+    sdf = spec.fn(spark, SF).toPandas()
+    assert spec.oracle is not None
+    ddf = duck.sql(spec.oracle).df()
+    problems = compare(name, sdf, ddf)
+    assert not problems, problems
+
+
+def test_registry_complete():
+    reg = all_queries()
+    assert len(reg) >= 55
+    # every oracle is non-trivial SQL and every fn is callable
+    for name, spec in reg.items():
+        assert callable(spec.fn)
+        if spec.oracle is not None:
+            assert "SELECT" in spec.oracle.upper()
+
+
+def test_entry_contract(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        __file__.rsplit("/tests/", 1)[0] + "/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    df = m.entry(spark)
+    assert df.count() > 0
+    qs, osql = m.queries(), m.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 55

@@ -1,0 +1,89 @@
+"""Structured Streaming tier: stream results == batch twins on the same
+events data (availableNow drain through a real streaming query)."""
+import pandas as pd
+import pytest
+
+from process_nwb_spark.relational.core import T, all_queries
+from process_nwb_spark.streaming.ops import (dedup_stream,
+                                             enrich_with_customers,
+                                             foreach_batch_parquet,
+                                             read_events_stream,
+                                             run_to_memory, session_counts,
+                                             sliding_counts, tumbling_counts)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_stream(spark):
+    # function-scoped: a streaming source DataFrame reused across several
+    # started queries can hit analyzer re-resolution mismatches
+    return read_events_stream(spark, SF)
+
+
+def _norm(pdf, keys):
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime"):
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(keys).reset_index(drop=True)
+
+
+def test_tumbling_stream_equals_batch(spark, events_stream):
+    got = run_to_memory(tumbling_counts(events_stream), "t_tumb", spark).toPandas()
+    want = all_queries()["win_tumbling"].fn(spark, SF).toPandas()
+    got["window_start"] = got["window_start"].astype(str)
+    pd.testing.assert_frame_equal(
+        _norm(got, ["window_start", "event_type"]),
+        _norm(want, ["window_start", "event_type"]),
+        check_dtype=False, check_like=True)
+
+
+def test_sliding_stream_counts(spark, events_stream):
+    got = run_to_memory(sliding_counts(events_stream), "t_slide", spark).toPandas()
+    assert got.n.sum() == 2 * 1000  # every event in exactly 2 windows
+
+
+def test_session_stream_equals_batch(spark, events_stream):
+    got = run_to_memory(session_counts(events_stream), "t_sess", spark).toPandas()
+    want = all_queries()["win_session"].fn(spark, SF).toPandas()
+    got["session_start"] = got["session_start"].astype(str).str[:19]
+    pd.testing.assert_frame_equal(
+        _norm(got, ["user_id", "session_start"]),
+        _norm(want, ["user_id", "session_start"]),
+        check_dtype=False, check_like=True)
+
+
+def test_dedup_stream(spark, events_stream):
+    n_keys = (T(spark, SF, "events")
+              .select("user_id", "event_type").distinct().count())
+    exact = run_to_memory(dedup_stream(events_stream, watermark=None),
+                          "t_dedup_exact", spark, mode="append").toPandas()
+    assert len(exact) == n_keys
+    assert exact.groupby(["user_id", "event_type"]).size().max() == 1
+    # watermarked variant: bounded state may re-emit evicted keys, never
+    # fewer rows than the exact dedup
+    wm = run_to_memory(dedup_stream(events_stream, watermark="1 hour"),
+                       "t_dedup_wm", spark, mode="append").toPandas()
+    assert len(wm) >= n_keys
+
+
+def test_stream_static_join(spark, events_stream):
+    cust = T(spark, SF, "customer")
+    got = run_to_memory(enrich_with_customers(events_stream, cust),
+                        "t_enrich", spark, mode="append").toPandas()
+    ev = T(spark, SF, "events")
+    want = ev.join(cust, ev.user_id == cust.c_custkey).count()
+    assert len(got) == want
+
+
+def test_foreach_batch_sink(spark, events_stream, tmp_path):
+    out = str(tmp_path / "sink")
+    q = (tumbling_counts(events_stream).writeStream
+         .outputMode("complete")
+         .foreachBatch(foreach_batch_parquet(out))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    written = spark.read.parquet(out)
+    assert written.count() > 0
+    assert "_batch" in written.columns
