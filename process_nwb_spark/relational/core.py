@@ -63,6 +63,8 @@ def all_queries() -> dict[str, QuerySpec]:
     # import side-effect modules exactly once
     from . import tpch_core  # noqa: F401
     from . import llm_ops  # noqa: F401
+    from . import embed_lsh  # noqa: F401
     from . import event_windows  # noqa: F401
     from . import signal_queries  # noqa: F401
+    from . import sources_queries  # noqa: F401
     return REGISTRY

@@ -1,0 +1,188 @@
+"""Random-hyperplane (sign) LSH over the `embeddings` table: bucketed ANN
+search and embedding-cosine near-dup — the scale path beside the brute-force
+baseline (`embed_cosine_topk` in llm_ops.py).
+
+Scheme: 8 fixed Rademacher (+/-1) hyperplanes -> 8 sign bits per vector,
+split into 2 bands of 4 bits. Two vectors are candidates when ANY band
+matches (banded OR amplification, same shape as MinHash LSH). Exact cosine
+is then computed only inside buckets, so the quadratic all-pairs scan
+becomes an equi-join on (band, bucket_key) — at 100 TB the join shuffles
+only bucket-collided rows, and the per-bucket population is bounded by the
+band width (add bits per band to shrink buckets at higher scale).
+
+The planes are deterministic literals generated once from a seeded RNG and
+embedded into BOTH the Spark expression tree and the DuckDB oracle SQL, so
+the sketch hash-matches across engines (same trick as the md5 MinHash family
+in llm_ops.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from .core import T, query
+
+_DIM = 64
+_N_PLANES = 8
+_BAND_BITS = 4
+_N_BANDS = _N_PLANES // _BAND_BITS
+
+# Rademacher +/-1 planes: exact in float, compact as SQL literals.
+_PLANES: list[list[int]] = (
+    np.where(np.random.default_rng(7).random((_N_PLANES, _DIM)) < 0.5, -1, 1)
+    .tolist()
+)
+
+
+def _dot_plane_spark(col, plane):
+    """sum_i col[i] * plane_i for a literal +/-1 plane (JVM higher-order fns,
+    no UDF: zip_with against a literal array, then aggregate)."""
+    lit_plane = F.array(*[F.lit(float(c)) for c in plane])
+    return F.aggregate(
+        F.zip_with(col, lit_plane, lambda x, c: x.cast("double") * c),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _band_keys_spark(col):
+    """-> list of _N_BANDS integer bucket keys (4 sign bits each)."""
+    bits = [F.when(_dot_plane_spark(col, p) >= 0, 1).otherwise(0)
+            for p in _PLANES]
+    keys = []
+    for b in range(_N_BANDS):
+        key = F.lit(0)
+        for j in range(_BAND_BITS):
+            key = key + bits[b * _BAND_BITS + j] * F.lit(1 << j)
+        keys.append(key)
+    return keys
+
+
+def _dot_plane_sql(vec_expr: str, plane) -> str:
+    lits = ", ".join(str(float(c)) for c in plane)
+    return (f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {_DIM} + 1), "
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ([{lits}])[i]))")
+
+
+def _band_key_sql(vec_expr: str, band: int) -> str:
+    terms = []
+    for j in range(_BAND_BITS):
+        p = _PLANES[band * _BAND_BITS + j]
+        terms.append(f"(CASE WHEN {_dot_plane_sql(vec_expr, p)} >= 0 "
+                     f"THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_COS_SQL = """
+  LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim} + 1),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+  / (SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> CAST(x AS DOUBLE) * x)))
+     * SQRT(LIST_SUM(LIST_TRANSFORM({b}, x -> CAST(x AS DOUBLE) * x))))
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return _COS_SQL.format(dim=_DIM, a=a, b=b)
+
+
+def _bands_sql(src: str = "embeddings") -> str:
+    """(vec_id, label, embedding, band, bkey) — one row per vector per band."""
+    parts = [
+        f"SELECT vec_id, label, embedding, {b} AS band, "
+        f"{_band_key_sql('embedding', b)} AS bkey FROM {src}"
+        for b in range(_N_BANDS)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _bands_df(e):
+    keys = _band_keys_spark(F.col("embedding"))
+    out = None
+    for b, key in enumerate(keys):
+        part = e.select("vec_id", "label", "embedding",
+                        F.lit(b).alias("band"), key.alias("bkey"))
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+def _cosine_spark(a_col: str, b_col: str):
+    dot = F.aggregate(
+        F.zip_with(a_col, b_col, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (norm(a_col) * norm(b_col))
+
+
+@query(
+    "embed_ann_lsh",
+    f"""
+    WITH bands AS ({_bands_sql()}),
+    qb AS (SELECT band, bkey, embedding AS qv FROM bands WHERE vec_id = 0),
+    cand AS (
+      SELECT DISTINCT b.vec_id, b.label, b.embedding, qb.qv
+      FROM bands b JOIN qb ON b.band = qb.band AND b.bkey = qb.bkey
+      WHERE b.vec_id <> 0
+    )
+    SELECT vec_id, label,
+           ROUND({_cos_sql('embedding', 'qv')}, 6) AS cosine
+    FROM cand
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    doc="LSH-bucketed ANN top-k: sign-bit banding prunes the candidate set "
+        "to bucket collisions with the query vector, then exact cosine only "
+        "inside buckets. The bucket equi-join replaces the brute-force "
+        "crossJoin of embed_cosine_topk at scale",
+)
+def embed_ann_lsh(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    bands = _bands_df(e)
+    qb = (bands.filter(F.col("vec_id") == 0)
+          .select("band", "bkey", F.col("embedding").alias("qv")))
+    cand = (
+        bands.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qb), ["band", "bkey"])
+        .select("vec_id", "label", "embedding", "qv")
+        .dropDuplicates(["vec_id"])
+    )
+    return (
+        cand.select("vec_id", "label",
+                    F.round(_cosine_spark("embedding", "qv"), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "dedup_embed_cosine",
+    f"""
+    WITH bands AS ({_bands_sql()}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND({_cos_sql('ea', 'eb')}, 6) AS cosine
+    FROM pairs
+    WHERE {_cos_sql('ea', 'eb')} >= 0.35
+    """,
+    doc="embedding-cosine near-dup: banded sign-LSH candidate pairs, exact "
+        "cosine filter at 0.35 inside buckets only. Self-join is on "
+        "(band, bkey) — shuffle is bounded by bucket populations, not n^2",
+)
+def dedup_embed_cosine(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    bands = _bands_df(e)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                F.col("a.embedding").alias("ea"), F.col("b.embedding").alias("eb"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = _cosine_spark("ea", "eb")
+    return (pairs.filter(cos >= 0.35)
+            .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine")))

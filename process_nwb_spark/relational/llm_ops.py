@@ -338,6 +338,84 @@ def text_source_stats(spark, sf_dir):
     )
 
 
+@query(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+           LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS n_bpe_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+')) AS n_alpha,
+           LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS n_num,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^A-Za-z0-9\s]')) AS n_sym,
+           LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')))
+             AS n_distinct_words
+    FROM documents
+    """,
+    doc="token counting: whitespace tokens vs a BPE-ish pre-tokenizer regex "
+        "(alpha runs | digit runs | single symbols — the GPT-2 pre-tokenizer "
+        "shape) plus distinct-word vocabulary size. Pure JVM regexp, "
+        "narrow/no-shuffle, scales linearly",
+)
+def text_token_counts(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(bpe)).alias("n_bpe_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+")).alias("n_alpha"),
+        F.regexp_count("text", F.lit(r"[0-9]+")).alias("n_num"),
+        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).alias("n_sym"),
+        F.size(F.array_distinct(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")))
+        .alias("n_distinct_words"),
+    )
+
+
+@query(
+    "doc_fingerprint_winnow",
+    r"""
+    WITH sh AS (
+      -- two equal-length UNNESTs zip row-wise in DuckDB: (pos, rolling hash)
+      SELECT doc_id,
+             UNNEST(RANGE(1, GREATEST(LEN(words) - 1, 1))) - 1 AS pos,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 1)),
+                    i -> MD5(words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+               AS h
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents) t
+      WHERE LEN(words) >= 3
+    ),
+    winmin AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM sh
+    )
+    SELECT DISTINCT doc_id, fp FROM winmin
+    """,
+    doc="document fingerprinting by winnowing: rolling hash (md5) over word "
+        "3-gram shingles, keep the window-min hash of every 4-shingle window "
+        "(MOSS-style local minima), distinct per doc. Window-min is a "
+        "partition-local scan — no extra shuffle beyond the per-doc "
+        "repartition; fingerprint set size is ~n/w per doc",
+)
+def doc_fingerprint_winnow(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    words = _words()
+    k = 3
+    sh = F.transform(F.sequence(F.lit(0), F.size(words) - k),
+                     lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    # posexplode keeps shingle order; winnowing needs positions (unlike the
+    # order-free distinct-shingle set used by minhash)
+    shingled = (d.filter(F.size(words) >= k)
+                .select("doc_id", F.posexplode(sh).alias("pos", "sh"))
+                .select("doc_id", "pos", F.md5("sh").alias("h")))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    return (shingled.select("doc_id", F.min("h").over(w).alias("fp"))
+            .distinct())
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search
 # --------------------------------------------------------------------------

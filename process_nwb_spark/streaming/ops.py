@@ -97,6 +97,37 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
         "event_id", "ts", "event_type", "c_name", "c_mktsegment")
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState`: per-user
+    running (count, sum(value)) maintained across micro-batches — the
+    arbitrary-state API the built-in windows can't express (reference
+    analog: the chunked writer's per-(channel,band) accumulator state,
+    wavelet_transform.py:198-207).
+
+    State is one (n, total) pair per user_id: O(distinct keys) memory,
+    partitioned by the grouping key across executors at scale. Each
+    micro-batch emits the updated totals for the users it touched
+    (outputMode='update')."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 2)]})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        stateStructType="n BIGINT, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def foreach_batch_parquet(out_dir: str):
     """Incremental partitioned-parquet sink — the Spark analog of the
     reference's chunked HDF5 writer (wavelet_transform.py:219: DataChunk

@@ -12,7 +12,9 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "win_topk_per_group", "win_session", "set_except", "fn_array",
         "fn_json_map", "dedup_exact", "minhash_lsh_candidates",
         "simhash_fingerprints", "embed_cosine_topk", "sig_car_subtract",
-        "sig_band_dim"]
+        "sig_band_dim", "embed_ann_lsh", "dedup_embed_cosine",
+        "text_token_counts", "doc_fingerprint_winnow", "scan_range",
+        "agg_percentiles", "source_csv_roundtrip", "source_json_roundtrip"]
 
 
 @pytest.fixture(scope="module")
@@ -39,7 +41,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_registry_complete():
     reg = all_queries()
-    assert len(reg) >= 55
+    assert len(reg) >= 63
     # every oracle is non-trivial SQL and every fn is callable
     for name, spec in reg.items():
         assert callable(spec.fn)

@@ -1,6 +1,7 @@
 """Structured Streaming tier: stream results == batch twins on the same
 events data (availableNow drain through a real streaming query)."""
 import pandas as pd
+from pyspark.sql import functions as F
 import pytest
 
 from process_nwb_spark.relational.core import T, all_queries
@@ -87,3 +88,25 @@ def test_foreach_batch_sink(spark, events_stream, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() > 0
     assert "_batch" in written.columns
+
+
+def test_stateful_running_totals(spark, events_stream, tmp_path):
+    from process_nwb_spark.streaming.ops import running_user_totals
+
+    got = (running_user_totals(events_stream).writeStream
+           .format("memory").queryName("t_state")
+           .outputMode("update")
+           .option("checkpointLocation", str(tmp_path / "ckpt"))
+           .trigger(availableNow=True).start())
+    got.awaitTermination()
+    # last update per user == batch aggregate
+    latest = (spark.table("t_state").toPandas()
+              .groupby("user_id").last().reset_index())
+    want = (T(spark, SF, "events").groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .toPandas())
+    merged = latest.merge(want, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(want)
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (merged.total_value_s - merged.total_value_b).abs().max() < 1e-6
