@@ -22,7 +22,10 @@ HEADLINE = [
     "win_tumbling", "win_session",
     # LLM data-pipeline ops
     "dedup_exact", "minhash_lsh_candidates", "ngram_jaccard_pairs",
-    "simhash_fingerprints", "embed_cosine_topk", "text_quality",
+    "simhash_fingerprints", "doc_fingerprint_winnow", "text_quality",
+    "text_token_counts",
+    # similarity search: brute-force baseline + LSH scale path
+    "embed_cosine_topk", "embed_ann_lsh", "dedup_embed_cosine",
     # signal engine (relational faces)
     "sig_car_subtract", "sig_zscore_baseline",
 ]

@@ -13,10 +13,14 @@ the reference's lineage names (downsampled_X, CAR_ln_X, wvlt_amp_X —
 resample.py:196, pipelines.py:148, wavelet_transform.py:389), the catalog
 analog of the NWB processing module.
 
-Physical plan (3 repacking shuffles — SURVEY.md §3):
-  pack (shuffle 1) -> [resample+notch fused kernel, narrow] -> unpack ->
-  CAR window (shuffle 2) -> pack (shuffle 3) -> wavelet kernel (narrow,
-  fans out to bands) -> unpack -> relational tail.
+Physical plan (2 shuffles on the packed layout — SURVEY.md §3, improved):
+  pack (shuffle 1: long rows -> one array row per channel) ->
+  [resample+notch fused kernel, narrow] ->
+  packed CAR (shuffle 2: n_channels array rows per series — NOT the long
+  rows; the relational window CAR would shuffle n_time*n_channels rows) ->
+  wavelet kernel (narrow, fans out to bands) -> unpack -> relational tail.
+With `fuse=False` the original 3-shuffle relational-CAR plan runs instead
+(it materializes the long intermediates the `all_steps` catalog needs).
 """
 from __future__ import annotations
 
@@ -26,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dsp import kernels as K
-from .operators.car import subtract_car
+from .operators.car import subtract_car, subtract_car_packed
 from .operators.kernel_ops import (fused_ops, notch_op, resample_op,
                                    scale_packed, wavelet_op)
 from .operators.repack import pack, unpack
@@ -71,17 +75,20 @@ def preprocess(signals: DataFrame, rate: float,
             lambda x: K.apply_linenoise_notch(x, initial_resample_rate,
                                               precision=precision),
         )
+        # dense CAR on packed rows: shuffle = n_channels array rows/series
+        repacked = subtract_car_packed(ds, mean_frac=mean_frac,
+                                       precision=precision)
+        stages["CAR_ln_downsampled"] = unpack(repacked)
     else:
         ds = resample_op(packed, initial_resample_rate, rate,
                          precision=precision)
         stages["downsampled"] = unpack(ds)
         ds = notch_op(ds, initial_resample_rate, precision=precision)
+        long_ds = unpack(ds)
+        car_ln = subtract_car(long_ds, mean_frac=mean_frac)
+        stages["CAR_ln_downsampled"] = car_ln
+        repacked = pack(car_ln)
 
-    long_ds = unpack(ds)
-    car_ln = subtract_car(long_ds, mean_frac=mean_frac)
-    stages["CAR_ln_downsampled"] = car_ln
-
-    repacked = pack(car_ln)
     wv = wavelet_op(repacked, initial_resample_rate, filters=filters,
                     hg_only=hg_only, abs_only=abs_only,
                     post_resample_rate=final_resample_rate,

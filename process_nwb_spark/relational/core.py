@@ -33,6 +33,20 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition a *small* input that fans out heavily
+    downstream (shingle explosion, per-bit explode, plane dot products).
+
+    The driver testdata tables are single-file parquet -> a 1-split scan, so
+    without this every fan-out runs on one core of local[32]. The shuffle
+    moves only the small pre-explosion rows. At 100 TB inputs arrive in many
+    splits and this becomes a near-no-op (repartition to the cluster's
+    default parallelism is then dominated by the scan anyway), and every
+    downstream op here is order-insensitive, so the round-robin placement
+    does not affect results."""
+    return df.repartition(n or df.sparkSession.sparkContext.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         T(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
-from .core import T, query
+from .core import T, query, spread
 
 _DIM = 64
 _N_PLANES = 8
@@ -94,13 +94,18 @@ def _bands_sql(src: str = "embeddings") -> str:
 
 
 def _bands_df(e):
+    """One (vec, band) row per vector per band via a single explode — all 8
+    plane dot products are evaluated in one scan (a unionAll of per-band
+    projections would rescan and recompute per branch)."""
     keys = _band_keys_spark(F.col("embedding"))
-    out = None
-    for b, key in enumerate(keys):
-        part = e.select("vec_id", "label", "embedding",
-                        F.lit(b).alias("band"), key.alias("bkey"))
-        out = part if out is None else out.unionAll(part)
-    return out
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"), key.alias("bkey"))
+        for b, key in enumerate(keys)])
+    return (e.select("vec_id", "label", "embedding",
+                     F.explode(band_structs).alias("bb"))
+            .select("vec_id", "label", "embedding",
+                    F.col("bb.band").alias("band"),
+                    F.col("bb.bkey").alias("bkey")))
 
 
 def _cosine_spark(a_col: str, b_col: str):
@@ -135,7 +140,7 @@ def _cosine_spark(a_col: str, b_col: str):
         "crossJoin of embed_cosine_topk at scale",
 )
 def embed_ann_lsh(spark, sf_dir):
-    e = T(spark, sf_dir, "embeddings")
+    e = spread(T(spark, sf_dir, "embeddings"))
     bands = _bands_df(e)
     qb = (bands.filter(F.col("vec_id") == 0)
           .select("band", "bkey", F.col("embedding").alias("qv")))
@@ -172,7 +177,7 @@ def embed_ann_lsh(spark, sf_dir):
         "(band, bkey) — shuffle is bounded by bucket populations, not n^2",
 )
 def dedup_embed_cosine(spark, sf_dir):
-    e = T(spark, sf_dir, "embeddings")
+    e = spread(T(spark, sf_dir, "embeddings"))
     bands = _bands_df(e)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (

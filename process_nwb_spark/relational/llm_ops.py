@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .core import T, query
+from .core import T, query, spread
 
 
 def _words(col="text"):
@@ -25,7 +25,7 @@ def _words(col="text"):
 
 def _shingles_df(spark, sf_dir, k: int = 3):
     """Distinct word-k-gram shingles per doc: (doc_id, sh)."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     words = _words()
     # sequence(0, size-k) inclusive -> size-k+1 shingles
     sh = F.transform(F.sequence(F.lit(0), F.size(words) - k),
@@ -121,12 +121,16 @@ def minhash_signatures(spark, sf_dir):
 )
 def minhash_lsh_candidates(spark, sf_dir):
     sig = minhash_signatures(spark, sf_dir)
-    bands = None
-    for b in range(_N_SIGS // 2):
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"sig{2*b}"), F.col(f"sig{2*b+1}"))).alias("bkey"))
-        bands = part if bands is None else bands.unionAll(part)
+    # one row per (doc, band) via a single explode — a unionAll of per-band
+    # projections would re-evaluate the signature aggregation per branch
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat(F.col(f"sig{2*b}"),
+                                F.col(f"sig{2*b+1}"))).alias("bkey"))
+        for b in range(_N_SIGS // 2)])
+    bands = (sig.select("doc_id", F.explode(band_structs).alias("bb"))
+             .select("doc_id", F.col("bb.band").alias("band"),
+                     F.col("bb.bkey").alias("bkey")))
     a = bands.alias("a")
     b2 = bands.alias("b")
     return (
@@ -169,9 +173,13 @@ def minhash_lsh_candidates(spark, sf_dir):
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     sh = _shingles_df(spark, sf_dir)
-    df_counts = sh.groupBy("sh").agg(F.count("*").alias("n_docs"))
-    filtered = (sh.join(df_counts.filter(F.col("n_docs") <= 100), "sh")
-                .select("doc_id", "sh"))
+    # document frequency as a window count over the same shuffle the
+    # self-join needs anyway — one pass over the shingles instead of the
+    # groupBy+join-back formulation (which recomputes the explosion)
+    filtered = (sh.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("sh")))
+        .filter(F.col("n_docs") <= 100)
+        .select("doc_id", "sh"))
     sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = filtered.alias("a")
     b = filtered.alias("b")
@@ -216,7 +224,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
         "16-bit fingerprint; near-dups share fingerprints (hamming-0 bucket)",
 )
 def simhash_fingerprints(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     tok = (d.select("doc_id", F.explode(_words()).alias("w"))
            .select("doc_id", F.md5("w").alias("h")))
     bits = tok.select(
@@ -401,7 +409,7 @@ def text_token_counts(spark, sf_dir):
         "repartition; fingerprint set size is ~n/w per doc",
 )
 def doc_fingerprint_winnow(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     words = _words()
     k = 3
     sh = F.transform(F.sequence(F.lit(0), F.size(words) - k),
@@ -446,6 +454,7 @@ def doc_fingerprint_winnow(spark, sf_dir):
 )
 def embed_cosine_topk(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings")
+    e = spread(e)
     q = (e.filter(F.col("vec_id") == 0)
          .select(F.col("embedding").alias("qv")))
     dot = F.aggregate(
@@ -479,7 +488,7 @@ def embed_cosine_topk(spark, sf_dir):
         "mean expressed relationally — partial-agg friendly at scale)",
 )
 def embed_centroids(spark, sf_dir):
-    e = T(spark, sf_dir, "embeddings")
+    e = spread(T(spark, sf_dir, "embeddings"))
     return (
         e.select("label", F.posexplode("embedding").alias("dim0", "x"))
         .select("label", (F.col("dim0") + 1).cast("long").alias("dim"),
@@ -523,7 +532,7 @@ def embed_centroids(spark, sf_dir):
         "window top-k)",
 )
 def embed_knn_per_label(spark, sf_dir):
-    e = T(spark, sf_dir, "embeddings")
+    e = spread(T(spark, sf_dir, "embeddings"))
     flat = (e.select("vec_id", "label", F.posexplode("embedding").alias("dim0", "x"))
             .select("vec_id", "label", (F.col("dim0") + 1).cast("long").alias("dim"),
                     F.col("x").cast("double").alias("x")))
