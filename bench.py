@@ -57,6 +57,11 @@ def main():
     spark = get_spark("bench")
     registry = all_queries()
 
+    # warm the session (executor threads, codegen, parquet reader paths)
+    # so the first timed query doesn't absorb one-time JVM startup cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]

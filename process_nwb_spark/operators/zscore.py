@@ -6,13 +6,17 @@ compute mean/std over a baseline window (first `n_baseline` samples),
 normalize the whole trace, then average the bands into one "high gamma"
 trace per channel.
 
-Plan shape: filtered aggregate (map-side partial agg) -> broadcast join of
-the tiny stats table back onto the facts -> projection -> band-average
-aggregate. The stats table has n_channels x n_bands rows, always broadcast.
+Plan shape: conditional window aggregates over (series, channel, band) —
+ONE pass, one shuffle. The agg+broadcast-join-back formulation would be two
+references to the upstream DataFrame, and since the upstream here is a
+non-reusable kernel chain (pack -> mapInPandas kernels -> wavelet), Spark
+would execute the whole pipeline twice — a silent 2x. (That formulation
+remains the right one when the facts are a re-scannable table; the oracled
+query `sig_zscore_baseline` states it that way in SQL.)
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -21,19 +25,14 @@ def zscore_baseline(tf: DataFrame, n_baseline: int,
     """(x - mean_baseline) / std_baseline per (series_id, channel, band).
 
     std is the population std (numpy's default ddof=0, as in the tutorial).
+    Baseline stats are conditional aggregates over an unordered window, so
+    the upstream plan is evaluated once (no self-join).
     """
-    keys = ["series_id", "channel", "band"]
-    stats = (
-        tf.filter(F.col("sample_idx") < n_baseline)
-        .groupBy(*keys)
-        .agg(F.avg(value_col).alias("_mu"),
-             F.stddev_pop(value_col).alias("_sigma"))
-    )
-    return (
-        tf.join(F.broadcast(stats), keys)
-        .withColumn(value_col, (F.col(value_col) - F.col("_mu")) / F.col("_sigma"))
-        .drop("_mu", "_sigma")
-    )
+    w = Window.partitionBy("series_id", "channel", "band")
+    in_base = F.when(F.col("sample_idx") < n_baseline, F.col(value_col))
+    mu = F.avg(in_base).over(w)
+    sigma = F.stddev_pop(in_base).over(w)
+    return tf.withColumn(value_col, (F.col(value_col) - mu) / sigma)
 
 
 def band_mean(tf: DataFrame, value_col: str = "amp") -> DataFrame:

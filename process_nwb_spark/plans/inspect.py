@@ -1,0 +1,70 @@
+"""Physical-plan inspection helpers: make plan quality testable.
+
+The scale contract of every operator ("does the filter reach the scan? is
+the dim broadcast? does the agg combine map-side? how many shuffles?") is
+asserted in tests/test_plans.py with these, so a regression that silently
+de-optimizes a plan (e.g. a cast blocking pushdown, a join flipping to
+sort-merge-broadcastable) fails CI rather than only showing up at 100 TB.
+"""
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (what .explain(mode) prints)."""
+    jqe = df._jdf.queryExecution()
+    jmode = (df.sparkSession._jvm.org.apache.spark.sql.execution
+             .ExplainMode.fromString(mode))
+    return jqe.explainString(jmode)
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle boundaries (Exchange operators, excluding reuse
+    and broadcast exchanges — those don't repartition the big side)."""
+    plan = formatted_plan(df, "simple")
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|"
+                          r"\bExchange RoundRobinPartitioning", plan))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df, "simple") or \
+        "BroadcastNestedLoopJoin" in formatted_plan(df, "simple")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the parquet scan (predicate pushdown proof)."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of each scan (column-pruning proof)."""
+    plan = formatted_plan(df)
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan)]
+
+
+def count_scans(df: DataFrame, source: str = "parquet") -> int:
+    plan = formatted_plan(df, "simple")
+    return len(re.findall(rf"Scan {source}", plan))
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """True when the agg splits into partial (map-side) + final — the
+    HashAggregate pair around the exchange."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"HashAggregate", plan)) >= 2 or \
+        "partial_" in plan
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    plan = formatted_plan(df, "simple")
+    ids = re.findall(r"\*\((\d+)\)", plan)
+    return len(set(ids))

@@ -81,4 +81,5 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import event_windows  # noqa: F401
     from . import signal_queries  # noqa: F401
     from . import sources_queries  # noqa: F401
+    from . import udf_queries  # noqa: F401
     return REGISTRY

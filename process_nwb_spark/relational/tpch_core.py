@@ -258,20 +258,23 @@ def join_range_bucket(spark, sf_dir):
     FROM ranked WHERE rn = 1
     """,
     doc="as-of join: each event matched to the user's most recent order as "
-        "of event time, via range join + window top-1 (tie-broken on "
-        "o_orderkey)",
+        "of event time — range join + max_by argmax (tie-broken on "
+        "o_orderkey). max_by aggregates partially map-side, so the shuffle "
+        "carries one candidate per (event, map partition) instead of every "
+        "matched order row sorted in a window — the scalable formulation; "
+        "the oracle states the same semantics as window top-1",
 )
 def join_asof(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     o = T(spark, sf_dir, "orders")
     j = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
-    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"),
-                                               F.desc("o_orderkey"))
+    best = F.max_by(
+        F.struct(F.col("o_orderkey"), F.col("o_totalprice")),
+        F.struct(F.col("o_orderdate"), F.col("o_orderkey")))
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", F.col("o_orderkey").alias("asof_orderkey"),
-                F.col("o_totalprice").cast("double").alias("asof_totalprice"))
+        j.groupBy("event_id").agg(best.alias("m"))
+        .select("event_id", F.col("m.o_orderkey").alias("asof_orderkey"),
+                F.col("m.o_totalprice").cast("double").alias("asof_totalprice"))
     )
 
 

@@ -1,0 +1,71 @@
+"""Registry entries exercising the UDF surface (functions/udfs.py) with
+DuckDB oracles — the Arrow-vectorized results are deterministic numpy math,
+so they hash-match plain SQL reformulations."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.udfs import covar_pop_udaf, l2_norm, py_bucket_fallback
+from .core import T, query, spread
+
+
+@query(
+    "udf_embed_norms",
+    """
+    SELECT vec_id, label,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS norm
+    FROM embeddings
+    """,
+    doc="scalar pandas_udf (Arrow-batched numpy L2 norm per vector) vs the "
+        "pure-SQL higher-order-function formulation — the two sanctioned "
+        "tiers of the same computation",
+)
+def udf_embed_norms(spark, sf_dir):
+    e = spread(T(spark, sf_dir, "embeddings"))
+    return e.select(
+        "vec_id", "label",
+        F.round(l2_norm(F.col("embedding").cast("array<double>")), 6)
+        .alias("norm"))
+
+
+@query(
+    "udf_grouped_covar",
+    """
+    SELECT label,
+           ROUND(COVAR_POP(CAST(embedding[1] AS DOUBLE),
+                           CAST(embedding[2] AS DOUBLE)), 6) AS covar_d0_d1
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="grouped-aggregate pandas_udf (whole group -> one scalar, numpy "
+        "covariance of embedding dims 0 and 1 per label) vs SQL COVAR_POP",
+)
+def udf_grouped_covar(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    d0 = F.element_at("embedding", 1).cast("double")
+    d1 = F.element_at("embedding", 2).cast("double")
+    return (e.select("label", d0.alias("d0"), d1.alias("d1"))
+            .groupBy("label")
+            .agg(F.round(covar_pop_udaf("d0", "d1"), 6).alias("covar_d0_d1")))
+
+
+@query(
+    "udf_python_fallback",
+    """
+    SELECT CASE WHEN n_chars < 200 THEN 'short'
+                WHEN n_chars < 1000 THEN 'medium'
+                ELSE 'long' END AS bucket,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="row-at-a-time python udf fallback (deliberately the slow tier, "
+        "kept off hot paths) vs the CASE expression every hot path should "
+        "use instead",
+)
+def udf_python_fallback(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (d.select(py_bucket_fallback(F.col("n_chars").cast("int"))
+                     .alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n_docs")))

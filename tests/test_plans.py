@@ -1,0 +1,84 @@
+"""Plan-quality gate: the scale contract of each operator class asserted on
+the actual physical plan. A change that silently blocks predicate pushdown,
+flips a broadcast join to sort-merge, drops map-side partial aggregation, or
+adds a repacking shuffle to the pipeline fails here — at test scale — rather
+than at 100 TB."""
+import pytest
+
+from process_nwb_spark.plans.inspect import (count_exchanges, count_scans,
+                                             formatted_plan,
+                                             has_broadcast_join,
+                                             has_partial_aggregation,
+                                             pushed_filters, read_schemas)
+from process_nwb_spark.relational.core import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, qs):
+    df = qs["proj_filter_case"].fn(spark, SF)
+    pushed = pushed_filters(df)
+    assert pushed, "no filters pushed into the parquet scan"
+    assert any("l_quantity" in p or "l_returnflag" in p for p in pushed)
+
+
+def test_column_pruning(spark, qs):
+    df = qs["proj_filter_case"].fn(spark, SF)
+    schemas = read_schemas(df)
+    # lineitem has 16 columns; the projection needs a handful
+    assert schemas and all(s.count(",") <= 7 for s in schemas), schemas
+
+
+def test_dim_joins_broadcast(spark, qs):
+    for name in ["join_inner_broadcast", "stream_static_join"]:
+        df = qs[name].fn(spark, SF)
+        assert has_broadcast_join(df), f"{name}: dim join not broadcast"
+
+
+def test_pricing_summary_shape(spark, qs):
+    df = qs["agg_pricing_summary"].fn(spark, SF)
+    assert has_partial_aggregation(df), "agg not partial/map-side combined"
+    assert count_exchanges(df) == 1, "Q1-style agg needs exactly one shuffle"
+    assert any("l_shipdate" in p for p in pushed_filters(df)), \
+        "date filter not pushed to scan"
+
+
+def test_asof_join_aggregates_not_sorts(spark, qs):
+    df = qs["join_asof"].fn(spark, SF)
+    plan = formatted_plan(df, "simple")
+    assert "Window" not in plan, "as-of should use max_by argmax, not window sort"
+    assert has_partial_aggregation(df)
+
+
+def test_lsh_single_pass_band_build(spark, qs):
+    # explode-based band construction: one scan per side of the self-join,
+    # not one per band (the unionAll formulation scanned 4x per side)
+    df = qs["minhash_lsh_candidates"].fn(spark, SF)
+    assert count_scans(df) <= 2, formatted_plan(df, "simple")
+    df2 = qs["embed_ann_lsh"].fn(spark, SF)
+    assert count_scans(df2) <= 2
+
+
+def test_pipeline_two_shuffles(spark):
+    from process_nwb_spark import preprocess
+    from process_nwb_spark.synth import generate_synthetic_data, to_long_df
+
+    X = generate_synthetic_data(1.0, 4, 1000.0, seed=0)
+    res = preprocess(to_long_df(spark, X), 1000.0, 500.0, 250.0)
+    # pack + packed-CAR repartition; kernels and unpack are narrow
+    assert count_exchanges(res.tf) == 2, formatted_plan(res.tf, "simple")
+
+
+def test_zscore_tail_adds_bounded_shuffles(spark):
+    from process_nwb_spark import high_gamma_trace, preprocess
+    from process_nwb_spark.synth import generate_synthetic_data, to_long_df
+
+    X = generate_synthetic_data(1.0, 4, 1000.0, seed=0)
+    res = preprocess(to_long_df(spark, X), 1000.0, 500.0, 250.0)
+    hg = high_gamma_trace(res, 0.25, 250.0)
+    assert count_exchanges(hg) <= 5, formatted_plan(hg, "simple")

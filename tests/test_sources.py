@@ -1,0 +1,77 @@
+"""Sources/sinks: signal catalog round-trips with partition pruning,
+lineage drop (copy_strip analog), NWB boundary gating."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from process_nwb_spark import preprocess
+from process_nwb_spark.plans.inspect import formatted_plan
+from process_nwb_spark.sources.catalog import (SignalCatalog,
+                                               save_preprocess_result)
+from process_nwb_spark.sources.nwb import (HAVE_PYNWB, read_nwb_series,
+                                           series_to_long)
+from process_nwb_spark.synth import generate_synthetic_data, to_long_df
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, tmp_path_factory):
+    return SignalCatalog(spark, str(tmp_path_factory.mktemp("catalog")))
+
+
+@pytest.fixture(scope="module")
+def signals(spark):
+    X = generate_synthetic_data(1.0, 4, 1000.0, seed=0)
+    return to_long_df(spark, X)
+
+
+def test_partitioned_roundtrip(spark, catalog, signals):
+    catalog.write(signals, "raw_ECoG")
+    back = catalog.read("raw_ECoG")
+    assert back.count() == signals.count()
+    # schema preserved up to partition-column ordering/typing
+    assert set(back.columns) == set(signals.columns)
+
+
+def test_partition_pruning(spark, catalog, signals):
+    catalog.write(signals, "raw_pruned")
+    one = catalog.read("raw_pruned").filter(F.col("channel") == 2)
+    plan = formatted_plan(one)
+    # channel is a partition column: the filter must prune directories,
+    # not scan-and-filter
+    assert "PartitionFilters" in plan and "channel" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+    assert one.count() == signals.filter("channel = 2").count()
+
+
+def test_lineage_save_and_strip(spark, catalog, signals):
+    res = preprocess(signals, 1000.0, 500.0, 250.0)
+    written = save_preprocess_result(catalog, res, base_name="T1")
+    assert any(k.startswith("CAR_ln_downsampled") for k in written)
+    assert any(k.startswith("wvlt_amp") for k in written)
+    # derived tables dropped, raw kept (scripts/copy_strip semantics)
+    dropped = catalog.drop_derived()
+    assert set(dropped) == set(written)
+    assert "raw_ECoG" in catalog.tables()
+
+
+def test_tf_table_partitioned_by_band(spark, catalog, signals):
+    res = preprocess(signals, 1000.0, 500.0, 250.0)
+    save_preprocess_result(catalog, res, base_name="T2")
+    tf = catalog.read("wvlt_amp_T2")
+    one_band = tf.filter(F.col("band") == 0)
+    assert "PartitionFilters" in formatted_plan(one_band)
+    assert one_band.select("band").distinct().count() == 1
+    catalog.drop_derived()
+
+
+def test_nwb_gated(spark):
+    if not HAVE_PYNWB:
+        with pytest.raises(NotImplementedError):
+            read_nwb_series(spark, "/nonexistent.nwb")
+
+
+def test_series_to_long_event_time(spark):
+    X = np.ones((10, 2))
+    df = series_to_long(spark, X, "s1", rate=100.0, starting_time=5.0)
+    row = df.filter("sample_idx = 3 and channel = 0").first()
+    assert abs(row["t"] - 5.03) < 1e-9
