@@ -25,7 +25,7 @@ HEADLINE = [
     "simhash_fingerprints", "doc_fingerprint_winnow", "text_quality",
     "text_token_counts",
     # similarity search: brute-force baseline + LSH scale path
-    "embed_cosine_topk", "embed_ann_lsh", "dedup_embed_cosine",
+    "embed_cosine_topk", "embed_ann_lsh", "embed_ivf_topk", "dedup_embed_cosine",
     # signal engine (relational faces)
     "sig_car_subtract", "sig_zscore_baseline",
 ]

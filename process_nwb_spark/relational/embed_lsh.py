@@ -158,6 +158,81 @@ def embed_ann_lsh(spark, sf_dir):
     )
 
 
+_L2_SQL = """
+  SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim} + 1),
+       i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) *
+            (CAST({a}[i] AS DOUBLE) - {b}[i]))))
+"""
+
+
+@query(
+    "embed_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT label AS cid, LIST(cx ORDER BY dim) AS cvec
+      FROM (SELECT label, dim, AVG(CAST(x AS DOUBLE)) AS cx
+            FROM (SELECT label, UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
+                         UNNEST(embedding) AS x FROM embeddings) t
+            GROUP BY label, dim) s
+      GROUP BY label
+    ),
+    assigned AS (
+      SELECT vec_id, label, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY {_L2_SQL.format(dim=_DIM, a='embedding', b='cvec')},
+                        cid) AS rnk
+      FROM embeddings CROSS JOIN cents
+    ),
+    lists AS (SELECT vec_id, label, embedding, cid FROM assigned WHERE rnk = 1),
+    q AS (SELECT cid AS qcid, embedding AS qv FROM lists WHERE vec_id = 0)
+    SELECT l.vec_id, l.label,
+           ROUND({_cos_sql('l.embedding', 'q.qv')}, 6) AS cosine
+    FROM lists l JOIN q ON l.cid = q.qcid
+    WHERE l.vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    doc="IVF (inverted-file) ANN: coarse quantizer = per-label centroids, "
+        "every vector assigned to its nearest centroid (broadcast the "
+        "k=10 centroid table, argmin via min-distance rank), query probes "
+        "its own cell, exact cosine only inside the cell. The "
+        "train/assign/probe split is the standard billion-scale layout: "
+        "assignment is one broadcast-join pass, cells are parquet "
+        "partitions, probes touch 1/k of the corpus",
+)
+def embed_ivf_topk(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = spread(T(spark, sf_dir, "embeddings"))
+    flat = (e.select("label", F.posexplode("embedding").alias("d0", "x"))
+            .groupBy("label", "d0")
+            .agg(F.avg(F.col("x").cast("double")).alias("cx")))
+    cents = (flat.groupBy("label")
+             .agg(F.array_sort(F.collect_list(F.struct("d0", "cx"))).alias("_s"))
+             .select(F.col("label").alias("cid"),
+                     F.transform("_s", lambda s: s["cx"]).alias("cvec")))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with("embedding", "cvec",
+                   lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    w = Window.partitionBy("vec_id").orderBy(dist, F.col("cid"))
+    lists = (e.crossJoin(F.broadcast(cents))
+             .withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") == 1)
+             .select("vec_id", "label", "embedding", "cid"))
+    q = (lists.filter(F.col("vec_id") == 0)
+         .select(F.col("cid").alias("qcid"), F.col("embedding").alias("qv")))
+    return (
+        lists.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("cid") == F.col("qcid"))
+        .select("vec_id", "label",
+                F.round(_cosine_spark("embedding", "qv"), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+
 @query(
     "dedup_embed_cosine",
     f"""

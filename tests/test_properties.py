@@ -1,0 +1,111 @@
+"""Property-based invariants (hypothesis) for the dense DSP kernels —
+the reference's analytic-invariant test style (SURVEY.md §5) generalized
+from fixed parameter grids to searched ones. Dense-only: no Spark session,
+so these run in milliseconds and shrink failures to minimal cases."""
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from process_nwb_spark.dsp import kernels as K
+from process_nwb_spark.dsp.padding import pad_plan, smart_pad, trim
+
+
+@given(n=st.integers(64, 4096),
+       ratio=st.sampled_from([0.25, 0.5, 2.0 / 3.0, 1.0, 1.5, 2.0]))
+@settings(max_examples=40, deadline=None)
+def test_resample_length_is_ceil(n, ratio):
+    """new_n_time = ceil(n * new/old) — resample.py:140 exactly."""
+    out = K.resample(np.zeros((n, 1)), 1000.0 * ratio, 1000.0,
+                     precision="double")
+    assert out.shape[0] == int(math.ceil(n * ratio))
+
+
+@given(n=st.integers(100, 3000),
+       ratio=st.sampled_from([0.5, 0.75, 1.25, 2.0]),
+       c=st.floats(-10, 10, allow_nan=False))
+@settings(max_examples=25, deadline=None)
+def test_resample_preserves_constant(n, ratio, c):
+    """A constant signal resamples to (approximately) itself —
+    tests/test_resample.py:22-29 generalized."""
+    out = K.resample(np.full((n, 1), c), 1000.0 * ratio, 1000.0,
+                     precision="double")
+    assert np.allclose(out, c, atol=1e-3 * max(1.0, abs(c)))
+
+
+@given(n=st.integers(32, 2000), npad=st.sampled_from(["fast", "auto", 0, 17]))
+@settings(max_examples=40, deadline=None)
+def test_pad_trim_roundtrip(n, npad):
+    """smart_pad adds the planned pads; trim removes the planned residue —
+    utils.py:106-167 consistency (ratio=1: padded length round-trips)."""
+    X = np.arange(float(n))[:, None]
+    pads, to_removes, new_len = pad_plan(n, npad)
+    padded = smart_pad(X, pads)
+    assert padded.shape[0] == n + int(pads[0]) + int(pads[1])
+    assert padded.shape[0] == new_len  # ratio=1
+    trimmed = trim(np.zeros((new_len, 1)), to_removes)
+    assert trimmed.shape[0] == n
+
+
+@given(nch=st.integers(3, 32),
+       mean_frac=st.sampled_from([1.0, 0.95, 0.8]),
+       c=st.floats(-5, 5, allow_nan=False))
+@settings(max_examples=25, deadline=None)
+def test_car_identical_channels_zero(nch, mean_frac, c):
+    """If every channel is identical, the CAR equals the signal and the
+    referenced output is exactly 0 (trim can't change an all-equal sort)."""
+    X = np.full((50, nch), c)
+    n_excl = math.ceil(nch * (1.0 - mean_frac) / 2.0)
+    if 2 * n_excl >= nch:
+        pytest.skip("guard case")
+    out = K.subtract_car(X, mean_frac=mean_frac, precision="double")
+    assert np.allclose(out, 0.0, atol=1e-12)
+
+
+@given(nch=st.integers(4, 16), seed=st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_car_outlier_robustness(nch, seed):
+    """Trimmed CAR ignores a single extreme channel (the order-statistics
+    invariant of tests/test_common_average_referencing.py:7-16)."""
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(40, nch))
+    base = K.car(X, mean_frac=0.5, precision="double")
+    X2 = X.copy()
+    X2[:, 0] = 1e6  # one insane channel
+    spiked = K.car(X2, mean_frac=0.5, precision="double")
+    # the outlier lands in the trimmed tail; reference shifts only because
+    # a previously-included order statistic moved out
+    assert np.all(np.abs(spiked) < 1e3)
+    assert np.median(np.abs(spiked - base)) < 10 * np.median(np.abs(base) + 1)
+
+
+@given(rate=st.sampled_from([200.0, 500.0, 1000.0, 2000.0]),
+       f=st.sampled_from([60.0, 120.0, 180.0]))
+@settings(max_examples=16, deadline=None)
+def test_notch_only_attenuates_harmonics(rate, f):
+    """A sinusoid at a 60 Hz harmonic below Nyquist is crushed; identity
+    when Nyquist < 60 (linenoise_notch.py:84-86)."""
+    n = int(4 * rate)
+    t = np.arange(n) / rate
+    X = np.sin(2 * np.pi * f * t)[:, None]
+    out = K.apply_linenoise_notch(X, rate, precision="double")
+    edge = int(rate)  # trim filter edges before measuring
+    if f >= rate / 2:  # aliased/above Nyquist: nothing to assert
+        return
+    ratio = (np.linalg.norm(out[edge:-edge]) /
+             max(np.linalg.norm(X[edge:-edge]), 1e-30))
+    assert ratio < 0.05
+
+
+@given(seed=st.integers(0, 100))
+@settings(max_examples=10, deadline=None)
+def test_wavelet_amplitude_nonnegative_shape(seed):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(800, 2))
+    Xh, _, cfs, sds = K.wavelet_transform(X, 400.0, filters="rat",
+                                          hg_only=True, precision="double")
+    assert Xh.shape == (800, 2, len(cfs))
+    assert np.iscomplexobj(Xh)
+    assert np.all(np.abs(Xh) >= 0)
