@@ -1,0 +1,138 @@
+"""Overlap-segmented kernels (the bounded-memory 100 TB path) vs the
+whole-channel dense oracle — the engine's analog of the reference's
+chunked == unchunked equivalence test (tests/test_pipeline.py:102-154,
+which accepts rtol=0.01 between the two execution strategies)."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from process_nwb_spark.dsp import kernels as K
+from process_nwb_spark.operators.segmented import (segmented_kernel,
+                                                   segmented_notch,
+                                                   segmented_resample)
+from process_nwb_spark.synth import generate_synthetic_data, to_long_df
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    X = generate_synthetic_data(8.0, 3, 2000.0, seed=3)  # 16000 x 3
+    return X, to_long_df(spark, X)
+
+
+def _collect_dense(df, n_ch):
+    pdf = df.toPandas().sort_values(["sample_idx", "channel"])
+    n_time = pdf["sample_idx"].nunique()
+    return pdf["value"].to_numpy().reshape(n_time, n_ch)
+
+
+def _dense_segmented(X, fn, L, V, r=1.0):
+    """Driver-side replay of the exact segmentation strategy (the oracle
+    for the distributed mechanics)."""
+    n = X.shape[0]
+    chans = []
+    for c in range(X.shape[1]):
+        outs, s = [], 0
+        while s * L < n:
+            start, end = max(0, s * L - V), min(n, (s + 1) * L + V)
+            left_ov, core = s * L - start, min(L, n - s * L)
+            out = fn(X[start:end, c])
+            k0 = int(round(left_ov * r))
+            outs.append(out[k0:k0 + int(np.ceil(core * r))])
+            s += 1
+        chans.append(np.concatenate(outs))
+    return np.stack(chans, axis=1)
+
+
+def test_segmented_notch_exact_vs_dense_oracle(spark, fixture):
+    """Distributed segmentation == identical dense segmentation, bitwise-
+    tight: proves the Spark mechanics (assignment, overlap trim, global
+    re-indexing) add nothing to the kernel math."""
+    X, long_df = fixture
+    got = _collect_dense(
+        segmented_notch(long_df, 2000.0, seg_len=4096, overlap=1024,
+                        precision="double"), 3)
+    want = _dense_segmented(
+        X, lambda x: K.apply_linenoise_notch(
+            x[:, None], 2000.0, precision="double")[:, 0], 4096, 1024)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_segmented_notch_attenuates_line(spark, fixture):
+    """Functional equivalence with the whole-channel notch: the 60 Hz line
+    is crushed either way. (Numeric equality is not expected — the notch
+    dip is built on each segment's frequency grid, so its effective shape
+    is length-dependent; the reference accepts the same strategy-dependent
+    tolerance between its chunked and unchunked paths.)"""
+    X, long_df = fixture
+    got = _collect_dense(
+        segmented_notch(long_df, 2000.0, seg_len=8192, overlap=2048,
+                        precision="double"), 3)
+    n = got.shape[0]
+    t = np.arange(n) / 2000.0
+    probe = np.exp(-2j * np.pi * 60.0 * t)
+    for c in range(3):
+        before = abs(probe @ X[:n, c]) / n
+        after = abs(probe @ got[:, c]) / n
+        assert after < 0.1 * before + 1e-6  # >=10x line suppression
+
+
+def test_segmented_resample_exact_vs_dense_oracle(spark, fixture):
+    X, long_df = fixture
+    got = _collect_dense(
+        segmented_resample(long_df, 1000.0, 2000.0, seg_len=4096,
+                           overlap=1024, precision="double"), 3)
+    want = _dense_segmented(
+        X, lambda x: K.resample(x, 1000.0, 2000.0, precision="double"),
+        4096, 1024, r=0.5)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_segmented_resample_close_to_whole(spark, fixture):
+    """Strategy equivalence with the whole-channel op: same shape, same
+    first/second moments, near-unit cosine similarity (boundary error is
+    local; tests/test_resample.py:32-56's spectral-preservation invariant)."""
+    X, long_df = fixture
+    got = _collect_dense(
+        segmented_resample(long_df, 1000.0, 2000.0, seg_len=4096,
+                           overlap=1024, precision="double"), 3)
+    want = K.resample(X, 1000.0, 2000.0, precision="double")
+    assert got.shape == want.shape
+    for c in range(3):
+        a, b = got[:, c], want[:, c]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.995
+        assert abs(a.mean() - b.mean()) < 0.01
+        assert abs(a.std() - b.std()) < 0.02 * b.std()
+
+
+def test_segment_indices_contiguous(spark, fixture):
+    _, long_df = fixture
+    out = segmented_resample(long_df, 1000.0, 2000.0, seg_len=4096,
+                             overlap=512)
+    per_ch = (out.groupBy("channel")
+              .agg(F.count("*").alias("n"), F.min("sample_idx").alias("lo"),
+                   F.max("sample_idx").alias("hi"),
+                   F.count_distinct("sample_idx").alias("nd"))
+              .collect())
+    for r in per_ch:
+        assert r.lo == 0 and r.n == r.nd == r.hi + 1  # gapless, no dup
+
+
+def test_validation_guards():
+    with pytest.raises(ValueError):
+        segmented_resample(None, 3.0, 7.0, seg_len=100, overlap=10)
+    with pytest.raises(ValueError):
+        segmented_notch(None, 1000.0, seg_len=100, overlap=100)
+
+
+def test_bounded_group_size(spark, fixture):
+    """No group ever exceeds seg_len + 2*overlap rows — the memory bound."""
+    _, long_df = fixture
+    L, V = 2048, 256
+    i = F.col("sample_idx")
+    s0 = F.floor(i / L).cast("bigint")
+    segs = F.filter(F.array(s0 - 1, s0, s0 + 1),
+                    lambda s: (s >= 0) & (i >= s * L - V) & (i < (s + 1) * L + V))
+    counts = (long_df.select("channel", F.explode(segs).alias("seg"))
+              .groupBy("channel", "seg").count().agg(F.max("count")).first()[0])
+    assert counts <= L + 2 * V
