@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     # relational core
     "agg_pricing_summary", "join_inner_broadcast", "join_asof",
+    "join_sortmerge_large",
     "agg_trimmed_mean", "win_topk_per_group", "win_running_frames",
     # event-time windowing
     "win_tumbling", "win_session",

@@ -92,6 +92,38 @@ def join_inner_broadcast(spark, sf_dir):
 
 
 @query(
+    "join_sortmerge_large",
+    """
+    SELECT o.o_orderpriority,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)), 2)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+    doc="fact-fact equi-join with an explicit sort-merge hint: both sides "
+        "are large at 100 TB, so the right plan is shuffle-on-key SMJ (or "
+        "shuffled hash), never a broadcast of a fact table. The status "
+        "filter is pushed into the orders scan before the shuffle. "
+        "Co-located (shuffle-free) variants via bucketed tables are in "
+        "sources/catalog.py write_bucketed + tests/test_sources.py",
+)
+def join_sortmerge_large(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))).cast("double")), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
     "join_left_coalesce",
     """
     SELECT c.c_custkey, c.c_name,

@@ -55,6 +55,18 @@ class SignalCatalog:
         return sorted(d for d in os.listdir(self.root)
                       if os.path.isdir(os.path.join(self.root, d)))
 
+    def write_bucketed(self, df: DataFrame, name: str, bucket_col: str,
+                       n_buckets: int = 8) -> None:
+        """Bucketed + sorted managed table: joins and aggregations on the
+        bucket column become shuffle-FREE (co-located, Exchange-less) —
+        the pre-partitioning strategy for repeatedly-joined 100 TB facts.
+        Requires a warehouse (saveAsTable); see test_bucketed_join_no_shuffle
+        for the plan proof."""
+        (df.write.mode("overwrite")
+         .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+         .option("path", self._path(f"_bucketed_{name}"))
+         .saveAsTable(name))
+
     def drop(self, name: str) -> None:
         """DROP TABLE analog of scripts/copy_strip (strips derived series)."""
         import shutil

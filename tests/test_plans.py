@@ -82,3 +82,11 @@ def test_zscore_tail_adds_bounded_shuffles(spark):
     res = preprocess(to_long_df(spark, X), 1000.0, 500.0, 250.0)
     hg = high_gamma_trace(res, 0.25, 250.0)
     assert count_exchanges(hg) <= 5, formatted_plan(hg, "simple")
+
+
+def test_fact_fact_join_is_sort_merge(spark, qs):
+    df = qs["join_sortmerge_large"].fn(spark, SF)
+    plan = formatted_plan(df, "simple")
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan  # never broadcast a fact table
+    assert any("o_orderstatus" in p for p in pushed_filters(df))

@@ -75,3 +75,25 @@ def test_series_to_long_event_time(spark):
     df = series_to_long(spark, X, "s1", rate=100.0, starting_time=5.0)
     row = df.filter("sample_idx = 3 and channel = 0").first()
     assert abs(row["t"] - 5.03) < 1e-9
+
+
+def test_bucketed_join_no_shuffle(spark, catalog):
+    """Bucketed-by-key tables join without any Exchange: the co-located
+    join strategy for repeatedly-joined big facts."""
+    from process_nwb_spark.plans.inspect import count_exchanges
+    from process_nwb_spark.relational.core import T
+
+    SFD = "/root/testdata/sf0.001"
+    catalog.write_bucketed(
+        T(spark, SFD, "orders").select("o_orderkey", "o_orderpriority"),
+        "b_orders", "o_orderkey")
+    catalog.write_bucketed(
+        T(spark, SFD, "lineitem").select("l_orderkey", "l_quantity"),
+        "b_lineitem", "l_orderkey")
+    j = (spark.table("b_lineitem")
+         .join(spark.table("b_orders"),
+               F.col("l_orderkey") == F.col("o_orderkey")))
+    assert count_exchanges(j) == 0
+    assert j.count() > 0
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
