@@ -99,6 +99,23 @@ def preprocess(signals: DataFrame, rate: float,
     return PreprocessResult(tf=tf, stages=stages)
 
 
+def preprocess_many(signal_dfs: dict[str, DataFrame], rate: float,
+                    **kwargs) -> PreprocessResult:
+    """The `preprocess_folder` analog (scripts/preprocess_folder:38-54):
+    instead of a driver loop over .nwb files, union all series into ONE
+    job — series_id is just another group key, so every stage (pack,
+    kernels, packed CAR, wavelet) parallelizes across series x channels
+    with no outer loop. `signal_dfs` maps series_id overrides to long
+    DataFrames (pass-through if a df already carries its series_id)."""
+    parts = []
+    for sid, df in signal_dfs.items():
+        parts.append(df.withColumn("series_id", F.lit(sid)))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return preprocess(merged, rate, **kwargs)
+
+
 def high_gamma_trace(result: PreprocessResult, baseline_seconds: float = 0.25,
                      final_rate: float = 400.0) -> DataFrame:
     """Tutorial tail: z-score against the first `baseline_seconds`, then

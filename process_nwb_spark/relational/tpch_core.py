@@ -349,6 +349,41 @@ def agg_pricing_summary(spark, sf_dir):
 
 
 @query(
+    "agg_salted_skew",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CAST(l_extendedprice AS DOUBLE)), 2) AS total_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="salted two-phase aggregation for skewed keys: l_returnflag has 3 "
+        "distinct values, so a naive groupBy funnels 1/3 of a 100 TB table "
+        "through 3 reducers. Phase 1 aggregates on (key, salt16) spreading "
+        "each hot key over 16 reducers; phase 2 merges the 3x16 partials. "
+        "Salt is deterministic (l_orderkey % 16) so the oracle is the "
+        "plain aggregate. (AQE skew-join handles the join-side analog "
+        "automatically; salting is the agg-side pattern.)",
+)
+def agg_salted_skew(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    phase1 = (
+        li.withColumn("_salt", (F.col("l_orderkey") % 16).cast("int"))
+        .groupBy("l_returnflag", "_salt")
+        .agg(F.sum(F.col("l_extendedprice").cast("double")).alias("_p"),
+             F.sum(F.col("l_quantity").cast("bigint")).alias("_q"),
+             F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        phase1.groupBy("l_returnflag")
+        .agg(F.round(F.sum("_p"), 2).alias("total_price"),
+             F.sum("_q").cast("bigint").alias("total_qty"),
+             F.sum("_n").alias("n_rows"))
+    )
+
+
+@query(
     "agg_count_distinct",
     """
     SELECT c_nationkey,

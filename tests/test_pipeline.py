@@ -96,3 +96,26 @@ def test_multi_series_grouping(spark, dense):
     assert len(a) == len(b) > 0
     # pipeline is linear up to the wavelet amplitude: 2x input -> 2x amplitude
     np.testing.assert_allclose(b.amp.to_numpy(), 2 * a.amp.to_numpy(), rtol=1e-7)
+
+
+def test_preprocess_many_is_one_job(spark):
+    """Folder-driver analog: N series in one unioned pipeline, each
+    matching its individually-processed result."""
+    import numpy as np
+    from process_nwb_spark.pipelines import preprocess, preprocess_many
+    from process_nwb_spark.synth import generate_synthetic_data, to_long_df
+
+    Xa = generate_synthetic_data(1.0, 3, 1000.0, seed=1)
+    Xb = generate_synthetic_data(1.0, 3, 1000.0, seed=2)
+    many = preprocess_many(
+        {"A": to_long_df(spark, Xa, "A"), "B": to_long_df(spark, Xb, "B")},
+        1000.0, initial_resample_rate=500.0, final_resample_rate=250.0,
+        precision="double")
+    got = many.tf.toPandas()
+    assert set(got.series_id.unique()) == {"A", "B"}
+    solo = preprocess(to_long_df(spark, Xb, "B"), 1000.0, 500.0, 250.0,
+                      precision="double").tf.toPandas()
+    gb = (got[got.series_id == "B"]
+          .sort_values(["channel", "band", "sample_idx"]).amp.to_numpy())
+    sb = solo.sort_values(["channel", "band", "sample_idx"]).amp.to_numpy()
+    np.testing.assert_allclose(gb, sb, rtol=1e-9)

@@ -28,11 +28,25 @@ def test_resample_length_is_ceil(n, ratio):
        c=st.floats(-10, 10, allow_nan=False))
 @settings(max_examples=25, deadline=None)
 def test_resample_preserves_constant(n, ratio, c):
-    """A constant signal resamples to (approximately) itself —
-    tests/test_resample.py:22-29 generalized."""
+    """A constant signal resamples to EXACTLY c * r*L/M, where L is the
+    padded length, M = round(r*L) the padded output length, r = num/n_time.
+    (Reference parity: resample.py:77-89 scales the spectrum by r but
+    irfft normalizes by M, so when round(r*L) != r*L the constant droops
+    by up to 0.5/M — the reason the reference's own constant test uses
+    atol=1e-3, tests/test_resample.py:22-29. Hypothesis found this at
+    n=127; it is faithful behavior, asserted here exactly.)"""
+    from process_nwb_spark.dsp.padding import pad_plan
+
+    num = K.resample_num(n, 1000.0 * ratio, 1000.0)
+    r = num / n
+    npads, _, new_len = pad_plan(n, "fast", ratio=r)
+    padded = n + int(npads.sum())
+    expected = c * r * padded / new_len
     out = K.resample(np.full((n, 1), c), 1000.0 * ratio, 1000.0,
                      precision="double")
-    assert np.allclose(out, c, atol=1e-3 * max(1.0, abs(c)))
+    assert np.allclose(out, expected, atol=1e-9 * max(1.0, abs(c)))
+    # and the droop is within the reference's accepted tolerance
+    assert abs(expected - c) <= (0.5 / new_len + 1e-3) * max(1.0, abs(c))
 
 
 @given(n=st.integers(32, 2000), npad=st.sampled_from(["fast", "auto", 0, 17]))

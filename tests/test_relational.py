@@ -16,7 +16,7 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "text_token_counts", "doc_fingerprint_winnow", "scan_range",
         "agg_percentiles", "source_csv_roundtrip", "source_json_roundtrip",
         "udf_embed_norms", "udf_grouped_covar", "udf_python_fallback",
-        "embed_ivf_topk", "join_sortmerge_large"]
+        "embed_ivf_topk", "join_sortmerge_large", "agg_salted_skew"]
 
 
 @pytest.fixture(scope="module")
@@ -43,7 +43,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_registry_complete():
     reg = all_queries()
-    assert len(reg) >= 69
+    assert len(reg) >= 70
     # every oracle is non-trivial SQL and every fn is callable
     for name, spec in reg.items():
         assert callable(spec.fn)
