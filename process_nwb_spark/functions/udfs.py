@@ -14,22 +14,27 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import PandasUDFType, pandas_udf, udf
+from pyspark.sql.types import DoubleType, StringType
+
+# NOTE: return types are DataType instances, not DDL strings — string types
+# are parsed through the active SparkSession, which would make importing
+# this module (and the whole query registry) fail before a session exists.
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def l2_norm(v: pd.Series) -> pd.Series:
     """Scalar pandas_udf: L2 norm of an array column, one Arrow batch at a
     time (each element arrives as a numpy array)."""
     return v.map(lambda a: float(np.sqrt(np.dot(a, a))))
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def dot_product(a: pd.Series, b: pd.Series) -> pd.Series:
     """Scalar pandas_udf over two array columns."""
     return pd.Series([float(np.dot(x, y)) for x, y in zip(a, b)])
 
 
-@pandas_udf("double", PandasUDFType.GROUPED_AGG)
+@pandas_udf(DoubleType(), PandasUDFType.GROUPED_AGG)
 def covar_pop_udaf(x: pd.Series, y: pd.Series) -> float:
     """Grouped-aggregate pandas_udf: population covariance of two numeric
     columns — the whole group arrives as one pair of Series and reduces to
@@ -39,7 +44,7 @@ def covar_pop_udaf(x: pd.Series, y: pd.Series) -> float:
     return float(((xv - xv.mean()) * (yv - yv.mean())).mean())
 
 
-@udf("string")
+@udf(StringType())
 def py_bucket_fallback(n_chars: int) -> str:
     """Row-at-a-time python udf — the compatibility fallback (documents the
     slow path; nothing in the engine's hot paths uses it)."""

@@ -64,3 +64,21 @@ def test_entry_contract(spark):
     qs, osql = m.queries(), m.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 55
+
+
+def test_registry_imports_without_session():
+    """The driver may import queries()/oracle_sql() before creating its
+    SparkSession; the registry (incl. pandas_udf defs) must not require an
+    active session at import time (DDL-string return types would)."""
+    import subprocess
+    import sys
+
+    code = ("import sys; sys.path.insert(0, '.');"
+            "import __spark_entry__ as E;"
+            "q = E.queries(); o = E.oracle_sql();"
+            "assert len(q) >= 70 and len(o) >= 69;"
+            "print('ok', len(q), len(o))")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=__file__.rsplit("/tests/", 1)[0])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ok" in r.stdout
