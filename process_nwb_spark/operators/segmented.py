@@ -92,6 +92,77 @@ def segmented_kernel(signals: DataFrame, fn: Callable[[np.ndarray], np.ndarray],
             .applyInPandas(run, LONG_SCHEMA))
 
 
+BAND_SCHEMA = ("series_id STRING, channel INT, band INT, "
+               "sample_idx BIGINT, amp DOUBLE")
+
+
+def segmented_band_kernel(signals: DataFrame,
+                          fn: Callable[[np.ndarray], np.ndarray],
+                          seg_len: int, overlap: int,
+                          ratio: float = 1.0) -> DataFrame:
+    """Fan-out variant of `segmented_kernel`: `fn` maps a 1-D segment to a
+    2-D (n_out, n_bands) block (e.g. wavelet amplitudes); output is long
+    over (band, sample_idx). Same bounded-group/one-shuffle layout."""
+    L, V = int(seg_len), int(overlap)
+    r = float(ratio)
+
+    i = F.col("sample_idx")
+    s0 = F.floor(i / L).cast("bigint")
+    cand = F.array(s0 - 1, s0, s0 + 1)
+    segs = F.filter(
+        cand, lambda s: (s >= 0) & (i >= s * L - V) & (i < (s + 1) * L + V))
+    exploded = signals.select(
+        "series_id", "channel", F.explode(segs).alias("seg"),
+        "sample_idx", "value")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sample_idx")
+        seg = int(pdf["seg"].iloc[0])
+        idx = pdf["sample_idx"].to_numpy()
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        left_ov = int(seg * L - idx[0])
+        core = int(((idx >= seg * L) & (idx < (seg + 1) * L)).sum())
+        out = np.asarray(fn(x), dtype=np.float64)  # (n_out, n_bands)
+        k0 = int(round(left_ov * r))
+        n_out = int(np.ceil(core * r))
+        kept = out[k0:k0 + n_out]  # (n_kept, n_bands)
+        g0 = int(round(seg * L * r))
+        n_kept, n_bands = kept.shape
+        return pd.DataFrame({
+            "series_id": pdf["series_id"].iloc[0],
+            "channel": pdf["channel"].iloc[0],
+            "band": np.repeat(np.arange(n_bands, dtype=np.int32), n_kept),
+            "sample_idx": np.tile(g0 + np.arange(n_kept, dtype=np.int64),
+                                  n_bands),
+            "amp": kept.T.ravel(),
+        })
+
+    return (exploded.groupBy("series_id", "channel", "seg")
+            .applyInPandas(run, BAND_SCHEMA))
+
+
+def segmented_wavelet_amp(signals: DataFrame, rate: float,
+                          filters: str = "rat", hg_only: bool = True,
+                          seg_len: int = 2 ** 16, overlap: int = 8192,
+                          precision: str = "single") -> DataFrame:
+    """Morlet amplitude decomposition with bounded per-task memory: each
+    segment computes all its bands in one kernel call (forward FFT shared,
+    like the whole-channel path). Overlap should cover the widest wavelet's
+    effective support (low-cf bands have sd ~= cf/8, so IR length ~ rate*8/cf
+    samples; hg_only bands at 70+ Hz need well under the default 8192 @
+    3.2 kHz). Long (band, sample) rows out — same schema as the unpacked
+    whole-channel wavelet stage."""
+    _validate(seg_len, overlap, rate, rate)
+
+    def fn(x: np.ndarray) -> np.ndarray:
+        Xh, _, _, _ = K.wavelet_transform(
+            x[:, None], rate, filters=filters, hg_only=hg_only,
+            precision=precision)
+        return np.abs(Xh[:, 0, :])
+
+    return segmented_band_kernel(signals, fn, seg_len, overlap, ratio=1.0)
+
+
 def segmented_resample(signals: DataFrame, new_freq: float, old_freq: float,
                        seg_len: int = 2 ** 16, overlap: int = 4096,
                        precision: str = "single") -> DataFrame:

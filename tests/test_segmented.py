@@ -136,3 +136,47 @@ def test_bounded_group_size(spark, fixture):
     counts = (long_df.select("channel", F.explode(segs).alias("seg"))
               .groupBy("channel", "seg").count().agg(F.max("count")).first()[0])
     assert counts <= L + 2 * V
+
+
+def test_segmented_wavelet_exact_vs_dense_oracle(spark, fixture):
+    from process_nwb_spark.operators.segmented import segmented_wavelet_amp
+
+    X, long_df = fixture
+    got = (segmented_wavelet_amp(long_df, 2000.0, seg_len=4096, overlap=1024,
+                                 precision="double")
+           .toPandas().sort_values(["channel", "band", "sample_idx"]))
+
+    def fn(x):
+        Xh, _, _, _ = K.wavelet_transform(x[:, None], 2000.0, filters="rat",
+                                          hg_only=True, precision="double")
+        return np.abs(Xh[:, 0, :])
+
+    n_bands = fn(X[:4096, 0]).shape[1]
+    assert set(got.band.unique()) == set(range(n_bands))
+    # dense replay of the same segmentation for channel 0, band 0
+    def fn_band0(x):
+        return fn(x)[:, 0]
+    want = _dense_segmented(X[:, [0]], fn_band0, 4096, 1024)[:, 0]
+    g0 = got[(got.channel == 0) & (got.band == 0)].amp.to_numpy()
+    np.testing.assert_allclose(g0, want, rtol=1e-9, atol=1e-12)
+
+
+def test_segmented_wavelet_close_to_whole(spark, fixture):
+    """Amplitude envelopes from segmented vs whole-channel wavelet agree
+    to high cosine similarity (hg bands' support << overlap)."""
+    from process_nwb_spark.operators.segmented import segmented_wavelet_amp
+
+    X, long_df = fixture
+    got = (segmented_wavelet_amp(long_df, 2000.0, seg_len=8192, overlap=2048,
+                                 precision="double")
+           .toPandas())
+    Xh, _, _, _ = K.wavelet_transform(X, 2000.0, filters="rat", hg_only=True,
+                                      precision="double")
+    whole = np.abs(Xh)  # (n, ch, band)
+    for ch, b in [(0, 0), (1, 3), (2, 5)]:
+        a = (got[(got.channel == ch) & (got.band == b)]
+             .sort_values("sample_idx").amp.to_numpy())
+        w = whole[:, ch, b]
+        assert a.shape == w.shape
+        cos = float(a @ w / (np.linalg.norm(a) * np.linalg.norm(w)))
+        assert cos > 0.99, (ch, b, cos)
