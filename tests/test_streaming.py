@@ -110,3 +110,41 @@ def test_stateful_running_totals(spark, events_stream, tmp_path):
     assert len(merged) == len(want)
     assert (merged.n_events_s == merged.n_events_b).all()
     assert (merged.total_value_s - merged.total_value_b).abs().max() < 1e-6
+
+
+def test_stream_preprocess_signals(spark, tmp_path):
+    """Incremental notch pipeline: stream N signal files -> segmented notch
+    per micro-batch -> partitioned append; result == batch segmented notch
+    over the whole recording (files are cut on segment boundaries)."""
+    import numpy as np
+    from process_nwb_spark.operators.segmented import segmented_notch
+    from process_nwb_spark.streaming.ops import stream_preprocess_signals
+    from process_nwb_spark.synth import generate_synthetic_data, to_long_df
+
+    X = generate_synthetic_data(4.0, 2, 2000.0, seed=5)  # 8000 x 2
+    long_df = to_long_df(spark, X)
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    # land the recording as 2 files of whole segments (4096 samples each)
+    for lo, hi in [(0, 4096), (4096, 8000)]:
+        (long_df.filter((F.col("sample_idx") >= lo) & (F.col("sample_idx") < hi))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    q = stream_preprocess_signals(spark, in_dir, out_dir, 2000.0,
+                                  seg_len=2048, overlap=512)
+    q.awaitTermination()
+
+    got = (spark.read.parquet(out_dir)
+           .toPandas().sort_values(["channel", "sample_idx"]))
+    assert got._batch.nunique() == 2  # really incremental
+    # batch oracle with the same per-file segmentation
+    parts = []
+    for lo, hi in [(0, 4096), (4096, 8000)]:
+        piece = long_df.filter((F.col("sample_idx") >= lo)
+                               & (F.col("sample_idx") < hi))
+        parts.append(segmented_notch(piece, 2000.0, seg_len=2048, overlap=512)
+                     .toPandas())
+    import pandas as pd
+    want = (pd.concat(parts).sort_values(["channel", "sample_idx"]))
+    assert len(got) == len(want) == 8000 * 2
+    np.testing.assert_allclose(got.value.to_numpy(), want.value.to_numpy(),
+                               rtol=1e-9)
