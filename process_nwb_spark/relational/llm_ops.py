@@ -60,7 +60,9 @@ _SHINGLE_SQL = """
         "min doc_id (deterministic, unlike dropDuplicates row pick)",
 )
 def dedup_exact(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    # the whitespace-normalize regex is the hot loop: spread the
+    # single-split scan so it runs on all cores
+    d = spread(T(spark, sf_dir, "documents"))
     fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
     return (
         d.select("doc_id", fp.alias("fp"))

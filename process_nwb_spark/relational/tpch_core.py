@@ -290,24 +290,33 @@ def join_range_bucket(spark, sf_dir):
     FROM ranked WHERE rn = 1
     """,
     doc="as-of join: each event matched to the user's most recent order as "
-        "of event time — range join + max_by argmax (tie-broken on "
-        "o_orderkey). max_by aggregates partially map-side, so the shuffle "
-        "carries one candidate per (event, map partition) instead of every "
-        "matched order row sorted in a window — the scalable formulation; "
-        "the oracle states the same semantics as window top-1",
+        "of event time. The argmax over (o_orderdate, o_orderkey) is packed "
+        "into ONE BIGINT (days*1e10 + orderkey) so the aggregate is a "
+        "plain max() — HashAggregate with map-side partials (max_by over a "
+        "struct would force SortAggregate: variable/struct agg buffers "
+        "aren't hash-aggregable). The shuffle then carries one BIGINT per "
+        "(event, map partition) instead of every matched order row sorted "
+        "in a window; totalprice is recovered via a broadcast join on the "
+        "decoded orderkey. Oracle states the same semantics as window top-1",
 )
 def join_asof(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     o = T(spark, sf_dir, "orders")
     j = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
-    best = F.max_by(
-        F.struct(F.col("o_orderkey"), F.col("o_totalprice")),
-        F.struct(F.col("o_orderdate"), F.col("o_orderkey")))
-    return (
-        j.groupBy("event_id").agg(best.alias("m"))
-        .select("event_id", F.col("m.o_orderkey").alias("asof_orderkey"),
-                F.col("m.o_totalprice").cast("double").alias("asof_totalprice"))
+    # (date, key) order-preserving integer packing: orderkey < 1e10
+    packed = (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+              .cast("bigint") * F.lit(10_000_000_000).cast("bigint")
+              + F.col("o_orderkey"))
+    best = (
+        j.groupBy("event_id").agg(F.max(packed).alias("_pk"))
+        .select("event_id",
+                (F.col("_pk") % F.lit(10_000_000_000).cast("bigint"))
+                .alias("asof_orderkey"))
     )
+    dim = o.select("o_orderkey",
+                   F.col("o_totalprice").cast("double").alias("asof_totalprice"))
+    return best.join(F.broadcast(dim),
+                     best.asof_orderkey == dim.o_orderkey).drop("o_orderkey")
 
 
 # --------------------------------------------------------------------------
