@@ -868,6 +868,41 @@ def fn_date(spark, sf_dir):
 
 
 @query(
+    "fn_bitwise_conditional",
+    """
+    SELECT l_returnflag,
+           BIT_AND(CAST(l_linenumber AS BIGINT)) AS all_bits,
+           BIT_OR(CAST(l_linenumber AS BIGINT)) AS any_bits,
+           BIT_XOR(CAST(l_orderkey AS BIGINT)) AS xor_keys,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           BOOL_AND(l_quantity > 0) AS all_positive,
+           BOOL_OR(l_discount > 0.09) AS any_high_disc,
+           CAST(SUM(CAST(l_orderkey AS BIGINT) & 255) AS BIGINT) AS sum_low_byte,
+           CAST(SUM(CAST(l_orderkey AS BIGINT) >> 4) AS BIGINT) AS sum_shifted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="bitwise aggregates (bit_and/or/xor), conditional aggregation "
+        "(count_if / FILTER), boolean aggregates (every/any), and bitwise "
+        "scalar ops (& >>) — all JVM built-ins, partial-agg friendly",
+)
+def fn_bitwise_conditional(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(F.col("l_linenumber").cast("bigint")).alias("all_bits"),
+        F.bit_or(F.col("l_linenumber").cast("bigint")).alias("any_bits"),
+        F.bit_xor(key).alias("xor_keys"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+        F.every(F.col("l_quantity") > 0).alias("all_positive"),
+        F.some(F.col("l_discount") > 0.09).alias("any_high_disc"),
+        F.sum(key.bitwiseAND(F.lit(255))).cast("bigint").alias("sum_low_byte"),
+        F.sum(F.expr("CAST(l_orderkey AS BIGINT) >> 4")).cast("bigint")
+        .alias("sum_shifted"),
+    )
+
+
+@query(
     "fn_math",
     """
     SELECT l_orderkey, l_linenumber,
