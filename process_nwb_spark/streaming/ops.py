@@ -140,6 +140,54 @@ def foreach_batch_parquet(out_dir: str):
     return write_batch
 
 
+def user_event_stats_tws(events: DataFrame) -> DataFrame:
+    """Per-user running stats via `transformWithStateInPandas` (the Spark
+    4.x arbitrary-state v2 API): ValueState holding (n, total, max_value),
+    updated per micro-batch, emitting the running stats for touched keys.
+
+    Complements `running_user_totals` (applyInPandasWithState, the v1
+    API): v2 gives typed state handles, TTL support, and composable state
+    variables — the forward path for custom stateful operators. State is
+    O(distinct user_ids), partitioned by key across executors.
+
+    Runtime requirements: the RocksDB state store provider
+    (`spark.sql.streaming.stateStore.providerClass`) and the
+    `protobuf` python package (absent from this container — the test
+    skips; `running_user_totals` is the fully-exercised stateful path
+    here)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n BIGINT, total DOUBLE, max_value DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = 0, 0.0, float("-inf")
+            if self._state.exists():
+                n, total, mx = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, total, mx))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "total_value": [round(total, 2)],
+                                "max_value": [round(mx, 2)]})
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy("user_id").transformWithStateInPandas(
+        UserStats(),
+        outputStructType=("user_id BIGINT, n_events BIGINT, "
+                          "total_value DOUBLE, max_value DOUBLE"),
+        outputMode="Update",
+        timeMode="None"))
+
+
 SIGNALS_SCHEMA = ("series_id STRING, channel INT, sample_idx BIGINT, "
                   "value DOUBLE")
 

@@ -148,3 +148,34 @@ def test_stream_preprocess_signals(spark, tmp_path):
     assert len(got) == len(want) == 8000 * 2
     np.testing.assert_allclose(got.value.to_numpy(), want.value.to_numpy(),
                                rtol=1e-9)
+
+
+def test_transform_with_state_stats(spark, events_stream, tmp_path):
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas needs protobuf (not installed)")
+    from process_nwb_spark.streaming.ops import user_event_stats_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+
+    q = (user_event_stats_tws(events_stream).writeStream
+         .format("memory").queryName("t_tws")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    latest = (spark.table("t_tws").toPandas()
+              .groupby("user_id").last().reset_index())
+    want = (T(spark, SF, "events").groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("total_value"),
+                 F.round(F.max("value"), 2).alias("max_value"))
+            .toPandas())
+    merged = latest.merge(want, on="user_id", suffixes=("_s", "_b"))
+    assert len(merged) == len(want)
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (merged.total_value_s - merged.total_value_b).abs().max() < 1e-6
+    assert (merged.max_value_s - merged.max_value_b).abs().max() < 1e-6
