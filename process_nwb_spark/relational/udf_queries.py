@@ -51,6 +51,46 @@ def udf_grouped_covar(spark, sf_dir):
 
 
 @query(
+    "udf_grouped_map_demean",
+    """
+    WITH flat AS (
+      SELECT vec_id, label,
+             UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT vec_id, label, dim,
+           ROUND(x - AVG(x) OVER (PARTITION BY label, dim), 6) AS centered
+    FROM flat
+    WHERE dim <= 4
+    """,
+    doc="grouped-map applyInPandas (the spectral-kernel carrier, §2C UDF "
+        "surface) under the oracle gate: per-label batch demeaning of the "
+        "first 4 embedding dims in numpy — the whole group arrives as one "
+        "pandas frame, exactly like the DSP kernels receive a channel",
+)
+def udf_grouped_map_demean(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    e = T(spark, sf_dir, "embeddings")
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(pdf["embedding"].to_numpy())[:, :4].astype(np.float64)
+        C = M - M.mean(axis=0, keepdims=True)
+        n, d = C.shape
+        return pd.DataFrame({
+            "vec_id": np.repeat(pdf["vec_id"].to_numpy(), d),
+            "label": np.repeat(pdf["label"].to_numpy(), d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+            "centered": np.round(C.ravel(), 6),
+        })
+
+    return e.groupBy("label").applyInPandas(
+        demean, "vec_id BIGINT, label INT, dim BIGINT, centered DOUBLE")
+
+
+@query(
     "udf_python_fallback",
     """
     SELECT CASE WHEN n_chars < 200 THEN 'short'
