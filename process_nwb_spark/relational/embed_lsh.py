@@ -266,3 +266,85 @@ def dedup_embed_cosine(spark, sf_dir):
     cos = _cosine_spark("ea", "eb")
     return (pairs.filter(cos >= 0.35)
             .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine")))
+
+
+_IVF_LISTS_SQL = f"""
+    cents AS (
+      SELECT label AS cid, LIST(cx ORDER BY dim) AS cvec
+      FROM (SELECT label, dim, AVG(CAST(x AS DOUBLE)) AS cx
+            FROM (SELECT label, UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
+                         UNNEST(embedding) AS x FROM embeddings) t
+            GROUP BY label, dim) s
+      GROUP BY label
+    ),
+    assigned AS (
+      SELECT vec_id, label, embedding, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY {_L2_SQL.format(dim=_DIM, a='embedding', b='cvec')},
+                        cid) AS rnk
+      FROM embeddings CROSS JOIN cents
+    ),
+    lists AS (SELECT vec_id, label, embedding, cid FROM assigned WHERE rnk = 1)
+"""
+
+
+@query(
+    "embed_ivf_probe2",
+    f"""
+    WITH {_IVF_LISTS_SQL},
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    qcells AS (
+      SELECT c.cid
+      FROM cents c CROSS JOIN qv
+      ORDER BY {_L2_SQL.format(dim=_DIM, a='qv.qv', b='c.cvec')}, c.cid
+      LIMIT 2
+    )
+    SELECT l.vec_id, l.label,
+           ROUND({_cos_sql('l.embedding', 'qv.qv')}, 6) AS cosine
+    FROM lists l JOIN qcells ON l.cid = qcells.cid CROSS JOIN qv
+    WHERE l.vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    doc="IVF with nprobe=2: the query probes its TWO nearest cells — the "
+        "standard recall knob (nprobe trades scanned fraction ~nprobe/k "
+        "for recall) without changing the plan shape: cells stay an "
+        "equi-join, the probe set is a 2-row broadcast",
+)
+def embed_ivf_probe2(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = spread(T(spark, sf_dir, "embeddings"))
+    flat = (e.select("label", F.posexplode("embedding").alias("d0", "x"))
+            .groupBy("label", "d0")
+            .agg(F.avg(F.col("x").cast("double")).alias("cx")))
+    cents = (flat.groupBy("label")
+             .agg(F.array_sort(F.collect_list(F.struct("d0", "cx"))).alias("_s"))
+             .select(F.col("label").alias("cid"),
+                     F.transform("_s", lambda s: s["cx"]).alias("cvec")))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with("embedding", "cvec",
+                   lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    w = Window.partitionBy("vec_id").orderBy(dist, F.col("cid"))
+    lists = (e.crossJoin(F.broadcast(cents))
+             .withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") == 1)
+             .select("vec_id", "label", "embedding", "cid"))
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    qdist = F.sqrt(F.aggregate(
+        F.zip_with("qv", "cvec",
+                   lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    qcells = (cents.crossJoin(F.broadcast(qv))
+              .select("cid", qdist.alias("_d"))
+              .orderBy("_d", "cid").limit(2).select("cid"))
+    return (
+        lists.join(F.broadcast(qcells), "cid")
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label",
+                F.round(_cosine_spark("embedding", "qv"), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

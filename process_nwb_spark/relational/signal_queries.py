@@ -156,3 +156,44 @@ def sig_resample_lengths(spark, sf_dir):
     data = [(n, nf, of, resample_num(n, nf, of)) for n, nf, of in rows]
     return spark.createDataFrame(
         data, "n_time INT, new_freq DOUBLE, old_freq DOUBLE, new_n_time BIGINT")
+
+
+@query(
+    "sig_electrode_region",
+    f"""
+    WITH electrodes AS (
+      SELECT CAST(i AS INT) AS id, 1.0 AS x, 2.0 AS y, 3.0 AS z,
+             CAST(-i AS DOUBLE) AS imp, 'cortex' AS location,
+             CASE WHEN i < {N_CH // 2} THEN 'GridA' ELSE 'GridB' END
+               AS group_name
+      FROM RANGE(0, {N_CH}) t(i)
+    ),
+    signals AS ({_GEN_SQL}),
+    region AS (SELECT id FROM electrodes WHERE group_name = 'GridA')
+    SELECT s.channel,
+           COUNT(*) AS n_samples,
+           ROUND(AVG(s.value), 6) AS mean_value
+    FROM signals s
+    WHERE EXISTS (SELECT 1 FROM region r WHERE r.id = s.channel)
+    GROUP BY s.channel
+    """,
+    doc="the electrode dimension table + region reference (utils.py:222-253; "
+        "create_electrode_table_region utils.py:251) as a broadcast LEFT "
+        "SEMI join: the electrode-region view IS a semi-join of the signal "
+        "facts against a filtered dim (SURVEY.md §1.2)",
+)
+def sig_electrode_region(spark, sf_dir):
+    from ..synth import electrodes_df
+
+    el = electrodes_df(spark, N_CH)
+    el = el.withColumn(
+        "group_name",
+        F.when(F.col("id") < N_CH // 2, "GridA").otherwise("GridB"))
+    region = el.filter(F.col("group_name") == "GridA").select("id")
+    s = _signals(spark)
+    return (
+        s.join(F.broadcast(region), s.channel == region.id, "left_semi")
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_samples"),
+             F.round(F.avg("value"), 6).alias("mean_value"))
+    )

@@ -17,7 +17,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "agg_percentiles", "source_csv_roundtrip", "source_json_roundtrip",
         "udf_embed_norms", "udf_grouped_covar", "udf_python_fallback",
         "embed_ivf_topk", "join_sortmerge_large", "agg_salted_skew",
-        "fn_bitwise_conditional", "udf_grouped_map_demean"]
+        "fn_bitwise_conditional", "udf_grouped_map_demean",
+        "sig_electrode_region", "embed_ivf_probe2"]
 
 
 @pytest.fixture(scope="module")
@@ -44,7 +45,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_registry_complete():
     reg = all_queries()
-    assert len(reg) >= 72
+    assert len(reg) >= 74
     # every oracle is non-trivial SQL and every fn is callable
     for name, spec in reg.items():
         assert callable(spec.fn)
@@ -77,7 +78,7 @@ def test_registry_imports_without_session():
     code = ("import sys; sys.path.insert(0, '.');"
             "import __spark_entry__ as E;"
             "q = E.queries(); o = E.oracle_sql();"
-            "assert len(q) >= 72 and len(o) >= 71;"
+            "assert len(q) >= 74 and len(o) >= 73;"
             "print('ok', len(q), len(o))")
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, cwd=__file__.rsplit("/tests/", 1)[0])
