@@ -579,3 +579,83 @@ def multimodal_meta(spark, sf_dir):
         F.md5("text").alias("content_hash"),
         F.substring(F.md5("text"), 1, 8).alias("chunk_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering: connected components over near-dup candidate pairs
+# --------------------------------------------------------------------------
+_BANDS_SQL_FRAG = """
+    sig AS (
+      SELECT doc_id, {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, MD5(sig0 || sig1) AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, MD5(sig2 || sig3) FROM sig
+      UNION ALL SELECT doc_id, 2, MD5(sig4 || sig5) FROM sig
+      UNION ALL SELECT doc_id, 3, MD5(sig6 || sig7) FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id
+    )
+"""
+
+
+@query(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    {_BANDS_SQL_FRAG.format(sig_cols=_minhash_sig_cols_sql)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+    )
+    SELECT doc_id, MIN(r) AS component,
+           COUNT(*) OVER (PARTITION BY MIN(r)) AS component_size
+    FROM reach GROUP BY doc_id
+    """,
+    doc="near-dup CLUSTERING: connected components over the MinHash/LSH "
+        "candidate graph via iterative min-label propagation (each round = "
+        "one join + one min-agg; converges in O(diameter) rounds — "
+        "diameters of dup clusters are tiny, and at web scale the same "
+        "loop with large-star/small-star runs in O(log n) rounds). The "
+        "component id picks the canonical keeper (min doc_id). Oracle: "
+        "DuckDB recursive CTE computing min reachable id",
+)
+def dedup_components(spark, sf_dir):
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    edges = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+             .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+             .cache())
+    labels = edges.select(F.col("src").alias("doc_id")).distinct() \
+                  .withColumn("component", F.col("doc_id"))
+    for _ in range(20):  # diameter bound; tiny dup clusters converge in 2-3
+        nbr = (edges.join(labels, edges.src == labels.doc_id)
+               .groupBy(F.col("dst").alias("doc_id"))
+               .agg(F.min("component").alias("nbr_min")))
+        new_labels = (labels.join(nbr, "doc_id", "left")
+                      .select("doc_id",
+                              F.least("component",
+                                      F.coalesce("nbr_min", "component"))
+                              .alias("component"))
+                      .cache())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("component")
+    out = labels.select("doc_id", "component",
+                        F.count("*").over(w).alias("component_size"))
+    edges.unpersist()
+    return out
