@@ -1,0 +1,84 @@
+"""End-to-end training-data curation: the composition the individual
+registry operators exist for, as ONE lazy DataFrame program.
+
+    documents -> quality gate -> language gate -> exact-dedup keep-min ->
+    deterministic embedding -> sign-LSH bucket assignment
+
+Every stage is a narrow projection or one hash-agg; Catalyst fuses the
+gates into the scan. The output is the curated corpus with its dedup key,
+embedding, and ANN bucket — ready to write partitioned by bucket so
+similarity probes prune to one partition.
+
+The embedder is a deterministic md5-based fake (no model runtimes in this
+container): 16 dims, dim i = byte i of md5(text) scaled to [-1, 1). Like
+the multimodal codecs (llm/multimodal.py), swapping in a real encoder
+(e.g. an Arrow-batched ONNX pandas_udf) changes no plumbing.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EMB_DIM = 16
+
+
+def fake_embedding(col="text"):
+    """ARRAY<DOUBLE> of _EMB_DIM md5-derived values in [-1, 1) — pure JVM
+    (md5 + conv + transform), deterministic across engines."""
+    h = F.md5(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_EMB_DIM - 1)),
+        lambda i: F.conv(F.substring(h, i * 2 + 1, 2), 16, 10)
+        .cast("double") / 128.0 - 1.0)
+
+
+def sign_bucket(vec_col, n_bits: int = 4):
+    """Alternating-sign-plane LSH bucket of an array column (same family
+    as relational/embed_lsh.py, smaller key)."""
+    key = F.lit(0)
+    for b in range(n_bits):
+        dot = F.aggregate(
+            F.zip_with(vec_col,
+                       F.array(*[F.lit(1.0 if (i >> b) & 1 else -1.0)
+                                 for i in range(_EMB_DIM)]),
+                       lambda x, c: x * c),
+            F.lit(0.0), lambda acc, x: acc + x)
+        key = key + F.when(dot >= 0, F.lit(1 << b)).otherwise(0)
+    return key
+
+
+def curate(documents: DataFrame,
+           min_tokens: int = 20, max_chars_per_token: float = 12.0,
+           max_stopword_ratio: float = 0.9,
+           langs: tuple = ("en",)) -> DataFrame:
+    """The curation program. Returns (doc_id, lang, source, n_tokens,
+    fp, embedding, bucket) for kept documents."""
+    n_tok = F.regexp_count("text", F.lit(r"\w+"))
+    stop_ratio = (F.regexp_count(F.lower("text"),
+                                 F.lit(r"\b(the|a|an|and|or|of|to|in)\b"))
+                  .cast("double") / F.greatest(n_tok, F.lit(1)))
+    cpt = F.length("text").cast("double") / F.greatest(n_tok, F.lit(1))
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+
+    gated = (documents
+             .withColumn("n_tokens", n_tok)
+             .filter((F.col("n_tokens") >= min_tokens)
+                     & (cpt <= max_chars_per_token)
+                     & (stop_ratio <= max_stopword_ratio)
+                     & F.col("lang").isin(*langs))
+             .withColumn("fp", fp))
+
+    # exact dedup: keep the min doc_id per fingerprint (deterministic)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fp")
+    deduped = (gated.withColumn("_keep", F.min("doc_id").over(w))
+               .filter(F.col("doc_id") == F.col("_keep"))
+               .drop("_keep"))
+
+    emb = fake_embedding()
+    return (deduped
+            .withColumn("embedding", emb)
+            .withColumn("bucket", sign_bucket(F.col("embedding")))
+            .select("doc_id", "lang", "source", "n_tokens", "fp",
+                    "embedding", "bucket"))

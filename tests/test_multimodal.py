@@ -70,3 +70,27 @@ def test_frame_sampling_fanout(spark, mm):
 def test_real_decoder_is_marked_unavailable():
     with pytest.raises(NotImplementedError):
         decode_real(b"\x00")
+
+
+def test_curation_pipeline(spark):
+    """End-to-end curation program: gates -> dedup -> embedding -> bucket,
+    deterministic and fully JVM-side (no UDFs in the plan)."""
+    from process_nwb_spark.llm.curation import _EMB_DIM, curate
+    from process_nwb_spark.plans.inspect import formatted_plan
+
+    docs = T(spark, SF, "documents")
+    out = curate(docs, langs=("en", "de", "fr", "es"))
+    pdf = out.toPandas()
+    assert 0 < len(pdf) <= docs.count()
+    assert pdf.fp.is_unique is False or len(pdf) == pdf.fp.nunique()
+    r = pdf.iloc[0]
+    assert len(r.embedding) == _EMB_DIM
+    assert all(-1.0 <= float(x) < 1.0 for x in r.embedding)
+    assert 0 <= int(r.bucket) < 16
+    # deterministic across runs
+    pdf2 = curate(docs, langs=("en", "de", "fr", "es")).toPandas()
+    assert (pdf.sort_values("doc_id").bucket.to_numpy()
+            == pdf2.sort_values("doc_id").bucket.to_numpy()).all()
+    # stays JVM-side: no python evaluation nodes
+    plan = formatted_plan(out, "simple")
+    assert "EvalPython" not in plan
