@@ -1,7 +1,10 @@
-"""LLM training-data pipeline: multimodal column plumbing (the relational
-dedup/similarity/text ops live in relational/llm_ops.py + embed_lsh.py)."""
+"""LLM training-data pipeline: multimodal column plumbing and the
+end-to-end curation composition (the relational dedup/similarity/text ops
+live in relational/llm_ops.py + embed_lsh.py)."""
+from .curation import curate, fake_embedding, sign_bucket
 from .multimodal import (attach_payloads, extract_audio_features,
                          extract_image_features, sample_frames)
 
 __all__ = ["attach_payloads", "extract_image_features",
-           "extract_audio_features", "sample_frames"]
+           "extract_audio_features", "sample_frames",
+           "curate", "fake_embedding", "sign_bucket"]
