@@ -158,6 +158,35 @@ def embed_ann_lsh(spark, sf_dir):
     )
 
 
+@query(
+    "embed_mllib_brp_lsh",
+    None,  # MLlib hash-table internals aren't SQL-replayable: rows-only
+    doc="MLlib BucketedRandomProjectionLSH (seeded, deterministic): fit "
+        "random-projection hash tables over the corpus, "
+        "approxNearestNeighbors for the query vector — the library "
+        "counterpart of the hand-built sign-LSH/IVF paths (which ARE "
+        "SQL-oracled; this entry covers the pyspark.ml surface)",
+)
+def embed_mllib_brp_lsh(spark, sf_dir):
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = T(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label",
+        array_to_vector(F.col("embedding").cast("array<double>"))
+        .alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=2.0, numHashTables=3, seed=42)
+    model = lsh.fit(v)
+    q = v.filter(F.col("vec_id") == 0).first()["features"]
+    nn = model.approxNearestNeighbors(v.filter(F.col("vec_id") != 0), q, 10)
+    return (nn.select("vec_id", "label",
+                      F.round("distCol", 6).alias("dist"))
+            .orderBy("dist", "vec_id"))
+
+
 _L2_SQL = """
   SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim} + 1),
        i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) *

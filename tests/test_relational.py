@@ -45,7 +45,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_registry_complete():
     reg = all_queries()
-    assert len(reg) >= 75
+    assert len(reg) >= 76
     # every oracle is non-trivial SQL and every fn is callable
     for name, spec in reg.items():
         assert callable(spec.fn)
@@ -78,7 +78,7 @@ def test_registry_imports_without_session():
     code = ("import sys; sys.path.insert(0, '.');"
             "import __spark_entry__ as E;"
             "q = E.queries(); o = E.oracle_sql();"
-            "assert len(q) >= 75 and len(o) >= 74;"
+            "assert len(q) >= 76 and len(o) >= 74;"
             "print('ok', len(q), len(o))")
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, cwd=__file__.rsplit("/tests/", 1)[0])
