@@ -119,3 +119,27 @@ def test_preprocess_many_is_one_job(spark):
           .sort_values(["channel", "band", "sample_idx"]).amp.to_numpy())
     sb = solo.sort_values(["channel", "band", "sample_idx"]).amp.to_numpy()
     np.testing.assert_allclose(gb, sb, rtol=1e-9)
+
+
+def test_empty_input_pipeline(spark):
+    """Empty signals -> empty tf, no error (plan-time guards still apply)."""
+    from process_nwb_spark.pipelines import preprocess
+
+    empty = spark.createDataFrame(
+        [], "series_id STRING, channel INT, sample_idx BIGINT, value DOUBLE")
+    res = preprocess(empty, 1000.0, 500.0, 250.0)
+    assert res.tf.count() == 0
+
+
+def test_nyquist_guard_raises_at_plan_time(spark):
+    """Sub-Nyquist wavelet rate raises ValueError before any job runs
+    (wavelet_transform.py:121-125 contract)."""
+    import pytest as _pytest
+    from process_nwb_spark.pipelines import preprocess
+    from process_nwb_spark.synth import generate_synthetic_data, to_long_df
+
+    X = generate_synthetic_data(0.5, 2, 1000.0, seed=0)
+    with _pytest.raises(ValueError):
+        # rat filterbank max cf 1200 -> needs rate >= 2400
+        preprocess(to_long_df(spark, X), 1000.0, 400.0, 200.0, filters="rat",
+                   hg_only=False)
