@@ -94,3 +94,22 @@ def test_curation_pipeline(spark):
     # stays JVM-side: no python evaluation nodes
     plan = formatted_plan(out, "simple")
     assert "EvalPython" not in plan
+
+
+def test_curated_bucket_index_prunes(spark, tmp_path):
+    """The curation output written partitionBy(bucket) IS the ANN index:
+    a probe filtered to one bucket reads one partition (PartitionFilters),
+    not the corpus."""
+    from process_nwb_spark.llm.curation import curate
+    from process_nwb_spark.plans.inspect import formatted_plan
+
+    out = str(tmp_path / "ann_index")
+    curated = curate(T(spark, SF, "documents"), langs=("en", "de", "fr", "es"))
+    curated.write.partitionBy("bucket").parquet(out)
+    idx = spark.read.parquet(out)
+    probe = idx.filter(F.col("bucket") == 3)
+    plan = formatted_plan(probe)
+    assert "PartitionFilters" in plan
+    frag = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "bucket" in frag
+    assert probe.count() == curated.filter(F.col("bucket") == 3).count()
