@@ -90,3 +90,22 @@ def test_fact_fact_join_is_sort_merge(spark, qs):
     assert "SortMergeJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan  # never broadcast a fact table
     assert any("o_orderstatus" in p for p in pushed_filters(df))
+
+
+def test_dedup_text_shuffle_budgets(spark, qs):
+    """Shuffle-count contracts for the training-data ops: one spread of
+    the small input plus the operator's own aggregation — nothing more.
+    (A regression that adds a join-back or re-explosion shows up here.)"""
+    budgets = {"dedup_exact": 2, "minhash_signatures": 2,
+               "simhash_fingerprints": 3, "doc_fingerprint_winnow": 2,
+               "text_quality": 0}
+    for name, budget in budgets.items():
+        got = count_exchanges(qs[name].fn(spark, SF))
+        assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
+
+
+def test_curation_single_shuffle(spark):
+    from process_nwb_spark.llm.curation import curate
+    from process_nwb_spark.relational.core import T
+
+    assert count_exchanges(curate(T(spark, SF, "documents"))) == 1
