@@ -82,4 +82,5 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import signal_queries  # noqa: F401
     from . import sources_queries  # noqa: F401
     from . import udf_queries  # noqa: F401
+    from . import dataprep  # noqa: F401
     return REGISTRY

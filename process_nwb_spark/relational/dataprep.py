@@ -1,0 +1,198 @@
+"""Training-corpus preparation operators on `documents`: deterministic
+splits, stratified rebalancing, token-aware sequence packing, and
+train/test contamination checks.
+
+These are the corpus-assembly stages a large-scale training-data pipeline
+runs after cleaning/dedup (llm_ops.py): decide which rows train, rebalance
+over-represented strata, pack documents into fixed-token context windows,
+and prove the held-out split is not leaked into train.
+
+Cross-engine determinism: all randomness is md5-hash-derived (same trick as
+llm_ops.py), so assignments are a pure function of the row key — stable
+under reruns, resumable, and identical in Spark and the DuckDB oracle.
+
+Scale notes (100 TB):
+- split/sample are NARROW projections/filters — zero shuffle, and the
+  filter sits directly on the scan so column pruning + predicate pushdown
+  apply. This is why hash-splits beat `randomSplit` at scale: no global
+  sample, no seed-ordering dependency, and adding data never reassigns
+  existing rows.
+- packing windows are PARTITIONED BY source — parallel across strata; no
+  global single-partition window. Capacity arithmetic is a running sum,
+  i.e. one shuffle on the partition key, same as any keyed window.
+- contamination is an equi-join on the shingle hash: both sides are
+  pre-deduped (DISTINCT) before the join, bounding fan-out; the train side
+  is agg'd to a set of keys, so the join is key-key, not key-rows.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .core import T, query, spread
+from .llm_ops import _SHINGLE_SQL, _shingles_df
+
+# --- md5-derived bucket in [0, 256): first two hex nibbles of md5(key) ----
+_HEX = "0123456789abcdef"
+
+
+def _bucket(col):
+    """Spark: 0..255 bucket from the first md5 byte of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("int")
+
+
+def _bucket_sql(expr: str) -> str:
+    """DuckDB equivalent (no CONV there): positional hex-digit arithmetic."""
+    return (f"((STRPOS('{_HEX}', SUBSTR(MD5({expr}), 1, 1)) - 1) * 16"
+            f" + (STRPOS('{_HEX}', SUBSTR(MD5({expr}), 2, 1)) - 1))")
+
+
+_SPLIT_KEY = "CAST(doc_id AS VARCHAR) || ':split'"
+_SPLIT_CASE = ("CASE WHEN bucket < 230 THEN 'train' "
+               "WHEN bucket < 243 THEN 'valid' ELSE 'test' END")
+
+
+def _with_split(df):
+    """doc frame + (bucket, split) derived purely from doc_id."""
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":split"))
+    return (df.withColumn("bucket", _bucket(key))
+              .withColumn("split",
+                          F.when(F.col("bucket") < 230, "train")
+                           .when(F.col("bucket") < 243, "valid")
+                           .otherwise("test")))
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/valid/test split
+# --------------------------------------------------------------------------
+@query(
+    "split_train_test",
+    f"""
+    SELECT doc_id, bucket, {_SPLIT_CASE} AS split
+    FROM (SELECT doc_id, {_bucket_sql(_SPLIT_KEY)} AS bucket
+          FROM documents) t
+    """,
+    doc="deterministic ~90/5/5 train/valid/test split: md5(doc_id) bucket "
+        "in [0,256) -> threshold CASE. Pure narrow projection (no shuffle, "
+        "no RNG state); appending new docs never reassigns old ones",
+)
+def split_train_test(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return _with_split(d.select("doc_id")).select("doc_id", "bucket", "split")
+
+
+# --------------------------------------------------------------------------
+# Stratified rebalancing sample
+# --------------------------------------------------------------------------
+_LANG_THRESH = {"en": 128, "de": 192, "fr": 192, "es": 192, "zh": 256}
+_DEFAULT_THRESH = 256  # unknown strata kept whole
+
+_SAMPLE_KEY = "CAST(doc_id AS VARCHAR) || ':sample'"
+_THRESH_CASE_SQL = ("CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _LANG_THRESH.items())
+    + f" ELSE {_DEFAULT_THRESH} END")
+
+
+@query(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang, source
+    FROM (SELECT doc_id, lang, source,
+                 {_bucket_sql(_SAMPLE_KEY)} AS bucket,
+                 {_THRESH_CASE_SQL} AS thresh
+          FROM documents) t
+    WHERE bucket < thresh
+    """,
+    doc="stratified downsampling of over-represented languages: keep en at "
+        "50%, de/fr/es at 75%, zh at 100% via per-stratum hash-bucket "
+        "thresholds. Narrow filter on the scan — the deterministic, "
+        "restart-safe form of df.sampleBy()",
+)
+def sample_stratified(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))
+    thresh = F.lit(_DEFAULT_THRESH)
+    for lang, t in _LANG_THRESH.items():
+        thresh = F.when(F.col("lang") == lang, t).otherwise(thresh)
+    return (d.select("doc_id", "lang", "source",
+                     _bucket(key).alias("bucket"), thresh.alias("thresh"))
+             .filter(F.col("bucket") < F.col("thresh"))
+             .select("doc_id", "lang", "source"))
+
+
+# --------------------------------------------------------------------------
+# Token-aware sequence packing
+# --------------------------------------------------------------------------
+_PACK_CAPACITY = 2048
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')) AS INT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                 - n_tokens) // {_PACK_CAPACITY} AS BIGINT) AS pack_id
+    FROM tok
+    """,
+    doc=f"sequence packing: assign docs to {_PACK_CAPACITY}-token context "
+        "windows by cumulative token count within each source (running-sum "
+        "binning — the scalable approximation of first-fit, which is "
+        "inherently sequential). Window PARTITIONED BY source, so packing "
+        "parallelizes across strata instead of one global sort",
+)
+def pack_sequences(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    n_tok = F.regexp_count("text", F.lit(r"\w+")).alias("n_tokens")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tok = d.select("doc_id", "source", n_tok)
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return tok.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(cum_before / _PACK_CAPACITY).cast("long").alias("pack_id"))
+
+
+# --------------------------------------------------------------------------
+# Train/test contamination check
+# --------------------------------------------------------------------------
+@query(
+    "split_contamination",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    tagged AS (
+      SELECT sh.doc_id, sh.sh, {_SPLIT_CASE} AS split
+      FROM (SELECT doc_id, sh,
+                   {_bucket_sql(_SPLIT_KEY)} AS bucket FROM sh) sh
+    ),
+    train_sh AS (SELECT DISTINCT sh FROM tagged WHERE split = 'train'),
+    test_sh AS (SELECT doc_id, sh FROM tagged WHERE split = 'test')
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS INT) AS n_shingles,
+           CAST(COUNT(tr.sh) AS INT) AS n_shared,
+           ROUND(COUNT(tr.sh) / CAST(COUNT(*) AS DOUBLE), 4) AS contamination
+    FROM test_sh t LEFT JOIN train_sh tr ON t.sh = tr.sh
+    GROUP BY t.doc_id
+    """,
+    doc="decontamination audit: fraction of each TEST doc's word-3-gram "
+        "shingles that also occur anywhere in TRAIN. Split is recomputed "
+        "inline from doc_id (pure function — no join against the split "
+        "assignment). Both join sides are pre-deduped shingle keys, so the "
+        "equi-join on sh is key-to-key with bounded fan-out",
+)
+def split_contamination(spark, sf_dir):
+    sh = _with_split(_shingles_df(spark, sf_dir))
+    train_sh = sh.filter(F.col("split") == "train").select("sh").distinct()
+    test_sh = sh.filter(F.col("split") == "test").select("doc_id", "sh")
+    joined = test_sh.join(train_sh.withColumn("in_train", F.lit(1)),
+                          "sh", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_shingles"),
+        F.count("in_train").cast("int").alias("n_shared"),
+        F.round(F.count("in_train") / F.count("*").cast("double"), 4)
+         .alias("contamination"))

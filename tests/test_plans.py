@@ -98,7 +98,13 @@ def test_dedup_text_shuffle_budgets(spark, qs):
     (A regression that adds a join-back or re-explosion shows up here.)"""
     budgets = {"dedup_exact": 2, "minhash_signatures": 2,
                "simhash_fingerprints": 3, "doc_fingerprint_winnow": 2,
-               "text_quality": 0}
+               "text_quality": 0,
+               # corpus assembly: hash-splits are pure narrow projections
+               # (THE reason they beat randomSplit at scale); packing pays
+               # exactly its per-source window shuffle; contamination pays
+               # spread + distinct + join + final agg
+               "split_train_test": 0, "sample_stratified": 0,
+               "pack_sequences": 1, "split_contamination": 4}
     for name, budget in budgets.items():
         got = count_exchanges(qs[name].fn(spark, SF))
         assert got <= budget, f"{name}: {got} exchanges > budget {budget}"

@@ -18,7 +18,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "udf_embed_norms", "udf_grouped_covar", "udf_python_fallback",
         "embed_ivf_topk", "join_sortmerge_large", "agg_salted_skew",
         "fn_bitwise_conditional", "udf_grouped_map_demean",
-        "sig_electrode_region", "embed_ivf_probe2"]
+        "sig_electrode_region", "embed_ivf_probe2", "split_train_test",
+        "sample_stratified", "pack_sequences", "split_contamination"]
 
 
 @pytest.fixture(scope="module")
@@ -84,3 +85,52 @@ def test_registry_imports_without_session():
                        text=True, cwd=__file__.rsplit("/tests/", 1)[0])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "ok" in r.stdout
+
+
+# ---------------------------------------------------------------------------
+# Corpus-assembly (dataprep) semantic invariants
+# ---------------------------------------------------------------------------
+def test_split_is_pure_function_of_doc_id(spark):
+    """Bucket == first md5 byte of 'doc_id:split' — a pure function of the
+    row key, which is what makes the split append-stable (new data never
+    reassigns old rows) and restart-safe, unlike randomSplit."""
+    import hashlib
+
+    rows = all_queries()["split_train_test"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        expect = int(hashlib.md5(f"{r.doc_id}:split".encode()).hexdigest()[:2], 16)
+        assert r.bucket == expect
+        assert r.split == ("train" if r.bucket < 230
+                           else "valid" if r.bucket < 243 else "test")
+
+
+def test_split_fractions_near_nominal(spark):
+    rows = all_queries()["split_train_test"].fn(spark, "/root/testdata/sf0.01") \
+        .groupBy("split").count().collect()
+    n = sum(r["count"] for r in rows)
+    frac = {r["split"]: r["count"] / n for r in rows}
+    assert abs(frac["train"] - 230 / 256) < 0.05
+    assert frac.get("test", 0) > 0 and frac.get("valid", 0) > 0
+
+
+def test_pack_sequences_matches_sequential_replay(spark):
+    """pack_id must equal a driver-side sequential replay of cumulative
+    running-sum binning per source (exact, not statistical)."""
+    df = all_queries()["pack_sequences"].fn(spark, SF).toPandas()
+    df = df.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    for _, g in df.groupby("source"):
+        cum = 0
+        for _, row in g.iterrows():
+            assert row.pack_id == cum // 2048
+            cum += row.n_tokens
+
+
+def test_contamination_bounds_and_membership(spark):
+    cont = all_queries()["split_contamination"].fn(spark, SF).toPandas()
+    split = all_queries()["split_train_test"].fn(spark, SF).toPandas()
+    test_ids = set(split[split.split == "test"].doc_id)
+    assert len(cont) > 0
+    assert set(cont.doc_id) <= test_ids
+    assert ((cont.n_shared <= cont.n_shingles) & (cont.n_shingles > 0)).all()
+    assert ((cont.contamination >= 0) & (cont.contamination <= 1)).all()
