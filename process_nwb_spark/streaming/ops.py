@@ -227,6 +227,52 @@ def stream_preprocess_signals(spark: SparkSession, signals_dir: str,
             .trigger(availableNow=True).start())
 
 
+def stream_preprocess_full(spark: SparkSession, signals_dir: str,
+                           out_dir: str, rate: float,
+                           noise_hz: float = 60.0, mean_frac: float = 0.95,
+                           filters: str = "rat", hg_only: bool = True,
+                           seg_len: int = 4096, overlap: int = 1024,
+                           precision: str = "single",
+                           max_files_per_trigger: int = 1):
+    """The ENTIRE reference pipeline as a stream: landing signal files ->
+    notch -> CAR-subtract -> wavelet amplitude -> band-partitioned parquet
+    append. Streaming re-expression of preprocess_block (pipelines.py:15-111)
+    driven the way ChannelBandIterator drives the chunked writer
+    (wavelet_transform.py:142-235): data flows in bounded blocks, the sink
+    grows incrementally.
+
+    Correctness boundary: CAR is per-timepoint across channels
+    (common_referencing.py:11-42), so as long as each landing file carries
+    ALL channels for its time range (the natural acquisition layout),
+    computing it inside the micro-batch is exact — no cross-batch state.
+    The FFT stages use the overlap-segmented kernels, so per-task memory
+    stays bounded regardless of recording length; files must land cut on
+    whole-segment boundaries (the file is the micro-batch boundary).
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from ..operators.car import subtract_car
+    from ..operators.segmented import segmented_notch, segmented_wavelet_amp
+
+    reader = (spark.readStream.schema(SIGNALS_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    sdf = reader.parquet(signals_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        notched = segmented_notch(batch_df, rate, noise_hz=noise_hz,
+                                  seg_len=seg_len, overlap=overlap,
+                                  precision=precision)
+        referenced = subtract_car(notched, mean_frac=mean_frac)
+        amp = segmented_wavelet_amp(referenced, rate, filters=filters,
+                                    hg_only=hg_only, seg_len=seg_len,
+                                    overlap=overlap, precision=precision)
+        (amp.withColumn("_batch", F.lit(batch_id))
+         .write.mode("append").partitionBy("band")
+         .parquet(out_dir))
+
+    return (sdf.writeStream.foreachBatch(process_batch)
+            .trigger(availableNow=True).start())
+
+
 def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession,
                   mode: str = "complete"):
     """Drain a stream with availableNow into an in-memory table; returns the

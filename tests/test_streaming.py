@@ -179,3 +179,49 @@ def test_transform_with_state_stats(spark, events_stream, tmp_path):
     assert (merged.n_events_s == merged.n_events_b).all()
     assert (merged.total_value_s - merged.total_value_b).abs().max() < 1e-6
     assert (merged.max_value_s - merged.max_value_b).abs().max() < 1e-6
+
+
+def test_stream_preprocess_full_pipeline(spark, tmp_path):
+    """Full streaming pipeline (notch -> CAR -> wavelet amp): stream 2
+    landing files, compare against the batch composition of the same
+    per-file segmentation — exact, since it is the same code path and CAR
+    is per-timepoint (no cross-batch state needed)."""
+    import numpy as np
+    import pandas as pd
+    from process_nwb_spark.operators.car import subtract_car
+    from process_nwb_spark.operators.segmented import (segmented_notch,
+                                                       segmented_wavelet_amp)
+    from process_nwb_spark.streaming.ops import stream_preprocess_full
+    from process_nwb_spark.synth import generate_synthetic_data, to_long_df
+
+    X = generate_synthetic_data(4.0, 2, 2000.0, seed=7)  # 8000 x 2
+    long_df = to_long_df(spark, X)
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    cuts = [(0, 4096), (4096, 8000)]
+    for lo, hi in cuts:
+        (long_df.filter((F.col("sample_idx") >= lo) & (F.col("sample_idx") < hi))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    q = stream_preprocess_full(spark, in_dir, out_dir, 2000.0,
+                               seg_len=2048, overlap=512, precision="double")
+    q.awaitTermination()
+
+    got = (spark.read.parquet(out_dir).toPandas()
+           .sort_values(["channel", "band", "sample_idx"]))
+    assert got._batch.nunique() == 2          # really incremental
+    assert sorted(got.band.unique()) == [0, 1, 2, 3, 4, 5]  # rat hg_only
+
+    parts = []
+    for lo, hi in cuts:
+        piece = long_df.filter((F.col("sample_idx") >= lo)
+                               & (F.col("sample_idx") < hi))
+        notched = segmented_notch(piece, 2000.0, seg_len=2048, overlap=512,
+                                  precision="double")
+        referenced = subtract_car(notched)
+        parts.append(segmented_wavelet_amp(referenced, 2000.0, seg_len=2048,
+                                           overlap=512, precision="double")
+                     .toPandas())
+    want = pd.concat(parts).sort_values(["channel", "band", "sample_idx"])
+    assert len(got) == len(want) == 8000 * 2 * 6
+    np.testing.assert_allclose(got.amp.to_numpy(), want.amp.to_numpy(),
+                               rtol=1e-9)
