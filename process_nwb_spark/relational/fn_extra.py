@@ -1,0 +1,173 @@
+"""Extended scalar-function / window-function / source coverage
+(SURVEY.md §2C "Scalar fns", "Window functions", "Scans/sources" rows):
+interval date arithmetic, string-edit functions, value-distribution
+window functions, and the ORC columnar round-trip.
+
+All JVM built-ins — no UDFs — so every query stays inside whole-stage
+codegen and partial aggregation / window shuffles behave exactly like the
+core §2C entries at 100 TB.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .core import T, query
+
+
+# --------------------------------------------------------------------------
+# Interval / calendar arithmetic
+# --------------------------------------------------------------------------
+@query(
+    "fn_interval_datetime",
+    """
+    SELECT o_orderkey,
+           STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY,
+                    '%Y-%m-%d') AS plus30d,
+           STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH,
+                    '%Y-%m-%d') AS plus3m,
+           STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)),
+                    '%Y-%m-%d') AS month_end,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_q,
+           CAST(EXTRACT(doy FROM o_orderdate) AS INT) AS order_doy,
+           STRFTIME(MAKE_DATE(CAST(EXTRACT(year FROM o_orderdate) AS INT),
+                              1, 1), '%Y-%m-%d') AS year_start
+    FROM orders
+    """,
+    doc="calendar arithmetic: day/month interval add (month add clamps to "
+        "month end in both engines), last_day, quarter, day-of-year, "
+        "make_date. Dates rendered as strings (cross-engine date encodings "
+        "differ); pure narrow projection",
+)
+def fn_interval_datetime(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    fmt = "yyyy-MM-dd"
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), fmt).alias("plus30d"),
+        F.date_format(F.add_months(d, 3), fmt).alias("plus3m"),
+        F.date_format(F.last_day(d), fmt).alias("month_end"),
+        F.quarter(d).alias("order_q"),
+        F.dayofyear(d).alias("order_doy"),
+        F.date_format(F.make_date(F.year(d), F.lit(1), F.lit(1)), fmt)
+        .alias("year_start"),
+    )
+
+
+# --------------------------------------------------------------------------
+# String-edit functions
+# --------------------------------------------------------------------------
+@query(
+    "fn_string_extra",
+    """
+    SELECT p_partkey,
+           LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           REVERSE(p_name) AS rev_name,
+           REPEAT(LEFT(p_name, 2), 3) AS rep_head,
+           TRANSLATE(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+           LEVENSHTEIN(LEFT(p_name, 5), 'steel') AS lev_steel,
+           CAST(STRPOS(p_name, 'e') AS INT) AS first_e,
+           RIGHT(p_name, 4) AS tail4
+    FROM part
+    """,
+    doc="string-edit surface: lpad, reverse, repeat, translate, "
+        "levenshtein edit distance (the fuzzy-matching primitive), "
+        "instr/strpos, left/right slicing — all codegen'd JVM built-ins",
+)
+def fn_string_extra(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("p_name").alias("rev_name"),
+        F.repeat(F.left("p_name", F.lit(2)), 3).alias("rep_head"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.levenshtein(F.left("p_name", F.lit(5)), F.lit("steel"))
+        .alias("lev_steel"),
+        F.instr("p_name", "e").alias("first_e"),
+        F.right("p_name", F.lit(4)).alias("tail4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution window functions
+# --------------------------------------------------------------------------
+@query(
+    "win_distribution",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           NTILE(4) OVER w AS qtile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           FIRST_VALUE(l_orderkey) OVER w AS first_key,
+           LAST_VALUE(l_orderkey) OVER wf AS last_key,
+           NTH_VALUE(l_orderkey, 3) OVER wf AS third_key
+    FROM lineitem
+    WHERE l_orderkey % 11 = 0
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_orderkey, l_linenumber),
+           wf AS (PARTITION BY l_returnflag
+                  ORDER BY l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+    """,
+    doc="distribution window functions: ntile, percent_rank, cume_dist, "
+        "first/last/nth_value over an explicit full frame. Order key "
+        "(l_orderkey, l_linenumber) is unique per partition, so every "
+        "function is deterministic; one window shuffle total (same "
+        "partition+order for all)",
+)
+def win_distribution(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 11 == 0)
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        F.ntile(4).over(w).alias("qtile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("l_orderkey").over(w).alias("first_key"),
+        F.last("l_orderkey").over(wf).alias("last_key"),
+        F.nth_value("l_orderkey", 3).over(wf).alias("third_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ORC round-trip (third columnar source format)
+# --------------------------------------------------------------------------
+_ROUNDTRIP_ORACLE = """
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM documents
+    GROUP BY lang, source
+"""
+
+
+@query(
+    "source_orc_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    doc="ORC sink + source: documents projection -> ORC -> read back -> "
+        "aggregate; hash-matches the same aggregate on the original "
+        "parquet (lossless columnar round-trip, same proof shape as the "
+        "CSV/JSON entries in sources_queries.py)",
+)
+def source_orc_roundtrip(spark, sf_dir):
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"pnwb_spark_roundtrip_orc_{tag}")
+    (T(spark, sf_dir, "documents")
+     .select("doc_id", "lang", "source", "n_chars")
+     .coalesce(1)
+     .write.mode("overwrite").orc(out))
+    back = spark.read.schema(
+        "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT").orc(out)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

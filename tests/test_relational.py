@@ -19,7 +19,9 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "embed_ivf_topk", "join_sortmerge_large", "agg_salted_skew",
         "fn_bitwise_conditional", "udf_grouped_map_demean",
         "sig_electrode_region", "embed_ivf_probe2", "split_train_test",
-        "sample_stratified", "pack_sequences", "split_contamination"]
+        "sample_stratified", "pack_sequences", "split_contamination",
+        "fn_interval_datetime", "fn_string_extra", "win_distribution",
+        "source_orc_roundtrip"]
 
 
 @pytest.fixture(scope="module")
