@@ -990,3 +990,42 @@ def fn_json_map(spark, sf_dir):
         F.element_at(m, "k").alias("k_int"),
         F.element_at(F.map_keys(m), 1).alias("first_key"),
     )
+
+
+@query(
+    "join_salted_skew",
+    """
+    SELECT o.o_orderpriority,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DOUBLE)), 2)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="salted skew join: the big side gets a deterministic salt in "
+        "[0,4), the dimension side is replicated once per salt (explode), "
+        "and the join runs on (key, salt) — splitting any hot key across 4 "
+        "reducers. Salting is semantically transparent, so the oracle is "
+        "the PLAIN join: identical results prove the rewrite safe. This is "
+        "the manual form of what AQE skew-join does adaptively "
+        "(spark.sql.adaptive.skewJoin, on in session.py); the manual form "
+        "still matters at 100 TB when skew is known ahead of time "
+        "(AQE only splits after a stage materializes its skewed output)",
+)
+def join_salted_skew(spark, sf_dir):
+    n_salt = 4
+    li = (T(spark, sf_dir, "lineitem")
+          .withColumn("_salt", F.pmod("l_linenumber", F.lit(n_salt))))
+    o = (T(spark, sf_dir, "orders")
+         .withColumn("_salt", F.explode(F.sequence(F.lit(0),
+                                                   F.lit(n_salt - 1)))))
+    return (
+        li.join(o.hint("merge"),
+                (li.l_orderkey == o.o_orderkey) & (li._salt == o._salt))
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum((F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))).cast("double")), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )

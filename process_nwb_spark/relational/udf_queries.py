@@ -109,3 +109,48 @@ def udf_python_fallback(spark, sf_dir):
     return (d.select(py_bucket_fallback(F.col("n_chars").cast("int"))
                      .alias("bucket"))
             .groupBy("bucket").agg(F.count("*").alias("n_docs")))
+
+
+@query(
+    "udf_arrow_grouped_scale",
+    """
+    WITH flat AS (
+      SELECT vec_id, label,
+             UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT vec_id, label, dim,
+           ROUND((x - MIN(x) OVER (PARTITION BY label, dim))
+                 / (MAX(x) OVER (PARTITION BY label, dim)
+                    - MIN(x) OVER (PARTITION BY label, dim)), 6) AS scaled
+    FROM flat
+    WHERE dim <= 3
+    """,
+    doc="grouped-map applyInArrow (Spark 4's zero-pandas Arrow path): "
+        "per-label min-max scaling of the first 3 embedding dims computed "
+        "straight from pyarrow buffers into numpy — no pandas "
+        "materialization, so the JVM<->Python hop is one Arrow batch each "
+        "way. Same carrier shape as applyInPandas but cheaper per batch",
+)
+def udf_arrow_grouped_scale(spark, sf_dir):
+    import numpy as np
+    import pyarrow as pa
+
+    e = T(spark, sf_dir, "embeddings")
+
+    def scale(table: "pa.Table") -> "pa.Table":
+        M = np.stack(table["embedding"].to_numpy(zero_copy_only=False))
+        M = M[:, :3].astype(np.float64)
+        lo, hi = M.min(axis=0, keepdims=True), M.max(axis=0, keepdims=True)
+        S = np.round((M - lo) / (hi - lo), 6)
+        n, d = S.shape
+        return pa.table({
+            "vec_id": np.repeat(table["vec_id"].to_numpy(), d),
+            "label": np.repeat(table["label"].to_numpy(), d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+            "scaled": S.ravel(),
+        })
+
+    return e.groupBy("label").applyInArrow(
+        scale, "vec_id BIGINT, label INT, dim BIGINT, scaled DOUBLE")

@@ -21,7 +21,7 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "sig_electrode_region", "embed_ivf_probe2", "split_train_test",
         "sample_stratified", "pack_sequences", "split_contamination",
         "fn_interval_datetime", "fn_string_extra", "win_distribution",
-        "source_orc_roundtrip"]
+        "source_orc_roundtrip", "join_salted_skew", "udf_arrow_grouped_scale"]
 
 
 @pytest.fixture(scope="module")
