@@ -32,6 +32,9 @@ def get_spark(app_name: str = "process-nwb-spark", master: str | None = None,
         .config("spark.sql.ansi.enabled", "false")
         # testdata events.ts is TIMESTAMP(NANOS): read as int64, convert in T()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # let custom Python data sources (sources/ecog_datasource.py)
+        # receive pushed filters for partition pruning
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

@@ -97,3 +97,71 @@ def test_bucketed_join_no_shuffle(spark, catalog):
     assert j.count() > 0
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource (ecog_synth)
+# ---------------------------------------------------------------------------
+def _register_ecog(spark):
+    from process_nwb_spark.sources.ecog_datasource import EcogSynthDataSource
+    spark.dataSource.register(EcogSynthDataSource)
+
+
+def test_ecog_datasource_batch_matches_synth(spark):
+    """spark.read.format('ecog_synth') == to_long_df(generate_synthetic_data):
+    the custom source is a partitioned, seed-exact acquisition reader."""
+    import numpy as np
+    from process_nwb_spark.synth import generate_synthetic_data, to_long_df
+
+    _register_ecog(spark)
+    df = (spark.read.format("ecog_synth").option("duration", 1.0)
+          .option("nchannels", 4).option("rate", 500.0).option("seed", 3)
+          .load())
+    assert df.rdd.getNumPartitions() == 4  # one task per channel
+    got = df.toPandas().sort_values(["channel", "sample_idx"])
+    X = generate_synthetic_data(1.0, 4, 500.0, seed=3)
+    want = (to_long_df(spark, X).toPandas()
+            .sort_values(["channel", "sample_idx"]))
+    assert len(got) == len(want) == 2000
+    np.testing.assert_allclose(got.value.to_numpy(), want.value.to_numpy(),
+                               rtol=1e-12)
+
+
+def test_ecog_datasource_filter_prunes_partitions(spark):
+    """EqualTo/In pushdown on `channel` prunes source partitions at plan
+    time — the custom-source analog of parquet partition pruning."""
+    _register_ecog(spark)
+    df = (spark.read.format("ecog_synth").option("duration", 1.0)
+          .option("nchannels", 4).option("rate", 500.0).load())
+    one = df.filter(df.channel == 2)
+    assert one.rdd.getNumPartitions() == 1
+    assert one.count() == 500
+    two = df.filter(df.channel.isin(1, 3))
+    assert two.rdd.getNumPartitions() == 2
+    assert two.count() == 1000
+
+
+def test_ecog_datasource_stream_replay(spark):
+    """Streaming face: micro-batch replay by sample-block offset, exact vs
+    the dense generator across all batches."""
+    import time
+
+    import numpy as np
+    from process_nwb_spark.synth import generate_synthetic_data
+
+    _register_ecog(spark)
+    sdf = (spark.readStream.format("ecog_synth").option("duration", 1.0)
+           .option("nchannels", 2).option("rate", 500.0)
+           .option("block_len", 200).load())
+    q = (sdf.writeStream.format("memory").queryName("ecog_stream_t")
+         .outputMode("append").start())
+    deadline = time.time() + 120
+    while time.time() < deadline and spark.table("ecog_stream_t").count() < 1000:
+        time.sleep(1)
+    q.stop()
+    tab = (spark.table("ecog_stream_t").toPandas()
+           .sort_values(["channel", "sample_idx"]))
+    assert len(tab) == 1000
+    X = generate_synthetic_data(1.0, 2, 500.0, seed=0)
+    want = np.concatenate([X[:, 0], X[:, 1]])
+    np.testing.assert_allclose(tab.value.to_numpy(), want, rtol=1e-12)
