@@ -82,3 +82,30 @@ def curate(documents: DataFrame,
             .withColumn("bucket", sign_bucket(F.col("embedding")))
             .select("doc_id", "lang", "source", "n_tokens", "fp",
                     "embedding", "bucket"))
+
+
+def assemble(documents: DataFrame, capacity: int = 2048,
+             **curate_kwargs) -> DataFrame:
+    """Corpus assembly on top of `curate`: the full training-data program
+
+        curate (gates + dedup + embed + bucket)
+          -> deterministic md5 train/valid/test split
+          -> keep train
+          -> pack into `capacity`-token context windows per source
+
+    as one lazy DataFrame plan. Shuffle budget: curate's dedup window (1)
+    + the per-source packing window (1) — the split and gates are narrow.
+    Returns (doc_id, lang, source, n_tokens, bucket, split, pack_id).
+    """
+    from pyspark.sql.window import Window
+
+    from ..relational.dataprep import _with_split
+
+    train = _with_split(curate(documents, **curate_kwargs)) \
+        .filter(F.col("split") == "train")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return train.select(
+        "doc_id", "lang", "source", "n_tokens", "bucket", "split",
+        F.floor(cum_before / capacity).cast("long").alias("pack_id"))

@@ -1,0 +1,353 @@
+"""SQL-planner surface (SURVEY.md §2C extensions): subqueries (EXISTS /
+NOT EXISTS / nested IN / scalar / correlated-scalar), pivot & unpivot,
+ordered-set aggregates (median / percentile_cont / percentile_disc /
+listagg), regression aggregates (corr / covar / regr_*), try_* safe
+arithmetic, and a recursive CTE (new in Spark 4).
+
+These exercise Catalyst's subquery decorrelation: EXISTS / IN rewrite to
+left-semi joins, NOT EXISTS to left-anti, an uncorrelated scalar subquery
+to a single-row broadcast, and a correlated scalar subquery to an
+aggregate + outer join — so at 100 TB each one costs exactly the join it
+decorrelates into (broadcast where the inner side is a dim table), never
+a per-row re-execution. Everything here is JVM built-ins inside
+whole-stage codegen; no UDFs.
+
+Queries whose natural authoring surface is SQL text (WITHIN GROUP,
+WITH RECURSIVE, correlated subqueries) run through ``spark.sql`` over
+temp views — the engine's SQL face — with the same text-level semantics
+DuckDB replays.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .core import T, query
+
+
+def _views(spark, sf_dir, *names):
+    for t in names:
+        T(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# --------------------------------------------------------------------------
+# Subqueries
+# --------------------------------------------------------------------------
+_EXISTS_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "sub_exists_returned",
+    _EXISTS_SQL,
+    doc="correlated EXISTS (TPC-H Q4 shape): orders with >=1 returned "
+        "line, counted per priority. Catalyst decorrelates to a left-semi "
+        "hash join on l_orderkey followed by a partial-aggregated count — "
+        "one shuffle pair, no per-row subquery execution",
+)
+def sub_exists_returned(spark, sf_dir):
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_EXISTS_SQL)
+
+
+_NOT_EXISTS_SQL = """
+    SELECT c_nationkey, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+"""
+
+
+@query(
+    "sub_not_exists_customers",
+    _NOT_EXISTS_SQL,
+    doc="correlated NOT EXISTS: customers who never ordered, per nation. "
+        "Decorrelates to a left-anti join on the order foreign key",
+)
+def sub_not_exists_customers(spark, sf_dir):
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_NOT_EXISTS_SQL)
+
+
+_SCALAR_SQL = """
+    SELECT p_partkey, p_brand, ROUND(p_retailprice, 2) AS price
+    FROM part
+    WHERE p_retailprice > 1.5 * (SELECT AVG(p_retailprice) FROM part)
+"""
+
+
+@query(
+    "sub_scalar_threshold",
+    _SCALAR_SQL,
+    doc="uncorrelated scalar subquery as a filter threshold: parts priced "
+        "above 1.5x the global mean. The inner aggregate runs once and is "
+        "broadcast into the scan's filter — at 100 TB this is one extra "
+        "tiny job, then a narrow pushed-down predicate",
+)
+def sub_scalar_threshold(spark, sf_dir):
+    _views(spark, sf_dir, "part")
+    return spark.sql(_SCALAR_SQL)
+
+
+_IN_SQL = """
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS bal
+    FROM supplier
+    WHERE s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+            SELECT r_regionkey FROM region
+            WHERE r_name IN ('ASIA', 'EUROPE')))
+"""
+
+
+@query(
+    "sub_in_region_suppliers",
+    _IN_SQL,
+    doc="two-level nested IN over the region->nation dim chain. Both IN "
+        "subqueries rewrite to left-semi joins against dim tables small "
+        "enough to broadcast at any scale",
+)
+def sub_in_region_suppliers(spark, sf_dir):
+    _views(spark, sf_dir, "supplier", "nation", "region")
+    return spark.sql(_IN_SQL)
+
+
+_CORR_SCALAR_SQL = """
+    SELECT n_nationkey, n_name,
+           (SELECT COUNT(*) FROM customer
+            WHERE c_nationkey = n_nationkey) AS n_cust,
+           (SELECT COUNT(*) FROM supplier
+            WHERE s_nationkey = n_nationkey) AS n_supp
+    FROM nation
+"""
+
+
+@query(
+    "sub_scalar_correlated",
+    _CORR_SCALAR_SQL,
+    doc="correlated scalar subqueries in the SELECT list: per-nation "
+        "customer and supplier counts. Catalyst rewrites each to "
+        "(pre-aggregated count by key) LEFT OUTER JOIN nation — two "
+        "grouped aggregates + broadcast joins, not 25x2 probe queries",
+)
+def sub_scalar_correlated(spark, sf_dir):
+    _views(spark, sf_dir, "nation", "customer", "supplier")
+    return spark.sql(_CORR_SCALAR_SQL)
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot
+# --------------------------------------------------------------------------
+@query(
+    "pivot_qty_by_flag",
+    """
+    SELECT l_linestatus,
+           ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2)
+               AS qty_a,
+           ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2)
+               AS qty_n,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2)
+               AS qty_r
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="pivot: quantity totals spread to one column per return flag. "
+        "With explicit pivot values Spark compiles this to a single-pass "
+        "hash aggregate of conditional sums (exactly the oracle's CASE "
+        "form) — one shuffle, no second pass to discover distinct values",
+)
+def pivot_qty_by_flag(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    piv = (li.groupBy("l_linestatus")
+           .pivot("l_returnflag", ["A", "N", "R"])
+           .agg(F.round(F.sum("l_quantity"), 2)))
+    return piv.select(
+        "l_linestatus",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    )
+
+
+@query(
+    "unpivot_part_measures",
+    """
+    SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value
+    FROM part
+    """,
+    doc="unpivot (wide->long): part measures melted to (measure, value) "
+        "rows. Spark's unpivot is a narrow Expand node — each input row "
+        "emits k rows in place, no shuffle and a single scan (the UNION "
+        "ALL oracle scans twice; ours is strictly cheaper)",
+)
+def unpivot_part_measures(spark, sf_dir):
+    p = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"))
+    return p.unpivot("p_partkey", ["size", "retailprice"],
+                     "measure", "value")
+
+
+# --------------------------------------------------------------------------
+# Ordered-set + regression aggregates
+# --------------------------------------------------------------------------
+_QUANTILES_SQL = """
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_quantity), 4) AS med_qty,
+           ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity),
+                 4) AS q1,
+           ROUND(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY l_quantity),
+                 4) AS q3,
+           ROUND(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY l_quantity),
+                 4) AS med_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@query(
+    "agg_ordered_quantiles",
+    _QUANTILES_SQL,
+    doc="ordered-set aggregates: exact median, interpolated quartiles "
+        "(percentile_cont), and percentile_disc. Exact percentiles "
+        "buffer per-group values — fine at 3 groups; the pre-existing "
+        "agg_percentiles entry is the sketch-based scale path "
+        "(percentile_approx) for high-cardinality groups",
+)
+def agg_ordered_quantiles(spark, sf_dir):
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_QUANTILES_SQL)
+
+
+_LISTAGG_SQL_SPARK = """
+    SELECT r_name,
+           LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+
+_LISTAGG_SQL_DUCK = """
+    SELECT r_name,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+
+
+@query(
+    "agg_listagg_nations",
+    _LISTAGG_SQL_DUCK,
+    doc="listagg / string_agg (Spark 4's LISTAGG ... WITHIN GROUP vs "
+        "DuckDB's STRING_AGG ... ORDER BY): nation names concatenated "
+        "per region with a deterministic order. List-valued per group — "
+        "safe on grouped dims, not on unbounded groups",
+)
+def agg_listagg_nations(spark, sf_dir):
+    _views(spark, sf_dir, "nation", "region")
+    return spark.sql(_LISTAGG_SQL_SPARK)
+
+
+@query(
+    "agg_regression_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_pq,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS covar_s,
+           ROUND(COVAR_POP(l_extendedprice, l_quantity), 2) AS covar_p,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4)
+               AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="bivariate statistical aggregates: correlation, sample/population "
+        "covariance, least-squares slope/intercept/r2. All single-pass "
+        "moment accumulators with partial aggregation (map-side combine) "
+        "— constant state per group, linear scan at any scale",
+)
+def agg_regression_stats(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p, q = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(p, q), 6).alias("corr_pq"),
+        F.round(F.covar_samp(p, q), 2).alias("covar_s"),
+        F.round(F.covar_pop(p, q), 2).alias("covar_p"),
+        F.round(F.regr_slope(p, q), 4).alias("slope"),
+        F.round(F.regr_intercept(p, q), 4).alias("intercept"),
+        F.round(F.regr_r2(p, q), 6).alias("r2"),
+        F.regr_count(p, q).cast("bigint").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# try_* safe arithmetic
+# --------------------------------------------------------------------------
+@query(
+    "fn_try_arith",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice / NULLIF(l_discount, 0), 2)
+               AS price_per_discount,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           ROUND(l_quantity / NULLIF(l_tax, 0), 2) AS qty_per_tax
+    FROM lineitem
+    WHERE l_orderkey % 7 = 0
+    """,
+    doc="try_* safe arithmetic: try_divide yields NULL on zero divisors "
+        "(DuckDB oracle spells it x / NULLIF(y, 0)) and try_cast yields "
+        "NULL on malformed input instead of failing the job — the "
+        "dirty-data posture for 100 TB ingest where one bad row must not "
+        "kill a 1000-executor stage. Pure narrow projection",
+)
+def fn_try_arith(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 2)
+        .alias("price_per_discount"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("999"))
+        .cast("int").alias("flag_as_int"),
+        F.round(F.try_divide("l_quantity", "l_tax"), 2)
+        .alias("qty_per_tax"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4)
+# --------------------------------------------------------------------------
+_RECURSIVE_SQL = """
+    WITH RECURSIVE months(mth) AS (
+        SELECT 1
+        UNION ALL
+        SELECT mth + 1 FROM months WHERE mth < 12
+    )
+    SELECT mth, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM months
+    LEFT JOIN orders
+      ON CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) = mth
+    GROUP BY mth
+"""
+
+
+@query(
+    "sql_recursive_months",
+    _RECURSIVE_SQL,
+    doc="recursive CTE (WITH RECURSIVE, new in Spark 4): generate a "
+        "12-row month ladder iteratively, then left-join order counts so "
+        "empty months still appear (COUNT(col) is null-skipping). The "
+        "recursion materializes driver-side-small iterations; the big "
+        "side stays one scan + one broadcast join",
+)
+def sql_recursive_months(spark, sf_dir):
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_RECURSIVE_SQL)

@@ -113,3 +113,22 @@ def test_curated_bucket_index_prunes(spark, tmp_path):
     frag = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert "bucket" in frag
     assert probe.count() == curated.filter(F.col("bucket") == 3).count()
+
+
+def test_assemble_pipeline(spark):
+    """curate -> split -> pack composition: only train docs, packs replay
+    sequentially per source, and every kept doc came through curation."""
+    from process_nwb_spark.llm.curation import assemble, curate
+    from process_nwb_spark.relational.core import T
+
+    docs = T(spark, "/root/testdata/sf0.01", "documents")
+    out = assemble(docs).toPandas().sort_values(["source", "doc_id"])
+    assert len(out) > 0
+    assert (out.split == "train").all()
+    cur_ids = set(curate(docs).toPandas().doc_id)
+    assert set(out.doc_id) <= cur_ids
+    for _, g in out.groupby("source"):
+        cum = 0
+        for _, row in g.iterrows():
+            assert row.pack_id == cum // 2048
+            cum += row.n_tokens

@@ -115,3 +115,12 @@ def test_curation_single_shuffle(spark):
     from process_nwb_spark.relational.core import T
 
     assert count_exchanges(curate(T(spark, SF, "documents"))) == 1
+
+
+def test_assemble_two_shuffles(spark):
+    """curate->split->pack end-to-end pays exactly the dedup window + the
+    packing window; gates and the hash split stay narrow."""
+    from process_nwb_spark.llm.curation import assemble
+    from process_nwb_spark.relational.core import T
+
+    assert count_exchanges(assemble(T(spark, SF, "documents"))) == 2
