@@ -84,4 +84,5 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import udf_queries  # noqa: F401
     from . import dataprep  # noqa: F401
     from . import fn_extra  # noqa: F401
+    from . import sql_surface  # noqa: F401
     return REGISTRY

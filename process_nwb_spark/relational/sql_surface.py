@@ -156,9 +156,10 @@ def sub_scalar_correlated(spark, sf_dir):
     GROUP BY l_linestatus
     """,
     doc="pivot: quantity totals spread to one column per return flag. "
-        "With explicit pivot values Spark compiles this to a single-pass "
-        "hash aggregate of conditional sums (exactly the oracle's CASE "
-        "form) — one shuffle, no second pass to discover distinct values",
+        "With explicit pivot values Spark plans one partial-aggregated "
+        "pass over the facts grouped by (group, pivot) then a PivotFirst "
+        "re-aggregation over only |groups x values| rows — the second "
+        "shuffle is O(result), and no distinct-discovery scan is needed",
 )
 def pivot_qty_by_flag(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")

@@ -124,3 +124,42 @@ def test_assemble_two_shuffles(spark):
     from process_nwb_spark.relational.core import T
 
     assert count_exchanges(assemble(T(spark, SF, "documents"))) == 2
+
+
+def test_subqueries_decorrelate_to_joins(spark, qs):
+    """Catalyst must rewrite EXISTS/IN to semi joins and NOT EXISTS to an
+    anti join — a per-row re-execution (no join node) would be quadratic
+    at scale. The scalar-threshold subquery must reach the scan as a
+    pushed filter's sibling (a Filter over the scan, one extra tiny job),
+    and correlated scalar subqueries must become aggregate+join."""
+    plan = formatted_plan(qs["sub_exists_returned"].fn(spark, SF), "simple")
+    assert "LeftSemi" in plan, plan
+    plan = formatted_plan(qs["sub_not_exists_customers"].fn(spark, SF),
+                          "simple")
+    assert "LeftAnti" in plan, plan
+    plan = formatted_plan(qs["sub_in_region_suppliers"].fn(spark, SF),
+                          "simple")
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+    plan = formatted_plan(qs["sub_scalar_correlated"].fn(spark, SF),
+                          "simple")
+    assert "Join" in plan and "HashAggregate" in plan, plan
+
+
+def test_pivot_single_scan_two_phase(spark, qs):
+    """Pivot with explicit values is one scan + Spark's two-phase plan:
+    a partial-aggregated groupBy(group, pivot) pass over the facts, then
+    a PivotFirst re-aggregation whose input is only |groups x values|
+    rows — the second shuffle is O(result), not O(data). No
+    distinct-value discovery pass (that would be a third scan/shuffle)."""
+    df = qs["pivot_qty_by_flag"].fn(spark, SF)
+    assert count_scans(df) == 1
+    assert count_exchanges(df) == 2
+    assert has_partial_aggregation(df)
+
+
+def test_unpivot_is_narrow_single_scan(spark, qs):
+    """unpivot is an Expand over one scan — zero shuffles (the UNION ALL
+    oracle pays two scans; the engine plan must not)."""
+    df = qs["unpivot_part_measures"].fn(spark, SF)
+    assert count_scans(df) == 1
+    assert count_exchanges(df) == 0

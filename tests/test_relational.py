@@ -21,7 +21,13 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "sig_electrode_region", "embed_ivf_probe2", "split_train_test",
         "sample_stratified", "pack_sequences", "split_contamination",
         "fn_interval_datetime", "fn_string_extra", "win_distribution",
-        "source_orc_roundtrip", "join_salted_skew", "udf_arrow_grouped_scale"]
+        "source_orc_roundtrip", "join_salted_skew", "udf_arrow_grouped_scale",
+        "sub_exists_returned", "sub_not_exists_customers",
+        "sub_scalar_threshold", "sub_in_region_suppliers",
+        "sub_scalar_correlated", "pivot_qty_by_flag",
+        "unpivot_part_measures", "agg_ordered_quantiles",
+        "agg_listagg_nations", "agg_regression_stats", "fn_try_arith",
+        "sql_recursive_months"]
 
 
 @pytest.fixture(scope="module")
