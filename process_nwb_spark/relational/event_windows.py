@@ -153,3 +153,40 @@ def stream_static_join(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
     return e.join(F.broadcast(c), e.user_id == c.c_custkey).select(
         "event_id", "event_type", "c_name", "c_mktsegment")
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+           STRFTIME(e.ts, '%Y-%m-%d %H:%M:%S') AS error_time
+    FROM events c
+    JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+    doc="batch twin of the stream-stream join (streaming/ops.py "
+        "join_clicks_to_errors): clicks matched to same-user errors within "
+        "10 min. In batch this is a range join whose equi half (user_id) "
+        "carries the shuffle; in streaming the watermark pair + time bound "
+        "bounds the join state. test_streaming.py asserts stream == batch",
+)
+def stream_stream_join(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("click_ts"), "user_id"))
+    e = (ev.filter(F.col("event_type") == "error")
+         .select(F.col("event_id").alias("error_id"),
+                 F.col("ts").alias("error_ts"),
+                 F.col("user_id").alias("e_user_id")))
+    return (c.join(
+        e,
+        F.expr("""user_id = e_user_id
+                  AND error_ts >= click_ts
+                  AND error_ts <= click_ts + INTERVAL 10 MINUTES"""))
+        .select("click_id", "error_id", "user_id",
+                F.date_format("click_ts", _TS_FMT).alias("click_time"),
+                F.date_format("error_ts", _TS_FMT).alias("error_time")))

@@ -97,6 +97,37 @@ def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
         "event_id", "ts", "event_type", "c_name", "c_mktsegment")
 
 
+def join_clicks_to_errors(clicks: DataFrame, errors: DataFrame,
+                          within: str = "10 minutes") -> DataFrame:
+    """Stream-stream inner join: click events matched to error events from
+    the same user within `within` after the click.
+
+    Both sides are watermarked and the join condition carries the
+    event-time range bound — that pair is what lets Spark EVICT buffered
+    state: a click older than (error watermark - within) can never match
+    again and is dropped, so state is O(events in the time horizon), not
+    O(stream). An equi-join without the time bound would buffer forever.
+    Batch twin: `stream_stream_join` in relational/event_windows.py
+    (DuckDB-replayed); tests assert stream == batch."""
+    c = (clicks.withWatermark("ts", "1 hour")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("click_ts"), "user_id"))
+    e = (errors.withWatermark("ts", "2 hours")
+         .select(F.col("event_id").alias("error_id"),
+                 F.col("ts").alias("error_ts"),
+                 F.col("user_id").alias("e_user_id")))
+    return (c.join(
+        e,
+        F.expr(f"""user_id = e_user_id
+                   AND error_ts >= click_ts
+                   AND error_ts <= click_ts + INTERVAL {within}"""))
+        .select("click_id", "error_id", "user_id",
+                F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss")
+                .alias("click_time"),
+                F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss")
+                .alias("error_time")))
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via `applyInPandasWithState`: per-user
     running (count, sum(value)) maintained across micro-batches — the

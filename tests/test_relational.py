@@ -27,7 +27,7 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "sub_scalar_correlated", "pivot_qty_by_flag",
         "unpivot_part_measures", "agg_ordered_quantiles",
         "agg_listagg_nations", "agg_regression_stats", "fn_try_arith",
-        "sql_recursive_months"]
+        "sql_recursive_months", "stream_stream_join"]
 
 
 @pytest.fixture(scope="module")

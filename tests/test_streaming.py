@@ -225,3 +225,29 @@ def test_stream_preprocess_full_pipeline(spark, tmp_path):
     assert len(got) == len(want) == 8000 * 2 * 6
     np.testing.assert_allclose(got.amp.to_numpy(), want.amp.to_numpy(),
                                rtol=1e-9)
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Stream-stream inner join (clicks x same-user errors within 10 min):
+    watermarks + the event-time range bound give bounded join state; the
+    availableNow drain must produce exactly the batch twin's rows."""
+    from process_nwb_spark.streaming.ops import join_clicks_to_errors
+
+    clicks = read_events_stream(spark, SF).filter(
+        F.col("event_type") == "click")
+    errors = read_events_stream(spark, SF).filter(
+        F.col("event_type") == "error")
+    q = (join_clicks_to_errors(clicks, errors).writeStream
+         .format("memory").queryName("t_ssj")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("t_ssj").toPandas()
+    want = (all_queries()["stream_stream_join"].fn(spark, SF).toPandas()
+            .rename(columns={"click_time": "click_time",
+                             "error_time": "error_time"}))
+    pd.testing.assert_frame_equal(
+        _norm(got, ["click_id", "error_id"]),
+        _norm(want, ["click_id", "error_id"]),
+        check_dtype=False, check_like=True)
