@@ -196,3 +196,75 @@ def split_contamination(spark, sf_dir):
         F.count("in_train").cast("int").alias("n_shared"),
         F.round(F.count("in_train") / F.count("*").cast("double"), 4)
          .alias("contamination"))
+
+
+# --------------------------------------------------------------------------
+# Changeset apply (MERGE / CDC upsert as a join program)
+# --------------------------------------------------------------------------
+def apply_changeset(snapshot, changes, key: str, payload: str):
+    """MERGE semantics over plain tables: apply a CDC changeset
+    (op in {'U','I','D'}, one row per key) to a snapshot.
+
+    matched + op U/I -> take the change's payload; matched + op D -> drop
+    the row; unmatched change (op I) -> insert; otherwise keep snapshot.
+    One full-outer join shuffled on the key — the standard CDC-apply plan;
+    when the changeset is small Spark broadcasts it and the snapshot never
+    shuffles. This is what `MERGE INTO` lowers to on engines without
+    row-level-update storage (plain parquet); rewriting the result
+    partition-wise IS the upsert.
+    """
+    ch = changes.select(F.col(key).alias("_k"),
+                        F.col(payload).alias("_new"), "op")
+    joined = snapshot.join(ch, snapshot[key] == ch["_k"], "full_outer")
+    kept = joined.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+    return kept.select(
+        F.coalesce(snapshot[key], F.col("_k")).alias(key),
+        F.round(F.when(F.col("op").isin("U", "I"), F.col("_new"))
+                .otherwise(snapshot[payload]), 2).alias(payload))
+
+
+_MERGE_SQL = """
+    WITH changes AS (
+        SELECT c_custkey AS k,
+               CASE WHEN c_custkey % 13 = 0 THEN NULL
+                    ELSE c_acctbal + 100 END AS new_bal,
+               CASE WHEN c_custkey % 13 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM customer
+        WHERE c_custkey % 13 = 0 OR c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 50.0, 'I'
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(s.c_custkey, c.k) AS c_custkey,
+           ROUND(CASE WHEN c.op IN ('U', 'I') THEN c.new_bal
+                      ELSE s.c_acctbal END, 2) AS c_acctbal
+    FROM customer s
+    FULL OUTER JOIN changes c ON s.c_custkey = c.k
+    WHERE c.op IS NULL OR c.op <> 'D'
+"""
+
+
+@query(
+    "merge_upsert_changeset",
+    _MERGE_SQL,
+    doc="MERGE/upsert as a CDC changeset apply (apply_changeset): "
+        "updates (+100 to every 10th key), deletes (every 13th, which "
+        "wins when both match), inserts (shifted keys). Asserted "
+        "semantics: deleted keys absent, updated keys carry new values, "
+        "inserted keys appear, everything else passes through untouched",
+)
+def merge_upsert_changeset(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    changes = (cust.filter((k % 13 == 0) | (k % 10 == 0))
+               .select(k.alias("c_custkey"),
+                       F.when(k % 13 == 0, F.lit(None).cast("double"))
+                       .otherwise(F.col("c_acctbal") + 100)
+                       .alias("c_acctbal"),
+                       F.when(k % 13 == 0, "D").otherwise("U").alias("op"))
+               .unionAll(cust.filter(k % 97 == 0)
+                         .select((k + 1000000).alias("c_custkey"),
+                                 F.lit(50.0).alias("c_acctbal"),
+                                 F.lit("I").alias("op"))))
+    return apply_changeset(cust.select("c_custkey", "c_acctbal"), changes,
+                           "c_custkey", "c_acctbal")

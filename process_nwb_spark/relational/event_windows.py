@@ -190,3 +190,35 @@ def stream_stream_join(spark, sf_dir):
         .select("click_id", "error_id", "user_id",
                 F.date_format("click_ts", _TS_FMT).alias("click_time"),
                 F.date_format("error_ts", _TS_FMT).alias("error_time")))
+
+
+@query(
+    "win_gap_fill",
+    """
+    SELECT event_id, user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           ROUND(LAST_VALUE(
+                     CASE WHEN event_type = 'purchase' THEN value END
+                     IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS last_purchase_value
+    FROM events
+    """,
+    doc="gap-fill / forward-fill: carry each user's most recent purchase "
+        "value forward over their event timeline (LAST_VALUE ... IGNORE "
+        "NULLS over a running frame). THE telemetry down-fill idiom: one "
+        "keyed window shuffle, running state is a single value per "
+        "partition — no self-join, no as-of lookup per row",
+)
+def win_gap_fill(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.round(F.last(purchase_val, ignorenulls=True).over(w), 2)
+        .alias("last_purchase_value"),
+    )

@@ -171,3 +171,35 @@ def source_orc_roundtrip(spark, sf_dir):
         F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT type (Spark 4): semi-structured data without a fixed schema
+# --------------------------------------------------------------------------
+@query(
+    "fn_variant",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+                THEN 'high' ELSE 'low' END AS k_bucket
+    FROM events
+    WHERE event_id % 5 = 0
+    """,
+    doc="VARIANT ingestion (Spark 4): parse_json lifts the props JSON "
+        "string into the binary VARIANT encoding once, then variant_get "
+        "extracts typed paths without re-parsing — the schema-on-read "
+        "path for heterogeneous 100 TB event payloads (vs "
+        "get_json_object re-parsing the string per extraction, see "
+        "fn_json_map). DuckDB oracle reads the same paths via "
+        "json_extract_string",
+)
+def fn_variant(spark, sf_dir):
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return e.select(
+        "event_id", "event_type",
+        k.alias("prop_k"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
+    )

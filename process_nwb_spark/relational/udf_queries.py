@@ -154,3 +154,43 @@ def udf_arrow_grouped_scale(spark, sf_dir):
 
     return e.groupBy("label").applyInArrow(
         scale, "vec_id BIGINT, label INT, dim BIGINT, scaled DOUBLE")
+
+
+@query(
+    "udtf_word_positions",
+    """
+    SELECT p_partkey,
+           UNNEST(STRING_SPLIT(p_name, ' ')) AS word,
+           CAST(UNNEST(RANGE(LEN(STRING_SPLIT(p_name, ' '))))
+                AS INT) AS pos
+    FROM part
+    WHERE p_partkey % 4 = 0
+    """,
+    doc="Python UDTF (table function, Spark 3.5+): one input row fans out "
+        "to one row per word with its position, consumed via LATERAL "
+        "correlated table-function join. The UDTF runs Arrow-batched per "
+        "partition (same worker path as other Python UDFs); for this "
+        "splittable case the built-in posexplode(split()) is the "
+        "cheaper JVM-only form — the entry exists to cover the UDTF API "
+        "carrier for fan-outs that genuinely need Python. DuckDB oracle "
+        "zips two equal-length UNNESTs row-wise",
+)
+def udtf_word_positions(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    # defined inside the query fn: @udtf return-type parsing and
+    # registration need an active session (same constraint as DDL-string
+    # pandas_udf types, see test_registry_imports_without_session)
+    @udtf(returnType="word: string, pos: int")
+    class WordPositions:
+        def eval(self, name: str):
+            for i, w in enumerate((name or "").split(" ")):
+                yield w, i
+
+    spark.udtf.register("word_positions", WordPositions)
+    T(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0) \
+        .createOrReplaceTempView("_udtf_part")
+    return spark.sql("""
+        SELECT p.p_partkey, s.word, s.pos
+        FROM _udtf_part p, LATERAL word_positions(p.p_name) s
+    """)
