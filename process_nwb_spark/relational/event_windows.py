@@ -222,3 +222,91 @@ def win_gap_fill(spark, sf_dir):
         F.round(F.last(purchase_val, ignorenulls=True).over(w), 2)
         .alias("last_purchase_value"),
     )
+
+
+@query(
+    "ts_linear_interp",
+    """
+    WITH pts AS (
+        SELECT user_id, ts, AVG(value) AS val FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT u.user_id, g.gts
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (SELECT UNNEST(generate_series(
+                        TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+                        INTERVAL 6 HOUR)) AS gts) g
+    ),
+    unioned AS (
+        SELECT user_id, ts, val, 0 AS is_grid FROM pts
+        UNION ALL
+        SELECT user_id, gts AS ts, NULL AS val, 1 AS is_grid FROM grid
+    ),
+    w AS (
+        SELECT user_id, ts, is_grid,
+           LAST_VALUE(val IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           FIRST_VALUE(val IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           LAST_VALUE(CASE WHEN val IS NOT NULL THEN epoch_us(ts) END
+                      IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           FIRST_VALUE(CASE WHEN val IS NOT NULL THEN epoch_us(ts) END
+                       IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, is_grid
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM unioned
+    )
+    SELECT user_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+           ROUND(CASE WHEN pt = nt THEN pv
+                      ELSE pv + (nv - pv) *
+                           (CAST(epoch_us(ts) - pt AS DOUBLE) /
+                            CAST(nt - pt AS DOUBLE)) END, 2) AS value_interp
+    FROM w WHERE is_grid = 1
+    """,
+    doc="time-series regularization: resample each user's irregular event "
+        "series onto a fixed 6-hour grid with LINEAR interpolation between "
+        "the surrounding observations (NULL outside the observed range). "
+        "Grid rows union into the point stream, then forward/backward "
+        "IGNORE-NULLS window scans pick the bracketing points — all four "
+        "scans share ONE user_id shuffle+sort (same partitioning/ordering), "
+        "no per-grid-point as-of join. The grid side is sequence()+explode "
+        "over the distinct-user dim: per-user grid size is bounded by the "
+        "time span, never by event count, so the plan survives 100 TB of "
+        "events unchanged",
+)
+def ts_linear_interp(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    pts = (e.groupBy("user_id", "ts").agg(F.avg("value").alias("val"))
+           .withColumn("is_grid", F.lit(0)))
+    grid = (e.select("user_id").distinct()
+            .select("user_id",
+                    F.explode(F.sequence(
+                        F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                        F.lit("2024-01-31 00:00:00").cast("timestamp"),
+                        F.expr("INTERVAL 6 HOURS"))).alias("ts"),
+                    F.lit(None).cast("double").alias("val"),
+                    F.lit(1).alias("is_grid")))
+    unioned = pts.select("user_id", "ts", "val", "is_grid").unionByName(grid)
+
+    order = [F.col("ts"), F.col("is_grid")]
+    wp = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_t = F.when(F.col("val").isNotNull(), F.unix_micros("ts"))
+    pv = F.last("val", ignorenulls=True).over(wp)
+    nv = F.first("val", ignorenulls=True).over(wn)
+    pt = F.last(obs_t, ignorenulls=True).over(wp)
+    nt = F.first(obs_t, ignorenulls=True).over(wn)
+    frac = (F.unix_micros("ts") - pt).cast("double") / (nt - pt).cast("double")
+    interp = F.when(pt == nt, pv).otherwise(pv + (nv - pv) * frac)
+    return (unioned
+            .select("user_id", "ts", "is_grid",
+                    F.round(interp, 2).alias("value_interp"))
+            .filter(F.col("is_grid") == 1)
+            .select("user_id", F.date_format("ts", _TS_FMT).alias("grid_ts"),
+                    "value_interp"))

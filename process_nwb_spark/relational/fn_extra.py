@@ -203,3 +203,38 @@ def fn_variant(spark, sf_dir):
         k.alias("prop_k"),
         F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram (data profiling)
+# --------------------------------------------------------------------------
+@query(
+    "agg_histogram",
+    """
+    SELECT CAST(FLOOR(l_extendedprice / 5000) + 1 AS BIGINT) AS bucket,
+           CAST(FLOOR(l_extendedprice / 5000) * 5000 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS lo_seen,
+           ROUND(MAX(l_extendedprice), 2) AS hi_seen
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    doc="equi-width histogram over l_extendedprice: width_bucket assigns "
+        "each row a bin JVM-side, then one partially-aggregated groupBy "
+        "on ~22 bucket ids. The data-profiling primitive: shuffle volume "
+        "is O(partitions x buckets) regardless of input size, so the "
+        "same plan profiles a 100 TB column. Fixed bounds make the result "
+        "deterministic (vs histogram_numeric's data-dependent bins)",
+)
+def agg_histogram(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    b = F.width_bucket("l_extendedprice", F.lit(0), F.lit(110000), F.lit(22))
+    return (li.select(F.col("l_extendedprice"), b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.min("l_extendedprice"), 2).alias("lo_seen"),
+                 F.round(F.max("l_extendedprice"), 2).alias("hi_seen"))
+            .select("bucket",
+                    ((F.col("bucket") - 1) * 5000).cast("double")
+                    .alias("bucket_lo"),
+                    "n", "lo_seen", "hi_seen"))

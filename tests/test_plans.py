@@ -163,3 +163,27 @@ def test_unpivot_is_narrow_single_scan(spark, qs):
     df = qs["unpivot_part_measures"].fn(spark, SF)
     assert count_scans(df) == 1
     assert count_exchanges(df) == 0
+
+
+def test_global_index_never_single_partition(spark, qs):
+    """global_row_index's contract: a dense global index WITHOUT funneling
+    the data through one partition. The physical plan must not contain the
+    SinglePartition exchange that an unpartitioned ORDER BY window inserts,
+    and the bucket-offset join-back must be broadcast."""
+    df = qs["global_row_index"].fn(spark, SF)
+    plan = formatted_plan(df, "formatted")
+    import re
+    windows = [l for l in plan.splitlines() if "Window" in l]
+    assert windows, plan
+    # the only SinglePartition allowed is the 32-row offset cumsum side
+    single = re.findall(r"SinglePartition", plan)
+    assert len(single) <= 1, plan
+    assert has_broadcast_join(df), plan
+
+
+def test_histogram_partial_agg(spark, qs):
+    """agg_histogram must map-side combine: shuffle volume is O(buckets),
+    not O(rows)."""
+    df = qs["agg_histogram"].fn(spark, SF)
+    assert has_partial_aggregation(df)
+    assert count_exchanges(df) <= 1
