@@ -238,3 +238,29 @@ def agg_histogram(spark, sf_dir):
                     ((F.col("bucket") - 1) * 5000).cast("double")
                     .alias("bucket_lo"),
                     "n", "lo_seen", "hi_seen"))
+
+
+# --------------------------------------------------------------------------
+# Mergeable HLL sketches (Apache DataSketches, Spark 3.5+)
+# --------------------------------------------------------------------------
+@query(
+    "agg_hll_sketch",
+    None,  # DataSketches binary sketches aren't replayable in DuckDB:
+           # rows-only here; estimate-vs-exact tolerance in test_functions
+    doc="two-level distinct counting with MERGEABLE sketches: "
+        "hll_sketch_agg builds one DataSketches HLL per (event_type, day), "
+        "hll_union_agg merges the day sketches up to event_type, "
+        "hll_sketch_estimate reads the estimate. This is the 100 TB "
+        "rollup pattern approx_count_distinct can't express: per-shard "
+        "sketches persist once and re-aggregate along any dimension "
+        "without touching raw data again (cf. agg_approx_count_distinct "
+        "for the single-level form)",
+)
+def agg_hll_sketch(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.hll_sketch_agg("user_id", 14).alias("sk")))
+    return (daily.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .alias("approx_users"),
+                 F.count("*").alias("n_day_sketches")))

