@@ -278,23 +278,33 @@ def embed_ivf_topk(spark, sf_dir):
     """,
     doc="embedding-cosine near-dup: banded sign-LSH candidate pairs, exact "
         "cosine filter at 0.35 inside buckets only. Self-join is on "
-        "(band, bkey) — shuffle is bounded by bucket populations, not n^2",
+        "(band, bkey) — shuffle is bounded by bucket populations, not n^2. "
+        "The band join and pair dedup move ONLY (vec_id, band, bkey): "
+        "embeddings re-attach afterward by vec_id equi-join (AQE "
+        "broadcasts the dim-sized table here; at 100 TB it degrades to a "
+        "plain hash join), so no 64-float array ever rides the "
+        "candidate-pair shuffle, and the cosine is evaluated once per "
+        "unique pair",
 )
 def dedup_embed_cosine(spark, sf_dir):
     e = spread(T(spark, sf_dir, "embeddings"))
-    bands = _bands_df(e)
+    bands = _bands_df(e).select("vec_id", "band", "bkey")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bkey") == F.col("b.bkey"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-                F.col("a.embedding").alias("ea"), F.col("b.embedding").alias("eb"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    emb = T(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = _cosine_spark("ea", "eb")
-    return (pairs.filter(cos >= 0.35)
-            .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine")))
+    return (pairs.join(ea, "vec_a").join(eb, "vec_b")
+            .withColumn("_c", cos)
+            .filter(F.col("_c") >= 0.35)
+            .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine")))
 
 
 _IVF_LISTS_SQL = f"""
