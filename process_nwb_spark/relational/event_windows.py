@@ -310,3 +310,114 @@ def ts_linear_interp(spark, sf_dir):
             .filter(F.col("is_grid") == 1)
             .select("user_id", F.date_format("ts", _TS_FMT).alias("grid_ts"),
                     "value_interp"))
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+        FROM events
+    ),
+    s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_click
+        FROM s1
+    ),
+    s3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_purchase
+        FROM s2
+    ),
+    per_user AS (
+        SELECT user_id, MAX(t_view IS NOT NULL) AS r1,
+               MAX(t_click IS NOT NULL) AS r2,
+               MAX(t_purchase IS NOT NULL) AS r3
+        FROM s3 GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+           CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+           CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS reached_purchase,
+           ROUND(CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS DOUBLE) /
+                 COUNT(*), 4) AS full_conversion
+    FROM per_user
+    """,
+    doc="strictly-ordered conversion funnel view -> click -> purchase: "
+        "each stage's timestamp is the MIN event time AFTER the previous "
+        "stage's, computed as three chained per-user window aggregates. "
+        "All three windows share ONE user_id shuffle+sort (same "
+        "partitioning), then a per-user rollup and a global count — the "
+        "event-analytics staple, no self-joins, no per-stage re-scan",
+)
+def funnel_conversion(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = e.select("user_id", "ts", "event_type", t_view.alias("t_view"))
+    t_click = F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") > F.col("t_view")),
+                           F.col("ts"))).over(w)
+    s2 = s1.withColumn("t_click", t_click)
+    t_purch = F.min(F.when((F.col("event_type") == "purchase")
+                           & (F.col("ts") > F.col("t_click")),
+                           F.col("ts"))).over(w)
+    s3 = s2.withColumn("t_purchase", t_purch)
+    per_user = s3.groupBy("user_id").agg(
+        F.max(F.col("t_view").isNotNull()).alias("r1"),
+        F.max(F.col("t_click").isNotNull()).alias("r2"),
+        F.max(F.col("t_purchase").isNotNull()).alias("r3"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("r1"), 1).otherwise(0)).alias("reached_view"),
+        F.sum(F.when(F.col("r2"), 1).otherwise(0)).alias("reached_click"),
+        F.sum(F.when(F.col("r3"), 1).otherwise(0)).alias("reached_purchase"),
+        F.round(F.sum(F.when(F.col("r3"), 1).otherwise(0)).cast("double")
+                / F.count("*"), 4).alias("full_conversion"))
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    tagged AS (
+        SELECT user_id, day,
+               MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM days
+    )
+    SELECT STRFTIME(DATE_TRUNC('week', cohort_day), '%Y-%m-%d')
+               AS cohort_week,
+           CAST(FLOOR((day - cohort_day) / 7) AS INT) AS week_offset,
+           COUNT(*) AS n_active
+    FROM tagged
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention matrix: users bucketed by first-seen week, "
+        "counted on each later week they were active. collect_set folds "
+        "each user's active days in ONE shuffle (set size bounded by the "
+        "calendar span, never by event count), array_min derives the "
+        "cohort anchor without a second keyed pass, explode fans back out "
+        "for the matrix rollup — 2 shuffles total vs the naive "
+        "distinct + window + join-back's 3",
+)
+def retention_cohorts(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    per_user = (e.select("user_id", F.to_date("ts").alias("day"))
+                .groupBy("user_id")
+                .agg(F.collect_set("day").alias("days")))
+    exploded = per_user.select(
+        F.array_min("days").alias("cohort_day"),
+        F.explode("days").alias("day"))
+    return (exploded.groupBy(
+        F.date_format(F.date_trunc("week", "cohort_day"), "yyyy-MM-dd")
+         .alias("cohort_week"),
+        F.floor(F.datediff("day", "cohort_day") / 7).cast("int")
+         .alias("week_offset"))
+        .agg(F.count("*").alias("n_active")))
