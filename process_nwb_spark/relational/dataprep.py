@@ -292,6 +292,8 @@ def global_index(df, key: str, n_buckets: int = 32):
     from pyspark.sql.window import Window
 
     lo, hi = df.agg(F.min(key), F.max(key)).first()
+    if lo is None:  # empty input: keep the schema, emit no rows
+        return df.withColumn("global_idx", F.lit(None).cast("bigint"))
     b = df.withColumn(
         "_b", F.width_bucket(F.col(key), F.lit(lo), F.lit(hi + 1),
                              F.lit(n_buckets)))
@@ -323,3 +325,60 @@ def global_index(df, key: str, n_buckets: int = 32):
 def global_row_index(spark, sf_dir):
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return global_index(cust, "c_custkey")
+
+
+@query(
+    "scd2_status_history",
+    """
+    WITH flagged AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+                      OR LAG(o_orderstatus) OVER w <> o_orderstatus
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        FROM flagged WHERE chg = 1
+    )
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS valid_from,
+           STRFTIME(LEAD(CAST(o_orderdate AS DATE)) OVER
+                        (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d')
+               AS valid_to,
+           CASE WHEN LEAD(o_orderdate) OVER
+                        (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM changes
+    """,
+    doc="SCD type-2 dimension build: collapse each customer's order-status "
+        "history into validity intervals [valid_from, valid_to) with an "
+        "is_current flag. Gaps-and-islands: lag() flags status changes, "
+        "the no-change rows drop, lead() closes each interval — both "
+        "window passes share one custkey shuffle (the filter preserves "
+        "partitioning, so the second Window adds no exchange). The "
+        "warehouse-standard history table from an append-only changelog, "
+        "no MERGE storage needed (cf. merge_upsert_changeset for the "
+        "snapshot-apply form)",
+)
+def scd2_status_history(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderstatus").over(w)
+    changes = (o.select("o_custkey", "o_orderstatus", "o_orderdate",
+                        "o_orderkey")
+               .withColumn("chg", F.when(prev.isNull()
+                                         | (prev != F.col("o_orderstatus")), 1)
+                           .otherwise(0))
+               .filter(F.col("chg") == 1))
+    nxt = F.lead(F.col("o_orderdate").cast("date")).over(w)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+         .alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"))

@@ -142,3 +142,30 @@ def test_contamination_bounds_and_membership(spark):
     assert set(cont.doc_id) <= test_ids
     assert ((cont.n_shared <= cont.n_shingles) & (cont.n_shingles > 0)).all()
     assert ((cont.contamination >= 0) & (cont.contamination <= 1)).all()
+
+
+def test_global_index_dense_and_ordered(spark):
+    """global_index must equal ROW_NUMBER-over-global-ORDER semantics for
+    arbitrary key sets (negative, sparse, adversarially skewed) and any
+    bucket count, and keep its schema on empty input."""
+    from process_nwb_spark.relational.dataprep import global_index
+
+    cases = [
+        list(range(100)),                      # dense
+        [-50, -7, 0, 3, 1000000, 17, 42],      # sparse, negative
+        [5] * 1 + list(range(200, 230)),       # skew into one bucket
+        [0],                                   # single row
+    ]
+    for nb in (1, 4, 32):
+        for keys in cases:
+            df = spark.createDataFrame([(k,) for k in keys], "k BIGINT")
+            got = (global_index(df, "k", n_buckets=nb)
+                   .orderBy("global_idx").collect())
+            assert [r["k"] for r in got] == sorted(keys)
+            assert [r["global_idx"] for r in got] == list(
+                range(1, len(keys) + 1))
+
+    empty = spark.createDataFrame([], "k BIGINT")
+    out = global_index(empty, "k")
+    assert out.columns == ["k", "global_idx"]
+    assert out.count() == 0
