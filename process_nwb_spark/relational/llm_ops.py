@@ -748,3 +748,41 @@ def text_pii_redact(spark, sf_dir):
         F.regexp_replace(F.regexp_replace("t", email, "<EMAIL>"),
                          phone, "<PHONE>").alias("redacted"),
     )
+
+
+@query(
+    "dedup_incremental",
+    """
+    WITH old AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0
+    ),
+    batch AS (
+        SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_in_batch
+        FROM documents WHERE doc_id % 5 = 0
+        GROUP BY md5(text)
+    )
+    SELECT b.keep_doc_id, b.n_in_batch
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.fp = b.fp)
+    """,
+    doc="incremental exact dedup: a new ingest batch (doc_id % 5 = 0 "
+        "stands in for today's crawl) dedups internally (min-doc_id per "
+        "md5 fingerprint) then LEFT ANTI joins the historical corpus's "
+        "DISTINCT fingerprint set. Both join sides are key-only — the "
+        "history never ships documents, just 16-byte fingerprints, and "
+        "at 100 TB the anti-join is the shape runtime bloom-filter "
+        "pruning accelerates. The append-only complement of dedup_exact's "
+        "full-corpus pass",
+)
+def dedup_incremental(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    fp = F.md5("text")
+    old = (d.filter(F.col("doc_id") % 5 != 0)
+           .select(fp.alias("fp")).distinct())
+    batch = (d.filter(F.col("doc_id") % 5 == 0)
+             .groupBy(fp.alias("fp"))
+             .agg(F.min("doc_id").alias("keep_doc_id"),
+                  F.count("*").alias("n_in_batch")))
+    return (batch.join(old, "fp", "left_anti")
+            .select("keep_doc_id", "n_in_batch"))

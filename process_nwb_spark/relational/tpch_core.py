@@ -1029,3 +1029,51 @@ def join_salted_skew(spark, sf_dir):
              .alias("revenue"),
              F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+@query(
+    "star_local_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)), 2)
+               AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-table star — fact-fact customer⋈orders⋈lineitem "
+        "with the local-supplier correlation (c_nationkey = s_nationkey) "
+        "and the nation→region dim chain. Declared as plain joins: "
+        "Catalyst pushes the date and region predicates to the scans, "
+        "prunes columns, and AQE picks broadcast for every dim side, so "
+        "only the fact-fact hash joins shuffle. The canonical 'let the "
+        "optimizer do join planning' entry — no hints needed",
+)
+def star_local_revenue(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum((F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))).cast("double")),
+                         2).alias("revenue"),
+                 F.count("*").alias("n_lines")))

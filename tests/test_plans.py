@@ -187,3 +187,21 @@ def test_histogram_partial_agg(spark, qs):
     df = qs["agg_histogram"].fn(spark, SF)
     assert has_partial_aggregation(df)
     assert count_exchanges(df) <= 1
+
+
+def test_topk_avoids_global_sort(spark, qs):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    top-k merged on the driver), never a full global Sort+Exchange."""
+    df = qs["sort_nulls_limit"].fn(spark, SF)
+    plan = formatted_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_star_join_dims_broadcast(spark, qs):
+    """The Q5-shape star: every dimension side (region, nation, supplier)
+    joins by broadcast; predicates reach the scans. Only fact-fact joins
+    may shuffle."""
+    df = qs["star_local_revenue"].fn(spark, SF)
+    assert has_broadcast_join(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "r_name" in pushed and "o_orderdate" in pushed, pushed
