@@ -382,3 +382,169 @@ def scd2_status_history(spark, sf_dir):
          .alias("valid_from"),
         F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"))
+
+
+@query(
+    "scd2_point_in_time",
+    """
+    WITH flagged AS (
+        SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+               CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+                      OR LAG(o_orderstatus) OVER w <> o_orderstatus
+                    THEN 1 ELSE 0 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    scd AS (
+        SELECT o_custkey AS custkey, o_orderstatus AS status,
+               o_orderdate AS valid_from,
+               COALESCE(LEAD(o_orderdate) OVER
+                            (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey),
+                        TIMESTAMP '9999-12-31') AS valid_to
+        FROM flagged WHERE chg = 1
+    )
+    SELECT e.user_id, e.event_id, s.status AS status_at_event
+    FROM events e
+    JOIN scd s
+      ON e.user_id = s.custkey
+     AND e.ts + INTERVAL 9125 DAY >= s.valid_from
+     AND e.ts + INTERVAL 9125 DAY < s.valid_to
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="point-in-time (temporal) join: each purchase event is enriched "
+        "with the customer's order-status SCD2 interval in force at event "
+        "time (events are 2024, order history 1995-2001, so event time is "
+        "shifted back 9125 days = 25 years to overlap — the mechanics, "
+        "not the calendar, are the point). Equi half (user = custkey) "
+        "carries the shuffle; the interval containment is a residual "
+        "range predicate evaluated inside the hash join, never a "
+        "cross-product — the standard fact-to-history lookup at scale "
+        "(cf. join_asof for the nearest-key form)",
+)
+def scd2_point_in_time(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderstatus").over(w)
+    scd = (o.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+           .withColumn("chg", F.when(prev.isNull()
+                                     | (prev != F.col("o_orderstatus")), 1)
+                       .otherwise(0))
+           .filter(F.col("chg") == 1)
+           .select(F.col("o_custkey").alias("custkey"),
+                   F.col("o_orderstatus").alias("status"),
+                   F.col("o_orderdate").alias("valid_from"),
+                   F.coalesce(F.lead("o_orderdate").over(
+                       Window.partitionBy("o_custkey")
+                       .orderBy("o_orderdate", "o_orderkey")),
+                       F.lit("9999-12-31").cast("timestamp"))
+                   .alias("valid_to")))
+    e = (T(spark, sf_dir, "events")
+         .filter(F.col("event_type") == "purchase")
+         .withColumn("ts_shift", F.col("ts") + F.expr("INTERVAL 9125 DAYS")))
+    return (e.join(scd, (e.user_id == scd.custkey)
+                   & (e.ts_shift >= scd.valid_from)
+                   & (e.ts_shift < scd.valid_to))
+            .select("user_id", "event_id",
+                    F.col("status").alias("status_at_event")))
+
+
+@query(
+    "dq_audit",
+    """
+    SELECT 'lineitem_null_orderkey' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL)
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_dangling_order',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                 GROUP BY o_orderkey HAVING COUNT(*) > 1) d) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_discount_domain',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'events_value_negative',
+           CAST((SELECT COUNT(*) FROM events WHERE value < 0) AS BIGINT)
+    """,
+    doc="Deequ-style data-quality audit as one query: completeness (null "
+        "keys), referential integrity (lineitem -> orders LEFT ANTI), "
+        "primary-key uniqueness, value-domain checks — each a "
+        "column-pruned aggregate, unioned into a (check_name, "
+        "n_violations) report. The FK check is the only shuffle (anti "
+        "join on the key, bloom-prunable); everything else partially "
+        "aggregates to a scalar map-side. The pre-training gate a corpus "
+        "pipeline runs before shipping a snapshot",
+)
+def dq_audit(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    e = T(spark, sf_dir, "events")
+
+    def one(name, df):
+        return df.select(F.lit(name).alias("check_name"),
+                         F.count("*").cast("bigint").alias("n_violations"))
+
+    dangling = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+    dup_pk = (o.groupBy("o_orderkey").count()
+              .filter(F.col("count") > 1))
+    checks = [
+        one("lineitem_null_orderkey", li.filter(F.col("l_orderkey").isNull())),
+        one("lineitem_dangling_order", dangling),
+        one("orders_duplicate_pk", dup_pk),
+        one("lineitem_discount_domain",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1))),
+        one("events_value_negative", e.filter(F.col("value") < 0)),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+@query(
+    "fuzzy_match_blocked",
+    """
+    WITH probes AS (
+        SELECT p_partkey AS probe_id,
+               SUBSTR(p_name, 1, 2) || SUBSTR(p_name, 4) AS probe_name
+        FROM part WHERE p_partkey % 50 = 0
+    )
+    SELECT pr.probe_id, pr.probe_name, p.p_partkey AS match_key,
+           p.p_name AS match_name,
+           LEVENSHTEIN(pr.probe_name, p.p_name) AS dist
+    FROM probes pr
+    JOIN part p ON SUBSTR(pr.probe_name, 1, 2) = SUBSTR(p.p_name, 1, 2)
+    WHERE LEVENSHTEIN(pr.probe_name, p.p_name) <= 1
+    """,
+    doc="entity resolution / fuzzy record linkage with blocking: probe "
+        "names (deterministic one-char-deletion typos of every 50th part "
+        "name) match against the catalog by levenshtein <= 1, but ONLY "
+        "inside 2-char-prefix blocks — the equi-join on the block key "
+        "carries the shuffle and the O(n^2) edit-distance comparison "
+        "runs per block, never across the full cross product. The "
+        "standard blocked-similarity-join shape; block key choice is the "
+        "recall/cost knob at 100 TB",
+)
+def fuzzy_match_blocked(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    probes = (p.filter(F.col("p_partkey") % 50 == 0)
+              .select(F.col("p_partkey").alias("probe_id"),
+                      F.concat(F.substring("p_name", 1, 2),
+                               F.expr("substring(p_name, 4)"))
+                      .alias("probe_name")))
+    cand = probes.join(
+        p, F.substring(F.col("probe_name"), 1, 2)
+        == F.substring(F.col("p_name"), 1, 2))
+    dist = F.levenshtein("probe_name", "p_name")
+    return (cand.filter(dist <= 1)
+            .select("probe_id", "probe_name",
+                    F.col("p_partkey").alias("match_key"),
+                    F.col("p_name").alias("match_name"),
+                    dist.alias("dist")))

@@ -352,3 +352,38 @@ _RECURSIVE_SQL = """
 def sql_recursive_months(spark, sf_dir):
     _views(spark, sf_dir, "orders")
     return spark.sql(_RECURSIVE_SQL)
+
+
+@query(
+    "lateral_topk_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS price
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) t
+    WHERE c.c_custkey % 10 = 0
+    """,
+    doc="correlated LATERAL subquery (Spark 3.2+ SQL): per customer, the "
+        "top-2 orders by price. Catalyst decorrelates the per-row "
+        "ORDER BY ... LIMIT into a windowed rank over ONE orders shuffle "
+        "— the per-key-top-k plan — rather than executing the subquery "
+        "once per outer row (which would be O(customers) scans). Same "
+        "semantics as win_topk_per_group, exercised through the SQL "
+        "planner's lateral-join path",
+)
+def lateral_topk_orders(spark, sf_dir):
+    T(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, ROUND(t.o_totalprice, 2) AS price
+        FROM _lat_customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM _lat_orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) t
+        WHERE c.c_custkey % 10 = 0
+    """)
