@@ -264,3 +264,30 @@ def agg_hll_sketch(spark, sf_dir):
             .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
                  .alias("approx_users"),
                  F.count("*").alias("n_day_sketches")))
+
+
+@query(
+    "source_xml_roundtrip",
+    _ROUNDTRIP_ORACLE,
+    doc="XML sink + source (native in Spark 4): documents projection -> "
+        "XML rows -> read back with an explicit schema -> aggregate; "
+        "hash-matches the same aggregate on the original parquet (same "
+        "proof shape as the CSV/JSON/ORC round-trips). Covers the "
+        "rowTag-based record reader for feed-style semi-structured "
+        "inputs",
+)
+def source_xml_roundtrip(spark, sf_dir):
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"pnwb_spark_roundtrip_xml_{tag}")
+    (T(spark, sf_dir, "documents")
+     .select("doc_id", "lang", "source", "n_chars")
+     .coalesce(1)
+     .write.mode("overwrite").option("rowTag", "doc").format("xml").save(out))
+    back = (spark.read.schema(
+        "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .option("rowTag", "doc").format("xml").load(out))
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
