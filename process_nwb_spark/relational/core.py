@@ -85,4 +85,5 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import dataprep  # noqa: F401
     from . import fn_extra  # noqa: F401
     from . import sql_surface  # noqa: F401
+    from . import graph_ops  # noqa: F401
     return REGISTRY
