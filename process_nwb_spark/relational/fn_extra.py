@@ -291,3 +291,61 @@ def source_xml_roundtrip(spark, sf_dir):
         F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "fn_collation",
+    """
+    SELECT p_partkey, p_name,
+           CASE WHEN LOWER(p_name) = LOWER(UPPER(p_name))
+                THEN 1 ELSE 0 END AS ci_self_match,
+           CASE WHEN LOWER(p_name) LIKE '%steel%' THEN 1 ELSE 0 END
+               AS ci_contains_steel
+    FROM part WHERE p_partkey % 7 = 0
+    """,
+    doc="collation-aware comparison (Spark 4 collated strings): equality "
+        "and containment under UTF8_LCASE collation — the engine-level "
+        "form of case-insensitive matching, evaluated JVM-side without "
+        "wrapping every operand in lower() (which blocks statistics and "
+        "pushdown on the raw column). Oracle emulates with LOWER() since "
+        "DuckDB collations differ; results agree for ASCII data",
+)
+def fn_collation(spark, sf_dir):
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    ci = F.collate(F.col("p_name"), "UTF8_LCASE")
+    return p.select(
+        "p_partkey", "p_name",
+        F.when(ci == F.collate(F.upper("p_name"), "UTF8_LCASE"), 1)
+         .otherwise(0).alias("ci_self_match"),
+        F.when(ci.contains(F.collate(F.lit("STEEL"), "UTF8_LCASE")), 1)
+         .otherwise(0).alias("ci_contains_steel"),
+    )
+
+
+@query(
+    "sql_parameterized",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS total
+    FROM orders
+    WHERE o_totalprice >= 50000 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="named-parameter SQL (Spark 3.4+ spark.sql(..., args=...)): the "
+        "literal-injection-free API for templated queries. Parameter "
+        "markers bind BEFORE analysis, so constant folding and predicate "
+        "pushdown see real literals — same physical plan as inlined "
+        "constants, no plan-cache poisoning, no SQL injection",
+)
+def sql_parameterized(spark, sf_dir):
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS total
+        FROM _param_orders
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 50000, "status": "F"},
+    )

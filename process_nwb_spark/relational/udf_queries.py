@@ -194,3 +194,44 @@ def udtf_word_positions(spark, sf_dir):
         SELECT p.p_partkey, s.word, s.pos
         FROM _udtf_part p, LATERAL word_positions(p.p_name) s
     """)
+
+
+@query(
+    "udf_arrow_map_stats",
+    """
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INT) AS dim,
+           ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
+    FROM embeddings
+    """,
+    doc="mapInArrow (partition-level Arrow iterator, zero pandas): per "
+        "vector, dimensionality and L2 norm computed straight off the "
+        "ListArray's flat values+offsets buffers with numpy reduceat — "
+        "no per-row materialization, no pandas conversion overhead. The "
+        "lowest-level Python carrier in the UDF matrix (scalar "
+        "pandas_udf < grouped pandas < applyInArrow < mapInArrow); "
+        "rounding happens JVM-side so the oracle's ROUND semantics apply",
+)
+def udf_arrow_map_stats(spark, sf_dir):
+    def stats(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            emb = b.column(b.schema.get_field_index("embedding"))
+            offs = np.asarray(emb.offsets)
+            vals = np.asarray(emb.values, dtype=np.float64)
+            sq = vals * vals
+            # reduceat segments: guard the empty-batch case
+            l2 = (np.sqrt(np.add.reduceat(sq, offs[:-1]))
+                  if len(offs) > 1 else np.empty(0))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("vec_id")),
+                 pa.array(np.diff(offs).astype("int32"), pa.int32()),
+                 pa.array(l2, pa.float64())],
+                ["vec_id", "dim", "l2"])
+
+    e = spread(T(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    out = e.mapInArrow(stats, "vec_id BIGINT, dim INT, l2 DOUBLE")
+    return out.select("vec_id", "dim", F.round("l2", 6).alias("l2"))
