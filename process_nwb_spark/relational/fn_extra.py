@@ -349,3 +349,46 @@ def sql_parameterized(spark, sf_dir):
         """,
         args={"min_price": 50000, "status": "F"},
     )
+
+
+@query(
+    "agg_mode_argmax",
+    """
+    WITH counts AS (
+        SELECT o_orderpriority,
+               CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY n DESC, dow DESC) AS rn
+        FROM counts
+    )
+    SELECT o_orderpriority, dow AS top_dow, n AS n_orders
+    FROM ranked WHERE rn = 1
+    """,
+    doc="deterministic per-group mode (heavy hitter): most frequent "
+        "order day-of-week per priority, as TWO partially-aggregated "
+        "groupBys — count per (group, value), then max_by over a "
+        "(count, value) struct so ties break on the value, never "
+        "nondeterministically. Shuffle volume is O(groups x distinct "
+        "values) after map-side combine; no window over raw rows, so the "
+        "plan is independent of fact-table size (the built-in mode() "
+        "breaks ties arbitrarily — this is the replayable form)",
+)
+def agg_mode_argmax(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    counts = (o.groupBy("o_orderpriority",
+                        F.dayofweek(F.col("o_orderdate").cast("date"))
+                        .alias("dow1"))
+              .agg(F.count("*").alias("n")))
+    # Spark dayofweek is 1-based Sunday=1; DuckDB EXTRACT(dow) Sunday=0
+    counts = counts.select("o_orderpriority",
+                           (F.col("dow1") - 1).alias("dow"), "n")
+    pick = F.max_by(F.struct("dow", "n"), F.struct("n", "dow"))
+    return (counts.groupBy("o_orderpriority")
+            .agg(pick.alias("_p"))
+            .select("o_orderpriority",
+                    F.col("_p.dow").alias("top_dow"),
+                    F.col("_p.n").alias("n_orders")))
