@@ -392,3 +392,42 @@ def agg_mode_argmax(spark, sf_dir):
             .select("o_orderpriority",
                     F.col("_p.dow").alias("top_dow"),
                     F.col("_p.n").alias("n_orders")))
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH a AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 97 = 0 THEN NULL
+                    ELSE c_nationkey END AS k
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    b AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 13 = 0 THEN NULL
+                    ELSE s_nationkey END AS k
+        FROM supplier
+    )
+    SELECT a.c_custkey, b.s_suppkey, a.k AS joined_key
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    doc="null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+        "match each other instead of silently dropping — the semantics "
+        "late-arriving dimension keys need. Spark still plans this as a "
+        "HASH join (null-safe equality is hashable), so the shuffle/"
+        "broadcast strategy is identical to = ; the NULL bucket lands on "
+        "one reducer, which is exactly the skew the salted-join entry "
+        "(join_salted_skew) treats when NULL rates are high",
+)
+def join_null_safe(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    s = T(spark, sf_dir, "supplier")
+    a = c.select("c_custkey",
+                 F.when(F.col("c_custkey") % 97 == 0, None)
+                 .otherwise(F.col("c_nationkey")).alias("ka"))
+    b = s.select("s_suppkey",
+                 F.when(F.col("s_suppkey") % 13 == 0, None)
+                 .otherwise(F.col("s_nationkey")).alias("kb"))
+    return (a.join(b, a.ka.eqNullSafe(b.kb))
+            .select("c_custkey", "s_suppkey", F.col("ka").alias("joined_key")))
