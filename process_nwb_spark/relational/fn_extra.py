@@ -431,3 +431,32 @@ def join_null_safe(spark, sf_dir):
                  .otherwise(F.col("s_nationkey")).alias("kb"))
     return (a.join(b, a.ka.eqNullSafe(b.kb))
             .select("c_custkey", "s_suppkey", F.col("ka").alias("joined_key")))
+
+
+@query(
+    "sink_partitioned_prune",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang IN ('en', 'de')
+    GROUP BY source
+    """,
+    doc="partitioned sink + partition-pruned source: documents written "
+        "partitionBy(lang) to a scratch dir, read back with a lang "
+        "predicate that resolves at PLANNING time against the directory "
+        "layout — pruned partitions are never listed, let alone read "
+        "(PartitionFilters in the scan, asserted in test_plans). The "
+        "layout decision every 100 TB corpus store makes: partition by "
+        "the coarse always-filtered column, bucket/sort within",
+)
+def sink_partitioned_prune(spark, sf_dir):
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"pnwb_spark_part_lang_{tag}")
+    (T(spark, sf_dir, "documents")
+     .select("doc_id", "source", "n_chars", "lang")
+     .write.mode("overwrite").partitionBy("lang").parquet(out))
+    back = spark.read.parquet(out).filter(F.col("lang").isin("en", "de"))
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"))

@@ -205,3 +205,15 @@ def test_star_join_dims_broadcast(spark, qs):
     assert has_broadcast_join(df)
     pushed = " ".join(pushed_filters(df))
     assert "r_name" in pushed and "o_orderdate" in pushed, pushed
+
+
+def test_partitioned_read_prunes_partitions(spark, qs):
+    """sink_partitioned_prune's read-back must resolve the lang predicate
+    against the directory layout: PartitionFilters present, and the
+    pruned-partition count below the full 5-language layout."""
+    df = qs["sink_partitioned_prune"].fn(spark, SF)
+    plan = formatted_plan(df, "formatted")
+    assert "PartitionFilters" in plan, plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan
