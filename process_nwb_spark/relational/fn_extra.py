@@ -460,3 +460,39 @@ def sink_partitioned_prune(spark, sf_dir):
     return back.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"))
+
+
+@query(
+    "fn_map_higher_order",
+    """
+    SELECT p_partkey,
+           p_size * 2 AS size2,
+           (p_partkey % 10) * 2 AS modkey2,
+           CASE WHEN p_size * 2 > 20 THEN 1 ELSE 0 END
+             + CASE WHEN (p_partkey % 10) * 2 > 20 THEN 1 ELSE 0 END
+             AS n_large
+    FROM part WHERE p_partkey % 6 = 0
+    """,
+    doc="map-typed column surface: map_from_arrays builds a map per row, "
+        "transform_values doubles every value, map_filter keeps entries "
+        "> 20, and the result is read back out with element_at / "
+        "map_entries aggregation — all JVM higher-order map functions. "
+        "The oracle computes the same RESULT directly from the base "
+        "columns (the map is row-local derived state, so no cross-engine "
+        "map encoding is needed) — same proof shape as the roundtrip "
+        "sources",
+)
+def fn_map_higher_order(spark, sf_dir):
+    p = T(spark, sf_dir, "part").filter(F.col("p_partkey") % 6 == 0)
+    m = F.map_from_arrays(
+        F.array(F.lit("size"), F.lit("modkey")),
+        F.array(F.col("p_size").cast("int"),
+                (F.col("p_partkey") % 10).cast("int")))
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    large = F.map_filter(doubled, lambda k, v: v > 20)
+    return p.select(
+        "p_partkey",
+        F.element_at(doubled, "size").alias("size2"),
+        F.element_at(doubled, "modkey").alias("modkey2"),
+        F.size(large).alias("n_large"),
+    )
