@@ -217,3 +217,16 @@ def test_partitioned_read_prunes_partitions(spark, qs):
     import re
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "lang" in m.group(1), plan
+
+
+def test_event_analytics_shuffle_budgets(spark, qs):
+    """Shuffle-count contracts for the event-analytics window programs:
+    funnel's three chained windows and SCD2's lag+lead pair each ride ONE
+    user-keyed exchange; interpolation pays points-agg + user-dim +
+    window; retention is fold + rollup."""
+    budgets = {"funnel_conversion": 2, "scd2_status_history": 1,
+               "ts_linear_interp": 3, "retention_cohorts": 2}
+    for name, budget in budgets.items():
+        df = qs[name].fn(spark, SF)
+        n = count_exchanges(df)
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
