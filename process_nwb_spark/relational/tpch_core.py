@@ -441,26 +441,31 @@ def agg_approx_count_distinct(spark, sf_dir):
     GROUP BY l_returnflag
     """,
     doc="the CAR operator's trimmed mean (mean_frac=0.95, ceil-per-side — "
-        "common_referencing.py:37) as a relational aggregate, via "
-        "sort_array/slice/aggregate higher-order functions",
+        "common_referencing.py:37) as a relational aggregate over LARGE "
+        "groups: window rank + count, trim the ceil-per-side tails, avg. "
+        "l_returnflag has only 3 groups, so the collect_list/sort_array "
+        "form (right for CAR's bounded per-sample groups, see "
+        "sig_car_subtract) would materialize whole groups in memory; the "
+        "window form sorts spill-safely and the post-window groupBy "
+        "reuses the same partitioning — one exchange total. At extreme "
+        "per-group cardinality the next step is approx-percentile "
+        "bounds + a filtered avg, trading exactness for a scan",
 )
 def agg_trimmed_mean(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
-    arr = F.array_sort(F.collect_list(F.col("l_quantity").cast("double")))
-    n = F.size(arr)
-    n_excl = F.ceil(n * F.lit(0.025)).cast("int")
-    mid = F.slice(arr, n_excl + 1, F.greatest(n - 2 * n_excl, F.lit(0)))
-    mean = F.aggregate(
-        mid,
-        F.struct(F.lit(0.0).alias("s"), F.lit(0).cast("long").alias("c")),
-        lambda acc, x: F.struct((acc["s"] + x).alias("s"),
-                                (acc["c"] + 1).alias("c")),
-        lambda acc: acc["s"] / acc["c"],
-    )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(F.round(mean, 4).alias("trimmed_mean_qty"))
-    )
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy("l_quantity", "l_orderkey", "l_linenumber"))
+    wc = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", F.col("l_quantity").cast("double").alias("q"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"))
+    n_excl = F.ceil(F.col("n") * F.lit(0.025)).cast("bigint")
+    return (ranked
+            .filter((F.col("rn") > n_excl)
+                    & (F.col("rn") <= F.col("n") - n_excl))
+            .groupBy("l_returnflag")
+            .agg(F.round(F.avg("q"), 4).alias("trimmed_mean_qty")))
 
 
 @query(
