@@ -169,3 +169,23 @@ def test_global_index_dense_and_ordered(spark):
     out = global_index(empty, "k")
     assert out.columns == ["k", "global_idx"]
     assert out.count() == 0
+
+
+def test_ann_paths_recall_against_exact(spark):
+    """Algorithmic sanity beyond hash parity: every approximate
+    similarity path (LSH buckets, IVF probe, PQ/ADC) must place a
+    reasonable fraction of the TRUE cosine top-10 in its own top-10.
+    Thresholds are loose — these are recall knobs, not exactness claims —
+    but a broken index (empty buckets, garbage codes) lands at ~0."""
+    from process_nwb_spark.relational.core import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    q = all_queries()
+    exact = {r["vec_id"]
+             for r in q["embed_cosine_topk"].fn(spark, sf).collect()}
+    assert len(exact) == 10
+    for name, floor_ in (("embed_ann_lsh", 0.3), ("embed_ivf_topk", 0.3),
+                         ("embed_pq_adc", 0.2)):
+        got = {r["vec_id"] for r in q[name].fn(spark, sf).collect()}
+        recall = len(exact & got) / 10
+        assert recall >= floor_, (name, recall, sorted(got))
