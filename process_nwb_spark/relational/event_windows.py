@@ -421,3 +421,37 @@ def retention_cohorts(spark, sf_dir):
         F.floor(F.datediff("day", "cohort_day") / 7).cast("int")
          .alias("week_offset"))
         .agg(F.count("*").alias("n_active")))
+
+
+@query(
+    "win_trailing_range",
+    """
+    SELECT event_id, user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           COUNT(*) OVER w AS n_trailing_30m,
+           ROUND(SUM(CAST(value AS DOUBLE)) OVER w, 2) AS sum_trailing_30m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                 RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+    """,
+    doc="per-ROW trailing time window: for every event, the count and sum "
+        "of the same user's events in the preceding 30 minutes — a RANGE "
+        "frame over event-time seconds, NOT a bucketed tumbling window "
+        "(each row gets its own trailing horizon; win_tumbling gives one "
+        "row per bucket). One keyed shuffle; frame state is a sliding "
+        "deque per partition. The load-burst / rate-limit detector shape. "
+        "Spark range frames need a numeric ordering key, so ts lowers to "
+        "epoch seconds on both engines",
+)
+def win_trailing_range(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_timestamp("ts"))
+         .rangeBetween(-1800, Window.currentRow))
+    return e.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.count("*").over(w).alias("n_trailing_30m"),
+        F.round(F.sum(F.col("value").cast("double")).over(w), 2)
+         .alias("sum_trailing_30m"))
