@@ -786,3 +786,27 @@ def dedup_incremental(spark, sf_dir):
                   F.count("*").alias("n_in_batch")))
     return (batch.join(old, "fp", "left_anti")
             .select("keep_doc_id", "n_in_batch"))
+
+
+@query(
+    "text_vocab_topk",
+    """
+    SELECT w AS word, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) t
+    GROUP BY w
+    ORDER BY n DESC, w ASC
+    LIMIT 50
+    """,
+    doc="global vocabulary top-50: explode words, one partially-aggregated "
+        "count keyed by word (shuffle volume = distinct vocabulary after "
+        "map-side combine, not token count), then orderBy+limit compiles "
+        "to TakeOrderedAndProject — per-partition top-50 merged on the "
+        "driver, never a global sort. The corpus-statistics staple for "
+        "tokenizer training and stopword derivation",
+)
+def text_vocab_topk(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("word"))
+            .limit(50))
