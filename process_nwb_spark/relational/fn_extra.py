@@ -496,3 +496,51 @@ def fn_map_higher_order(spark, sf_dir):
         F.element_at(doubled, "modkey").alias("modkey2"),
         F.size(large).alias("n_large"),
     )
+
+
+@query(
+    "fn_array_predicates",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE doc_id % 9 = 0)
+    SELECT doc_id,
+           CASE WHEN len(list_filter(w, x -> x = 'spark')) > 0
+                THEN 1 ELSE 0 END AS has_spark,
+           CASE WHEN len(list_filter(w, x -> len(x) >= 1)) = len(w)
+                THEN 1 ELSE 0 END AS all_nonempty,
+           CAST(len(list_filter(w, x -> len(x) > 4)) AS INT) AS n_long,
+           COALESCE(CAST(list_position(w, 'table') AS INT), 0)
+               AS first_table_pos,
+           CASE WHEN list_has_any(w, ['join', 'merge']) THEN 1 ELSE 0 END
+               AS mentions_join,
+           CAST(len(list_intersect(list_distinct(w),
+                                   ['key', 'value', 'hash'])) AS INT)
+               AS n_kv_terms
+    FROM d
+    """,
+    doc="array predicate surface: exists / forall / filter-count / "
+        "array_position / arrays_overlap / array_intersect over the "
+        "token list — the JVM lambda predicates that keep list-shaped "
+        "checks out of Python. All narrow, scan-speed; DuckDB replays "
+        "with list_filter/list_position/list_has_any/list_intersect "
+        "(array_position and list_position are both 1-based, 0/NULL on "
+        "miss normalized via COALESCE-free int cast)",
+)
+def fn_array_predicates(spark, sf_dir):
+    d = (T(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+         .withColumn("w", F.split("text", " ")))
+    return d.select(
+        "doc_id",
+        F.when(F.exists("w", lambda x: x == "spark"), 1).otherwise(0)
+         .alias("has_spark"),
+        F.when(F.forall("w", lambda x: F.length(x) >= 1), 1).otherwise(0)
+         .alias("all_nonempty"),
+        F.size(F.filter("w", lambda x: F.length(x) > 4)).alias("n_long"),
+        F.array_position("w", "table").cast("int").alias("first_table_pos"),
+        F.when(F.arrays_overlap("w", F.array(F.lit("join"), F.lit("merge"))),
+               1).otherwise(0).alias("mentions_join"),
+        F.size(F.array_intersect(
+            F.array_distinct("w"),
+            F.array(F.lit("key"), F.lit("value"), F.lit("hash"))))
+         .alias("n_kv_terms"),
+    )
