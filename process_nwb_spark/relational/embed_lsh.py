@@ -108,14 +108,23 @@ def _bands_df(e):
                     F.col("bb.bkey").alias("bkey")))
 
 
+def _norm_spark(c):
+    return F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
 def _cosine_spark(a_col: str, b_col: str):
     dot = F.aggregate(
         F.zip_with(a_col, b_col, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (norm(a_col) * norm(b_col))
+    return dot / (_norm_spark(a_col) * _norm_spark(b_col))
+
+
+def _dot_spark(a_col: str, b_col: str):
+    return F.aggregate(
+        F.zip_with(a_col, b_col, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
 
 
 @query(
@@ -297,10 +306,16 @@ def dedup_embed_cosine(spark, sf_dir):
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    # norms are computed ONCE per vector in the dim-table projection, not
+    # per candidate pair (bitwise-identical: same fold as inside _cosine)
     emb = T(spark, sf_dir, "embeddings")
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _cosine_spark("ea", "eb")
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"),
+                    _norm_spark("embedding").alias("na"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"),
+                    _norm_spark("embedding").alias("nb"))
+    cos = _dot_spark("ea", "eb") / (F.col("na") * F.col("nb"))
     return (pairs.join(ea, "vec_a").join(eb, "vec_b")
             .withColumn("_c", cos)
             .filter(F.col("_c") >= 0.35)
