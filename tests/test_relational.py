@@ -189,3 +189,24 @@ def test_ann_paths_recall_against_exact(spark):
         got = {r["vec_id"] for r in q[name].fn(spark, sf).collect()}
         recall = len(exact & got) / 10
         assert recall >= floor_, (name, recall, sorted(got))
+
+
+def test_linear_interp_bounded_by_bracketing_points(spark):
+    """Interior grid values must lie within [min, max] of the user's
+    observed values (linear interpolation never extrapolates), and grid
+    points outside the observed range are NULL."""
+    import pandas as pd
+    from process_nwb_spark.relational.core import T, all_queries
+
+    sf = "/root/testdata/sf0.01"
+    interp = all_queries()["ts_linear_interp"].fn(spark, sf).toPandas()
+    obs = (T(spark, sf, "events")
+           .selectExpr("user_id", "value").toPandas()
+           .groupby("user_id")["value"].agg(["min", "max"]))
+    merged = interp.dropna(subset=["value_interp"]).merge(
+        obs, left_on="user_id", right_index=True)
+    eps = 0.005  # output rounding slack
+    assert (merged["value_interp"] >= merged["min"] - eps).all()
+    assert (merged["value_interp"] <= merged["max"] + eps).all()
+    # at least one NULL edge exists (grid starts before first observation)
+    assert interp["value_interp"].isna().any()
