@@ -544,3 +544,42 @@ def fn_array_predicates(spark, sf_dir):
             F.array(F.lit("key"), F.lit("value"), F.lit("hash"))))
          .alias("n_kv_terms"),
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    """
+    WITH bounds AS (
+        SELECT l_returnflag,
+               QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+               QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(AVG(LEAST(GREATEST(CAST(l.l_extendedprice AS DOUBLE),
+                                    b.lo), b.hi)), 4) AS winsorized_mean,
+           ROUND(b.lo, 4) AS p05, ROUND(b.hi, 4) AS p95
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag, b.lo, b.hi
+    """,
+    doc="winsorized mean per group: exact p05/p95 bounds (linear-"
+        "interpolated percentile, matching QUANTILE_CONT) computed in one "
+        "grouped pass, broadcast back, outliers CLAMPED (not dropped — "
+        "cf. agg_trimmed_mean) with greatest/least, then a plain avg. "
+        "Two aggregations over one scan lineage; the bounds table is "
+        "groups-sized so the join-back is a broadcast. The robust-stats "
+        "complement of the CAR trim",
+)
+def agg_winsorized_mean(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("p"))
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("p", F.lit(0.05)).alias("lo"),
+        F.percentile("p", F.lit(0.95)).alias("hi"))
+    clamped = F.least(F.greatest(F.col("p"), F.col("lo")), F.col("hi"))
+    return (li.join(F.broadcast(bounds), "l_returnflag")
+            .groupBy("l_returnflag", "lo", "hi")
+            .agg(F.round(F.avg(clamped), 4).alias("winsorized_mean"))
+            .select("l_returnflag", "winsorized_mean",
+                    F.round("lo", 4).alias("p05"),
+                    F.round("hi", 4).alias("p95")))
