@@ -810,3 +810,52 @@ def text_vocab_topk(spark, sf_dir):
             .groupBy("word").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("word"))
             .limit(50))
+
+
+@query(
+    "text_lm_score",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+    bg AS (
+        SELECT doc_id, UNNEST(w[1:-2]) AS w1, UNNEST(w[2:]) AS w2
+        FROM words
+    ),
+    pair_c AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    head_c AS (SELECT w1, SUM(c2) AS c1 FROM pair_c GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS INT) AS n_bigrams,
+           ROUND(AVG(LOG2(CAST(p.c2 AS DOUBLE) / h.c1)), 4)
+               AS avg_log2_prob
+    FROM bg b
+    JOIN pair_c p ON b.w1 = p.w1 AND b.w2 = p.w2
+    JOIN head_c h ON b.w1 = h.w1
+    GROUP BY b.doc_id
+    """,
+    doc="LM-quality scoring (the CCNet/KenLM perplexity-filter proxy, "
+        "self-trained): a word-bigram model is fit on the corpus itself "
+        "in one aggregation pass — P(w2|w1) = c(w1,w2)/c(w1) — and each "
+        "document scores avg log2 P over its bigrams. The model is "
+        "vocabulary-sized (broadcast both count tables), so scoring is "
+        "scan + broadcast joins + one doc-keyed aggregation; at 100 TB "
+        "the model phase is a partially-aggregated count whose shuffle "
+        "is the bigram vocabulary, never the token stream. Low scores "
+        "flag incoherent/repetitive docs — the quality gate after "
+        "text_quality's surface stats",
+)
+def text_lm_score(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    bg = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(w, 1, size(w) - 1), "
+            "(x, i) -> struct(x AS w1, w[i + 1] AS w2))")).alias("b")) \
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    pair_c = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    head_c = pair_c.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    logp = F.log2(F.col("c2").cast("double") / F.col("c1"))
+    return (bg.join(F.broadcast(pair_c), ["w1", "w2"])
+            .join(F.broadcast(head_c), "w1")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_bigrams"),
+                 F.round(F.avg(logp), 4).alias("avg_log2_prob")))
