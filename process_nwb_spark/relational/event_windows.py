@@ -455,3 +455,52 @@ def win_trailing_range(spark, sf_dir):
         F.count("*").over(w).alias("n_trailing_30m"),
         F.round(F.sum(F.col("value").cast("double")).over(w), 2)
          .alias("sum_trailing_30m"))
+
+
+@query(
+    "anomaly_mad_flags",
+    """
+    WITH med AS (
+        SELECT user_id,
+               QUANTILE_CONT(CAST(value AS DOUBLE), 0.5) AS m
+        FROM events GROUP BY user_id
+    ),
+    dev AS (
+        SELECT e.user_id, e.event_id, CAST(e.value AS DOUBLE) AS v,
+               ABS(CAST(e.value AS DOUBLE) - med.m) AS ad, med.m
+        FROM events e JOIN med ON e.user_id = med.user_id
+    ),
+    mad AS (
+        SELECT user_id, QUANTILE_CONT(ad, 0.5) AS mad
+        FROM dev GROUP BY user_id
+    )
+    SELECT d.event_id, d.user_id,
+           ROUND(d.v, 2) AS value,
+           ROUND((d.v - d.m) / (1.4826 * NULLIF(mad.mad, 0)), 4)
+               AS robust_z
+    FROM dev d JOIN mad ON d.user_id = mad.user_id
+    WHERE ABS((d.v - d.m) / (1.4826 * NULLIF(mad.mad, 0))) > 2.5
+    """,
+    doc="robust anomaly detection: per-user median + MAD (median absolute "
+        "deviation, x1.4826 for normal consistency) flag events whose "
+        "robust z exceeds 2.5 — unlike mean/stddev z-scores "
+        "(win_zscore), a burst of outliers can't inflate its own "
+        "baseline. Two exact grouped medians + broadcast-sized join-backs "
+        "keyed by user; NULLIF guards degenerate all-identical series. "
+        "The telemetry outlier gate at scan+two-agg cost",
+)
+def anomaly_mad_flags(spark, sf_dir):
+    e = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("v"))
+    med = e.groupBy("user_id").agg(F.median("v").alias("m"))
+    dev = (e.join(F.broadcast(med), "user_id")
+           .withColumn("ad", F.abs(F.col("v") - F.col("m"))))
+    mad = dev.groupBy("user_id").agg(F.median("ad").alias("mad"))
+    rz = ((F.col("v") - F.col("m"))
+          / (F.lit(1.4826) * F.nullif(F.col("mad"), F.lit(0.0))))
+    return (dev.join(F.broadcast(mad), "user_id")
+            .withColumn("robust_z", rz)
+            .filter(F.abs(F.col("robust_z")) > 2.5)
+            .select("event_id", "user_id",
+                    F.round("v", 2).alias("value"),
+                    F.round("robust_z", 4).alias("robust_z")))
