@@ -504,3 +504,40 @@ def anomaly_mad_flags(spark, sf_dir):
             .select("event_id", "user_id",
                     F.round("v", 2).alias("value"),
                     F.round("robust_z", 4).alias("robust_z")))
+
+
+@query(
+    "ts_time_weighted_avg",
+    """
+    WITH seq AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v,
+               CAST(epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS DOUBLE)
+                   AS dur_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           ROUND(SUM(v * dur_us) / SUM(dur_us), 4) AS twa,
+           CAST(COUNT(dur_us) AS INT) AS n_intervals
+    FROM seq WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="time-weighted average per user: each observation weighted by its "
+        "holding duration until the next one (lead over one user-keyed "
+        "window; the final open-ended observation drops out). THE correct "
+        "mean for irregularly-sampled series — a plain avg over-weights "
+        "bursts — and the post-window groupBy reuses the window's "
+        "partitioning, so the whole aggregate is one shuffle",
+)
+def ts_time_weighted_avg(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (F.unix_micros(F.lead("ts").over(w))
+           - F.unix_micros("ts")).cast("double")
+    seq = e.select("user_id", F.col("value").cast("double").alias("v"),
+                   dur.alias("dur_us"))
+    return (seq.filter(F.col("dur_us").isNotNull())
+            .groupBy("user_id")
+            .agg(F.round(F.sum(F.col("v") * F.col("dur_us"))
+                         / F.sum("dur_us"), 4).alias("twa"),
+                 F.count("dur_us").cast("int").alias("n_intervals")))
