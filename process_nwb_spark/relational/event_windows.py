@@ -541,3 +541,51 @@ def ts_time_weighted_avg(spark, sf_dir):
             .agg(F.round(F.sum(F.col("v") * F.col("dur_us"))
                          / F.sum("dur_us"), 4).alias("twa"),
                  F.count("dur_us").cast("int").alias("n_intervals")))
+
+
+@query(
+    "ts_ohlc_bars",
+    """
+    WITH ranked AS (
+        SELECT user_id, TIME_BUCKET(INTERVAL '6 hours', ts) AS bucket,
+               CAST(value AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id,
+                                  TIME_BUCKET(INTERVAL '6 hours', ts)
+                                  ORDER BY ts ASC, event_id ASC) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY user_id,
+                                  TIME_BUCKET(INTERVAL '6 hours', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rl
+        FROM events
+    )
+    SELECT user_id,
+           STRFTIME(bucket, '%Y-%m-%d %H:%M:%S') AS bar_start,
+           ROUND(MAX(CASE WHEN rf = 1 THEN v END), 2) AS open,
+           ROUND(MAX(v), 2) AS high,
+           ROUND(MIN(v), 2) AS low,
+           ROUND(MAX(CASE WHEN rl = 1 THEN v END), 2) AS close,
+           COUNT(*) AS n_ticks
+    FROM ranked
+    GROUP BY user_id, bucket
+    """,
+    doc="OHLC bar aggregation: per (user, 6-hour bucket) the first/max/"
+        "min/last value — open and close are argmin/argmax of (ts, "
+        "event_id) via min_by/max_by over a struct, so ties are "
+        "deterministic and the whole bar builds in ONE partially-"
+        "aggregated groupBy (no window over raw ticks on the Spark "
+        "side; the oracle uses the row_number formulation since DuckDB "
+        "arg_min lacks composite ordering). The downsampling shape "
+        "every tick store runs",
+)
+def ts_ohlc_bars(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    key = F.struct("ts", "event_id")
+    return (e.groupBy("user_id", F.window("ts", "6 hours").alias("w"))
+            .agg(F.round(F.min_by(v, key), 2).alias("open"),
+                 F.round(F.max(v), 2).alias("high"),
+                 F.round(F.min(v), 2).alias("low"),
+                 F.round(F.max_by(v, key), 2).alias("close"),
+                 F.count("*").alias("n_ticks"))
+            .select("user_id",
+                    F.date_format("w.start", _TS_FMT).alias("bar_start"),
+                    "open", "high", "low", "close", "n_ticks"))
