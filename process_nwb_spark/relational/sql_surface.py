@@ -387,3 +387,42 @@ def lateral_topk_orders(spark, sf_dir):
                       LIMIT 2) t
         WHERE c.c_custkey % 10 = 0
     """)
+
+
+@query(
+    "sql_scripting_loop",
+    """
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+               FROM orders)
+    SELECT CAST(FLOOR(LOG2(hi / lo)) AS INT) AS n_doublings,
+           ROUND(lo, 2) AS min_price, ROUND(hi, 2) AS max_price
+    FROM b
+    """,
+    doc="SQL scripting (Spark 4 BEGIN/DECLARE/WHILE): a procedural loop "
+        "counts how many exact doublings fit between the min and max "
+        "order price. Control flow runs on the DRIVER between regular "
+        "Catalyst statements — each SET's subquery is a normal optimized "
+        "job, so scripting adds orchestration, not a new execution tier. "
+        "The oracle states the closed form (floor log2 of the ratio; "
+        "doubling is exact in floats so the forms agree). Covers the "
+        "stored-procedure-migration surface",
+)
+def sql_scripting_loop(spark, sf_dir):
+    T(spark, sf_dir, "orders").createOrReplaceTempView("_scr_orders")
+    return spark.sql("""
+        BEGIN
+          DECLARE lo DOUBLE;
+          DECLARE hi DOUBLE;
+          DECLARE k INT DEFAULT 0;
+          SET lo = (SELECT MIN(o_totalprice) FROM _scr_orders);
+          SET hi = (SELECT MAX(o_totalprice) FROM _scr_orders);
+          WHILE lo * 2 <= hi DO
+            SET lo = lo * 2;
+            SET k = k + 1;
+          END WHILE;
+          SELECT k AS n_doublings,
+                 ROUND((SELECT MIN(o_totalprice) FROM _scr_orders), 2)
+                     AS min_price,
+                 ROUND(hi, 2) AS max_price;
+        END
+    """)
