@@ -548,3 +548,42 @@ def fuzzy_match_blocked(spark, sf_dir):
                     F.col("p_partkey").alias("match_key"),
                     F.col("p_name").alias("match_name"),
                     dist.alias("dist")))
+
+
+@query(
+    "dq_benford_digits",
+    """
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT d AS first_digit, COUNT(*) AS n,
+           ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM digits) AS DOUBLE),
+                 4) AS observed_freq,
+           ROUND(LOG10(1.0 + 1.0 / d), 4) AS benford_freq
+    FROM digits
+    GROUP BY d
+    """,
+    doc="Benford first-digit profile: distribution of leading digits of "
+        "order totals against the Benford expectation log10(1 + 1/d) — "
+        "the forensic screen for fabricated or truncated numeric columns. "
+        "Digit extraction is a narrow string projection; the profile is "
+        "one 9-bucket partial aggregate plus a scalar-subquery total "
+        "(computed once, broadcast), so the audit costs a single scan at "
+        "any corpus size. Complements dq_audit's rule checks with a "
+        "distributional one",
+)
+def dq_benford_digits(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"),
+                    1, 1).cast("int").alias("d"))
+    total = digits.count()
+    return (digits.groupBy(F.col("d").alias("first_digit"))
+            .agg(F.count("*").alias("n"))
+            .select("first_digit", "n",
+                    F.round(F.col("n") / F.lit(float(total)), 4)
+                     .alias("observed_freq"),
+                    F.round(F.log10(1.0 + 1.0 / F.col("first_digit")), 4)
+                     .alias("benford_freq")))
