@@ -587,3 +587,56 @@ def dq_benford_digits(spark, sf_dir):
                      .alias("observed_freq"),
                     F.round(F.log10(1.0 + 1.0 / F.col("first_digit")), 4)
                      .alias("benford_freq")))
+
+
+# --------------------------------------------------------------------------
+# Data-mixture rebalancing to target proportions
+# --------------------------------------------------------------------------
+_MIX_TARGETS = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+_MIX_KEY = "CAST(doc_id AS VARCHAR) || ':mix'"
+_MIX_TGT_SQL = ("CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGETS.items()) + " END")
+
+
+@query(
+    "mix_to_target_weights",
+    f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+    sized AS (
+        SELECT lang, c, {_MIX_TGT_SQL} AS tgt,
+               (SELECT MIN(c / ({_MIX_TGT_SQL.replace("lang", "c2.lang")}))
+                FROM counts c2) AS out_size
+        FROM counts
+    ),
+    rates AS (SELECT lang, tgt * out_size / c AS rate FROM sized)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_bucket_sql(_MIX_KEY)} < r.rate * 256
+    """,
+    doc="data-mixture rebalancing: given target corpus proportions per "
+        "language (en .4 / de .2 / fr .2 / es .1 / zh .1), the achievable "
+        "output size is bounded by the scarcest stratum "
+        "(min count/target); per-stratum keep-rates follow and rows are "
+        "kept by deterministic md5-bucket threshold — so the mix is "
+        "append-stable and restart-safe, unlike rate-based randomSplit. "
+        "The rate table is strata-sized (broadcast); the filter is a "
+        "narrow scan projection. This is the mixture step a training "
+        "pipeline runs AFTER curation to hit its target data recipe "
+        "(cf. sample_stratified's fixed thresholds)",
+)
+def mix_to_target_weights(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("c"))
+    tgt = F.lit(None).cast("double")
+    for k, v in _MIX_TARGETS.items():
+        tgt = F.when(F.col("lang") == k, v).otherwise(tgt)
+    sized = counts.withColumn("tgt", tgt)
+    rates = (sized.crossJoin(F.broadcast(
+        sized.agg(F.min(F.col("c") / F.col("tgt")).alias("out_size"))))
+        .select("lang",
+                (F.col("tgt") * F.col("out_size") / F.col("c"))
+                .alias("rate")))
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
+    return (d.join(F.broadcast(rates), "lang")
+            .filter(_bucket(key) < F.col("rate") * 256)
+            .select("doc_id", "lang"))
