@@ -109,3 +109,68 @@ def assemble(documents: DataFrame, capacity: int = 2048,
     return train.select(
         "doc_id", "lang", "source", "n_tokens", "bucket", "split",
         F.floor(cum_before / capacity).cast("long").alias("pack_id"))
+
+
+def assemble_v2(documents: DataFrame, capacity: int = 2048,
+                max_dup_word_frac: float = 0.7,
+                min_avg_log2_prob: float = -12.0,
+                **curate_kwargs) -> DataFrame:
+    """The extended corpus program — every 2024-era pipeline stage in one
+    lazy plan:
+
+        curate (quality/lang gates + exact dedup + embed + bucket)
+          -> repetition gate (Gopher dup-word fraction)
+          -> self-trained bigram-LM score gate (CCNet shape)
+          -> PII redaction of the text that ships
+          -> deterministic train split + per-source context packing
+
+    Shuffle budget over the big table: curate's dedup window, the LM
+    re-aggregation keyed by doc, and the packing window — THREE. The
+    bigram model builds from two vocabulary-sized aggregations that
+    broadcast back; every gate is a narrow projection. Returns
+    (doc_id, lang, source, n_tokens, bucket, split, pack_id, clean_text,
+    lm_score).
+    """
+    from pyspark.sql.window import Window
+
+    from ..relational.dataprep import _with_split
+
+    kept = curate(documents, **curate_kwargs)
+    # re-attach text for the text-level stages (curate prunes it)
+    kept = kept.join(documents.select("doc_id", "text"), "doc_id")
+
+    w_arr = F.split("text", " ")
+    dup_frac = (1 - F.size(F.array_distinct(w_arr)).cast("double")
+                / F.size(w_arr))
+    kept = kept.filter(dup_frac <= max_dup_word_frac)
+
+    # bigram LM over the gated corpus; model aggs are vocabulary-sized
+    bg = kept.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+            " (x, i) -> struct(x AS w1, split(text, ' ')[i + 1] AS w2))"))
+        .alias("b")).select("doc_id", "b.w1", "b.w2")
+    pair_c = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    head_c = pair_c.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scores = (bg.join(F.broadcast(pair_c), ["w1", "w2"])
+              .join(F.broadcast(head_c), "w1")
+              .groupBy("doc_id")
+              .agg(F.avg(F.log2(F.col("c2").cast("double") / F.col("c1")))
+                   .alias("lm_score")))
+    kept = (kept.join(scores, "doc_id")
+            .filter(F.col("lm_score") >= min_avg_log2_prob))
+
+    clean = F.regexp_replace(
+        F.regexp_replace("text", r"[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+        r"\b\d{3}[- ]\d{4}\b", "<PHONE>")
+    kept = kept.withColumn("clean_text", clean)
+
+    train = _with_split(kept).filter(F.col("split") == "train")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return train.select(
+        "doc_id", "lang", "source", "n_tokens", "bucket", "split",
+        F.floor(cum_before / capacity).cast("long").alias("pack_id"),
+        "clean_text", F.round("lm_score", 4).alias("lm_score"))

@@ -143,3 +143,33 @@ def test_nyquist_guard_raises_at_plan_time(spark):
         # rat filterbank max cf 1200 -> needs rate >= 2400
         preprocess(to_long_df(spark, X), 1000.0, 400.0, 200.0, filters="rat",
                    hg_only=False)
+
+
+def test_assemble_v2_composition(spark):
+    """The extended corpus program: output is a subset of curate's keeps,
+    every gate honored (no high-repetition doc, no low-LM doc, PII
+    patterns absent from clean_text), pack ids dense per source."""
+    from pyspark.sql import functions as F
+    from process_nwb_spark.llm.curation import assemble_v2, curate
+    from process_nwb_spark.relational.core import T
+
+    sf = "/root/testdata/sf0.01"
+    docs = T(spark, sf, "documents")
+    out = assemble_v2(docs, langs=("en", "de", "fr", "es")).cache()
+    n = out.count()
+    assert n > 50, n
+    kept_ids = {r["doc_id"] for r in
+                curate(docs, langs=("en", "de", "fr", "es"))
+                .select("doc_id").collect()}
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} <= kept_ids
+    assert out.filter(F.col("lm_score") < -12.0).count() == 0
+    assert out.filter(F.col("clean_text").rlike(
+        "[a-z0-9._%+-]+@[a-z0-9.-]+")).count() == 0
+    # pack ids start at 0 per source and are contiguous
+    packs = (out.groupBy("source")
+             .agg(F.min("pack_id").alias("lo"),
+                  F.max("pack_id").alias("hi"),
+                  F.count_distinct("pack_id").alias("k")).collect())
+    for r in packs:
+        assert r["lo"] == 0 and r["k"] == r["hi"] + 1, r
+    out.unpersist()
