@@ -859,3 +859,56 @@ def text_lm_score(spark, sf_dir):
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("n_bigrams"),
                  F.round(F.avg(logp), 4).alias("avg_log2_prob")))
+
+
+@query(
+    "text_tfidf_topterms",
+    """
+    WITH tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+              FROM documents) t
+        GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.w,
+               tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+        FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, w, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, w ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, w AS term, ROUND(tfidf, 4) AS tfidf
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="TF-IDF top terms: term frequency per (doc, word) in one "
+        "doc+word-keyed aggregation, document frequency + corpus size as "
+        "vocabulary-sized side aggregates broadcast back, then the top-3 "
+        "terms per doc by a doc-keyed window (ties break on the term). "
+        "The classic IR weighting — keyword extraction, sparse retrieval, "
+        "topic labeling — at two big-table shuffles (tf agg + window; "
+        "df/n broadcast)",
+)
+def text_tfidf_topterms(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents")
+    tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = d.count()
+    tfidf = (F.col("tf")
+             * F.log(F.lit(float(n_docs)) / F.col("df")))
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("w"))
+    return (tf.join(F.broadcast(df), "w")
+            .withColumn("tfidf", tfidf)
+            .withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") <= 3)
+            .select("doc_id", F.col("w").alias("term"),
+                    F.round("tfidf", 4).alias("tfidf")))
