@@ -912,3 +912,78 @@ def text_tfidf_topterms(spark, sf_dir):
             .filter(F.col("rn") <= 3)
             .select("doc_id", F.col("w").alias("term"),
                     F.round("tfidf", 4).alias("tfidf")))
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "shuffle", "window")
+
+
+@query(
+    "text_bm25_search",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+              FROM documents) t
+        GROUP BY doc_id, w
+    ),
+    dlen AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl
+              FROM dlen),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    q AS (SELECT UNNEST(['spark', 'shuffle', 'window']) AS w),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(LN((CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+                      / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B}
+                         + {_BM25_B} * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+                   AS score
+        FROM tf
+        JOIN q ON tf.w = q.w
+        JOIN df ON tf.w = df.w
+        JOIN dlen d ON tf.doc_id = d.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query: "
+        "term frequencies and doc lengths from one doc+word aggregation, "
+        "document frequencies and corpus stats broadcast back, the "
+        "query-term semi-join prunes the tf table BEFORE scoring, and "
+        "the final top-10 is TakeOrdered. Sparse retrieval beside the "
+        "dense ANN tiers (embed_*) — together the hybrid-search pair "
+        "every retrieval stack runs. Scoring shape written identically "
+        "in both engines so doubles hash-match",
+)
+def text_bm25_search(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dlen.agg(F.count("*").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    q = spark.createDataFrame([(t,) for t in _BM25_QUERY], "w STRING")
+    idf = F.log((F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    denom = (F.col("tf") + _BM25_K1
+             * (1.0 - _BM25_B
+                + _BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))))
+    term_score = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom
+    return (tf.join(F.broadcast(q), "w")
+            .join(F.broadcast(df), "w")
+            .join(dlen, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.sum(term_score).alias("score"))
+            .select("doc_id", F.round("score", 4).alias("bm25"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10))
