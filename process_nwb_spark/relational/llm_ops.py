@@ -987,3 +987,126 @@ def text_bm25_search(spark, sf_dir):
             .select("doc_id", F.round("score", 4).alias("bm25"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(10))
+
+
+_RRF_K = 60
+
+
+@query(
+    "hybrid_search_rrf",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+              FROM documents) t
+        GROUP BY doc_id, w
+    ),
+    dlen AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dlen),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    q AS (SELECT UNNEST(['spark', 'shuffle', 'window']) AS w),
+    bm AS (
+        SELECT tf.doc_id,
+               SUM(LN((CAST(s.n_docs AS DOUBLE) - df.df + 0.5)
+                      / (df.df + 0.5) + 1.0)
+                   * (tf.tf * ({_BM25_K1} + 1.0))
+                   / (tf.tf + {_BM25_K1}
+                      * (1.0 - {_BM25_B}
+                         + {_BM25_B} * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+                   AS score
+        FROM tf JOIN q ON tf.w = q.w JOIN df ON tf.w = df.w
+        JOIN dlen d ON tf.doc_id = d.doc_id CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ),
+    bm_rank AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS r
+        FROM bm ORDER BY score DESC, doc_id ASC LIMIT 50
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    dense AS (
+        SELECT e.vec_id AS doc_id,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(qv.v[i] AS DOUBLE)))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding,
+                       x -> CAST(x AS DOUBLE) * x)))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(qv.v,
+                       x -> CAST(x AS DOUBLE) * x)))) AS cos
+        FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+    ),
+    dense_rank_ AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC)
+                   AS r
+        FROM dense ORDER BY cos DESC, doc_id ASC LIMIT 50
+    )
+    SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + b.r), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + d.r), 0.0), 6) AS rrf
+    FROM bm_rank b FULL OUTER JOIN dense_rank_ d ON b.doc_id = d.doc_id
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc="hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 "
+        "top-50 (sparse, over documents) and the cosine top-50 (dense, "
+        "over the matching embeddings ids) — the standard fusion that "
+        "needs no score calibration because only RANKS cross systems. "
+        "Each system's candidate list is top-K bounded, so the fusion "
+        "join is K-sized regardless of corpus scale; the rank windows "
+        "run over those bounded lists, never the corpus. The "
+        "sparse+dense pattern every production retrieval stack ships",
+)
+def hybrid_search_rrf(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    # BM25 stack rebuilt here (not via text_bm25_search) so the top-50
+    # rank list and the fusion share one lazy plan
+    d = T(spark, sf_dir, "documents")
+    tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dlen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    q = spark.createDataFrame([(t,) for t in _BM25_QUERY], "w STRING")
+    idf = F.log((F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    denom = (F.col("tf") + _BM25_K1
+             * (1.0 - _BM25_B
+                + _BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))))
+    bm = (tf.join(F.broadcast(q), "w").join(F.broadcast(dfreq), "w")
+          .join(dlen, "doc_id").crossJoin(F.broadcast(stats))
+          .groupBy("doc_id").agg(F.sum(idf * (F.col("tf") * (_BM25_K1 + 1.0))
+                                       / denom).alias("score"))
+          .orderBy(F.desc("score"), F.asc("doc_id")).limit(50))
+    bm_rank = bm.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("score"),
+                                                F.asc("doc_id")))) \
+        .select("doc_id", "r")
+
+    e = T(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(F.zip_with("embedding", "qv",
+                                 lambda x, y: x.cast("double")
+                                 * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    dense = (e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+             .select(F.col("vec_id").alias("doc_id"),
+                     (dot / (nrm("embedding") * nrm("qv"))).alias("cos"))
+             .orderBy(F.desc("cos"), F.asc("doc_id")).limit(50))
+    dense_rank = dense.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("cos"),
+                                                F.asc("doc_id")))) \
+        .select("doc_id", "r")
+
+    b, dn = bm_rank.alias("b"), dense_rank.alias("d")
+    rrf = (F.coalesce(1.0 / (_RRF_K + F.col("b.r")), F.lit(0.0))
+           + F.coalesce(1.0 / (_RRF_K + F.col("d.r")), F.lit(0.0)))
+    return (b.join(dn, F.col("b.doc_id") == F.col("d.doc_id"), "full_outer")
+            .select(F.coalesce(F.col("b.doc_id"), F.col("d.doc_id"))
+                    .alias("doc_id"),
+                    F.round(rrf, 6).alias("rrf"))
+            .orderBy(F.desc("rrf"), F.asc("doc_id"))
+            .limit(10))
