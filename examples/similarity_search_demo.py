@@ -39,6 +39,14 @@ def main():
         print("   top:", ids[:10])
         if exact_ids is None:
             exact_ids = set(ids)
+
+    print("\n-- sparse + hybrid (documents side) --")
+    for label, name in (("BM25 (sparse)", "text_bm25_search"),
+                        ("RRF hybrid (sparse+dense)", "hybrid_search_rrf")):
+        t0 = time.time()
+        rows = q[name].fn(spark, SF).collect()
+        print(f"{label:28s} [{time.time() - t0:5.2f}s]")
+        print("   top:", [r["doc_id"] for r in rows])
     spark.stop()
 
 
