@@ -230,3 +230,15 @@ def test_event_analytics_shuffle_budgets(spark, qs):
         df = qs[name].fn(spark, SF)
         n = count_exchanges(df)
         assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_retrieval_plans(spark, qs):
+    """Sparse-retrieval plan contracts: BM25 partially aggregates and
+    takes its top-10 without a global sort; TF-IDF broadcasts the
+    document-frequency table back rather than shuffling it."""
+    bm = qs["text_bm25_search"].fn(spark, SF)
+    plan = formatted_plan(bm, "simple")
+    assert has_partial_aggregation(bm)
+    assert "TakeOrderedAndProject" in plan, plan
+    tfidf = qs["text_tfidf_topterms"].fn(spark, SF)
+    assert has_broadcast_join(tfidf)
