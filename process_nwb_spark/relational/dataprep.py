@@ -640,3 +640,84 @@ def mix_to_target_weights(spark, sf_dir):
     return (d.join(F.broadcast(rates), "lang")
             .filter(_bucket(key) < F.col("rate") * 256)
             .select("doc_id", "lang"))
+
+
+@query(
+    "snapshot_diff",
+    """
+    WITH old AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 11 = 0 THEN text || ' edited'
+                        ELSE text END) AS h
+        FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+    doc="snapshot diffing: two corpus snapshots (deterministically carved "
+        "from documents — rows leave, rows arrive, every 11th text is "
+        "edited) compare by content hash in one full-outer key join, "
+        "emitting the added/removed/changed changeset. The INVERSE of "
+        "merge_upsert_changeset (which applies one): diff derives the "
+        "feed that incremental consumers replay, and only 16-byte hashes "
+        "ride the join — never document bodies. Unchanged rows drop "
+        "before the output, so result size tracks churn, not corpus size",
+)
+def snapshot_diff(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    old = (d.filter(F.col("doc_id") % 7 != 0)
+           .select("doc_id", F.md5("text").alias("h")))
+    new = (d.filter(F.col("doc_id") % 5 != 0)
+           .select("doc_id",
+                   F.md5(F.when(F.col("doc_id") % 11 == 0,
+                                F.concat(F.col("text"), F.lit(" edited")))
+                         .otherwise(F.col("text"))).alias("h")))
+    o, n = old.alias("o"), new.alias("n")
+    return (o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+            .filter(F.col("o.doc_id").isNull() | F.col("n.doc_id").isNull()
+                    | (F.col("o.h") != F.col("n.h")))
+            .select(F.coalesce(F.col("o.doc_id"), F.col("n.doc_id"))
+                    .alias("doc_id"),
+                    F.when(F.col("o.doc_id").isNull(), "added")
+                    .when(F.col("n.doc_id").isNull(), "removed")
+                    .otherwise("changed").alias("change")))
+
+
+@query(
+    "agg_entropy_mix",
+    """
+    WITH counts AS (
+        SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, SUM(c) AS t FROM counts GROUP BY source)
+    SELECT c.source,
+           CAST(COUNT(*) AS INT) AS n_langs,
+           ROUND(-SUM((c.c / CAST(t.t AS DOUBLE))
+                      * LOG2(c.c / CAST(t.t AS DOUBLE))), 4)
+               AS lang_entropy_bits
+    FROM counts c JOIN tot t ON c.source = t.source
+    GROUP BY c.source
+    """,
+    doc="Shannon entropy of each source's language mix: two nested "
+        "partially-aggregated counts (both shuffle O(sources x langs) "
+        "after map-side combine), then -sum(p log2 p). The diversity "
+        "profile a corpus dashboard tracks per snapshot — near-zero "
+        "entropy flags a source collapsing to one language",
+)
+def agg_entropy_mix(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t").cast("double")
+    return (counts.join(F.broadcast(tot), "source")
+            .groupBy("source")
+            .agg(F.count("*").cast("int").alias("n_langs"),
+                 F.round(-F.sum(p * F.log2(p)), 4)
+                  .alias("lang_entropy_bits")))
