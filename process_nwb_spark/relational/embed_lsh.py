@@ -515,3 +515,47 @@ def embed_pq_adc(spark, sf_dir):
             .select("vec_id", "label", F.round("adc_dist", 6).alias("adc_dist"))
             .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
             .limit(10))
+
+
+@query(
+    "embed_quantile_norm",
+    """
+    WITH flat AS (
+        SELECT vec_id,
+               UNNEST(RANGE(0, 4)) AS dim,
+               CAST(UNNEST(embedding[1:4]) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT vec_id, dim, x,
+               ROW_NUMBER() OVER (PARTITION BY dim ORDER BY x, vec_id)
+                   AS r,
+               COUNT(*) OVER (PARTITION BY dim) AS n
+        FROM flat
+    )
+    SELECT vec_id, dim,
+           ROUND((r - 0.5) / n, 6) AS q
+    FROM ranked
+    """,
+    doc="quantile (rank) normalization of the first four embedding "
+        "dimensions: each value maps to its empirical quantile "
+        "(rank - 0.5)/n within its dimension — the distribution-free "
+        "feature scaling that equalizes heavy-tailed dims before "
+        "distance computations. One shuffle keyed by dim (64 keys at "
+        "full width — salt by vec_id range if a single dim outgrows an "
+        "executor); ties break on vec_id so ranks are replayable",
+)
+def embed_quantile_norm(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = spread(T(spark, sf_dir, "embeddings"))
+    flat = (e.select("vec_id",
+                     F.posexplode(F.slice("embedding", 1, 4))
+                     .alias("dim", "x"))
+            .select("vec_id", "dim", F.col("x").cast("double").alias("x")))
+    w = Window.partitionBy("dim").orderBy("x", "vec_id")
+    wc = Window.partitionBy("dim")
+    return flat.select(
+        "vec_id", "dim",
+        F.round((F.row_number().over(w) - 0.5)
+                / F.count("*").over(wc), 6).alias("q"))
