@@ -589,3 +589,107 @@ def ts_ohlc_bars(spark, sf_dir):
             .select("user_id",
                     F.date_format("w.start", _TS_FMT).alias("bar_start"),
                     "open", "high", "low", "close", "n_ticks"))
+
+
+@query(
+    "seq_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    pairs AS (
+        SELECT cur, nxt, COUNT(*) AS n FROM seq
+        WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, SUM(n) AS t FROM pairs GROUP BY cur)
+    SELECT p.cur, p.nxt, p.n,
+           ROUND(p.n / CAST(t.t AS DOUBLE), 4) AS p_next
+    FROM pairs p JOIN tot t ON p.cur = t.cur
+    """,
+    doc="behavioral Markov transition matrix: P(next event type | current) "
+        "estimated from each user's ordered event sequence — lead() on "
+        "one user-keyed shuffle, then two event-type-cardinality "
+        "aggregations (partial-agg'd, shuffle O(types^2)). The "
+        "session-modeling / next-action-prediction baseline; funnel "
+        "queries check one fixed path, this learns all of them",
+)
+def seq_transition_matrix(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(F.col("event_type").alias("cur"),
+                   F.lead("event_type").over(w).alias("nxt"))
+    pairs = (seq.filter(F.col("nxt").isNotNull())
+             .groupBy("cur", "nxt").agg(F.count("*").alias("n")))
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("t"))
+    return (pairs.join(F.broadcast(tot), "cur")
+            .select("cur", "nxt", "n",
+                    F.round(F.col("n") / F.col("t").cast("double"), 4)
+                     .alias("p_next")))
+
+
+@query(
+    "funnel_latency",
+    """
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+        FROM events
+    ),
+    s2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_click
+        FROM s1
+    ),
+    s3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
+                           THEN ts END)
+                      OVER (PARTITION BY user_id) AS t_purchase
+        FROM s2
+    ),
+    per_user AS (
+        SELECT user_id,
+               MIN(CAST(epoch_us(t_purchase) - epoch_us(t_view) AS DOUBLE))
+                   / 1000000.0 AS lat_s
+        FROM s3 WHERE t_purchase IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_converted,
+           ROUND(QUANTILE_CONT(lat_s, 0.5), 2) AS median_s,
+           ROUND(QUANTILE_CONT(lat_s, 0.9), 2) AS p90_s,
+           ROUND(MIN(lat_s), 2) AS min_s
+    FROM per_user
+    """,
+    doc="conversion latency: for users completing the strictly-ordered "
+        "view -> click -> purchase funnel, the view-to-purchase elapsed "
+        "time summarized as exact median / p90 / min. Same one-shuffle "
+        "three-window chain as funnel_conversion plus a per-user rollup "
+        "and a global exact-percentile aggregate — the time-to-convert "
+        "metric product teams pair with the conversion rate",
+)
+def funnel_latency(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    s1 = e.select("user_id", "ts", "event_type", t_view.alias("t_view"))
+    t_click = F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") > F.col("t_view")),
+                           F.col("ts"))).over(w)
+    s2 = s1.withColumn("t_click", t_click)
+    t_purch = F.min(F.when((F.col("event_type") == "purchase")
+                           & (F.col("ts") > F.col("t_click")),
+                           F.col("ts"))).over(w)
+    s3 = s2.withColumn("t_purchase", t_purch)
+    lat = ((F.unix_micros("t_purchase") - F.unix_micros("t_view"))
+           .cast("double") / 1e6)
+    per_user = (s3.filter(F.col("t_purchase").isNotNull())
+                .groupBy("user_id").agg(F.min(lat).alias("lat_s")))
+    return per_user.agg(
+        F.count("*").cast("int").alias("n_converted"),
+        F.round(F.percentile("lat_s", F.lit(0.5)), 2).alias("median_s"),
+        F.round(F.percentile("lat_s", F.lit(0.9)), 2).alias("p90_s"),
+        F.round(F.min("lat_s"), 2).alias("min_s"))
