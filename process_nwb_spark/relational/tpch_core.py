@@ -1082,3 +1082,61 @@ def star_local_revenue(spark, sf_dir):
                                 * (1 - F.col("l_discount"))).cast("double")),
                          2).alias("revenue"),
                  F.count("*").alias("n_lines")))
+
+
+@query(
+    "basket_lift_pairs",
+    """
+    WITH items AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_type AS t
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+    marg AS (SELECT t, COUNT(*) AS c FROM items GROUP BY t),
+    pairs AS (
+        SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS together
+        FROM items a JOIN items b ON a.okey = b.okey AND a.t < b.t
+        GROUP BY a.t, b.t
+    )
+    SELECT p.type_a, p.type_b, p.together,
+           ROUND((CAST(p.together AS DOUBLE) / n.n_orders)
+                 / ((CAST(ma.c AS DOUBLE) / n.n_orders)
+                    * (CAST(mb.c AS DOUBLE) / n.n_orders)), 4) AS lift
+    FROM pairs p
+    JOIN marg ma ON p.type_a = ma.t
+    JOIN marg mb ON p.type_b = mb.t
+    CROSS JOIN n
+    """,
+    doc="market-basket association: for part-type pairs co-occurring in an "
+        "order, lift = P(a,b)/(P(a)P(b)). The per-order self-join fans "
+        "out only items-per-basket-squared rows (baskets are small and "
+        "types deduped per order first, so the join is bounded — never "
+        "catalog x catalog); marginals and the basket count are "
+        "type-cardinality aggregates broadcast into the final projection. "
+        "The association-rules primitive recommendation pipelines start "
+        "from",
+)
+def basket_lift_pairs(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    items = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+             .select(F.col("l_orderkey").alias("okey"),
+                     F.col("p_type").alias("t"))
+             .distinct())
+    n_orders = items.select("okey").distinct().count()
+    marg = items.groupBy("t").agg(F.count("*").alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (a.join(b, (F.col("a.okey") == F.col("b.okey"))
+                    & (F.col("a.t") < F.col("b.t")))
+             .groupBy(F.col("a.t").alias("type_a"),
+                      F.col("b.t").alias("type_b"))
+             .agg(F.count("*").alias("together")))
+    ma = marg.select(F.col("t").alias("type_a"), F.col("c").alias("ca"))
+    mb = marg.select(F.col("t").alias("type_b"), F.col("c").alias("cb"))
+    lift = ((F.col("together").cast("double") / n_orders)
+            / ((F.col("ca").cast("double") / n_orders)
+               * (F.col("cb").cast("double") / n_orders)))
+    return (pairs.join(F.broadcast(ma), "type_a")
+            .join(F.broadcast(mb), "type_b")
+            .select("type_a", "type_b", "together",
+                    F.round(lift, 4).alias("lift")))
