@@ -1140,3 +1140,109 @@ def basket_lift_pairs(spark, sf_dir):
             .join(F.broadcast(mb), "type_b")
             .select("type_a", "type_b", "together",
                     F.round(lift, 4).alias("lift")))
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_d,
+               COUNT(*) AS freq,
+               SUM(CAST(o_totalprice AS DOUBLE)) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    anchored AS (
+        SELECT *, (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders) AS now_d
+        FROM per_cust
+    ),
+    rfm AS (
+        SELECT o_custkey, CAST(now_d - last_d AS DOUBLE) AS recency_days,
+               CAST(freq AS DOUBLE) AS freq, monetary
+        FROM anchored
+    ),
+    th AS (
+        SELECT QUANTILE_CONT(recency_days, 0.5) AS r_med,
+               QUANTILE_CONT(freq, 0.5) AS f_med,
+               QUANTILE_CONT(monetary, 0.5) AS m_med
+        FROM rfm
+    )
+    SELECT o_custkey,
+           CASE WHEN recency_days <= th.r_med THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN freq > th.f_med THEN 2 ELSE 1 END AS f_score,
+           CASE WHEN monetary > th.m_med THEN 2 ELSE 1 END AS m_score
+    FROM rfm CROSS JOIN th
+    """,
+    doc="RFM segmentation: per-customer recency (vs the data's max order "
+        "date — deterministic anchor), frequency, monetary from ONE "
+        "grouped pass; scores assigned against exact median thresholds "
+        "computed once and broadcast — never a global ntile window (the "
+        "unpartitioned-sort anti-pattern at scale). The CRM segmentation "
+        "staple in threshold form",
+)
+def rfm_segments(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+                     F.count("*").cast("double").alias("freq"),
+                     F.sum(F.col("o_totalprice").cast("double"))
+                      .alias("monetary")))
+    now_d = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("now_d"))
+    rfm = (per_cust.crossJoin(F.broadcast(now_d))
+           .select("o_custkey",
+                   F.datediff("now_d", "last_d").cast("double")
+                    .alias("recency_days"),
+                   "freq", "monetary"))
+    th = rfm.agg(F.percentile("recency_days", F.lit(0.5)).alias("r_med"),
+                 F.percentile("freq", F.lit(0.5)).alias("f_med"),
+                 F.percentile("monetary", F.lit(0.5)).alias("m_med"))
+    return (rfm.crossJoin(F.broadcast(th))
+            .select("o_custkey",
+                    F.when(F.col("recency_days") <= F.col("r_med"), 2)
+                     .otherwise(1).alias("r_score"),
+                    F.when(F.col("freq") > F.col("f_med"), 2)
+                     .otherwise(1).alias("f_score"),
+                    F.when(F.col("monetary") > F.col("m_med"), 2)
+                     .otherwise(1).alias("m_score")))
+
+
+@query(
+    "pareto_abc_customers",
+    """
+    WITH rev AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DOUBLE)) AS r
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT o_custkey, r,
+               SUM(r) OVER (ORDER BY r DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(r) OVER () AS tot
+        FROM rev
+    )
+    SELECT o_custkey,
+           CASE WHEN cum / tot <= 0.5 THEN 'A'
+                WHEN cum / tot <= 0.8 THEN 'B' ELSE 'C' END AS abc
+    FROM ranked
+    """,
+    doc="Pareto / ABC classification: customers ranked by revenue, "
+        "classified by cumulative revenue share (A: first 50%, B: to "
+        "80%, C: tail). The running-share window is global-ordered BUT "
+        "runs on the per-customer AGGREGATE — already reduced orders of "
+        "magnitude below the fact table — so the single-ordered-partition "
+        "cost is bounded by customer count, not order volume (for "
+        "billion-customer tables, swap in the global_index bucket trick "
+        "from dataprep)",
+)
+def pareto_abc_customers(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    rev = (o.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast("double")).alias("r")))
+    w = (Window.orderBy(F.desc("r"), F.asc("o_custkey"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy()
+    share = F.sum("r").over(w) / F.sum("r").over(wt)
+    return rev.select(
+        "o_custkey",
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B")
+         .otherwise("C").alias("abc"))
