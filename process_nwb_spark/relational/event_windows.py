@@ -693,3 +693,69 @@ def funnel_latency(spark, sf_dir):
         F.round(F.percentile("lat_s", F.lit(0.5)), 2).alias("median_s"),
         F.round(F.percentile("lat_s", F.lit(0.9)), 2).alias("p90_s"),
         F.round(F.min("lat_s"), 2).alias("min_s"))
+
+
+@query(
+    "ts_seasonal_decompose",
+    """
+    WITH hourly AS (
+        SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS h,
+               SUM(CAST(value AS DOUBLE)) AS v
+        FROM events GROUP BY 1
+    ),
+    trended AS (
+        SELECT h, v,
+               LIST_SUM(LIST(v) OVER w) / LEN(LIST(v) OVER w) AS trend
+        FROM hourly
+        WINDOW w AS (ORDER BY h
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    seasonal AS (
+        SELECT CAST(EXTRACT(hour FROM h) AS INT) AS hod,
+               LIST_SUM(LIST(v - trend ORDER BY h))
+                   / COUNT(*) AS s
+        FROM trended GROUP BY 1
+    )
+    SELECT STRFTIME(t.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           ROUND(t.v, 2) AS value,
+           ROUND(t.trend, 4) AS trend,
+           ROUND(s.s, 4) AS seasonal,
+           ROUND(t.v - t.trend - s.s, 4) AS residual
+    FROM trended t
+    JOIN seasonal s ON CAST(EXTRACT(hour FROM t.h) AS INT) = s.hod
+    """,
+    doc="additive seasonal decomposition (STL-lite) of the hourly event "
+        "volume: trend = centered 25-hour moving average, seasonal = mean "
+        "detrended deviation per hour-of-day, residual = the rest — the "
+        "anomaly-vs-seasonality separation every ops dashboard needs. "
+        "The global-ordered trend window runs on the HOURLY aggregate "
+        "(bounded by the time span, not event volume); the seasonal "
+        "profile is a 24-row broadcast joined back",
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.sum(F.col("value").cast("double")).alias("v"))
+              .select(F.col("w.start").alias("h"), "v"))
+    wt = Window.orderBy("h").rowsBetween(-12, 12)
+    # ordered sequential folds (not avg()) so the float summation order
+    # is identical in both engines — see PQ/ADC for the same trick
+    frame = F.collect_list("v").over(wt)
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x)
+    trended = hourly.withColumn("trend", fold(frame) / F.size(frame))
+    dev_sorted = F.transform(
+        F.array_sort(F.collect_list(F.struct("h", "dev"))),
+        lambda t: t["dev"])
+    seasonal = (trended
+                .withColumn("dev", F.col("v") - F.col("trend"))
+                .groupBy(F.hour("h").alias("hod"))
+                .agg((fold(dev_sorted) / F.count("*")).alias("s")))
+    return (trended.withColumn("hod", F.hour("h"))
+            .join(F.broadcast(seasonal), "hod")
+            .select(F.date_format("h", _TS_FMT).alias("hour"),
+                    F.round("v", 2).alias("value"),
+                    F.round("trend", 4).alias("trend"),
+                    F.round("s", 4).alias("seasonal"),
+                    F.round(F.col("v") - F.col("trend") - F.col("s"), 4)
+                     .alias("residual")))
