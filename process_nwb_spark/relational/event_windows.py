@@ -759,3 +759,88 @@ def ts_seasonal_decompose(spark, sf_dir):
                     F.round("s", 4).alias("seasonal"),
                     F.round(F.col("v") - F.col("trend") - F.col("s"), 4)
                      .alias("residual")))
+
+
+@query(
+    "event_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, value,
+             EPOCH_US(ts) AS us,
+             LAG(EPOCH_US(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), sess AS (
+      SELECT *, SUM(new_sess) OVER
+                  (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           ROUND((MAX(us) - MIN(us)) / 1000000.0, 3) AS duration_s,
+           ROUND(SUM(CAST(value AS DOUBLE)), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    doc="gap-based sessionization (30-min inactivity threshold): lag + "
+        "cumulative flag-sum assigns session ordinals, then per-session "
+        "stats. The batch twin of session_window/applyInPandasWithState — "
+        "state is bounded per user_id, and both windows share one "
+        "user_id-keyed shuffle; the (user_id, session_no) groupBy is the "
+        "only other exchange. At 100 TB this is the canonical "
+        "partition-by-entity pattern: no global ordering anywhere",
+)
+def event_sessionize(spark, sf_dir):
+    gap_us = 30 * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = (T(spark, sf_dir, "events")
+         .select("user_id", "event_id", "event_type", "value",
+                 F.unix_micros("ts").alias("us")))
+    sess = (e.withColumn("prev_us", F.lag("us").over(w))
+            .withColumn("new_sess",
+                        F.when(F.col("prev_us").isNull()
+                               | (F.col("us") - F.col("prev_us") > gap_us), 1)
+                        .otherwise(0))
+            .withColumn("session_no",
+                        F.sum("new_sess").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id",
+                         F.col("session_no").cast("bigint").alias("session_no"))
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("event_type").alias("n_types"),
+                 F.round((F.max("us") - F.min("us")) / F.lit(1_000_000.0), 3)
+                  .alias("duration_s"),
+                 F.round(F.sum(F.col("value").cast("double")), 2)
+                  .alias("total_value")))
+
+
+@query(
+    "ts_rolling_median",
+    """
+    SELECT user_id, event_id,
+           ROUND(MEDIAN(CAST(value AS DOUBLE)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                 4) AS roll_median
+    FROM events
+    """,
+    doc="trailing 5-row rolling median per user — the robust smoothing "
+        "primitive (rolling mean is outlier-sensitive; median is the "
+        "standard fix). percentile(0.5) over a ROWS frame; both engines "
+        "interpolate percentile_cont-style so even-count prefixes match. "
+        "One user_id-keyed shuffle, constant per-row state",
+)
+def ts_rolling_median(spark, sf_dir):
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, 0))
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "user_id", "event_id",
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.5)").over(w), 4)
+         .alias("roll_median"))

@@ -583,3 +583,62 @@ def agg_winsorized_mean(spark, sf_dir):
             .select("l_returnflag", "winsorized_mean",
                     F.round("lo", 4).alias("p05"),
                     F.round("hi", 4).alias("p95")))
+
+
+@query(
+    "fn_explode_pos",
+    """
+    SELECT p_partkey,
+           UNNEST(RANGE(LEN(STRING_SPLIT(p_name, ' ')))) AS pos,
+           UNNEST(STRING_SPLIT(p_name, ' ')) AS word
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+    doc="positional explode (posexplode): array -> one row per element "
+        "with its 0-based ordinal. Pure Expand/Generate node — zero "
+        "shuffles, fan-out happens inside the scan stage so it pipelines "
+        "at any scale. Oracle zips two equal-length UNNESTs (DuckDB "
+        "row-wise zip semantics) to recover the ordinal",
+)
+def fn_explode_pos(spark, sf_dir):
+    p = (T(spark, sf_dir, "part")
+         .filter(F.col("p_partkey") <= 500)
+         .select("p_partkey", F.split("p_name", " ").alias("words")))
+    return (p.select("p_partkey", F.posexplode("words").alias("pos", "word"))
+            .select("p_partkey", F.col("pos").cast("bigint").alias("pos"),
+                    "word"))
+
+
+@query(
+    "agg_shape_stats",
+    """
+    WITH mu AS (
+      SELECT event_type, AVG(CAST(value AS DOUBLE)) AS mu
+      FROM events GROUP BY event_type
+    ), cm AS (
+      SELECT e.event_type,
+             AVG(POWER(value - mu, 2)) AS m2,
+             AVG(POWER(value - mu, 3)) AS m3,
+             AVG(POWER(value - mu, 4)) AS m4
+      FROM events e JOIN mu USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT event_type,
+           ROUND(m3 / POWER(m2, 1.5), 4) AS skew_v,
+           ROUND(m4 / (m2 * m2) - 3, 4) AS kurt_v
+    FROM cm
+    """,
+    doc="distribution-shape profiling: population skewness (m3/m2^1.5) and "
+        "excess kurtosis (m4/m2^2 - 3) per event_type — Spark's "
+        "skewness()/kurtosis() definitions exactly. One partial-agg "
+        "groupBy (moments fold map-side); the oracle recomputes the "
+        "central moments two-pass from first principles rather than "
+        "trusting DuckDB's (sample-corrected, hence different) builtins",
+)
+def agg_shape_stats(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.round(F.skewness(F.col("value").cast("double")), 4)
+                  .alias("skew_v"),
+                 F.round(F.kurtosis(F.col("value").cast("double")), 4)
+                  .alias("kurt_v")))

@@ -27,7 +27,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "sub_scalar_correlated", "pivot_qty_by_flag",
         "unpivot_part_measures", "agg_ordered_quantiles",
         "agg_listagg_nations", "agg_regression_stats", "fn_try_arith",
-        "sql_recursive_months", "stream_stream_join"]
+        "sql_recursive_months", "stream_stream_join", "event_sessionize",
+        "ts_rolling_median", "fn_explode_pos", "agg_shape_stats"]
 
 
 @pytest.fixture(scope="module")
@@ -210,3 +211,21 @@ def test_linear_interp_bounded_by_bracketing_points(spark):
     assert (merged["value_interp"] <= merged["max"] + eps).all()
     # at least one NULL edge exists (grid starts before first observation)
     assert interp["value_interp"].isna().any()
+
+
+def test_sessionize_partitions_events_exactly(spark):
+    """Sessions partition each user's events: per-user session ordinals are
+    contiguous from 1, total n_events equals the event count, and every
+    session's span is consistent with the 30-min gap rule (a session with
+    k events spans < k * 30 min)."""
+    from process_nwb_spark.relational.core import T, all_queries
+
+    sf = "/root/testdata/sf0.001"
+    sess = all_queries()["event_sessionize"].fn(spark, sf).toPandas()
+    n_events = T(spark, sf, "events").count()
+    assert sess["n_events"].sum() == n_events
+    for _, grp in sess.groupby("user_id"):
+        nos = sorted(grp["session_no"])
+        assert nos == list(range(1, len(nos) + 1))
+    assert (sess["duration_s"] < (sess["n_events"]) * 1800.0).all()
+    assert (sess.loc[sess["n_events"] == 1, "duration_s"] == 0).all()
