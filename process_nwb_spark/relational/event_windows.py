@@ -844,3 +844,39 @@ def ts_rolling_median(spark, sf_dir):
         "user_id", "event_id",
         F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.5)").over(w), 4)
          .alias("roll_median"))
+
+
+@query(
+    "user_journey_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS e0,
+             LEAD(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+             LEAD(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+      FROM events
+    )
+    SELECT e0 || ' > ' || e1 || ' > ' || e2 AS path, COUNT(*) AS n
+    FROM seq
+    WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+    doc="top-10 most common 3-step user journeys (event_type trigrams in "
+        "per-user time order) — the product-analytics path report. Both "
+        "LEADs share one user_id-keyed window shuffle; the path count is "
+        "a partial-agg groupBy; the top-10 is TakeOrderedAndProject (no "
+        "global sort materialized). Ties broken by path for determinism",
+)
+def user_journey_paths(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = T(spark, sf_dir, "events")
+    seq = (e.select("user_id", F.col("event_type").alias("e0"),
+                    F.lead("event_type", 1).over(w).alias("e1"),
+                    F.lead("event_type", 2).over(w).alias("e2"))
+           .filter(F.col("e1").isNotNull() & F.col("e2").isNotNull()))
+    return (seq.select(F.concat_ws(" > ", "e0", "e1", "e2").alias("path"))
+            .groupBy("path").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "path").limit(10))

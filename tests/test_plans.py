@@ -242,3 +242,47 @@ def test_retrieval_plans(spark, qs):
     assert "TakeOrderedAndProject" in plan, plan
     tfidf = qs["text_tfidf_topterms"].fn(spark, SF)
     assert has_broadcast_join(tfidf)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: a selective filter on the build side of
+    a shuffle join must inject a bloom filter on the probe-side scan
+    (might_contain over bloom_filter_agg) when thresholds allow. At 100 TB
+    this is what keeps a fact-fact join from shuffling rows that can never
+    match; the production conf enables it by default — this pins the
+    capability so a conf regression is caught at test scale."""
+    from pyspark.sql import functions as F
+    from process_nwb_spark.relational.core import T
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0")
+        o = (T(spark, SF, "orders")
+             .filter(F.col("o_totalprice") > 400000).select("o_orderkey"))
+        l = T(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "no bloom probe filter injected"
+        assert "bloom_filter_agg" in plan, "no bloom build aggregate"
+        # and the join still returns the right rows under the filter
+        assert j.count() == l.join(o.hint("merge"),
+                                   l.l_orderkey == o.o_orderkey).count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -165,3 +165,44 @@ def test_ecog_datasource_stream_replay(spark):
     X = generate_synthetic_data(1.0, 2, 500.0, seed=0)
     want = np.concatenate([X[:, 0], X[:, 1]])
     np.testing.assert_allclose(tab.value.to_numpy(), want, rtol=1e-12)
+
+
+def test_binary_assets_ingest_and_features(spark, tmp_path):
+    """binaryFile ingest: glob pruning at listing time, modality from
+    extension, payload bytes identical to the files on disk, and the
+    multimodal feature kernel runs unchanged on the adapted frame."""
+    import numpy as np
+    from process_nwb_spark.sources.binary_assets import (
+        assets_to_multimodal, read_binary_assets)
+    from process_nwb_spark.llm.multimodal import extract_image_features
+
+    blobs = {"a.png": b"\x89PNG-fake-bytes-0", "b.jpg": b"\xff\xd8jpeg!",
+             "c.wav": b"RIFFfake", "d.bin": b"\x00\x01\x02"}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+
+    assets = read_binary_assets(spark, str(tmp_path)).toPandas()
+    assert len(assets) == 4
+    got = {row["path"].rsplit("/", 1)[-1]: row for _, row in assets.iterrows()}
+    assert bytes(got["a.png"]["payload"]) == blobs["a.png"]
+    assert got["a.png"]["modality"] == "image"
+    assert got["b.jpg"]["modality"] == "image"
+    assert got["c.wav"]["modality"] == "audio"
+    assert got["d.bin"]["modality"] == "binary"
+    assert int(got["c.wav"]["length"]) == len(blobs["c.wav"])
+    assert assets["asset_id"].nunique() == 4
+
+    # listing-time glob prune: only *.png survives
+    only_png = read_binary_assets(spark, str(tmp_path), glob="*.png")
+    assert only_png.count() == 1
+
+    # kernels accept the adapted schema; features deterministic in payload
+    mm = assets_to_multimodal(
+        read_binary_assets(spark, str(tmp_path), glob="*.{png,jpg}"))
+    feats = extract_image_features(mm).toPandas()
+    assert len(feats) == 2
+    assert all(len(f) == 16 for f in feats["features"])
+    again = extract_image_features(mm).toPandas()
+    for a, b in zip(feats.sort_values("doc_id")["features"],
+                    again.sort_values("doc_id")["features"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
