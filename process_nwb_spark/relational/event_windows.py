@@ -791,9 +791,10 @@ def ts_seasonal_decompose(spark, sf_dir):
     doc="gap-based sessionization (30-min inactivity threshold): lag + "
         "cumulative flag-sum assigns session ordinals, then per-session "
         "stats. The batch twin of session_window/applyInPandasWithState — "
-        "state is bounded per user_id, and both windows share one "
-        "user_id-keyed shuffle; the (user_id, session_no) groupBy is the "
-        "only other exchange. At 100 TB this is the canonical "
+        "state is bounded per user_id, and the whole query is ONE "
+        "user_id-keyed shuffle: both windows share it, and Catalyst "
+        "reuses hashpartitioning(user_id) for the (user_id, session_no) "
+        "groupBy (plan-asserted). At 100 TB this is the canonical "
         "partition-by-entity pattern: no global ordering anywhere",
 )
 def event_sessionize(spark, sf_dir):

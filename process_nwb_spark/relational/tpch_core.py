@@ -1246,3 +1246,76 @@ def pareto_abc_customers(spark, sf_dir):
         "o_custkey",
         F.when(share <= 0.5, "A").when(share <= 0.8, "B")
          .otherwise("C").alias("abc"))
+
+
+@query(
+    "star_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): a HAVING-filtered "
+        "self-aggregate of the fact table semi-joins back into a "
+        "customer/orders/lineitem star. The big-order key set is tiny "
+        "after the HAVING (a fraction of a percent of orders), so the "
+        "semi-join broadcasts; both lineitem passes aggregate partially "
+        "map-side; the top-100 is TakeOrderedAndProject. Scale shape: "
+        "2 fact scans (Spark can't reuse the scan across the subquery), "
+        "shuffles keyed on l_orderkey, never on the customer row",
+)
+def star_large_orders(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem")
+    big = (l.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("q"))
+           .filter(F.col("q") > 250)
+           .select("l_orderkey"))
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (l.join(F.broadcast(big), "l_orderkey")
+            .join(o, l.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("o_orderdate"),
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    "total_qty")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100))
+
+
+@query(
+    "agg_approx_percentiles",
+    None,
+    doc="approx_percentile (quantile sketch) per event_type — the "
+        "mergeable, bounded-memory alternative to exact percentile_cont "
+        "at 100 TB (exact quantiles need a full sort per group; the "
+        "sketch folds map-side like any partial agg). No SQL oracle: the "
+        "sketch internals aren't replayable in DuckDB — accuracy is "
+        "asserted against the exact quantiles in "
+        "tests/test_relational.py::test_approx_percentiles_within_accuracy",
+)
+def agg_approx_percentiles(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.percentile_approx(
+                F.col("value").cast("double"),
+                F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+                10000).alias("approx_q")))

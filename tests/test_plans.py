@@ -286,3 +286,31 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sessionize_and_journeys_shuffle_budgets(spark, qs):
+    """Sessionization is a ONE-shuffle plan: the lag window and the running
+    flag-sum share the user_id exchange, and Catalyst recognizes that
+    hashpartitioning(user_id) already clusters the (user_id, session_no)
+    groupBy — no re-shuffle for the per-session aggregate.
+    Journey paths: one window shuffle + one partial-agg count shuffle,
+    top-10 via TakeOrderedAndProject (never a global sort)."""
+    sess = qs["event_sessionize"].fn(spark, SF)
+    assert count_exchanges(sess) == 1, formatted_plan(sess)
+    assert has_partial_aggregation(sess)
+
+    j = qs["user_journey_paths"].fn(spark, SF)
+    assert count_exchanges(j) == 2, formatted_plan(j)
+    plan = formatted_plan(j)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [n" not in plan
+
+
+def test_large_orders_semi_join_broadcasts(spark, qs):
+    """Q18 shape: the HAVING-filtered key set must broadcast back onto the
+    fact scan (a shuffle here would re-key all of lineitem a third time),
+    and both lineitem aggregations must combine map-side."""
+    df = qs["star_large_orders"].fn(spark, SF)
+    assert has_broadcast_join(df), formatted_plan(df)
+    assert has_partial_aggregation(df)
+    assert "TakeOrderedAndProject" in formatted_plan(df)

@@ -28,7 +28,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "unpivot_part_measures", "agg_ordered_quantiles",
         "agg_listagg_nations", "agg_regression_stats", "fn_try_arith",
         "sql_recursive_months", "stream_stream_join", "event_sessionize",
-        "ts_rolling_median", "fn_explode_pos", "agg_shape_stats"]
+        "ts_rolling_median", "fn_explode_pos", "agg_shape_stats",
+        "user_journey_paths", "star_large_orders"]
 
 
 @pytest.fixture(scope="module")
@@ -229,3 +230,22 @@ def test_sessionize_partitions_events_exactly(spark):
         assert nos == list(range(1, len(nos) + 1))
     assert (sess["duration_s"] < (sess["n_events"]) * 1800.0).all()
     assert (sess.loc[sess["n_events"] == 1, "duration_s"] == 0).all()
+
+
+def test_approx_percentiles_within_accuracy(spark):
+    """approx_percentile's rank-error contract vs the exact quantiles: with
+    accuracy=10000 and ~2k rows per group the returned element's empirical
+    rank must sit within 1% of the requested quantile."""
+    import numpy as np
+    from process_nwb_spark.relational.core import T, all_queries
+
+    sf = "/root/testdata/sf0.01"
+    approx = (all_queries()["agg_approx_percentiles"].fn(spark, sf)
+              .toPandas().set_index("event_type"))
+    vals = T(spark, sf, "events").select("event_type", "value").toPandas()
+    for etype, grp in vals.groupby("event_type"):
+        v = np.sort(grp["value"].to_numpy())
+        for q, a in zip((0.5, 0.95, 0.99), approx.loc[etype, "approx_q"]):
+            lo = np.searchsorted(v, a, side="left") / len(v)
+            hi = np.searchsorted(v, a, side="right") / len(v)
+            assert lo - 0.01 <= q <= hi + 0.01, (etype, q, a, lo, hi)
