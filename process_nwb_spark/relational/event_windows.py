@@ -881,3 +881,35 @@ def user_journey_paths(spark, sf_dir):
     return (seq.select(F.concat_ws(" > ", "e0", "e1", "e2").alias("path"))
             .groupBy("path").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), "path").limit(10))
+
+
+@query(
+    "win_cumulative_users",
+    """
+    WITH firstd AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY 1
+    ), perday AS (
+      SELECT d, COUNT(*) AS n_new FROM firstd GROUP BY d
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM perday
+    """,
+    doc="cumulative distinct-user growth curve, the scale-right way: NOT "
+        "a running COUNT(DISTINCT) window (whose state grows with "
+        "history); instead each user's first-seen day (one partial-agg "
+        "groupBy over the fact), a per-day count, then a cumulative sum "
+        "over the tiny calendar-bounded day table — the global-ordered "
+        "window runs on rows proportional to days, not events",
+)
+def win_cumulative_users(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    firstd = (e.groupBy("user_id")
+              .agg(F.min(F.col("ts").cast("date")).alias("d")))
+    perday = firstd.groupBy("d").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (perday
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "n_new",
+                    F.sum("n_new").over(w).cast("bigint").alias("cum_users"))
+            )

@@ -642,3 +642,47 @@ def agg_shape_stats(spark, sf_dir):
                   .alias("skew_v"),
                  F.round(F.kurtosis(F.col("value").cast("double")), 4)
                   .alias("kurt_v")))
+
+
+@query(
+    "agg_bitmap_distinct",
+    """
+    SELECT 'day' AS grain, STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS key,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'month', STRFTIME(DATE_TRUNC('month', ts), '%Y-%m-%d'),
+           COUNT(DISTINCT user_id)
+    FROM events GROUP BY 2
+    """,
+    doc="exact mergeable distinct counts via Spark 4 bitmap aggregates: "
+        "per-(day, bucket) bitmaps from bitmap_construct_agg, DAU = sum "
+        "of bitmap_count over disjoint buckets, MAU = bitmap_or_agg of "
+        "the DAY-LEVEL bitmaps re-counted — the monthly rollup never "
+        "touches raw user ids again. This is the exact-count sibling of "
+        "agg_hll_sketch: fixed 4 KB state per (cell, bucket), mergeable "
+        "across shards, so a 100 TB backfill materializes day bitmaps "
+        "once and every coarser grain is a cheap OR. user_id is shifted "
+        "+1 (bitmap bit positions are 1-based; 0 would be dropped). "
+        "Oracle recomputes both grains as plain COUNT(DISTINCT)",
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    e = (T(spark, sf_dir, "events")
+         .select(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+                  .alias("day"),
+                 F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-dd")
+                  .alias("month"),
+                 (F.col("user_id") + 1).alias("uid")))
+    day_bm = (e.groupBy("day", "month",
+                        F.expr("bitmap_bucket_number(uid)").alias("bucket"))
+              .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(uid))")
+                   .alias("bm")))
+    dau = (day_bm.groupBy(F.lit("day").alias("grain"),
+                          F.col("day").alias("key"))
+           .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users")))
+    mau = (day_bm.groupBy("month", "bucket")
+           .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+           .groupBy(F.lit("month").alias("grain"),
+                    F.col("month").alias("key"))
+           .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users")))
+    return dau.unionAll(mau)

@@ -1110,3 +1110,88 @@ def hybrid_search_rrf(spark, sf_dir):
                     F.round(rrf, 6).alias("rrf"))
             .orderBy(F.desc("rrf"), F.asc("doc_id"))
             .limit(10))
+
+
+@query(
+    "embed_kmeans_lloyd",
+    """
+    WITH flat AS (
+      SELECT vec_id, UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cents1 AS (
+      SELECT vec_id AS cluster, dim, x AS cx FROM flat
+      WHERE vec_id BETWEEN 1 AND 4
+    ),
+    dist1 AS (
+      SELECT f.vec_id, c.cluster, ROUND(SUM((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
+      FROM flat f JOIN cents1 c ON f.dim = c.dim
+      GROUP BY f.vec_id, c.cluster
+    ),
+    assign1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM dist1) WHERE rn = 1
+    ),
+    cents2 AS (
+      SELECT a.cluster, f.dim, AVG(f.x) AS cx
+      FROM flat f JOIN assign1 a ON f.vec_id = a.vec_id
+      GROUP BY a.cluster, f.dim
+    ),
+    dist2 AS (
+      SELECT f.vec_id, c.cluster, ROUND(SUM((f.x - c.cx) * (f.x - c.cx)), 6) AS d2
+      FROM flat f JOIN cents2 c ON f.dim = c.dim
+      GROUP BY f.vec_id, c.cluster
+    ),
+    assign2 AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT vec_id, cluster, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster) AS rn
+        FROM dist2) WHERE rn = 1
+    )
+    SELECT cluster, COUNT(*) AS n_members, ROUND(SUM(d2), 3) AS sse
+    FROM assign2 GROUP BY cluster
+    """,
+    doc="k-means, two Lloyd iterations unrolled into ONE lazy DataFrame "
+        "program (k=4, init = vectors 1..4): assignment is an exploded-dim "
+        "join + argmin rank, the centroid update is a partial-agg "
+        "element-wise mean — no driver loop, no collect between "
+        "iterations. Scale shape: each iteration re-keys only on dim "
+        "(64 rows per vector) and cluster stats stay k*dim-sized; "
+        "distances are ROUNDed before the argmin rank so float summation "
+        "order can't flip an assignment across engines (same discipline "
+        "as embed_knn_per_label). Fixed-iteration unrolling mirrors "
+        "graph_pagerank; MLlib KMeans is the convergence-loop sibling",
+)
+def embed_kmeans_lloyd(spark, sf_dir):
+    e = spread(T(spark, sf_dir, "embeddings"))
+    flat = (e.select("vec_id", F.posexplode("embedding").alias("dim0", "xf"))
+            .select("vec_id", (F.col("dim0") + 1).alias("dim"),
+                    F.col("xf").cast("double").alias("x")))
+
+    def assign(cents, with_d2=False):
+        d = (flat.alias("f")
+             .join(F.broadcast(cents).alias("c"), "dim")
+             .groupBy("vec_id", "cluster")
+             .agg(F.round(F.sum((F.col("x") - F.col("cx"))
+                                * (F.col("x") - F.col("cx"))), 6)
+                  .alias("d2")))
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        a = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        return a.select("vec_id", "cluster", "d2") if with_d2 \
+            else a.select("vec_id", "cluster")
+
+    cents1 = (flat.filter(F.col("vec_id").between(1, 4))
+              .select(F.col("vec_id").alias("cluster"), "dim",
+                      F.col("x").alias("cx")))
+    assign1 = assign(cents1)
+    cents2 = (flat.join(assign1, "vec_id")
+              .groupBy("cluster", "dim").agg(F.avg("x").alias("cx")))
+    assign2 = assign(cents2, with_d2=True)
+    return (assign2.groupBy("cluster")
+            .agg(F.count("*").alias("n_members"),
+                 F.round(F.sum("d2"), 3).alias("sse")))

@@ -426,3 +426,32 @@ def sql_scripting_loop(spark, sf_dir):
                  ROUND(hi, 2) AS max_price;
         END
     """)
+
+
+@query(
+    "sql_pipe_syntax",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(CAST(value AS DOUBLE)), 2) AS total_value
+    FROM events
+    WHERE value > 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Spark 4 SQL pipe syntax (|>): linear FROM -> WHERE -> AGGREGATE "
+        "-> ORDER BY dataflow that parses to exactly the same Catalyst "
+        "plan as the nested-SELECT formulation — same pushdown, same "
+        "partial aggregation; purely surface-level, so the oracle is the "
+        "classic SQL spelling",
+)
+def sql_pipe_syntax(spark, sf_dir):
+    T(spark, sf_dir, "events").createOrReplaceTempView("events_pipe")
+    return spark.sql("""
+        FROM events_pipe
+        |> WHERE value > 50
+        |> AGGREGATE COUNT(*) AS n,
+                     ROUND(SUM(CAST(value AS DOUBLE)), 2) AS total_value
+           GROUP BY event_type
+        |> SELECT event_type, n, total_value
+        |> ORDER BY event_type
+    """)

@@ -29,7 +29,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "agg_listagg_nations", "agg_regression_stats", "fn_try_arith",
         "sql_recursive_months", "stream_stream_join", "event_sessionize",
         "ts_rolling_median", "fn_explode_pos", "agg_shape_stats",
-        "user_journey_paths", "star_large_orders"]
+        "user_journey_paths", "star_large_orders", "agg_bitmap_distinct",
+        "win_cumulative_users", "sql_pipe_syntax", "embed_kmeans_lloyd"]
 
 
 @pytest.fixture(scope="module")
