@@ -721,3 +721,53 @@ def agg_entropy_mix(spark, sf_dir):
             .agg(F.count("*").cast("int").alias("n_langs"),
                  F.round(-F.sum(p * F.log2(p)), 4)
                   .alias("lang_entropy_bits")))
+
+
+@query(
+    "dq_profile_columns",
+    """
+    WITH src AS (
+      SELECT col_name, x FROM (
+        SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS x
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem)
+    )
+    SELECT col_name, COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(x) AS BIGINT) AS n_null,
+           COUNT(DISTINCT x) AS n_distinct,
+           ROUND(MIN(x), 4) AS min_v, ROUND(MAX(x), 4) AS max_v,
+           ROUND(AVG(x), 4) AS avg_v
+    FROM src GROUP BY col_name
+    """,
+    doc="one-scan multi-column data profile (the dashboard a table "
+        "publisher checks before promoting a snapshot): stack() unpivots "
+        "the four numeric lineitem measures inside a single Expand node — "
+        "ONE parquet scan feeds all column profiles, vs the naive "
+        "per-column loop that rescans the fact N times. min/max/avg/nulls "
+        "partially aggregate map-side; COUNT(DISTINCT x) is the one "
+        "expensive term (exact here for oracle parity — at 100 TB swap "
+        "approx_count_distinct, same plan shape minus the distinct "
+        "expand). The oracle replays it as 4 UNION ALL scans, which is "
+        "exactly the rescan shape the Spark plan avoids",
+)
+def dq_profile_columns(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    stacked = li.select(F.expr(
+        "stack(4, "
+        "'l_quantity', CAST(l_quantity AS DOUBLE), "
+        "'l_extendedprice', CAST(l_extendedprice AS DOUBLE), "
+        "'l_discount', CAST(l_discount AS DOUBLE), "
+        "'l_tax', CAST(l_tax AS DOUBLE)) AS (col_name, x)"))
+    return (stacked.groupBy("col_name")
+            .agg(F.count("*").alias("n_rows"),
+                 (F.count("*") - F.count("x")).cast("bigint").alias("n_null"),
+                 F.countDistinct("x").alias("n_distinct"),
+                 F.round(F.min("x"), 4).alias("min_v"),
+                 F.round(F.max("x"), 4).alias("max_v"),
+                 F.round(F.avg("x"), 4).alias("avg_v")))

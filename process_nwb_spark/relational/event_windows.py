@@ -913,3 +913,195 @@ def win_cumulative_users(spark, sf_dir):
             .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "n_new",
                     F.sum("n_new").over(w).cast("bigint").alias("cum_users"))
             )
+
+
+@query(
+    "ts_ewma_daily",
+    """
+    WITH perday AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    run AS (
+      SELECT d, revenue,
+             LIST(revenue) OVER (ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS l
+      FROM perday
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day, revenue,
+           ROUND(list_reduce(l, (acc, x) -> x * 0.3 + acc * 0.7), 4) AS ewma
+    FROM run
+    """,
+    doc="exponentially weighted moving average (alpha=0.3) of daily "
+        "revenue — an inherently SEQUENTIAL recurrence (s_i = a*v_i + "
+        "(1-a)*s_{i-1}) that a windowed SUM cannot express, computed as "
+        "an ordered-array fold: collect_list over the running frame, then "
+        "F.aggregate seeded with the first element. Runs AFTER the "
+        "partial-agg day rollup, so the fold touches rows proportional to "
+        "CALENDAR DAYS (bounded: 100 years = 36k), never raw facts; "
+        "per-day sums are rounded to cents before the fold so both "
+        "engines fold bit-identical inputs (sum order differs, the "
+        "recurrence would amplify nothing but why risk it). DuckDB "
+        "replays the same fold via list_reduce, whose seed is also the "
+        "first element",
+)
+def ts_ewma_daily(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    perday = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+              .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    arr = F.collect_list("revenue").over(w)
+    ewma = F.aggregate(
+        F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1).cast("double"),
+        lambda acc, x: x * F.lit(0.3) + acc * F.lit(0.7))
+    return perday.select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                         "revenue", F.round(ewma, 4).alias("ewma"))
+
+
+@query(
+    "survival_km_churn",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             DATE_DIFF('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+               AS lifetime,
+             CASE WHEN MAX(ts) < (SELECT MAX(ts) FROM events)
+                                 - INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END AS churned
+      FROM events GROUP BY user_id
+    ),
+    steps AS (
+      SELECT lifetime AS t, CAST(SUM(churned) AS BIGINT) AS d,
+             COUNT(*) AS c
+      FROM per_user GROUP BY lifetime
+    ),
+    risk AS (
+      SELECT t, d,
+             SUM(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING) AS n_risk
+      FROM steps
+    ),
+    fac AS (
+      SELECT t, d, n_risk,
+             ROUND(1.0 - d / CAST(n_risk AS DOUBLE), 6) AS factor
+      FROM risk
+    )
+    SELECT t, n_risk, d AS d_churned,
+           CASE WHEN SUM(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0
+                THEN 0.0
+                ELSE ROUND(EXP(SUM(CASE WHEN factor > 0 THEN LN(factor)
+                                        ELSE 0 END)
+                               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+                           4) END AS survival
+    FROM fac
+    """,
+    doc="Kaplan-Meier survival curve of user engagement lifetime "
+        "(first-to-last activity, days); a user is a churn EVENT if "
+        "silent for >7 days before the observation end (global MAX(ts), "
+        "broadcast as a one-row cross join), else right-censored. "
+        "n-at-risk is a reverse cumulative count and S(t) the running "
+        "product Π(1 - d/n), taken as EXP of a cumulative LN-sum so no "
+        "product aggregate is needed; factors are rounded before the sum "
+        "so both engines sum identical terms, and the d==n terminal step "
+        "(factor 0, LN undefined — Spark yields NULL, DuckDB -inf) is "
+        "CASE-guarded to an exact 0 on both sides. Everything after the "
+        "per-user groupBy runs on rows proportional to DISTINCT LIFETIME "
+        "DAYS — the curve itself is calendar-bounded",
+)
+def survival_km_churn(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    gmax = e.agg(F.max("ts").alias("gmax"))
+    per_user = (e.groupBy("user_id")
+                .agg(F.min("ts").alias("first_ts"),
+                     F.max("ts").alias("last_ts"))
+                .crossJoin(F.broadcast(gmax))
+                .select(F.datediff(F.col("last_ts").cast("date"),
+                                   F.col("first_ts").cast("date"))
+                        .alias("lifetime"),
+                        F.when(F.col("last_ts")
+                               < F.col("gmax") - F.expr("INTERVAL 7 DAY"),
+                               1).otherwise(0).alias("churned")))
+    steps = (per_user.groupBy(F.col("lifetime").alias("t"))
+             .agg(F.sum("churned").cast("bigint").alias("d"),
+                  F.count("*").alias("c")))
+    wrev = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = steps.withColumn("n_risk", F.sum("c").over(wrev))
+    fac = risk.withColumn(
+        "factor",
+        F.round(F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double"), 6))
+    lnf = F.when(F.col("factor") > 0, F.log(F.col("factor"))).otherwise(0.0)
+    zeros = F.sum(F.when(F.col("factor") <= 0, 1).otherwise(0)).over(wcum)
+    surv = (F.when(zeros > 0, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.sum(lnf).over(wcum)), 4)))
+    return fac.select("t", "n_risk", F.col("d").alias("d_churned"),
+                      surv.alias("survival"))
+
+
+@query(
+    "abtest_conversion_z",
+    """
+    WITH per_user AS (
+      SELECT user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS x0,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS x1
+      FROM per_user
+    )
+    SELECT n0, x0, n1, x1,
+           ROUND(x0 / CAST(n0 AS DOUBLE), 6) AS rate0,
+           ROUND(x1 / CAST(n1 AS DOUBLE), 6) AS rate1,
+           ROUND((x1 / CAST(n1 AS DOUBLE) - x0 / CAST(n0 AS DOUBLE))
+                 / SQRT(((x0 + x1) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 - (x0 + x1) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / n0 + 1.0 / n1)), 4) AS z_score
+    FROM arms
+    """,
+    doc="two-proportion z-test for an A/B experiment read directly off "
+        "the event log: variant = user_id % 2 (the deterministic stand-in "
+        "for an assignment column), conversion = user ever purchased. "
+        "One partial-agg groupBy(user) then conditional sums collapse "
+        "both arms into a SINGLE row — no per-variant shuffle, no join "
+        "between arms; the z statistic (pooled-variance normal "
+        "approximation) is pure scalar arithmetic on that row, written "
+        "with the identical expression shape on both engines so double "
+        "rounding can't diverge. The full-funnel experiment readout a "
+        "growth team runs daily at any scale",
+)
+def abtest_conversion_z(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id")
+                .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                           .otherwise(0)).alias("conv"))
+                .select((F.col("user_id") % 2).alias("variant"), "conv"))
+    arms = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+         .cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+         .cast("bigint").alias("x0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+         .cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+         .cast("bigint").alias("x1"))
+    r0 = F.col("x0") / F.col("n0").cast("double")
+    r1 = F.col("x1") / F.col("n1").cast("double")
+    p = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1")).cast("double")
+    se = F.sqrt(p * (F.lit(1.0) - p)
+                * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1")))
+    return arms.select("n0", "x0", "n1", "x1",
+                       F.round(r0, 6).alias("rate0"),
+                       F.round(r1, 6).alias("rate1"),
+                       F.round((r1 - r0) / se, 4).alias("z_score"))

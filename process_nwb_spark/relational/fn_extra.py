@@ -686,3 +686,50 @@ def agg_bitmap_distinct(spark, sf_dir):
                     F.col("month").alias("key"))
            .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_users")))
     return dau.unionAll(mau)
+
+
+@query(
+    "pareto_frontier_parts",
+    """
+    WITH best AS (
+      SELECT p_retailprice AS price, p_size AS size, p_partkey AS partkey
+      FROM (
+        SELECT p_retailprice, p_size, p_partkey,
+               ROW_NUMBER() OVER (PARTITION BY p_retailprice
+                                  ORDER BY p_size DESC, p_partkey) AS rn
+        FROM part) WHERE rn = 1
+    ),
+    scan AS (
+      SELECT partkey, price, size,
+             MAX(size) OVER (ORDER BY price
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+      FROM best
+    )
+    SELECT partkey, ROUND(price, 2) AS price, size
+    FROM scan WHERE mx IS NULL OR size > mx
+    """,
+    doc="Pareto frontier (skyline) of part on (minimize retailprice, "
+        "maximize size): a part is on the frontier iff no cheaper-or-equal "
+        "part has size >= it. Scale shape: phase 1 collapses to the "
+        "per-price argmax (row_number over PARTITION BY price — a keyed "
+        "shuffle with many small groups, not a global sort), so the "
+        "global ordered scan in phase 2 runs on DISTINCT PRICES (bounded "
+        "domain, ~thousands) rather than all parts; the running-max "
+        "dominance test is one integer window over that reduced set. "
+        "Deterministic ties: per-price winner is (size DESC, partkey), "
+        "and equal-size-equal-price duplicates keep the first",
+)
+def pareto_frontier_parts(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    wbest = (Window.partitionBy("p_retailprice")
+             .orderBy(F.desc("p_size"), F.asc("p_partkey")))
+    best = (p.withColumn("rn", F.row_number().over(wbest))
+            .filter(F.col("rn") == 1)
+            .select(F.col("p_partkey").alias("partkey"),
+                    F.col("p_retailprice").alias("price"),
+                    F.col("p_size").alias("size")))
+    wscan = (Window.orderBy("price")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    return (best.withColumn("mx", F.max("size").over(wscan))
+            .filter(F.col("mx").isNull() | (F.col("size") > F.col("mx")))
+            .select("partkey", F.round("price", 2).alias("price"), "size"))

@@ -30,7 +30,9 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "sql_recursive_months", "stream_stream_join", "event_sessionize",
         "ts_rolling_median", "fn_explode_pos", "agg_shape_stats",
         "user_journey_paths", "star_large_orders", "agg_bitmap_distinct",
-        "win_cumulative_users", "sql_pipe_syntax", "embed_kmeans_lloyd"]
+        "win_cumulative_users", "sql_pipe_syntax", "embed_kmeans_lloyd",
+        "pareto_frontier_parts", "dq_profile_columns", "ts_ewma_daily",
+        "survival_km_churn", "abtest_conversion_z"]
 
 
 @pytest.fixture(scope="module")
