@@ -771,3 +771,59 @@ def dq_profile_columns(spark, sf_dir):
                  F.round(F.min("x"), 4).alias("min_v"),
                  F.round(F.max("x"), 4).alias("max_v"),
                  F.round(F.avg("x"), 4).alias("avg_v")))
+
+
+# --------------------------------------------------------------------------
+# Upsample materialization: replicate under-represented strata
+# --------------------------------------------------------------------------
+# lang -> (whole copies, extra-copy md5 threshold out of 256); the
+# fractional part of the target weight becomes a deterministic per-doc coin.
+_UPSAMPLE = {"en": (1, 0), "zh": (1, 192), "es": (2, 0),
+             "de": (2, 128), "fr": (3, 64)}
+
+
+@query(
+    "mix_upsample_repeat",
+    f"""
+    WITH planned AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 1 WHEN 'es' THEN 2
+                       WHEN 'de' THEN 2 WHEN 'fr' THEN 3 END
+             + CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR) || ':up'")}
+                    < CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 192
+                                WHEN 'es' THEN 0 WHEN 'de' THEN 128
+                                WHEN 'fr' THEN 64 END
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(UNNEST(RANGE(1, n_copies + 1)) AS INT)
+             AS copy_no
+    FROM planned
+    """,
+    doc="data-mixture UPSAMPLING materialized: each document is "
+        "replicated n_copies times where n_copies = floor(weight) plus a "
+        "deterministic md5-coin for the fractional part (weights en 1.0 / "
+        "zh 1.75 / es 2.0 / de 2.5 / fr 3.25 — the epochs-per-source "
+        "dial of a training-mix spec). The replication is "
+        "explode(sequence(1, n)) — a narrow Generate with NO shuffle and "
+        "no data copy until the exploded rows are consumed downstream, "
+        "which is exactly how oversampling should ship at 100 TB: the "
+        "scan stays 1x, the fan-out happens inside the same stage as the "
+        "consumer, and the copy ordinal rides along so downstream "
+        "shuffles can decorrelate replicas (e.g. salt by copy_no). "
+        "Complements mix_to_target_weights, which only DOWN-samples",
+)
+def mix_upsample_repeat(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    base = F.lit(None).cast("int")
+    thresh = F.lit(None).cast("int")
+    for lang, (b, t) in _UPSAMPLE.items():
+        base = F.when(F.col("lang") == lang, b).otherwise(base)
+        thresh = F.when(F.col("lang") == lang, t).otherwise(thresh)
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":up"))
+    n_copies = base + F.when(_bucket(key) < thresh, 1).otherwise(0)
+    return (d.select("doc_id", "lang", n_copies.alias("n_copies"))
+            .select("doc_id", "lang",
+                    F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+                     .alias("copy_no"))
+            .withColumn("copy_no", F.col("copy_no").cast("int")))

@@ -1105,3 +1105,101 @@ def abtest_conversion_z(spark, sf_dir):
                        F.round(r0, 6).alias("rate0"),
                        F.round(r1, 6).alias("rate1"),
                        F.round((r1 - r0) / se, 4).alias("z_score"))
+
+
+@query(
+    "session_funnel",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, EPOCH_US(ts) AS us,
+             LAG(EPOCH_US(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id, event_type, us,
+             SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    ), s1 AS (
+      SELECT user_id, session_no,
+             MIN(CASE WHEN event_type = 'view' THEN us END) AS t_view
+      FROM sess GROUP BY user_id, session_no
+    ), s2 AS (
+      SELECT s1.user_id, s1.session_no, s1.t_view,
+             MIN(CASE WHEN e.event_type = 'click' AND e.us > s1.t_view
+                      THEN e.us END) AS t_click
+      FROM s1 JOIN sess e ON s1.user_id = e.user_id
+                         AND s1.session_no = e.session_no
+      GROUP BY s1.user_id, s1.session_no, s1.t_view
+    ), s3 AS (
+      SELECT s2.user_id, s2.session_no, s2.t_view, s2.t_click,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.us > s2.t_click
+                      THEN e.us END) AS t_purchase
+      FROM s2 JOIN sess e ON s2.user_id = e.user_id
+                         AND s2.session_no = e.session_no
+      GROUP BY s2.user_id, s2.session_no, s2.t_view, s2.t_click
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click_after_view,
+           CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase_after_click,
+           ROUND(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(NULLIF(SUM(CASE WHEN t_view IS NOT NULL
+                                        THEN 1 ELSE 0 END), 0) AS DOUBLE),
+                 6) AS p_view_to_purchase
+    FROM s3
+    """,
+    doc="funnel scoped to SESSIONS, not lifetimes: gap-based 30-min "
+        "sessionization (identical ordinals to event_sessionize), then "
+        "strictly-ordered view -> click -> purchase inside each session "
+        "via three chained conditional-min aggregates joined back on the "
+        "session key. Every window, groupBy, and join in the chain is "
+        "keyed on user_id(+session_no) — hashpartitioning(user_id) is "
+        "established once by the sessionize window and every later stage "
+        "reuses or refines it, so the whole funnel is one entity-keyed "
+        "shuffle regardless of fact size. The session-scoped variant "
+        "answers 'does the journey complete in one sitting' where "
+        "funnel_conversion answers 'does it ever complete'",
+)
+def session_funnel(spark, sf_dir):
+    gap_us = 30 * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = (T(spark, sf_dir, "events")
+         .select("user_id", "event_id", "event_type",
+                 F.unix_micros("ts").alias("us")))
+    sess = (e.withColumn("prev_us", F.lag("us").over(w))
+            .withColumn("session_no",
+                        F.sum(F.when(F.col("prev_us").isNull()
+                                     | (F.col("us") - F.col("prev_us")
+                                        > gap_us), 1).otherwise(0))
+                        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .select("user_id", "session_no", "event_type", "us"))
+    key = ["user_id", "session_no"]
+    s1 = (sess.groupBy(*key)
+          .agg(F.min(F.when(F.col("event_type") == "view", F.col("us")))
+               .alias("t_view")))
+    s2 = (s1.join(sess, key)
+          .groupBy(*key, "t_view")
+          .agg(F.min(F.when((F.col("event_type") == "click")
+                            & (F.col("us") > F.col("t_view")), F.col("us")))
+               .alias("t_click")))
+    s3 = (s2.join(sess, key)
+          .groupBy(*key, "t_view", "t_click")
+          .agg(F.min(F.when((F.col("event_type") == "purchase")
+                            & (F.col("us") > F.col("t_click")), F.col("us")))
+               .alias("t_purchase")))
+    nv = F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+    np_ = F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0))
+    return s3.agg(
+        F.count("*").alias("n_sessions"),
+        nv.cast("bigint").alias("n_view"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0))
+         .cast("bigint").alias("n_click_after_view"),
+        np_.cast("bigint").alias("n_purchase_after_click"),
+        F.round(np_ / F.nullif(nv, F.lit(0)).cast("double"), 6)
+         .alias("p_view_to_purchase"))

@@ -1195,3 +1195,77 @@ def embed_kmeans_lloyd(spark, sf_dir):
     return (assign2.groupBy("cluster")
             .agg(F.count("*").alias("n_members"),
                  F.round(F.sum("d2"), 3).alias("sse")))
+
+
+@query(
+    "jaccard_prefix_filter",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    df AS (SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY sh),
+    filtered AS (SELECT s.doc_id, s.sh FROM sh s JOIN df ON s.sh = df.sh
+                 WHERE df.n_docs <= 100),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM filtered GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM filtered a JOIN filtered b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(p.shared AS DOUBLE) /
+                 (sa.n_sh + sb.n_sh - p.shared), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.shared) >= 0.2
+    """,
+    doc="AllPairs/PPJoin-style PREFIX-FILTERED set-similarity join at "
+        "Jaccard >= 0.2 — the exact-result scale path between quadratic "
+        "ngram_jaccard_pairs and recall-lossy LSH. Shingles are globally "
+        "ordered by (document frequency, shingle) so each doc's prefix "
+        "(|x| - ceil(0.2|x|) + 1 rarest shingles) is provably sufficient: "
+        "two sets with no prefix overlap cannot reach the threshold, so "
+        "ONLY prefix shingles enter the candidate self-join — join "
+        "fan-out drops from df^2 per shingle over all shingles to the "
+        "rare prefix subset — and candidates are then verified with an "
+        "exact candidate-driven intersection count (join per candidate "
+        "pair, not all-pairs). Same df<=100 stop-shingle guard as the "
+        "quadratic twin; oracle is the exact quadratic join, which the "
+        "no-false-negatives guarantee must reproduce bit-for-bit",
+)
+def jaccard_prefix_filter(spark, sf_dir):
+    t = 0.2
+    sh = _shingles_df(spark, sf_dir)
+    wdf = Window.partitionBy("sh")
+    filtered = (sh.withColumn("n_docs", F.count("*").over(wdf))
+                .filter(F.col("n_docs") <= 100))
+    wdoc = Window.partitionBy("doc_id")
+    wrank = Window.partitionBy("doc_id").orderBy("n_docs", "sh")
+    ranked = (filtered
+              .withColumn("n_sh", F.count("*").over(wdoc))
+              .withColumn("rn", F.row_number().over(wrank)))
+    prefix = (ranked
+              .filter(F.col("rn")
+                      <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
+              .select("doc_id", "sh"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sets = filtered.select("doc_id", "sh")
+    fa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    fb = sets.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("shb"))
+    shared = (cand.join(fa, "doc_a")
+              .join(fb, (F.col("doc_b") == F.col("doc_b2"))
+                    & (F.col("sha") == F.col("shb")))
+              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared")))
+    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("shared").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("shared")))
+    return (shared.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+            .filter(jac >= t)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))

@@ -32,7 +32,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "user_journey_paths", "star_large_orders", "agg_bitmap_distinct",
         "win_cumulative_users", "sql_pipe_syntax", "embed_kmeans_lloyd",
         "pareto_frontier_parts", "dq_profile_columns", "ts_ewma_daily",
-        "survival_km_churn", "abtest_conversion_z"]
+        "survival_km_churn", "abtest_conversion_z", "session_funnel",
+        "jaccard_prefix_filter", "mix_upsample_repeat"]
 
 
 @pytest.fixture(scope="module")
