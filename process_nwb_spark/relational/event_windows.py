@@ -1203,3 +1203,95 @@ def session_funnel(spark, sf_dir):
         np_.cast("bigint").alias("n_purchase_after_click"),
         F.round(np_ / F.nullif(nv, F.lit(0)).cast("double"), 6)
          .alias("p_view_to_purchase"))
+
+
+@query(
+    "win_mom_growth",
+    """
+    WITH monthly AS (
+      SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND((revenue - LAG(revenue, 1) OVER (ORDER BY month))
+                 / LAG(revenue, 1) OVER (ORDER BY month) * 100, 4)
+             AS mom_pct,
+           ROUND((revenue - LAG(revenue, 12) OVER (ORDER BY month))
+                 / LAG(revenue, 12) OVER (ORDER BY month) * 100, 4)
+             AS yoy_pct
+    FROM monthly
+    """,
+    doc="month-over-month and year-over-year revenue growth: the "
+        "period-comparison staple. The fact table collapses to one row "
+        "per month FIRST (partial-agg groupBy — the only stage that "
+        "touches raw orders), then both LAG offsets run on the "
+        "calendar-bounded month table; per-month sums are rounded to "
+        "cents before the ratios so both engines difference identical "
+        "numerators. The global-ordered window is safe for the same "
+        "reason as win_cumulative_users: its input is months, not facts",
+)
+def win_mom_growth(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    monthly = (o.groupBy(F.date_format(
+        F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    w = Window.orderBy("month")
+    prev1 = F.lag("revenue", 1).over(w)
+    prev12 = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month", "revenue",
+        F.round((F.col("revenue") - prev1) / prev1 * 100, 4).alias("mom_pct"),
+        F.round((F.col("revenue") - prev12) / prev12 * 100, 4)
+         .alias("yoy_pct"))
+
+
+@query(
+    "running_balance_clamped",
+    """
+    WITH amts AS (
+      SELECT user_id, event_id, ts,
+             FLOOR(CASE WHEN event_type = 'purchase'
+                        THEN -CAST(value AS DOUBLE)
+                        ELSE CAST(value AS DOUBLE) / 4 END * 100) / 100 AS amt
+      FROM events
+    ),
+    run AS (
+      SELECT user_id, event_id,
+             LIST(amt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS l
+      FROM amts
+    )
+    SELECT user_id, event_id,
+           ROUND(list_reduce(list_prepend(0.0, l),
+                             (acc, x) -> GREATEST(0.0, acc + x)), 2)
+             AS balance
+    FROM run
+    """,
+    doc="running account balance that CLAMPS at zero (credits accrue at "
+        "value/4, purchases debit full value, balance can never go "
+        "negative) — a non-linear recurrence max(0, prev + x) that no "
+        "windowed SUM or prefix trick can express, so it is an ordered "
+        "fold like ts_ewma_daily but PER ENTITY: partitioned by user_id, "
+        "every user folds in parallel on one keyed shuffle, and fold "
+        "length is bounded by per-entity history, not table size. "
+        "Amounts are FLOOR-truncated to cents pre-fold (floor, not round: "
+        "the engines disagree on round-half of doubles but floor "
+        "identically) so both fold identical inputs; the fold is seeded "
+        "with an explicit 0.0 (list_prepend) so the first element is "
+        "clamped too",
+)
+def running_balance_clamped(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    amt = F.floor(
+        F.when(F.col("event_type") == "purchase",
+               -F.col("value").cast("double"))
+        .otherwise(F.col("value").cast("double") / 4) * 100) / 100
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    arr = F.collect_list("amt").over(w)
+    bal = F.aggregate(arr, F.lit(0.0),
+                      lambda acc, x: F.greatest(F.lit(0.0), acc + x))
+    return (e.withColumn("amt", amt)
+            .select("user_id", "event_id",
+                    F.round(bal, 2).alias("balance")))

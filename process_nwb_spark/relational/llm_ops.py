@@ -1269,3 +1269,80 @@ def jaccard_prefix_filter(spark, sf_dir):
     return (shared.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
             .filter(jac >= t)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
+@query(
+    "embed_pca_power",
+    """
+    WITH flat AS (
+      SELECT vec_id, UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    mu AS (SELECT dim, AVG(x) AS m FROM flat GROUP BY dim),
+    centered AS (
+      SELECT f.vec_id, f.dim, f.x - mu.m AS c
+      FROM flat f JOIN mu ON f.dim = mu.dim
+    ),
+    n AS (SELECT COUNT(DISTINCT vec_id) AS n FROM flat),
+    cov AS (
+      SELECT a.dim AS i, b.dim AS j,
+             ROUND(SUM(a.c * b.c) / (SELECT n FROM n), 6) AS a
+      FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+      GROUP BY a.dim, b.dim
+    ),
+    u1 AS (SELECT i, a AS u FROM cov WHERE j = 1),
+    v1 AS (
+      SELECT i, ROUND(u / SQRT((SELECT SUM(u * u) FROM u1)), 8) AS v
+      FROM u1
+    ),
+    u2 AS (
+      SELECT cov.i, SUM(cov.a * v1.v) AS u
+      FROM cov JOIN v1 ON cov.j = v1.i
+      GROUP BY cov.i
+    )
+    SELECT u2.i AS dim,
+           ROUND(u2.u / SQRT((SELECT SUM(u * u) FROM u2)), 6) AS component,
+           ROUND(SQRT((SELECT SUM(u * u) FROM u2)), 4) AS eigenvalue
+    FROM u2
+    """,
+    doc="top principal component of the embedding cloud by UNROLLED power "
+        "iteration, entirely in-plan (no driver loop, no collect): dim "
+        "means -> centered values -> covariance as an outer-product "
+        "partial aggregate (state is dim^2 = 4096 cells regardless of "
+        "row count — the canonical distributed-covariance shape), then "
+        "two matrix-vector steps where the 64x64 matrix is joined "
+        "against the current 64-row vector and renormalized via a scalar "
+        "cross join. The eigenvalue estimate is |A v|/|v| after the "
+        "second step. Covariance is rounded before iterating and the "
+        "unit vector after each normalize, so both engines iterate "
+        "bit-identical state (same discipline as embed_kmeans_lloyd); "
+        "fixed-iteration unrolling mirrors graph_pagerank",
+)
+def embed_pca_power(spark, sf_dir):
+    e = spread(T(spark, sf_dir, "embeddings"))
+    flat = (e.select("vec_id", F.posexplode("embedding").alias("dim0", "xf"))
+            .select("vec_id", (F.col("dim0") + 1).alias("dim"),
+                    F.col("xf").cast("double").alias("x")))
+    mu = flat.groupBy("dim").agg(F.avg("x").alias("m"))
+    centered = (flat.join(F.broadcast(mu), "dim")
+                .select("vec_id", "dim", (F.col("x") - F.col("m")).alias("c")))
+    n = flat.agg(F.countDistinct("vec_id").alias("n"))
+    a_, b_ = centered.alias("a"), centered.alias("b")
+    cov = (a_.join(b_, "vec_id")
+           .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+           .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("s"))
+           .crossJoin(F.broadcast(n))
+           .select("i", "j", F.round(F.col("s") / F.col("n"), 6).alias("a")))
+    u1 = cov.filter(F.col("j") == 1).select("i", F.col("a").alias("u"))
+    norm1 = u1.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nv"))
+    v1 = (u1.crossJoin(F.broadcast(norm1))
+          .select(F.col("i").alias("vi"),
+                  F.round(F.col("u") / F.col("nv"), 8).alias("v")))
+    u2 = (cov.join(F.broadcast(v1), F.col("j") == F.col("vi"))
+          .groupBy("i").agg(F.sum(F.col("a") * F.col("v")).alias("u")))
+    norm2 = u2.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nv"))
+    return (u2.crossJoin(F.broadcast(norm2))
+            .select(F.col("i").alias("dim"),
+                    F.round(F.col("u") / F.col("nv"), 6).alias("component"),
+                    F.round("nv", 4).alias("eigenvalue")))

@@ -33,7 +33,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "win_cumulative_users", "sql_pipe_syntax", "embed_kmeans_lloyd",
         "pareto_frontier_parts", "dq_profile_columns", "ts_ewma_daily",
         "survival_km_churn", "abtest_conversion_z", "session_funnel",
-        "jaccard_prefix_filter", "mix_upsample_repeat"]
+        "jaccard_prefix_filter", "mix_upsample_repeat",
+        "embed_pca_power", "win_mom_growth", "running_balance_clamped"]
 
 
 @pytest.fixture(scope="module")
