@@ -1295,3 +1295,101 @@ def running_balance_clamped(spark, sf_dir):
     return (e.withColumn("amt", amt)
             .select("user_id", "event_id",
                     F.round(bal, 2).alias("balance")))
+
+
+@query(
+    "win_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    islands AS (
+      SELECT user_id, d,
+             DATE_DIFF('day', DATE '1970-01-01', d)
+             - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, COUNT(*) AS len
+      FROM islands GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+    doc="longest consecutive-day activity streak per user — the "
+        "gaps-and-islands pattern: distinct active days, then the "
+        "epoch-day-minus-row-number trick assigns every run of "
+        "consecutive dates a constant island id, and two grouped "
+        "aggregations finish it. Everything after the DISTINCT is keyed "
+        "on user_id, so the window, both groupBys, and the final rollup "
+        "share ONE user-keyed shuffle (hashpartitioning(user_id) "
+        "satisfies every downstream (user_id, grp) requirement); "
+        "per-user state is bounded by that user's active days. The "
+        "engagement metric behind every retention dashboard",
+)
+def win_streaks(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "grp", F.datediff("d", F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").cast("bigint").alias("longest_streak"),
+                 F.sum("len").cast("bigint").alias("n_active_days"),
+                 F.count("*").cast("bigint").alias("n_streaks")))
+
+
+@query(
+    "orders_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             DATE_DIFF('day',
+                       LAG(CAST(o_orderdate AS DATE)) OVER
+                         (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(AVG(CAST(g.gap_days AS DOUBLE)), 4) AS avg_gap_days,
+           ROUND(MEDIAN(CAST(g.gap_days AS DOUBLE)), 1) AS median_gap_days,
+           CAST(MAX(g.gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+    WHERE g.gap_days IS NOT NULL
+    GROUP BY c.c_mktsegment
+    """,
+    doc="inter-order gap statistics (repurchase cadence) by market "
+        "segment: LAG over each customer's order history gives "
+        "days-since-previous-order, then one grouped aggregate per "
+        "segment after a BROADCAST join to the customer dim — the fact "
+        "table is shuffled once on o_custkey for the window and never "
+        "again (the segment groupBy re-aggregates only 5 groups of "
+        "partial state). Exact MEDIAN runs per segment over the gap "
+        "column; at 100 TB swap approx_percentile, same plan shape. The "
+        "purchase-frequency readout behind CLV and churn models",
+)
+def orders_gap_stats(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (o.select("o_custkey", "o_orderdate", "o_orderkey")
+            .withColumn("gap_days",
+                        F.datediff(F.col("o_orderdate").cast("date"),
+                                   F.lag(F.col("o_orderdate").cast("date"))
+                                   .over(w)))
+            .filter(F.col("gap_days").isNotNull()))
+    return (gaps.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                      gaps.o_custkey == F.col("c_custkey"))
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").cast("bigint").alias("n_gaps"),
+                 F.round(F.avg(F.col("gap_days").cast("double")), 4)
+                  .alias("avg_gap_days"),
+                 F.round(F.expr("median(CAST(gap_days AS DOUBLE))"), 1)
+                  .alias("median_gap_days"),
+                 F.max("gap_days").cast("bigint").alias("max_gap_days")))

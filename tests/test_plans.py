@@ -314,3 +314,30 @@ def test_large_orders_semi_join_broadcasts(spark, qs):
     assert has_broadcast_join(df), formatted_plan(df)
     assert has_partial_aggregation(df)
     assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_behavior_analytics_shuffle_budgets(spark, qs):
+    """Entity-keyed analytics stay on their entity shuffle: streaks pay
+    dedup + user window; gap stats pay the custkey window plus the tiny
+    segment rollup with the customer dim BROADCAST; session_funnel's
+    sessionize window and all three conditional-min stages ride the
+    user-keyed exchanges (subset-satisfaction: hashpartitioning(user_id)
+    serves every (user_id, session_no) requirement downstream)."""
+    budgets = {"win_streaks": 2, "orders_gap_stats": 2, "session_funnel": 3}
+    for name, budget in budgets.items():
+        df = qs[name].fn(spark, SF)
+        n = count_exchanges(df)
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+    assert has_broadcast_join(qs["orders_gap_stats"].fn(spark, SF))
+
+
+def test_prefix_filter_join_is_partial_agged(spark, qs):
+    """The prefix-filtered similarity join must partially aggregate its
+    intersection counts and broadcast the doc-size table back (K-sized),
+    and its exchange count must stay bounded — a regression that, e.g.,
+    recomputes the shingle explosion per stage shows up here first."""
+    df = qs["jaccard_prefix_filter"].fn(spark, SF)
+    assert has_partial_aggregation(df)
+    assert has_broadcast_join(df)
+    n = count_exchanges(df)
+    assert n <= 16, f"jaccard_prefix_filter: {n} exchanges"

@@ -34,7 +34,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "pareto_frontier_parts", "dq_profile_columns", "ts_ewma_daily",
         "survival_km_churn", "abtest_conversion_z", "session_funnel",
         "jaccard_prefix_filter", "mix_upsample_repeat",
-        "embed_pca_power", "win_mom_growth", "running_balance_clamped"]
+        "embed_pca_power", "win_mom_growth", "running_balance_clamped",
+        "win_streaks", "orders_gap_stats"]
 
 
 @pytest.fixture(scope="module")
