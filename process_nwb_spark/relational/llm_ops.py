@@ -1346,3 +1346,112 @@ def embed_pca_power(spark, sf_dir):
             .select(F.col("i").alias("dim"),
                     F.round(F.col("u") / F.col("nv"), 6).alias("component"),
                     F.round("nv", 4).alias("eigenvalue")))
+
+
+@query(
+    "simhash_near_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN ((STRPOS('0123456789abcdef',
+                                SUBSTR(MD5(w), CAST(b // 4 AS INT) + 1, 1)) - 1)
+                        >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+      FROM tok, (SELECT UNNEST(RANGE(0, 16)) AS b)
+    ),
+    votes AS (SELECT doc_id, b, SUM(sgn) AS v FROM bits GROUP BY doc_id, b),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-duplicate PAIRS at Hamming distance <= 3, found "
+        "without a quadratic scan: the 16-bit fingerprint splits into 4 "
+        "nibbles and by pigeonhole any pair within distance 3 must agree "
+        "on at least one whole nibble, so candidates come from an "
+        "equi-join on (band, nibble) keys — same banding trade as "
+        "minhash_lsh_candidates but EXACT (zero false negatives), then "
+        "verified with bit_count(xor) on the two 64-bit-int fingerprints. "
+        "Completes the near-dup toolkit: fingerprints alone "
+        "(simhash_fingerprints) only catch hamming-0; this catches the "
+        "one-edit neighborhood at banded-join cost. Oracle is the "
+        "quadratic exact pair scan",
+)
+def simhash_near_pairs(spark, sf_dir):
+    fp = simhash_fingerprints(spark, sf_dir)
+    band_structs = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 (F.shiftright(F.col("simhash"), 4 * i) % 16).alias("nib"))
+        for i in range(4)])
+    bands = (fp.select("doc_id", "simhash",
+                       F.explode(band_structs).alias("bb"))
+             .select("doc_id", "simhash", F.col("bb.band").alias("band"),
+                     F.col("bb.nib").alias("nib")))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.expr("a.simhash ^ b.simhash")).cast("int")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.nib") == F.col("b.nib"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    ham.alias("hamming"))
+            .filter(F.col("hamming") <= 3)
+            .distinct())
+
+
+@query(
+    "langid_confusion",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(the|and|of)\\b')) AS s_en,
+             LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(der|und|die)\\b')) AS s_de,
+             LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(el|los|que)\\b')) AS s_es,
+             LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\\b(le|les|est)\\b')) AS s_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS actual,
+             CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted
+      FROM scored
+    ),
+    cells AS (
+      SELECT actual, predicted, COUNT(*) AS n
+      FROM pred GROUP BY actual, predicted
+    ),
+    tot AS (SELECT actual, SUM(n) AS t FROM cells GROUP BY actual)
+    SELECT c.actual, c.predicted, c.n,
+           ROUND(c.n / CAST(t.t AS DOUBLE), 4) AS share_of_actual
+    FROM cells c JOIN tot t ON c.actual = t.actual
+    """,
+    doc="confusion matrix of the stopword language-ID heuristic against "
+        "the labeled lang column — the evaluation harness every "
+        "classifier-driven curation gate needs before it filters a "
+        "corpus: per-(actual, predicted) counts plus row-normalized "
+        "shares (recall on the diagonal). One narrow scan computes the "
+        "scores, the matrix is a partial-agg groupBy over at most "
+        "|langs|^2 cells, and the row totals join back BROADCAST — "
+        "shuffle volume is bounded by the label-domain size, never the "
+        "corpus. Evaluates the same CASE-argmax as text_langid",
+)
+def langid_confusion(spark, sf_dir):
+    pred = (text_langid(spark, sf_dir)
+            .select(F.col("lang").alias("actual"),
+                    F.col("predicted_lang").alias("predicted")))
+    cells = pred.groupBy("actual", "predicted").agg(F.count("*").alias("n"))
+    tot = cells.groupBy("actual").agg(F.sum("n").alias("t"))
+    return (cells.join(F.broadcast(tot), "actual")
+            .select("actual", "predicted", "n",
+                    F.round(F.col("n") / F.col("t").cast("double"), 4)
+                     .alias("share_of_actual")))

@@ -1319,3 +1319,49 @@ def agg_approx_percentiles(spark, sf_dir):
                 F.col("value").cast("double"),
                 F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
                 10000).alias("approx_q")))
+
+
+@query(
+    "star_topk_unshipped",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           STRFTIME(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (top unshipped orders by potential revenue): "
+        "segment-filtered customer dim BROADCAST into orders, the "
+        "date-filtered fact join carries only pruned columns, and the "
+        "top-10 lands via TakeOrderedAndProject — per-partition heaps "
+        "merged on the driver, never a global sort of the aggregate. "
+        "Both date predicates push into the parquet scans. Revenue is "
+        "rounded before ordering with orderkey as the total tiebreak so "
+        "both engines cut the same top-10",
+)
+def star_topk_unshipped(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = (T(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate").cast("date") < F.lit("1995-03-15"))
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (T(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate").cast("date") > F.lit("1995-03-15"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (o.join(F.broadcast(c.select("c_custkey")),
+                   o.o_custkey == F.col("c_custkey"))
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy(F.col("l_orderkey").alias("orderkey"),
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                      .alias("orderdate"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("orderkey"))
+            .limit(10))

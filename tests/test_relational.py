@@ -35,7 +35,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "survival_km_churn", "abtest_conversion_z", "session_funnel",
         "jaccard_prefix_filter", "mix_upsample_repeat",
         "embed_pca_power", "win_mom_growth", "running_balance_clamped",
-        "win_streaks", "orders_gap_stats"]
+        "win_streaks", "orders_gap_stats", "simhash_near_pairs",
+        "langid_confusion", "star_topk_unshipped"]
 
 
 @pytest.fixture(scope="module")
