@@ -1393,3 +1393,101 @@ def orders_gap_stats(spark, sf_dir):
                  F.round(F.expr("median(CAST(gap_days AS DOUBLE))"), 1)
                   .alias("median_gap_days"),
                  F.max("gap_days").cast("bigint").alias("max_gap_days")))
+
+
+@query(
+    "alert_error_rate",
+    """
+    WITH hourly AS (
+      SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 hour', ts),
+                      '%Y-%m-%d %H:%M:%S') AS hour,
+             COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT hour, n_events, n_errors,
+           ROUND(n_errors / CAST(n_events AS DOUBLE), 6) AS error_rate,
+           CASE WHEN n_errors / CAST(n_events AS DOUBLE) > 0.25
+                THEN 1 ELSE 0 END AS alert
+    FROM hourly
+    """,
+    doc="hourly error-rate monitor with threshold alerting — the ops "
+        "dashboard query: ONE tumbling-window partial aggregate computes "
+        "both the event count and the conditional error count (no "
+        "self-join of errors vs totals, the classic mistake that doubles "
+        "the scan and adds a shuffle), then the rate and the alert flag "
+        "are row-local arithmetic on the bounded hourly rollup. "
+        "Streaming twin: the same expressions behind withWatermark + "
+        "window, emitting alerts per micro-batch",
+)
+def alert_error_rate(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_format(
+        F.window("ts", "1 hour").start, _TS_FMT).alias("hour"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+              .cast("bigint").alias("n_errors")))
+    rate = F.col("n_errors") / F.col("n_events").cast("double")
+    return hourly.select(
+        "hour", "n_events", "n_errors",
+        F.round(rate, 6).alias("error_rate"),
+        F.when(rate > 0.25, 1).otherwise(0).alias("alert"))
+
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, EPOCH_US(ts) AS us,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_touch,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN EPOCH_US(ts) END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_touch_us
+      FROM events
+    )
+    SELECT COALESCE(CASE WHEN us - prev_touch_us <= 604800000000
+                         THEN prev_touch END, 'organic') AS touch,
+           COUNT(*) AS n_purchases
+    FROM ordered
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="last-touch marketing attribution: each purchase credits the "
+        "most recent preceding view/click by the same user within a "
+        "7-day lookback, else 'organic'. The carry-forward is LAG ... "
+        "IGNORE NULLS over the user's event stream — the same "
+        "forward-fill primitive as win_gap_fill, so attribution needs "
+        "exactly ONE user-keyed shuffle and no self-join of purchases "
+        "against touch events (the join formulation explodes on "
+        "high-activity users; the window is linear in each user's "
+        "history). Attribution-window arithmetic stays in integer "
+        "microseconds",
+)
+def attribution_last_touch(spark, sf_dir):
+    e = (T(spark, sf_dir, "events")
+         .select("user_id", "event_id", "event_type",
+                 F.unix_micros("ts").alias("us")))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    is_touch = F.col("event_type").isin("view", "click")
+    ordered = (e.withColumn("prev_touch",
+                            F.last(F.when(is_touch, F.col("event_type")),
+                                   ignorenulls=True)
+                            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+               .withColumn("prev_touch_us",
+                           F.last(F.when(is_touch, F.col("us")),
+                                  ignorenulls=True)
+                           .over(w.rowsBetween(Window.unboundedPreceding, -1))))
+    week_us = 7 * 24 * 3600 * 1_000_000
+    touch = F.coalesce(
+        F.when(F.col("us") - F.col("prev_touch_us") <= week_us,
+               F.col("prev_touch")), F.lit("organic"))
+    return (ordered.filter(F.col("event_type") == "purchase")
+            .groupBy(touch.alias("touch"))
+            .agg(F.count("*").alias("n_purchases")))

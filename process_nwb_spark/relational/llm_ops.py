@@ -1455,3 +1455,52 @@ def langid_confusion(spark, sf_dir):
             .select("actual", "predicted", "n",
                     F.round(F.col("n") / F.col("t").cast("double"), 4)
                      .alias("share_of_actual")))
+
+
+@query(
+    "vocab_zipf_slope",
+    """
+    WITH counts AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents) t
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+      FROM counts
+    ),
+    top AS (SELECT r, c FROM ranked WHERE r <= 1000)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+           ROUND(REGR_SLOPE(LN(CAST(c AS DOUBLE)), LN(CAST(r AS DOUBLE))), 4)
+             AS zipf_slope,
+           ROUND(REGR_INTERCEPT(LN(CAST(c AS DOUBLE)),
+                                LN(CAST(r AS DOUBLE))), 4) AS zipf_intercept,
+           ROUND(REGR_R2(LN(CAST(c AS DOUBLE)), LN(CAST(r AS DOUBLE))), 4)
+             AS r2
+    FROM top
+    """,
+    doc="Zipf's-law fit of the corpus vocabulary: log-frequency vs "
+        "log-rank least squares over the top-1000 words (natural text "
+        "slopes toward -1; a far-off slope flags synthetic or degenerate "
+        "corpora — a cheap distribution-level quality gate no per-doc "
+        "score catches). Word counts partially aggregate map-side; the "
+        "rank window orders only the VOCABULARY (bounded, not corpus-"
+        "sized) and regr_slope/intercept/r2 fold in one pass — inputs "
+        "are logs of exact integers, so both engines regress identical "
+        "points. Total tie-break (count DESC, word) keeps ranks stable "
+        "across engines",
+)
+def vocab_zipf_slope(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    counts = (d.select(F.explode(_words()).alias("w"))
+              .groupBy("w").agg(F.count("*").alias("c")))
+    wr = Window.orderBy(F.desc("c"), "w")
+    top = (counts.withColumn("r", F.row_number().over(wr))
+           .filter(F.col("r") <= 1000))
+    lc = F.log(F.col("c").cast("double"))
+    lr = F.log(F.col("r").cast("double"))
+    return top.agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 4).alias("r2"))

@@ -36,7 +36,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "jaccard_prefix_filter", "mix_upsample_repeat",
         "embed_pca_power", "win_mom_growth", "running_balance_clamped",
         "win_streaks", "orders_gap_stats", "simhash_near_pairs",
-        "langid_confusion", "star_topk_unshipped"]
+        "langid_confusion", "star_topk_unshipped", "alert_error_rate",
+        "attribution_last_touch", "vocab_zipf_slope"]
 
 
 @pytest.fixture(scope="module")
