@@ -1365,3 +1365,178 @@ def star_topk_unshipped(spark, sf_dir):
                  .alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("orderkey"))
             .limit(10))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 / Q17 / Q21 shapes (reference BASELINE.json north-star queries;
+# adapted to the testdata's columns — no p_container/l_receiptdate here)
+# --------------------------------------------------------------------------
+@query(
+    "star_market_share",
+    """
+    WITH sales AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part      ON p_partkey = l_partkey
+      JOIN supplier  ON s_suppkey = l_suppkey
+      JOIN orders    ON o_orderkey = l_orderkey
+      JOIN customer  ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region    ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / SUM(volume), 4) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM sales GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: national market share — NATION_3's slice of "
+        "PROMO-part revenue sold into AMERICA, per order year. An 8-table "
+        "snowflake where ONLY the customer side is region-filtered and "
+        "the supplier side keeps every nation (the classic both-roles "
+        "nation join, aliased twice). Declared as plain joins: part, "
+        "supplier, both nations and region broadcast at any scale, so "
+        "the only shuffles are the lineitem⋈orders⋈customer fact chain; "
+        "the share is a conditional-sum ratio inside one partial "
+        "aggregate (no per-nation second pass). Cites reference "
+        "BASELINE.json join-query family",
+)
+def star_market_share(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = (T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+         .select("p_partkey"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                          "o_orderdate")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = T(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nkey"),
+        F.col("n_name").alias("supp_nation"))
+    r = (T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+         .select("r_regionkey"))
+    sales = (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+             .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+             .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+             .join(c, F.col("c_custkey") == F.col("o_custkey"))
+             .join(F.broadcast(n1),
+                   F.col("n_nationkey") == F.col("c_nationkey"))
+             .join(F.broadcast(r),
+                   F.col("r_regionkey") == F.col("n_regionkey"))
+             .join(F.broadcast(n2),
+                   F.col("supp_nkey") == F.col("s_nationkey"))
+             .select(F.year("o_orderdate").alias("o_year"),
+                     (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                     .cast("double").alias("volume"),
+                     "supp_nation"))
+    share = (F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                          F.col("volume")).otherwise(0.0))
+             / F.sum("volume"))
+    return (sales.groupBy("o_year")
+            .agg(F.round(share, 4).alias("mkt_share"),
+                 F.count("*").alias("n_lines")))
+
+
+@query(
+    "sub_small_qty_revenue",
+    """
+    SELECT p_brand,
+           ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part ON p_partkey = l.l_partkey
+    WHERE p_brand IN ('Brand#12', 'Brand#23')
+      AND l.l_quantity < 0.2 * (
+            SELECT AVG(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p_brand
+    """,
+    doc="TPC-H Q17 shape: small-quantity-order revenue — lines whose "
+        "quantity is under 20% of that part's own average, for two "
+        "brands. The correlated scalar AVG is the textbook "
+        "decorrelation case: the brand filter broadcasts into the "
+        "lineitem scan first, and because every line of a surviving "
+        "part survives the join, a part-keyed window AVG over the "
+        "joined rows equals the per-part average over the full table — "
+        "so the whole query is one broadcast join + ONE part-keyed "
+        "shuffle, never a second full lineitem scan for the inner "
+        "aggregate. Per-part averages are sums of small integer sets "
+        "(exact in doubles), so the threshold compare is "
+        "engine-order-proof",
+)
+def sub_small_qty_revenue(spark, sf_dir):
+    p = (T(spark, sf_dir, "part")
+         .filter(F.col("p_brand").isin("Brand#12", "Brand#23"))
+         .select("p_partkey", "p_brand"))
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity",
+                                             "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .withColumn("avg_qty", F.avg("l_quantity").over(w))
+            .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+            .groupBy("p_brand")
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly"),
+                 F.count("*").alias("n_lines")))
+
+
+@query(
+    "sub_late_sole_supplier",
+    """
+    WITH waits AS (
+      SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+      FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate >
+                              o.o_orderdate + INTERVAL 90 DAY)
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS numwait
+    FROM waits JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_suppkey, s_name
+    """,
+    doc="TPC-H Q21 shape: suppliers who were the SOLE late shipper "
+        "(>90 days after order date) on a finished multi-supplier "
+        "order. The oracle is the canonical triple-self-join "
+        "EXISTS/NOT-EXISTS form; the Spark program is the scale "
+        "rewrite — ONE order-keyed aggregate collects each order's "
+        "supplier set and late-supplier set (both bounded by "
+        "suppliers-per-order, single-digit state), then "
+        "size(late)=1 AND size(all)>1 picks the culprit row-locally. "
+        "That replaces three lineitem shuffles (l1⋈l2⋈l3, the plan "
+        "DuckDB decorrelates to) with one shuffle plus a broadcast "
+        "supplier-name join — at 100 TB the difference between "
+        "re-shuffling the biggest fact table three times and once. "
+        "Identical results prove the rewrite",
+)
+def sub_late_sole_supplier(spark, sf_dir):
+    o = (T(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey",
+                                             "l_shipdate")
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    per_order = (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+                 .groupBy("l_orderkey")
+                 .agg(F.collect_set("l_suppkey").alias("supps"),
+                      F.collect_set(F.when(late, F.col("l_suppkey")))
+                       .alias("late_supps")))
+    sole = (per_order
+            .filter((F.size("late_supps") == 1) & (F.size("supps") > 1))
+            .select(F.element_at("late_supps", 1).alias("culprit")))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (sole.groupBy("culprit").agg(F.count("*").alias("numwait"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("culprit"))
+            .select("s_suppkey", "s_name", "numwait"))

@@ -341,3 +341,29 @@ def test_prefix_filter_join_is_partial_agged(spark, qs):
     assert has_broadcast_join(df)
     n = count_exchanges(df)
     assert n <= 16, f"jaccard_prefix_filter: {n} exchanges"
+
+
+def test_tpch_shape_plans(spark, qs):
+    """Q8/Q17/Q21 scale contracts. Market share: every dim side broadcast,
+    predicates (p_type, r_name) pushed to the scans, conditional-sum share
+    in one partial aggregate. Q17: the brand filter broadcasts, and the
+    correlated AVG rides ONE part-keyed window shuffle — no second
+    lineitem scan. Q21: the sole-late-supplier rewrite pays the order-keyed
+    aggregate plus the tiny culprit rollup (supplier join broadcast) —
+    never the triple lineitem self-shuffle of the decorrelated form."""
+    ms = qs["star_market_share"].fn(spark, SF)
+    assert has_broadcast_join(ms)
+    assert has_partial_aggregation(ms)
+    pushed = " ".join(pushed_filters(ms))
+    assert "p_type" in pushed and "r_name" in pushed, pushed
+
+    q17 = qs["sub_small_qty_revenue"].fn(spark, SF)
+    assert has_broadcast_join(q17)
+    assert count_scans(q17) <= 2, "Q17 must not rescan lineitem"
+
+    q21 = qs["sub_late_sole_supplier"].fn(spark, SF)
+    assert has_broadcast_join(q21)
+    assert count_scans(q21) <= 3, \
+        "Q21 rewrite scans each of lineitem/orders/supplier exactly once"
+    n = count_exchanges(q21)
+    assert n <= 4, f"sub_late_sole_supplier: {n} exchanges"

@@ -37,7 +37,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "embed_pca_power", "win_mom_growth", "running_balance_clamped",
         "win_streaks", "orders_gap_stats", "simhash_near_pairs",
         "langid_confusion", "star_topk_unshipped", "alert_error_rate",
-        "attribution_last_touch", "vocab_zipf_slope"]
+        "attribution_last_touch", "vocab_zipf_slope", "star_market_share",
+        "sub_small_qty_revenue", "sub_late_sole_supplier"]
 
 
 @pytest.fixture(scope="module")
