@@ -827,3 +827,108 @@ def mix_upsample_repeat(spark, sf_dir):
                     F.explode(F.sequence(F.lit(1), F.col("n_copies")))
                      .alias("copy_no"))
             .withColumn("copy_no", F.col("copy_no").cast("int")))
+
+
+@query(
+    "dq_ks_drift",
+    """
+    WITH g AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY value
+    ),
+    cum AS (
+      SELECT SUM(c1) OVER (ORDER BY value) AS s1,
+             SUM(c2) OVER (ORDER BY value) AS s2
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2
+      FROM g
+    )
+    SELECT ROUND(MAX(ABS(s1 / n1 - s2 / n2)), 6) AS ks_d,
+           CAST(n1 AS BIGINT) AS n_view, CAST(n2 AS BIGINT) AS n_click
+    FROM cum CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+    doc="two-sample Kolmogorov-Smirnov distance between the value "
+        "distributions of two event types — the distribution-drift gate "
+        "behind 'did this release change user behavior' and trainset-vs-"
+        "prod feature monitoring. One conditional-count aggregate "
+        "collapses events to DISTINCT VALUES (the only rows the ECDF can "
+        "step at), the empirical CDFs are cumulative sums over that "
+        "bounded value table (state = distinct values, not events — the "
+        "global ordered window never sees raw data), and D = max|F1-F2|. "
+        "All inputs to the division are exact integers, so both engines "
+        "compute bit-identical ECDF steps",
+)
+def dq_ks_drift(spark, sf_dir):
+    e = (T(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin("view", "click")))
+    g = e.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+         .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+         .alias("c2"))
+    tot = g.agg(F.sum("c1").cast("double").alias("n1"),
+                F.sum("c2").cast("double").alias("n2"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(F.sum("c1").over(w).alias("s1"),
+                   F.sum("c2").over(w).alias("s2"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .groupBy("n1", "n2")
+            .agg(F.round(F.max(F.abs(F.col("s1") / F.col("n1")
+                                     - F.col("s2") / F.col("n2"))), 6)
+                 .alias("ks_d"))
+            .select("ks_d", F.col("n1").cast("bigint").alias("n_view"),
+                    F.col("n2").cast("bigint").alias("n_click")))
+
+
+@query(
+    "agg_chi2_independence",
+    """
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    m AS (
+      SELECT lang, source, n,
+             SUM(n) OVER (PARTITION BY lang) AS rt,
+             SUM(n) OVER (PARTITION BY source) AS ct,
+             SUM(n) OVER () AS nn
+      FROM cells
+    )
+    SELECT ROUND(SUM(POW(n - (rt * ct) / nn, 2) / ((rt * ct) / nn)), 4)
+             AS chi2,
+           CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+                AS BIGINT) AS dof,
+           CAST(SUM(n) AS BIGINT) AS n_docs
+    FROM m
+    """,
+    doc="chi-square test of independence for lang x source — 'is language "
+        "mix the same across sources', the categorical complement of "
+        "abtest_conversion_z and the balance check a corpus-mixing stage "
+        "runs before training. The contingency table is ONE partial "
+        "aggregate over the facts; row/column/grand totals are window "
+        "sums over the BOUNDED cell table (|langs| x |sources| rows, "
+        "never the corpus), and the statistic folds in a final "
+        "single-row aggregate. Expected counts keep the same "
+        "floating-point shape ((rt*ct)/nn) on both engines",
+)
+def agg_chi2_independence(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    cells = (d.groupBy("lang", "source")
+             .agg(F.count("*").cast("double").alias("n")))
+    m = (cells
+         .withColumn("rt", F.sum("n").over(Window.partitionBy("lang")))
+         .withColumn("ct", F.sum("n").over(Window.partitionBy("source")))
+         .withColumn("nn", F.sum("n").over(
+             Window.partitionBy(F.lit(1)))))
+    exp = (F.col("rt") * F.col("ct")) / F.col("nn")
+    return m.agg(
+        F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 4).alias("chi2"),
+        ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1))
+        .cast("bigint").alias("dof"),
+        F.sum("n").cast("bigint").alias("n_docs"))

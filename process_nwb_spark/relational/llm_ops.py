@@ -1504,3 +1504,60 @@ def vocab_zipf_slope(spark, sf_dir):
         F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
         F.round(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
         F.round(F.regr_r2(lc, lr), 4).alias("r2"))
+
+
+@query(
+    "dedup_chunk_exact",
+    """
+    WITH ch AS (
+      SELECT doc_id,
+             UNNEST(RANGE(0, CAST(CEIL(LEN(words) / 10.0) AS INT)))
+               AS chunk_idx,
+             UNNEST(LIST_TRANSFORM(
+                 RANGE(0, CAST(CEIL(LEN(words) / 10.0) AS INT)),
+                 i -> ARRAY_TO_STRING(words[i*10+1 : i*10+10], ' ')))
+               AS chunk
+      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words
+            FROM documents) t
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx,
+             ROW_NUMBER() OVER (PARTITION BY MD5(chunk)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch
+    )
+    SELECT doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           ROUND(1.0 - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE), 4) AS retained_frac
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="chunk-level exact dedup (the CCNet/C4 paragraph-dedup shape on "
+        "paragraph-free text): each doc splits into consecutive 10-word "
+        "chunks, every chunk repeated ANYWHERE else in the corpus — "
+        "cross-doc boilerplate, not just whole-doc copies — is dropped "
+        "except its first occurrence (global keep-first by (doc_id, "
+        "chunk_idx)), and each doc reports its retained fraction. The "
+        "chunk explosion is a narrow flatMap (~n_words/10 rows per doc); "
+        "keep-first is ONE md5-keyed window (row_number over a total "
+        "order, so it is deterministic AND resumable) and the per-doc "
+        "rollup is the second shuffle. The two equal-length UNNESTs in "
+        "the oracle zip row-wise (DuckDB positional semantics)",
+)
+def dedup_chunk_exact(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    words = _words()
+    n_ch = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_ch - 1),
+        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "))
+    c = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    ranked = c.withColumn("rn", F.row_number().over(w))
+    dup = F.when(F.col("rn") > 1, 1).otherwise(0)
+    return (ranked.groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+                 F.round(1.0 - F.sum(dup) / F.count("*").cast("double"), 4)
+                  .alias("retained_frac")))

@@ -38,7 +38,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "win_streaks", "orders_gap_stats", "simhash_near_pairs",
         "langid_confusion", "star_topk_unshipped", "alert_error_rate",
         "attribution_last_touch", "vocab_zipf_slope", "star_market_share",
-        "sub_small_qty_revenue", "sub_late_sole_supplier"]
+        "sub_small_qty_revenue", "sub_late_sole_supplier",
+        "dedup_chunk_exact", "dq_ks_drift", "agg_chi2_independence"]
 
 
 @pytest.fixture(scope="module")
