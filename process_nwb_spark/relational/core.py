@@ -23,13 +23,20 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as int64 ns
-        # under spark.sql.legacy.parquet.nanosAsLong (set in session.py).
-        # Integer-divide to us (double math would lose precision past 2^53).
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # TIMESTAMP(NANOS) data read under nanosAsLong: int64 ns -> us.
+            # Integer-divide (double math loses precision past 2^53).
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            # parquet timestamp[us] with isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ; session tz is pinned to UTC (session.py) so the
+            # cast to TIMESTAMP is wall-clock identity, and downstream
+            # unix_micros()/window() (LTZ-only) work.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -178,25 +178,29 @@ def ngram_jaccard_pairs(spark, sf_dir):
     # document frequency as a window count over the same shuffle the
     # self-join needs anyway — one pass over the shingles instead of the
     # groupBy+join-back formulation (which recomputes the explosion)
+    # carry each doc's shingle count ON the shingle rows (second window
+    # count over the same exploded set) — the set sizes then ride through
+    # the self-join for free, with no per-doc sizes table to join back
+    # (let alone broadcast: one-row-per-document is unbounded at corpus
+    # scale and would OOM executors)
     filtered = (sh.withColumn(
         "n_docs", F.count("*").over(Window.partitionBy("sh")))
         .filter(F.col("n_docs") <= 100)
-        .select("doc_id", "sh"))
-    sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
+        .select("doc_id", "sh", "n_sh"))
     a = filtered.alias("a")
     b = filtered.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
+        .agg(F.count("*").alias("shared"),
+             F.min("a.n_sh").alias("n_a"),   # constant per doc
+             F.min("b.n_sh").alias("n_b"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (
-        pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
-        .filter(jac >= 0.1)
+        pairs.filter(jac >= 0.1)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -631,34 +635,43 @@ _BANDS_SQL_FRAG = """
         "DuckDB recursive CTE computing min reachable id",
 )
 def dedup_components(spark, sf_dir):
+    # Iteration hygiene for an unbounded-round driver loop:
+    # - edges are localCheckpoint'ed ONCE (eager): the whole LSH candidate
+    #   pipeline runs a single time and every round re-reads materialized
+    #   blocks instead of re-deriving the lineage;
+    # - each round's labels are eagerly localCheckpoint'ed too, so lineage
+    #   stays O(1) across rounds (an uncheckpointed cache chain grows the
+    #   plan linearly and eventually stack-overflows the planner);
+    # - convergence is folded into the round's own materialization: the
+    #   per-row `chg` flag is computed inside the same select, and the
+    #   check is a limit(1) scan of already-checkpointed blocks — no extra
+    #   join-and-count recomputation per round.
+    # At web scale the same loop would alternate large-star/small-star
+    # (Kiveris et al.) for O(log n) rounds; dup-cluster diameters here are
+    # tiny so plain min-label propagation converges in 2-3.
     pairs = minhash_lsh_candidates(spark, sf_dir)
     edges = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
              .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
-             .cache())
-    labels = edges.select(F.col("src").alias("doc_id")).distinct() \
-                  .withColumn("component", F.col("doc_id"))
+             .localCheckpoint())
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("component", F.col("doc_id"))
+              .localCheckpoint())
     for _ in range(20):  # diameter bound; tiny dup clusters converge in 2-3
         nbr = (edges.join(labels, edges.src == labels.doc_id)
                .groupBy(F.col("dst").alias("doc_id"))
                .agg(F.min("component").alias("nbr_min")))
+        new_comp = F.least("component", F.coalesce("nbr_min", "component"))
         new_labels = (labels.join(nbr, "doc_id", "left")
-                      .select("doc_id",
-                              F.least("component",
-                                      F.coalesce("nbr_min", "component"))
-                              .alias("component"))
-                      .cache())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.component") != F.col("o.component"))
-                   .count())
-        labels = new_labels
+                      .select("doc_id", new_comp.alias("component"),
+                              (new_comp < F.col("component")).alias("chg"))
+                      .localCheckpoint())  # eager: the round's one real job
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     w = Window.partitionBy("component")
-    out = labels.select("doc_id", "component",
-                        F.count("*").over(w).alias("component_size"))
-    edges.unpersist()
-    return out
+    return labels.select("doc_id", "component",
+                         F.count("*").over(w).alias("component_size"))
 
 
 @query(
@@ -1254,19 +1267,27 @@ def jaccard_prefix_filter(spark, sf_dir):
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    sets = filtered.select("doc_id", "sh")
-    fa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    fb = sets.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("shb"))
+    # set sizes ride on the shingle rows (window count per doc) so the
+    # verification join needs no per-doc sizes table — broadcasting one
+    # (one row per document) would be an unbounded broadcast at corpus
+    # scale; carrying n_sh is a free column on rows already shuffling
+    sets = (filtered
+            .withColumn("n_sh", F.count("*").over(wdoc))
+            .select("doc_id", "sh", "n_sh"))
+    fa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"),
+                     F.col("n_sh").alias("na"))
+    fb = sets.select(F.col("doc_id").alias("doc_b2"), F.col("sh").alias("shb"),
+                     F.col("n_sh").alias("nb"))
     shared = (cand.join(fa, "doc_a")
               .join(fb, (F.col("doc_b") == F.col("doc_b2"))
                     & (F.col("sha") == F.col("shb")))
-              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("shared")))
-    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count("*").alias("shared"),
+                   F.min("na").alias("n_a"),   # constant per doc
+                   F.min("nb").alias("n_b")))
     jac = (F.col("shared").cast("double")
            / (F.col("n_a") + F.col("n_b") - F.col("shared")))
-    return (shared.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    return (shared
             .filter(jac >= t)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
 

@@ -413,14 +413,26 @@ def agg_count_distinct(spark, sf_dir):
 
 @query(
     "agg_approx_count_distinct",
-    None,  # HLL sketches differ across engines; driver does a rows-only check
-    doc="approx_count_distinct (HyperLogLog++); sketch-based so no exact "
-        "cross-engine oracle",
+    """
+    SELECT o_orderstatus, TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="approx_count_distinct (HyperLogLog++). The sketch value itself "
+        "isn't replayable in DuckDB, so the oracled contract is the "
+        "tolerance: per group, |approx - exact| <= 3*rsd*exact "
+        "(rsd=0.05 default -> 15%, a 3-sigma bound). The Spark side "
+        "computes both estimates and emits the boolean; the oracle "
+        "asserts TRUE per group.",
 )
 def agg_approx_count_distinct(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custs"))
+    return (o.groupBy("o_orderstatus")
+            .agg(F.approx_count_distinct("o_custkey").alias("approx"),
+                 F.count_distinct("o_custkey").alias("exact"))
+            .select("o_orderstatus",
+                    (F.abs(F.col("approx") - F.col("exact"))
+                     <= 0.15 * F.col("exact")).alias("approx_ok")))
 
 
 @query(
@@ -651,27 +663,44 @@ def win_lag_lead(spark, sf_dir):
 @query(
     "win_running_frames",
     """
+    WITH c AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(CAST(o_totalprice AS DOUBLE)) OVER (
+           CAST(SUM(cents) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
-           ROUND(AVG(CAST(o_totalprice AS DOUBLE)) OVER (
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0 AS running_spend,
+           CAST(SUM(cents) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg_3
-    FROM orders
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / 100.0 AS moving_avg_3
+    FROM c
     """,
-    doc="running aggregate + bounded moving frame (ROWS BETWEEN)",
+    doc="running aggregate + bounded moving frame (ROWS BETWEEN). "
+        "Prices are fixed to integer cents first (floor(x*100+0.5): "
+        "round-half-up, IEEE-identical in both engines) so the window sums "
+        "are exact integers; the final double divisions are bit-identical "
+        "cross-engine, no ROUND tie-break dependence.",
 )
 def win_running_frames(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    p = F.col("o_totalprice").cast("double")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    o = o.withColumn("cents", cents)
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = base.rowsBetween(-2, Window.currentRow)
     return o.select(
         "o_custkey", "o_orderkey",
-        F.round(F.sum(p).over(base.rowsBetween(Window.unboundedPreceding,
-                                               Window.currentRow)), 2)
+        (F.sum("cents").over(run).cast("double") / 100.0)
         .alias("running_spend"),
-        F.round(F.avg(p).over(base.rowsBetween(-2, Window.currentRow)), 2)
+        (F.sum("cents").over(mov).cast("double")
+         / F.count(F.lit(1)).over(mov).cast("double") / 100.0)
         .alias("moving_avg_3"),
     )
 
@@ -1310,15 +1339,21 @@ def star_large_orders(spark, sf_dir):
         "sketch folds map-side like any partial agg). No SQL oracle: the "
         "sketch internals aren't replayable in DuckDB — accuracy is "
         "asserted against the exact quantiles in "
-        "tests/test_relational.py::test_approx_percentiles_within_accuracy",
+        "tests/test_relational.py::test_approx_percentiles_within_accuracy. "
+        "Quantiles are emitted as scalar columns (q50/q95/q99), not an "
+        "array, so downstream canonicalizers can factorize them.",
 )
 def agg_approx_percentiles(spark, sf_dir):
     e = T(spark, sf_dir, "events")
-    return (e.groupBy("event_type")
-            .agg(F.percentile_approx(
-                F.col("value").cast("double"),
-                F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
-                10000).alias("approx_q")))
+    q = (e.groupBy("event_type")
+         .agg(F.percentile_approx(
+             F.col("value").cast("double"),
+             F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+             10000).alias("approx_q")))
+    return q.select("event_type",
+                    F.col("approx_q")[0].alias("q50"),
+                    F.col("approx_q")[1].alias("q95"),
+                    F.col("approx_q")[2].alias("q99"))
 
 
 @query(

@@ -30,7 +30,10 @@ def get_spark(app_name: str = "process-nwb-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Reference semantics are non-ANSI (e.g. silent casts); pin it.
         .config("spark.sql.ansi.enabled", "false")
-        # testdata events.ts is TIMESTAMP(NANOS): read as int64, convert in T()
+        # guard: if a source ever carries parquet TIMESTAMP(NANOS), read it as
+        # int64 ns instead of erroring; relational/core.py T() converts. The
+        # driver testdata events.ts is timestamp[us] (reads as TIMESTAMP_NTZ,
+        # also handled in T()) so this conf is inert there.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # let custom Python data sources (sources/ecog_datasource.py)
         # receive pushed filters for partition pruning

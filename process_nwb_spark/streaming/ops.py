@@ -14,17 +14,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = ("event_id BIGINT, ts BIGINT, user_id BIGINT, "
+EVENTS_SCHEMA = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
                  "event_type STRING, value DOUBLE, props STRING")
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
-    """events parquet as a file-source stream (ts: parquet ns -> timestamp).
+    """events parquet as a file-source stream.
 
-    Requires spark.sql.legacy.parquet.nanosAsLong=true (set in session.py):
-    the nanos column arrives as int64 and is converted exactly like the
-    batch loader (relational/core.py).
+    events.ts is parquet timestamp[us]; declaring it TIMESTAMP in the
+    user schema reads it directly as event time (session tz is UTC, so
+    wall-clock values match the batch loader in relational/core.py).
     """
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
@@ -32,8 +32,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     # point at the events file specifically: a bare directory glob would
     # sweep in the other tables' parquet and null-pad their rows
     path = sf_dir if sf_dir.endswith(".parquet") else f"{sf_dir}/events*.parquet"
-    sdf = reader.parquet(path)
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.parquet(path)
 
 
 def tumbling_counts(events: DataFrame, width: str = "5 minutes",

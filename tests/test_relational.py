@@ -255,7 +255,8 @@ def test_approx_percentiles_within_accuracy(spark):
     vals = T(spark, sf, "events").select("event_type", "value").toPandas()
     for etype, grp in vals.groupby("event_type"):
         v = np.sort(grp["value"].to_numpy())
-        for q, a in zip((0.5, 0.95, 0.99), approx.loc[etype, "approx_q"]):
+        for q, a in zip((0.5, 0.95, 0.99),
+                        approx.loc[etype, ["q50", "q95", "q99"]]):
             lo = np.searchsorted(v, a, side="left") / len(v)
             hi = np.searchsorted(v, a, side="right") / len(v)
             assert lo - 0.01 <= q <= hi + 0.01, (etype, q, a, lo, hi)
