@@ -333,14 +333,20 @@ def test_behavior_analytics_shuffle_budgets(spark, qs):
 
 def test_prefix_filter_join_is_partial_agged(spark, qs):
     """The prefix-filtered similarity join must partially aggregate its
-    intersection counts and broadcast the doc-size table back (K-sized),
-    and its exchange count must stay bounded — a regression that, e.g.,
-    recomputes the shingle explosion per stage shows up here first."""
+    intersection counts, must NOT broadcast any per-document table (doc
+    sizes ride on the shingle rows as a window-counted column — a per-doc
+    broadcast is unbounded at corpus scale), and its exchange count must
+    stay bounded — a regression that, e.g., recomputes the shingle
+    explosion per stage shows up here first."""
     df = qs["jaccard_prefix_filter"].fn(spark, SF)
     assert has_partial_aggregation(df)
-    assert has_broadcast_join(df)
     n = count_exchanges(df)
     assert n <= 16, f"jaccard_prefix_filter: {n} exchanges"
+    # the verification join carries n_sh on its rows; no forced broadcast
+    # hint anywhere (the optimizer may still size-pick broadcast at tiny SF,
+    # which is fine — the contract is that we never FORCE an unbounded one)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
 
 
 def test_tpch_shape_plans(spark, qs):
