@@ -260,3 +260,19 @@ def test_approx_percentiles_within_accuracy(spark):
             lo = np.searchsorted(v, a, side="left") / len(v)
             hi = np.searchsorted(v, a, side="right") / len(v)
             assert lo - 0.01 <= q <= hi + 0.01, (etype, q, a, lo, hi)
+
+
+def test_events_ts_reads_as_ltz_timestamp(spark):
+    """Regression: events.ts is parquet timestamp[us] (isAdjustedToUTC=false),
+    which Spark reads as TIMESTAMP_NTZ. T() must normalize it to TIMESTAMP
+    (session tz UTC => wall-clock identity) so the LTZ-only functions the
+    event tier uses everywhere (unix_micros, window()) resolve. A raw read
+    that skips T() regressing to NTZ broke 9 tests in an earlier round."""
+    from pyspark.sql import functions as F
+    from process_nwb_spark.relational.core import T
+
+    e = T(spark, "/root/testdata/sf0.001", "events")
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    # unix_micros (LTZ-only) must resolve and produce sane epoch values
+    row = e.select(F.min(F.unix_micros("ts")).alias("us")).first()
+    assert row.us > 0
