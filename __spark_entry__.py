@@ -64,8 +64,8 @@ DRIVER_PRIORITY = (
     "simhash_fingerprints", "doc_fingerprint_winnow", "text_quality",
     "text_token_counts", "dedup_components", "text_tfidf_topterms",
     "jaccard_prefix_filter",
-    # embeddings / ANN
-    "embed_ann_lsh", "embed_ivf_topk", "dedup_embed_cosine",
+    # embeddings / ANN / semantic dedup
+    "embed_ann_lsh", "embed_ivf_topk", "semantic_dedup",
     # corpus assembly / data quality
     "split_train_test", "scd2_point_in_time", "dq_audit", "pack_sequences",
     # function surface extras

@@ -203,6 +203,32 @@ _L2_SQL = """
 """
 
 
+def _ivf_lists(spark, sf_dir):
+    """IVF layout: per-label mean centroids (k model-sized rows, broadcast),
+    each vector assigned to its nearest centroid by L2 (ties on cid).
+    Returns (e, cents, lists) with lists = (vec_id, label, embedding, cid)."""
+    from pyspark.sql.window import Window
+
+    e = spread(T(spark, sf_dir, "embeddings"))
+    flat = (e.select("label", F.posexplode("embedding").alias("d0", "x"))
+            .groupBy("label", "d0")
+            .agg(F.avg(F.col("x").cast("double")).alias("cx")))
+    cents = (flat.groupBy("label")
+             .agg(F.array_sort(F.collect_list(F.struct("d0", "cx"))).alias("_s"))
+             .select(F.col("label").alias("cid"),
+                     F.transform("_s", lambda s: s["cx"]).alias("cvec")))
+    dist = F.sqrt(F.aggregate(
+        F.zip_with("embedding", "cvec",
+                   lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    w = Window.partitionBy("vec_id").orderBy(dist, F.col("cid"))
+    lists = (e.crossJoin(F.broadcast(cents))
+             .withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") == 1)
+             .select("vec_id", "label", "embedding", "cid"))
+    return e, cents, lists
+
+
 @query(
     "embed_ivf_topk",
     f"""
@@ -239,25 +265,7 @@ _L2_SQL = """
         "partitions, probes touch 1/k of the corpus",
 )
 def embed_ivf_topk(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    e = spread(T(spark, sf_dir, "embeddings"))
-    flat = (e.select("label", F.posexplode("embedding").alias("d0", "x"))
-            .groupBy("label", "d0")
-            .agg(F.avg(F.col("x").cast("double")).alias("cx")))
-    cents = (flat.groupBy("label")
-             .agg(F.array_sort(F.collect_list(F.struct("d0", "cx"))).alias("_s"))
-             .select(F.col("label").alias("cid"),
-                     F.transform("_s", lambda s: s["cx"]).alias("cvec")))
-    dist = F.sqrt(F.aggregate(
-        F.zip_with("embedding", "cvec",
-                   lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-        F.lit(0.0), lambda acc, x: acc + x))
-    w = Window.partitionBy("vec_id").orderBy(dist, F.col("cid"))
-    lists = (e.crossJoin(F.broadcast(cents))
-             .withColumn("rnk", F.row_number().over(w))
-             .filter(F.col("rnk") == 1)
-             .select("vec_id", "label", "embedding", "cid"))
+    _, _, lists = _ivf_lists(spark, sf_dir)
     q = (lists.filter(F.col("vec_id") == 0)
          .select(F.col("cid").alias("qcid"), F.col("embedding").alias("qv")))
     return (
@@ -366,25 +374,7 @@ _IVF_LISTS_SQL = f"""
         "equi-join, the probe set is a 2-row broadcast",
 )
 def embed_ivf_probe2(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    e = spread(T(spark, sf_dir, "embeddings"))
-    flat = (e.select("label", F.posexplode("embedding").alias("d0", "x"))
-            .groupBy("label", "d0")
-            .agg(F.avg(F.col("x").cast("double")).alias("cx")))
-    cents = (flat.groupBy("label")
-             .agg(F.array_sort(F.collect_list(F.struct("d0", "cx"))).alias("_s"))
-             .select(F.col("label").alias("cid"),
-                     F.transform("_s", lambda s: s["cx"]).alias("cvec")))
-    dist = F.sqrt(F.aggregate(
-        F.zip_with("embedding", "cvec",
-                   lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-        F.lit(0.0), lambda acc, x: acc + x))
-    w = Window.partitionBy("vec_id").orderBy(dist, F.col("cid"))
-    lists = (e.crossJoin(F.broadcast(cents))
-             .withColumn("rnk", F.row_number().over(w))
-             .filter(F.col("rnk") == 1)
-             .select("vec_id", "label", "embedding", "cid"))
+    e, cents, lists = _ivf_lists(spark, sf_dir)
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     qdist = F.sqrt(F.aggregate(
         F.zip_with("qv", "cvec",
@@ -559,3 +549,48 @@ def embed_quantile_norm(spark, sf_dir):
         "vec_id", "dim",
         F.round((F.row_number().over(w) - 0.5)
                 / F.count("*").over(wc), 6).alias("q"))
+
+
+@query(
+    "semantic_dedup",
+    f"""
+    WITH {_IVF_LISTS_SQL},
+    dup AS (
+      SELECT a.vec_id,
+             MAX(CASE WHEN {_cos_sql('a.embedding', 'b.embedding')} >= 0.35
+                      THEN 1 ELSE 0 END) AS d
+      FROM lists a JOIN lists b
+        ON a.cid = b.cid AND b.vec_id < a.vec_id
+      GROUP BY a.vec_id
+    )
+    SELECT l.vec_id, l.cid,
+           COALESCE(dup.d, 0) = 1 AS is_dup
+    FROM lists l LEFT JOIN dup ON l.vec_id = dup.vec_id
+    """,
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster "
+        "the embedding space (IVF layout: k mean centroids, nearest-centroid "
+        "assignment), then compare pairs ONLY within a cluster — a vector is "
+        "a semantic duplicate if a lower-id vector in its cluster has cosine "
+        ">= 0.35 (lowest id is the canonical keeper, so the rule is "
+        "deterministic and transitively consistent within a cluster). "
+        "Scale: the pairwise stage is O(sum n_c^2), bounded by cluster "
+        "population — k grows with corpus size (10^5 clusters at 10^9 "
+        "vectors) so n_c stays ~10^4; the cluster self-join shuffles on cid "
+        "only and each cluster compares locally. The centroid table is the "
+        "only broadcast (k model-sized rows).",
+)
+def semantic_dedup(spark, sf_dir):
+    _, _, lists = _ivf_lists(spark, sf_dir)
+    a = lists.select("cid", F.col("vec_id").alias("va"),
+                     F.col("embedding").alias("ea"))
+    b = lists.select("cid", F.col("vec_id").alias("vb"),
+                     F.col("embedding").alias("eb"))
+    dup = (a.join(b, ["cid"])
+           .filter(F.col("vb") < F.col("va"))
+           .groupBy("va")
+           .agg(F.max((_cosine_spark("ea", "eb") >= 0.35).cast("int"))
+                .alias("d")))
+    return (lists.select("vec_id", "cid")
+            .join(dup, lists.vec_id == dup.va, "left")
+            .select("vec_id", "cid",
+                    (F.coalesce("d", F.lit(0)) == 1).alias("is_dup")))

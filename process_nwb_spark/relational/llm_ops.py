@@ -1582,3 +1582,112 @@ def dedup_chunk_exact(spark, sf_dir):
                  F.sum(dup).cast("bigint").alias("n_dup_chunks"),
                  F.round(1.0 - F.sum(dup) / F.count("*").cast("double"), 4)
                   .alias("retained_frac")))
+
+
+@query(
+    "dedup_keep_list",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    {_BANDS_SQL_FRAG.format(sig_cols=_minhash_sig_cols_sql)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+    doc="end-to-end near-dup dedup DECISION over the whole corpus: every "
+        "document gets (component, keep) — near-dup clusters from the "
+        "MinHash/LSH candidate graph (dedup_components) keep only their "
+        "min-id canonical member; documents with no near-dup candidates "
+        "form singleton components and are always kept. This is the "
+        "actionable keep-list a curation pipeline anti-joins against "
+        "(compare dedup_exact, which decides only exact-hash copies). "
+        "Scale: the component loop's hygiene is dedup_components'; the "
+        "final step is one left join of the corpus against the "
+        "candidate-doc labels (a small fraction of the corpus — AQE "
+        "broadcasts when it fits).",
+)
+def dedup_keep_list(spark, sf_dir):
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    return (d.join(comp, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("component"),
+                    (F.coalesce("component", "doc_id") == F.col("doc_id"))
+                    .alias("keep")))
+
+
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "dsir_importance",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             (STRPOS('{_HEX}', SUBSTR(MD5(w), 1, 1)) - 1) * 16
+             + (STRPOS('{_HEX}', SUBSTR(MD5(w), 2, 1)) - 1) AS b
+      FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents) t
+    ),
+    src AS (SELECT b, COUNT(*) AS c_src FROM tok GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS c_tgt FROM tok WHERE lang = 'en' GROUP BY b),
+    tots AS (SELECT (SELECT SUM(c_src) FROM src) AS n_src,
+                    (SELECT SUM(c_tgt) FROM tgt) AS n_tgt),
+    llr AS (
+      SELECT s.b,
+             LN((CAST(COALESCE(t.c_tgt, 0) + 1 AS DOUBLE) / (n_tgt + 256))
+                / (CAST(s.c_src + 1 AS DOUBLE) / (n_src + 256))) AS lw
+      FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN tots
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS INT) AS n_tokens,
+           ROUND(SUM(lw), 4) AS log_importance
+    FROM tok JOIN llr ON tok.b = llr.b
+    GROUP BY tok.doc_id
+    """,
+    doc="DSIR-style importance weighting (Xie et al. 2023): hashed-unigram "
+        "bag-of-words features (md5 -> 256 buckets), target distribution = "
+        "the lang='en' slice, source = the whole corpus; a document's log "
+        "importance weight is sum over its tokens of "
+        "ln(p_target(bucket)/p_source(bucket)) with add-1 smoothing. "
+        "Sampling proportional to these weights tilts a raw crawl toward "
+        "the target domain. Scale: both distributions are 256-row model "
+        "tables (one partial-agg pass over the token stream each; the "
+        "token stream itself never shuffles twice — the per-doc sum rides "
+        "the doc_id aggregation), and scoring is scan + broadcast joins.",
+)
+def dsir_importance(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok = (d.select("doc_id", "lang",
+                    F.explode(F.split("text", " ")).alias("w"))
+           .withColumn("b", F.conv(F.substring(F.md5("w"), 1, 2), 16, 10)
+                       .cast("int"))
+           .drop("w"))
+    src = tok.groupBy("b").agg(F.count("*").alias("c_src"))
+    tgt = (tok.filter(F.col("lang") == "en")
+           .groupBy("b").agg(F.count("*").alias("c_tgt")))
+    joined = src.join(tgt, "b", "left")
+    tots = joined.agg(
+        F.sum("c_src").alias("n_src"),
+        F.sum(F.coalesce("c_tgt", F.lit(0))).alias("n_tgt"))
+    llr = (joined.crossJoin(F.broadcast(tots))
+           .select("b", F.log(
+               ((F.coalesce("c_tgt", F.lit(0)) + 1).cast("double")
+                / (F.col("n_tgt") + 256))
+               / ((F.col("c_src") + 1).cast("double") / (F.col("n_src") + 256)))
+               .alias("lw")))
+    return (tok.join(F.broadcast(llr), "b")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_tokens"),
+                 F.round(F.sum("lw"), 4).alias("log_importance")))

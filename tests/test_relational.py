@@ -39,7 +39,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "langid_confusion", "star_topk_unshipped", "alert_error_rate",
         "attribution_last_touch", "vocab_zipf_slope", "star_market_share",
         "sub_small_qty_revenue", "sub_late_sole_supplier",
-        "dedup_chunk_exact", "dq_ks_drift", "agg_chi2_independence"]
+        "dedup_chunk_exact", "dq_ks_drift", "agg_chi2_independence",
+        "semantic_dedup", "dsir_importance"]
 
 
 @pytest.fixture(scope="module")
