@@ -485,20 +485,23 @@ def win_trailing_range(spark, sf_dir):
         "deviation, x1.4826 for normal consistency) flag events whose "
         "robust z exceeds 2.5 — unlike mean/stddev z-scores "
         "(win_zscore), a burst of outliers can't inflate its own "
-        "baseline. Two exact grouped medians + broadcast-sized join-backs "
-        "keyed by user; NULLIF guards degenerate all-identical series. "
-        "The telemetry outlier gate at scan+two-agg cost",
+        "baseline. Two exact grouped medians join back keyed by user "
+        "with NO forced broadcast (one row per user is unbounded at "
+        "scale; both join-backs ride the same user_id shuffle, and AQE "
+        "broadcasts when the stats table happens to fit). NULLIF guards "
+        "degenerate all-identical series. The telemetry outlier gate at "
+        "scan+two-agg cost",
 )
 def anomaly_mad_flags(spark, sf_dir):
     e = T(spark, sf_dir, "events").select(
         "event_id", "user_id", F.col("value").cast("double").alias("v"))
     med = e.groupBy("user_id").agg(F.median("v").alias("m"))
-    dev = (e.join(F.broadcast(med), "user_id")
+    dev = (e.join(med, "user_id")
            .withColumn("ad", F.abs(F.col("v") - F.col("m"))))
     mad = dev.groupBy("user_id").agg(F.median("ad").alias("mad"))
     rz = ((F.col("v") - F.col("m"))
           / (F.lit(1.4826) * F.nullif(F.col("mad"), F.lit(0.0))))
-    return (dev.join(F.broadcast(mad), "user_id")
+    return (dev.join(mad, "user_id")
             .withColumn("robust_z", rz)
             .filter(F.abs(F.col("robust_z")) > 2.5)
             .select("event_id", "user_id",
