@@ -564,7 +564,7 @@ def embed_quantile_norm(spark, sf_dir):
       GROUP BY a.vec_id
     )
     SELECT l.vec_id, l.cid,
-           COALESCE(dup.d, 0) = 1 AS is_dup
+           COALESCE(dup.d, 0) AS is_dup
     FROM lists l LEFT JOIN dup ON l.vec_id = dup.vec_id
     """,
     doc="SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster "
@@ -593,4 +593,4 @@ def semantic_dedup(spark, sf_dir):
     return (lists.select("vec_id", "cid")
             .join(dup, lists.vec_id == dup.va, "left")
             .select("vec_id", "cid",
-                    (F.coalesce("d", F.lit(0)) == 1).alias("is_dup")))
+                    F.coalesce("d", F.lit(0)).alias("is_dup")))

@@ -1602,7 +1602,7 @@ def dedup_chunk_exact(spark, sf_dir):
     comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id)
     SELECT d.doc_id,
            COALESCE(c.component, d.doc_id) AS component,
-           COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+           CAST(COALESCE(c.component, d.doc_id) = d.doc_id AS INT) AS keep
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
     """,
     doc="end-to-end near-dup dedup DECISION over the whole corpus: every "
@@ -1624,7 +1624,7 @@ def dedup_keep_list(spark, sf_dir):
             .select("doc_id",
                     F.coalesce("component", "doc_id").alias("component"),
                     (F.coalesce("component", "doc_id") == F.col("doc_id"))
-                    .alias("keep")))
+                    .cast("int").alias("keep")))
 
 
 _HEX = "0123456789abcdef"

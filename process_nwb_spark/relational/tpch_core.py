@@ -414,7 +414,7 @@ def agg_count_distinct(spark, sf_dir):
 @query(
     "agg_approx_count_distinct",
     """
-    SELECT o_orderstatus, TRUE AS approx_ok
+    SELECT o_orderstatus, 1 AS approx_ok
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -432,7 +432,8 @@ def agg_approx_count_distinct(spark, sf_dir):
                  F.count_distinct("o_custkey").alias("exact"))
             .select("o_orderstatus",
                     (F.abs(F.col("approx") - F.col("exact"))
-                     <= 0.15 * F.col("exact")).alias("approx_ok")))
+                     <= 0.15 * F.col("exact")).cast("int")
+                    .alias("approx_ok")))
 
 
 @query(
