@@ -65,22 +65,23 @@ def main():
 
     # min-of-N: single runs on this box vary +-40% (and worse) with ambient
     # load; the min over repeated runs is the reproducible cost of the plan
-    # and is what makes round-over-round comparisons meaningful.
+    # and is what makes round-over-round comparisons meaningful. Whole-suite
+    # passes are interleaved (1st pass of every query, then the 2nd, ...) so
+    # a load burst degrades at most one pass of each query, not all N runs
+    # of whichever query it lands on.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = registry[name]
-        best = float("inf")
-        for _ in range(runs):
-            df = spec.fn(spark, sf_dir)
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    timings["signal_pipeline"] = float("inf")
+    for _ in range(runs):
+        for name in HEADLINE:
+            df = registry[name].fn(spark, sf_dir)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-
-    timings["signal_pipeline"] = round(
-        min(bench_signal_pipeline(spark) for _ in range(runs)), 3)
+            timings[name] = min(timings[name], time.time() - t0)
+        timings["signal_pipeline"] = min(timings["signal_pipeline"],
+                                         bench_signal_pipeline(spark))
+    timings = {k: round(v, 3) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
