@@ -48,6 +48,43 @@ def bench_signal_pipeline(spark) -> float:
     return time.time() - t0
 
 
+def bench_signal_numpy_reference() -> float:
+    """Single-node replay of the SAME flagship DSP workload using the dense
+    NumPy kernels (which implement the reference's math verbatim — see
+    dsp/kernels.py docstrings citing process_nwb file:line). This is the
+    closest measurable stand-in for 'the reference's single-node
+    throughput at the same data scale' (the reference publishes no
+    benchmark numbers, BASELINE.md §a): scale -> resample -> notch -> CAR
+    -> wavelet(rat, hg_only) -> abs -> resample -> baseline z-score ->
+    band mean, 32 ch x 10 s @ 3200 Hz, single precision like the Spark
+    path's default."""
+    import numpy as np
+
+    from process_nwb_spark.dsp import kernels as K
+    from process_nwb_spark.synth import generate_synthetic_data
+
+    X = generate_synthetic_data(10.0, 32, 3200.0, seed=0)
+    t0 = time.time()
+    Xs = X * 1e6
+    Xr = K.resample(Xs, 1600.0, 3200.0, precision="single")
+    Xn = K.apply_linenoise_notch(Xr, 1600.0, precision="single")
+    Xc = K.subtract_car(Xn, 0.95, precision="single")
+    Xh, _, cfs, _ = K.wavelet_transform(Xc, 1600.0, "rat", True,
+                                        precision="single")
+    amp = np.abs(Xh)
+    out = np.stack(
+        [np.stack([K.resample(amp[:, c, b], 400.0, 1600.0,
+                              precision="single")
+                   for b in range(amp.shape[2])], 1)
+         for c in range(amp.shape[1])], 1)   # (time, ch, band)
+    nb = int(0.25 * 400.0)
+    mu = out[:nb].mean(axis=0, keepdims=True)
+    sd = out[:nb].std(axis=0, ddof=1, keepdims=True)
+    hg = ((out - mu) / sd).mean(axis=2)
+    hg.sum()  # force materialization
+    return time.time() - t0
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -83,6 +120,12 @@ def main():
                                          bench_signal_pipeline(spark))
     timings = {k: round(v, 3) for k, v in timings.items()}
 
+    # single-node reference-math replay of the flagship DSP workload —
+    # not part of the total; recorded so the Spark signal_pipeline time
+    # has an absolute single-node anchor beside it
+    ref_1node = round(min(bench_signal_numpy_reference()
+                          for _ in range(runs)), 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -90,6 +133,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "reference_single_node": {"signal_pipeline_numpy": ref_1node},
     }))
     spark.stop()
 

@@ -34,7 +34,7 @@ from .operators.car import subtract_car, subtract_car_packed
 from .operators.kernel_ops import (fused_ops, notch_op, resample_op,
                                    scale_packed, wavelet_op)
 from .operators.repack import pack, unpack
-from .operators.zscore import band_mean, zscore_baseline
+from .operators.zscore import band_mean, high_gamma_packed, zscore_baseline
 
 SCALING = 1e6  # V -> uV, resample.py:11
 
@@ -44,6 +44,7 @@ class PreprocessResult:
     """Lazily-composed stage DataFrames, lineage-named like the reference."""
     tf: DataFrame                       # long (series_id, channel, band, cf, sd, sample_idx, amp)
     stages: dict = field(default_factory=dict)
+    tf_packed: DataFrame | None = None  # (series_id, channel, band, cf, sd, amp ARRAY)
 
     def materialize(self, spark, base_name: str = "ECoG"):
         """`all_steps` analog: register every stage as a temp view with the
@@ -96,7 +97,8 @@ def preprocess(signals: DataFrame, rate: float,
     tf = unpack(wv.drop("phase"), values_col="amp", value_col="amp",
                 extra_keys=("band", "cf", "sd"))
     stages["wvlt_amp"] = tf
-    return PreprocessResult(tf=tf, stages=stages)
+    return PreprocessResult(tf=tf, stages=stages,
+                            tf_packed=wv.drop("phase"))
 
 
 def preprocess_many(signal_dfs: dict[str, DataFrame], rate: float,
@@ -119,7 +121,14 @@ def preprocess_many(signal_dfs: dict[str, DataFrame], rate: float,
 def high_gamma_trace(result: PreprocessResult, baseline_seconds: float = 0.25,
                      final_rate: float = 400.0) -> DataFrame:
     """Tutorial tail: z-score against the first `baseline_seconds`, then
-    mean over bands (examples/plot_ECoG_preprocessing_tutorial.py:164-167)."""
+    mean over bands (examples/plot_ECoG_preprocessing_tutorial.py:164-167).
+
+    Runs on the packed wavelet rows when the result carries them (array
+    folds + one small band zip — see operators/zscore.high_gamma_packed);
+    falls back to the long window/groupBy formulation otherwise."""
     n_baseline = int(baseline_seconds * final_rate)
+    if result.tf_packed is not None:
+        return high_gamma_packed(result.tf_packed, n_baseline,
+                                 values_col="amp")
     z = zscore_baseline(result.tf, n_baseline, value_col="amp")
     return band_mean(z, value_col="amp")
