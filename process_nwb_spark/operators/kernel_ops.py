@@ -128,3 +128,56 @@ def wavelet_op(df: DataFrame, rate: float, filters: str = "rat",
                                    "sd", "amp", "phase"])
 
     return df.mapInPandas(run, WAVELET_SCHEMA)
+
+
+def car_wavelet_op(df: DataFrame, rate: float, mean_frac: float = 0.95,
+                   filters: str = "rat", hg_only: bool = True,
+                   abs_only: bool = True,
+                   post_resample_rate: float | None = None, npad="fast",
+                   precision: str = "single") -> DataFrame:
+    """Fused CAR -> wavelet in ONE Python crossing: the CAR gather already
+    holds a whole series' channel block in one task (the per-series
+    applyInPandas group), and the wavelet is per-channel — a strict subset
+    of that grouping — so running it inside the same kernel saves a full
+    Arrow round-trip of the CAR'd signal (2 x n_time x n_channels doubles)
+    plus one mapInPandas stage. Identical math to subtract_car_packed
+    followed by wavelet_op (same K.* calls in the same order); the
+    unfused pair remains for `all_steps` lineage materialization.
+    Parity: the reference's own fused store_linenoise_notch_CAR stage
+    (pipelines.py:114-173) applied one stage later.
+    """
+    if not abs_only and post_resample_rate is not None:
+        raise ValueError("Wavelet phase should not be resampled.")
+    from ..dsp.filterbank import band_params, check_nyquist
+
+    cfs, sds = band_params(filters, hg_only)
+    check_nyquist(np.asarray(cfs), rate)
+    cfs_l, sds_l = [float(c) for c in cfs], [float(s) for s in sds]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["channel"].to_numpy())
+        pdf = pdf.iloc[order]
+        X = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["values"]], axis=1)
+        Xc = np.asarray(K.subtract_car(X, mean_frac=mean_frac,
+                                       precision=precision),
+                        dtype=np.float64)
+        rows = []
+        for i, (sid, ch) in enumerate(zip(pdf["series_id"], pdf["channel"])):
+            Xh, _, _, _ = K.wavelet_transform(
+                Xc[:, i:i + 1], rate, filters=filters, hg_only=hg_only,
+                npad=npad, precision=precision)
+            for b in range(Xh.shape[-1]):
+                amp = np.abs(Xh[:, 0, b])
+                if post_resample_rate is not None:
+                    amp = K.resample(amp, post_resample_rate, rate,
+                                     precision=precision)
+                phase = (None if abs_only
+                         else np.angle(Xh[:, 0, b]).astype(np.float64))
+                rows.append((sid, ch, b, cfs_l[b], sds_l[b],
+                             amp.astype(np.float64), phase))
+        return pd.DataFrame(
+            rows, columns=["series_id", "channel", "band", "cf", "sd",
+                           "amp", "phase"])
+
+    return df.groupBy("series_id").applyInPandas(fn, WAVELET_SCHEMA)

@@ -31,8 +31,8 @@ from pyspark.sql import functions as F
 
 from .dsp import kernels as K
 from .operators.car import subtract_car, subtract_car_packed
-from .operators.kernel_ops import (fused_ops, notch_op, resample_op,
-                                   scale_packed, wavelet_op)
+from .operators.kernel_ops import (car_wavelet_op, fused_ops, notch_op,
+                                   resample_op, scale_packed, wavelet_op)
 from .operators.repack import pack, unpack
 from .operators.zscore import band_mean, high_gamma_packed, zscore_baseline
 
@@ -76,10 +76,18 @@ def preprocess(signals: DataFrame, rate: float,
             lambda x: K.apply_linenoise_notch(x, initial_resample_rate,
                                               precision=precision),
         )
-        # dense CAR on packed rows: shuffle = n_channels array rows/series
+        # dense CAR on packed rows: shuffle = n_channels array rows/series.
+        # The lineage stage stays separately addressable (lazy — only pays
+        # if materialized); the pipeline output itself uses the fused
+        # CAR->wavelet kernel below (one Python crossing for both).
         repacked = subtract_car_packed(ds, mean_frac=mean_frac,
                                        precision=precision)
         stages["CAR_ln_downsampled"] = unpack(repacked)
+        wv = car_wavelet_op(ds, initial_resample_rate, mean_frac=mean_frac,
+                            filters=filters, hg_only=hg_only,
+                            abs_only=abs_only,
+                            post_resample_rate=final_resample_rate,
+                            precision=precision)
     else:
         ds = resample_op(packed, initial_resample_rate, rate,
                          precision=precision)
@@ -89,11 +97,10 @@ def preprocess(signals: DataFrame, rate: float,
         car_ln = subtract_car(long_ds, mean_frac=mean_frac)
         stages["CAR_ln_downsampled"] = car_ln
         repacked = pack(car_ln)
-
-    wv = wavelet_op(repacked, initial_resample_rate, filters=filters,
-                    hg_only=hg_only, abs_only=abs_only,
-                    post_resample_rate=final_resample_rate,
-                    precision=precision)
+        wv = wavelet_op(repacked, initial_resample_rate, filters=filters,
+                        hg_only=hg_only, abs_only=abs_only,
+                        post_resample_rate=final_resample_rate,
+                        precision=precision)
     tf = unpack(wv.drop("phase"), values_col="amp", value_col="amp",
                 extra_keys=("band", "cf", "sd"))
     stages["wvlt_amp"] = tf

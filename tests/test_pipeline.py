@@ -173,3 +173,25 @@ def test_assemble_v2_composition(spark):
     for r in packs:
         assert r["lo"] == 0 and r["k"] == r["hi"] + 1, r
     out.unpersist()
+
+
+def test_high_gamma_packed_equals_long_formulation(spark, dense):
+    """The packed fast path (array folds + band zip) must match the long
+    window/groupBy formulation numerically — same baseline population std,
+    same band mean; only the physical plan differs."""
+    import numpy as np
+
+    from process_nwb_spark.pipelines import PreprocessResult
+
+    res = preprocess(to_long_df(spark, dense), RATE, INIT, FINAL,
+                     precision="double")
+    key = ["channel", "sample_idx"]
+    fast = (high_gamma_trace(res, 0.25, FINAL).toPandas()
+            .sort_values(key).reset_index(drop=True))
+    long_only = PreprocessResult(tf=res.tf)   # tf_packed=None -> long path
+    slow = (high_gamma_trace(long_only, 0.25, FINAL).toPandas()
+            .sort_values(key).reset_index(drop=True))
+    assert list(fast.columns) == list(slow.columns) or \
+        set(fast.columns) == set(slow.columns)
+    np.testing.assert_allclose(fast.amp.to_numpy(), slow.amp.to_numpy(),
+                               rtol=1e-9, atol=1e-12)
