@@ -206,9 +206,13 @@ _L2_SQL = """
 def _ivf_lists(spark, sf_dir):
     """IVF layout: per-label mean centroids (k model-sized rows, broadcast),
     each vector assigned to its nearest centroid by L2 (ties on cid).
-    Returns (e, cents, lists) with lists = (vec_id, label, embedding, cid)."""
-    from pyspark.sql.window import Window
+    Returns (e, cents, lists) with lists = (vec_id, label, embedding, cid).
 
+    Assignment is a min_by argmin keyed by (dist, cid) — partial-aggregable
+    (map-side combine over the k candidate rows per vector), so the shuffle
+    carries one candidate per (vec_id, map partition) instead of sorting
+    all k rows per vector under a row_number window. Same tie rule as the
+    window formulation: struct ordering is lexicographic (dist, then cid)."""
     e = spread(T(spark, sf_dir, "embeddings"))
     flat = (e.select("label", F.posexplode("embedding").alias("d0", "x"))
             .groupBy("label", "d0")
@@ -221,11 +225,14 @@ def _ivf_lists(spark, sf_dir):
         F.zip_with("embedding", "cvec",
                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
         F.lit(0.0), lambda acc, x: acc + x))
-    w = Window.partitionBy("vec_id").orderBy(dist, F.col("cid"))
     lists = (e.crossJoin(F.broadcast(cents))
-             .withColumn("rnk", F.row_number().over(w))
-             .filter(F.col("rnk") == 1)
-             .select("vec_id", "label", "embedding", "cid"))
+             .groupBy("vec_id")
+             .agg(F.min_by(F.struct("label", "embedding", "cid"),
+                           F.struct(dist.alias("d"), F.col("cid")))
+                  .alias("_best"))
+             .select("vec_id", F.col("_best.label").alias("label"),
+                     F.col("_best.embedding").alias("embedding"),
+                     F.col("_best.cid").alias("cid")))
     return e, cents, lists
 
 
