@@ -28,6 +28,8 @@ def _configure(spark: SparkSession) -> SparkSession:
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        # engine semantics are non-ANSI (session.py); Spark 4 defaults ANSI on
+        ("spark.sql.ansi.enabled", "false"),
     ]:
         try:
             spark.conf.set(k, v)
