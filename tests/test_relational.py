@@ -67,7 +67,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 def test_registry_complete():
     reg = all_queries()
-    assert len(reg) >= 76
+    assert len(reg) >= 190
     # every oracle is non-trivial SQL and every fn is callable
     for name, spec in reg.items():
         assert callable(spec.fn)
@@ -87,7 +87,7 @@ def test_entry_contract(spark):
     assert df.count() > 0
     qs, osql = m.queries(), m.oracle_sql()
     assert set(osql) <= set(qs)
-    assert len(qs) >= 55
+    assert len(qs) >= 190
 
 
 def test_registry_imports_without_session():
@@ -100,7 +100,7 @@ def test_registry_imports_without_session():
     code = ("import sys; sys.path.insert(0, '.');"
             "import __spark_entry__ as E;"
             "q = E.queries(); o = E.oracle_sql();"
-            "assert len(q) >= 76 and len(o) >= 74;"
+            "assert len(q) >= 190 and len(o) >= 187;"
             "print('ok', len(q), len(o))")
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, cwd=__file__.rsplit("/tests/", 1)[0])
