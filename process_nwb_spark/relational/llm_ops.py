@@ -188,8 +188,12 @@ def ngram_jaccard_pairs(spark, sf_dir):
         .filter(F.col("n_docs") <= 100)
         .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
         .select("doc_id", "sh", "n_sh"))
-    a = filtered.alias("a")
-    b = filtered.alias("b")
+    # MERGE hint: the self-join input is an exploded shingle table — at
+    # corpus scale it can never broadcast, and locally the size-estimated
+    # broadcast pick re-executes the whole window sub-plan for the build
+    # side (no exchange reuse) — measured 4.3s -> 1.3s at sf0.1 with SMJ.
+    a = filtered.hint("merge").alias("a")
+    b = filtered.hint("merge").alias("b")
     pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -342,11 +342,12 @@ def test_prefix_filter_join_is_partial_agged(spark, qs):
     assert has_partial_aggregation(df)
     n = count_exchanges(df)
     assert n <= 16, f"jaccard_prefix_filter: {n} exchanges"
-    # the verification join carries n_sh on its rows; no forced broadcast
-    # hint anywhere (the optimizer may still size-pick broadcast at tiny SF,
-    # which is fine — the contract is that we never FORCE an unbounded one)
+    # the verification join carries n_sh on its rows; no forced BROADCAST
+    # hint anywhere (merge hints are fine — they force the scale-correct
+    # sort-merge strategy; a broadcast of a per-document table is the
+    # unbounded anti-pattern this test guards against)
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in analyzed, analyzed
+    assert "strategy=broadcast" not in analyzed, analyzed
 
 
 def test_tpch_shape_plans(spark, qs):
