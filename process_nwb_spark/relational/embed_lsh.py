@@ -313,7 +313,10 @@ def embed_ivf_topk(spark, sf_dir):
 def dedup_embed_cosine(spark, sf_dir):
     e = spread(T(spark, sf_dir, "embeddings"))
     bands = _bands_df(e).select("vec_id", "band", "bkey")
-    a, b = bands.alias("a"), bands.alias("b")
+    # merge: the bands table is corpus-sized (never broadcastable at scale)
+    # and the estimated broadcast re-executes the 8 plane dot products for
+    # the build side
+    a, b = bands.hint("merge").alias("a"), bands.hint("merge").alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bkey") == F.col("b.bkey"))
