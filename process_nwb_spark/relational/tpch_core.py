@@ -1333,28 +1333,46 @@ def star_large_orders(spark, sf_dir):
 
 @query(
     "agg_approx_percentiles",
-    None,
+    """
+    SELECT event_type, 1 AS q50_ok, 1 AS q95_ok, 1 AS q99_ok
+    FROM events
+    GROUP BY event_type
+    """,
     doc="approx_percentile (quantile sketch) per event_type — the "
         "mergeable, bounded-memory alternative to exact percentile_cont "
         "at 100 TB (exact quantiles need a full sort per group; the "
-        "sketch folds map-side like any partial agg). No SQL oracle: the "
-        "sketch internals aren't replayable in DuckDB — accuracy is "
-        "asserted against the exact quantiles in "
-        "tests/test_relational.py::test_approx_percentiles_within_accuracy. "
-        "Quantiles are emitted as scalar columns (q50/q95/q99), not an "
-        "array, so downstream canonicalizers can factorize them.",
+        "sketch folds map-side like any partial agg). The sketch value "
+        "itself isn't replayable in DuckDB, so — like "
+        "agg_approx_count_distinct — the oracled contract is the "
+        "tolerance: per group and per quantile q, the approx value must "
+        "land inside the EXACT [q-0.005, q+0.005] quantile bracket "
+        "(accuracy=10000 bounds rank error at 1e-4, so the bracket is a "
+        "50x margin). The Spark side computes both the sketch and the "
+        "exact brackets and emits the booleans; the oracle asserts TRUE "
+        "per group. Accuracy is additionally asserted in "
+        "tests/test_relational.py::test_approx_percentiles_within_accuracy.",
 )
 def agg_approx_percentiles(spark, sf_dir):
     e = T(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
     q = (e.groupBy("event_type")
          .agg(F.percentile_approx(
-             F.col("value").cast("double"),
-             F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
-             10000).alias("approx_q")))
-    return q.select("event_type",
-                    F.col("approx_q")[0].alias("q50"),
-                    F.col("approx_q")[1].alias("q95"),
-                    F.col("approx_q")[2].alias("q99"))
+                  v, F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+                  10000).alias("approx_q"),
+              F.percentile(
+                  v, F.array(F.lit(0.495), F.lit(0.945), F.lit(0.985)))
+               .alias("lo_q"),
+              F.percentile(
+                  v, F.array(F.lit(0.505), F.lit(0.955), F.lit(0.995)))
+               .alias("hi_q")))
+
+    def ok(i, name):
+        return ((F.col("approx_q")[i] >= F.col("lo_q")[i])
+                & (F.col("approx_q")[i] <= F.col("hi_q")[i])
+                ).cast("int").alias(name)
+
+    return q.select("event_type", ok(0, "q50_ok"), ok(1, "q95_ok"),
+                    ok(2, "q99_ok"))
 
 
 @query(

@@ -100,7 +100,7 @@ def test_registry_imports_without_session():
     code = ("import sys; sys.path.insert(0, '.');"
             "import __spark_entry__ as E;"
             "q = E.queries(); o = E.oracle_sql();"
-            "assert len(q) >= 190 and len(o) >= 187;"
+            "assert len(q) >= 190 and len(o) >= 188;"
             "print('ok', len(q), len(o))")
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, cwd=__file__.rsplit("/tests/", 1)[0])
@@ -246,12 +246,25 @@ def test_sessionize_partitions_events_exactly(spark):
 def test_approx_percentiles_within_accuracy(spark):
     """approx_percentile's rank-error contract vs the exact quantiles: with
     accuracy=10000 and ~2k rows per group the returned element's empirical
-    rank must sit within 1% of the requested quantile."""
+    rank must sit within 1% of the requested quantile. The registry query
+    itself now emits the oracled tolerance booleans (bracket containment);
+    this test independently recomputes the sketch and checks raw ranks."""
     import numpy as np
+    from pyspark.sql import functions as F
     from process_nwb_spark.relational.core import T, all_queries
 
     sf = "/root/testdata/sf0.01"
-    approx = (all_queries()["agg_approx_percentiles"].fn(spark, sf)
+    ok = (all_queries()["agg_approx_percentiles"].fn(spark, sf).toPandas())
+    assert (ok[["q50_ok", "q95_ok", "q99_ok"]] == 1).all().all()
+
+    approx = (T(spark, sf, "events")
+              .groupBy("event_type")
+              .agg(F.percentile_approx(
+                   F.col("value").cast("double"),
+                   F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)),
+                   10000).alias("aq"))
+              .select("event_type", F.col("aq")[0].alias("q50"),
+                      F.col("aq")[1].alias("q95"), F.col("aq")[2].alias("q99"))
               .toPandas().set_index("event_type"))
     vals = T(spark, sf, "events").select("event_type", "value").toPandas()
     for etype, grp in vals.groupby("event_type"):
