@@ -195,3 +195,43 @@ def test_high_gamma_packed_equals_long_formulation(spark, dense):
         set(fast.columns) == set(slow.columns)
     np.testing.assert_allclose(fast.amp.to_numpy(), slow.amp.to_numpy(),
                                rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.parametrize("post_resample_rate", [None, 200.0])
+def test_reference_worst_case_shapes(spark, post_resample_rate):
+    """The reference's own e2e fixture — 64 ch x 10.12324567 s generated at
+    12207.03125 Hz, then relabeled 2000 Hz (tests/test_pipeline.py:16-38) —
+    through preprocess (initial 500 Hz, rat hg_only, optional 200 Hz
+    post-resample) vs the dense kernel replay. Tolerance rtol=0.01 is the
+    reference's own chunked-vs-dense bound (tests/test_pipeline.py:154);
+    the double path lands far inside it. Exercises the awkward odd-length
+    resample/pad shapes (123574 samples -> 30894 -> 12358)."""
+    X = generate_synthetic_data(10.12324567, 64, 12207.03125, seed=0)
+    rate, init = 2000.0, 500.0
+
+    res = preprocess(to_long_df(spark, X), rate, init, post_resample_rate,
+                     precision="double")
+    got = (res.tf.select("channel", "band", "sample_idx", "amp").toPandas()
+           .sort_values(["channel", "band", "sample_idx"]).amp.to_numpy())
+
+    Xs = X * 1e6
+    Xr = K.resample(Xs, init, rate, precision="double")
+    Xn = K.apply_linenoise_notch(Xr, init, precision="double")
+    Xc = K.subtract_car(Xn, 0.95, precision="double")
+    Xh, _, cfs, _ = K.wavelet_transform(Xc, init, "rat", True,
+                                        precision="double")
+    amp = np.abs(Xh)
+    if post_resample_rate is not None:
+        want = np.stack([np.stack([K.resample(amp[:, c, b],
+                                              post_resample_rate, init,
+                                              precision="double")
+                                   for b in range(amp.shape[2])], 1)
+                         for c in range(amp.shape[1])], 1)
+    else:
+        want = amp
+    want = np.transpose(want, (1, 2, 0)).ravel()  # (ch, band, time) flat
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0.01, atol=1e-9)
+    # the double path is actually bitwise-close; pin the real agreement
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-12)
+    assert np.quantile(rel, 0.999) < 1e-6
