@@ -96,7 +96,10 @@ def bench_signal_numpy_reference() -> float:
          for c in range(amp.shape[1])], 1)   # (time, ch, band)
     nb = int(0.25 * 400.0)
     mu = out[:nb].mean(axis=0, keepdims=True)
-    sd = out[:nb].std(axis=0, ddof=1, keepdims=True)
+    # ddof=0 (population std): matches zscore_baseline / high_gamma_packed
+    # and the reference tutorial's np.std default — the replay is
+    # advertised as math-identical to the Spark path.
+    sd = out[:nb].std(axis=0, keepdims=True)
     hg = ((out - mu) / sd).mean(axis=2)
     hg.sum()  # force materialization
     return time.time() - t0

@@ -653,6 +653,22 @@ def dedup_components(spark, sf_dir):
     # At web scale the same loop would alternate large-star/small-star
     # (Kiveris et al.) for O(log n) rounds; dup-cluster diameters here are
     # tiny so plain min-label propagation converges in 2-3.
+    # localCheckpoint (vs reliable checkpoint) trades executor-loss
+    # recoverability for zero-HDFS-roundtrip speed: lineage is truncated,
+    # so losing an executor mid-loop loses blocks unrecoverably. For an
+    # interactive/bench session that is the right trade; a production run
+    # on preemptible nodes should set a checkpoint dir and use .checkpoint.
+    # Superseded rounds are unpersisted explicitly: DataFrame.unpersist()
+    # does NOT free localCheckpoint blocks (they live behind a LogicalRDD,
+    # not the cache manager), so we grab the internal RDD handle.
+
+    def _chk_rdd(df):
+        plan = df._jdf.queryExecution().analyzed()
+        try:
+            return plan.rdd()  # LogicalRDD's checkpointed internal RDD
+        except Exception:
+            return None
+
     pairs = minhash_lsh_candidates(spark, sf_dir)
     edges = (pairs.selectExpr("doc_a AS src", "doc_b AS dst")
              .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
@@ -660,6 +676,7 @@ def dedup_components(spark, sf_dir):
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("component", F.col("doc_id"))
               .localCheckpoint())
+    prev_rdd = _chk_rdd(labels)
     for _ in range(20):  # diameter bound; tiny dup clusters converge in 2-3
         nbr = (edges.join(labels, edges.src == labels.doc_id)
                .groupBy(F.col("dst").alias("doc_id"))
@@ -671,8 +688,14 @@ def dedup_components(spark, sf_dir):
                       .localCheckpoint())  # eager: the round's one real job
         changed = new_labels.filter("chg").limit(1).count()
         labels = new_labels.drop("chg")
+        if prev_rdd is not None:   # superseded round's blocks, free now
+            prev_rdd.unpersist(False)
+        prev_rdd = _chk_rdd(new_labels)
         if changed == 0:
             break
+    edges_rdd = _chk_rdd(edges)    # loop done; final labels don't read edges
+    if edges_rdd is not None:
+        edges_rdd.unpersist(False)
     w = Window.partitionBy("component")
     return labels.select("doc_id", "component",
                          F.count("*").over(w).alias("component_size"))
@@ -1650,13 +1673,15 @@ _HEX = "0123456789abcdef"
                     (SELECT SUM(c_tgt) FROM tgt) AS n_tgt),
     llr AS (
       SELECT s.b,
-             LN((CAST(COALESCE(t.c_tgt, 0) + 1 AS DOUBLE) / (n_tgt + 256))
-                / (CAST(s.c_src + 1 AS DOUBLE) / (n_src + 256))) AS lw
+             CAST(ROUND(
+               LN((CAST(COALESCE(t.c_tgt, 0) + 1 AS DOUBLE) / (n_tgt + 256))
+                  / (CAST(s.c_src + 1 AS DOUBLE) / (n_src + 256)))
+               * 1000000) AS BIGINT) AS lw_q
       FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN tots
     )
     SELECT tok.doc_id,
            CAST(COUNT(*) AS INT) AS n_tokens,
-           ROUND(SUM(lw), 4) AS log_importance
+           SUM(lw_q) / 1000000.0 AS log_importance
     FROM tok JOIN llr ON tok.b = llr.b
     GROUP BY tok.doc_id
     """,
@@ -1669,7 +1694,12 @@ _HEX = "0123456789abcdef"
         "the target domain. Scale: both distributions are 256-row model "
         "tables (one partial-agg pass over the token stream each; the "
         "token stream itself never shuffles twice — the per-doc sum rides "
-        "the doc_id aggregation), and scoring is scan + broadcast joins.",
+        "the doc_id aggregation), and scoring is scan + broadcast joins. "
+        "Per-bucket log-ratios are quantized to an integer 1e-6 grid "
+        "BEFORE the per-doc sum so the sum is exact integer arithmetic — "
+        "order-independent and therefore engine-independent (a raw double "
+        "sum over hundreds of terms depends on partial-agg order and can "
+        "flake any rounded cross-engine comparison).",
 )
 def dsir_importance(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
@@ -1686,12 +1716,13 @@ def dsir_importance(spark, sf_dir):
         F.sum("c_src").alias("n_src"),
         F.sum(F.coalesce("c_tgt", F.lit(0))).alias("n_tgt"))
     llr = (joined.crossJoin(F.broadcast(tots))
-           .select("b", F.log(
+           .select("b", F.round(F.log(
                ((F.coalesce("c_tgt", F.lit(0)) + 1).cast("double")
                 / (F.col("n_tgt") + 256))
                / ((F.col("c_src") + 1).cast("double") / (F.col("n_src") + 256)))
-               .alias("lw")))
+               * 1000000).cast("bigint")
+               .alias("lw_q")))
     return (tok.join(F.broadcast(llr), "b")
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("n_tokens"),
-                 F.round(F.sum("lw"), 4).alias("log_importance")))
+                 (F.sum("lw_q") / F.lit(1000000.0)).alias("log_importance")))

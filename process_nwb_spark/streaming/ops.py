@@ -22,17 +22,30 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
     """events parquet as a file-source stream.
 
-    events.ts is parquet timestamp[us]; declaring it TIMESTAMP in the
-    user schema reads it directly as event time (session tz is UTC, so
-    wall-clock values match the batch loader in relational/core.py).
+    A streaming reader needs a fixed user schema, but events.ts varies by
+    producer: timestamp[us] (isAdjustedToUTC) reads as TIMESTAMP,
+    timestamp[us] NTZ reads as TIMESTAMP_NTZ, and TIMESTAMP(NANOS) reads
+    as BIGINT under the session's nanosAsLong guard. So probe the batch
+    schema first — a parquet-footer-only read, no data scan — and declare
+    the stream schema to match, converting to TIMESTAMP after the scan the
+    same way the batch loader does (relational/core.py T()). This keeps
+    the two tiers degrading symmetrically on every source flavor.
     """
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # point at the events file specifically: a bare directory glob would
     # sweep in the other tables' parquet and null-pad their rows
     path = sf_dir if sf_dir.endswith(".parquet") else f"{sf_dir}/events*.parquet"
-    return reader.parquet(path)
+    ts_type = dict(spark.read.parquet(path).dtypes).get("ts", "timestamp")
+    schema = EVENTS_SCHEMA.replace("ts TIMESTAMP", f"ts {ts_type.upper()}")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(path)
+    if ts_type == "bigint":      # TIMESTAMP(NANOS) under nanosAsLong: ns -> us
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":   # session tz UTC: wall-clock identity
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_counts(events: DataFrame, width: str = "5 minutes",

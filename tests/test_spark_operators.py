@@ -37,6 +37,30 @@ def test_pack_sorts_by_sample_idx(spark, dense):
     np.testing.assert_allclose(rt, dense)
 
 
+def test_pack_order_survives_sort_based_agg_fallback(spark, dense):
+    """pack() relies on collect_list appending in partition-iteration order
+    after repartition + sortWithinPartitions. ObjectHashAggregate falls back
+    to SORT-based aggregation past
+    spark.sql.objectHashAggregate.sortBased.fallbackThreshold (default 128
+    in-memory groups per task) — exactly the many-groups-per-task regime a
+    large deployment hits — where within-group order instead rests on the
+    fallback sort's stability on already-grouped runs. Pin that path
+    bitwise by forcing the threshold to 1 so EVERY group takes the
+    fallback."""
+    conf = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    old = spark.conf.get(conf, None)
+    try:
+        spark.conf.set(conf, "1")
+        shuffled = to_long_df(spark, dense).orderBy("value")
+        rt = long_to_dense(unpack(pack(shuffled)))
+    finally:
+        if old is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, old)
+    assert (rt == dense).all()   # bitwise, not allclose
+
+
 def test_scale_packed(spark, signals, dense):
     out = long_to_dense(unpack(scale_packed(pack(signals), 1e6)))
     np.testing.assert_allclose(out, dense * 1e6, rtol=1e-12)
