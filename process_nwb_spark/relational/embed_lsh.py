@@ -522,8 +522,8 @@ def embed_pq_adc(spark, sf_dir):
     """
     WITH flat AS (
         SELECT vec_id,
-               UNNEST(RANGE(0, 4)) AS dim,
-               CAST(UNNEST(embedding[1:4]) AS DOUBLE) AS x
+               UNNEST(RANGE(0, len(embedding))) AS dim,
+               CAST(UNNEST(embedding) AS DOUBLE) AS x
         FROM embeddings
     ),
     ranked AS (
@@ -537,21 +537,20 @@ def embed_pq_adc(spark, sf_dir):
            ROUND((r - 0.5) / n, 6) AS q
     FROM ranked
     """,
-    doc="quantile (rank) normalization of the first four embedding "
-        "dimensions: each value maps to its empirical quantile "
-        "(rank - 0.5)/n within its dimension — the distribution-free "
-        "feature scaling that equalizes heavy-tailed dims before "
-        "distance computations. One shuffle keyed by dim (64 keys at "
-        "full width — salt by vec_id range if a single dim outgrows an "
-        "executor); ties break on vec_id so ranks are replayable",
+    doc="quantile (rank) normalization of ALL embedding dimensions (64 "
+        "here): each value maps to its empirical quantile (rank - 0.5)/n "
+        "within its dimension — the distribution-free feature scaling "
+        "that equalizes heavy-tailed dims before distance computations. "
+        "One shuffle keyed by dim (64 keys at full width, each holding "
+        "n_vectors rows — salt by vec_id range if a single dim outgrows "
+        "an executor); ties break on vec_id so ranks are replayable",
 )
 def embed_quantile_norm(spark, sf_dir):
     from pyspark.sql.window import Window
 
     e = spread(T(spark, sf_dir, "embeddings"))
     flat = (e.select("vec_id",
-                     F.posexplode(F.slice("embedding", 1, 4))
-                     .alias("dim", "x"))
+                     F.posexplode("embedding").alias("dim", "x"))
             .select("vec_id", "dim", F.col("x").cast("double").alias("x")))
     w = Window.partitionBy("dim").orderBy("x", "vec_id")
     wc = Window.partitionBy("dim")

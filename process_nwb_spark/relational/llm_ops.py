@@ -210,48 +210,87 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# SimHash fingerprint (16-bit, md5-nibble bits)
+# SimHash fingerprint (64-bit, md5-nibble bits)
 # --------------------------------------------------------------------------
+# 64-bit fingerprint from the first 16 hex digits of md5(token): bit
+# b = 4p+j is bit j of hex digit p. The token stream explodes x16 (one row
+# per hex POSITION, not per bit) and aggregates nibble-value COUNTS per
+# (doc, position) — at most 16x16 rows per doc regardless of length — then
+# derives the 4 bit-votes per position from the counts. Same per-token cost
+# as a 16-bit fingerprint, 4x the width. Bit 63 is the sign bit: DuckDB
+# refuses 1<<63 (overflow-checked), so both engines spell it (1<<62)*-2;
+# the fingerprint is the two's-complement int64 of the 64 majority bits.
+_SIMHASH64_FP_SQL = """tok AS (
+      SELECT doc_id, MD5(w) AS h
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+            FROM documents) t
+    ),
+    nib AS (
+      SELECT doc_id, p,
+             STRPOS('0123456789abcdef',
+                    SUBSTR(h, CAST(p AS INT) + 1, 1)) - 1 AS val
+      FROM tok, (SELECT UNNEST(RANGE(0, 16)) AS p)
+    ),
+    cnt AS (SELECT doc_id, p, val, COUNT(*) AS c
+            FROM nib GROUP BY doc_id, p, val),
+    votes AS (
+      SELECT doc_id, p * 4 + j AS b,
+             SUM(c * (((val >> j) & 1) * 2 - 1)) AS v
+      FROM cnt, (SELECT UNNEST(RANGE(0, 4)) AS j)
+      GROUP BY doc_id, p * 4 + j
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN
+                        CASE WHEN b = 63 THEN (CAST(1 AS BIGINT) << 62) * -2
+                             ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )"""
+
+
 @query(
     "simhash_fingerprints",
-    """
-    WITH tok AS (
-      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
-    ),
-    bits AS (
-      SELECT doc_id, b,
-             CASE WHEN ((STRPOS('0123456789abcdef',
-                                SUBSTR(MD5(w), CAST(b // 4 AS INT) + 1, 1)) - 1)
-                        >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
-      FROM tok, (SELECT UNNEST(RANGE(0, 16)) AS b)
-    ),
-    votes AS (SELECT doc_id, b, SUM(sgn) AS v FROM bits GROUP BY doc_id, b)
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
+    f"""
+    WITH {_SIMHASH64_FP_SQL}
+    SELECT doc_id, simhash FROM fp
     """,
-    doc="SimHash: per-token md5-derived bit votes, majority per bit -> "
-        "16-bit fingerprint; near-dups share fingerprints (hamming-0 bucket)",
+    doc="SimHash (Charikar 2002): per-token md5-derived bit votes, "
+        "majority per bit -> 64-bit fingerprint; near-dups land within a "
+        "small Hamming ball (see simhash_near_pairs for the banded "
+        "retrieval). Scale: explode x16 hex positions (not x64 bits), "
+        "nibble-value counts bound the first agg at 256 rows/doc, and "
+        "both aggs fold map-side.",
 )
 def simhash_fingerprints(spark, sf_dir):
-    d = spread(T(spark, sf_dir, "documents"))
+    # HASH-repartition on doc_id (not round-robin spread): every
+    # downstream aggregation clusters on a key set CONTAINING doc_id, and
+    # HashPartitioning(doc_id) satisfies ClusteredDistribution(doc_id, ...)
+    # as a subset — so all three aggs run exchange-free. One shuffle of
+    # the small pre-explosion rows total.
+    n = spark.sparkContext.defaultParallelism
+    d = T(spark, sf_dir, "documents").repartition(n, "doc_id")
     tok = (d.select("doc_id", F.explode(_words()).alias("w"))
            .select("doc_id", F.md5("w").alias("h")))
-    bits = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
-        "h",
-    ).select(
-        "doc_id", "b",
-        # nibble = hex digit b//4 of md5(w); sign = bit (b%4) of the nibble
-        F.expr(
-            "CASE WHEN (CAST(conv(substr(h, (b div 4) + 1, 1), 16, 10)"
-            "           AS INT) >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END"
-        ).alias("sgn"),
-    )
-    votes = bits.groupBy("doc_id", "b").agg(F.sum("sgn").alias("v"))
+    nib = (tok.select(
+               "doc_id",
+               F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"), "h")
+           .select("doc_id", "p",
+                   F.expr("CAST(conv(substr(h, p + 1, 1), 16, 10) AS INT)")
+                   .alias("val")))
+    cnt = nib.groupBy("doc_id", "p", "val").agg(F.count("*").alias("c"))
+    votes = (cnt.select(
+                 "doc_id", "p", "val", "c",
+                 F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"))
+             .select("doc_id", (F.col("p") * 4 + F.col("j")).alias("b"),
+                     (F.col("c")
+                      * F.expr("((val >> j) & 1) * 2 - 1")).alias("sv"))
+             .groupBy("doc_id", "b").agg(F.sum("sv").alias("v")))
     return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << b"))
+        F.sum(F.when(
+            F.col("v") > 0,
+            F.expr("CASE WHEN b = 63 THEN (CAST(1 AS BIGINT) << 62) * -2 "
+                   "ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END"))
               .otherwise(0)).cast("long").alias("simhash"))
 
 
@@ -1398,55 +1437,42 @@ def embed_pca_power(spark, sf_dir):
 
 @query(
     "simhash_near_pairs",
-    """
-    WITH tok AS (
-      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
-    ),
-    bits AS (
-      SELECT doc_id, b,
-             CASE WHEN ((STRPOS('0123456789abcdef',
-                                SUBSTR(MD5(w), CAST(b // 4 AS INT) + 1, 1)) - 1)
-                        >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS sgn
-      FROM tok, (SELECT UNNEST(RANGE(0, 16)) AS b)
-    ),
-    votes AS (SELECT doc_id, b, SUM(sgn) AS v FROM bits GROUP BY doc_id, b),
-    fp AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT)
-               AS simhash
-      FROM votes GROUP BY doc_id
-    )
+    f"""
+    WITH {_SIMHASH64_FP_SQL}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
     """,
-    doc="SimHash near-duplicate PAIRS at Hamming distance <= 3, found "
-        "without a quadratic scan: the 16-bit fingerprint splits into 4 "
-        "nibbles and by pigeonhole any pair within distance 3 must agree "
-        "on at least one whole nibble, so candidates come from an "
-        "equi-join on (band, nibble) keys — same banding trade as "
-        "minhash_lsh_candidates but EXACT (zero false negatives), then "
-        "verified with bit_count(xor) on the two 64-bit-int fingerprints. "
+    doc="SimHash near-duplicate PAIRS at Hamming distance <= 3 over the "
+        "64-bit fingerprints, found without a quadratic scan: the "
+        "fingerprint splits into 4 disjoint 16-bit blocks (Manku et al. "
+        "2007), and by pigeonhole any pair within distance 3 must agree "
+        "on at least one whole block, so candidates come from an "
+        "equi-join on (band, block) keys — EXACT banding (zero false "
+        "negatives), then verified with bit_count(xor). 16-bit blocks "
+        "make random collisions 1/65536 per band (4 bands), vs 1/16 for "
+        "a nibble banding — candidate volume stays ~n^2/2^14 smaller, "
+        "which is what keeps the self-join feasible at corpus scale. "
         "Completes the near-dup toolkit: fingerprints alone "
         "(simhash_fingerprints) only catch hamming-0; this catches the "
-        "one-edit neighborhood at banded-join cost. Oracle is the "
-        "quadratic exact pair scan",
+        "3-bit neighborhood at banded-join cost. Oracle is the quadratic "
+        "exact pair scan",
 )
 def simhash_near_pairs(spark, sf_dir):
     fp = simhash_fingerprints(spark, sf_dir)
     band_structs = F.array(*[
         F.struct(F.lit(i).alias("band"),
-                 (F.shiftright(F.col("simhash"), 4 * i) % 16).alias("nib"))
+                 F.expr(f"(simhash >> {16 * i}) & 65535").alias("blk"))
         for i in range(4)])
     bands = (fp.select("doc_id", "simhash",
                        F.explode(band_structs).alias("bb"))
              .select("doc_id", "simhash", F.col("bb.band").alias("band"),
-                     F.col("bb.nib").alias("nib")))
+                     F.col("bb.blk").alias("blk")))
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.expr("a.simhash ^ b.simhash")).cast("int")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.nib") == F.col("b.nib"))
+                   & (F.col("a.blk") == F.col("b.blk"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),

@@ -97,7 +97,10 @@ def test_dedup_text_shuffle_budgets(spark, qs):
     the small input plus the operator's own aggregation — nothing more.
     (A regression that adds a join-back or re-explosion shows up here.)"""
     budgets = {"dedup_exact": 2, "minhash_signatures": 2,
-               "simhash_fingerprints": 3, "doc_fingerprint_winnow": 2,
+               # simhash: hash-repartition on doc_id up front satisfies all
+               # three chained aggs' ClusteredDistribution as a subset ->
+               # exactly one exchange end-to-end
+               "simhash_fingerprints": 1, "doc_fingerprint_winnow": 2,
                "text_quality": 0,
                # corpus assembly: hash-splits are pure narrow projections
                # (THE reason they beat randomSplit at scale); packing pays
