@@ -189,6 +189,11 @@ def embed_mllib_brp_lsh(spark, sf_dir):
         inputCol="features", outputCol="hashes",
         bucketLength=2.0, numHashTables=3, seed=42)
     model = lsh.fit(v)
+    # Single-row driver fetch, forced by the MLlib API surface:
+    # approxNearestNeighbors takes the query as a local Vector, not a
+    # DataFrame column. One row at any scale — NOT a collect smell. The
+    # SQL-native ANN paths (embed_ann_lsh / embed_ivf_topk) keep the
+    # query set distributed and are the real engine surface.
     q = v.filter(F.col("vec_id") == 0).first()["features"]
     nn = model.approxNearestNeighbors(v.filter(F.col("vec_id") != 0), q, 10)
     return (nn.select("vec_id", "label",

@@ -3,6 +3,11 @@ and its oracle SQL in DuckDB on the same parquet, compare row count, schema
 width, and an order-insensitive value hash.
 
 Usage: python tests/run_oracle_check.py [sf_dir] [name ...]
+
+Set ORACLE_JSON_OUT=<path> to also write a CORRECTNESS-shaped artifact
+(per-query rows_match/schema_match/hash_match/spark_rows/oracle_rows/err)
+so the full-registry local gate leaves a recorded, diffable signal for
+queries past the driver's sampled prefix.
 """
 from __future__ import annotations
 
@@ -71,36 +76,59 @@ def main():
 
     registry = all_queries()
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name, spec in registry.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        row = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        results[name] = row
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
+            row["spark_rows"] = len(sdf)
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            row["err"] = f"spark: {e}"[:300]
             n_fail += 1
             continue
         if spec.oracle is None:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            row["err"] = "no_oracle"
             n_rows_only += 1
             continue
         try:
             ddf = con.sql(spec.oracle).df()
+            row["oracle_rows"] = len(ddf)
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            row["err"] = f"duckdb: {e}"[:300]
             n_fail += 1
             continue
         problems = compare(name, sdf, ddf)
+        row["rows_match"] = len(sdf) == len(ddf)
+        row["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
+        row["hash_match"] = not problems
         if problems:
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"      {p}")
+            row["err"] = "; ".join(p.split("\n")[0] for p in problems)[:300]
             n_fail += 1
         else:
             print(f"ok    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAIL")
+    out = os.environ.get("ORACLE_JSON_OUT")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass,
+                       "n_rows_only": n_rows_only, "n_fail": n_fail,
+                       "queries": results}, f, indent=1)
+        print(f"wrote {out} ({len(results)} rows)")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
