@@ -79,6 +79,75 @@ def fused_ops(df: DataFrame, *fns) -> DataFrame:
     return _map_values(df, chained)
 
 
+def _list_col_to_numpy(col):
+    """ARRAY<DOUBLE> Arrow column -> (flat float64 ndarray, int64 bounds).
+
+    flatten() respects the array's own offset/slicing; with no null rows
+    (signal arrays are never null) it is exactly the in-order concatenation
+    of the list elements, so bounds[i]:bounds[i+1] slices row i's values."""
+    import pyarrow.compute as pc
+
+    if hasattr(col, "combine_chunks"):  # ChunkedArray (from a pa.Table)
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=bounds[1:])
+    return flat, bounds
+
+
+def _pack_list_array(arrays):
+    """list of float64 ndarrays -> Arrow list<double> array (2 memcpys)."""
+    import pyarrow as pa
+
+    lens = np.fromiter((len(a) for a in arrays), dtype=np.int64,
+                       count=len(arrays))
+    offsets = np.zeros(len(arrays) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    flat = (arrays[0] if len(arrays) == 1
+            else np.concatenate(arrays) if arrays
+            else np.empty(0, dtype=np.float64))
+    return pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(flat, type=pa.float64()))
+
+
+def _map_values_arrow(df: DataFrame, fn) -> DataFrame:
+    """Arrow-native twin of _map_values: same narrow per-row kernel map,
+    but via mapInArrow — the ARRAY<DOUBLE> column crosses as one flat
+    float64 buffer + offsets instead of a pandas object Series of boxed
+    per-row ndarrays, in both directions. Math-identical to _map_values
+    (same fn over the same float64 views; pinned bitwise in
+    tests/test_spark_operators.py)."""
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            flat, bounds = _list_col_to_numpy(batch.column(2))
+            outs = [np.ascontiguousarray(
+                        np.asarray(fn(flat[bounds[i]:bounds[i + 1]]),
+                                   dtype=np.float64))
+                    for i in range(batch.num_rows)]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), _pack_list_array(outs)],
+                ["series_id", "channel", "values"])
+
+    return df.select("series_id", "channel", "values").mapInArrow(
+        run, PACKED_SCHEMA)
+
+
+def fused_ops_arrow(df: DataFrame, *fns) -> DataFrame:
+    """Arrow-native twin of fused_ops: chained kernels, one crossing."""
+
+    def chained(x):
+        for f in fns:
+            x = f(x)
+        return x
+
+    return _map_values_arrow(df, chained)
+
+
 WAVELET_SCHEMA = ("series_id STRING, channel INT, band INT, cf DOUBLE, "
                   "sd DOUBLE, amp ARRAY<DOUBLE>, phase ARRAY<DOUBLE>")
 
@@ -181,3 +250,70 @@ def car_wavelet_op(df: DataFrame, rate: float, mean_frac: float = 0.95,
                            "amp", "phase"])
 
     return df.groupBy("series_id").applyInPandas(fn, WAVELET_SCHEMA)
+
+
+def car_wavelet_arrow(df: DataFrame, rate: float, mean_frac: float = 0.95,
+                      filters: str = "rat", hg_only: bool = True,
+                      abs_only: bool = True,
+                      post_resample_rate: float | None = None, npad="fast",
+                      precision: str = "single") -> DataFrame:
+    """Arrow-native twin of car_wavelet_op (applyInArrow): the series'
+    channel block arrives as one flat float64 buffer + offsets and the
+    band amplitudes leave the same way — no pandas object boxing on either
+    side of the heaviest crossing. Same K.* calls in the same order as
+    car_wavelet_op; pinned bitwise-equal in tests/test_spark_operators.py."""
+    if not abs_only and post_resample_rate is not None:
+        raise ValueError("Wavelet phase should not be resampled.")
+    import pyarrow as pa
+
+    from ..dsp.filterbank import band_params, check_nyquist
+
+    cfs, sds = band_params(filters, hg_only)
+    check_nyquist(np.asarray(cfs), rate)
+    cfs_l, sds_l = [float(c) for c in cfs], [float(s) for s in sds]
+    n_bands = len(cfs_l)
+
+    def fn(table: "pa.Table") -> "pa.Table":
+        ch = table.column("channel").to_numpy(zero_copy_only=False)
+        order = np.argsort(ch)
+        flat, bounds = _list_col_to_numpy(table.column("values"))
+        X = np.stack([flat[bounds[i]:bounds[i + 1]] for i in order], axis=1)
+        sid = table.column("series_id")[0].as_py()
+        Xc = np.asarray(K.subtract_car(X, mean_frac=mean_frac,
+                                       precision=precision),
+                        dtype=np.float64)
+        amps, out_ch = [], []
+        for i, p in enumerate(order):
+            Xh, _, _, _ = K.wavelet_transform(
+                Xc[:, i:i + 1], rate, filters=filters, hg_only=hg_only,
+                npad=npad, precision=precision)
+            for b in range(n_bands):
+                amp = np.abs(Xh[:, 0, b])
+                if post_resample_rate is not None:
+                    amp = K.resample(amp, post_resample_rate, rate,
+                                     precision=precision)
+                amps.append(np.ascontiguousarray(amp, dtype=np.float64))
+                out_ch.append(int(ch[p]))
+        n = len(amps)
+        if abs_only:
+            phase = pa.nulls(n, type=pa.list_(pa.float64()))
+        else:
+            # phase kept only on the pandas path for now; the pipeline's
+            # fused fast path is abs_only (phase + post-resample is
+            # rejected above, matching wavelet_transform.py:423-424)
+            raise NotImplementedError(
+                "car_wavelet_arrow: use car_wavelet_op for phase output")
+        return pa.table({
+            "series_id": pa.array([sid] * n, type=pa.string()),
+            "channel": pa.array(out_ch, type=pa.int32()),
+            "band": pa.array([b for _ in order for b in range(n_bands)],
+                             type=pa.int32()),
+            "cf": pa.array([cfs_l[b] for _ in order
+                            for b in range(n_bands)], type=pa.float64()),
+            "sd": pa.array([sds_l[b] for _ in order
+                            for b in range(n_bands)], type=pa.float64()),
+            "amp": _pack_list_array(amps),
+            "phase": phase,
+        })
+
+    return df.groupBy("series_id").applyInArrow(fn, WAVELET_SCHEMA)

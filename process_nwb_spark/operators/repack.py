@@ -43,6 +43,13 @@ def pack(df: DataFrame, value_col: str = "value") -> DataFrame:
     struct formulation — and bitwise-correct with the fallback forced to
     threshold=1 (tests/test_spark_operators.py::
     test_pack_order_survives_sort_based_agg_fallback).
+
+    An Arrow-native pack (mapInArrow over the sorted shuffle output,
+    slicing contiguous key-runs with numpy) was built and measured
+    STRICTLY worse — 2.6 s vs 0.8 s at 8 series x 32 ch x 320k samples —
+    because the packed arrays then pay a full Python round-trip that the
+    JVM collect_list avoids entirely; the kernel crossings downstream are
+    where Arrow pays off (see operators/kernel_ops._map_values_arrow).
     """
     agg = (
         df.repartition(*KEYS)

@@ -74,8 +74,15 @@ def high_gamma_packed(wv: DataFrame, n_baseline: int,
                 values_col, lambda x: (x - st["m"]) / st["s"])),
         1)
     z = wv.withColumn("_z", zarr)
+    # collect (band, z) structs and sort by band before the element-wise
+    # fold: collect_list arrival order is not a contract, and summing the
+    # band arrays in arrival order makes the float result depend on task
+    # scheduling / upstream operator choice (~1e-7 relative). Sorting 6
+    # structs is free and pins the sum order -> deterministic output.
     per_ch = (z.groupBy("series_id", "channel")
-              .agg(F.collect_list("_z").alias("_arrs"))
+              .agg(F.array_sort(
+                   F.collect_list(F.struct("band", "_z"))).alias("_bz"))
+              .withColumn("_arrs", F.expr("transform(_bz, s -> s._z)"))
               .withColumn("_hg", F.expr(
                   "transform(aggregate(_arrs,"
                   " array_repeat(cast(0.0 as double), size(_arrs[0])),"

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 
 from .dsp import kernels as K
 from .operators.car import subtract_car, subtract_car_packed
-from .operators.kernel_ops import (car_wavelet_op, fused_ops, notch_op,
+from .operators.kernel_ops import (car_wavelet_arrow, car_wavelet_op,
+                                   fused_ops, fused_ops_arrow, notch_op,
                                    resample_op, scale_packed, wavelet_op)
 from .operators.repack import pack, unpack
 from .operators.zscore import band_mean, high_gamma_packed, zscore_baseline
@@ -60,16 +61,32 @@ def preprocess(signals: DataFrame, rate: float,
                filters: str = "rat", hg_only: bool = True,
                mean_frac: float = 0.95, scaling: float = SCALING,
                abs_only: bool = True, precision: str = "single",
-               fuse: bool = True) -> PreprocessResult:
+               fuse: bool = True, arrow: bool = True) -> PreprocessResult:
     """The default pipeline on a long signals DataFrame
     (series_id, channel, sample_idx, value). Parity: pipelines.py:15-111.
+
+    `arrow=True` (default) runs the two kernel crossings — resample+notch
+    and CAR->wavelet — through the Arrow-native operators (mapInArrow /
+    applyInArrow): same math, same plan shape, but signal arrays cross as
+    flat float64 buffers + offsets instead of pandas object Series of
+    boxed per-row ndarrays, in both directions. Measured (8 series x 32 ch
+    x 10 s @ 3.2 kHz, interleaved min-of-5): 2.55 s pandas -> 2.11 s
+    arrow, bringing the pipeline to 1.34x the serial single-core NumPy
+    replay of the same workload. (An Arrow-native pack was also tried and
+    measured STRICTLY worse — 2.6 s vs 0.8 s for the JVM collect_list
+    pack — because it pays a full extra Python round-trip of the packed
+    arrays; the JVM pack stays regardless of `arrow`.) `arrow=False`
+    keeps the pandas operators — both paths are pinned bitwise-equal in
+    tests/test_spark_operators.py.
     """
     stages: dict[str, DataFrame] = {}
 
+    use_arrow = arrow and fuse and abs_only
     packed = pack(signals)
     packed = scale_packed(packed, scaling)
     if fuse:
-        ds = fused_ops(
+        kernel_map = fused_ops_arrow if use_arrow else fused_ops
+        ds = kernel_map(
             packed,
             lambda x: K.resample(x, initial_resample_rate, rate,
                                  precision=precision),
@@ -83,11 +100,12 @@ def preprocess(signals: DataFrame, rate: float,
         repacked = subtract_car_packed(ds, mean_frac=mean_frac,
                                        precision=precision)
         stages["CAR_ln_downsampled"] = unpack(repacked)
-        wv = car_wavelet_op(ds, initial_resample_rate, mean_frac=mean_frac,
-                            filters=filters, hg_only=hg_only,
-                            abs_only=abs_only,
-                            post_resample_rate=final_resample_rate,
-                            precision=precision)
+        car_wavelet = car_wavelet_arrow if use_arrow else car_wavelet_op
+        wv = car_wavelet(ds, initial_resample_rate, mean_frac=mean_frac,
+                         filters=filters, hg_only=hg_only,
+                         abs_only=abs_only,
+                         post_resample_rate=final_resample_rate,
+                         precision=precision)
     else:
         ds = resample_op(packed, initial_resample_rate, rate,
                          precision=precision)

@@ -165,3 +165,79 @@ def test_electrodes_df(spark):
     assert len(pdf) == 4
     assert (pdf.imp == [-0.0, -1.0, -2.0, -3.0]).all()
     assert (pdf.location == "cortex").all()
+
+
+def _rows_map(df, key_cols, val_col):
+    return {tuple(r[k] for k in key_cols): list(r[val_col])
+            for r in df.collect()}
+
+
+def test_fused_ops_arrow_bitwise(spark, signals):
+    """Arrow crossing == pandas crossing, bitwise, for the fused
+    resample+notch kernel map (same fn over the same float64 views)."""
+    from process_nwb_spark.operators.kernel_ops import (fused_ops,
+                                                        fused_ops_arrow)
+
+    pk = scale_packed(pack(signals), 1e6)
+    # precision="double": the float32 FFT is only 1-ULP repeatable across
+    # independent executions (alignment-dependent SIMD rounding), so the
+    # bitwise crossing-equivalence claim is made at double
+    fns = (lambda x: K.resample(x, 500.0, RATE, precision="double"),
+           lambda x: K.apply_linenoise_notch(x, 500.0, precision="double"))
+    a = _rows_map(fused_ops(pk, *fns), ("series_id", "channel"), "values")
+    b = _rows_map(fused_ops_arrow(pk, *fns), ("series_id", "channel"),
+                  "values")
+    assert a == b
+
+
+def test_car_wavelet_arrow_bitwise(spark, signals):
+    """applyInArrow CAR->wavelet == applyInPandas twin, bitwise, including
+    the post-resample of band amplitudes and the null phase column."""
+    from process_nwb_spark.operators.kernel_ops import (car_wavelet_arrow,
+                                                        car_wavelet_op)
+
+    pk = scale_packed(pack(signals), 1e6)
+    kw = dict(mean_frac=0.95, filters="rat", hg_only=True, abs_only=True,
+              post_resample_rate=250.0, precision="double")
+    keys = ("series_id", "channel", "band")
+    a = _rows_map(car_wavelet_op(pk, RATE, **kw), keys, "amp")
+    b = _rows_map(car_wavelet_arrow(pk, RATE, **kw), keys, "amp")
+    assert a == b
+    cfs = {tuple(r[k] for k in keys): (r["cf"], r["sd"], r["phase"])
+           for r in car_wavelet_arrow(pk, RATE, **kw).collect()}
+    for _, (cf, sd, phase) in cfs.items():
+        assert cf > 0 and sd > 0 and phase is None
+
+
+def test_preprocess_arrow_matches_pandas_bitwise(spark, dense):
+    """End-to-end: preprocess(arrow=True) == preprocess(arrow=False).
+
+    Bitwise at precision="double". At "single" the float32 FFT itself is
+    only repeatable to 1 ULP run-to-run (pocketfft's SIMD kernel choice
+    depends on buffer alignment, which varies with Arrow batch layout —
+    measured: identical inputs, same path, two runs differ by 2^-7 on
+    O(1e3) values; double precision is exactly repeatable), so no two
+    independent executions — pandas vs pandas included — can promise
+    bitwise equality there. The band fold in high_gamma_packed is sorted
+    by band, so summation order is pinned and contributes no extra noise."""
+    from process_nwb_spark import high_gamma_trace, preprocess
+
+    df = to_long_df(spark, dense)
+
+    def run(arrow, precision):
+        res = preprocess(df, RATE, initial_resample_rate=500.0,
+                         final_resample_rate=250.0, filters="rat",
+                         hg_only=True, arrow=arrow, precision=precision)
+        hg = high_gamma_trace(res, 0.25, 250.0)
+        vcol = [c for c in hg.columns
+                if c not in ("series_id", "channel", "sample_idx")][0]
+        return {(r["series_id"], r["channel"], r["sample_idx"]): r[vcol]
+                for r in hg.collect()}
+
+    assert run(True, "double") == run(False, "double")
+
+    a, b = run(True, "single"), run(False, "single")
+    assert a.keys() == b.keys()
+    av = np.array([a[k] for k in sorted(a)])
+    bv = np.array([b[k] for k in sorted(a)])
+    np.testing.assert_allclose(av, bv, rtol=1e-5, atol=1e-6)
