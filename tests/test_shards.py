@@ -1,0 +1,86 @@
+"""Training-shard export sink: deterministic sharding, shard-atomic files,
+manifest integrity (llm/shards.py)."""
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from process_nwb_spark.llm.shards import (export_training_shards, read_shard,
+                                          shard_manifest, verify_export,
+                                          with_shard)
+
+SF = "/root/testdata/sf0.001"
+N = 8
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_shard_assignment_deterministic_and_total(spark, docs):
+    a = with_shard(docs, "doc_id", N).select("doc_id", "shard").toPandas()
+    b = with_shard(docs, "doc_id", N).select("doc_id", "shard").toPandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True))
+    assert a["shard"].between(0, N - 1).all()
+    # hash sharding balances: every shard populated at 500 docs / 8 shards
+    assert a["shard"].nunique() == N
+
+
+def test_export_one_file_per_shard_and_roundtrip(spark, docs, tmp_path):
+    path = str(tmp_path / "shards")
+    manifest = export_training_shards(docs, path, "doc_id", N)
+    # shard-atomic: exactly one data file per shard directory
+    for k in range(N):
+        files = glob.glob(os.path.join(path, f"shard={k}", "*.parquet"))
+        assert len(files) == 1, (k, files)
+    # manifest accounts for every row
+    mrows = manifest.agg(F.sum("rows")).collect()[0][0]
+    assert mrows == docs.count()
+    # _manifest dir is hidden from the data read; roundtrip is lossless
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns) | {"shard"}
+    a = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    b = {r["doc_id"] for r in back.select("doc_id").collect()}
+    assert a == b
+
+
+def test_read_shard_prunes_partitions(spark, docs, tmp_path):
+    path = str(tmp_path / "shards")
+    export_training_shards(docs, path, "doc_id", N)
+    one = read_shard(spark, path, 3)
+    got = {r["doc_id"] for r in one.select("doc_id").collect()}
+    want = {r["doc_id"] for r in with_shard(docs, "doc_id", N)
+            .filter(F.col("shard") == 3).select("doc_id").collect()}
+    assert got == want and got
+    # partition pruning: only the shard=3 directory is scanned
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan.replace("#", " #") \
+        or "shard=3" in plan or one.rdd.getNumPartitions() <= 2
+
+
+def test_manifest_verifies_and_detects_tamper(spark, docs, tmp_path):
+    path = str(tmp_path / "shards")
+    export_training_shards(docs, path, "doc_id", N, size_cols=("n_chars",))
+    assert verify_export(spark, docs, path, "doc_id")
+    # tamper: drop one shard's data file -> verification fails
+    victim = glob.glob(os.path.join(path, "shard=0", "*.parquet"))[0]
+    os.remove(victim)
+    assert not verify_export(spark, docs, path, "doc_id")
+
+
+def test_manifest_size_cols_and_rerun_stable(spark, docs, tmp_path):
+    path = str(tmp_path / "shards")
+    m1 = export_training_shards(docs, path, "doc_id", N,
+                                size_cols=("n_chars",)).toPandas()
+    m2 = export_training_shards(docs, path, "doc_id", N,
+                                size_cols=("n_chars",)).toPandas()
+    m1 = m1.sort_values("shard").reset_index(drop=True)
+    m2 = m2.sort_values("shard").reset_index(drop=True)
+    assert m1.equals(m2)
+    assert "sum_n_chars" in m1.columns
+    total = docs.agg(F.sum(F.col("n_chars").cast("double"))).collect()[0][0]
+    assert abs(m1["sum_n_chars"].sum() - total) < 1e-6
