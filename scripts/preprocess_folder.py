@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Preprocess every raw recording in a signal-catalog folder — the engine's
+analog of the reference CLI (/root/reference/scripts/preprocess_folder:1-54),
+re-expressed for the Spark data model: instead of a serial Python loop over
+.nwb files, all recordings are unioned into ONE Spark job (series_id is
+just another group key), so every stage parallelizes across
+series x channels — see pipelines.preprocess_many.
+
+Input layout: a SignalCatalog root — one parquet directory per raw
+recording, long layout (series_id, channel, sample_idx, value). NWB/HDF5
+ingestion is environment-gated (sources/nwb.py documents the parquet
+landing workaround); unlike NWB files, parquet tables carry no sampling
+rate attribute, so --rate is an explicit argument here.
+
+Performs the reference's steps:
+  1) resample to --initial_resample_rate,
+  2) remove 60 Hz noise and subtract the CAR, and
+  3) wavelet-decompose (amplitudes resampled to --final_resample_rate),
+storing the result under the reference's lineage names (wvlt_amp_<name>,
+plus every intermediate with --all_steps).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("folder", type=str,
+                   help="SignalCatalog root containing raw recording tables")
+    p.add_argument("--rate", type=float, required=True,
+                   help="Sampling rate (Hz) of the raw recordings (NWB "
+                        "carries this as metadata; parquet landing does not)")
+    p.add_argument("--initial_resample_rate", type=float, default=3200.,
+                   help="Frequency to resample to before the wavelet "
+                        "transform.")
+    p.add_argument("--final_resample_rate", type=float, default=400.,
+                   help="Frequency to resample wavelet amplitudes to.")
+    p.add_argument("--filters", type=str, default="rat",
+                   choices=["rat", "human", "changlab"],
+                   help="Filter bank for the wavelets.")
+    p.add_argument("--all_filters", action="store_true",
+                   help="Store all filters rather than only high gamma.")
+    p.add_argument("--all_steps", action="store_true",
+                   help="Store output from all preprocessing steps.")
+    p.add_argument("--acq_name", type=str, default="ECoG",
+                   help="Raw table name prefix to treat as acquisitions "
+                        "(lineage-derived tables are always skipped).")
+    return p
+
+
+def main(argv=None, spark=None) -> dict:
+    from process_nwb_spark.pipelines import preprocess_many
+    from process_nwb_spark.sources.catalog import (LINEAGE_PREFIXES,
+                                                   SignalCatalog,
+                                                   save_preprocess_result)
+
+    args = build_parser().parse_args(argv)
+    if args.folder.endswith(".parquet"):
+        raise SystemExit("Please specify the catalog FOLDER containing the "
+                         "recording tables, not a table itself")
+
+    owns_spark = spark is None
+    if owns_spark:
+        from process_nwb_spark.session import get_spark
+        spark = get_spark("preprocess_folder")
+
+    cat = SignalCatalog(spark, args.folder)
+    raw = [t for t in cat.tables()
+           if t.startswith(args.acq_name)
+           and not t.startswith(LINEAGE_PREFIXES)]
+    if not raw:
+        raise SystemExit("No raw recording tables in folder "
+                         "or invalid folder path")
+
+    # ONE job over every recording — not a loop (preprocess_folder:45-54
+    # loops; here series_id is a group key and the cluster does the loop)
+    print(f"Processing {len(raw)} recording(s) in one job: {raw}")
+    res = preprocess_many({t: cat.read(t) for t in raw}, args.rate,
+                          initial_resample_rate=args.initial_resample_rate,
+                          final_resample_rate=args.final_resample_rate,
+                          filters=args.filters,
+                          hg_only=not args.all_filters)
+    if not args.all_steps:       # store only the wavelet amplitudes
+        res.stages = {k: v for k, v in res.stages.items()
+                      if k.startswith("wvlt_amp")}
+    written = save_preprocess_result(cat, res, base_name=args.acq_name)
+    for name, path in sorted(written.items()):
+        print(f"stored {name} -> {path}")
+    if owns_spark:
+        spark.stop()
+    return written
+
+
+if __name__ == "__main__":
+    main()
