@@ -210,6 +210,95 @@ def ngram_jaccard_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Dedup-quality eval: LSH candidate precision/recall vs exact Jaccard
+# --------------------------------------------------------------------------
+@query(
+    "lsh_eval_pr",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT doc_id, {_minhash_sig_cols_sql}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, MD5(sig0 || sig1) AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, MD5(sig2 || sig3) FROM sig
+      UNION ALL SELECT doc_id, 2, MD5(sig4 || sig5) FROM sig
+      UNION ALL SELECT doc_id, 3, MD5(sig6 || sig7) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id
+    ),
+    df AS (SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY sh),
+    filtered AS (SELECT s.doc_id, s.sh FROM sh s JOIN df ON s.sh = df.sh
+                 WHERE df.n_docs <= 100),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM filtered GROUP BY doc_id),
+    truth AS (
+      SELECT p.doc_a, p.doc_b
+      FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+            FROM filtered a JOIN filtered b
+              ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id) p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE ROUND(CAST(p.shared AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - p.shared), 4) >= 0.5
+    ),
+    m AS (
+      SELECT (t.doc_a IS NOT NULL) AS in_t, (c.doc_a IS NOT NULL) AS in_c
+      FROM truth t FULL OUTER JOIN cand c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT
+      CAST(COALESCE(SUM(CASE WHEN in_t AND in_c THEN 1 END), 0) AS BIGINT) AS tp,
+      CAST(COALESCE(SUM(CASE WHEN in_c AND NOT in_t THEN 1 END), 0) AS BIGINT) AS fp,
+      CAST(COALESCE(SUM(CASE WHEN in_t AND NOT in_c THEN 1 END), 0) AS BIGINT) AS fn,
+      ROUND(CAST(COALESCE(SUM(CASE WHEN in_t AND in_c THEN 1 END), 0) AS DOUBLE)
+            / GREATEST(COALESCE(SUM(CASE WHEN in_c THEN 1 END), 0), 1), 4)
+        AS precision_at_gt,
+      ROUND(CAST(COALESCE(SUM(CASE WHEN in_t AND in_c THEN 1 END), 0) AS DOUBLE)
+            / GREATEST(COALESCE(SUM(CASE WHEN in_t THEN 1 END), 0), 1), 4)
+        AS recall_at_gt
+    FROM m
+    """,
+    doc="dedup-quality eval harness: precision/recall of the MinHash-LSH "
+        "candidate generator against exact Jaccard>=0.5 ground truth "
+        "(df<=100 capped domain, same as ngram_jaccard_pairs). Both sides "
+        "are already-bounded pair sets, so the full-outer metric join is "
+        "candidate-sized — the truth side stays quadratic-bounded only "
+        "because the eval runs on a sample; at corpus scale you sample "
+        "strata first and run this same plan per stratum",
+)
+def lsh_eval_pr(spark, sf_dir):
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    truth = (ngram_jaccard_pairs(spark, sf_dir)
+             .filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b"))
+    t = truth.alias("t")
+    c = cand.alias("c")
+    m = (t.join(c, (F.col("t.doc_a") == F.col("c.doc_a"))
+                & (F.col("t.doc_b") == F.col("c.doc_b")), "full_outer")
+         .select(F.col("t.doc_a").isNotNull().alias("in_t"),
+                 F.col("c.doc_a").isNotNull().alias("in_c")))
+    one = F.lit(1)
+    tp = F.coalesce(F.sum(F.when(F.col("in_t") & F.col("in_c"), one)),
+                    F.lit(0)).cast("bigint")
+    fp = F.coalesce(F.sum(F.when(F.col("in_c") & ~F.col("in_t"), one)),
+                    F.lit(0)).cast("bigint")
+    fn = F.coalesce(F.sum(F.when(F.col("in_t") & ~F.col("in_c"), one)),
+                    F.lit(0)).cast("bigint")
+    n_c = F.coalesce(F.sum(F.when(F.col("in_c"), one)), F.lit(0))
+    n_t = F.coalesce(F.sum(F.when(F.col("in_t"), one)), F.lit(0))
+    return m.agg(
+        tp.alias("tp"), fp.alias("fp"), fn.alias("fn"),
+        F.round(tp.cast("double") / F.greatest(n_c, one), 4)
+         .alias("precision_at_gt"),
+        F.round(tp.cast("double") / F.greatest(n_t, one), 4)
+         .alias("recall_at_gt"))
+
+
+# --------------------------------------------------------------------------
 # SimHash fingerprint (64-bit, md5-nibble bits)
 # --------------------------------------------------------------------------
 # 64-bit fingerprint from the first 16 hex digits of md5(token): bit
