@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Training-data curation demo: documents -> quality/lang gates -> exact
 dedup -> deterministic embeddings -> LSH buckets, then a bucket-pruned
-similarity probe."""
+similarity probe — and finally the curated corpus exported as
+shard-atomic training shards with a checksum manifest (llm/shards.py)."""
 import os
 import sys
 
@@ -28,6 +29,18 @@ def main():
     probe = curated.limit(1).select(F.col("bucket").alias("qb"))
     cands = curated.join(F.broadcast(probe), curated.bucket == probe.qb)
     print("candidate set size:", cands.count())
+
+    # sink: curated corpus -> deterministic training shards + manifest
+    import tempfile
+
+    from process_nwb_spark.llm.shards import (export_training_shards,
+                                              verify_export)
+
+    out = tempfile.mkdtemp(prefix="curated_shards_") + "/corpus"
+    manifest = export_training_shards(curated.drop("bucket"), out, "doc_id",
+                                      n_shards=8, size_cols=("n_tokens",))
+    manifest.orderBy("shard").show()
+    print("export verified:", verify_export(spark, curated, out, "doc_id"))
     spark.stop()
 
 
