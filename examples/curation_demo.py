@@ -40,7 +40,7 @@ def main():
     manifest = export_training_shards(curated.drop("bucket"), out, "doc_id",
                                       n_shards=8, size_cols=("n_tokens",))
     manifest.orderBy("shard").show()
-    print("export verified:", verify_export(spark, curated, out, "doc_id"))
+    print("export verified:", verify_export(spark, out, "doc_id"))
     spark.stop()
 
 

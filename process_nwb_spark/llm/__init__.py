@@ -5,10 +5,10 @@ from .curation import curate, fake_embedding, sign_bucket
 from .multimodal import (attach_payloads, extract_audio_features,
                          extract_image_features, sample_frames)
 from .shards import (export_training_shards, read_shard, shard_manifest,
-                     verify_export, with_shard)
+                     verify_against_corpus, verify_export, with_shard)
 
 __all__ = ["attach_payloads", "extract_image_features",
            "extract_audio_features", "sample_frames",
            "curate", "fake_embedding", "sign_bucket",
            "export_training_shards", "read_shard", "shard_manifest",
-           "verify_export", "with_shard"]
+           "verify_against_corpus", "verify_export", "with_shard"]

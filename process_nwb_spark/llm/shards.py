@@ -81,13 +81,23 @@ def export_training_shards(df: DataFrame, path: str, key_col: str,
     Deterministic + idempotent: same input -> same shard membership and
     same manifest checksums; mode=overwrite replaces both atomically
     enough for a rerun (parquet overwrite per directory).
+
+    The manifest is derived from the WRITTEN files, not the input frame:
+    re-running the input lineage for a second aggregation would execute
+    the whole upstream pipeline (curation gates, dedup, embedding) twice
+    — at export scale that doubles the job — and a nondeterministic
+    upstream could then stamp a manifest that disagrees with the data on
+    disk. The parquet re-read is one columnar scan of exactly what
+    shipped. To additionally check disk against the INPUT corpus, use
+    verify_against_corpus (full lineage recompute, explicit opt-in).
     """
     sharded = with_shard(df, key_col, n_shards)
     # shard-atomic: all rows of a shard hash to the same partition, so the
     # partitionBy write emits ONE file per shard directory
     (sharded.repartition(n_shards, SHARD_COL)
      .write.mode("overwrite").partitionBy(SHARD_COL).parquet(path))
-    manifest = shard_manifest(sharded, key_col, size_cols)
+    manifest = shard_manifest(df.sparkSession.read.parquet(path), key_col,
+                              size_cols)
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "_manifest"))
     return manifest
@@ -99,16 +109,33 @@ def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
             .filter(F.col(SHARD_COL) == shard))
 
 
-def verify_export(spark: SparkSession, df: DataFrame, path: str,
-                  key_col: str) -> bool:
-    """Re-derive the manifest from the written files and compare checksums
-    against the stored manifest — the resume/integrity gate a long-running
-    export needs before appending downstream work."""
-    stored = spark.read.parquet(os.path.join(path, "_manifest"))
-    data = spark.read.parquet(path)
-    fresh = shard_manifest(data, key_col)
+def _manifests_agree(stored: DataFrame, fresh: DataFrame) -> bool:
     j = (stored.alias("s").join(fresh.alias("f"), SHARD_COL, "full_outer")
          .where((F.col("s.rows").isNull()) | (F.col("f.rows").isNull())
                 | (F.col("s.rows") != F.col("f.rows"))
                 | (F.col("s.content_hash") != F.col("f.content_hash"))))
     return j.limit(1).count() == 0
+
+
+def verify_export(spark: SparkSession, path: str, key_col: str) -> bool:
+    """Integrity gate: re-derive the manifest from the WRITTEN files and
+    compare row counts + checksums against the stored manifest — catches
+    lost/corrupted/tampered shard files before downstream work resumes.
+    (Files vs stored manifest only; it does NOT re-check the input corpus
+    — that is verify_against_corpus.)"""
+    stored = spark.read.parquet(os.path.join(path, "_manifest"))
+    fresh = shard_manifest(spark.read.parquet(path), key_col)
+    return _manifests_agree(stored, fresh)
+
+
+def verify_against_corpus(df: DataFrame, path: str, key_col: str,
+                          n_shards: int) -> bool:
+    """Provenance gate: recompute the manifest from the INPUT corpus
+    (full upstream lineage re-execution — expensive by design) and compare
+    against the stored manifest. True means the export still matches what
+    the input lineage produces today; False means the corpus or its
+    pipeline changed since the export (or the write dropped data)."""
+    spark = df.sparkSession
+    stored = spark.read.parquet(os.path.join(path, "_manifest"))
+    fresh = shard_manifest(with_shard(df, key_col, n_shards), key_col)
+    return _manifests_agree(stored, fresh)

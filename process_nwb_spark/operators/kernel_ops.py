@@ -97,11 +97,23 @@ def _list_col_to_numpy(col):
 
 
 def _pack_list_array(arrays):
-    """list of float64 ndarrays -> Arrow list<double> array (2 memcpys)."""
+    """list of float64 ndarrays -> Arrow list<double> array (2 memcpys).
+
+    Callers must bound the flattened length below 2^31 (Arrow list offsets
+    are int32 — the same per-array ceiling Spark's ArrayData has); use
+    _bounded_row_groups to split larger outputs across record
+    batches/table chunks. Guarded loudly here because an int32 cumsum
+    would otherwise WRAP silently into corrupt offsets."""
     import pyarrow as pa
 
     lens = np.fromiter((len(a) for a in arrays), dtype=np.int64,
                        count=len(arrays))
+    total = int(lens.sum())
+    if total >= 2 ** 31:
+        raise ValueError(
+            f"_pack_list_array: {total} flattened elements overflow int32 "
+            f"Arrow list offsets; emit in bounded row groups "
+            f"(_bounded_row_groups)")
     offsets = np.zeros(len(arrays) + 1, dtype=np.int32)
     np.cumsum(lens, out=offsets[1:])
     flat = (arrays[0] if len(arrays) == 1
@@ -109,6 +121,21 @@ def _pack_list_array(arrays):
             else np.empty(0, dtype=np.float64))
     return pa.ListArray.from_arrays(
         pa.array(offsets), pa.array(flat, type=pa.float64()))
+
+
+def _bounded_row_groups(arrays, cap=2 ** 30):
+    """Yield (lo, hi) row slices whose flattened lengths stay under `cap`,
+    so each group's list offsets fit int32 with headroom. A single row
+    longer than the cap still gets its own group (Spark itself cannot
+    represent an ARRAY past 2^31 elements — that fails loudly above)."""
+    lo, n = 0, len(arrays)
+    while lo < n:
+        hi, tot = lo, 0
+        while hi < n and (hi == lo or tot + len(arrays[hi]) < cap):
+            tot += len(arrays[hi])
+            hi += 1
+        yield lo, hi
+        lo = hi
 
 
 def _map_values_arrow(df: DataFrame, fn) -> DataFrame:
@@ -129,9 +156,14 @@ def _map_values_arrow(df: DataFrame, fn) -> DataFrame:
                         np.asarray(fn(flat[bounds[i]:bounds[i + 1]]),
                                    dtype=np.float64))
                     for i in range(batch.num_rows)]
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(0), batch.column(1), _pack_list_array(outs)],
-                ["series_id", "channel", "values"])
+            # bounded groups: an upsampling fn can grow a batch's flattened
+            # output past the int32 list-offset ceiling
+            for lo, hi in _bounded_row_groups(outs):
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0).slice(lo, hi - lo),
+                     batch.column(1).slice(lo, hi - lo),
+                     _pack_list_array(outs[lo:hi])],
+                    ["series_id", "channel", "values"])
 
     return df.select("series_id", "channel", "values").mapInArrow(
         run, PACKED_SCHEMA)
@@ -264,6 +296,12 @@ def car_wavelet_arrow(df: DataFrame, rate: float, mean_frac: float = 0.95,
     car_wavelet_op; pinned bitwise-equal in tests/test_spark_operators.py."""
     if not abs_only and post_resample_rate is not None:
         raise ValueError("Wavelet phase should not be resampled.")
+    if not abs_only:
+        # rejected EAGERLY at the driver — raising from inside the executor
+        # kernel would launch and compute the whole distributed job first
+        raise NotImplementedError(
+            "car_wavelet_arrow: phase output is kept on the pandas path; "
+            "use car_wavelet_op(abs_only=False)")
     import pyarrow as pa
 
     from ..dsp.filterbank import band_params, check_nyquist
@@ -294,26 +332,24 @@ def car_wavelet_arrow(df: DataFrame, rate: float, mean_frac: float = 0.95,
                                      precision=precision)
                 amps.append(np.ascontiguousarray(amp, dtype=np.float64))
                 out_ch.append(int(ch[p]))
-        n = len(amps)
-        if abs_only:
-            phase = pa.nulls(n, type=pa.list_(pa.float64()))
-        else:
-            # phase kept only on the pandas path for now; the pipeline's
-            # fused fast path is abs_only (phase + post-resample is
-            # rejected above, matching wavelet_transform.py:423-424)
-            raise NotImplementedError(
-                "car_wavelet_arrow: use car_wavelet_op for phase output")
-        return pa.table({
-            "series_id": pa.array([sid] * n, type=pa.string()),
-            "channel": pa.array(out_ch, type=pa.int32()),
-            "band": pa.array([b for _ in order for b in range(n_bands)],
-                             type=pa.int32()),
-            "cf": pa.array([cfs_l[b] for _ in order
-                            for b in range(n_bands)], type=pa.float64()),
-            "sd": pa.array([sds_l[b] for _ in order
-                            for b in range(n_bands)], type=pa.float64()),
-            "amp": _pack_list_array(amps),
-            "phase": phase,
-        })
+        bands_flat = [b for _ in order for b in range(n_bands)]
+        # chunked table: each chunk's flattened amp length stays under the
+        # int32 list-offset ceiling (a long series x many bands can exceed
+        # it in one group even when every array is individually fine)
+        chunks = []
+        for lo, hi in _bounded_row_groups(amps):
+            n = hi - lo
+            chunks.append(pa.table({
+                "series_id": pa.array([sid] * n, type=pa.string()),
+                "channel": pa.array(out_ch[lo:hi], type=pa.int32()),
+                "band": pa.array(bands_flat[lo:hi], type=pa.int32()),
+                "cf": pa.array([cfs_l[b] for b in bands_flat[lo:hi]],
+                               type=pa.float64()),
+                "sd": pa.array([sds_l[b] for b in bands_flat[lo:hi]],
+                               type=pa.float64()),
+                "amp": _pack_list_array(amps[lo:hi]),
+                "phase": pa.nulls(n, type=pa.list_(pa.float64())),
+            }))
+        return pa.concat_tables(chunks)
 
     return df.groupBy("series_id").applyInArrow(fn, WAVELET_SCHEMA)

@@ -79,6 +79,27 @@ _N_SIGS = 8
 _minhash_sig_cols_sql = ",\n           ".join(
     f"MIN(MD5(sh || ':{s}')) AS sig{s}" for s in range(_N_SIGS))
 
+# sig + bands + candidate-pairs CTEs shared by the LSH family's oracles
+# (minhash_lsh_candidates spells the same text inline for readability;
+# dedup_components / dedup_keep_list / lsh_eval_pr compose this fragment)
+_BANDS_SQL_FRAG = """
+    sig AS (
+      SELECT doc_id, {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, MD5(sig0 || sig1) AS bkey FROM sig
+      UNION ALL SELECT doc_id, 1, MD5(sig2 || sig3) FROM sig
+      UNION ALL SELECT doc_id, 2, MD5(sig4 || sig5) FROM sig
+      UNION ALL SELECT doc_id, 3, MD5(sig6 || sig7) FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id
+    )
+"""
+
 
 @query(
     "minhash_signatures",
@@ -216,21 +237,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     "lsh_eval_pr",
     f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    sig AS (
-      SELECT doc_id, {_minhash_sig_cols_sql}
-      FROM sh GROUP BY doc_id
-    ),
-    bands AS (
-      SELECT doc_id, 0 AS band, MD5(sig0 || sig1) AS bkey FROM sig
-      UNION ALL SELECT doc_id, 1, MD5(sig2 || sig3) FROM sig
-      UNION ALL SELECT doc_id, 2, MD5(sig4 || sig5) FROM sig
-      UNION ALL SELECT doc_id, 3, MD5(sig6 || sig7) FROM sig
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-      WHERE a.doc_id < b.doc_id
-    ),
+    {_BANDS_SQL_FRAG.format(sig_cols=_minhash_sig_cols_sql)},
     df AS (SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY sh),
     filtered AS (SELECT s.doc_id, s.sh FROM sh s JOIN df ON s.sh = df.sh
                  WHERE df.n_docs <= 100),
@@ -248,7 +255,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     ),
     m AS (
       SELECT (t.doc_a IS NOT NULL) AS in_t, (c.doc_a IS NOT NULL) AS in_c
-      FROM truth t FULL OUTER JOIN cand c
+      FROM truth t FULL OUTER JOIN pairs c
         ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
     )
     SELECT
@@ -269,7 +276,9 @@ def ngram_jaccard_pairs(spark, sf_dir):
         "are already-bounded pair sets, so the full-outer metric join is "
         "candidate-sized — the truth side stays quadratic-bounded only "
         "because the eval runs on a sample; at corpus scale you sample "
-        "strata first and run this same plan per stratum",
+        "strata first and run this same plan per stratum. The candidate "
+        "CTEs compose _BANDS_SQL_FRAG, so the eval's candidate definition "
+        "can never drift from the dedup pipeline it evaluates",
 )
 def lsh_eval_pr(spark, sf_dir):
     cand = minhash_lsh_candidates(spark, sf_dir)
@@ -720,23 +729,8 @@ def multimodal_meta(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Dedup clustering: connected components over near-dup candidate pairs
 # --------------------------------------------------------------------------
-_BANDS_SQL_FRAG = """
-    sig AS (
-      SELECT doc_id, {sig_cols}
-      FROM sh GROUP BY doc_id
-    ),
-    bands AS (
-      SELECT doc_id, 0 AS band, MD5(sig0 || sig1) AS bkey FROM sig
-      UNION ALL SELECT doc_id, 1, MD5(sig2 || sig3) FROM sig
-      UNION ALL SELECT doc_id, 2, MD5(sig4 || sig5) FROM sig
-      UNION ALL SELECT doc_id, 3, MD5(sig6 || sig7) FROM sig
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-      WHERE a.doc_id < b.doc_id
-    )
-"""
+# (the sig/bands/pairs CTE fragment is _BANDS_SQL_FRAG, defined with the
+# signature column list next to _minhash_sig_cols_sql above)
 
 
 @query(

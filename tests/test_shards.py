@@ -7,8 +7,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from process_nwb_spark.llm.shards import (export_training_shards, read_shard,
-                                          shard_manifest, verify_export,
-                                          with_shard)
+                                          shard_manifest,
+                                          verify_against_corpus,
+                                          verify_export, with_shard)
 
 SF = "/root/testdata/sf0.001"
 N = 8
@@ -65,11 +66,19 @@ def test_read_shard_prunes_partitions(spark, docs, tmp_path):
 def test_manifest_verifies_and_detects_tamper(spark, docs, tmp_path):
     path = str(tmp_path / "shards")
     export_training_shards(docs, path, "doc_id", N, size_cols=("n_chars",))
-    assert verify_export(spark, docs, path, "doc_id")
-    # tamper: drop one shard's data file -> verification fails
+    assert verify_export(spark, path, "doc_id")
+    # provenance gate: export still matches the input corpus lineage
+    assert verify_against_corpus(docs, path, "doc_id", N)
+    # ...but not a changed corpus
+    assert not verify_against_corpus(docs.limit(400), path, "doc_id", N)
+    # tamper: drop one shard's data file -> the files-integrity gate
+    # fails; the provenance gate still passes (it compares the input
+    # corpus to the stored MANIFEST, which is intact — the two gates
+    # answer different questions by design)
     victim = glob.glob(os.path.join(path, "shard=0", "*.parquet"))[0]
     os.remove(victim)
-    assert not verify_export(spark, docs, path, "doc_id")
+    assert not verify_export(spark, path, "doc_id")
+    assert verify_against_corpus(docs, path, "doc_id", N)
 
 
 def test_manifest_size_cols_and_rerun_stable(spark, docs, tmp_path):
