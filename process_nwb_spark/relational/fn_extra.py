@@ -245,8 +245,13 @@ def agg_histogram(spark, sf_dir):
 # --------------------------------------------------------------------------
 @query(
     "agg_hll_sketch",
-    None,  # DataSketches binary sketches aren't replayable in DuckDB:
-           # rows-only here; estimate-vs-exact tolerance in test_functions
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_day_sketches,
+           1 AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
     doc="two-level distinct counting with MERGEABLE sketches: "
         "hll_sketch_agg builds one DataSketches HLL per (event_type, day), "
         "hll_union_agg merges the day sketches up to event_type, "
@@ -254,16 +259,27 @@ def agg_histogram(spark, sf_dir):
         "rollup pattern approx_count_distinct can't express: per-shard "
         "sketches persist once and re-aggregate along any dimension "
         "without touching raw data again (cf. agg_approx_count_distinct "
-        "for the single-level form)",
+        "for the single-level form). The binary sketch isn't replayable "
+        "in DuckDB, so the oracled contract is the day-sketch count plus "
+        "the estimate-vs-exact tolerance boolean: lgK=14 -> "
+        "rsd = 1.04/sqrt(2^14) ~= 0.81%, 3-sigma bound 2.5%; a separate "
+        "accuracy-contract test pins the estimate itself",
 )
 def agg_hll_sketch(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
              .agg(F.hll_sketch_agg("user_id", 14).alias("sk")))
-    return (daily.groupBy("event_type")
-            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
-                 .alias("approx_users"),
-                 F.count("*").alias("n_day_sketches")))
+    merged = (daily.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("approx_users"),
+                   F.count("*").alias("n_day_sketches")))
+    exact = (e.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("exact_users")))
+    return (merged.join(exact, "event_type")
+            .select("event_type", "n_day_sketches",
+                    (F.abs(F.col("approx_users") - F.col("exact_users"))
+                     <= 0.025 * F.col("exact_users")).cast("int")
+                    .alias("approx_ok")))
 
 
 @query(

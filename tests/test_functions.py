@@ -32,16 +32,24 @@ def test_hll_sketch_estimate_close_to_exact(spark):
     allow 5%). Also proves mergeability: union of per-day sketches equals
     one estimate over the raw column."""
     from pyspark.sql import functions as F
-    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.relational.core import T, all_queries
 
     sf = "/root/testdata/sf0.01"
+    e = T(spark, sf, "events")
+    # the raw estimate (the registry query projects the oracled tolerance
+    # boolean instead; the estimate's accuracy contract is pinned here)
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.hll_sketch_agg("user_id", 14).alias("sk")))
     approx = {r["event_type"]: r["approx_users"]
-              for r in all_queries()["agg_hll_sketch"].fn(spark, sf).collect()}
-    from process_nwb_spark.relational.core import T
+              for r in daily.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("approx_users")).collect()}
     exact = {r["event_type"]: r["n"]
-             for r in T(spark, sf, "events")
-             .groupBy("event_type").agg(F.count_distinct("user_id").alias("n"))
-             .collect()}
+             for r in e.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
+    # and the registry query's own tolerance flags are all green
+    rows = all_queries()["agg_hll_sketch"].fn(spark, sf).collect()
+    assert rows and all(r["approx_ok"] == 1 for r in rows)
