@@ -169,12 +169,23 @@ def embed_ann_lsh(spark, sf_dir):
 
 @query(
     "embed_mllib_brp_lsh",
-    None,  # MLlib hash-table internals aren't SQL-replayable: rows-only
+    """
+    SELECT CAST(10 AS BIGINT) AS n_neighbors,
+           1 AS dists_exact_ok,
+           1 AS recall_ok
+    """,
     doc="MLlib BucketedRandomProjectionLSH (seeded, deterministic): fit "
         "random-projection hash tables over the corpus, "
         "approxNearestNeighbors for the query vector — the library "
-        "counterpart of the hand-built sign-LSH/IVF paths (which ARE "
-        "SQL-oracled; this entry covers the pyspark.ml surface)",
+        "counterpart of the hand-built sign-LSH/IVF paths (this entry "
+        "covers the pyspark.ml surface). The hash tables themselves are "
+        "engine-internal (seed-dependent candidate set), so the oracled "
+        "contract is the metrics row: 10 neighbors returned, every "
+        "reported distance equals the exact L2 distance recomputed "
+        "in-plan (approxNearestNeighbors post-scores candidates with true "
+        "distances), and recall@10 vs the exact brute-force top-10 is "
+        ">= 0.5 (measured 0.9 at seed 42, sf0.01; a dedicated recall "
+        "test pins the floor)",
 )
 def embed_mllib_brp_lsh(spark, sf_dir):
     from pyspark.ml.feature import BucketedRandomProjectionLSH
@@ -195,10 +206,25 @@ def embed_mllib_brp_lsh(spark, sf_dir):
     # SQL-native ANN paths (embed_ann_lsh / embed_ivf_topk) keep the
     # query set distributed and are the real engine surface.
     q = v.filter(F.col("vec_id") == 0).first()["features"]
-    nn = model.approxNearestNeighbors(v.filter(F.col("vec_id") != 0), q, 10)
-    return (nn.select("vec_id", "label",
-                      F.round("distCol", 6).alias("dist"))
-            .orderBy("dist", "vec_id"))
+    nn = (model.approxNearestNeighbors(v.filter(F.col("vec_id") != 0), q, 10)
+          .select("vec_id", "distCol"))
+    # exact L2 to the query, in-plan (the query vector is a 64-literal
+    # array — model-sized, like a broadcast centroid table)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dist = F.sqrt(F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), qlit,
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    exact = e.filter(F.col("vec_id") != 0).select("vec_id", dist.alias("d"))
+    top10 = exact.orderBy("d", "vec_id").limit(10).select("vec_id")
+    joined = nn.join(exact, "vec_id")
+    hits = nn.join(top10, "vec_id")
+    return (joined.agg(
+        F.count("*").alias("n_neighbors"),
+        F.min((F.abs(F.col("distCol") - F.col("d")) < 1e-6).cast("int"))
+         .alias("dists_exact_ok"))
+        .crossJoin(hits.agg((F.count("*") >= 5).cast("int")
+                            .alias("recall_ok"))))
 
 
 _L2_SQL = """
