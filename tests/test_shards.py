@@ -93,3 +93,30 @@ def test_manifest_size_cols_and_rerun_stable(spark, docs, tmp_path):
     assert "sum_n_chars" in m1.columns
     total = docs.agg(F.sum(F.col("n_chars").cast("double"))).collect()[0][0]
     assert abs(m1["sum_n_chars"].sum() - total) < 1e-6
+
+
+def test_shard_invariants_property(spark, docs):
+    """Property: for any shard count, assignment is total (every row gets
+    0 <= shard < n) and the manifest partition of rows is exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    total = docs.count()
+
+    @settings(max_examples=6, deadline=None)
+    @given(n=st.integers(min_value=1, max_value=64))
+    def check(n):
+        sharded = with_shard(docs, "doc_id", n)
+        m = shard_manifest(sharded, "doc_id").collect()
+        assert sum(r["rows"] for r in m) == total
+        assert all(0 <= r["shard"] < n for r in m)
+        assert len(m) <= n
+
+    check()
+
+
+def test_with_shard_rejects_bad_n(spark, docs):
+    with pytest.raises(ValueError):
+        with_shard(docs, "doc_id", 0)
+    with pytest.raises(ValueError):
+        with_shard(docs, "doc_id", -3)
