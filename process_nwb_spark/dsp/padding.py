@@ -48,7 +48,8 @@ def next_fast_len(n: int) -> int:
 def pad_plan(n_time: int, npad, ratio: float = 1.0):
     """Compute (npads, to_removes, new_len) for a padded FFT op.
 
-    npad: 'fast' pads to the next 5-smooth length; 'auto' pads to the next
+    npad: 'fast' pads to the next 11-smooth length (see next_fast_len —
+    e.g. 77 = 7*11 is already 'fast'); 'auto' pads to the next
     power of two with margin; an int pads symmetrically. `to_removes` are
     the post-resample trim counts so that the final length is exactly
     round(ratio * n_time). Parity: utils.py:106-138.
@@ -80,7 +81,11 @@ def pad_plan(n_time: int, npad, ratio: float = 1.0):
 
 
 def trim(X: np.ndarray, to_removes: np.ndarray) -> np.ndarray:
-    """Slice off pad remnants along axis 0. Parity: utils.py:141-147."""
+    """Slice off pad remnants along axis 0; None means nothing to trim
+    (the X_fft_h-reuse path passes the caller's to_removes straight
+    through, defaulting to None). Parity: utils.py:141-147."""
+    if to_removes is None:
+        return X
     if (np.asarray(to_removes) > 0).any():
         n = X.shape[0]
         X = X[to_removes[0]: n - to_removes[1]]

@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 
 def _nan_skipping_mean(arr: Column) -> Column:
-    """mean of non-NaN elements of an array column (NULL if none)."""
+    """mean of non-NaN elements of an array column; NaN if none survive —
+    matching np.nanmean of an empty slice (dsp.kernels.car), NOT NULL:
+    the packed kernel path and this relational face must hand downstream
+    consumers the same missing-value representation."""
     s = F.aggregate(
         arr,
         F.struct(F.lit(0.0).alias("s"), F.lit(0).cast("long").alias("c")),
@@ -34,7 +37,27 @@ def _nan_skipping_mean(arr: Column) -> Column:
         ).otherwise(F.struct((acc["s"] + x).alias("s"),
                              (acc["c"] + F.lit(1).cast("long")).alias("c"))),
     )
-    return F.when(s["c"] > 0, s["s"] / s["c"])
+    return F.when(s["c"] > 0, s["s"] / s["c"]).otherwise(F.lit(float("nan")))
+
+
+def _trimmed_mean_of_collected(collected: Column, mean_frac: float) -> Column:
+    """Trimmed NaN-skipping mean of a collected value array — the ONE
+    Catalyst spelling of the CAR math, shared by the window form
+    (car_column) and the groupBy form (car_df) so the two oracled faces
+    cannot drift apart. `collected` is collect_list(...) over either a
+    window or a group."""
+    arr = F.array_sort(collected)
+    n = F.size(arr)
+    n_excl = F.ceil(n * (1.0 - mean_frac) / 2.0).cast("int")
+    mid = F.slice(arr, n_excl + 1, F.greatest(n - 2 * n_excl, F.lit(0)))
+    return _nan_skipping_mean(mid)
+
+
+def _nan_safe_value(value_col: str) -> Column:
+    # NULL -> NaN so missing channels still count toward n_channels and sort
+    # last, exactly like np.sort + nanmean (common_referencing.py:40-41);
+    # collect_list would otherwise silently drop NULLs.
+    return F.coalesce(F.col(value_col), F.lit(float("nan")))
 
 
 def car_column(mean_frac: float = 0.95, value_col: str = "value",
@@ -42,7 +65,9 @@ def car_column(mean_frac: float = 0.95, value_col: str = "value",
     """The CAR as a window expression over (series_id, sample_idx).
 
     If `n_channels` is given, the exclusion-count guard is checked eagerly
-    on the driver (mirrors common_referencing.py:38-39).
+    on the driver (mirrors common_referencing.py:38-39); without it the
+    guard cannot raise per-row in Catalyst, and an all-excluded timepoint
+    yields NaN (np.nanmean-of-empty semantics) rather than NULL.
     """
     w = Window.partitionBy("series_id", "sample_idx")
     if mean_frac == 1.0:
@@ -56,15 +81,8 @@ def car_column(mean_frac: float = 0.95, value_col: str = "value",
             raise ValueError(
                 f"mean_frac={mean_frac} excludes all {n_channels} channels")
 
-    # NULL -> NaN so missing channels still count toward n_channels and sort
-    # last, exactly like np.sort + nanmean (common_referencing.py:40-41);
-    # collect_list would otherwise silently drop NULLs.
-    v = F.coalesce(F.col(value_col), F.lit(float("nan")))
-    arr = F.array_sort(F.collect_list(v).over(w))
-    n = F.size(arr)
-    n_excl = F.ceil(n * (1.0 - mean_frac) / 2.0).cast("int")
-    mid = F.slice(arr, n_excl + 1, F.greatest(n - 2 * n_excl, F.lit(0)))
-    return _nan_skipping_mean(mid)
+    return _trimmed_mean_of_collected(
+        F.collect_list(_nan_safe_value(value_col)).over(w), mean_frac)
 
 
 def subtract_car(df: DataFrame, mean_frac: float = 0.95,
@@ -126,10 +144,7 @@ def car_df(df: DataFrame, mean_frac: float = 0.95,
         v = F.col(value_col)
         return df.groupBy("series_id", "sample_idx").agg(
             F.avg(F.when(~F.isnan(v), v)).alias("car"))
-    arr = F.array_sort(F.collect_list(
-        F.coalesce(F.col(value_col), F.lit(float("nan")))))
-    n = F.size(arr)
-    n_excl = F.ceil(n * (1.0 - mean_frac) / 2.0).cast("int")
-    mid = F.slice(arr, n_excl + 1, F.greatest(n - 2 * n_excl, F.lit(0)))
     return df.groupBy("series_id", "sample_idx").agg(
-        _nan_skipping_mean(mid).alias("car"))
+        _trimmed_mean_of_collected(
+            F.collect_list(_nan_safe_value(value_col)), mean_frac)
+        .alias("car"))

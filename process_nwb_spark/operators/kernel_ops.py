@@ -143,8 +143,9 @@ def _map_values_arrow(df: DataFrame, fn) -> DataFrame:
     but via mapInArrow — the ARRAY<DOUBLE> column crosses as one flat
     float64 buffer + offsets instead of a pandas object Series of boxed
     per-row ndarrays, in both directions. Math-identical to _map_values
-    (same fn over the same float64 views; pinned bitwise in
-    tests/test_spark_operators.py)."""
+    (same fn over the same float64 views; pinned near-bitwise in
+    tests/test_spark_operators.py — the FFT itself has ULP-level
+    run-to-run alignment jitter)."""
     import pyarrow as pa
 
     def run(batches):
@@ -184,6 +185,27 @@ WAVELET_SCHEMA = ("series_id STRING, channel INT, band INT, cf DOUBLE, "
                   "sd DOUBLE, amp ARRAY<DOUBLE>, phase ARRAY<DOUBLE>")
 
 
+def _wavelet_bands(x_col: np.ndarray, rate: float, filters: str,
+                   hg_only: bool, abs_only: bool,
+                   post_resample_rate: float | None, npad, precision: str):
+    """One channel -> (band, amp, phase) tuples: the single spelling of
+    the wavelet / abs / optional post-resample / optional phase sequence
+    shared by wavelet_op, car_wavelet_op and car_wavelet_arrow (which are
+    contractually pinned bitwise-equal — any change here changes all
+    three together instead of inviting drift). `x_col` is (n_time, 1)."""
+    Xh, _, _, _ = K.wavelet_transform(
+        x_col, rate, filters=filters, hg_only=hg_only, npad=npad,
+        precision=precision)
+    for b in range(Xh.shape[-1]):
+        amp = np.abs(Xh[:, 0, b])
+        if post_resample_rate is not None:
+            amp = K.resample(amp, post_resample_rate, rate,
+                             precision=precision)
+        phase = (None if abs_only
+                 else np.angle(Xh[:, 0, b]).astype(np.float64))
+        yield b, amp.astype(np.float64), phase
+
+
 def wavelet_op(df: DataFrame, rate: float, filters: str = "rat",
                hg_only: bool = True, abs_only: bool = True,
                post_resample_rate: float | None = None, npad="fast",
@@ -211,19 +233,10 @@ def wavelet_op(df: DataFrame, rate: float, filters: str = "rat",
             for sid, ch, vals in zip(pdf["series_id"], pdf["channel"],
                                      pdf["values"]):
                 x = np.asarray(vals, dtype=np.float64)[:, np.newaxis]
-                Xh, _, _, _ = K.wavelet_transform(
-                    x, rate, filters=filters, hg_only=hg_only, npad=npad,
-                    precision=precision)
-                rows = []
-                for b in range(Xh.shape[-1]):
-                    amp = np.abs(Xh[:, 0, b])
-                    if post_resample_rate is not None:
-                        amp = K.resample(amp, post_resample_rate, rate,
-                                         precision=precision)
-                    phase = (None if abs_only
-                             else np.angle(Xh[:, 0, b]).astype(np.float64))
-                    rows.append((sid, ch, b, cfs_l[b], sds_l[b],
-                                 amp.astype(np.float64), phase))
+                rows = [(sid, ch, b, cfs_l[b], sds_l[b], amp, phase)
+                        for b, amp, phase in _wavelet_bands(
+                            x, rate, filters, hg_only, abs_only,
+                            post_resample_rate, npad, precision)]
                 yield pd.DataFrame(
                     rows, columns=["series_id", "channel", "band", "cf",
                                    "sd", "amp", "phase"])
@@ -265,18 +278,11 @@ def car_wavelet_op(df: DataFrame, rate: float, mean_frac: float = 0.95,
                         dtype=np.float64)
         rows = []
         for i, (sid, ch) in enumerate(zip(pdf["series_id"], pdf["channel"])):
-            Xh, _, _, _ = K.wavelet_transform(
-                Xc[:, i:i + 1], rate, filters=filters, hg_only=hg_only,
-                npad=npad, precision=precision)
-            for b in range(Xh.shape[-1]):
-                amp = np.abs(Xh[:, 0, b])
-                if post_resample_rate is not None:
-                    amp = K.resample(amp, post_resample_rate, rate,
-                                     precision=precision)
-                phase = (None if abs_only
-                         else np.angle(Xh[:, 0, b]).astype(np.float64))
-                rows.append((sid, ch, b, cfs_l[b], sds_l[b],
-                             amp.astype(np.float64), phase))
+            rows.extend(
+                (sid, ch, b, cfs_l[b], sds_l[b], amp, phase)
+                for b, amp, phase in _wavelet_bands(
+                    Xc[:, i:i + 1], rate, filters, hg_only, abs_only,
+                    post_resample_rate, npad, precision))
         return pd.DataFrame(
             rows, columns=["series_id", "channel", "band", "cf", "sd",
                            "amp", "phase"])
@@ -293,7 +299,7 @@ def car_wavelet_arrow(df: DataFrame, rate: float, mean_frac: float = 0.95,
     channel block arrives as one flat float64 buffer + offsets and the
     band amplitudes leave the same way — no pandas object boxing on either
     side of the heaviest crossing. Same K.* calls in the same order as
-    car_wavelet_op; pinned bitwise-equal in tests/test_spark_operators.py."""
+    car_wavelet_op; pinned near-bitwise-equal in tests/test_spark_operators.py."""
     if not abs_only and post_resample_rate is not None:
         raise ValueError("Wavelet phase should not be resampled.")
     if not abs_only:
@@ -322,15 +328,10 @@ def car_wavelet_arrow(df: DataFrame, rate: float, mean_frac: float = 0.95,
                         dtype=np.float64)
         amps, out_ch = [], []
         for i, p in enumerate(order):
-            Xh, _, _, _ = K.wavelet_transform(
-                Xc[:, i:i + 1], rate, filters=filters, hg_only=hg_only,
-                npad=npad, precision=precision)
-            for b in range(n_bands):
-                amp = np.abs(Xh[:, 0, b])
-                if post_resample_rate is not None:
-                    amp = K.resample(amp, post_resample_rate, rate,
-                                     precision=precision)
-                amps.append(np.ascontiguousarray(amp, dtype=np.float64))
+            for _b, amp, _phase in _wavelet_bands(
+                    Xc[:, i:i + 1], rate, filters, hg_only, True,
+                    post_resample_rate, npad, precision):
+                amps.append(np.ascontiguousarray(amp))
                 out_ch.append(int(ch[p]))
         bands_flat = [b for _ in order for b in range(n_bands)]
         # chunked table: each chunk's flattened amp length stays under the

@@ -17,9 +17,15 @@ Numerics: each segment is padded/filtered on its own frequency grid, so
 the result is equivalent-but-not-bitwise vs the whole-channel op —
 boundary error < ~1% of signal scale with a 1 s overlap, the same
 tolerance the reference itself accepts between its chunked and unchunked
-wavelet paths (tests/test_pipeline.py:154, rtol=0.01). Exactness rules:
-`(seg_len * new) % old == 0` is required so segment output offsets are
-integral (validated eagerly).
+wavelet paths (tests/test_pipeline.py:154, rtol=0.01). Exactness rules,
+both validated eagerly: `seg_len * ratio` AND `overlap * ratio` must be
+integral — the first aligns each segment's output offset with the global
+grid, the second aligns the trimmed core start (a fractional
+overlap*ratio would shift every interior segment by a sub-sample,
+measured 0.109 abs error on a unit tone at the worst-case fixture rates).
+Inputs are assumed gapless per (series, channel) starting at sample_idx
+0; violations raise inside the kernel instead of silently dropping or
+misplacing core samples.
 
 Reference analog: the pad/trim machinery (utils.py:106-167) is reused
 unchanged inside each segment; the chunked writer
@@ -28,7 +34,8 @@ block in flight per worker.
 """
 from __future__ import annotations
 
-from typing import Callable, Iterator
+from fractions import Fraction
+from typing import Callable
 
 import numpy as np
 import pandas as pd
@@ -41,15 +48,108 @@ LONG_SCHEMA = ("series_id STRING, channel INT, sample_idx BIGINT, "
                "value DOUBLE")
 
 
+def snap_overlap(overlap: int, new_freq: float, old_freq: float) -> int:
+    """Smallest V >= overlap with V * (new/old) exactly integral.
+
+    Floats are exact binary rationals, so Fraction(new)/Fraction(old) is
+    the exact rate ratio; V*ratio is integral iff the ratio's (reduced)
+    denominator divides V. E.g. 3200/12207.03125 = 4096/15625 -> the
+    default overlap 4096 snaps to 15625. Raises if no valid overlap is
+    small enough to be usable."""
+    r = Fraction(new_freq) / Fraction(old_freq)
+    d = r.denominator
+    snapped = int(-(-int(overlap) // d) * d)
+    if snapped > 10 ** 7:
+        raise ValueError(
+            f"no practical overlap makes overlap*({new_freq}/{old_freq}) "
+            f"integral (denominator {d}); choose rates with a simpler "
+            f"ratio or resample in two stages")
+    return snapped
+
+
 def _validate(seg_len: int, overlap: int, new_freq: float, old_freq: float):
     if seg_len <= 0 or overlap < 0 or overlap >= seg_len:
         raise ValueError(f"need 0 <= overlap < seg_len, got "
                          f"overlap={overlap} seg_len={seg_len}")
-    if (seg_len * new_freq) % old_freq != 0:
+    r = Fraction(new_freq) / Fraction(old_freq)
+    if (seg_len * r).denominator != 1:
         raise ValueError(
             f"seg_len * new_freq must be divisible by old_freq so segment "
             f"output offsets are integral; got seg_len={seg_len}, "
             f"ratio={new_freq}/{old_freq}")
+    if (overlap * r).denominator != 1:
+        raise ValueError(
+            f"overlap * new_freq must be divisible by old_freq so each "
+            f"segment's trimmed core start is integral (a fractional "
+            f"value sub-sample-shifts every interior segment); "
+            f"overlap={overlap}, ratio={new_freq}/{old_freq} — use "
+            f"snap_overlap({overlap}, {new_freq}, {old_freq}) = "
+            f"{snap_overlap(overlap, new_freq, old_freq)}")
+
+
+def _explode_segments(signals: DataFrame, L: int, V: int) -> DataFrame:
+    """Assign each sample to its core segment + overlap-covering neighbors
+    (narrow: candidate array -> filter -> explode). Shared by both kernel
+    shapes so the subtle assignment predicate exists exactly once."""
+    i = F.col("sample_idx")
+    s0 = F.floor(i / L).cast("bigint")
+    cand = F.array(s0 - 1, s0, s0 + 1)
+    segs = F.filter(
+        cand, lambda s: (s >= 0) & (i >= s * L - V) & (i < (s + 1) * L + V))
+    return signals.select(
+        "series_id", "channel", F.explode(segs).alias("seg"),
+        "sample_idx", "value")
+
+
+def _segment_output(pdf: pd.DataFrame, fn, L: int, V: int, r: float):
+    """Run `fn` on one sorted segment group and trim to its core's output:
+    returns (meta_row, g0, kept 2-D ndarray (n_kept, n_cols)).
+
+    The overlap/core index math lives ONLY here. Contiguity and boundary
+    alignment are validated loudly — a gapped series or one not starting
+    at sample_idx 0 would otherwise silently drop or misplace the core
+    (left_ov would go negative and the kept slice could be empty)."""
+    pdf = pdf.sort_values("sample_idx")
+    seg = int(pdf["seg"].iloc[0])
+    idx = pdf["sample_idx"].to_numpy()
+    if int(idx[-1] - idx[0]) + 1 != len(idx):
+        raise ValueError(
+            f"segmented kernel: sample_idx gap inside segment {seg} of "
+            f"{pdf['series_id'].iloc[0]!r}/ch{int(pdf['channel'].iloc[0])} "
+            f"(span {int(idx[-1] - idx[0]) + 1} != {len(idx)} rows); "
+            f"segmented ops require gapless input")
+    core = int(((idx >= seg * L) & (idx < (seg + 1) * L)).sum())
+    if core == 0:
+        # overlap-only spill group: this dataset holds a neighboring
+        # segment's overlap rows but none of this segment's core (a
+        # file-cut boundary in a streaming micro-batch, or a truncated
+        # recording end) — the segment contributes nothing here
+        return ((pdf["series_id"].iloc[0], int(pdf["channel"].iloc[0])),
+                int(round(seg * L * r)), np.empty((0, 1)))
+    # two legitimate starts for a core-bearing group: the overlap-covered
+    # form (seg*L - V) and the bare core boundary (seg*L) — the latter
+    # when upstream data for the overlap isn't in this dataset (a
+    # streaming micro-batch file cut on a whole-segment boundary,
+    # streaming/ops.stream_preprocess_*; the boundary then pays
+    # batch-local numerics, same as the batch oracle applied to the same
+    # file). Anything else is a misaligned/mid-stream series -> loud.
+    allowed = {max(0, seg * L - V), seg * L}
+    if int(idx[0]) not in allowed:
+        raise ValueError(
+            f"segmented kernel: segment {seg} starts at sample "
+            f"{int(idx[0])}, expected one of {sorted(allowed)}; series "
+            f"must start at sample_idx 0 per (series, channel), or on a "
+            f"whole-segment boundary for file-cut micro-batches")
+    x = pdf["value"].to_numpy(dtype=np.float64)
+    left_ov = max(0, int(seg * L - idx[0]))  # V, or 0 at a bare boundary
+    out = np.asarray(fn(x), dtype=np.float64)
+    if out.ndim == 1:
+        out = out[:, np.newaxis]
+    k0 = int(round(left_ov * r))             # integral by _validate
+    n_out = int(np.ceil(core * r))
+    kept = out[k0:k0 + n_out]
+    g0 = int(round(seg * L * r))
+    return (pdf["series_id"].iloc[0], int(pdf["channel"].iloc[0])), g0, kept
 
 
 def segmented_kernel(signals: DataFrame, fn: Callable[[np.ndarray], np.ndarray],
@@ -57,38 +157,20 @@ def segmented_kernel(signals: DataFrame, fn: Callable[[np.ndarray], np.ndarray],
                      ratio: float = 1.0) -> DataFrame:
     """Apply `fn` (1-D ndarray -> 1-D ndarray of len*ratio) per bounded
     segment of each channel; long layout in, long layout out."""
-    L, V = int(seg_len), int(overlap)
-    r = float(ratio)
-
-    i = F.col("sample_idx")
-    s0 = F.floor(i / L).cast("bigint")
-    cand = F.array(s0 - 1, s0, s0 + 1)
-    segs = F.filter(
-        cand, lambda s: (s >= 0) & (i >= s * L - V) & (i < (s + 1) * L + V))
-    exploded = signals.select(
-        "series_id", "channel", F.explode(segs).alias("seg"),
-        "sample_idx", "value")
+    L, V, r = int(seg_len), int(overlap), float(ratio)
+    _validate(L, V, Fraction(ratio).limit_denominator(10 ** 9), 1)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("sample_idx")
-        seg = int(pdf["seg"].iloc[0])
-        idx = pdf["sample_idx"].to_numpy()
-        x = pdf["value"].to_numpy(dtype=np.float64)
-        left_ov = int(seg * L - idx[0])
-        core = int(((idx >= seg * L) & (idx < (seg + 1) * L)).sum())
-        out = np.asarray(fn(x), dtype=np.float64)
-        k0 = int(round(left_ov * r))
-        n_out = int(np.ceil(core * r))
-        kept = out[k0:k0 + n_out]
-        g0 = int(round(seg * L * r))
+        (sid, ch), g0, kept = _segment_output(pdf, fn, L, V, r)
         return pd.DataFrame({
-            "series_id": pdf["series_id"].iloc[0],
-            "channel": pdf["channel"].iloc[0],
-            "sample_idx": g0 + np.arange(len(kept), dtype=np.int64),
-            "value": kept,
+            "series_id": sid,
+            "channel": ch,
+            "sample_idx": g0 + np.arange(kept.shape[0], dtype=np.int64),
+            "value": kept[:, 0],
         })
 
-    return (exploded.groupBy("series_id", "channel", "seg")
+    return (_explode_segments(signals, L, V)
+            .groupBy("series_id", "channel", "seg")
             .applyInPandas(run, LONG_SCHEMA))
 
 
@@ -102,42 +184,25 @@ def segmented_band_kernel(signals: DataFrame,
                           ratio: float = 1.0) -> DataFrame:
     """Fan-out variant of `segmented_kernel`: `fn` maps a 1-D segment to a
     2-D (n_out, n_bands) block (e.g. wavelet amplitudes); output is long
-    over (band, sample_idx). Same bounded-group/one-shuffle layout."""
-    L, V = int(seg_len), int(overlap)
-    r = float(ratio)
-
-    i = F.col("sample_idx")
-    s0 = F.floor(i / L).cast("bigint")
-    cand = F.array(s0 - 1, s0, s0 + 1)
-    segs = F.filter(
-        cand, lambda s: (s >= 0) & (i >= s * L - V) & (i < (s + 1) * L + V))
-    exploded = signals.select(
-        "series_id", "channel", F.explode(segs).alias("seg"),
-        "sample_idx", "value")
+    over (band, sample_idx). Same bounded-group/one-shuffle layout, same
+    shared segment-assignment and core-trim machinery."""
+    L, V, r = int(seg_len), int(overlap), float(ratio)
+    _validate(L, V, Fraction(ratio).limit_denominator(10 ** 9), 1)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("sample_idx")
-        seg = int(pdf["seg"].iloc[0])
-        idx = pdf["sample_idx"].to_numpy()
-        x = pdf["value"].to_numpy(dtype=np.float64)
-        left_ov = int(seg * L - idx[0])
-        core = int(((idx >= seg * L) & (idx < (seg + 1) * L)).sum())
-        out = np.asarray(fn(x), dtype=np.float64)  # (n_out, n_bands)
-        k0 = int(round(left_ov * r))
-        n_out = int(np.ceil(core * r))
-        kept = out[k0:k0 + n_out]  # (n_kept, n_bands)
-        g0 = int(round(seg * L * r))
+        (sid, ch), g0, kept = _segment_output(pdf, fn, L, V, r)
         n_kept, n_bands = kept.shape
         return pd.DataFrame({
-            "series_id": pdf["series_id"].iloc[0],
-            "channel": pdf["channel"].iloc[0],
+            "series_id": sid,
+            "channel": ch,
             "band": np.repeat(np.arange(n_bands, dtype=np.int32), n_kept),
             "sample_idx": np.tile(g0 + np.arange(n_kept, dtype=np.int64),
                                   n_bands),
             "amp": kept.T.ravel(),
         })
 
-    return (exploded.groupBy("series_id", "channel", "seg")
+    return (_explode_segments(signals, L, V)
+            .groupBy("series_id", "channel", "seg")
             .applyInPandas(run, BAND_SCHEMA))
 
 
@@ -166,7 +231,13 @@ def segmented_wavelet_amp(signals: DataFrame, rate: float,
 def segmented_resample(signals: DataFrame, new_freq: float, old_freq: float,
                        seg_len: int = 2 ** 16, overlap: int = 4096,
                        precision: str = "single") -> DataFrame:
-    """FFT rational resample with bounded per-task memory (long -> long)."""
+    """FFT rational resample with bounded per-task memory (long -> long).
+
+    The overlap is snapped UP to the nearest value making overlap*ratio
+    integral (snap_overlap) — overlap is a numerical-tolerance knob, not
+    semantics, so widening it is always safe; seg_len stays the caller's
+    contract and is validated, not adjusted."""
+    overlap = snap_overlap(overlap, new_freq, old_freq)
     _validate(seg_len, overlap, new_freq, old_freq)
     return segmented_kernel(
         signals,

@@ -58,9 +58,15 @@ def high_gamma_packed(wv: DataFrame, n_baseline: int,
     std over the first n_baseline samples, mean across bands."""
     nb = int(n_baseline)
     base = F.slice(values_col, 1, nb)
-    mu = F.aggregate(base, F.lit(0.0), lambda a, x: a + x) / nb
+    # divide by the ACTUAL baseline count: a trace shorter than n_baseline
+    # yields a short slice, and dividing by the literal nb would deflate
+    # mean/std — silently diverging from the zscore_baseline long path
+    # (which averages over the real count). least() is nb for every
+    # normal-length trace, so the fast path stays bitwise-identical there.
+    bn = F.least(F.lit(nb), F.size(values_col)).cast("double")
+    mu = F.aggregate(base, F.lit(0.0), lambda a, x: a + x) / bn
     sd = F.sqrt(F.aggregate(base, F.lit(0.0),
-                            lambda a, x: a + (x - mu) * (x - mu)) / nb)
+                            lambda a, x: a + (x - mu) * (x - mu)) / bn)
     # Bind (mu, sd) ONCE per row via the single-element-transform idiom:
     # naming them with withColumn and referencing the names inside the
     # per-element lambda lets CollapseProject inline the baseline FOLDS

@@ -76,7 +76,9 @@ def preprocess(signals: DataFrame, rate: float,
     measured STRICTLY worse — 2.6 s vs 0.8 s for the JVM collect_list
     pack — because it pays a full extra Python round-trip of the packed
     arrays; the JVM pack stays regardless of `arrow`.) `arrow=False`
-    keeps the pandas operators — both paths are pinned bitwise-equal in
+    keeps the pandas operators — both paths are pinned near-bitwise-equal
+    (1e-12 at double; the FFT itself has 1-2 ULP run-to-run alignment
+    jitter, so exact bitwise across executions is unattainable) in
     tests/test_spark_operators.py.
     """
     stages: dict[str, DataFrame] = {}

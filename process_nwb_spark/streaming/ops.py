@@ -88,11 +88,16 @@ def dedup_stream(events: DataFrame, watermark: str | None = "1 hour") -> DataFra
     """Stateful dedup: first event per (user_id, event_type).
 
     With a watermark, state for keys older than the horizon is evicted —
-    bounded memory, but a key may re-emit after the horizon (the documented
-    dropDuplicates-with-watermark trade-off). watermark=None keeps state
-    unbounded for exact global dedup."""
+    bounded memory, but a key may re-emit after the horizon. That contract
+    requires `dropDuplicatesWithinWatermark`: plain dropDuplicates only
+    evicts state when the EVENT-TIME column is part of the dedup keys, so
+    on bare (user_id, event_type) keys its state would grow without bound
+    while the watermark silently did nothing. watermark=None keeps state
+    unbounded for exact global dedup (dropDuplicates, the intended
+    infinite-state form)."""
     if watermark is not None:
-        events = events.withWatermark("ts", watermark)
+        return (events.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(["user_id", "event_type"]))
     return events.dropDuplicates(["user_id", "event_type"])
 
 

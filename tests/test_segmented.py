@@ -180,3 +180,62 @@ def test_segmented_wavelet_close_to_whole(spark, fixture):
         assert a.shape == w.shape
         cos = float(a @ w / (np.linalg.norm(a) * np.linalg.norm(w)))
         assert cos > 0.99, (ch, b, cos)
+
+
+def test_snap_overlap_integral_ratio():
+    from process_nwb_spark.operators.segmented import snap_overlap
+
+    # 3200/12207.03125 reduces to 4096/15625 -> overlap must be a
+    # multiple of 15625
+    assert snap_overlap(4096, 3200.0, 12207.03125) == 15625
+    assert snap_overlap(15625, 3200.0, 12207.03125) == 15625
+    assert snap_overlap(15626, 3200.0, 12207.03125) == 31250
+    # already-integral ratios pass through (den | overlap)
+    assert snap_overlap(100, 1000.0, 2000.0) == 100
+    assert snap_overlap(99, 1000.0, 2000.0) == 100
+
+
+def test_segmented_resample_worst_case_rates(spark):
+    """Regression: at the reference worst-case rates (12207.03125 Hz ->
+    3200 Hz) the default overlap made overlap*ratio fractional and every
+    interior segment came out sub-sample-shifted (~0.1 abs error on a
+    unit tone). With the snapped overlap the interior must match the
+    whole-signal resample to FFT-boundary tolerance."""
+    rate, new = 12207.03125, 3200.0
+    # n chosen so total n*ratio is integral (125000 * 4096/15625 = 32768):
+    # the whole-signal resample otherwise ceil-respaces its output grid
+    # (resample.py:140 semantics) and no segmentation could match it —
+    # that inherent tail-respacing is a property of the reference math,
+    # not of the segmentation under test here
+    n = 125000                                      # 2 full segments
+    t = np.arange(n) / rate
+    X = np.sin(2 * np.pi * 150.0 * t)[:, None]      # unit 150 Hz tone
+    want = K.resample(X[:, 0], new, rate, precision="double")
+
+    got_df = segmented_resample(to_long_df(spark, X), new, rate,
+                                seg_len=62500, precision="double")
+    got = _collect_dense(got_df, 1)[:, 0]
+    assert len(got) == len(want)
+    # interior (segment boundaries padded independently -> small edge
+    # error is expected and documented; the old bug was ~0.1 EVERYWHERE
+    # in interior segments)
+    m = len(got) // 8
+    assert np.max(np.abs(got[m:-m] - want[m:-m])) < 5e-3
+
+
+def test_segmented_rejects_fractional_overlap_ratio(spark, fixture):
+    _, df = fixture
+    with pytest.raises(ValueError, match="overlap"):
+        segmented_kernel(df, lambda x: x, seg_len=62500, overlap=4096,
+                         ratio=3200.0 / 12207.03125)
+
+
+def test_segmented_misaligned_start_raises(spark):
+    """A series not starting at sample_idx 0 must fail loudly inside the
+    kernel, not silently drop its core samples (the old left_ov<0 path)."""
+    X = generate_synthetic_data(2.0, 1, 1000.0, seed=0)
+    df = (to_long_df(spark, X)
+          .withColumn("sample_idx", F.col("sample_idx") + 5000))
+    out = segmented_resample(df, 500.0, 1000.0, seg_len=1024, overlap=128)
+    with pytest.raises(Exception, match="segmented kernel"):
+        out.collect()
