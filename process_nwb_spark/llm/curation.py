@@ -34,7 +34,18 @@ def fake_embedding(col="text"):
 
 def sign_bucket(vec_col, n_bits: int = 4):
     """Alternating-sign-plane LSH bucket of an array column (same family
-    as relational/embed_lsh.py, smaller key)."""
+    as relational/embed_lsh.py, smaller key).
+
+    The planes are _EMB_DIM-wide literals; a vector of any other length
+    would zip_with NULL-padding into a NULL dot product and silently
+    collapse every affected bit to 0 (all rows toward one bucket, ANN
+    pruning destroyed) — so the width is asserted in-plan and a mismatch
+    fails the job loudly instead."""
+    vec_col = F.when(
+        F.size(vec_col) == _EMB_DIM, vec_col
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"sign_bucket: expected {_EMB_DIM}-dim vector, got "),
+        F.size(vec_col).cast("string"), F.lit(" dims"))))
     key = F.lit(0)
     for b in range(n_bits):
         dot = F.aggregate(
@@ -158,7 +169,14 @@ def assemble_v2(documents: DataFrame, capacity: int = 2048,
               .groupBy("doc_id")
               .agg(F.avg(F.log2(F.col("c2").cast("double") / F.col("c1")))
                    .alias("lm_score")))
-    kept = (kept.join(scores, "doc_id")
+    # LEFT join + pass-through: a doc with zero bigrams (single
+    # space-token text) has no row in `scores`; an inner join would
+    # silently DELETE it from the corpus — not a quality decision, just
+    # absence of evidence. No-evidence docs keep a neutral score of 0
+    # (log2 P = 0 -> "perfectly predicted"), which passes any sane
+    # threshold and is visible downstream in the lm_score column.
+    kept = (kept.join(scores, "doc_id", "left")
+            .withColumn("lm_score", F.coalesce("lm_score", F.lit(0.0)))
             .filter(F.col("lm_score") >= min_avg_log2_prob))
 
     clean = F.regexp_replace(

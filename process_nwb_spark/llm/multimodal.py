@@ -83,9 +83,13 @@ def attach_payloads(documents: DataFrame) -> DataFrame:
     blob; modality round-robins by doc_id; metadata is derived
     deterministically so tests and oracles can recompute it."""
     payload = F.encode("text", "utf-8")
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # doc_id (e.g. an xxhash64-derived key, negative half the time) would
+    # index 0 (runtime error) or -1 (silently 'video' via from-the-end
+    # indexing)
     modality = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col("doc_id") % 3 + 1).cast("int"))
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"))
     n_bytes = F.octet_length(payload)
     meta = F.struct(
         (F.col("doc_id") % 640 + 32).cast("int").alias("width"),

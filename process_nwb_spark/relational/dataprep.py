@@ -579,11 +579,17 @@ def dq_benford_digits(spark, sf_dir):
     digits = o.select(
         F.substring(F.floor("o_totalprice").cast("bigint").cast("string"),
                     1, 1).cast("int").alias("d"))
-    total = digits.count()
+    # total as an IN-PLAN broadcast scalar (window over the 9-row bucket
+    # aggregate), not a driver-side count() — the eager count added a full
+    # extra orders scan to every construction of this query
+    from pyspark.sql.window import Window as _W
+
     return (digits.groupBy(F.col("d").alias("first_digit"))
             .agg(F.count("*").alias("n"))
+            .withColumn("_total", F.sum("n").over(
+                _W.partitionBy(F.lit(1))))
             .select("first_digit", "n",
-                    F.round(F.col("n") / F.lit(float(total)), 4)
+                    F.round(F.col("n") / F.col("_total").cast("double"), 4)
                      .alias("observed_freq"),
                     F.round(F.log10(1.0 + 1.0 / F.col("first_digit")), 4)
                      .alias("benford_freq")))

@@ -256,10 +256,16 @@ def _ivf_lists(spark, sf_dir):
         F.zip_with("embedding", "cvec",
                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
         F.lit(0.0), lambda acc, x: acc + x))
+    # ROUND the argmin key before comparing (same discipline as
+    # embed_kmeans_lloyd): the centroid is an AVG over hundreds of
+    # doubles whose partial-agg summation order differs between Spark
+    # and DuckDB, so an unrounded knife-edge distance could assign a
+    # near-equidistant vector to different cells in the two engines
     lists = (e.crossJoin(F.broadcast(cents))
              .groupBy("vec_id")
              .agg(F.min_by(F.struct("label", "embedding", "cid"),
-                           F.struct(dist.alias("d"), F.col("cid")))
+                           F.struct(F.round(dist, 9).alias("d"),
+                                    F.col("cid")))
                   .alias("_best"))
              .select("vec_id", F.col("_best.label").alias("label"),
                      F.col("_best.embedding").alias("embedding"),
@@ -281,7 +287,7 @@ def _ivf_lists(spark, sf_dir):
     assigned AS (
       SELECT vec_id, label, embedding, cid,
              ROW_NUMBER() OVER (PARTITION BY vec_id
-               ORDER BY {_L2_SQL.format(dim=_DIM, a='embedding', b='cvec')},
+               ORDER BY ROUND({_L2_SQL.format(dim=_DIM, a='embedding', b='cvec')}, 9),
                         cid) AS rnk
       FROM embeddings CROSS JOIN cents
     ),
@@ -383,7 +389,7 @@ _IVF_LISTS_SQL = f"""
     assigned AS (
       SELECT vec_id, label, embedding, cid,
              ROW_NUMBER() OVER (PARTITION BY vec_id
-               ORDER BY {_L2_SQL.format(dim=_DIM, a='embedding', b='cvec')},
+               ORDER BY ROUND({_L2_SQL.format(dim=_DIM, a='embedding', b='cvec')}, 9),
                         cid) AS rnk
       FROM embeddings CROSS JOIN cents
     ),
@@ -399,7 +405,7 @@ _IVF_LISTS_SQL = f"""
     qcells AS (
       SELECT c.cid
       FROM cents c CROSS JOIN qv
-      ORDER BY {_L2_SQL.format(dim=_DIM, a='qv.qv', b='c.cvec')}, c.cid
+      ORDER BY ROUND({_L2_SQL.format(dim=_DIM, a='qv.qv', b='c.cvec')}, 9), c.cid
       LIMIT 2
     )
     SELECT l.vec_id, l.label,
@@ -422,7 +428,7 @@ def embed_ivf_probe2(spark, sf_dir):
                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
         F.lit(0.0), lambda acc, x: acc + x))
     qcells = (cents.crossJoin(F.broadcast(qv))
-              .select("cid", qdist.alias("_d"))
+              .select("cid", F.round(qdist, 9).alias("_d"))
               .orderBy("_d", "cid").limit(2).select("cid"))
     return (
         lists.join(F.broadcast(qcells), "cid")
@@ -466,7 +472,7 @@ _PQ_D2 = ("LIST_SUM(LIST_TRANSFORM(RANGE(1, 9), "
       SELECT vec_id, s, code FROM (
         SELECT sv.vec_id, sv.s, c.code,
                ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.s
-                 ORDER BY {_PQ_D2.format(a='sv.sv', b='c.cv')}, c.code) AS rn
+                 ORDER BY ROUND({_PQ_D2.format(a='sv.sv', b='c.cv')}, 9), c.code) AS rn
         FROM subv sv JOIN cents c ON sv.s = c.s) r
       WHERE rn = 1
     ),
@@ -523,7 +529,7 @@ def embed_pq_adc(spark, sf_dir):
 
     w = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
     enc = (subv.join(F.broadcast(cents), "s")
-           .withColumn("d2", d2(F.col("sv"), F.col("cv")))
+           .withColumn("d2", F.round(d2(F.col("sv"), F.col("cv")), 9))
            .withColumn("rn", F.row_number().over(w))
            .filter(F.col("rn") == 1)
            .select("vec_id", "s", "code"))

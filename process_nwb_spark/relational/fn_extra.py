@@ -211,8 +211,10 @@ def fn_variant(spark, sf_dir):
 @query(
     "agg_histogram",
     """
-    SELECT CAST(FLOOR(l_extendedprice / 5000) + 1 AS BIGINT) AS bucket,
-           CAST(FLOOR(l_extendedprice / 5000) * 5000 AS DOUBLE) AS bucket_lo,
+    SELECT LEAST(CAST(FLOOR(l_extendedprice / 5000) + 1 AS BIGINT), 23)
+             AS bucket,
+           CAST(LEAST(FLOOR(l_extendedprice / 5000), 22) * 5000 AS DOUBLE)
+             AS bucket_lo,
            COUNT(*) AS n,
            ROUND(MIN(l_extendedprice), 2) AS lo_seen,
            ROUND(MAX(l_extendedprice), 2) AS hi_seen
@@ -224,7 +226,10 @@ def fn_variant(spark, sf_dir):
         "on ~22 bucket ids. The data-profiling primitive: shuffle volume "
         "is O(partitions x buckets) regardless of input size, so the "
         "same plan profiles a 100 TB column. Fixed bounds make the result "
-        "deterministic (vs histogram_numeric's data-dependent bins)",
+        "deterministic (vs histogram_numeric's data-dependent bins). Both "
+        "engines clamp overflow into the n+1=23 tail bucket (width_bucket "
+        "semantics; the oracle mirrors with LEAST) so a price past the "
+        "upper bound can't desynchronize the two histograms",
 )
 def agg_histogram(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")

@@ -25,13 +25,19 @@ def _words(col="text"):
 
 def _shingles_df(spark, sf_dir, k: int = 3):
     """Distinct word-k-gram shingles per doc: (doc_id, sh)."""
-    d = spread(T(spark, sf_dir, "documents"))
     words = _words()
+    # filter BEFORE the shingle projection: a post-projection filter on a
+    # frame that no longer carries `text` only resolves via missing-ref
+    # resolution and only avoids evaluating slice(start=0) on short docs
+    # because predicate pushdown happens to move it below the Generate —
+    # an optimizer implementation detail, not a contract (sequence(0,-1)
+    # on a 2-word doc would otherwise hit 'array indices start at 1' at
+    # runtime)
+    d = spread(T(spark, sf_dir, "documents")).filter(F.size(words) >= k)
     # sequence(0, size-k) inclusive -> size-k+1 shingles
     sh = F.transform(F.sequence(F.lit(0), F.size(words) - k),
                      lambda i: F.array_join(F.slice(words, i + 1, k), " "))
-    return (d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
-            .filter(F.size(words) >= k))
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
 
 
 _SHINGLE_SQL = """
@@ -1063,12 +1069,16 @@ def text_tfidf_topterms(spark, sf_dir):
     tf = (d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
           .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
     df = tf.groupBy("w").agg(F.count("*").alias("df"))
-    n_docs = d.count()
-    tfidf = (F.col("tf")
-             * F.log(F.lit(float(n_docs)) / F.col("df")))
+    # corpus size as an IN-PLAN broadcast scalar, not a driver-side
+    # count(): the eager count added a full extra documents scan to every
+    # construction of this query (the crossJoin pattern used by
+    # rfm_segments / dq_ks_drift)
+    nd = d.agg(F.count("*").cast("double").alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
     w_rank = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("w"))
     return (tf.join(F.broadcast(df), "w")
+            .crossJoin(F.broadcast(nd))
             .withColumn("tfidf", tfidf)
             .withColumn("rn", F.row_number().over(w_rank))
             .filter(F.col("rn") <= 3)

@@ -223,9 +223,13 @@ def udf_arrow_map_stats(spark, sf_dir):
             offs = np.asarray(emb.offsets)
             vals = np.asarray(emb.values, dtype=np.float64)
             sq = vals * vals
-            # reduceat segments: guard the empty-batch case
-            l2 = (np.sqrt(np.add.reduceat(sq, offs[:-1]))
-                  if len(offs) > 1 else np.empty(0))
+            # segment sums via prefix sums, NOT np.add.reduceat: reduceat
+            # mishandles empty segments (offs[i] == offs[i+1] returns the
+            # NEXT segment's first value; a trailing empty segment raises
+            # index-out-of-bounds), and an ingest bug producing one empty
+            # embedding would silently corrupt or kill the task
+            cs = np.concatenate(([0.0], np.cumsum(sq)))
+            l2 = np.sqrt(cs[offs[1:]] - cs[offs[:-1]])
             yield pa.RecordBatch.from_arrays(
                 [b.column(b.schema.get_field_index("vec_id")),
                  pa.array(np.diff(offs).astype("int32"), pa.int32()),

@@ -68,10 +68,18 @@ class SignalCatalog:
          .saveAsTable(name))
 
     def drop(self, name: str) -> None:
-        """DROP TABLE analog of scripts/copy_strip (strips derived series)."""
+        """DROP TABLE analog of scripts/copy_strip (strips derived series).
+
+        Covers both storage forms: the plain parquet directory (write())
+        AND the bucketed managed table (write_bucketed stores data under
+        _bucketed_<name> plus a metastore entry — dropping only the plain
+        path would leave the data AND a stale catalog entry behind, and a
+        later saveAsTable under the same name would resolve to old data)."""
         import shutil
 
         shutil.rmtree(self._path(name), ignore_errors=True)
+        shutil.rmtree(self._path(f"_bucketed_{name}"), ignore_errors=True)
+        self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
 
     def drop_derived(self) -> list[str]:
         """copy_strip semantics: remove every lineage-derived table, keep

@@ -44,6 +44,16 @@ def read_nwb_series(spark: SparkSession, path: str,
         except KeyError:
             series = nwbfile.acquisition["Raw"][acq_name]
         X = series.data[:]
+        if series.rate is None:
+            # NWB allows timestamp-based ElectricalSeries (explicit
+            # `timestamps`, no sampling rate); the engine's fixed-rate
+            # long layout can't represent irregular sampling, so refuse
+            # clearly instead of float(None)'s bare TypeError
+            raise ValueError(
+                f"{acq_name!r} carries explicit timestamps instead of a "
+                f"sampling rate; resample it to a fixed rate before "
+                f"landing (the long layout's sample_idx assumes uniform "
+                f"sampling)")
         rate = float(series.rate)
         start = float(series.starting_time or 0.0)
     return series_to_long(spark, np.asarray(X), series_id=acq_name,

@@ -235,3 +235,42 @@ def test_reference_worst_case_shapes(spark, post_resample_rate):
     # the double path is actually bitwise-close; pin the real agreement
     rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-12)
     assert np.quantile(rel, 0.999) < 1e-6
+
+
+def test_assemble_v2_keeps_zero_bigram_docs(spark):
+    """A doc with no space-delimited bigrams (single token) must not be
+    silently deleted by the LM-score join — it has no quality evidence,
+    not bad quality (regression: inner join dropped it)."""
+    import pandas as pd
+    from process_nwb_spark.llm.curation import assemble_v2
+
+    # distinct words per doc (the dup-word gate must not fire); doc_ids
+    # 100-119 all hash to the train split
+    rows = [(100 + i, " ".join(f"w{i}x{j}" for j in range(30)),
+             "en", "web", 200) for i in range(20)]
+    # doc 101 replaced: 25 \w+ tokens but ONE space-token -> zero bigrams
+    rows[1] = (101, ",".join(f"tok{i}" for i in range(25)), "en", "web", 150)
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                    "n_chars"]))
+    out = assemble_v2(docs, langs=("en",), min_tokens=5,
+                      min_avg_log2_prob=-20.0)
+    kept_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    scores = {r["doc_id"]: r["lm_score"] for r in out.collect()}
+    assert 101 in kept_ids
+    assert scores[101] == 0.0         # neutral no-evidence score
+    assert len(kept_ids) > 1          # the normal docs survived too
+
+
+def test_sign_bucket_rejects_wrong_width(spark):
+    """A vector of the wrong width must fail loudly, not silently bucket
+    to a degenerate key via NULL-padded zip_with."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+    from process_nwb_spark.llm.curation import sign_bucket
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [[1.0] * 64]}))   # 64 dims, planes are 16
+    with pytest.raises(Exception, match="sign_bucket"):
+        df.select(sign_bucket(F.col("v")).alias("b")).collect()
