@@ -24,14 +24,18 @@ from pyspark.sql.types import DoubleType, StringType
 @pandas_udf(DoubleType())
 def l2_norm(v: pd.Series) -> pd.Series:
     """Scalar pandas_udf: L2 norm of an array column, one Arrow batch at a
-    time (each element arrives as a numpy array)."""
-    return v.map(lambda a: float(np.sqrt(np.dot(a, a))))
+    time (each element arrives as a numpy array). NULL in -> NULL out,
+    matching the paired DuckDB oracle (a NULL row must not kill the
+    task)."""
+    return v.map(
+        lambda a: None if a is None else float(np.sqrt(np.dot(a, a))))
 
 
 @pandas_udf(DoubleType())
 def dot_product(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Scalar pandas_udf over two array columns."""
-    return pd.Series([float(np.dot(x, y)) for x, y in zip(a, b)])
+    """Scalar pandas_udf over two array columns. NULL in -> NULL out."""
+    return pd.Series([None if x is None or y is None else float(np.dot(x, y))
+                      for x, y in zip(a, b)])
 
 
 @pandas_udf(DoubleType(), PandasUDFType.GROUPED_AGG)

@@ -124,8 +124,17 @@ def preprocess(signals: DataFrame, rate: float,
     tf = unpack(wv.drop("phase"), values_col="amp", value_col="amp",
                 extra_keys=("band", "cf", "sd"))
     stages["wvlt_amp"] = tf
+    if not abs_only:
+        # the reference stores phase as its own wvlt_phase_ series
+        # (wavelet_transform.py:422-436); dropping it unconditionally
+        # would make abs_only=False pay the np.angle computation and then
+        # discard the result
+        stages["wvlt_phase"] = unpack(
+            wv.drop("amp"), values_col="phase", value_col="phase",
+            extra_keys=("band", "cf", "sd"))
     return PreprocessResult(tf=tf, stages=stages,
-                            tf_packed=wv.drop("phase"))
+                            tf_packed=wv if not abs_only
+                            else wv.drop("phase"))
 
 
 def preprocess_many(signal_dfs: dict[str, DataFrame], rate: float,
@@ -134,8 +143,14 @@ def preprocess_many(signal_dfs: dict[str, DataFrame], rate: float,
     instead of a driver loop over .nwb files, union all series into ONE
     job — series_id is just another group key, so every stage (pack,
     kernels, packed CAR, wavelet) parallelizes across series x channels
-    with no outer loop. `signal_dfs` maps series_id overrides to long
-    DataFrames (pass-through if a df already carries its series_id)."""
+    with no outer loop. `signal_dfs` maps series ids to long DataFrames;
+    the dict KEY becomes the series_id (any existing series_id column is
+    overwritten — pass each recording under its own key; a df that
+    already multiplexes several recordings must be passed as-is to
+    `preprocess` directly, not through this dict, or its series would be
+    collapsed into one)."""
+    if not signal_dfs:
+        raise ValueError("preprocess_many: empty signal_dfs")
     parts = []
     for sid, df in signal_dfs.items():
         parts.append(df.withColumn("series_id", F.lit(sid)))

@@ -21,12 +21,30 @@ def formatted_plan(df: DataFrame, mode: str = "formatted") -> str:
     return jqe.explainString(jmode)
 
 
-def count_exchanges(df: DataFrame) -> int:
+def count_exchanges(df: DataFrame,
+                    include_single_partition: bool = True) -> int:
     """Number of shuffle boundaries (Exchange operators, excluding reuse
-    and broadcast exchanges — those don't repartition the big side)."""
+    and broadcast exchanges — those don't repartition the big side).
+
+    Counts `Exchange SinglePartition` too (the all-data-to-one-task funnel
+    — the WORST shuffle at scale; an earlier version silently ignored it,
+    which made the shuffle-count CI gate blind to exactly the regression
+    it exists to catch). Pass include_single_partition=False only when a
+    plan legitimately ends in a bounded global rollup that the assertion
+    doesn't mean to count."""
     plan = formatted_plan(df, "simple")
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|"
-                          r"\bExchange RoundRobinPartitioning", plan))
+    n = len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|"
+                       r"\bExchange RoundRobinPartitioning", plan))
+    if include_single_partition:
+        n += len(re.findall(r"\bExchange SinglePartition", plan))
+    return n
+
+
+def count_single_partition_exchanges(df: DataFrame) -> int:
+    """`Exchange SinglePartition` occurrences alone — assert 0 on any plan
+    whose input is unbounded."""
+    return len(re.findall(r"\bExchange SinglePartition",
+                          formatted_plan(df, "simple")))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
@@ -58,10 +76,17 @@ def count_scans(df: DataFrame, source: str = "parquet") -> int:
 
 def has_partial_aggregation(df: DataFrame) -> bool:
     """True when the agg splits into partial (map-side) + final — the
-    HashAggregate pair around the exchange."""
-    plan = formatted_plan(df)
-    return len(re.findall(r"HashAggregate", plan)) >= 2 or \
-        "partial_" in plan
+    HashAggregate pair around the exchange.
+
+    The node count is taken from the SIMPLE plan: formatted mode prints
+    every node twice (tree line + detail block), so a >=2 test there was
+    vacuously true for any single aggregate. The `partial_` function-name
+    check runs on the formatted plan (simple mode doesn't print function
+    lists)."""
+    if "partial_" in formatted_plan(df):
+        return True
+    return len(re.findall(
+        r"HashAggregate", formatted_plan(df, "simple"))) >= 2
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:

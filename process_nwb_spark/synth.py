@@ -39,30 +39,6 @@ def generate_synthetic_data(duration: float, nchannels: int, rate: float,
     return neural_data
 
 
-def to_long_df(spark, X: np.ndarray, series_id: str = "ECoG_data"):
-    """Dense (n_time, n_channels) block -> long DataFrame
-    (series_id STRING, channel INT, sample_idx BIGINT, value DOUBLE).
-
-    Ships one packed row per channel through Arrow (n_ch rows, not
-    n_time*n_ch) and explodes to long JVM-side — ~10x faster ingest than
-    materializing the long frame driver-side."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    n_time, n_ch = X.shape
-    pdf = pd.DataFrame({
-        "series_id": [series_id] * n_ch,
-        "channel": np.arange(n_ch, dtype=np.int32),
-        "values": [X[:, c].astype(np.float64) for c in range(n_ch)],
-    })
-    packed = spark.createDataFrame(
-        pdf, "series_id STRING, channel INT, values ARRAY<DOUBLE>")
-    return packed.select(
-        "series_id", "channel",
-        F.posexplode("values").alias("sample_idx", "value"),
-    ).withColumn("sample_idx", F.col("sample_idx").cast("bigint"))
-
-
 def to_packed_df(spark, X: np.ndarray, series_id: str = "ECoG_data"):
     """Dense block -> packed layout directly (one row per channel), skipping
     the long round-trip when the consumer is a kernel stage."""
@@ -76,6 +52,22 @@ def to_packed_df(spark, X: np.ndarray, series_id: str = "ECoG_data"):
     })
     return spark.createDataFrame(
         pdf, "series_id STRING, channel INT, values ARRAY<DOUBLE>")
+
+
+def to_long_df(spark, X: np.ndarray, series_id: str = "ECoG_data"):
+    """Dense (n_time, n_channels) block -> long DataFrame
+    (series_id STRING, channel INT, sample_idx BIGINT, value DOUBLE).
+
+    Ships one packed row per channel through Arrow (n_ch rows, not
+    n_time*n_ch — via to_packed_df, the ONE spelling of the packed-frame
+    construction) and explodes to long JVM-side — ~10x faster ingest than
+    materializing the long frame driver-side."""
+    from pyspark.sql import functions as F
+
+    return to_packed_df(spark, X, series_id).select(
+        "series_id", "channel",
+        F.posexplode("values").alias("sample_idx", "value"),
+    ).withColumn("sample_idx", F.col("sample_idx").cast("bigint"))
 
 
 def long_to_dense(df, series_id=None) -> np.ndarray:

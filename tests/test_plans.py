@@ -326,11 +326,18 @@ def test_behavior_analytics_shuffle_budgets(spark, qs):
     sessionize window and all three conditional-min stages ride the
     user-keyed exchanges (subset-satisfaction: hashpartitioning(user_id)
     serves every (user_id, session_no) requirement downstream)."""
+    from process_nwb_spark.plans.inspect import \
+        count_single_partition_exchanges
+
     budgets = {"win_streaks": 2, "orders_gap_stats": 2, "session_funnel": 3}
     for name, budget in budgets.items():
         df = qs[name].fn(spark, SF)
-        n = count_exchanges(df)
+        n = count_exchanges(df, include_single_partition=False)
         assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+        # at most ONE SinglePartition funnel, and only as the final global
+        # rollup over already-partially-aggregated rows (bounded input) —
+        # never a data shuffle
+        assert count_single_partition_exchanges(df) <= 1, name
     assert has_broadcast_join(qs["orders_gap_stats"].fn(spark, SF))
 
 
