@@ -274,3 +274,32 @@ def test_sign_bucket_rejects_wrong_width(spark):
         pd.DataFrame({"v": [[1.0] * 64]}))   # 64 dims, planes are 16
     with pytest.raises(Exception, match="sign_bucket"):
         df.select(sign_bucket(F.col("v")).alias("b")).collect()
+
+
+def test_preprocess_phase_surface(spark, dense):
+    """abs_only=False surfaces phase (the reference's wvlt_phase_ series,
+    wavelet_transform.py:422-436) instead of computing and silently
+    dropping it (regression): stages carries wvlt_phase, tf_packed keeps
+    the phase column, and the values match the dense np.angle oracle."""
+    res = preprocess(to_long_df(spark, dense), RATE, INIT,
+                     final_resample_rate=None, abs_only=False,
+                     precision="double")
+    assert "wvlt_phase" in res.stages
+    assert "phase" in res.tf_packed.columns
+
+    got = (res.stages["wvlt_phase"].filter("channel = 2 AND band = 1")
+           .toPandas().sort_values("sample_idx").phase.to_numpy())
+    Xs = dense * 1e6
+    Xr = K.resample(Xs, INIT, RATE, precision="double")
+    Xn = K.apply_linenoise_notch(Xr, INIT, precision="double")
+    Xc = K.subtract_car(Xn, 0.95, precision="double")
+    Xh, _, _, _ = K.wavelet_transform(Xc, INIT, "rat", True,
+                                      precision="double")
+    want = np.angle(Xh[:, 2, 1])
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+    # default final_resample_rate + phase stays rejected (reference
+    # contract: phase must not be resampled)
+    with pytest.raises(ValueError, match="phase"):
+        preprocess(to_long_df(spark, dense), RATE, INIT, FINAL,
+                   abs_only=False).tf_packed.collect()
