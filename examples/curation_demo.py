@@ -36,11 +36,15 @@ def main():
     from process_nwb_spark.llm.shards import (export_training_shards,
                                               verify_export)
 
-    out = tempfile.mkdtemp(prefix="curated_shards_") + "/corpus"
+    work = tempfile.mkdtemp(prefix="curated_shards_")
+    out = work + "/corpus"
     manifest = export_training_shards(curated.drop("bucket"), out, "doc_id",
                                       n_shards=8, size_cols=("n_tokens",))
     manifest.orderBy("shard").show()
     print("export verified:", verify_export(spark, out, "doc_id"))
+    import shutil
+
+    shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
 

@@ -8,6 +8,8 @@ a product team would actually run."""
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from process_nwb_spark import get_spark
@@ -29,14 +31,21 @@ def main():
 
     print("== 6-hour grid, linearly interpolated (first user) ==")
     interp = q["ts_linear_interp"].fn(spark, SF)
-    first_user = interp.select("user_id").orderBy("user_id").first()["user_id"]
-    (interp.filter(f"user_id = {first_user}")
-     .orderBy("grid_ts").show(12, truncate=False))
+    row = interp.select("user_id").orderBy("user_id").first()
+    if row is None:
+        print("(no interpolated rows at this SF)")
+    else:
+        (interp.filter(F.col("user_id") == row["user_id"])
+         .orderBy("grid_ts").show(12, truncate=False))
 
     print("== SCD2 order-status history (one customer) ==")
     scd = q["scd2_status_history"].fn(spark, SF)
-    ck = scd.select("custkey").orderBy("custkey").first()["custkey"]
-    scd.filter(f"custkey = {ck}").orderBy("valid_from").show(truncate=False)
+    ck_row = scd.select("custkey").orderBy("custkey").first()
+    if ck_row is None:
+        print("(no order history at this SF)")
+    else:
+        (scd.filter(F.col("custkey") == ck_row["custkey"])
+         .orderBy("valid_from").show(truncate=False))
 
     print("== data-quality gate ==")
     q["dq_audit"].fn(spark, SF).show(truncate=False)

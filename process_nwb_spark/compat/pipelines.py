@@ -7,6 +7,8 @@ spelled out.
 """
 from __future__ import annotations
 
+import numpy as np
+
 from ._gate import require_pynwb
 
 
@@ -28,7 +30,7 @@ def preprocess_block(nwb_path, acq_name="ECoG", initial_resample_rate=3200.,
 
 
 def store_linenoise_notch_CAR(elec_series, processing, mean_frac=.95,
-                              round_func=None, precision="single"):
+                              round_func=np.ceil, precision="single"):
     """Fused notch+CAR store (pipelines.py:114-173) — env-gated; the
     engine's fused form is operators.kernel_ops.car_wavelet_arrow one
     stage later (and fused_ops for resample+notch)."""

@@ -29,10 +29,20 @@ def main(argv=None) -> list:
                         "in place")
     args = p.parse_args(argv)
 
+    def _is_derived(t: str) -> bool:
+        # both storage forms: plain lineage directories AND the bucketed
+        # form write_bucketed stores under _bucketed_<name> (a bucketed
+        # RAW table stays raw; note: metastore entries for bucketed
+        # tables are session-scoped — SignalCatalog.drop handles them
+        # when a session is live, a bare filesystem strip cannot)
+        if t.startswith("_bucketed_"):
+            t = t[len("_bucketed_"):]
+        return t.startswith(LINEAGE_PREFIXES)
+
     tables = sorted(
         d for d in os.listdir(args.src_root)
         if os.path.isdir(os.path.join(args.src_root, d)))
-    derived = [t for t in tables if t.startswith(LINEAGE_PREFIXES)]
+    derived = [t for t in tables if _is_derived(t)]
     raw = [t for t in tables if t not in derived]
 
     if args.dst_root is None:

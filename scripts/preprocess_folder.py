@@ -54,7 +54,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None, spark=None) -> dict:
-    from process_nwb_spark.pipelines import preprocess_many
     from process_nwb_spark.sources.catalog import (LINEAGE_PREFIXES,
                                                    SignalCatalog,
                                                    save_preprocess_result)
@@ -78,13 +77,39 @@ def main(argv=None, spark=None) -> dict:
                          "or invalid folder path")
 
     # ONE job over every recording — not a loop (preprocess_folder:45-54
-    # loops; here series_id is a group key and the cluster does the loop)
-    print(f"Processing {len(raw)} recording(s) in one job: {raw}")
-    res = preprocess_many({t: cat.read(t) for t in raw}, args.rate,
-                          initial_resample_rate=args.initial_resample_rate,
-                          final_resample_rate=args.final_resample_rate,
-                          filters=args.filters,
-                          hg_only=not args.all_filters)
+    # loops; here series_id is a group key and the cluster does the loop).
+    # Series ids are NAMESPACED per table ("<table>:<series_id>", or just
+    # "<table>" when the table carries no series_id column): a raw table
+    # may itself multiplex several recordings, and the dict form of
+    # preprocess_many would overwrite them all with the table name —
+    # collapsing distinct recordings into one interleaved signal. Two
+    # single-series tables may also share the same inner series_id (the
+    # default landing name), so the table prefix is what keeps them apart.
+    from pyspark.sql import functions as F
+
+    from process_nwb_spark.pipelines import preprocess
+
+    print(f"Processing {len(raw)} recording table(s) in one job: {raw}")
+    parts = []
+    for t in raw:
+        df = cat.read(t)
+        sid = (F.concat(F.lit(t), F.lit(":"), F.col("series_id"))
+               if "series_id" in df.columns else F.lit(t))
+        parts.append(df.withColumn("series_id", sid))
+    merged = parts[0]
+    for pdf_ in parts[1:]:
+        merged = merged.unionByName(pdf_)
+    # --all_steps mirrors the reference's store-everything mode
+    # (pipelines.py:69-80 stores the resampled series too): the unfused
+    # path materializes the 'downsampled' intermediate the fused plan
+    # never surfaces — lineage completeness at the cost of one extra
+    # shuffle, exactly the reference's trade
+    res = preprocess(merged, args.rate,
+                     initial_resample_rate=args.initial_resample_rate,
+                     final_resample_rate=args.final_resample_rate,
+                     filters=args.filters,
+                     hg_only=not args.all_filters,
+                     fuse=not args.all_steps)
     if not args.all_steps:       # store only the wavelet amplitudes
         res.stages = {k: v for k, v in res.stages.items()
                       if k.startswith("wvlt_amp")}

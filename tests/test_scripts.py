@@ -34,7 +34,9 @@ def test_preprocess_folder_one_job_all_series(spark, catalog_root):
     cat = SignalCatalog(spark, catalog_root)
     tf = cat.read("wvlt_amp_ECoG")
     sids = {r["series_id"] for r in tf.select("series_id").distinct().collect()}
-    assert sids == {"ECoG_a", "ECoG_b"}
+    # series ids are namespaced "<table>:<inner id>" so two tables that
+    # share the default landing series_id stay distinct recordings
+    assert sids == {"ECoG_a:ECoG_a", "ECoG_b:ECoG_b"}
     n_bands = tf.select("band").distinct().count()
     assert n_bands == 6                                # rat / hg_only
     # 2 series x 4 ch x 6 bands x 250 samples
@@ -45,7 +47,11 @@ def test_preprocess_folder_all_steps_and_guards(spark, catalog_root):
     written = preprocess_folder.main(
         [catalog_root, "--rate", "1000", "--initial_resample_rate", "500",
          "--final_resample_rate", "250", "--all_steps"], spark=spark)
-    assert set(written) == {"wvlt_amp_ECoG", "CAR_ln_downsampled_ECoG"}
+    # all_steps stores EVERY intermediate (the reference's
+    # store-everything mode), including the resampled series the fused
+    # plan never surfaces
+    assert set(written) == {"wvlt_amp_ECoG", "CAR_ln_downsampled_ECoG",
+                            "downsampled_ECoG"}
     with pytest.raises(SystemExit):
         preprocess_folder.main(
             [os.path.join(catalog_root, "ECoG_a") + "/x.parquet",
@@ -72,3 +78,23 @@ def test_copy_strip_in_place_and_to_dst(spark, catalog_root, tmp_path):
     dropped = copy_strip.main([catalog_root])
     assert dropped == ["wvlt_amp_ECoG"]
     assert cat.tables() == ["ECoG_a", "ECoG_b"]
+
+
+def test_copy_strip_handles_bucketed_form(tmp_path):
+    """_bucketed_<lineage> directories (write_bucketed's storage form) are
+    derived and must be stripped / excluded from a raw-only copy; a
+    bucketed RAW table stays raw (pure-filesystem test, no Spark)."""
+    src = tmp_path / "cat2"
+    for d in ("ECoG_raw", "_bucketed_ECoG_raw",
+              "wvlt_amp_ECoG", "_bucketed_wvlt_amp_ECoG"):
+        (src / d).mkdir(parents=True)
+        (src / d / "part-0.parquet").write_bytes(b"x")
+
+    dst = tmp_path / "rawcopy"
+    copied = copy_strip.main([str(src), str(dst)])
+    assert sorted(copied) == ["ECoG_raw", "_bucketed_ECoG_raw"]
+    assert sorted(os.listdir(dst)) == ["ECoG_raw", "_bucketed_ECoG_raw"]
+
+    dropped = copy_strip.main([str(src)])
+    assert sorted(dropped) == ["_bucketed_wvlt_amp_ECoG", "wvlt_amp_ECoG"]
+    assert sorted(os.listdir(src)) == ["ECoG_raw", "_bucketed_ECoG_raw"]
