@@ -40,12 +40,9 @@ def sign_bucket(vec_col, n_bits: int = 4):
     would zip_with NULL-padding into a NULL dot product and silently
     collapse every affected bit to 0 (all rows toward one bucket, ANN
     pruning destroyed) — so the width is asserted in-plan and a mismatch
-    fails the job loudly instead."""
-    vec_col = F.when(
-        F.size(vec_col) == _EMB_DIM, vec_col
-    ).otherwise(F.raise_error(F.concat(
-        F.lit(f"sign_bucket: expected {_EMB_DIM}-dim vector, got "),
-        F.size(vec_col).cast("string"), F.lit(" dims"))))
+    fails the job loudly instead. The assert wraps the FINAL key once
+    (not each per-bit dot product), so the size check appears exactly one
+    time in the plan instead of n_bits times."""
     key = F.lit(0)
     for b in range(n_bits):
         dot = F.aggregate(
@@ -55,7 +52,12 @@ def sign_bucket(vec_col, n_bits: int = 4):
                        lambda x, c: x * c),
             F.lit(0.0), lambda acc, x: acc + x)
         key = key + F.when(dot >= 0, F.lit(1 << b)).otherwise(0)
-    return key
+    # a short vector NULL-pads dots to NULL -> bits fall to 0; the single
+    # guard here turns that silent collapse into a loud in-plan failure
+    return F.when(F.size(vec_col) == _EMB_DIM, key).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"sign_bucket: expected {_EMB_DIM}-dim vector, got "),
+            F.size(vec_col).cast("string"), F.lit(" dims"))).cast("int"))
 
 
 def curate(documents: DataFrame,

@@ -92,8 +92,10 @@ def attach_payloads(documents: DataFrame) -> DataFrame:
         (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"))
     n_bytes = F.octet_length(payload)
     meta = F.struct(
-        (F.col("doc_id") % 640 + 32).cast("int").alias("width"),
-        (F.col("doc_id") % 480 + 32).cast("int").alias("height"),
+        # pmod for the same reason as modality above: doc_ids from hashed
+        # keys can be negative, and plain % would emit negative dimensions
+        (F.pmod(F.col("doc_id"), F.lit(640)) + 32).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(480)) + 32).cast("int").alias("height"),
         F.lit(3).alias("channels"),
         F.lit(16000).alias("sample_rate"),
         (n_bytes.cast("double") / 1000.0).alias("duration_s"),

@@ -71,9 +71,12 @@ def car_column(mean_frac: float = 0.95, value_col: str = "value",
     """
     w = Window.partitionBy("series_id", "sample_idx")
     if mean_frac == 1.0:
-        # Spark avg ignores NULLs; map NaN->NULL for nanmean semantics.
+        # Spark avg ignores NULLs; map NaN->NULL for nanmean semantics, then
+        # coalesce an all-NaN timepoint back to NaN so this fast path hands
+        # downstream the same representation as _nan_skipping_mean.
         v = F.col(value_col)
-        return F.avg(F.when(~F.isnan(v), v)).over(w)
+        return F.coalesce(F.avg(F.when(~F.isnan(v), v)).over(w),
+                          F.lit(float("nan")))
 
     if n_channels is not None:
         n_exclude = math.ceil(n_channels * (1.0 - mean_frac) / 2.0)
@@ -143,7 +146,8 @@ def car_df(df: DataFrame, mean_frac: float = 0.95,
     if mean_frac == 1.0:
         v = F.col(value_col)
         return df.groupBy("series_id", "sample_idx").agg(
-            F.avg(F.when(~F.isnan(v), v)).alias("car"))
+            F.coalesce(F.avg(F.when(~F.isnan(v), v)), F.lit(float("nan")))
+            .alias("car"))
     return df.groupBy("series_id", "sample_idx").agg(
         _trimmed_mean_of_collected(
             F.collect_list(_nan_safe_value(value_col)), mean_frac)

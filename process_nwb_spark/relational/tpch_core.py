@@ -1153,7 +1153,10 @@ def basket_lift_pairs(spark, sf_dir):
              .select(F.col("l_orderkey").alias("okey"),
                      F.col("p_type").alias("t"))
              .distinct())
-    n_orders = items.select("okey").distinct().count()
+    # basket count folded into the SAME plan as a broadcast scalar (like
+    # rfm_segments/pareto_abc) — no separate driver-side job re-reading the
+    # distinct set
+    n = items.agg(F.count_distinct("okey").alias("n_orders"))
     marg = items.groupBy("t").agg(F.count("*").alias("c"))
     a, b = items.alias("a"), items.alias("b")
     pairs = (a.join(b, (F.col("a.okey") == F.col("b.okey"))
@@ -1163,11 +1166,13 @@ def basket_lift_pairs(spark, sf_dir):
              .agg(F.count("*").alias("together")))
     ma = marg.select(F.col("t").alias("type_a"), F.col("c").alias("ca"))
     mb = marg.select(F.col("t").alias("type_b"), F.col("c").alias("cb"))
+    n_orders = F.col("n_orders").cast("double")
     lift = ((F.col("together").cast("double") / n_orders)
             / ((F.col("ca").cast("double") / n_orders)
                * (F.col("cb").cast("double") / n_orders)))
     return (pairs.join(F.broadcast(ma), "type_a")
             .join(F.broadcast(mb), "type_b")
+            .crossJoin(F.broadcast(n))
             .select("type_a", "type_b", "together",
                     F.round(lift, 4).alias("lift")))
 
