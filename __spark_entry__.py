@@ -47,39 +47,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registration order matters: correctness harnesses that sample a prefix of
-# this dict should see a DIVERSE cross-section of the engine (joins, windows,
-# event analytics, dedup/LSH, embeddings, dataprep, SQL surface, UDFs,
-# signals, sources, graph) — not just whichever module imports first. The
-# remaining queries follow in registry order.
+# this dict should see a DIVERSE cross-section of the engine. The prefix is
+# ROTATED each round so cumulative driver coverage grows: rounds 1-4
+# driver-checked 87 distinct queries (see CORRECTNESS_r0{1..4}.json); this
+# round's prefix is 50 queries never yet driver-checked — streaming,
+# event/time-series windows, dedup/LSH eval, text analysis, embeddings,
+# dataprep/DQ, statistical aggs, scalar-fn surface, SQL surface, sources,
+# UDF tier, and signal faces. The previously-proven queries follow in
+# registry order (still covered by the committed full-registry local gate,
+# ORACLE_LOCAL_r*.json).
 DRIVER_PRIORITY = (
-    # relational core: scans, joins, aggs, windows
-    "proj_filter_case", "join_inner_broadcast", "join_asof",
-    "join_range_bucket", "agg_pricing_summary", "agg_salted_skew",
-    "agg_trimmed_mean", "agg_approx_count_distinct", "win_topk_per_group",
-    "win_running_frames", "agg_approx_percentiles", "star_market_share",
-    # event-time analytics
-    "win_tumbling", "win_session", "event_sessionize", "session_funnel",
-    "attribution_last_touch", "ts_linear_interp", "ts_time_weighted_avg",
-    "retention_cohorts", "running_balance_clamped",
-    # dedup / text / LLM dataprep
-    "dedup_exact", "minhash_lsh_candidates", "ngram_jaccard_pairs",
-    "simhash_fingerprints", "doc_fingerprint_winnow", "text_quality",
-    "text_token_counts", "dedup_components", "text_tfidf_topterms",
-    "jaccard_prefix_filter",
-    # embeddings / ANN / semantic dedup
-    "embed_ann_lsh", "embed_ivf_topk", "semantic_dedup",
+    # structured streaming (stream==batch equivalence surfaces)
+    "win_sliding", "stream_dedup_first", "stream_static_join",
+    "stream_stream_join",
+    # event-time / time-series analytics
+    "win_gap_fill", "funnel_conversion", "win_trailing_range",
+    "anomaly_mad_flags", "ts_ohlc_bars", "ts_rolling_median",
+    "seq_transition_matrix", "sig_band_dim",
+    # dedup / LSH (incl. the precision-recall eval loop)
+    "dedup_incremental", "dedup_chunk_exact", "dedup_keep_list",
+    "minhash_signatures", "simhash_near_pairs", "lsh_eval_pr",
+    # text analysis
+    "text_langid", "text_repetition", "text_pii_redact",
+    "text_bm25_search", "hybrid_search_rrf",
+    # embeddings / ANN
+    "embed_cosine_topk", "embed_pq_adc", "embed_quantile_norm",
+    "embed_kmeans_lloyd", "embed_mllib_brp_lsh",
     # corpus assembly / data quality
-    "split_train_test", "scd2_point_in_time", "dq_audit", "pack_sequences",
-    # function surface extras
-    "agg_histogram", "join_null_safe", "agg_mode_argmax",
-    # SQL surface: subqueries, pivot, recursion
-    "sub_scalar_correlated", "pivot_qty_by_flag", "sql_recursive_months",
+    "sample_stratified", "split_contamination", "merge_upsert_changeset",
+    "dq_profile_columns", "dq_ks_drift",
+    # statistical aggregates
+    "agg_percentiles", "agg_winsorized_mean", "agg_bitmap_distinct",
+    "agg_ordered_quantiles", "agg_regression_stats", "agg_hll_sketch",
+    # scalar-function surface
+    "fn_interval_datetime", "fn_variant", "fn_map_higher_order",
+    "fn_try_arith",
+    # SQL surface
+    "sub_exists_returned", "lateral_topk_orders", "sql_pipe_syntax",
+    # sources / sinks
+    "source_csv_roundtrip", "sink_partitioned_prune",
     # UDF tier
-    "udf_grouped_map_demean", "udf_embed_norms",
-    # DSP faces
-    "sig_car_subtract", "sig_zscore_baseline",
-    # sources + graph
-    "scan_range", "graph_pagerank",
+    "udf_arrow_grouped_scale", "udtf_word_positions",
 )
 
 
