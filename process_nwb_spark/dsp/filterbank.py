@@ -64,6 +64,18 @@ def hamming_kernel(n_time: int, rate: float, min_freq: float, max_freq: float,
     return k.astype(real_dtype(precision), copy=False)
 
 
+def gaussian_raw_norm(n_time: int, rate: float, center: float,
+                      sd: float) -> float:
+    """L2 norm of the UNnormalized Gaussian kernel on the fftfreq grid of
+    `n_time` — the grid-resolution-dependent constant that
+    gaussian_kernel's unit-L2 normalization divides away. ~sqrt(n*sd/rate):
+    this is exactly why wavelet amplitudes depend on the FFT length (see
+    kernels.dense_kernel_norms)."""
+    freq = np.fft.fftfreq(int(n_time), 1.0 / rate)
+    k = np.exp(-((np.abs(freq) - center) ** 2) / (2.0 * sd ** 2))
+    return float(np.linalg.norm(k))
+
+
 def band_params(filters: str, hg_only: bool):
     """(cfs, sds) for a named filterset, hg-filtered.
 

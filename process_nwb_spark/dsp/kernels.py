@@ -120,13 +120,51 @@ def analytic_fft(X: np.ndarray, precision: str = "single") -> np.ndarray:
     return (np.fft.fft(X, axis=0) * h).astype(complex_dtype(precision), copy=False)
 
 
+def dense_kernel_norms(n_time: int, rate: float, filters="rat",
+                       hg_only: bool = True, npad="fast",
+                       precision: str = "double") -> np.ndarray:
+    """||f||2 of each filterbank kernel exactly as `wavelet_transform`
+    would normalize it for an n_time-sample input (i.e. on the padded
+    grid). NaN for the broadband None kernel (never normalized).
+
+    The unit-L2 normalization (wavelet_transform.py:315 and
+    filterbank.gaussian_kernel, `k/||k||`) makes the output AMPLITUDE
+    depend on the FFT length: ||k_raw||^2 ~ n*sd/rate, so halving the
+    window scales every amplitude by ~sqrt(2). Whole-channel use never
+    notices (one n per channel), but any strategy that computes the
+    transform on windows of a longer recording — our segmented operators
+    — must renormalize against the recording's own dense grid or its
+    amplitudes come out ~sqrt(n_dense/n_segment) off (measured 2.24x on
+    the worst-case fixture). This returns the RAW (unnormalized)
+    dense-grid kernel norms; wavelet_transform(kernel_norms=...) rescales
+    its local unit kernels by local_raw/dense_raw so the effective
+    transfer function is K(nu)/dense_raw — the whole-channel convention —
+    regardless of segment length. O(n_padded) driver-side math from just
+    the channel LENGTH, no data pass."""
+    from .filterbank import band_params, check_nyquist, gaussian_raw_norm
+
+    npads, _, _ = pad_plan(int(n_time), npad)
+    n_padded = int(n_time) + int(npads.sum())
+    cfs, sds = band_params(filters, hg_only)
+    check_nyquist(np.asarray(cfs), rate)
+    return np.array([gaussian_raw_norm(n_padded, rate, cf, sd)
+                     for cf, sd in zip(cfs, sds)])
+
+
 def wavelet_transform(X: np.ndarray, rate: float, filters="rat",
                       hg_only: bool = True, X_fft_h=None, npad="fast",
-                      to_removes=None, precision: str = "single"):
+                      to_removes=None, precision: str = "single",
+                      kernel_norms=None):
     """Analytic-signal Morlet decomposition.
 
     Returns (Xh complex (n_time, ..., n_bands), X_fft_h, cfs, sds).
     Parity: wavelet_transform.py:238-322.
+
+    `kernel_norms` (optional, per-band RAW dense-grid norms from
+    dense_kernel_norms) rescales each local unit-L2 kernel by
+    local_raw/dense_raw, putting windowed transforms on the whole
+    recording's amplitude convention. Requires a named filterset (the
+    rescale needs cfs/sds to evaluate the local raw norm).
     """
     if X_fft_h is None:
         X = np.asarray(X)
@@ -146,6 +184,16 @@ def wavelet_transform(X: np.ndarray, rate: float, filters="rat",
     else:
         base_shape = X_fft_h.shape
 
+    local_raw = None
+    if kernel_norms is not None:
+        if cfs is None:
+            raise ValueError(
+                "kernel_norms requires a named filterset (need cfs/sds to "
+                "evaluate the local raw kernel norms)")
+        from .filterbank import gaussian_raw_norm
+        local_raw = [gaussian_raw_norm(n_time, rate, cf, sd)
+                     for cf, sd in zip(cfs, sds)]
+
     Xh = np.zeros(base_shape + (len(kernels),),
                   dtype=complex_dtype(precision))
     for ii, f in enumerate(kernels):
@@ -153,6 +201,10 @@ def wavelet_transform(X: np.ndarray, rate: float, filters="rat",
             Xh[..., ii] = np.fft.ifft(X_fft_h, axis=0)
         else:
             f = f / np.linalg.norm(f)
+            if kernel_norms is not None:
+                # local unit kernel -> dense-grid amplitude convention:
+                # K(nu)/||K||_local * (||K||_local/||K||_dense)
+                f = f * (local_raw[ii] / float(kernel_norms[ii]))
             fk = f.reshape((-1,) + (1,) * (X_fft_h.ndim - 1))
             Xh[..., ii] = np.fft.ifft(X_fft_h * fk, axis=0)
 

@@ -101,14 +101,18 @@ def _explode_segments(signals: DataFrame, L: int, V: int) -> DataFrame:
         "sample_idx", "value")
 
 
-def _segment_output(pdf: pd.DataFrame, fn, L: int, V: int, r: float):
+def _segment_output(pdf: pd.DataFrame, fn, L: int, V: int, r: Fraction):
     """Run `fn` on one sorted segment group and trim to its core's output:
     returns (meta_row, g0, kept 2-D ndarray (n_kept, n_cols)).
 
-    The overlap/core index math lives ONLY here. Contiguity and boundary
-    alignment are validated loudly — a gapped series or one not starting
-    at sample_idx 0 would otherwise silently drop or misplace the core
-    (left_ov would go negative and the kept slice could be empty)."""
+    The overlap/core index math lives ONLY here, in EXACT integer
+    arithmetic on the rational ratio `r` — float `core * r` can land one
+    ulp above a truly-integral product and ceil() would then emit one
+    extra output sample, silently shifting every later segment.
+    Contiguity and boundary alignment are validated loudly — a gapped
+    series or one not starting at sample_idx 0 would otherwise silently
+    drop or misplace the core (left_ov would go negative and the kept
+    slice could be empty)."""
     pdf = pdf.sort_values("sample_idx")
     seg = int(pdf["seg"].iloc[0])
     idx = pdf["sample_idx"].to_numpy()
@@ -125,7 +129,7 @@ def _segment_output(pdf: pd.DataFrame, fn, L: int, V: int, r: float):
         # file-cut boundary in a streaming micro-batch, or a truncated
         # recording end) — the segment contributes nothing here
         return ((pdf["series_id"].iloc[0], int(pdf["channel"].iloc[0])),
-                int(round(seg * L * r)), np.empty((0, 1)))
+                seg * L * r.numerator // r.denominator, np.empty((0, 1)))
     # two legitimate starts for a core-bearing group: the overlap-covered
     # form (seg*L - V) and the bare core boundary (seg*L) — the latter
     # when upstream data for the overlap isn't in this dataset (a
@@ -145,10 +149,11 @@ def _segment_output(pdf: pd.DataFrame, fn, L: int, V: int, r: float):
     out = np.asarray(fn(x), dtype=np.float64)
     if out.ndim == 1:
         out = out[:, np.newaxis]
-    k0 = int(round(left_ov * r))             # integral by _validate
-    n_out = int(np.ceil(core * r))
+    num, den = r.numerator, r.denominator
+    k0 = left_ov * num // den                # integral by _validate
+    n_out = -(-core * num // den)            # exact ceil(core * r)
     kept = out[k0:k0 + n_out]
-    g0 = int(round(seg * L * r))
+    g0 = seg * L * num // den                # integral by _validate
     return (pdf["series_id"].iloc[0], int(pdf["channel"].iloc[0])), g0, kept
 
 
@@ -157,8 +162,9 @@ def segmented_kernel(signals: DataFrame, fn: Callable[[np.ndarray], np.ndarray],
                      ratio: float = 1.0) -> DataFrame:
     """Apply `fn` (1-D ndarray -> 1-D ndarray of len*ratio) per bounded
     segment of each channel; long layout in, long layout out."""
-    L, V, r = int(seg_len), int(overlap), float(ratio)
-    _validate(L, V, Fraction(ratio).limit_denominator(10 ** 9), 1)
+    L, V = int(seg_len), int(overlap)
+    r = Fraction(ratio).limit_denominator(10 ** 9)
+    _validate(L, V, r, 1)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         (sid, ch), g0, kept = _segment_output(pdf, fn, L, V, r)
@@ -181,16 +187,26 @@ BAND_SCHEMA = ("series_id STRING, channel INT, band INT, "
 def segmented_band_kernel(signals: DataFrame,
                           fn: Callable[[np.ndarray], np.ndarray],
                           seg_len: int, overlap: int,
-                          ratio: float = 1.0) -> DataFrame:
+                          ratio: float = 1.0,
+                          key_aware: bool = False) -> DataFrame:
     """Fan-out variant of `segmented_kernel`: `fn` maps a 1-D segment to a
     2-D (n_out, n_bands) block (e.g. wavelet amplitudes); output is long
     over (band, sample_idx). Same bounded-group/one-shuffle layout, same
-    shared segment-assignment and core-trim machinery."""
-    L, V, r = int(seg_len), int(overlap), float(ratio)
-    _validate(L, V, Fraction(ratio).limit_denominator(10 ** 9), 1)
+    shared segment-assignment and core-trim machinery.
+
+    `key_aware=True` calls `fn(x, series_id)` instead of `fn(x)` — for
+    kernels whose constants are per-series (e.g. dense-grid wavelet
+    normalization, which depends on the series' total length)."""
+    L, V = int(seg_len), int(overlap)
+    r = Fraction(ratio).limit_denominator(10 ** 9)
+    _validate(L, V, r, 1)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        (sid, ch), g0, kept = _segment_output(pdf, fn, L, V, r)
+        seg_fn = fn
+        if key_aware:
+            sid0 = pdf["series_id"].iloc[0]
+            seg_fn = lambda x: fn(x, sid0)  # noqa: E731
+        (sid, ch), g0, kept = _segment_output(pdf, seg_fn, L, V, r)
         n_kept, n_bands = kept.shape
         return pd.DataFrame({
             "series_id": sid,
@@ -209,23 +225,74 @@ def segmented_band_kernel(signals: DataFrame,
 def segmented_wavelet_amp(signals: DataFrame, rate: float,
                           filters: str = "rat", hg_only: bool = True,
                           seg_len: int = 2 ** 16, overlap: int = 8192,
-                          precision: str = "single") -> DataFrame:
+                          precision: str = "single",
+                          n_time: int | None = None) -> DataFrame:
     """Morlet amplitude decomposition with bounded per-task memory: each
     segment computes all its bands in one kernel call (forward FFT shared,
     like the whole-channel path). Overlap should cover the widest wavelet's
     effective support (low-cf bands have sd ~= cf/8, so IR length ~ rate*8/cf
     samples; hg_only bands at 70+ Hz need well under the default 8192 @
     3.2 kHz). Long (band, sample) rows out — same schema as the unpacked
-    whole-channel wavelet stage."""
+    whole-channel wavelet stage.
+
+    `n_time` (the series' TOTAL channel length) pins the amplitude scale
+    to the whole-channel convention via dense-grid kernel norms
+    (K.dense_kernel_norms) — without it each segment normalizes on its own
+    grid and amplitudes differ from the whole-channel op by
+    ~sqrt(n_dense/n_segment). Pass it whenever comparing against (or
+    substituting for) the unsegmented wavelet."""
     _validate(seg_len, overlap, rate, rate)
+    norms = (None if n_time is None else
+             K.dense_kernel_norms(n_time, rate, filters=filters,
+                                  hg_only=hg_only, precision=precision))
 
     def fn(x: np.ndarray) -> np.ndarray:
         Xh, _, _, _ = K.wavelet_transform(
             x[:, None], rate, filters=filters, hg_only=hg_only,
-            precision=precision)
+            precision=precision, kernel_norms=norms)
         return np.abs(Xh[:, 0, :])
 
     return segmented_band_kernel(signals, fn, seg_len, overlap, ratio=1.0)
+
+
+def resample_exact(x: np.ndarray, new_freq: float, old_freq: float,
+                   precision: str = "single", min_pad: int = 256) -> np.ndarray:
+    """Grid-exact FFT resample for SEGMENT use: output sample j lies exactly
+    at input time j*old/new — no sub-sample drift, ever.
+
+    The parity kernel (dsp.kernels.resample, reference resample.py:43-102 /
+    utils.py:106-138) pads to a "fast" FFT length and then ROUNDS
+    `new_len = round(ratio * padded_len)`: whenever padded_len*ratio is not
+    integral, the output grid is stretched by up to 0.5/new_len — a
+    sub-sample phase drift across the array (inherited from MNE; measured
+    ~0.6 samples over the 123574-sample worst-case fixture at ratio 1/4,
+    i.e. up to tens of percent pointwise error on near-Nyquist content).
+    Harmless-by-convention on a whole channel, but fatal inside a
+    segmented pipeline: each segment would drift on its own local grid and
+    the stitched output would disagree with itself at every boundary.
+
+    This wrapper removes the rounding instead of reproducing it: both the
+    reflect padding and (if needed) a right reflect-extension are chosen
+    as multiples of the reduced rate-ratio denominator, so padded*ratio,
+    trim offsets, and the output length are all exactly integral. Output
+    length: ceil(len(x) * new/old), same contract as the parity kernel."""
+    r = Fraction(new_freq) / Fraction(old_freq)
+    num, den = r.numerator, r.denominator
+    n = int(np.asarray(x).shape[0])
+    want = -(-n * num // den)                  # ceil(n*r): caller contract
+    extra = (-n) % den
+    if extra:
+        if extra > n - 1:
+            raise ValueError(
+                f"resample_exact: segment of {n} samples is too short to "
+                f"reflect-extend by {extra} (rate-ratio denominator {den}); "
+                f"feed longer segments or choose rates with a simpler ratio")
+        pad_width = [(0, extra)] + [(0, 0)] * (np.asarray(x).ndim - 1)
+        x = np.pad(x, pad_width, mode="reflect")
+    n2 = n + extra
+    k = -(-int(min_pad) // den) * den          # per-side pad, multiple of den
+    y = K.resample_kernel(x, n2 * num // den, npad=k, precision=precision)
+    return y[:want]
 
 
 def segmented_resample(signals: DataFrame, new_freq: float, old_freq: float,
@@ -236,12 +303,15 @@ def segmented_resample(signals: DataFrame, new_freq: float, old_freq: float,
     The overlap is snapped UP to the nearest value making overlap*ratio
     integral (snap_overlap) — overlap is a numerical-tolerance knob, not
     semantics, so widening it is always safe; seg_len stays the caller's
-    contract and is validated, not adjusted."""
+    contract and is validated, not adjusted. Each segment resamples via
+    `resample_exact` (grid-exact), NOT the parity kernel — the parity
+    kernel's pad-rounding would sub-sample-drift each segment on its own
+    local grid (see resample_exact docstring)."""
     overlap = snap_overlap(overlap, new_freq, old_freq)
     _validate(seg_len, overlap, new_freq, old_freq)
     return segmented_kernel(
         signals,
-        lambda x: K.resample(x, new_freq, old_freq, precision=precision),
+        lambda x: resample_exact(x, new_freq, old_freq, precision=precision),
         seg_len, overlap, ratio=new_freq / old_freq)
 
 

@@ -61,7 +61,9 @@ def preprocess(signals: DataFrame, rate: float,
                filters: str = "rat", hg_only: bool = True,
                mean_frac: float = 0.95, scaling: float = SCALING,
                abs_only: bool = True, precision: str = "single",
-               fuse: bool = True, arrow: bool = True) -> PreprocessResult:
+               fuse: bool = True, arrow: bool = True,
+               segmented: bool = False, seg_len: int | None = None,
+               seg_overlap: int = 4096) -> PreprocessResult:
     """The default pipeline on a long signals DataFrame
     (series_id, channel, sample_idx, value). Parity: pipelines.py:15-111.
 
@@ -80,7 +82,29 @@ def preprocess(signals: DataFrame, rate: float,
     (1e-12 at double; the FFT itself has 1-2 ULP run-to-run alignment
     jitter, so exact bitwise across executions is unattainable) in
     tests/test_spark_operators.py.
+
+    `segmented=True` (or any explicit `seg_len`) routes the whole pipeline
+    through the overlap-segmented operators (operators/segmented.py): no
+    stage ever holds a full channel in one task, so a channel of 10^8+
+    samples processes in bounded memory — the escape hatch SCALE.md's
+    "Memory bound" section promises. Numerics are equivalent-but-not-
+    bitwise vs this whole-channel path (segment-local FFT grids);
+    boundary error is inside the reference's own chunked-vs-dense bound
+    (rtol=0.01, reference tests/test_pipeline.py:154), pinned e2e in
+    tests/test_pipeline.py. Requires abs_only=True (the final resample
+    runs inside the pipeline, and resampled phase is meaningless — the
+    same constraint the reference enforces, wavelet_transform.py:389).
     """
+    if segmented or seg_len is not None:
+        if not abs_only:
+            raise ValueError(
+                "segmented preprocess always post-resamples, which is "
+                "incompatible with phase output; use abs_only=True")
+        return _preprocess_segmented(
+            signals, rate, initial_resample_rate, final_resample_rate,
+            filters=filters, hg_only=hg_only, mean_frac=mean_frac,
+            scaling=scaling, precision=precision, seg_len=seg_len,
+            seg_overlap=seg_overlap)
     stages: dict[str, DataFrame] = {}
 
     use_arrow = arrow and fuse and abs_only
@@ -135,6 +159,130 @@ def preprocess(signals: DataFrame, rate: float,
     return PreprocessResult(tf=tf, stages=stages,
                             tf_packed=wv if not abs_only
                             else wv.drop("phase"))
+
+
+def _snap_seg_len(base: int, new_freq: float, old_freq: float) -> int:
+    """Smallest multiple of the reduced rate-ratio denominator >= base, so
+    seg_len * (new/old) is integral (the segmented operators' exactness
+    rule — operators/segmented.py:_validate). seg_len is a memory-bound
+    knob, not semantics, so snapping UP is always safe."""
+    from fractions import Fraction
+
+    d = (Fraction(new_freq) / Fraction(old_freq)).denominator
+    snapped = -(-int(base) // d) * d
+    if snapped > 10 ** 8:
+        raise ValueError(
+            f"no practical seg_len makes seg_len*({new_freq}/{old_freq}) "
+            f"integral (denominator {d}); resample in two stages instead")
+    return snapped
+
+
+def _preprocess_segmented(signals: DataFrame, rate: float,
+                          initial_resample_rate: float,
+                          final_resample_rate: float,
+                          filters: str = "rat", hg_only: bool = True,
+                          mean_frac: float = 0.95, scaling: float = SCALING,
+                          precision: str = "single",
+                          seg_len: int | None = None,
+                          seg_overlap: int = 4096) -> PreprocessResult:
+    """The bounded-memory pipeline: every spectral stage is an
+    overlap-segmented kernel on the LONG layout, so per-task memory is
+    O(seg_len), independent of recording length.
+
+    Physical plan — 3 segment shuffles + 1 CAR window shuffle:
+      [scale, narrow] ->
+      seg A: fused resample(initial)+notch, one bounded group per
+             (series, channel, segment) ->
+      CAR: window over (series_id, sample_idx) — per-timepoint across
+           channels, group size = n_channels, inherently bounded; no
+           packed row ever holds a whole channel ->
+      seg B: fused wavelet|.| + resample(final), band fan-out.
+
+    vs the default packed plan (2 shuffles) this pays ~2 extra shuffles
+    and segment-overlap recompute — the price of never materializing a
+    whole channel. Use it when n_time * n_bands * 8 B approaches the
+    executor task budget (SCALE.md "Memory bound")."""
+    import numpy as np
+
+    from .dsp.filterbank import band_params
+    from .operators.segmented import (resample_exact, segmented_band_kernel,
+                                      segmented_kernel, snap_overlap)
+
+    base = int(seg_len) if seg_len is not None else 2 ** 16
+    # overlap is a numerics knob (boundary-error tolerance); cap it at a
+    # quarter segment so a small explicit seg_len composes with the
+    # default overlap instead of tripping the overlap<seg_len validation
+    def _ov(L: int, new: float, old: float) -> int:
+        return snap_overlap(min(int(seg_overlap), max(1, L // 4)), new, old)
+
+    r1 = initial_resample_rate / rate
+    seg_a = _snap_seg_len(base, initial_resample_rate, rate)
+    ov_a = _ov(seg_a, initial_resample_rate, rate)
+
+    # resample_exact, not the parity kernel: inside a segment the parity
+    # kernel's pad-rounding would drift the local grid (resample_exact doc)
+    def stage_a(x: np.ndarray) -> np.ndarray:
+        y = resample_exact(x, initial_resample_rate, rate,
+                           precision=precision)
+        return K.apply_linenoise_notch(y, initial_resample_rate,
+                                       precision=precision)
+
+    scaled = signals.withColumn("value", F.col("value") * float(scaling))
+    ds = segmented_kernel(scaled, stage_a, seg_a, ov_a, ratio=r1)
+
+    # CAR on long rows: the window groups by timepoint (n_channels values
+    # per group) — already memory-bounded, no segmentation needed, and
+    # per-timepoint semantics make it exact (no boundary error here).
+    car_ln = subtract_car(ds, mean_frac=mean_frac)
+
+    r2 = final_resample_rate / initial_resample_rate
+    seg_b = _snap_seg_len(base, final_resample_rate, initial_resample_rate)
+    ov_b = _ov(seg_b, final_resample_rate, initial_resample_rate)
+
+    # The wavelet kernels' unit-L2 normalization depends on the FFT grid
+    # length, so a segment-local transform would come out ~sqrt(n/segment)
+    # off the whole-channel amplitude convention (K.dense_kernel_norms).
+    # Pin each series to its dense-grid constants: one column-pruned
+    # metadata aggregate over (series_id, sample_idx) — the per-series
+    # length a real catalog would already know — then O(n_padded) driver
+    # math, broadcast into the kernel closure. No second pass over values.
+    lengths = {
+        row["series_id"]: int(row["n"])
+        for row in signals.groupBy("series_id")
+        .agg((F.max("sample_idx") + 1).alias("n")).collect()
+    }
+    from fractions import Fraction as _Fr
+
+    fr1 = _Fr(initial_resample_rate) / _Fr(rate)
+    norms_by_series = {
+        sid: K.dense_kernel_norms(
+            -(-n * fr1.numerator // fr1.denominator),  # ceil(n*r1)
+            initial_resample_rate, filters=filters, hg_only=hg_only,
+            precision=precision)
+        for sid, n in lengths.items()
+    }
+
+    def stage_b(x: np.ndarray, sid) -> np.ndarray:
+        Xh, _, _, _ = K.wavelet_transform(x[:, None], initial_resample_rate,
+                                          filters=filters, hg_only=hg_only,
+                                          precision=precision,
+                                          kernel_norms=norms_by_series[sid])
+        return resample_exact(np.abs(Xh[:, 0, :]), final_resample_rate,
+                              initial_resample_rate, precision=precision)
+
+    bands = segmented_band_kernel(car_ln, stage_b, seg_b, ov_b, ratio=r2,
+                                  key_aware=True)
+
+    cfs, sds = band_params(filters, hg_only)
+    cf_arr = F.array(*[F.lit(float(c)) for c in cfs])
+    sd_arr = F.array(*[F.lit(float(s)) for s in sds])
+    tf = bands.select(
+        "series_id", "channel", "band",
+        F.element_at(cf_arr, F.col("band") + 1).alias("cf"),
+        F.element_at(sd_arr, F.col("band") + 1).alias("sd"),
+        "sample_idx", "amp")
+    return PreprocessResult(
+        tf=tf, stages={"CAR_ln_downsampled": car_ln, "wvlt_amp": tf})
 
 
 def preprocess_many(signal_dfs: dict[str, DataFrame], rate: float,

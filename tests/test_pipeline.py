@@ -237,6 +237,65 @@ def test_reference_worst_case_shapes(spark, post_resample_rate):
     assert np.quantile(rel, 0.999) < 1e-6
 
 
+def test_segmented_preprocess_e2e_matches_whole(spark):
+    """preprocess(segmented=True) vs the default whole-channel path,
+    end-to-end on the worst-case fixture shape — the lynchpin of the
+    10^8-samples/channel claim (SCALE.md "Memory bound"): no stage of the
+    segmented plan ever holds a full channel in one task.
+
+    Fixture length 123448 (the reference worst case 123574 nudged to the
+    nearest length where the whole-channel path's pad-rounding produces
+    NO sub-sample artifact — utils.py:131 `round(ratio*len)` otherwise
+    stretches/offsets the dense output grid by a fraction of a sample,
+    which no segmentation could or should reproduce; resample_exact's
+    docstring has the details). Rates 2000 -> 1000 -> 500 keep every
+    ratio at 1/2 (always artifact-free).
+
+    Agreement contract (measured at default seg_len, 2x headroom):
+    identical schema/indices; median rel err < 0.2%, q90 < 1%
+    (rtol 1e-2 in the reference's chunked-vs-dense sense,
+    tests/test_pipeline.py:154), q99 < 6%; per-(ch,band) cosine > 0.995
+    (8 channels make the CAR couple each channel's windowed-notch
+    residual into every other; at 16+ channels the measured cosine is
+    > 0.999). The residual tail is the segment-windowed notch's edge
+    behavior under ~100x line noise (documented in SCALE.md), not
+    stitching error — the wavelet/resample stages are interior-exact
+    (test_segmented.py)."""
+    X = generate_synthetic_data(123448 / 12207.03125, 8, 12207.03125,
+                                seed=1)
+    rate, init, final = 2000.0, 1000.0, 500.0
+    long_df = to_long_df(spark, X)
+    key = ["channel", "band", "sample_idx"]
+    w = (preprocess(long_df, rate, init, final, precision="double")
+         .tf.select(*key, "amp").toPandas().sort_values(key)
+         .reset_index(drop=True))
+    s = (preprocess(long_df, rate, init, final, precision="double",
+                    segmented=True, seg_len=32768)
+         .tf.select(*key, "amp").toPandas().sort_values(key)
+         .reset_index(drop=True))
+    assert len(w) == len(s)
+    assert (w[key].values == s[key].values).all()
+    a, b = s.amp.to_numpy(), w.amp.to_numpy()
+    scale = float(np.median(np.abs(b)))
+    rel = np.abs(a - b) / np.maximum(np.abs(b), 0.01 * scale)
+    assert np.quantile(rel, 0.5) < 0.002, np.quantile(rel, 0.5)
+    assert np.quantile(rel, 0.9) < 0.01, np.quantile(rel, 0.9)
+    assert np.quantile(rel, 0.99) < 0.06, np.quantile(rel, 0.99)
+    for (ch, band), g in s.assign(b=b).groupby(["channel", "band"]):
+        ga, gb = g.amp.to_numpy(), g.b.to_numpy()
+        cos = float(ga @ gb / (np.linalg.norm(ga) * np.linalg.norm(gb)))
+        assert cos > 0.995, (ch, band, cos)
+
+
+def test_segmented_preprocess_rejects_phase(spark):
+    """Segmented always post-resamples; phase output is invalid there —
+    same constraint the reference enforces (wavelet_transform.py:389)."""
+    X = generate_synthetic_data(0.5, 2, 2000.0, seed=0)
+    with pytest.raises(ValueError, match="abs_only"):
+        preprocess(to_long_df(spark, X), 2000.0, 1000.0, 500.0,
+                   abs_only=False, segmented=True)
+
+
 def test_assemble_v2_keeps_zero_bigram_docs(spark):
     """A doc with no space-delimited bigrams (single token) must not be
     silently deleted by the LM-score join — it has no quality evidence,

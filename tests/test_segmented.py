@@ -77,12 +77,14 @@ def test_segmented_notch_attenuates_line(spark, fixture):
 
 
 def test_segmented_resample_exact_vs_dense_oracle(spark, fixture):
+    from process_nwb_spark.operators.segmented import resample_exact
+
     X, long_df = fixture
     got = _collect_dense(
         segmented_resample(long_df, 1000.0, 2000.0, seg_len=4096,
                            overlap=1024, precision="double"), 3)
     want = _dense_segmented(
-        X, lambda x: K.resample(x, 1000.0, 2000.0, precision="double"),
+        X, lambda x: resample_exact(x, 1000.0, 2000.0, precision="double"),
         4096, 1024, r=0.5)
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
 
@@ -180,6 +182,97 @@ def test_segmented_wavelet_close_to_whole(spark, fixture):
         assert a.shape == w.shape
         cos = float(a @ w / (np.linalg.norm(a) * np.linalg.norm(w)))
         assert cos > 0.99, (ch, b, cos)
+
+
+def test_resample_exact_no_grid_drift():
+    """The parity kernel's pad-rounding (utils.py:131 `round(ratio*len)`)
+    sub-sample-stretches the output grid whenever padded_len*ratio is not
+    integral — up to ~0.6 samples of drift on the worst-case fixture, i.e.
+    tens of percent pointwise on near-Nyquist content. resample_exact must
+    hold the exact grid at ANY length, including awkward ones."""
+    from process_nwb_spark.operators.segmented import resample_exact
+
+    rate, new = 2000.0, 1000.0
+    for n in (10934, 2742, 12288, 123574):   # the lengths that broke
+        t = np.arange(n) / rate
+        x = np.sin(2 * np.pi * 100.0 * t)
+        y = resample_exact(x, new, rate, precision="double")
+        assert len(y) == int(np.ceil(n * 0.5))
+        want = np.sin(2 * np.pi * 100.0 * np.arange(len(y)) * 2 / rate)
+        # interior only: the global edges pay reflect-pad transients.
+        # Residual ~7e-4 is finite-window reflect-pad numerics (present at
+        # ANY length); the grid drift this test pins produced ~0.5.
+        m = slice(64, -64)
+        np.testing.assert_allclose(y[m], want[m], atol=5e-3)
+
+
+def test_resample_exact_2d_and_guards():
+    from process_nwb_spark.operators.segmented import resample_exact
+
+    x = np.random.default_rng(0).normal(size=(4096, 3))
+    y = resample_exact(x, 1000.0, 2000.0, precision="double")
+    assert y.shape == (2048, 3)
+    # per-column equals 1-D calls
+    for c in range(3):
+        np.testing.assert_allclose(y[:, c],
+                                   resample_exact(x[:, c], 1000.0, 2000.0,
+                                                  precision="double"),
+                                   rtol=1e-12, atol=1e-12)
+    with pytest.raises(ValueError, match="too short"):
+        # den=15625 forces a reflect-extension far beyond 100 samples
+        resample_exact(np.ones(100), 3200.0, 12207.03125)
+
+
+def test_dense_kernel_norms_match_padded_grid():
+    """dense_kernel_norms(n) must equal the raw gaussian norms on the
+    grid wavelet_transform actually uses for an n-sample input (the
+    'fast'-padded one)."""
+    from process_nwb_spark.dsp.filterbank import (band_params,
+                                                  gaussian_raw_norm)
+    from process_nwb_spark.dsp.padding import pad_plan
+
+    n, rate = 16000, 2000.0
+    norms = K.dense_kernel_norms(n, rate, filters="rat", hg_only=True,
+                                 precision="double")
+    npads, _, _ = pad_plan(n, "fast")
+    n_pad = n + int(npads.sum())
+    cfs, sds = band_params("rat", True)
+    want = [gaussian_raw_norm(n_pad, rate, cf, sd)
+            for cf, sd in zip(cfs, sds)]
+    np.testing.assert_allclose(norms, want, rtol=1e-12)
+    # and the norm scales ~sqrt(n): doubling n grows every norm
+    norms2 = K.dense_kernel_norms(2 * n, rate, filters="rat", hg_only=True,
+                                  precision="double")
+    assert (norms2 > norms * 1.3).all()
+
+
+def test_segmented_wavelet_dense_convention_interior_exact(spark, fixture):
+    """With n_time pinned, the segmented wavelet must match the
+    WHOLE-CHANNEL transform to near-machine precision away from the
+    global edges — not just cosine-close. (Without n_time each segment
+    normalizes on its own grid and amplitudes are ~sqrt(n/segment) off —
+    the r5 bug this test pins.)"""
+    from process_nwb_spark.operators.segmented import segmented_wavelet_amp
+
+    X, long_df = fixture
+    n = X.shape[0]
+    got = (segmented_wavelet_amp(long_df, 2000.0, seg_len=4096, overlap=1024,
+                                 precision="double", n_time=n)
+           .toPandas())
+    Xh, _, _, _ = K.wavelet_transform(X, 2000.0, filters="rat", hg_only=True,
+                                      precision="double")
+    whole = np.abs(Xh)  # (n, ch, band)
+    for ch, b in [(0, 0), (1, 3), (2, 5)]:
+        a = (got[(got.channel == ch) & (got.band == b)]
+             .sort_values("sample_idx").amp.to_numpy())
+        w = whole[:, ch, b]
+        assert a.shape == w.shape
+        m = slice(256, -256)
+        # interior boundaries stay in: the residual there is the Hilbert
+        # step's 1/t tail beyond the overlap (~1e-4 relative), far below
+        # the ~2.24x scale error this test exists to catch
+        np.testing.assert_allclose(a[m], w[m], rtol=1e-3,
+                                   atol=1e-6 * np.abs(w).max())
 
 
 def test_snap_overlap_integral_ratio():
