@@ -4,12 +4,24 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+plus (when the input is the default sf0.1 and SPARK_GRAFT_BENCH_SCALE
+isn't 0) three scaling sections:
+  "sf1"  — a subset of headline queries re-timed on a deterministic 10x
+           key-shifted scale-up (process_nwb_spark/benchdata.py), with
+           per-query sf0.1->sf1 time ratios: a plan that is right at
+           100 TB should grow ~linearly with input here (ratio <= ~10);
+  "skew" — salted vs unsalted sort-merge join+agg on a Zipf fact table
+           whose hottest key owns 35% of all rows (AQE skew-join result
+           recorded alongside as the adaptive alternative);
+  "signal_multi_series_curve" — the amortized DSP ratio at n=8/16/32/64
+           series, to locate the Spark-vs-serial-NumPy crossover.
 """
 from __future__ import annotations
 
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -34,6 +46,17 @@ HEADLINE = [
 
 _SIGNAL_PARQUETS: dict[int, str] = {}
 N_SERIES_MANY = 8
+
+# sf1 scaling subset: one representative per cost class — scans/aggs,
+# sort-merge + as-of joins, windows (tumbling/session/top-k), exact and
+# LSH dedup, text, IVF ANN, and a signal face. All are in HEADLINE so the
+# sf0.1 denominator comes from the same interleaved passes.
+SF1_SUBSET = [
+    "agg_pricing_summary", "join_sortmerge_large", "join_asof",
+    "win_topk_per_group", "win_tumbling", "win_session",
+    "dedup_exact", "minhash_lsh_candidates", "text_token_counts",
+    "embed_ivf_topk", "sig_car_subtract",
+]
 
 
 def _signal_input(spark, n_series: int = 1):
@@ -150,6 +173,134 @@ def bench_signal_numpy_reference() -> float:
     return time.time() - t0
 
 
+def _timed_noop(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def bench_sf1(spark, registry, sf_dir: str, sf01_timings: dict) -> dict:
+    """Re-time SF1_SUBSET on a 10x scale-up of sf_dir; ratios vs the
+    main-loop sf0.1 mins. Generation is deterministic, key-consistent,
+    and cached across bench runs (benchdata.gen_scaled_dir)."""
+    from process_nwb_spark.benchdata import gen_scaled_dir
+
+    dest = os.path.join(tempfile.gettempdir(), "spark_graft_bench", "sf1x10")
+    t0 = time.time()
+    gen_scaled_dir(spark, sf_dir, 10, dest)
+    gen_s = round(time.time() - t0, 3)
+
+    samples: dict[str, list[float]] = {n: [] for n in SF1_SUBSET}
+    for _ in range(2):
+        for name in SF1_SUBSET:
+            samples[name].append(
+                _timed_noop(registry[name].fn(spark, dest)))
+    out = {}
+    for name, s in samples.items():
+        t1 = round(min(s), 3)
+        base = sf01_timings.get(name)
+        out[name] = {"sf0.1": base, "sf1": t1,
+                     "ratio": round(t1 / base, 2) if base else None}
+    return {"factor": 10, "gen_sec": gen_s, "queries": out}
+
+
+def bench_skew(spark) -> dict:
+    """Salted vs unsalted sort-merge join+agg on a fact table whose
+    hottest key owns 35% of all rows. Broadcast is forbidden (a 100 TB
+    dim may not broadcast) and AQE's skew splitter is OFF for the first
+    two runs — the comparison is the MANUAL salting rewrite against the
+    naive plan; a third run turns AQE skew-join back on (with thresholds
+    low enough to trigger at this data size) as the adaptive reference."""
+    from pyspark.sql import functions as F
+
+    from process_nwb_spark.benchdata import gen_skewed_events
+
+    dest = os.path.join(tempfile.gettempdir(), "spark_graft_bench", "skew")
+    gen_skewed_events(spark, dest)
+    facts = spark.read.parquet(os.path.join(dest, "skew_facts.parquet"))
+    dims = spark.read.parquet(os.path.join(dest, "skew_dims.parquet"))
+
+    def agg(joined):
+        return joined.groupBy("attr").agg(
+            F.sum("value").alias("v"), F.count(F.lit(1)).alias("n"))
+
+    unsalted = agg(facts.join(dims.hint("merge"), "key"))
+    n_salt = 16
+    fs = facts.withColumn(
+        "_salt", F.pmod(F.xxhash64("grp", "value"), F.lit(n_salt)))
+    ds = dims.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    salted = agg(fs.join(
+        ds.hint("merge"),
+        (fs["key"] == ds["key"]) & (fs["_salt"] == ds["_salt"])).drop(
+            ds["key"]))
+
+    # rows landing in the hottest of 32 hash partitions — the straggler's
+    # workload, directly comparable between the two key choices
+    hot_u = (facts.groupBy(F.pmod(F.hash("key"), F.lit(32)).alias("p"))
+             .count().agg(F.max("count")).first()[0])
+    hot_s = (fs.groupBy(F.pmod(F.hash("key", "_salt"), F.lit(32)).alias("p"))
+             .count().agg(F.max("count")).first()[0])
+
+    saved = {k: spark.conf.get(k, None) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.skewJoin.enabled",
+              "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+              "spark.sql.adaptive.advisoryPartitionSizeInBytes")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        t_un = min(_timed_noop(unsalted) for _ in range(2))
+        t_sa = min(_timed_noop(salted) for _ in range(2))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8MB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
+        t_aqe = min(_timed_noop(unsalted) for _ in range(2))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    n = facts.count()
+    return {
+        "n_rows": n, "hot_share": 0.35, "n_salt": n_salt,
+        "rows_hottest_partition": {"unsalted": hot_u, "salted": hot_s},
+        "sec": {"unsalted_join": round(t_un, 3),
+                "salted_join": round(t_sa, 3),
+                "aqe_skewjoin": round(t_aqe, 3)},
+    }
+
+
+def bench_multi_series_curve(spark, base_entry: dict) -> list:
+    """Extend the n=8 amortized headline to n=16/32/64: at each n, the
+    serial NumPy replay and the one-job Spark run are interleaved (both
+    sides sample the same ambient-load windows). Records where the Spark
+    job CROSSES serial single-core NumPy (ratio < 1)."""
+    from process_nwb_spark.synth import generate_synthetic_data
+
+    curve = [dict(base_entry, n_series=N_SERIES_MANY)]
+    for n in (16, 32, 64):
+        Xs = [generate_synthetic_data(10.0, 32, 3200.0, seed=s)
+              for s in range(n)]
+        _signal_input(spark, n)   # write parquet untimed
+        np_s, sp_s = [], []
+        for _ in range(2):
+            t0 = time.time()
+            for X in Xs:
+                _numpy_one_series(X)
+            np_s.append(time.time() - t0)
+            sp_s.append(_bench_signal(spark, n))
+        e = {"n_series": n, "spark_one_job": round(min(sp_s), 3),
+             "numpy_serial": round(min(np_s), 3),
+             "ratio": round(min(sp_s) / min(np_s), 3)}
+        curve.append(e)
+    return curve
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -215,7 +366,14 @@ def main():
     many_samples += ratio_spark_samples   # spread sees every pass
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    multi = {
+        "n_series": N_SERIES_MANY,
+        "spark_one_job": spark_many,
+        "spark_spread": round(max(many_samples) - min(many_samples), 3),
+        "numpy_serial": ref_many,
+        "ratio": round(spark_many / ref_many, 3) if ref_many else None,
+    }
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -225,15 +383,22 @@ def main():
         # the amortized folder workload (the reference's real multi-file
         # shape): N series through one Spark job vs the same N serially
         # through the dense NumPy kernels on one core
-        "signal_multi_series": {
-            "n_series": N_SERIES_MANY,
-            "spark_one_job": spark_many,
-            "spark_spread": round(max(many_samples) - min(many_samples), 3),
-            "numpy_serial": ref_many,
-            "ratio": round(spark_many / ref_many, 3) if ref_many else None,
-        },
+        "signal_multi_series": multi,
         "reference_single_node": {"signal_pipeline_numpy": ref_1node},
-    }))
+    }
+
+    # scaling sections: only when benching the canonical sf0.1 input (the
+    # ratios are defined against it) and not explicitly disabled
+    scale_on = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
+    if scale_on and abs(sf - 0.1) < 1e-9:
+        out["sf1"] = bench_sf1(spark, registry, sf_dir, timings)
+        out["skew"] = bench_skew(spark)
+        out["signal_multi_series_curve"] = bench_multi_series_curve(
+            spark, {"n_series": N_SERIES_MANY, "spark_one_job": spark_many,
+                    "numpy_serial": ref_many,
+                    "ratio": multi["ratio"]})
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -29,7 +29,12 @@ def get_spark(app_name: str = "process-nwb-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Reference semantics are non-ANSI (e.g. silent casts); pin it.
-        .config("spark.sql.ansi.enabled", "false")
+        # SPARK_GRAFT_ANSI=1 flips it on for the ANSI audit gate
+        # (tests/run_oracle_check.py run under Spark 4's default mode;
+        # results + irreducible non-ANSI dependencies in SCALE.md).
+        .config("spark.sql.ansi.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_ANSI") == "1"
+                else "false")
         # guard: if a source ever carries parquet TIMESTAMP(NANOS), read it as
         # int64 ns instead of erroring; relational/core.py T() converts. The
         # driver testdata events.ts is timestamp[us] (reads as TIMESTAMP_NTZ,
