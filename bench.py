@@ -279,7 +279,13 @@ def bench_multi_series_curve(spark, base_entry: dict) -> list:
     """Extend the n=8 amortized headline to n=16/32/64: at each n, the
     serial NumPy replay and the one-job Spark run are interleaved (both
     sides sample the same ambient-load windows). Records where the Spark
-    job CROSSES serial single-core NumPy (ratio < 1)."""
+    job CROSSES serial single-core NumPy (ratio < 1).
+
+    4 passes per n, min taken: the big-n Spark job warms up dramatically
+    across its first executions in a session (measured 42 -> 31 -> 16 ->
+    9 s at n=64: JVM heap growth + tiered JIT + shuffle-file page cache)
+    — with only 2 passes the recorded 'min' is still a cold run and the
+    curve's tail is noise."""
     from process_nwb_spark.synth import generate_synthetic_data
 
     curve = [dict(base_entry, n_series=N_SERIES_MANY)]
@@ -288,7 +294,7 @@ def bench_multi_series_curve(spark, base_entry: dict) -> list:
               for s in range(n)]
         _signal_input(spark, n)   # write parquet untimed
         np_s, sp_s = [], []
-        for _ in range(2):
+        for _ in range(4):
             t0 = time.time()
             for X in Xs:
                 _numpy_one_series(X)

@@ -1099,15 +1099,23 @@ def abtest_conversion_z(spark, sf_dir):
          .cast("bigint").alias("n1"),
         F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
          .cast("bigint").alias("x1"))
-    r0 = F.col("x0") / F.col("n0").cast("double")
-    r1 = F.col("x1") / F.col("n1").cast("double")
-    p = (F.col("x0") + F.col("x1")) / (F.col("n0") + F.col("n1")).cast("double")
+    # try_divide throughout: when every sampled user converts (p=1, as at
+    # small sf) the pooled se is 0 and z is 0/0 — NULL under non-ANSI
+    # division AND under try_divide, but a runtime DIVIDE_BY_ZERO error
+    # under ANSI mode. try_divide keeps the same result in both modes
+    # (the ANSI audit's one avoidable failure, SCALE.md).
+    r0 = F.try_divide(F.col("x0"), F.col("n0").cast("double"))
+    r1 = F.try_divide(F.col("x1"), F.col("n1").cast("double"))
+    p = F.try_divide(F.col("x0") + F.col("x1"),
+                     (F.col("n0") + F.col("n1")).cast("double"))
     se = F.sqrt(p * (F.lit(1.0) - p)
-                * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1")))
+                * (F.try_divide(F.lit(1.0), F.col("n0"))
+                   + F.try_divide(F.lit(1.0), F.col("n1"))))
     return arms.select("n0", "x0", "n1", "x1",
                        F.round(r0, 6).alias("rate0"),
                        F.round(r1, 6).alias("rate1"),
-                       F.round((r1 - r0) / se, 4).alias("z_score"))
+                       F.round(F.try_divide(r1 - r0, se), 4)
+                       .alias("z_score"))
 
 
 @query(

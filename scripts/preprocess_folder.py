@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--acq_name", type=str, default="ECoG",
                    help="Raw table name prefix to treat as acquisitions "
                         "(lineage-derived tables are always skipped).")
+    p.add_argument("--seg_len", type=int, default=None,
+                   help="Route the pipeline through the bounded-memory "
+                        "segmented operators with this segment length "
+                        "(samples at the raw rate; snapped up to the "
+                        "rate-ratio denominator). Use when a single "
+                        "channel's samples exceed one executor task's "
+                        "memory budget — see SCALE.md 'Memory bound'. "
+                        "Incompatible with --all_steps' unfused lineage.")
     return p
 
 
@@ -104,12 +112,18 @@ def main(argv=None, spark=None) -> dict:
     # path materializes the 'downsampled' intermediate the fused plan
     # never surfaces — lineage completeness at the cost of one extra
     # shuffle, exactly the reference's trade
+    if args.seg_len is not None and args.all_steps:
+        raise SystemExit("--seg_len routes through the segmented plan, "
+                         "which does not materialize the unfused "
+                         "--all_steps intermediates; pick one")
     res = preprocess(merged, args.rate,
                      initial_resample_rate=args.initial_resample_rate,
                      final_resample_rate=args.final_resample_rate,
                      filters=args.filters,
                      hg_only=not args.all_filters,
-                     fuse=not args.all_steps)
+                     fuse=not args.all_steps,
+                     segmented=args.seg_len is not None,
+                     seg_len=args.seg_len)
     if not args.all_steps:       # store only the wavelet amplitudes
         res.stages = {k: v for k, v in res.stages.items()
                       if k.startswith("wvlt_amp")}

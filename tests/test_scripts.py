@@ -43,6 +43,22 @@ def test_preprocess_folder_one_job_all_series(spark, catalog_root):
     assert tf.count() == 2 * 4 * 6 * 250
 
 
+def test_preprocess_folder_segmented(spark, catalog_root):
+    """--seg_len routes through the bounded-memory segmented plan; output
+    shape matches the whole-channel run and --all_steps is refused."""
+    written = preprocess_folder.main(
+        [catalog_root, "--rate", "1000", "--initial_resample_rate", "500",
+         "--final_resample_rate", "250", "--seg_len", "256"], spark=spark)
+    assert "wvlt_amp_ECoG" in written
+    cat = SignalCatalog(spark, catalog_root)
+    tf = cat.read("wvlt_amp_ECoG")
+    assert tf.count() == 2 * 4 * 6 * 250
+    with pytest.raises(SystemExit, match="seg_len"):
+        preprocess_folder.main(
+            [catalog_root, "--rate", "1000", "--seg_len", "256",
+             "--all_steps"], spark=spark)
+
+
 def test_preprocess_folder_all_steps_and_guards(spark, catalog_root):
     written = preprocess_folder.main(
         [catalog_root, "--rate", "1000", "--initial_resample_rate", "500",
