@@ -10,9 +10,10 @@ isn't 0) three scaling sections:
            key-shifted scale-up (process_nwb_spark/benchdata.py), with
            per-query sf0.1->sf1 time ratios: a plan that is right at
            100 TB should grow ~linearly with input here (ratio <= ~10);
-  "skew" — salted vs unsalted sort-merge join+agg on a Zipf fact table
-           whose hottest key owns 35% of all rows (AQE skew-join result
-           recorded alongside as the adaptive alternative);
+  "skew" — salted vs unsalted sort-merge join+agg on a single-hot-key
+           fact table whose hottest key owns 35% of all rows (AQE
+           skew-join result recorded alongside as the adaptive
+           alternative);
   "signal_multi_series_curve" — the amortized DSP ratio at n=8/16/32/64
            series, to locate the Spark-vs-serial-NumPy crossover.
 """
@@ -49,13 +50,15 @@ N_SERIES_MANY = 8
 
 # sf1 scaling subset: one representative per cost class — scans/aggs,
 # sort-merge + as-of joins, windows (tumbling/session/top-k), exact and
-# LSH dedup, text, IVF ANN, and a signal face. All are in HEADLINE so the
-# sf0.1 denominator comes from the same interleaved passes.
+# LSH dedup, text, fingerprinting, IVF ANN. All are in HEADLINE so the
+# sf0.1 denominator comes from the same interleaved passes. Every entry
+# must actually READ sf_dir (the sig_* faces generate their own fixed
+# synthetic input and would report a fabricated ~1.0 ratio).
 SF1_SUBSET = [
     "agg_pricing_summary", "join_sortmerge_large", "join_asof",
     "win_topk_per_group", "win_tumbling", "win_session",
     "dedup_exact", "minhash_lsh_candidates", "text_token_counts",
-    "embed_ivf_topk", "sig_car_subtract",
+    "embed_ivf_topk", "doc_fingerprint_winnow",
 ]
 
 

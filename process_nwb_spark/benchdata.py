@@ -17,9 +17,10 @@ Two generators, both deterministic and cached on disk:
   quadratically and masquerade as bad scaling); embeddings get a small
   per-copy deterministic perturbation for the same reason.
 
-- `gen_skewed_events`: a Zipf-skewed (key, value) fact + uniform dim pair
-  where ONE key owns `hot_share` of all rows — the shape that makes an
-  unsalted shuffle straggle on the hot key's reducer. Used by the bench's
+- `gen_skewed_events`: a single-hot-key (key, value) fact + uniform dim
+  pair where ONE key owns `hot_share` of all rows and the remainder
+  spreads uniformly — the cleanest straggler shape: the unsalted shuffle
+  has exactly one pathological reducer. Used by the bench's
   salted-vs-unsalted section.
 """
 from __future__ import annotations
@@ -86,13 +87,40 @@ def _one_copy(t: str, df: DataFrame, k: int) -> DataFrame:
     return out
 
 
+def _marker_stamp(src_dir: str, params: str) -> str:
+    """Cache key: parameters + source mtimes, so regenerated source data
+    or changed parameters invalidate the cache instead of silently
+    reusing a stale scale-up (the sf0.1 denominators would then compare
+    against a DIFFERENT dataset's sf1 numerators)."""
+    mt = []
+    if os.path.isdir(src_dir):
+        for name in sorted(os.listdir(src_dir)):
+            p = os.path.join(src_dir, name)
+            mt.append(f"{name}:{os.path.getmtime(p):.0f}")
+    return f"{params}|{';'.join(mt)}"
+
+
+def _marker_valid(marker: str, stamp: str) -> bool:
+    try:
+        with open(marker) as f:
+            return f.read().strip() == stamp
+    except OSError:
+        return False
+
+
 def gen_scaled_dir(spark: SparkSession, src_dir: str, factor: int,
                    dest_dir: str) -> str:
     """Write a `factor`x key-shifted copy-union of every table in
-    `src_dir` to `dest_dir` (parquet, same filenames). Idempotent: if the
-    marker file exists the directory is reused as-is."""
+    `src_dir` to `dest_dir` (parquet, same filenames). Idempotent: reused
+    only while the marker's recorded parameters AND source mtimes match."""
+    if not 1 <= int(factor) <= 25:
+        # (k%5, k//5) text mutation is injective only below 25; factor 26+
+        # would silently produce duplicate corpora across copies — exactly
+        # the dedup-blowup artifact the mutation exists to prevent
+        raise ValueError(f"factor must be in [1, 25], got {factor}")
     marker = os.path.join(dest_dir, "_SCALED_OK")
-    if os.path.exists(marker):
+    stamp = _marker_stamp(src_dir, f"src={src_dir} factor={factor}")
+    if _marker_valid(marker, stamp):
         return dest_dir
     os.makedirs(dest_dir, exist_ok=True)
     tables = list(SHARED_DIMS) + list(SHIFT_COLS)
@@ -109,23 +137,24 @@ def gen_scaled_dir(spark: SparkSession, src_dir: str, factor: int,
         out.write.mode("overwrite").parquet(
             os.path.join(dest_dir, f"{t}.parquet"))
     with open(marker, "w") as f:
-        f.write(f"src={src_dir} factor={factor}\n")
+        f.write(stamp)
     return dest_dir
 
 
 def gen_skewed_events(spark: SparkSession, dest_dir: str,
                       n_rows: int = 4_000_000, n_keys: int = 100_000,
                       hot_share: float = 0.35) -> str:
-    """Write a Zipf-skewed fact table (`skew_facts.parquet`: key BIGINT,
-    grp INT, value DOUBLE) and a matching uniform dimension
+    """Write a single-hot-key fact table (`skew_facts.parquet`: key
+    BIGINT, grp INT, value DOUBLE) and a matching uniform dimension
     (`skew_dims.parquet`: key BIGINT, attr STRING). Key 0 owns
-    `hot_share` of all fact rows; the rest follow ~1/rank over
-    `n_keys` keys. Deterministic (xxhash64 of the row id seeds every
-    choice). Idempotent via marker file."""
+    `hot_share` of all fact rows; the rest spread uniformly over
+    `n_keys - 1` keys. Deterministic (xxhash64 of the row id seeds every
+    choice). Idempotent via parameter-stamped marker file."""
     marker = os.path.join(dest_dir, "_SKEW_OK")
     facts_path = os.path.join(dest_dir, "skew_facts.parquet")
     dims_path = os.path.join(dest_dir, "skew_dims.parquet")
-    if os.path.exists(marker):
+    stamp = f"n_rows={n_rows} n_keys={n_keys} hot={hot_share}"
+    if _marker_valid(marker, stamp):
         return dest_dir
     os.makedirs(dest_dir, exist_ok=True)
     ids = spark.range(n_rows)
@@ -151,5 +180,5 @@ def gen_skewed_events(spark: SparkSession, dest_dir: str,
                  .cast("string")).alias("attr"))
     dims.write.mode("overwrite").parquet(dims_path)
     with open(marker, "w") as f:
-        f.write(f"n_rows={n_rows} n_keys={n_keys} hot={hot_share}\n")
+        f.write(stamp)
     return dest_dir

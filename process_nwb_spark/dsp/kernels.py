@@ -121,11 +121,11 @@ def analytic_fft(X: np.ndarray, precision: str = "single") -> np.ndarray:
 
 
 def dense_kernel_norms(n_time: int, rate: float, filters="rat",
-                       hg_only: bool = True, npad="fast",
-                       precision: str = "double") -> np.ndarray:
+                       hg_only: bool = True, npad="fast") -> np.ndarray:
     """||f||2 of each filterbank kernel exactly as `wavelet_transform`
     would normalize it for an n_time-sample input (i.e. on the padded
-    grid). NaN for the broadband None kernel (never normalized).
+    grid). Named filtersets only (they are all Gaussian); always float64
+    — the norms are scale constants, not data, so no precision knob.
 
     The unit-L2 normalization (wavelet_transform.py:315 and
     filterbank.gaussian_kernel, `k/||k||`) makes the output AMPLITUDE

@@ -48,23 +48,35 @@ LONG_SCHEMA = ("series_id STRING, channel INT, sample_idx BIGINT, "
                "value DOUBLE")
 
 
-def snap_overlap(overlap: int, new_freq: float, old_freq: float) -> int:
-    """Smallest V >= overlap with V * (new/old) exactly integral.
+def ratio_denominator(new_freq: float, old_freq: float) -> int:
+    """Reduced denominator of the exact rate ratio. Floats are exact
+    binary rationals, so Fraction(new)/Fraction(old) is the exact ratio;
+    x*ratio is integral iff this denominator divides x. E.g.
+    3200/12207.03125 = 4096/15625 -> denominator 15625."""
+    return (Fraction(new_freq) / Fraction(old_freq)).denominator
 
-    Floats are exact binary rationals, so Fraction(new)/Fraction(old) is
-    the exact rate ratio; V*ratio is integral iff the ratio's (reduced)
-    denominator divides V. E.g. 3200/12207.03125 = 4096/15625 -> the
-    default overlap 4096 snaps to 15625. Raises if no valid overlap is
-    small enough to be usable."""
-    r = Fraction(new_freq) / Fraction(old_freq)
-    d = r.denominator
-    snapped = int(-(-int(overlap) // d) * d)
-    if snapped > 10 ** 7:
+
+def snap_to_ratio(base: int, new_freq: float, old_freq: float,
+                  cap: int = 10 ** 7, what: str = "overlap") -> int:
+    """Smallest multiple of the reduced rate-ratio denominator >= base —
+    the shared snap used for overlaps AND segment lengths (both must make
+    x*(new/old) exactly integral, operators/segmented._validate). Raises
+    past `cap` (no practical value exists; pick simpler rates or resample
+    in two stages)."""
+    d = ratio_denominator(new_freq, old_freq)
+    snapped = int(-(-int(base) // d) * d)
+    if snapped > cap:
         raise ValueError(
-            f"no practical overlap makes overlap*({new_freq}/{old_freq}) "
+            f"no practical {what} makes {what}*({new_freq}/{old_freq}) "
             f"integral (denominator {d}); choose rates with a simpler "
             f"ratio or resample in two stages")
     return snapped
+
+
+def snap_overlap(overlap: int, new_freq: float, old_freq: float) -> int:
+    """Smallest V >= overlap with V * (new/old) exactly integral.
+    E.g. the default overlap 4096 at 3200/12207.03125 snaps to 15625."""
+    return snap_to_ratio(overlap, new_freq, old_freq, what="overlap")
 
 
 def _validate(seg_len: int, overlap: int, new_freq: float, old_freq: float):
@@ -244,7 +256,7 @@ def segmented_wavelet_amp(signals: DataFrame, rate: float,
     _validate(seg_len, overlap, rate, rate)
     norms = (None if n_time is None else
              K.dense_kernel_norms(n_time, rate, filters=filters,
-                                  hg_only=hg_only, precision=precision))
+                                  hg_only=hg_only))
 
     def fn(x: np.ndarray) -> np.ndarray:
         Xh, _, _, _ = K.wavelet_transform(

@@ -100,6 +100,16 @@ def preprocess(signals: DataFrame, rate: float,
             raise ValueError(
                 "segmented preprocess always post-resamples, which is "
                 "incompatible with phase output; use abs_only=True")
+        if not fuse:
+            # fuse=False exists to materialize the unfused 'downsampled'
+            # lineage stage, which the segmented plan never produces —
+            # failing loudly beats a downstream KeyError on res.stages
+            raise ValueError(
+                "segmented preprocess does not materialize the unfused "
+                "(fuse=False) lineage stages; run fuse=True, or run the "
+                "whole-channel path for --all_steps-style lineage")
+        # `arrow` is irrelevant here (the segment kernels are
+        # applyInPandas-grouped); accepted and ignored by design
         return _preprocess_segmented(
             signals, rate, initial_resample_rate, final_resample_rate,
             filters=filters, hg_only=hg_only, mean_frac=mean_frac,
@@ -162,19 +172,18 @@ def preprocess(signals: DataFrame, rate: float,
 
 
 def _snap_seg_len(base: int, new_freq: float, old_freq: float) -> int:
-    """Smallest multiple of the reduced rate-ratio denominator >= base, so
-    seg_len * (new/old) is integral (the segmented operators' exactness
-    rule — operators/segmented.py:_validate). seg_len is a memory-bound
-    knob, not semantics, so snapping UP is always safe."""
-    from fractions import Fraction
+    """Segment length for one pipeline stage: smallest multiple of the
+    reduced rate-ratio denominator >= base (the segmented operators'
+    exactness rule — operators/segmented.py:_validate), and at least TWO
+    denominators, so a valid overlap (itself forced to a denominator
+    multiple by snap_overlap) always fits under the overlap < seg_len
+    validation. seg_len is a memory-bound knob, not semantics, so
+    snapping UP is always safe."""
+    from .operators.segmented import ratio_denominator, snap_to_ratio
 
-    d = (Fraction(new_freq) / Fraction(old_freq)).denominator
-    snapped = -(-int(base) // d) * d
-    if snapped > 10 ** 8:
-        raise ValueError(
-            f"no practical seg_len makes seg_len*({new_freq}/{old_freq}) "
-            f"integral (denominator {d}); resample in two stages instead")
-    return snapped
+    d = ratio_denominator(new_freq, old_freq)
+    return snap_to_ratio(max(int(base), 2 * d), new_freq, old_freq,
+                         cap=10 ** 8, what="seg_len")
 
 
 def _preprocess_segmented(signals: DataFrame, rate: float,
@@ -211,9 +220,13 @@ def _preprocess_segmented(signals: DataFrame, rate: float,
     base = int(seg_len) if seg_len is not None else 2 ** 16
     # overlap is a numerics knob (boundary-error tolerance); cap it at a
     # quarter segment so a small explicit seg_len composes with the
-    # default overlap instead of tripping the overlap<seg_len validation
+    # default overlap instead of tripping the overlap<seg_len validation.
+    # Safe against snap_overlap's snap-UP because _snap_seg_len guarantees
+    # seg_len >= 2 denominators: snapped overlap <= L/4 + d - 1 < L.
     def _ov(L: int, new: float, old: float) -> int:
-        return snap_overlap(min(int(seg_overlap), max(1, L // 4)), new, old)
+        v = snap_overlap(min(int(seg_overlap), max(1, L // 4)), new, old)
+        assert v < L, (v, L)   # guaranteed by the 2*d floor in _snap_seg_len
+        return v
 
     r1 = initial_resample_rate / rate
     seg_a = _snap_seg_len(base, initial_resample_rate, rate)
@@ -257,8 +270,7 @@ def _preprocess_segmented(signals: DataFrame, rate: float,
     norms_by_series = {
         sid: K.dense_kernel_norms(
             -(-n * fr1.numerator // fr1.denominator),  # ceil(n*r1)
-            initial_resample_rate, filters=filters, hg_only=hg_only,
-            precision=precision)
+            initial_resample_rate, filters=filters, hg_only=hg_only)
         for sid, n in lengths.items()
     }
 

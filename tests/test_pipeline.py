@@ -287,6 +287,20 @@ def test_segmented_preprocess_e2e_matches_whole(spark):
         assert cos > 0.995, (ch, band, cos)
 
 
+def test_segmented_preprocess_worst_case_ratio_composes(spark):
+    """Regression: at the reference worst-case rates (12207.03125 Hz ->
+    3200 Hz, ratio denominator 15625) a small requested seg_len used to
+    snap to exactly one denominator while the overlap snapped UP to the
+    same value, tripping overlap < seg_len validation with a baffling
+    error. The seg_len snap now floors at two denominators, so any
+    requested seg_len composes with the default overlap."""
+    X = generate_synthetic_data(2.0, 2, 12207.03125, seed=0)
+    res = preprocess(to_long_df(spark, X), 12207.03125, 3200.0, 400.0,
+                     precision="double", segmented=True, seg_len=10000)
+    pdf = res.tf.groupBy("band").count().toPandas()
+    assert len(pdf) == 6 and (pdf["count"] > 0).all()
+
+
 def test_segmented_preprocess_rejects_phase(spark):
     """Segmented always post-resamples; phase output is invalid there —
     same constraint the reference enforces (wavelet_transform.py:389)."""

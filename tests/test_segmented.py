@@ -232,8 +232,7 @@ def test_dense_kernel_norms_match_padded_grid():
     from process_nwb_spark.dsp.padding import pad_plan
 
     n, rate = 16000, 2000.0
-    norms = K.dense_kernel_norms(n, rate, filters="rat", hg_only=True,
-                                 precision="double")
+    norms = K.dense_kernel_norms(n, rate, filters="rat", hg_only=True)
     npads, _, _ = pad_plan(n, "fast")
     n_pad = n + int(npads.sum())
     cfs, sds = band_params("rat", True)
@@ -241,8 +240,8 @@ def test_dense_kernel_norms_match_padded_grid():
             for cf, sd in zip(cfs, sds)]
     np.testing.assert_allclose(norms, want, rtol=1e-12)
     # and the norm scales ~sqrt(n): doubling n grows every norm
-    norms2 = K.dense_kernel_norms(2 * n, rate, filters="rat", hg_only=True,
-                                  precision="double")
+    norms2 = K.dense_kernel_norms(2 * n, rate, filters="rat",
+                                  hg_only=True)
     assert (norms2 > norms * 1.3).all()
 
 
