@@ -60,10 +60,12 @@ DRIVER_PRIORITY = (
     # structured streaming (stream==batch equivalence surfaces)
     "win_sliding", "stream_dedup_first", "stream_static_join",
     "stream_stream_join",
-    # event-time / time-series analytics
+    # event-time / time-series analytics + the segmented-pipeline
+    # certification face (new in r5: bounded-memory segmented preprocess
+    # vs whole-channel preprocess, contract-boolean oracle)
     "win_gap_fill", "funnel_conversion", "win_trailing_range",
     "anomaly_mad_flags", "ts_ohlc_bars", "ts_rolling_median",
-    "seq_transition_matrix", "sig_band_dim",
+    "seq_transition_matrix", "sig_segmented_parity",
     # dedup / LSH (incl. the precision-recall eval loop)
     "dedup_incremental", "dedup_chunk_exact", "dedup_keep_list",
     "minhash_signatures", "simhash_near_pairs", "lsh_eval_pr",

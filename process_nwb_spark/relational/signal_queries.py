@@ -197,3 +197,65 @@ def sig_electrode_region(spark, sf_dir):
         .agg(F.count("*").alias("n_samples"),
              F.round(F.avg("value"), 6).alias("mean_value"))
     )
+
+
+@query(
+    "sig_segmented_parity",
+    """
+    SELECT CAST(t.band AS INT) AS band,
+           1 AS rows_aligned, 1 AS cosine_ok, 1 AS energy_ok
+    FROM (SELECT UNNEST(GENERATE_SERIES(0, 5)) AS band) t
+    ORDER BY band
+    """,
+    doc="the bounded-memory segmented pipeline certified against the "
+        "whole-channel pipeline IN-PLAN: both preprocess paths run on a "
+        "deterministic 4-channel AM-carrier signal (70/90/110/130 Hz "
+        "carriers, per-channel phase, so the CAR does not cancel the "
+        "content), full-outer-joined on (channel, band, sample_idx), and "
+        "the oracled contract per band is rows_aligned (no row exists in "
+        "one path only), cosine > 0.995 (measured 0.999+), and band "
+        "energy within 1% (measured 0.2%). The equivalence maths lives "
+        "in tests/test_pipeline.py::test_segmented_preprocess_e2e_"
+        "matches_whole at worst-case fixture scale; this face puts the "
+        "same claim under the driver's hash gate. Non-replayable in SQL "
+        "(FFT pipelines), so the oracle is the contract-boolean pattern "
+        "(cf. agg_hll_sketch)",
+)
+def sig_segmented_parity(spark, sf_dir):
+    from ..pipelines import preprocess
+
+    n_ch, n_t = 4, 4000
+    i = F.col("id")
+    ch = (i % n_ch).cast("int")
+    idx = (i / n_ch).cast("bigint")
+    t = idx.cast("double") / 1000.0
+    pi2 = 2 * 3.141592653589793
+    chd = ch.cast("double")
+    value = (F.sin(F.lit(pi2) * (70.0 + chd * 20.0) * t + chd)
+             * (1.0 + 0.5 * F.sin(F.lit(pi2) * (1.0 + chd) * t))
+             + 0.3 * F.sin(F.lit(pi2 * 10.0) * t))
+    sig = (spark.range(0, n_ch * n_t)
+           .select(F.lit("synth").alias("series_id"), ch.alias("channel"),
+                   idx.alias("sample_idx"), F.round(value, 6).alias("value")))
+    kw = dict(initial_resample_rate=500.0, final_resample_rate=250.0,
+              precision="double")
+    whole = preprocess(sig, 1000.0, **kw).tf.select(
+        "channel", "band", "sample_idx", F.col("amp").alias("a"))
+    segd = preprocess(sig, 1000.0, segmented=True, seg_len=512, **kw
+                      ).tf.select(
+        "channel", "band", "sample_idx", F.col("amp").alias("b"))
+    j = whole.join(segd, ["channel", "band", "sample_idx"], "full_outer")
+    pb = j.groupBy("band").agg(
+        F.sum(F.when(F.col("a").isNull() | F.col("b").isNull(), 1)
+              .otherwise(0)).alias("n_miss"),
+        F.sum(F.col("a") * F.col("b")).alias("ab"),
+        F.sum(F.col("a") * F.col("a")).alias("aa"),
+        F.sum(F.col("b") * F.col("b")).alias("bb"))
+    cos = F.col("ab") / F.sqrt(F.col("aa") * F.col("bb"))
+    energy = F.sqrt(F.col("bb") / F.col("aa"))
+    return (pb.select(
+        F.col("band").cast("int").alias("band"),
+        (F.col("n_miss") == 0).cast("int").alias("rows_aligned"),
+        (cos > 0.995).cast("int").alias("cosine_ok"),
+        ((energy > 0.99) & (energy < 1.01)).cast("int").alias("energy_ok"))
+        .orderBy("band"))
