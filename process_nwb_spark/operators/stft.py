@@ -1,0 +1,152 @@
+"""Short-time Fourier transform over the long signal layout — the
+frame-parallel complement to the whole-axis wavelet pipeline.
+
+Unlike the Morlet path (which needs a channel's full time axis per task,
+or the overlap-segmented escape hatch), the STFT is bounded-memory BY
+CONSTRUCTION: a frame is the unit of work, every frame is `frame_len`
+samples, and frames parallelize perfectly. The plan is the segmented
+operators' shape specialized to analysis frames:
+
+1. assign every sample to the frames whose window covers it (pure
+   Catalyst: bounded candidate array -> filter -> explode; a sample sits
+   in at most ceil(frame_len/hop) frames);
+2. ONE shuffle groups (series_id, channel, frame) — group size capped at
+   frame_len regardless of recording length;
+3. an `applyInPandas` kernel windows the frame, runs one rfft, and emits
+   long (bin, power) rows.
+
+At 100 TB this is embarrassingly parallel: n_series x n_channels x
+n_frames tasks, no whole-channel state anywhere, and the output is
+immediately relational (spectrogram queries are GROUP BYs over
+(channel, frame, bin)).
+
+Correctness anchor: with the rectangular window and hop == frame_len the
+one-sided power spectrum obeys Parseval exactly —
+    sum_bins(power) == frame_len * sum_frame(x^2)
+with the one-sided doubling undone by construction (`power` keeps the
+two-sided convention: |X_k|^2 + |X_{N-k}|^2 folded into bin k, DC and
+Nyquist unfolded). That identity is plain SQL over the raw samples, so
+the registry face `sig_stft_energy` hash-matches a DuckDB oracle that
+never runs an FFT — an exact relational oracle for a spectral operator.
+"""
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STFT_SCHEMA = ("series_id STRING, channel INT, frame BIGINT, "
+               "bin INT, power DOUBLE")
+
+_WINDOWS = ("rect", "hann", "hamming")
+
+
+def _window(name: str, n: int) -> np.ndarray:
+    if name == "rect":
+        return np.ones(n)
+    if name == "hann":
+        return np.hanning(n)
+    if name == "hamming":
+        return np.hamming(n)
+    raise ValueError(f"unknown window {name!r}; pick one of {_WINDOWS}")
+
+
+def _explode_frames(signals: DataFrame, frame_len: int, hop: int) -> DataFrame:
+    """Assign each sample to every frame whose [f*hop, f*hop+frame_len)
+    span covers it. Candidate frames are the bounded arithmetic range
+    ceil((i-frame_len+1)/hop) .. i//hop — at most ceil(frame_len/hop)
+    values — so this stays a narrow projection."""
+    i = F.col("sample_idx")
+    lo = F.ceil((i - F.lit(frame_len - 1)) / F.lit(hop)).cast("bigint")
+    hi = F.floor(i / F.lit(hop)).cast("bigint")
+    frames = F.filter(
+        F.sequence(F.greatest(lo, F.lit(0)), hi),
+        lambda f: (i >= f * hop) & (i < f * hop + frame_len))
+    return signals.select(
+        "series_id", "channel", F.explode(frames).alias("frame"),
+        "sample_idx", "value")
+
+
+def stft_power(signals: DataFrame, frame_len: int, hop: int | None = None,
+               window: str = "hann",
+               include_partial: bool = True) -> DataFrame:
+    """One-sided STFT power per (series, channel, frame, bin) from the
+    long layout. `power` folds the conjugate-symmetric half into bins
+    1..N/2-1 (|X_k|^2 + |X_{N-k}|^2); DC and (for even frames) Nyquist
+    carry their single |X|^2 — so sum_bins(power) is the frame's total
+    two-sided spectral energy and Parseval holds exactly:
+    sum_bins(power) == frame_len * sum(window*x)^2-energy.
+
+    `include_partial=False` drops a trailing frame shorter than
+    frame_len; with True (default) it is analyzed at its natural length
+    (its own rfft grid), which keeps Parseval exact per frame."""
+    L = int(frame_len)
+    H = int(hop) if hop is not None else L
+    if L <= 0 or H <= 0 or H > L:
+        raise ValueError(f"need 0 < hop <= frame_len, got hop={H} "
+                         f"frame_len={L}")
+    _window(window, L)   # validate the name eagerly, not per task
+    win_name = window
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sample_idx")
+        idx = pdf["sample_idx"].to_numpy()
+        frame = int(pdf["frame"].iloc[0])
+        if int(idx[-1] - idx[0]) + 1 != len(idx):
+            raise ValueError(
+                f"stft: sample_idx gap inside frame {frame} of "
+                f"{pdf['series_id'].iloc[0]!r}/"
+                f"ch{int(pdf['channel'].iloc[0])}")
+        if int(idx[0]) != frame * H:
+            raise ValueError(
+                f"stft: frame {frame} starts at sample {int(idx[0])}, "
+                f"expected {frame * H}; series must start at sample_idx 0")
+        n = len(idx)
+        if n < L and not include_partial:
+            return pd.DataFrame(
+                {"series_id": [], "channel": [], "frame": [],
+                 "bin": [], "power": []})
+        x = pdf["value"].to_numpy(dtype=np.float64) * _window(win_name, n)
+        X = np.fft.rfft(x)
+        p = np.abs(X) ** 2
+        power = np.empty(len(p))
+        power[0] = p[0]
+        if n % 2 == 0:
+            power[1:-1] = 2.0 * p[1:-1]
+            power[-1] = p[-1]
+        else:
+            power[1:] = 2.0 * p[1:]
+        return pd.DataFrame({
+            "series_id": pdf["series_id"].iloc[0],
+            "channel": int(pdf["channel"].iloc[0]),
+            "frame": frame,
+            "bin": np.arange(len(power), dtype=np.int32),
+            "power": power,
+        })
+
+    return (_explode_frames(signals, L, H)
+            .groupBy("series_id", "channel", "frame")
+            .applyInPandas(run, STFT_SCHEMA))
+
+
+def spectrogram_db(signals: DataFrame, rate: float, frame_len: int,
+                   hop: int | None = None, window: str = "hann",
+                   floor_db: float = -120.0) -> DataFrame:
+    """Relational spectrogram: stft_power + physical coordinates —
+    (series_id, channel, t_sec, freq_hz, power_db). Pure projection on
+    top of the STFT rows; every downstream op (band aggregation,
+    thresholding, time-bucketing) is ordinary DataFrame algebra."""
+    H = int(hop) if hop is not None else int(frame_len)
+    st = stft_power(signals, frame_len, H, window=window)
+    db = F.greatest(
+        F.lit(10.0) * F.log10(F.col("power") + F.lit(1e-300)),
+        F.lit(floor_db))
+    return st.select(
+        "series_id", "channel",
+        (F.col("frame") * H / F.lit(float(rate))).alias("t_sec"),
+        (F.col("bin") * F.lit(float(rate)) / F.lit(int(frame_len)))
+        .alias("freq_hz"),
+        db.alias("power_db"))

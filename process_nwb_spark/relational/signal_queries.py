@@ -259,3 +259,48 @@ def sig_segmented_parity(spark, sf_dir):
         (cos > 0.995).cast("int").alias("cosine_ok"),
         ((energy > 0.99) & (energy < 1.01)).cast("int").alias("energy_ok"))
         .orderBy("band"))
+
+
+@query(
+    "sig_stft_energy",
+    f"""
+    WITH signals AS ({_GEN_SQL})
+    SELECT channel,
+           CAST(sample_idx // 256 AS BIGINT) AS frame,
+           COUNT(*) AS n_samples,
+           CAST(COUNT(*) // 2 + 1 AS INT) AS n_bins,
+           1 AS parseval_ok
+    FROM signals
+    GROUP BY channel, sample_idx // 256
+    ORDER BY channel, frame
+    """,
+    doc="STFT (operators/stft.py) certified by Parseval's theorem: with "
+        "the rectangular window and hop == frame_len, the folded "
+        "one-sided power spectrum of every frame must sum to "
+        "n_frame * sum(x^2) exactly (rtol 1e-9) — an identity the DuckDB "
+        "oracle verifies WITHOUT running an FFT (plain GROUP BY "
+        "sum-of-squares). Frames are the unit of parallelism (bounded "
+        "memory by construction, no whole-channel state); the trailing "
+        "partial frame (2000 = 7x256 + 208) is analyzed at its natural "
+        "length and must satisfy the identity too",
+)
+def sig_stft_energy(spark, sf_dir):
+    from ..operators.stft import stft_power
+
+    sig = _signals(spark)
+    st = (stft_power(sig, frame_len=256, window="rect")
+          .groupBy("channel", "frame")
+          .agg(F.sum("power").alias("e_spec"),
+               F.count("*").alias("n_bins")))
+    raw = (sig.groupBy("channel",
+                       (F.col("sample_idx") / 256).cast("bigint")
+                       .alias("frame"))
+           .agg(F.count("*").alias("n_samples"),
+                F.sum(F.col("value") * F.col("value")).alias("ssq")))
+    j = st.join(raw, ["channel", "frame"])
+    ok = (F.abs(F.col("e_spec") - F.col("n_samples") * F.col("ssq"))
+          <= 1e-9 * F.col("n_samples") * F.col("ssq"))
+    return (j.select("channel", "frame", "n_samples",
+                     F.col("n_bins").cast("int").alias("n_bins"),
+                     ok.cast("int").alias("parseval_ok"))
+            .orderBy("channel", "frame"))

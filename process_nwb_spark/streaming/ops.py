@@ -321,6 +321,38 @@ def stream_preprocess_full(spark: SparkSession, signals_dir: str,
             .trigger(availableNow=True).start())
 
 
+def stream_stft(spark: SparkSession, signals_dir: str, out_dir: str,
+                frame_len: int, window: str = "hann",
+                max_files_per_trigger: int = 1):
+    """Incremental spectrogram: stream landing signal files, STFT each
+    micro-batch (operators/stft.py), append bin-partitioned parquet.
+
+    Hop is pinned to frame_len (non-overlapping frames): then a file cut
+    on any frame boundary never splits a frame, so the streaming result
+    is EXACTLY the batch STFT of the concatenated data — no cross-batch
+    state, no boundary numerics at all (unlike the resample/notch
+    stages, whose overlap windows pay batch-local padding at cuts). An
+    overlapping hop would split frames across micro-batches and is
+    refused rather than silently computed batch-locally.
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from ..operators.stft import stft_power
+
+    reader = (spark.readStream.schema(SIGNALS_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    sdf = reader.parquet(signals_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        out = stft_power(batch_df, frame_len=frame_len, hop=frame_len,
+                         window=window)
+        (out.withColumn("_batch", F.lit(batch_id))
+         .write.mode("append").partitionBy("channel")
+         .parquet(out_dir))
+
+    return (sdf.writeStream.foreachBatch(process_batch)
+            .trigger(availableNow=True).start())
+
+
 def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession,
                   mode: str = "complete"):
     """Drain a stream with availableNow into an in-memory table; returns the

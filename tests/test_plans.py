@@ -74,6 +74,18 @@ def test_pipeline_two_shuffles(spark):
     assert count_exchanges(res.tf) == 2, formatted_plan(res.tf, "simple")
 
 
+def test_stft_is_one_shuffle(spark):
+    """The STFT plan: narrow frame-explode -> ONE shuffle on
+    (series, channel, frame) -> per-frame kernel. No whole-channel state,
+    no second exchange — the frame is the unit of parallelism."""
+    from process_nwb_spark.operators.stft import stft_power
+    from process_nwb_spark.synth import generate_synthetic_data, to_long_df
+
+    X = generate_synthetic_data(1.0, 2, 1000.0, seed=0)
+    st = stft_power(to_long_df(spark, X), frame_len=128, hop=64)
+    assert count_exchanges(st) == 1, formatted_plan(st, "simple")
+
+
 def test_zscore_tail_adds_bounded_shuffles(spark):
     from process_nwb_spark import high_gamma_trace, preprocess
     from process_nwb_spark.synth import generate_synthetic_data, to_long_df

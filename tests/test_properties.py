@@ -123,3 +123,35 @@ def test_wavelet_amplitude_nonnegative_shape(seed):
     assert Xh.shape == (800, 2, len(cfs))
     assert np.iscomplexobj(Xh)
     assert np.all(np.abs(Xh) >= 0)
+
+
+@given(n=st.integers(300, 20000),
+       rates=st.sampled_from([(1000.0, 2000.0), (500.0, 2000.0),
+                              (400.0, 1000.0), (3200.0, 12207.03125),
+                              (250.0, 1000.0), (2000.0, 3200.0)]),
+       f_frac=st.floats(0.05, 0.35))
+@settings(max_examples=40, deadline=None)
+def test_resample_exact_grid_alignment(n, rates, f_frac):
+    """resample_exact (operators/segmented.py) must hold the EXACT output
+    grid at any length: output j sits at input time j*old/new, so a pure
+    below-cutoff tone reproduces with no phase drift anywhere — the
+    property the parity kernel's pad-rounding violates on awkward
+    lengths (sub-sample grid stretch, see resample_exact docstring)."""
+    from fractions import Fraction
+
+    from process_nwb_spark.operators.segmented import resample_exact
+
+    new, old = rates
+    den = (Fraction(new) / Fraction(old)).denominator
+    if n <= den:          # reflect-extension impossible; guarded by op
+        return
+    f = f_frac * new / 2.0          # tone safely below the NEW nyquist
+    t = np.arange(n) / old
+    x = np.sin(2 * np.pi * f * t)
+    y = resample_exact(x, new, old, precision="double")
+    assert len(y) == int(math.ceil(n * new / old))
+    want = np.sin(2 * np.pi * f * np.arange(len(y)) * (old / new) / old)
+    # interiors only (global edges pay reflect-pad transients); 5e-3 is
+    # finite-window numerics, the drift this pins produced ~0.5
+    m = slice(64, -64)
+    assert np.max(np.abs(y[m] - want[m])) < 5e-3
