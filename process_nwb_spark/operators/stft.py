@@ -132,6 +132,30 @@ def stft_power(signals: DataFrame, frame_len: int, hop: int | None = None,
             .applyInPandas(run, STFT_SCHEMA))
 
 
+def welch_psd(signals: DataFrame, rate: float, frame_len: int,
+              hop: int | None = None, window: str = "hann") -> DataFrame:
+    """Welch power spectral density per (series, channel):
+    averaged one-sided modified periodograms over (by default 50%-)
+    overlapping full frames, normalized by fs * sum(w^2) so white noise
+    of variance s^2 integrates back to s^2 over [0, fs/2].
+
+    Pure composition: stft_power (one shuffle, bounded frames) followed
+    by a partial-aggregable groupBy mean over frames — at 100 TB the
+    frame fan-out and the per-bin average are both embarrassingly
+    parallel and the output is tiny (n_channels x (frame_len/2+1) rows).
+    Partial trailing frames are excluded (standard Welch; they would sit
+    on a different frequency grid)."""
+    L = int(frame_len)
+    H = int(hop) if hop is not None else max(1, L // 2)
+    u = float(np.sum(_window(window, L) ** 2)) * float(rate)
+    st = stft_power(signals, L, H, window=window, include_partial=False)
+    return (st.groupBy("series_id", "channel", "bin")
+            .agg((F.avg("power") / F.lit(u)).alias("psd"),
+                 F.count("*").alias("n_frames"))
+            .withColumn("freq_hz",
+                        F.col("bin") * F.lit(float(rate)) / F.lit(L)))
+
+
 def spectrogram_db(signals: DataFrame, rate: float, frame_len: int,
                    hop: int | None = None, window: str = "hann",
                    floor_db: float = -120.0) -> DataFrame:

@@ -127,3 +127,30 @@ def test_stream_stft_equals_batch(spark, tmp_path):
     assert len(got) == len(want)
     np.testing.assert_allclose(got.power.to_numpy(), want.power.to_numpy(),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_welch_psd_white_noise_integrates_to_variance(spark):
+    """Welch normalization: integrating the one-sided PSD of white noise
+    over [0, fs/2] recovers the signal variance (within estimator noise)."""
+    from process_nwb_spark.operators.stft import welch_psd
+
+    rng = np.random.default_rng(5)
+    sigma2 = 4.0
+    X = rng.normal(scale=np.sqrt(sigma2), size=(16384, 2))
+    psd = welch_psd(to_long_df(spark, X), RATE, frame_len=512).toPandas()
+    df_hz = RATE / 512
+    for c in (0, 1):
+        total = psd[psd.channel == c].psd.sum() * df_hz
+        assert total == pytest.approx(sigma2, rel=0.1), (c, total)
+    # full frames only, 50% overlap: (16384-512)/256 + 1 = 63
+    assert set(psd.n_frames) == {63}
+
+
+def test_welch_psd_tone_peaks_at_bin(spark):
+    from process_nwb_spark.operators.stft import welch_psd
+
+    t = np.arange(8192)
+    X = np.sin(2 * np.pi * 64 * t / 512)[:, None]   # bin 64 of 512
+    psd = welch_psd(to_long_df(spark, X), RATE, frame_len=512,
+                    window="hann").toPandas()
+    assert int(psd.set_index("bin").psd.idxmax()) == 64
