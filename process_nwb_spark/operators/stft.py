@@ -132,6 +132,95 @@ def stft_power(signals: DataFrame, frame_len: int, hop: int | None = None,
             .applyInPandas(run, STFT_SCHEMA))
 
 
+def stft_power_batched(signals: DataFrame, frame_len: int, hop: int,
+                       window: str = "hann",
+                       frames_per_task: int = 256) -> DataFrame:
+    """Dense-overlap STFT without the per-frame shuffle blow-up.
+
+    `stft_power` assigns every sample to each covering frame, so its
+    shuffle carries ceil(frame_len/hop) copies of the data — fine at
+    hop == frame_len (1x) or 50% overlap (2x), wasteful at hop <<
+    frame_len (a 75%-overlap 1024/256 STFT would shuffle 4x). This
+    variant groups `frames_per_task` consecutive frames into one task:
+    samples join their batch plus (for the first frame_len - hop samples
+    of a batch) the previous batch, so shuffle volume is
+    1 + (frame_len-hop)/(frames_per_task*hop) ~ 1x regardless of
+    overlap, and each task runs its frames off one contiguous buffer.
+
+    Emits FULL frames only (a trailing partial frame needs its own rfft
+    grid; use stft_power for that edge). Output is bitwise-identical to
+    stft_power(..., include_partial=False) — pinned in tests."""
+    L, H, FT = int(frame_len), int(hop), int(frames_per_task)
+    if L <= 0 or H <= 0 or H > L:
+        raise ValueError(f"need 0 < hop <= frame_len, got hop={H} "
+                         f"frame_len={L}")
+    if FT <= 0:
+        raise ValueError(f"need frames_per_task > 0, got {FT}")
+    _window(window, L)
+    win_name = window
+    B = FT * H                       # batch core span in samples
+    tail = L - H                     # right-overlap a batch needs
+
+    i = F.col("sample_idx")
+    s0 = F.floor(i / B).cast("bigint")
+    # a batch's buffer extends `tail` past its core, so a sample can be
+    # needed by up to ceil(tail/B) earlier batches (tail > B whenever
+    # frame_len - hop > frames_per_task*hop, i.e. tiny batches of very
+    # overlapped frames)
+    k_back = -(-tail // B) if tail > 0 else 0
+    cand = F.sequence(F.greatest(s0 - k_back, F.lit(0)), s0)
+    segs = F.filter(
+        cand, lambda s: (s >= 0) & (i >= s * B) & (i < (s + 1) * B + tail))
+    exploded = signals.select(
+        "series_id", "channel", F.explode(segs).alias("batch"),
+        "sample_idx", "value")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("sample_idx")
+        idx = pdf["sample_idx"].to_numpy()
+        batch = int(pdf["batch"].iloc[0])
+        if int(idx[-1] - idx[0]) + 1 != len(idx):
+            raise ValueError(
+                f"stft: sample_idx gap inside batch {batch} of "
+                f"{pdf['series_id'].iloc[0]!r}/"
+                f"ch{int(pdf['channel'].iloc[0])}")
+        if int(idx[0]) != batch * B:
+            raise ValueError(
+                f"stft: batch {batch} starts at sample {int(idx[0])}, "
+                f"expected {batch * B}; series must start at sample_idx 0")
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        w = _window(win_name, L)
+        outs = []
+        for j in range(FT):
+            lo = j * H
+            if lo + L > len(x):
+                break                # frame extends past available data
+            X = np.fft.rfft(x[lo:lo + L] * w)
+            p = np.abs(X) ** 2
+            power = np.empty(len(p))
+            power[0] = p[0]
+            if L % 2 == 0:
+                power[1:-1] = 2.0 * p[1:-1]
+                power[-1] = p[-1]
+            else:
+                power[1:] = 2.0 * p[1:]
+            outs.append((batch * FT + j, power))
+        if not outs:
+            return pd.DataFrame({"series_id": [], "channel": [],
+                                 "frame": [], "bin": [], "power": []})
+        n_bins = L // 2 + 1
+        return pd.DataFrame({
+            "series_id": pdf["series_id"].iloc[0],
+            "channel": int(pdf["channel"].iloc[0]),
+            "frame": np.repeat([f for f, _ in outs], n_bins),
+            "bin": np.tile(np.arange(n_bins, dtype=np.int32), len(outs)),
+            "power": np.concatenate([p for _, p in outs]),
+        })
+
+    return (exploded.groupBy("series_id", "channel", "batch")
+            .applyInPandas(run, STFT_SCHEMA))
+
+
 def welch_psd(signals: DataFrame, rate: float, frame_len: int,
               hop: int | None = None, window: str = "hann") -> DataFrame:
     """Welch power spectral density per (series, channel):
@@ -139,16 +228,17 @@ def welch_psd(signals: DataFrame, rate: float, frame_len: int,
     overlapping full frames, normalized by fs * sum(w^2) so white noise
     of variance s^2 integrates back to s^2 over [0, fs/2].
 
-    Pure composition: stft_power (one shuffle, bounded frames) followed
-    by a partial-aggregable groupBy mean over frames — at 100 TB the
-    frame fan-out and the per-bin average are both embarrassingly
-    parallel and the output is tiny (n_channels x (frame_len/2+1) rows).
-    Partial trailing frames are excluded (standard Welch; they would sit
-    on a different frequency grid)."""
+    Pure composition: the BATCHED stft (one shuffle at ~1x data volume
+    despite the 50% overlap) followed by a partial-aggregable groupBy
+    mean over frames — at 100 TB the frame fan-out and the per-bin
+    average are both embarrassingly parallel and the output is tiny
+    (n_channels x (frame_len/2+1) rows). Partial trailing frames are
+    excluded (standard Welch; they would sit on a different frequency
+    grid — and the batched op emits full frames only)."""
     L = int(frame_len)
     H = int(hop) if hop is not None else max(1, L // 2)
     u = float(np.sum(_window(window, L) ** 2)) * float(rate)
-    st = stft_power(signals, L, H, window=window, include_partial=False)
+    st = stft_power_batched(signals, L, H, window=window)
     return (st.groupBy("series_id", "channel", "bin")
             .agg((F.avg("power") / F.lit(u)).alias("psd"),
                  F.count("*").alias("n_frames"))

@@ -154,3 +154,33 @@ def test_welch_psd_tone_peaks_at_bin(spark):
     psd = welch_psd(to_long_df(spark, X), RATE, frame_len=512,
                     window="hann").toPandas()
     assert int(psd.set_index("bin").psd.idxmax()) == 64
+
+
+def test_batched_stft_equals_per_frame(spark):
+    """stft_power_batched must be bitwise-identical to the per-frame op
+    (full frames only) across overlap ratios and batch sizes — same
+    kernel math, ~1x shuffle volume instead of frame_len/hop x."""
+    from process_nwb_spark.operators.stft import stft_power_batched
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(3000, 2))
+    df = to_long_df(spark, X)
+    key = ["channel", "frame", "bin"]
+    for L, H, FT in [(256, 64, 4), (128, 128, 8), (512, 128, 2)]:
+        a = (stft_power_batched(df, L, H, window="hann", frames_per_task=FT)
+             .toPandas().sort_values(key).reset_index(drop=True))
+        b = (stft_power(df, L, H, window="hann", include_partial=False)
+             .toPandas().sort_values(key).reset_index(drop=True))
+        assert len(a) == len(b) > 0, (L, H, FT, len(a), len(b))
+        assert (a[key].values == b[key].values).all()
+        np.testing.assert_array_equal(a.power.to_numpy(),
+                                      b.power.to_numpy()), (L, H, FT)
+
+
+def test_batched_stft_guards():
+    from process_nwb_spark.operators.stft import stft_power_batched
+
+    with pytest.raises(ValueError, match="hop"):
+        stft_power_batched(None, frame_len=8, hop=16)
+    with pytest.raises(ValueError, match="frames_per_task"):
+        stft_power_batched(None, frame_len=8, hop=4, frames_per_task=0)
