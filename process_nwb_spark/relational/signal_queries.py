@@ -304,3 +304,70 @@ def sig_stft_energy(spark, sf_dir):
                      F.col("n_bins").cast("int").alias("n_bins"),
                      ok.cast("int").alias("parseval_ok"))
             .orderBy("channel", "frame"))
+
+
+@query(
+    "sig_coherence_contract",
+    """
+    SELECT * FROM (VALUES
+        (0, 0, 1, 1, 1),
+        (1, 1, 1, 1, 1),
+        (2, 2, 1, 1, 1),
+        (0, 1, 1, 1, 1),
+        (0, 2, 1, 1, 1),
+        (1, 2, 1, 1, 1))
+      t(ch_a, ch_b, self_ok, tone_ok, noise_ok)
+    ORDER BY ch_a, ch_b
+    """,
+    doc="Welch-averaged magnitude-squared coherence "
+        "(operators/coherence.py: batched complex spectra -> channel-pair "
+        "self-join -> partial-aggregable averages) certified by its exact "
+        "and statistical invariants on a deterministic fixture: channels "
+        "0/1 share a 125 Hz tone under independent hash-derived noise, "
+        "channel 2 is pure noise. Contract per pair: self-coherence == 1 "
+        "to 1e-9 (an algebraic identity of the estimator), the shared "
+        "tone's bin reads > 0.9 for (0,1) with off-bins quiet, and the "
+        "noise-only pairs stay < 0.5 everywhere. Contract-boolean oracle "
+        "(cf. agg_hll_sketch) — the spectra themselves are not "
+        "SQL-replayable",
+)
+def sig_coherence_contract(spark, sf_dir):
+    from ..operators.coherence import coherence_matrix
+
+    n_ch, n_t, rate = 3, 8192, 1000.0
+    i = F.col("id")
+    ch = (i % n_ch).cast("int")
+    idx = (i / n_ch).cast("bigint")
+    t = idx.cast("double") / rate
+    pi2 = 2 * 3.141592653589793
+    # deterministic pseudo-noise, independent per channel: hash -> [-1, 1)
+    noise = (F.pmod(F.xxhash64(idx, ch), F.lit(200000)).cast("double")
+             / 100000.0 - 1.0)
+    tone = F.sin(F.lit(pi2 * 125.0) * t)
+    value = F.when(ch < 2, tone + 0.5 * noise).otherwise(noise)
+    sig = (spark.range(0, n_ch * n_t)
+           .select(F.lit("synth").alias("series_id"), ch.alias("channel"),
+                   idx.alias("sample_idx"), value.alias("value")))
+    c = coherence_matrix(sig, rate, frame_len=256, include_self=True)
+    tone_bin = 32                      # 125 Hz at frame 256 / 1000 Hz
+    near = F.col("bin").between(tone_bin - 1, tone_bin + 1)
+    per_pair = c.groupBy("ch_a", "ch_b").agg(
+        F.min("coherence").alias("mn"),
+        F.max("coherence").alias("mx"),
+        F.max(F.when(F.col("bin") == tone_bin, F.col("coherence")))
+        .alias("at_tone"),
+        F.max(F.when(~near, F.col("coherence"))).alias("mx_off"))
+    is_self = F.col("ch_a") == F.col("ch_b")
+    is_tone_pair = (F.col("ch_a") == 0) & (F.col("ch_b") == 1)
+    self_ok = F.when(is_self, F.col("mn") > 1.0 - 1e-9).otherwise(F.lit(True))
+    tone_ok = F.when(is_tone_pair,
+                     (F.col("at_tone") > 0.9) & (F.col("mx_off") < 0.5)
+                     ).otherwise(F.lit(True))
+    noise_ok = F.when(~is_self & ~is_tone_pair, F.col("mx") < 0.5
+                      ).otherwise(F.lit(True))
+    return (per_pair.select(
+        "ch_a", "ch_b",
+        self_ok.cast("int").alias("self_ok"),
+        tone_ok.cast("int").alias("tone_ok"),
+        noise_ok.cast("int").alias("noise_ok"))
+        .orderBy("ch_a", "ch_b"))
