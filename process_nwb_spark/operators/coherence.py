@@ -24,7 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .stft import _window
+from .stft import (_batch_buffer, _check_batched_args, _explode_batches,
+                   _full_frame_ffts, _window)
 
 SPEC_SCHEMA = ("series_id STRING, channel INT, frame BIGINT, "
                "bin INT, re DOUBLE, im DOUBLE")
@@ -35,68 +36,33 @@ def stft_complex(signals: DataFrame, frame_len: int, hop: int | None = None,
                  frames_per_task: int = 256) -> DataFrame:
     """Per-frame one-sided complex spectra (re, im), FULL frames only —
     the batched-frame kernel of operators/stft.stft_power_batched with
-    the phase kept (cross-spectra need it; power-only folding loses it)."""
-    L = int(frame_len)
-    H = int(hop) if hop is not None else max(1, L // 2)
-    FT = int(frames_per_task)
-    if L <= 0 or H <= 0 or H > L:
-        raise ValueError(f"need 0 < hop <= frame_len, got hop={H} "
-                         f"frame_len={L}")
-    if FT <= 0:
-        raise ValueError(f"need frames_per_task > 0, got {FT}")
-    _window(window, L)
+    the phase kept (cross-spectra need it; power-only folding loses it).
+    Shares the explode/validation/frame-iteration machinery with the
+    power path so the two can never drift."""
+    H = int(hop) if hop is not None else max(1, int(frame_len) // 2)
+    L, H, FT = _check_batched_args(frame_len, H, frames_per_task, window)
     win_name = window
-    B = FT * H
-    tail = L - H
-
-    i = F.col("sample_idx")
-    s0 = F.floor(i / B).cast("bigint")
-    k_back = -(-tail // B) if tail > 0 else 0
-    cand = F.sequence(F.greatest(s0 - k_back, F.lit(0)), s0)
-    segs = F.filter(
-        cand, lambda s: (s >= 0) & (i >= s * B) & (i < (s + 1) * B + tail))
-    exploded = signals.select(
-        "series_id", "channel", F.explode(segs).alias("batch"),
-        "sample_idx", "value")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("sample_idx")
-        idx = pdf["sample_idx"].to_numpy()
-        batch = int(pdf["batch"].iloc[0])
-        if int(idx[-1] - idx[0]) + 1 != len(idx):
-            raise ValueError(
-                f"stft_complex: sample_idx gap inside batch {batch} of "
-                f"{pdf['series_id'].iloc[0]!r}/"
-                f"ch{int(pdf['channel'].iloc[0])}")
-        if int(idx[0]) != batch * B:
-            raise ValueError(
-                f"stft_complex: batch {batch} starts at sample "
-                f"{int(idx[0])}, expected {batch * B}")
-        x = pdf["value"].to_numpy(dtype=np.float64)
+        sid, ch, batch, x = _batch_buffer(pdf, FT * H, "stft_complex")
         w = _window(win_name, L)
-        frames, res, ims = [], [], []
-        for j in range(FT):
-            lo = j * H
-            if lo + L > len(x):
-                break
-            X = np.fft.rfft(x[lo:lo + L] * w)
-            frames.append(batch * FT + j)
-            res.append(X.real)
-            ims.append(X.imag)
-        if not frames:
+        outs = [(batch * FT + j, X)
+                for j, X in _full_frame_ffts(x, L, H, FT, w)]
+        if not outs:
             return pd.DataFrame({"series_id": [], "channel": [],
                                  "frame": [], "bin": [], "re": [], "im": []})
         n_bins = L // 2 + 1
         return pd.DataFrame({
-            "series_id": pdf["series_id"].iloc[0],
-            "channel": int(pdf["channel"].iloc[0]),
-            "frame": np.repeat(frames, n_bins),
-            "bin": np.tile(np.arange(n_bins, dtype=np.int32), len(frames)),
-            "re": np.concatenate(res),
-            "im": np.concatenate(ims),
+            "series_id": sid,
+            "channel": ch,
+            "frame": np.repeat([f for f, _ in outs], n_bins),
+            "bin": np.tile(np.arange(n_bins, dtype=np.int32), len(outs)),
+            "re": np.concatenate([X.real for _, X in outs]),
+            "im": np.concatenate([X.imag for _, X in outs]),
         })
 
-    return (exploded.groupBy("series_id", "channel", "batch")
+    return (_explode_batches(signals, FT * H, L - H)
+            .groupBy("series_id", "channel", "batch")
             .applyInPandas(run, SPEC_SCHEMA))
 
 

@@ -54,6 +54,80 @@ def _window(name: str, n: int) -> np.ndarray:
     raise ValueError(f"unknown window {name!r}; pick one of {_WINDOWS}")
 
 
+def _fold_onesided(p: np.ndarray, n: int) -> np.ndarray:
+    """Fold the conjugate-symmetric half into the one-sided spectrum:
+    bins 1..N/2-1 doubled, DC (and Nyquist for even n) kept single — so
+    the folded sum equals the TWO-sided total and Parseval reads
+    sum(power) == n * sum(x^2). `n` is the analysis length the rfft ran
+    at (it decides whether the last bin is a true Nyquist bin)."""
+    power = np.empty(len(p))
+    power[0] = p[0]
+    if n % 2 == 0:
+        power[1:-1] = 2.0 * p[1:-1]
+        power[-1] = p[-1]
+    else:
+        power[1:] = 2.0 * p[1:]
+    return power
+
+
+def _check_batched_args(frame_len, hop, frames_per_task, window):
+    L, H, FT = int(frame_len), int(hop), int(frames_per_task)
+    if L <= 0 or H <= 0 or H > L:
+        raise ValueError(f"need 0 < hop <= frame_len, got hop={H} "
+                         f"frame_len={L}")
+    if FT <= 0:
+        raise ValueError(f"need frames_per_task > 0, got {FT}")
+    _window(window, L)       # validate the name eagerly, not per task
+    return L, H, FT
+
+
+def _explode_batches(signals: DataFrame, B: int, tail: int) -> DataFrame:
+    """Assign each sample to the frame-batches whose buffer
+    [batch*B, (batch+1)*B + tail) covers it. The buffer extends `tail`
+    past its core, so a sample can be needed by up to ceil(tail/B)
+    earlier batches (tail > B whenever frame_len - hop >
+    frames_per_task*hop, i.e. tiny batches of very overlapped frames) —
+    the subtle candidate-range logic lives exactly once, here."""
+    i = F.col("sample_idx")
+    s0 = F.floor(i / B).cast("bigint")
+    k_back = -(-tail // B) if tail > 0 else 0
+    cand = F.sequence(F.greatest(s0 - k_back, F.lit(0)), s0)
+    segs = F.filter(
+        cand, lambda s: (s >= 0) & (i >= s * B) & (i < (s + 1) * B + tail))
+    return signals.select(
+        "series_id", "channel", F.explode(segs).alias("batch"),
+        "sample_idx", "value")
+
+
+def _batch_buffer(pdf: pd.DataFrame, B: int, op: str):
+    """Validate one batch group (gapless, starts on its batch boundary)
+    and return (series_id, channel, batch, contiguous value buffer)."""
+    pdf = pdf.sort_values("sample_idx")
+    idx = pdf["sample_idx"].to_numpy()
+    batch = int(pdf["batch"].iloc[0])
+    if int(idx[-1] - idx[0]) + 1 != len(idx):
+        raise ValueError(
+            f"{op}: sample_idx gap inside batch {batch} of "
+            f"{pdf['series_id'].iloc[0]!r}/ch{int(pdf['channel'].iloc[0])}")
+    if int(idx[0]) != batch * B:
+        raise ValueError(
+            f"{op}: batch {batch} starts at sample {int(idx[0])}, "
+            f"expected {batch * B}; series must start at sample_idx 0")
+    return (pdf["series_id"].iloc[0], int(pdf["channel"].iloc[0]), batch,
+            pdf["value"].to_numpy(dtype=np.float64))
+
+
+def _full_frame_ffts(x: np.ndarray, L: int, H: int, FT: int,
+                     w: np.ndarray):
+    """Yield (j, rfft of windowed full frame j) for every frame that fits
+    entirely in this batch buffer."""
+    for j in range(FT):
+        lo = j * H
+        if lo + L > len(x):
+            break                    # frame extends past available data
+        yield j, np.fft.rfft(x[lo:lo + L] * w)
+
+
 def _explode_frames(signals: DataFrame, frame_len: int, hop: int) -> DataFrame:
     """Assign each sample to every frame whose [f*hop, f*hop+frame_len)
     span covers it. Candidate frames are the bounded arithmetic range
@@ -111,14 +185,7 @@ def stft_power(signals: DataFrame, frame_len: int, hop: int | None = None,
                  "bin": [], "power": []})
         x = pdf["value"].to_numpy(dtype=np.float64) * _window(win_name, n)
         X = np.fft.rfft(x)
-        p = np.abs(X) ** 2
-        power = np.empty(len(p))
-        power[0] = p[0]
-        if n % 2 == 0:
-            power[1:-1] = 2.0 * p[1:-1]
-            power[-1] = p[-1]
-        else:
-            power[1:] = 2.0 * p[1:]
+        power = _fold_onesided(np.abs(X) ** 2, n)
         return pd.DataFrame({
             "series_id": pdf["series_id"].iloc[0],
             "channel": int(pdf["channel"].iloc[0]),
@@ -150,74 +217,28 @@ def stft_power_batched(signals: DataFrame, frame_len: int, hop: int,
     Emits FULL frames only (a trailing partial frame needs its own rfft
     grid; use stft_power for that edge). Output is bitwise-identical to
     stft_power(..., include_partial=False) — pinned in tests."""
-    L, H, FT = int(frame_len), int(hop), int(frames_per_task)
-    if L <= 0 or H <= 0 or H > L:
-        raise ValueError(f"need 0 < hop <= frame_len, got hop={H} "
-                         f"frame_len={L}")
-    if FT <= 0:
-        raise ValueError(f"need frames_per_task > 0, got {FT}")
-    _window(window, L)
+    L, H, FT = _check_batched_args(frame_len, hop, frames_per_task, window)
     win_name = window
-    B = FT * H                       # batch core span in samples
-    tail = L - H                     # right-overlap a batch needs
-
-    i = F.col("sample_idx")
-    s0 = F.floor(i / B).cast("bigint")
-    # a batch's buffer extends `tail` past its core, so a sample can be
-    # needed by up to ceil(tail/B) earlier batches (tail > B whenever
-    # frame_len - hop > frames_per_task*hop, i.e. tiny batches of very
-    # overlapped frames)
-    k_back = -(-tail // B) if tail > 0 else 0
-    cand = F.sequence(F.greatest(s0 - k_back, F.lit(0)), s0)
-    segs = F.filter(
-        cand, lambda s: (s >= 0) & (i >= s * B) & (i < (s + 1) * B + tail))
-    exploded = signals.select(
-        "series_id", "channel", F.explode(segs).alias("batch"),
-        "sample_idx", "value")
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("sample_idx")
-        idx = pdf["sample_idx"].to_numpy()
-        batch = int(pdf["batch"].iloc[0])
-        if int(idx[-1] - idx[0]) + 1 != len(idx):
-            raise ValueError(
-                f"stft: sample_idx gap inside batch {batch} of "
-                f"{pdf['series_id'].iloc[0]!r}/"
-                f"ch{int(pdf['channel'].iloc[0])}")
-        if int(idx[0]) != batch * B:
-            raise ValueError(
-                f"stft: batch {batch} starts at sample {int(idx[0])}, "
-                f"expected {batch * B}; series must start at sample_idx 0")
-        x = pdf["value"].to_numpy(dtype=np.float64)
+        sid, ch, batch, x = _batch_buffer(pdf, FT * H, "stft")
         w = _window(win_name, L)
-        outs = []
-        for j in range(FT):
-            lo = j * H
-            if lo + L > len(x):
-                break                # frame extends past available data
-            X = np.fft.rfft(x[lo:lo + L] * w)
-            p = np.abs(X) ** 2
-            power = np.empty(len(p))
-            power[0] = p[0]
-            if L % 2 == 0:
-                power[1:-1] = 2.0 * p[1:-1]
-                power[-1] = p[-1]
-            else:
-                power[1:] = 2.0 * p[1:]
-            outs.append((batch * FT + j, power))
+        outs = [(batch * FT + j, _fold_onesided(np.abs(X) ** 2, L))
+                for j, X in _full_frame_ffts(x, L, H, FT, w)]
         if not outs:
             return pd.DataFrame({"series_id": [], "channel": [],
                                  "frame": [], "bin": [], "power": []})
         n_bins = L // 2 + 1
         return pd.DataFrame({
-            "series_id": pdf["series_id"].iloc[0],
-            "channel": int(pdf["channel"].iloc[0]),
+            "series_id": sid,
+            "channel": ch,
             "frame": np.repeat([f for f, _ in outs], n_bins),
             "bin": np.tile(np.arange(n_bins, dtype=np.int32), len(outs)),
             "power": np.concatenate([p for _, p in outs]),
         })
 
-    return (exploded.groupBy("series_id", "channel", "batch")
+    return (_explode_batches(signals, FT * H, L - H)
+            .groupBy("series_id", "channel", "batch")
             .applyInPandas(run, STFT_SCHEMA))
 
 
