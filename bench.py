@@ -82,7 +82,13 @@ def _signal_input(spark, n_series: int = 1):
         for d in dfs[1:]:
             u = u.unionAll(d)
         path = tempfile.mkdtemp(prefix=f"bench_sig{n_series}_") + "/sig.parquet"
-        u.write.mode("overwrite").parquet(path)
+        # one ~12 MB file per series, not 32 driver-partition shards per
+        # series: the union of n driver-local frames would otherwise write
+        # n*32 files of ~0.4 MB and the timed read pays 2048 task
+        # schedulings for 790 MB (measured at n=64) — a file layout no
+        # real corpus has
+        u.repartition(n_series, "series_id").write.mode(
+            "overwrite").parquet(path)
         _SIGNAL_PARQUETS[n_series] = path
     return spark.read.parquet(_SIGNAL_PARQUETS[n_series])
 
