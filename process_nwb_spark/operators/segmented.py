@@ -128,12 +128,16 @@ def _segment_output(pdf: pd.DataFrame, fn, L: int, V: int, r: Fraction):
     pdf = pdf.sort_values("sample_idx")
     seg = int(pdf["seg"].iloc[0])
     idx = pdf["sample_idx"].to_numpy()
-    if int(idx[-1] - idx[0]) + 1 != len(idx):
+    # strictly consecutive, not just span==count: a duplicated index
+    # would mask a missing one and the kernel would silently run over a
+    # misaligned buffer
+    if not np.array_equal(idx, np.arange(idx[0], idx[0] + len(idx))):
         raise ValueError(
-            f"segmented kernel: sample_idx gap inside segment {seg} of "
-            f"{pdf['series_id'].iloc[0]!r}/ch{int(pdf['channel'].iloc[0])} "
-            f"(span {int(idx[-1] - idx[0]) + 1} != {len(idx)} rows); "
-            f"segmented ops require gapless input")
+            f"segmented kernel: sample_idx not contiguous inside segment "
+            f"{seg} of {pdf['series_id'].iloc[0]!r}"
+            f"/ch{int(pdf['channel'].iloc[0])} "
+            f"(span {int(idx[-1] - idx[0]) + 1}, {len(idx)} rows, dups or "
+            f"gaps present); segmented ops require gapless input")
     core = int(((idx >= seg * L) & (idx < (seg + 1) * L)).sum())
     if core == 0:
         # overlap-only spill group: this dataset holds a neighboring

@@ -70,15 +70,34 @@ def _fold_onesided(p: np.ndarray, n: int) -> np.ndarray:
     return power
 
 
-def _check_batched_args(frame_len, hop, frames_per_task, window):
-    L, H, FT = int(frame_len), int(hop), int(frames_per_task)
+def _check_args(frame_len, hop, window):
+    """Shared eager validation for every STFT shape (per-frame, batched,
+    complex) — the hop rule and window-name check exist exactly once."""
+    L, H = int(frame_len), int(hop)
     if L <= 0 or H <= 0 or H > L:
         raise ValueError(f"need 0 < hop <= frame_len, got hop={H} "
                          f"frame_len={L}")
+    _window(window, L)       # validate the name eagerly, not per task
+    return L, H
+
+
+def _check_batched_args(frame_len, hop, frames_per_task, window):
+    L, H = _check_args(frame_len, hop, window)
+    FT = int(frames_per_task)
     if FT <= 0:
         raise ValueError(f"need frames_per_task > 0, got {FT}")
-    _window(window, L)       # validate the name eagerly, not per task
     return L, H, FT
+
+
+def _require_contiguous(idx: np.ndarray, what: str, who: str):
+    """Strictly consecutive sample indices — span==count alone would let
+    a duplicated index mask a missing one and the FFT would silently run
+    over a misaligned buffer."""
+    if not np.array_equal(idx, np.arange(idx[0], idx[0] + len(idx))):
+        raise ValueError(
+            f"{what}: sample_idx not contiguous inside {who} "
+            f"(span {int(idx[-1] - idx[0]) + 1}, {len(idx)} rows, "
+            f"dups or gaps present)")
 
 
 def _explode_batches(signals: DataFrame, B: int, tail: int) -> DataFrame:
@@ -105,10 +124,9 @@ def _batch_buffer(pdf: pd.DataFrame, B: int, op: str):
     pdf = pdf.sort_values("sample_idx")
     idx = pdf["sample_idx"].to_numpy()
     batch = int(pdf["batch"].iloc[0])
-    if int(idx[-1] - idx[0]) + 1 != len(idx):
-        raise ValueError(
-            f"{op}: sample_idx gap inside batch {batch} of "
-            f"{pdf['series_id'].iloc[0]!r}/ch{int(pdf['channel'].iloc[0])}")
+    _require_contiguous(
+        idx, op, f"batch {batch} of {pdf['series_id'].iloc[0]!r}"
+        f"/ch{int(pdf['channel'].iloc[0])}")
     if int(idx[0]) != batch * B:
         raise ValueError(
             f"{op}: batch {batch} starts at sample {int(idx[0])}, "
@@ -157,23 +175,17 @@ def stft_power(signals: DataFrame, frame_len: int, hop: int | None = None,
     `include_partial=False` drops a trailing frame shorter than
     frame_len; with True (default) it is analyzed at its natural length
     (its own rfft grid), which keeps Parseval exact per frame."""
-    L = int(frame_len)
-    H = int(hop) if hop is not None else L
-    if L <= 0 or H <= 0 or H > L:
-        raise ValueError(f"need 0 < hop <= frame_len, got hop={H} "
-                         f"frame_len={L}")
-    _window(window, L)   # validate the name eagerly, not per task
+    L, H = _check_args(frame_len,
+                       hop if hop is not None else frame_len, window)
     win_name = window
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("sample_idx")
         idx = pdf["sample_idx"].to_numpy()
         frame = int(pdf["frame"].iloc[0])
-        if int(idx[-1] - idx[0]) + 1 != len(idx):
-            raise ValueError(
-                f"stft: sample_idx gap inside frame {frame} of "
-                f"{pdf['series_id'].iloc[0]!r}/"
-                f"ch{int(pdf['channel'].iloc[0])}")
+        _require_contiguous(
+            idx, "stft", f"frame {frame} of {pdf['series_id'].iloc[0]!r}"
+            f"/ch{int(pdf['channel'].iloc[0])}")
         if int(idx[0]) != frame * H:
             raise ValueError(
                 f"stft: frame {frame} starts at sample {int(idx[0])}, "
@@ -273,9 +285,15 @@ def spectrogram_db(signals: DataFrame, rate: float, frame_len: int,
     """Relational spectrogram: stft_power + physical coordinates —
     (series_id, channel, t_sec, freq_hz, power_db). Pure projection on
     top of the STFT rows; every downstream op (band aggregation,
-    thresholding, time-bucketing) is ordinary DataFrame algebra."""
+    thresholding, time-bucketing) is ordinary DataFrame algebra.
+
+    Full frames only: a trailing partial frame is analyzed on its own
+    shorter rfft grid, so labeling its bins with bin*rate/frame_len would
+    put every one of them at the wrong frequency (bin k of an n-sample
+    frame sits at k*rate/n) — it is dropped rather than mislabeled."""
     H = int(hop) if hop is not None else int(frame_len)
-    st = stft_power(signals, frame_len, H, window=window)
+    st = stft_power(signals, frame_len, H, window=window,
+                    include_partial=False)
     db = F.greatest(
         F.lit(10.0) * F.log10(F.col("power") + F.lit(1e-300)),
         F.lit(floor_db))

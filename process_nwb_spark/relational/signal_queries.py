@@ -199,6 +199,27 @@ def sig_electrode_region(spark, sf_dir):
     )
 
 
+def _synth_long(spark, n_ch: int, n_t: int, value_fn):
+    """Deterministic long-layout synthetic signal: value_fn(ch, idx) ->
+    value Column. Shared by the spectral driver faces so their fixtures
+    cannot drift."""
+    i = F.col("id")
+    ch = (i % n_ch).cast("int")
+    idx = (i / n_ch).cast("bigint")
+    return (spark.range(0, n_ch * n_t)
+            .select(F.lit("synth").alias("series_id"), ch.alias("channel"),
+                    idx.alias("sample_idx"), value_fn(ch, idx).alias("value")))
+
+
+def _hash_uniform(idx, ch):
+    """Deterministic pseudo-noise, independent per (sample, channel):
+    xxhash64 -> uniform [-1, 1). Variance 1/3 — the Welch face's oracle
+    constant."""
+    return (F.pmod(F.xxhash64(idx, ch), F.lit(200000)).cast("double")
+            / 100000.0 - 1.0)
+
+
+
 @query(
     "sig_segmented_parity",
     """
@@ -335,19 +356,15 @@ def sig_coherence_contract(spark, sf_dir):
     from ..operators.coherence import coherence_matrix
 
     n_ch, n_t, rate = 3, 8192, 1000.0
-    i = F.col("id")
-    ch = (i % n_ch).cast("int")
-    idx = (i / n_ch).cast("bigint")
-    t = idx.cast("double") / rate
     pi2 = 2 * 3.141592653589793
-    # deterministic pseudo-noise, independent per channel: hash -> [-1, 1)
-    noise = (F.pmod(F.xxhash64(idx, ch), F.lit(200000)).cast("double")
-             / 100000.0 - 1.0)
-    tone = F.sin(F.lit(pi2 * 125.0) * t)
-    value = F.when(ch < 2, tone + 0.5 * noise).otherwise(noise)
-    sig = (spark.range(0, n_ch * n_t)
-           .select(F.lit("synth").alias("series_id"), ch.alias("channel"),
-                   idx.alias("sample_idx"), value.alias("value")))
+
+    def value_fn(ch, idx):
+        t = idx.cast("double") / rate
+        tone = F.sin(F.lit(pi2 * 125.0) * t)
+        noise = _hash_uniform(idx, ch)
+        return F.when(ch < 2, tone + 0.5 * noise).otherwise(noise)
+
+    sig = _synth_long(spark, n_ch, n_t, value_fn)
     c = coherence_matrix(sig, rate, frame_len=256, include_self=True)
     tone_bin = 32                      # 125 Hz at frame 256 / 1000 Hz
     near = F.col("bin").between(tone_bin - 1, tone_bin + 1)
@@ -371,3 +388,37 @@ def sig_coherence_contract(spark, sf_dir):
         tone_ok.cast("int").alias("tone_ok"),
         noise_ok.cast("int").alias("noise_ok"))
         .orderBy("ch_a", "ch_b"))
+
+
+@query(
+    "sig_welch_psd",
+    """
+    SELECT * FROM (VALUES (0, 257, 1), (1, 257, 1), (2, 257, 1))
+      t(channel, n_bins, variance_ok)
+    ORDER BY channel
+    """,
+    doc="Welch PSD (operators/stft.py: batched-frame periodograms, ~1x "
+        "shuffle at 50% overlap, partial-aggregable averaging) certified "
+        "by its normalization contract: integrating the one-sided PSD of "
+        "deterministic hash-derived uniform noise over [0, fs/2] must "
+        "recover the signal variance (1/3 for uniform[-1,1)) within the "
+        "estimator's tolerance. Contract-boolean oracle (the spectra are "
+        "not SQL-replayable); bin-level behavior is pinned in "
+        "tests/test_stft.py",
+)
+def sig_welch_psd(spark, sf_dir):
+    from ..operators.stft import welch_psd
+
+    n_ch, n_t, rate = 3, 16384, 1000.0
+    sig = _synth_long(spark, n_ch, n_t,
+                      lambda ch, idx: _hash_uniform(idx, ch))
+    psd = welch_psd(sig, rate, frame_len=512)
+    df_hz = rate / 512.0
+    per_ch = psd.groupBy("channel").agg(
+        F.count("*").alias("n_bins"),
+        (F.sum("psd") * F.lit(df_hz)).alias("integral"))
+    var_ok = F.abs(F.col("integral") - F.lit(1.0 / 3.0)) < 0.1 / 3.0
+    return (per_ch.select("channel",
+                          F.col("n_bins").cast("int").alias("n_bins"),
+                          var_ok.cast("int").alias("variance_ok"))
+            .orderBy("channel"))

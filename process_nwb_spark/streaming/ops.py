@@ -335,6 +335,15 @@ def stream_stft(spark: SparkSession, signals_dir: str, out_dir: str,
     overlapping hop would split frames across micro-batches and is
     refused rather than silently computed batch-locally.
 
+    Full frames only (include_partial=False): a NON-frame-aligned file
+    cut truncates one frame, and the per-frame kernel would otherwise
+    analyze that truncation as a plausible-looking 'trailing partial' on
+    a wrong grid AND PERSIST it before the next micro-batch's
+    misalignment check kills the stream — wrong rows left in the sink.
+    Dropping partials means the split frame is never written (the next
+    batch still fails loudly on the misaligned remainder), at the cost
+    of also dropping a genuine end-of-recording partial frame.
+
     Returns the started StreamingQuery (caller awaits/stops)."""
     from ..operators.stft import stft_power
 
@@ -344,7 +353,7 @@ def stream_stft(spark: SparkSession, signals_dir: str, out_dir: str,
 
     def process_batch(batch_df: DataFrame, batch_id: int):
         out = stft_power(batch_df, frame_len=frame_len, hop=frame_len,
-                         window=window)
+                         window=window, include_partial=False)
         (out.withColumn("_batch", F.lit(batch_id))
          .write.mode("append").partitionBy("channel")
          .parquet(out_dir))

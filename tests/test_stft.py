@@ -79,6 +79,13 @@ def test_gap_and_misalignment_raise(spark):
         "sample_idx": [2, 3, 4, 5], "value": [1.0] * 4}))
     with pytest.raises(Exception, match="starts at"):
         stft_power(shifted, frame_len=8, window="rect").collect()
+    # a duplicated index exactly masking a missing one must ALSO raise —
+    # span==count alone would let the FFT run over a misaligned buffer
+    dup = spark.createDataFrame(pd.DataFrame({
+        "series_id": ["s"] * 4, "channel": [0] * 4,
+        "sample_idx": [0, 1, 1, 3], "value": [1.0] * 4}))
+    with pytest.raises(Exception, match="contiguous"):
+        stft_power(dup, frame_len=8, window="rect").collect()
 
 
 def test_validation_guards():
