@@ -191,3 +191,38 @@ def test_batched_stft_guards():
         stft_power_batched(None, frame_len=8, hop=16)
     with pytest.raises(ValueError, match="frames_per_task"):
         stft_power_batched(None, frame_len=8, hop=4, frames_per_task=0)
+
+
+def test_stft_matches_numpy_replay(spark):
+    """Direct differential: every (frame, bin) equals the NumPy replay
+    rfft(window * frame) with one-sided folding — windows included
+    (Parseval covers rect only)."""
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(700, 2))            # 2 full + 1 partial @ 256
+    df = to_long_df(spark, X)
+    for L, H, win in [(256, 256, "hann"), (128, 64, "hamming")]:
+        got = (stft_power(df, L, H, window=win).toPandas()
+               .sort_values(["channel", "frame", "bin"])
+               .reset_index(drop=True))
+        wfn = {"hann": np.hanning, "hamming": np.hamming}[win]
+        rows = []
+        for c in range(2):
+            f = 0
+            while f * H < 700:
+                seg = X[f * H:f * H + L, c]
+                n = len(seg)
+                p = np.abs(np.fft.rfft(seg * wfn(n))) ** 2
+                fold = np.ones(len(p))
+                fold[1:] = 2.0
+                if n % 2 == 0:
+                    fold[-1] = 1.0
+                for b, v in enumerate(fold * p):
+                    rows.append((c, f, b, v))
+                f += 1
+        import pandas as pd
+        want = (pd.DataFrame(rows, columns=["channel", "frame", "bin", "p"])
+                .sort_values(["channel", "frame", "bin"])
+                .reset_index(drop=True))
+        assert len(got) == len(want), (L, H, win, len(got), len(want))
+        np.testing.assert_allclose(got.power.to_numpy(),
+                                   want.p.to_numpy(), rtol=1e-12), (L, H)
