@@ -326,7 +326,12 @@ def main():
     from process_nwb_spark.session import get_spark
     from process_nwb_spark.relational.core import all_queries
 
-    spark = get_spark("bench")
+    # -Xlog:disable: JVM unified-logging warnings (e.g. '[gc,alloc] ...
+    # Retried waiting for GCLocker', seen under the n=64 curve's memory
+    # pressure) print to STDOUT and would corrupt the one-JSON-line
+    # contract this harness has with its caller
+    spark = get_spark("bench", **{
+        "spark.driver.extraJavaOptions": "-Xlog:disable"})
     registry = all_queries()
 
     # warm the session (executor threads, codegen, parquet reader paths)
