@@ -92,6 +92,30 @@ DRIVER_PRIORITY = (
     "udf_arrow_grouped_scale", "udtf_word_positions",
 )
 
+# Round-6 rotation worklist: after this round's prefix is driver-checked,
+# these 58 registry queries remain never-driver-sampled (cumulative
+# coverage then 137/195). Rotate them in next round, keeping the four new
+# spectral faces (sig_stft_energy, sig_coherence_contract, sig_welch_psd,
+# sig_band_dim) near the head:
+#   text_source_stats embed_centroids embed_knn_per_label multimodal_meta
+#   text_vocab_topk text_lm_score embed_pca_power langid_confusion
+#   vocab_zipf_slope dsir_importance dedup_embed_cosine embed_ivf_probe2
+#   funnel_latency ts_seasonal_decompose user_journey_paths
+#   win_cumulative_users ts_ewma_daily survival_km_churn
+#   abtest_conversion_z win_mom_growth win_streaks orders_gap_stats
+#   alert_error_rate sig_band_dim sig_resample_lengths
+#   sig_electrode_region sig_stft_energy sig_coherence_contract
+#   sig_welch_psd source_json_roundtrip udf_grouped_covar
+#   udf_python_fallback udf_arrow_map_stats global_row_index
+#   scd2_status_history fuzzy_match_blocked dq_benford_digits
+#   mix_to_target_weights snapshot_diff agg_entropy_mix
+#   mix_upsample_repeat agg_chi2_independence fn_string_extra
+#   win_distribution source_orc_roundtrip source_xml_roundtrip
+#   fn_collation sql_parameterized fn_array_predicates fn_explode_pos
+#   agg_shape_stats pareto_frontier_parts sub_not_exists_customers
+#   sub_scalar_threshold sub_in_region_suppliers unpivot_part_measures
+#   agg_listagg_nations sql_scripting_loop
+
 
 def _ordered_registry():
     from process_nwb_spark.relational.core import all_queries
