@@ -11,5 +11,8 @@ Layers:
 """
 from .session import get_spark  # noqa: F401
 from .pipelines import preprocess, high_gamma_trace, PreprocessResult  # noqa: F401
+from .operators.stft import (stft_power, stft_power_batched,  # noqa: F401
+                             spectrogram_db, welch_psd)
+from .operators.coherence import coherence_matrix, stft_complex  # noqa: F401
 
 __version__ = "0.1.0"
