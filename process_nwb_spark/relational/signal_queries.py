@@ -422,3 +422,65 @@ def sig_welch_psd(spark, sf_dir):
                           F.col("n_bins").cast("int").alias("n_bins"),
                           var_ok.cast("int").alias("variance_ok"))
             .orderBy("channel"))
+
+
+@query(
+    "sig_bad_channels",
+    f"""
+    WITH sig AS (
+      SELECT CAST(i % 8 AS INT) AS channel,
+             CAST(i // 8 AS BIGINT) AS sample_idx,
+             ROUND((CASE WHEN i % 8 = 0 THEN 0.01
+                         WHEN i % 8 = 7 THEN 100.0
+                         ELSE 1.0 + 0.05 * (i % 8) END)
+                   * SIN(2 * PI() * 5 * ((i // 8) / 1000.0) + (i % 8)), 6)
+               AS value
+      FROM RANGE(0, {8 * 2000}) t(i)
+    ),
+    per_ch AS (
+      SELECT channel, COUNT(*) AS n_samples, VAR_POP(value) AS variance
+      FROM sig GROUP BY channel
+    ),
+    lv AS (
+      SELECT *, LOG10(GREATEST(variance, 1e-300)) AS log_var FROM per_ch
+    ),
+    med AS (SELECT QUANTILE_CONT(log_var, 0.5) AS m FROM lv),
+    mad AS (SELECT QUANTILE_CONT(ABS(log_var - m), 0.5) AS d FROM lv, med)
+    SELECT channel, n_samples, ROUND(log_var, 6) AS log_var,
+           ROUND(ABS(log_var - m)
+                 / GREATEST(d, 0.4342944819032518 * SQRT(2.0 / n_samples)),
+                 4) AS dev,
+           CAST(ABS(log_var - m)
+                / GREATEST(d, 0.4342944819032518 * SQRT(2.0 / n_samples))
+                > 3.0 AS INT) AS is_bad
+    FROM lv, med, mad
+    ORDER BY channel
+    """,
+    doc="bad-channel screening (operators/quality.py): per-channel "
+        "variance -> cross-channel robust log-variance MAD rule — the "
+        "manual step every ECoG pipeline runs before the reference's "
+        "preprocess chain (dead ch0 at 1% amplitude and saturated ch7 at "
+        "100x must both flag; the six ordinary channels must not). Pure "
+        "Catalyst (two partial-aggregable aggs + broadcast scalars), so "
+        "the oracle is a FULL hash match on the flags AND the robust "
+        "statistics, not a contract boolean",
+)
+def sig_bad_channels(spark, sf_dir):
+    from ..operators.quality import channel_quality
+
+    def value_fn(ch, idx):
+        amp = (F.when(ch == 0, 0.01)
+               .when(ch == 7, 100.0)
+               .otherwise(1.0 + 0.05 * ch.cast("double")))
+        t = idx.cast("double") / 1000.0
+        return F.round(
+            amp * F.sin(2 * F.lit(3.141592653589793) * 5 * t
+                        + ch.cast("double")), 6)
+
+    sig = _synth_long(spark, 8, 2000, value_fn)
+    q = channel_quality(sig, mad_thresh=3.0)
+    return (q.select("channel", "n_samples",
+                     F.round("log_var", 6).alias("log_var"),
+                     F.round("dev", 4).alias("dev"),
+                     F.col("is_bad").cast("int").alias("is_bad"))
+            .orderBy("channel"))
