@@ -14,5 +14,6 @@ from .pipelines import preprocess, high_gamma_trace, PreprocessResult  # noqa: F
 from .operators.stft import (stft_power, stft_power_batched,  # noqa: F401
                              spectrogram_db, welch_psd)
 from .operators.coherence import coherence_matrix, stft_complex  # noqa: F401
+from .operators.quality import channel_quality, drop_bad_channels  # noqa: F401
 
 __version__ = "0.1.0"
