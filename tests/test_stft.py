@@ -226,3 +226,32 @@ def test_stft_matches_numpy_replay(spark):
         assert len(got) == len(want), (L, H, win, len(got), len(want))
         np.testing.assert_allclose(got.power.to_numpy(),
                                    want.p.to_numpy(), rtol=1e-12), (L, H)
+
+
+def test_stream_stft_misaligned_cut_fails_without_persisting(spark, tmp_path):
+    """A file cut NOT on a frame boundary splits one frame: the split
+    frame must never reach the sink (no wrong-grid spectrum persisted)
+    and the stream must fail loudly on the second batch's misaligned
+    remainder — the exact contract the r5 review pinned down."""
+    import pandas as pd
+    from process_nwb_spark.streaming.ops import stream_stft
+
+    X = np.random.default_rng(7).normal(size=(1024, 1))
+    long_df = to_long_df(spark, X)
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    for lo, hi in [(0, 500), (500, 1024)]:      # 500 splits frame 3
+        (long_df.filter((F.col("sample_idx") >= lo)
+                        & (F.col("sample_idx") < hi))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    q = stream_stft(spark, in_dir, out_dir, frame_len=128, window="rect")
+    with pytest.raises(Exception, match="starts at sample"):
+        q.awaitTermination()
+    # whatever batch 1 persisted must be full frames 0..2 only — the
+    # split frame 3 (true spectrum needs samples 384..511) is absent
+    try:
+        got = spark.read.parquet(out_dir).toPandas()
+    except Exception:
+        return                      # nothing persisted at all: also fine
+    assert set(got.frame.unique()) <= {0, 1, 2}
+    assert got.frame.value_counts().le(65).all()   # <= n_bins rows each
