@@ -28,9 +28,11 @@ from pyspark.sql import functions as F
 def channel_quality(signals: DataFrame, mad_thresh: float = 3.0,
                     value_col: str = "value") -> DataFrame:
     """(series_id, channel, n_samples, variance, log_var, dev, is_bad)
-    per channel; `dev` is the |log-variance deviation| in MAD units
-    (NULL when the array's MAD is 0, i.e. all channels identical — then
-    nothing is flagged)."""
+    per channel; `dev` is the |log-variance deviation| in MAD units.
+    The MAD is floored at the log-variance sampling error
+    (log10(e)*sqrt(2/n)), so `dev` is never NULL: when all channels are
+    statistically identical the floor dominates, dev stays ~0, and
+    nothing is flagged (tests/test_quality.py pins dev == 0 there)."""
     v = F.col(value_col)
     per_ch = (signals.groupBy("series_id", "channel")
               .agg(F.count("*").alias("n_samples"),

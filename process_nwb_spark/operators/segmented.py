@@ -99,10 +99,12 @@ def _validate(seg_len: int, overlap: int, new_freq: float, old_freq: float):
             f"{snap_overlap(overlap, new_freq, old_freq)}")
 
 
-def _explode_segments(signals: DataFrame, L: int, V: int) -> DataFrame:
+def _explode_segments(signals: DataFrame, L: int, V: int,
+                      extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Assign each sample to its core segment + overlap-covering neighbors
     (narrow: candidate array -> filter -> explode). Shared by both kernel
-    shapes so the subtle assignment predicate exists exactly once."""
+    shapes so the subtle assignment predicate exists exactly once.
+    `extra_cols` ride through unchanged (per-series-constant metadata)."""
     i = F.col("sample_idx")
     s0 = F.floor(i / L).cast("bigint")
     cand = F.array(s0 - 1, s0, s0 + 1)
@@ -110,7 +112,7 @@ def _explode_segments(signals: DataFrame, L: int, V: int) -> DataFrame:
         cand, lambda s: (s >= 0) & (i >= s * L - V) & (i < (s + 1) * L + V))
     return signals.select(
         "series_id", "channel", F.explode(segs).alias("seg"),
-        "sample_idx", "value")
+        "sample_idx", "value", *extra_cols)
 
 
 def _segment_output(pdf: pd.DataFrame, fn, L: int, V: int, r: Fraction):
@@ -168,18 +170,39 @@ def _segment_output(pdf: pd.DataFrame, fn, L: int, V: int, r: Fraction):
     num, den = r.numerator, r.denominator
     k0 = left_ov * num // den                # integral by _validate
     n_out = -(-core * num // den)            # exact ceil(core * r)
+    if out.shape[0] < k0 + n_out:
+        # a kernel whose output grid disagrees with the trim ratio (e.g. a
+        # ratio passed as a float whose best rational differs from the
+        # kernel's exact one) would otherwise emit a silently-short slice
+        raise ValueError(
+            f"segmented kernel: segment {seg} produced {out.shape[0]} "
+            f"output samples but the trim ratio {num}/{den} requires at "
+            f"least {k0 + n_out} (overlap {left_ov} -> {k0}, core {core} "
+            f"-> {n_out}); kernel output ratio and declared `ratio` "
+            f"disagree")
     kept = out[k0:k0 + n_out]
     g0 = seg * L * num // den                # integral by _validate
     return (pdf["series_id"].iloc[0], int(pdf["channel"].iloc[0])), g0, kept
 
 
+def _as_fraction(ratio) -> Fraction:
+    """Exact Fraction passes through untouched; a float is rationalized.
+    Rate-derived ratios should be passed as Fraction(new)/Fraction(old)
+    (exact — floats are binary rationals) so the trim offsets here can
+    never disagree with the kernel's own exact grid; _segment_output
+    additionally fails loudly on any residual mismatch."""
+    if isinstance(ratio, Fraction):
+        return ratio
+    return Fraction(ratio).limit_denominator(10 ** 9)
+
+
 def segmented_kernel(signals: DataFrame, fn: Callable[[np.ndarray], np.ndarray],
                      seg_len: int, overlap: int,
-                     ratio: float = 1.0) -> DataFrame:
+                     ratio: float | Fraction = 1.0) -> DataFrame:
     """Apply `fn` (1-D ndarray -> 1-D ndarray of len*ratio) per bounded
     segment of each channel; long layout in, long layout out."""
     L, V = int(seg_len), int(overlap)
-    r = Fraction(ratio).limit_denominator(10 ** 9)
+    r = _as_fraction(ratio)
     _validate(L, V, r, 1)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -203,8 +226,9 @@ BAND_SCHEMA = ("series_id STRING, channel INT, band INT, "
 def segmented_band_kernel(signals: DataFrame,
                           fn: Callable[[np.ndarray], np.ndarray],
                           seg_len: int, overlap: int,
-                          ratio: float = 1.0,
-                          key_aware: bool = False) -> DataFrame:
+                          ratio: float | Fraction = 1.0,
+                          key_aware: bool = False,
+                          meta_cols: tuple[str, ...] = ()) -> DataFrame:
     """Fan-out variant of `segmented_kernel`: `fn` maps a 1-D segment to a
     2-D (n_out, n_bands) block (e.g. wavelet amplitudes); output is long
     over (band, sample_idx). Same bounded-group/one-shuffle layout, same
@@ -212,9 +236,19 @@ def segmented_band_kernel(signals: DataFrame,
 
     `key_aware=True` calls `fn(x, series_id)` instead of `fn(x)` — for
     kernels whose constants are per-series (e.g. dense-grid wavelet
-    normalization, which depends on the series' total length)."""
+    normalization, which depends on the series' total length).
+
+    `meta_cols` names extra per-series-constant columns on `signals`
+    (e.g. a broadcast-joined catalog length) that ride through the
+    segment shuffle; `fn` is then called `fn(x, meta)` with the group's
+    first-row values as a dict. This keeps per-series constants in the
+    PLAN (a broadcast join) instead of a driver-collected dict in the
+    kernel closure — the closure stays O(1) at millions of series.
+    Mutually exclusive with `key_aware`."""
+    if key_aware and meta_cols:
+        raise ValueError("key_aware and meta_cols are mutually exclusive")
     L, V = int(seg_len), int(overlap)
-    r = Fraction(ratio).limit_denominator(10 ** 9)
+    r = _as_fraction(ratio)
     _validate(L, V, r, 1)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -222,6 +256,9 @@ def segmented_band_kernel(signals: DataFrame,
         if key_aware:
             sid0 = pdf["series_id"].iloc[0]
             seg_fn = lambda x: fn(x, sid0)  # noqa: E731
+        elif meta_cols:
+            meta = {c: pdf[c].iloc[0] for c in meta_cols}
+            seg_fn = lambda x: fn(x, meta)  # noqa: E731
         (sid, ch), g0, kept = _segment_output(pdf, seg_fn, L, V, r)
         n_kept, n_bands = kept.shape
         return pd.DataFrame({
@@ -233,7 +270,7 @@ def segmented_band_kernel(signals: DataFrame,
             "amp": kept.T.ravel(),
         })
 
-    return (_explode_segments(signals, L, V)
+    return (_explode_segments(signals, L, V, extra_cols=meta_cols)
             .groupBy("series_id", "channel", "seg")
             .applyInPandas(run, BAND_SCHEMA))
 
@@ -328,7 +365,9 @@ def segmented_resample(signals: DataFrame, new_freq: float, old_freq: float,
     return segmented_kernel(
         signals,
         lambda x: resample_exact(x, new_freq, old_freq, precision=precision),
-        seg_len, overlap, ratio=new_freq / old_freq)
+        # exact ratio, not the float quotient: trim offsets must agree
+        # with resample_exact's own Fraction(new)/Fraction(old) grid
+        seg_len, overlap, ratio=Fraction(new_freq) / Fraction(old_freq))
 
 
 def segmented_notch(signals: DataFrame, rate: float, noise_hz: float = 60.0,

@@ -228,7 +228,13 @@ def _preprocess_segmented(signals: DataFrame, rate: float,
         assert v < L, (v, L)   # guaranteed by the 2*d floor in _snap_seg_len
         return v
 
-    r1 = initial_resample_rate / rate
+    from fractions import Fraction as _Fr
+
+    # exact rate ratios (floats are binary rationals, so these are the
+    # kernels' own grids) — the float quotient's best rational could in
+    # principle differ and desync trim offsets from kernel output lengths
+    fr1 = _Fr(initial_resample_rate) / _Fr(rate)
+    fr2 = _Fr(final_resample_rate) / _Fr(initial_resample_rate)
     seg_a = _snap_seg_len(base, initial_resample_rate, rate)
     ov_a = _ov(seg_a, initial_resample_rate, rate)
 
@@ -241,14 +247,13 @@ def _preprocess_segmented(signals: DataFrame, rate: float,
                                        precision=precision)
 
     scaled = signals.withColumn("value", F.col("value") * float(scaling))
-    ds = segmented_kernel(scaled, stage_a, seg_a, ov_a, ratio=r1)
+    ds = segmented_kernel(scaled, stage_a, seg_a, ov_a, ratio=fr1)
 
     # CAR on long rows: the window groups by timepoint (n_channels values
     # per group) — already memory-bounded, no segmentation needed, and
     # per-timepoint semantics make it exact (no boundary error here).
     car_ln = subtract_car(ds, mean_frac=mean_frac)
 
-    r2 = final_resample_rate / initial_resample_rate
     seg_b = _snap_seg_len(base, final_resample_rate, initial_resample_rate)
     ov_b = _ov(seg_b, final_resample_rate, initial_resample_rate)
 
@@ -256,34 +261,36 @@ def _preprocess_segmented(signals: DataFrame, rate: float,
     # length, so a segment-local transform would come out ~sqrt(n/segment)
     # off the whole-channel amplitude convention (K.dense_kernel_norms).
     # Pin each series to its dense-grid constants: one column-pruned
-    # metadata aggregate over (series_id, sample_idx) — the per-series
-    # length a real catalog would already know — then O(n_padded) driver
-    # math, broadcast into the kernel closure. No second pass over values.
-    lengths = {
-        row["series_id"]: int(row["n"])
-        for row in signals.groupBy("series_id")
-        .agg((F.max("sample_idx") + 1).alias("n")).collect()
-    }
-    from fractions import Fraction as _Fr
+    # metadata aggregate (the per-series length a real catalog would
+    # already know) broadcast-JOINED onto the long rows as `_n_time` —
+    # it rides the segment shuffle as a column, so the kernel closure
+    # stays O(1) and nothing is collected to the driver even at millions
+    # of series. Each worker derives the norms from its group's length
+    # (O(n_padded) math, memoized per distinct length per worker).
+    lens = signals.groupBy("series_id").agg(
+        (F.max("sample_idx") + 1).cast("bigint").alias("_n_time"))
 
-    fr1 = _Fr(initial_resample_rate) / _Fr(rate)
-    norms_by_series = {
-        sid: K.dense_kernel_norms(
-            -(-n * fr1.numerator // fr1.denominator),  # ceil(n*r1)
-            initial_resample_rate, filters=filters, hg_only=hg_only)
-        for sid, n in lengths.items()
-    }
+    _norm_cache: dict[int, "np.ndarray"] = {}
 
-    def stage_b(x: np.ndarray, sid) -> np.ndarray:
+    def stage_b(x: np.ndarray, meta: dict) -> np.ndarray:
+        n_time = int(meta["_n_time"])
+        norms = _norm_cache.get(n_time)
+        if norms is None:
+            if len(_norm_cache) >= 16:   # distinct lengths per worker
+                _norm_cache.clear()
+            norms = _norm_cache.setdefault(n_time, K.dense_kernel_norms(
+                -(-n_time * fr1.numerator // fr1.denominator),  # ceil(n*r1)
+                initial_resample_rate, filters=filters, hg_only=hg_only))
         Xh, _, _, _ = K.wavelet_transform(x[:, None], initial_resample_rate,
                                           filters=filters, hg_only=hg_only,
                                           precision=precision,
-                                          kernel_norms=norms_by_series[sid])
+                                          kernel_norms=norms)
         return resample_exact(np.abs(Xh[:, 0, :]), final_resample_rate,
                               initial_resample_rate, precision=precision)
 
-    bands = segmented_band_kernel(car_ln, stage_b, seg_b, ov_b, ratio=r2,
-                                  key_aware=True)
+    bands = segmented_band_kernel(
+        car_ln.join(F.broadcast(lens), "series_id"), stage_b, seg_b, ov_b,
+        ratio=fr2, meta_cols=("_n_time",))
 
     cfs, sds = band_params(filters, hg_only)
     cf_arr = F.array(*[F.lit(float(c)) for c in cfs])

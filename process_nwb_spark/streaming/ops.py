@@ -325,7 +325,9 @@ def stream_stft(spark: SparkSession, signals_dir: str, out_dir: str,
                 frame_len: int, window: str = "hann",
                 max_files_per_trigger: int = 1):
     """Incremental spectrogram: stream landing signal files, STFT each
-    micro-batch (operators/stft.py), append bin-partitioned parquet.
+    micro-batch (operators/stft.py), append channel-partitioned parquet
+    (readers slice by electrode; per-channel files keep each partition's
+    frames time-contiguous across micro-batches).
 
     Hop is pinned to frame_len (non-overlapping frames): then a file cut
     on any frame boundary never splits a frame, so the streaming result
