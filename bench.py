@@ -1,11 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the driver contract — its tail capture is
+~2 KB, which round 5's full dict outgrew, so stdout now carries ONLY):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
-plus (when the input is the default sf0.1 and SPARK_GRAFT_BENCH_SCALE
-isn't 0) three scaling sections:
+   "queries": {name: sec_ms_rounded, ...}, "sf": <sf>}
+
+EVERYTHING else — per-query spread, the single-node NumPy anchors, the
+amortized multi-series ratio, and (when the input is the default sf0.1
+and SPARK_GRAFT_BENCH_SCALE isn't 0) the scaling sections — is written
+to $SPARK_GRAFT_BENCH_FULL_OUT (default <repo>/BENCH_SCALING.json):
   "sf1"  — a subset of headline queries re-timed on a deterministic 10x
            key-shifted scale-up (process_nwb_spark/benchdata.py), with
            per-query sf0.1->sf1 time ratios: a plan that is right at
@@ -14,8 +18,9 @@ isn't 0) three scaling sections:
            fact table whose hottest key owns 35% of all rows (AQE
            skew-join result recorded alongside as the adaptive
            alternative);
-  "signal_multi_series_curve" — the amortized DSP ratio at n=8/16/32/64
-           series, to locate the Spark-vs-serial-NumPy crossover.
+  "signal_multi_series_curve" — the amortized DSP ratio at
+           n=8/16/32/64/128 series (min AND median of the interleaved
+           passes), to locate the Spark-vs-serial-NumPy crossover.
 """
 from __future__ import annotations
 
@@ -59,6 +64,11 @@ SF1_SUBSET = [
     "win_topk_per_group", "win_tumbling", "win_session",
     "dedup_exact", "minhash_lsh_candidates", "text_token_counts",
     "embed_ivf_topk", "doc_fingerprint_winnow",
+    # embedding-dedup pair: pairwise only within IVF cells / LSH buckets —
+    # the sf1 ratio is the measured proof that claim holds under growth
+    # (semantic_dedup is not in HEADLINE; bench_sf1 times its own sf0.1
+    # base)
+    "dedup_embed_cosine", "semantic_dedup",
 ]
 
 
@@ -200,14 +210,24 @@ def bench_sf1(spark, registry, sf_dir: str, sf01_timings: dict) -> dict:
     gen_s = round(time.time() - t0, 3)
 
     samples: dict[str, list[float]] = {n: [] for n in SF1_SUBSET}
+    # subset entries outside HEADLINE have no main-loop sf0.1 min; time
+    # their base here, interleaved with the sf1 passes so both sides of
+    # the ratio sample the same ambient-load windows
+    base_extra: dict[str, list[float]] = {
+        n: [] for n in SF1_SUBSET if n not in sf01_timings}
     for _ in range(2):
         for name in SF1_SUBSET:
             samples[name].append(
                 _timed_noop(registry[name].fn(spark, dest)))
+            if name in base_extra:
+                base_extra[name].append(
+                    _timed_noop(registry[name].fn(spark, sf_dir)))
     out = {}
     for name, s in samples.items():
         t1 = round(min(s), 3)
         base = sf01_timings.get(name)
+        if base is None and base_extra.get(name):
+            base = round(min(base_extra[name]), 3)
         out[name] = {"sf0.1": base, "sf1": t1,
                      "ratio": round(t1 / base, 2) if base else None}
     return {"factor": 10, "gen_sec": gen_s, "queries": out}
@@ -285,20 +305,24 @@ def bench_skew(spark) -> dict:
 
 
 def bench_multi_series_curve(spark, base_entry: dict) -> list:
-    """Extend the n=8 amortized headline to n=16/32/64: at each n, the
-    serial NumPy replay and the one-job Spark run are interleaved (both
-    sides sample the same ambient-load windows). Records where the Spark
-    job CROSSES serial single-core NumPy (ratio < 1).
+    """Extend the n=8 amortized headline to n=16/32/64/128: at each n,
+    the serial NumPy replay and the one-job Spark run are interleaved
+    (both sides sample the same ambient-load windows). Records where the
+    Spark job CROSSES serial single-core NumPy (ratio < 1), on both the
+    min and the MEDIAN of the passes — the median pins the crossover
+    claim on a typical run, not just a quiet one.
 
-    4 passes per n, min taken: the big-n Spark job warms up dramatically
-    across its first executions in a session (measured 42 -> 31 -> 16 ->
-    9 s at n=64: JVM heap growth + tiered JIT + shuffle-file page cache)
-    — with only 2 passes the recorded 'min' is still a cold run and the
-    curve's tail is noise."""
+    4 passes per n, min taken as headline: the big-n Spark job warms up
+    dramatically across its first executions in a session (measured
+    42 -> 31 -> 16 -> 9 s at n=64: JVM heap growth + tiered JIT +
+    shuffle-file page cache) — with only 2 passes the recorded 'min' is
+    still a cold run and the curve's tail is noise."""
+    import statistics
+
     from process_nwb_spark.synth import generate_synthetic_data
 
     curve = [dict(base_entry, n_series=N_SERIES_MANY)]
-    for n in (16, 32, 64):
+    for n in (16, 32, 64, 128):
         Xs = [generate_synthetic_data(10.0, 32, 3200.0, seed=s)
               for s in range(n)]
         _signal_input(spark, n)   # write parquet untimed
@@ -311,7 +335,11 @@ def bench_multi_series_curve(spark, base_entry: dict) -> list:
             sp_s.append(_bench_signal(spark, n))
         e = {"n_series": n, "spark_one_job": round(min(sp_s), 3),
              "numpy_serial": round(min(np_s), 3),
-             "ratio": round(min(sp_s) / min(np_s), 3)}
+             "ratio": round(min(sp_s) / min(np_s), 3),
+             "spark_median": round(statistics.median(sp_s), 3),
+             "numpy_median": round(statistics.median(np_s), 3),
+             "ratio_median": round(statistics.median(sp_s)
+                                   / statistics.median(np_s), 3)}
         curve.append(e)
     return curve
 
@@ -393,7 +421,7 @@ def main():
         "numpy_serial": ref_many,
         "ratio": round(spark_many / ref_many, 3) if ref_many else None,
     }
-    out = {
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -411,14 +439,30 @@ def main():
     # ratios are defined against it) and not explicitly disabled
     scale_on = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
     if scale_on and abs(sf - 0.1) < 1e-9:
-        out["sf1"] = bench_sf1(spark, registry, sf_dir, timings)
-        out["skew"] = bench_skew(spark)
-        out["signal_multi_series_curve"] = bench_multi_series_curve(
+        full["sf1"] = bench_sf1(spark, registry, sf_dir, timings)
+        full["skew"] = bench_skew(spark)
+        full["signal_multi_series_curve"] = bench_multi_series_curve(
             spark, {"n_series": N_SERIES_MANY, "spark_one_job": spark_many,
                     "numpy_serial": ref_many,
                     "ratio": multi["ratio"]})
 
-    print(json.dumps(out))
+    # full dict -> committed artifact; stdout gets ONLY the compact
+    # headline line (round 5's full dict outgrew the driver's ~2 KB tail
+    # capture -> BENCH_r05.json parsed:null; never again)
+    full_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SCALING.json"))
+    with open(full_out, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+
+    headline = {"metric": full["metric"], "value": total, "unit": "sec",
+                "queries": timings, "sf": sf}
+    line = json.dumps(headline, separators=(",", ":"))
+    assert len(line) < 1900, (
+        f"driver line {len(line)} B would outgrow the ~2 KB tail capture")
+    print(line)
     spark.stop()
 
 
