@@ -48,73 +48,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: correctness harnesses that sample a prefix of
 # this dict should see a DIVERSE cross-section of the engine. The prefix is
-# ROTATED each round so cumulative driver coverage grows: rounds 1-4
-# driver-checked 87 distinct queries (see CORRECTNESS_r0{1..4}.json); this
-# round's prefix is 50 queries never yet driver-checked — streaming,
-# event/time-series windows, dedup/LSH eval, text analysis, embeddings,
-# dataprep/DQ, statistical aggs, scalar-fn surface, SQL surface, sources,
-# UDF tier, and signal faces. The previously-proven queries follow in
+# ROTATED each round so cumulative driver coverage grows: rounds 1-5
+# driver-checked 137 distinct queries (see CORRECTNESS_r0{1..5}.json); this
+# round's prefix is 50 queries never yet driver-checked — the four round-5
+# spectral faces + bad-channel screening near the head, then signal/source
+# faces, text/embeddings, time-series analytics, DQ/dataprep, scalar fns,
+# sources, and the UDF tier. The previously-proven queries follow in
 # registry order (still covered by the committed full-registry local gate,
-# ORACLE_LOCAL_r*.json).
+# ORACLE_LOCAL_r*.json / ORACLE_ANSI_r*.json).
 DRIVER_PRIORITY = (
-    # structured streaming (stream==batch equivalence surfaces)
-    "win_sliding", "stream_dedup_first", "stream_static_join",
-    "stream_stream_join",
-    # event-time / time-series analytics + the segmented-pipeline
-    # certification face (new in r5: bounded-memory segmented preprocess
-    # vs whole-channel preprocess, contract-boolean oracle)
-    "win_gap_fill", "funnel_conversion", "win_trailing_range",
-    "anomaly_mad_flags", "ts_ohlc_bars", "ts_rolling_median",
-    "seq_transition_matrix", "sig_segmented_parity",
-    # dedup / LSH (incl. the precision-recall eval loop)
-    "dedup_incremental", "dedup_chunk_exact", "dedup_keep_list",
-    "minhash_signatures", "simhash_near_pairs", "lsh_eval_pr",
-    # text analysis
-    "text_langid", "text_repetition", "text_pii_redact",
-    "text_bm25_search", "hybrid_search_rrf",
-    # embeddings / ANN
-    "embed_cosine_topk", "embed_pq_adc", "embed_quantile_norm",
-    "embed_kmeans_lloyd", "embed_mllib_brp_lsh",
-    # corpus assembly / data quality
-    "sample_stratified", "split_contamination", "merge_upsert_changeset",
-    "dq_profile_columns", "dq_ks_drift",
-    # statistical aggregates
-    "agg_percentiles", "agg_winsorized_mean", "agg_bitmap_distinct",
-    "agg_ordered_quantiles", "agg_regression_stats", "agg_hll_sketch",
-    # scalar-function surface
-    "fn_interval_datetime", "fn_variant", "fn_map_higher_order",
-    "fn_try_arith",
+    # spectral tier faces (r5 additions) + channel-quality screening
+    "sig_stft_energy", "sig_coherence_contract", "sig_welch_psd",
+    "sig_band_dim", "sig_bad_channels",
+    # remaining signal faces
+    "sig_resample_lengths", "sig_electrode_region",
+    # text analysis / corpus statistics
+    "text_source_stats", "text_vocab_topk", "text_lm_score",
+    "langid_confusion", "vocab_zipf_slope", "dsir_importance",
+    # embeddings / ANN / semantic dedup
+    "embed_centroids", "embed_knn_per_label", "embed_pca_power",
+    "dedup_embed_cosine", "embed_ivf_probe2",
+    # multimodal metadata
+    "multimodal_meta",
+    # event-time / time-series analytics
+    "funnel_latency", "ts_seasonal_decompose", "user_journey_paths",
+    "win_cumulative_users", "ts_ewma_daily", "survival_km_churn",
+    "abtest_conversion_z", "win_mom_growth", "win_streaks",
+    "orders_gap_stats", "alert_error_rate", "win_distribution",
+    # dataprep / data quality / curation
+    "global_row_index", "scd2_status_history", "fuzzy_match_blocked",
+    "dq_benford_digits", "mix_to_target_weights", "snapshot_diff",
+    "agg_entropy_mix", "mix_upsample_repeat", "agg_chi2_independence",
+    # scalar-fn surface
+    "fn_string_extra", "fn_collation", "fn_array_predicates",
     # SQL surface
-    "sub_exists_returned", "lateral_topk_orders", "sql_pipe_syntax",
-    # sources / sinks
-    "source_csv_roundtrip", "sink_partitioned_prune",
+    "sql_parameterized",
+    # sources
+    "source_json_roundtrip", "source_orc_roundtrip", "source_xml_roundtrip",
     # UDF tier
-    "udf_arrow_grouped_scale", "udtf_word_positions",
+    "udf_grouped_covar", "udf_python_fallback", "udf_arrow_map_stats",
 )
 
-# Round-6 rotation worklist: after this round's prefix is driver-checked,
-# these 58 registry queries remain never-driver-sampled (cumulative
-# coverage then 137/195). Rotate them in next round, keeping the four new
-# spectral faces (sig_stft_energy, sig_coherence_contract, sig_welch_psd,
-# sig_band_dim) near the head:
-#   text_source_stats embed_centroids embed_knn_per_label multimodal_meta
-#   text_vocab_topk text_lm_score embed_pca_power langid_confusion
-#   vocab_zipf_slope dsir_importance dedup_embed_cosine embed_ivf_probe2
-#   funnel_latency ts_seasonal_decompose user_journey_paths
-#   win_cumulative_users ts_ewma_daily survival_km_churn
-#   abtest_conversion_z win_mom_growth win_streaks orders_gap_stats
-#   alert_error_rate sig_band_dim sig_resample_lengths
-#   sig_electrode_region sig_stft_energy sig_coherence_contract
-#   sig_welch_psd source_json_roundtrip udf_grouped_covar
-#   udf_python_fallback udf_arrow_map_stats global_row_index
-#   scd2_status_history fuzzy_match_blocked dq_benford_digits
-#   mix_to_target_weights snapshot_diff agg_entropy_mix
-#   mix_upsample_repeat agg_chi2_independence fn_string_extra
-#   win_distribution source_orc_roundtrip source_xml_roundtrip
-#   fn_collation sql_parameterized fn_array_predicates fn_explode_pos
-#   agg_shape_stats pareto_frontier_parts sub_not_exists_customers
-#   sub_scalar_threshold sub_in_region_suppliers unpivot_part_measures
-#   agg_listagg_nations sql_scripting_loop
+# Round-7 rotation worklist: after this round's prefix is driver-checked,
+# these 9 registry queries remain never-driver-sampled (cumulative
+# coverage then 187/196). Rotate them to the head of the prefix next
+# round; the rest of the prefix is free for any new queries' first
+# driver sampling:
+#   fn_explode_pos agg_shape_stats pareto_frontier_parts
+#   sub_not_exists_customers sub_scalar_threshold sub_in_region_suppliers
+#   unpivot_part_measures agg_listagg_nations sql_scripting_loop
 
 
 def _ordered_registry():
