@@ -90,6 +90,39 @@ def test_entry_contract(spark):
     assert len(qs) >= 190
 
 
+def test_entry_ansi_on_with_nonsettable_confs(spark, monkeypatch):
+    """The driver hands entry() a plain SparkSession — under Spark 4 that
+    means ansi.enabled=true by default, and some deployments also refuse
+    runtime conf writes. Prove the worst case of both at once: ANSI
+    genuinely ON for the whole run (same engine-visible semantics as a
+    fresh ANSI-default session — ansi.enabled is a runtime conf) while
+    EVERY _configure conf.set raises, so the try/except fallback
+    (__spark_entry__._configure) is what keeps the query alive."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        __file__.rsplit("/tests/", 1)[0] + "/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    real_set = spark.conf.set
+    real_set("spark.sql.ansi.enabled", "true")
+    try:
+        def deny(*a, **k):
+            raise RuntimeError("conf is non-settable in this session")
+
+        monkeypatch.setattr(spark.conf, "set", deny)
+        df = m.entry(spark)
+        assert df.count() > 0
+        # _configure could not turn ANSI off, so the run above really
+        # executed under ANSI semantics
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    finally:
+        monkeypatch.undo()
+        real_set("spark.sql.ansi.enabled", "false")
+
+
 def test_registry_imports_without_session():
     """The driver may import queries()/oracle_sql() before creating its
     SparkSession; the registry (incl. pandas_udf defs) must not require an
