@@ -1,0 +1,63 @@
+"""Phase-amplitude coupling (PAC) — the canonical downstream analysis of
+the engine's own wavelet outputs: does the amplitude envelope of a fast
+band (e.g. high gamma) ride the phase of a slow band (e.g. theta)?
+
+Measure: the Canolty-style mean-vector-length modulation index,
+    MI = | mean( a[t] * exp(i * phi[t]) ) | / mean(a[t])
+computed per (series, channel) from two long streams the preprocess
+pipeline already emits — `phase` rows (a slow band from
+preprocess(abs_only=False)) and `amp` rows (a fast band's amplitude).
+The normalization by mean amplitude makes MI scale-free in [0, 1]:
+~0 when amplitude is independent of phase, ~1 when amplitude
+concentrates at one phase.
+
+Pure Catalyst: an equi-join of the two streams on
+(series, channel, sample_idx), then ONE partial-aggregable aggregate of
+a*cos(phi), a*sin(phi), a — map-side combined, one row per channel out.
+No window over the time axis, no Python crossing, so recording length
+only affects scan+join volume (linear). The join co-partitions on the
+same keys every signal shuffle here uses; when both inputs come from the
+same preprocess result the shuffle is already in place.
+
+The reference stops at stored wavelet amplitude/phase
+(wavelet_transform.py:389-436); PAC is what its users compute next from
+exactly those arrays.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def phase_amplitude_coupling(phase_df: DataFrame, amp_df: DataFrame,
+                             phase_col: str = "phase",
+                             amp_col: str = "amp") -> DataFrame:
+    """Modulation index per (series_id, channel).
+
+    phase_df: long (series_id, channel, sample_idx, <phase_col>) — phase
+              of the slow band, radians.
+    amp_df:   long (series_id, channel, sample_idx, <amp_col>) — the
+              fast band's amplitude envelope (non-negative).
+    Returns (series_id, channel, mi, n_samples): MI in [0, 1] over the
+    samples present in BOTH streams (inner join — a resampled phase
+    stream pairs only where grids align, by construction of the
+    pipeline's shared final_resample_rate).
+    """
+    p = phase_df.select("series_id", "channel", "sample_idx",
+                        F.col(phase_col).alias("_phi"))
+    a = amp_df.select("series_id", "channel", "sample_idx",
+                      F.col(amp_col).alias("_a"))
+    j = p.join(a, ["series_id", "channel", "sample_idx"])
+    agg = j.groupBy("series_id", "channel").agg(
+        F.avg(F.col("_a") * F.cos("_phi")).alias("_re"),
+        F.avg(F.col("_a") * F.sin("_phi")).alias("_im"),
+        F.avg("_a").alias("_abar"),
+        F.count(F.lit(1)).alias("n_samples"))
+    mi = (F.sqrt(F.col("_re") ** 2 + F.col("_im") ** 2)
+          / F.col("_abar"))
+    return agg.select(
+        "series_id", "channel",
+        # mean amplitude 0 (an all-zero envelope) carries no coupling
+        # information: emit MI 0, not a division error / NULL
+        F.when(F.col("_abar") > 0, mi).otherwise(F.lit(0.0)).alias("mi"),
+        "n_samples")

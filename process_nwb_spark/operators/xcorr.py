@@ -1,0 +1,81 @@
+"""Time-domain cross-correlation between channel pairs at bounded lags —
+the lagged-connectivity sibling of the spectral coherence operator
+(operators/coherence.py). Classic ECoG/LFP functional-connectivity
+measure: the cross-correlogram r(ch_a, ch_b, lag) locates the lag at
+which one electrode's signal best predicts another's.
+
+Pure Catalyst, no Python crossing:
+
+1. explode the (small, bounded) lag set onto side A — a narrow fan-out
+   of |lags| rows per sample;
+2. equi-join side B on (series, sample_idx == a.sample_idx + lag) — an
+   expression equi-join Catalyst plans as a regular shuffled hash/SMJ
+   join, NOT a theta join; the `ch_b >= ch_a` dedup predicate rides as a
+   join residual;
+3. groupBy (series, ch_a, ch_b, lag) -> F.corr — a partial-aggregable
+   Pearson correlation (map-side combine; one value per group out).
+
+Scale: shuffle volume is |lags| * n_rows on side A plus n_rows on side B
+— linear in input for a bounded lag set; no window over the whole time
+axis, no per-channel materialization, so an arbitrarily long recording
+streams through. Per-pair blowup is bounded by n_channels^2 GROUPS (one
+output row each), not rows. Edge samples where t+lag runs off the
+recording drop out of the inner join, so each lag's correlation is over
+exactly the overlapping window (the standard unpadded estimator).
+
+The reference has no connectivity stage (its pipeline ends at wavelet
+amplitudes, pipelines.py:15-111); this extends the engine's spectral
+tier the way its users' downstream analyses do.
+"""
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cross_correlation(signals: DataFrame, lags: Sequence[int],
+                      value_col: str = "value",
+                      include_self: bool = False,
+                      max_lags: int = 256) -> DataFrame:
+    """Pearson cross-correlogram over all (ch_a <= ch_b) channel pairs.
+
+    signals: long layout (series_id, channel, sample_idx, value).
+    lags:    bounded set of integer sample offsets (b leads a by `lag`).
+    Returns (series_id, ch_a, ch_b, lag, r, n_overlap) — `r` is
+    corr(a[t], b[t+lag]) over the overlapping window, `n_overlap` its
+    sample count (estimator transparency: a lag near the recording
+    length correlates almost nothing and should be read accordingly).
+
+    `max_lags` guards the explode fan-out: the shuffle grows by a factor
+    of |lags|, so an unbounded lag sweep on a 100 TB input must be run
+    as several bounded sweeps, not one unbounded plan.
+    """
+    lag_list = sorted({int(l) for l in lags})
+    if not lag_list:
+        raise ValueError("cross_correlation: empty lag set")
+    if len(lag_list) > max_lags:
+        raise ValueError(
+            f"cross_correlation: {len(lag_list)} lags would multiply the "
+            f"shuffle {len(lag_list)}x (cap {max_lags}); run bounded "
+            f"sweeps or raise max_lags deliberately")
+
+    v = F.col(value_col)
+    a = signals.select(
+        "series_id", F.col("channel").alias("ch_a"),
+        F.col("sample_idx").alias("idx_a"), v.alias("va"),
+        F.explode(F.array(*[F.lit(l) for l in lag_list])).alias("lag"))
+    b = signals.select(
+        F.col("series_id").alias("_sid_b"), F.col("channel").alias("ch_b"),
+        F.col("sample_idx").alias("idx_b"), v.alias("vb"))
+    pair_pred = (F.col("ch_b") >= F.col("ch_a") if include_self
+                 else F.col("ch_b") > F.col("ch_a"))
+    j = a.join(
+        b,
+        (F.col("series_id") == F.col("_sid_b"))
+        & (F.col("idx_b") == F.col("idx_a") + F.col("lag"))
+        & pair_pred)
+    return (j.groupBy("series_id", "ch_a", "ch_b", "lag")
+            .agg(F.corr("va", "vb").alias("r"),
+                 F.count(F.lit(1)).alias("n_overlap")))

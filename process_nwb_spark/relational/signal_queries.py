@@ -484,3 +484,109 @@ def sig_bad_channels(spark, sf_dir):
                      F.round("dev", 4).alias("dev"),
                      F.col("is_bad").cast("int").alias("is_bad"))
             .orderBy("channel"))
+
+
+@query(
+    "sig_xcorr_lags",
+    """
+    WITH sig AS (
+      SELECT CAST(i % 3 AS INT) AS channel,
+             CAST(i // 3 AS BIGINT) AS sample_idx,
+             ROUND(CASE WHEN i % 3 = 0
+                          THEN SIN(2 * PI() * 7 * ((i // 3) / 500.0))
+                        WHEN i % 3 = 1
+                          THEN SIN(2 * PI() * 7 * (((i // 3) - 3) / 500.0))
+                        ELSE SIN(2 * PI() * 13 * ((i // 3) / 500.0) + 1)
+                   END, 6) AS value
+      FROM RANGE(0, 6000) t(i)
+    ),
+    lags AS (SELECT UNNEST([-5, -3, 0, 3, 5]) AS lag)
+    SELECT a.channel AS ch_a, b.channel AS ch_b, l.lag,
+           ROUND(CORR(a.value, b.value), 6) AS r,
+           COUNT(*) AS n_overlap
+    FROM sig a
+    CROSS JOIN lags l
+    JOIN sig b ON b.sample_idx = a.sample_idx + l.lag
+              AND b.channel > a.channel
+    GROUP BY a.channel, b.channel, l.lag
+    ORDER BY ch_a, ch_b, lag
+    """,
+    doc="lagged channel-pair cross-correlogram (operators/xcorr.py: "
+        "bounded lag explode -> expression equi-join -> partial-aggregable "
+        "F.corr; the time-domain sibling of sig_coherence_contract). "
+        "Fixture: ch1 is ch0's 125-sample-period tone delayed by 3 "
+        "samples, so r peaks at lag 3; ch2 is a different frequency and "
+        "stays decorrelated. FULL hash-match oracle — the whole "
+        "correlogram is SQL-replayable",
+)
+def sig_xcorr_lags(spark, sf_dir):
+    from ..operators.xcorr import cross_correlation
+
+    pi2 = 2 * 3.141592653589793
+
+    def value_fn(ch, idx):
+        t = idx.cast("double")
+        return F.round(
+            F.when(ch == 0, F.sin(F.lit(pi2 * 7) * (t / 500.0)))
+            .when(ch == 1, F.sin(F.lit(pi2 * 7) * ((t - 3) / 500.0)))
+            .otherwise(F.sin(F.lit(pi2 * 13) * (t / 500.0) + 1)), 6)
+
+    sig = _synth_long(spark, 3, 2000, value_fn)
+    xc = cross_correlation(sig, [-5, -3, 0, 3, 5])
+    return (xc.select("ch_a", "ch_b", "lag",
+                      F.round("r", 6).alias("r"), "n_overlap")
+            .orderBy("ch_a", "ch_b", "lag"))
+
+
+@query(
+    "sig_pac_mi",
+    """
+    WITH v AS (
+      SELECT CAST(i % 2 AS INT) AS channel,
+             CAST(i // 2 AS BIGINT) AS idx,
+             ROUND(2 * PI() * (((i // 2) % 100) / 100.0) - PI(), 6) AS phi,
+             ROUND(CASE WHEN i % 2 = 0
+                          THEN 1 + 0.8 * COS(2 * PI() * (((i // 2) % 100)
+                                                         / 100.0) - PI())
+                        ELSE 1 + 0.8 * COS(2 * PI() * (((i // 2) % 7) / 7.0))
+                   END, 6) AS a
+      FROM RANGE(0, 8000) t(i)
+    )
+    SELECT channel,
+           ROUND(SQRT(POW(AVG(a * COS(phi)), 2)
+                      + POW(AVG(a * SIN(phi)), 2)) / AVG(a), 6) AS mi,
+           COUNT(*) AS n_samples
+    FROM v GROUP BY channel ORDER BY channel
+    """,
+    doc="phase-amplitude coupling modulation index (operators/pac.py: "
+        "equi-join of the pipeline's phase and amplitude streams -> one "
+        "partial-aggregable mean-vector aggregate). Fixture: ch0's "
+        "envelope rides the sawtooth theta phase (analytic MI = 0.4), "
+        "ch1's envelope cycles independently (MI ~ 0). Inputs are rounded "
+        "to 6 dp in BOTH engines before the op, so the FULL (mi, n) "
+        "result hash-matches",
+)
+def sig_pac_mi(spark, sf_dir):
+    from ..operators.pac import phase_amplitude_coupling
+
+    pi = 3.141592653589793
+    n_ch, n_t = 2, 4000
+
+    def phi_fn(ch, idx):
+        return F.round(
+            2 * F.lit(pi) * ((idx % 100).cast("double") / 100.0) - pi, 6)
+
+    def amp_fn(ch, idx):
+        coupled = 1 + 0.8 * F.cos(
+            2 * F.lit(pi) * ((idx % 100).cast("double") / 100.0) - pi)
+        free = 1 + 0.8 * F.cos(
+            2 * F.lit(pi) * ((idx % 7).cast("double") / 7.0))
+        return F.round(F.when(ch == 0, coupled).otherwise(free), 6)
+
+    phase_df = (_synth_long(spark, n_ch, n_t, phi_fn)
+                .withColumnRenamed("value", "phase"))
+    amp_df = (_synth_long(spark, n_ch, n_t, amp_fn)
+              .withColumnRenamed("value", "amp"))
+    mi = phase_amplitude_coupling(phase_df, amp_df)
+    return (mi.select("channel", F.round("mi", 6).alias("mi"), "n_samples")
+            .orderBy("channel"))
