@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Connectivity-tier demo: who talks to whom, at what delay, and does
+the fast band ride the slow band's phase?
+
+1. `cross_correlation` recovers a planted 12-sample conduction delay
+   between two channels from the lag of their correlation peak;
+2. `coherence_matrix` confirms the same coupling in the frequency
+   domain (shared 40 Hz component);
+3. `phase_amplitude_coupling` separates a channel whose high-frequency
+   envelope is locked to the slow phase from one where it is not.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from process_nwb_spark import (coherence_matrix, cross_correlation,
+                               get_spark, phase_amplitude_coupling)
+from process_nwb_spark.synth import to_long_df
+
+RATE = 1000.0
+DELAY = 12
+
+
+def make_signal(n=16384):
+    """ch1 receives ch0's 40 Hz rhythm DELAY samples later; ch2 is
+    independent noise."""
+    rng = np.random.default_rng(1)
+    t = np.arange(n) / RATE
+    src = np.sin(2 * np.pi * 40.0 * t) + 0.3 * rng.standard_normal(n)
+    X = np.zeros((n, 3))
+    X[:, 0] = src + 0.3 * rng.standard_normal(n)
+    X[:, 1] = np.roll(src, DELAY) + 0.3 * rng.standard_normal(n)
+    X[:, 2] = rng.standard_normal(n)
+    return X
+
+
+def main():
+    spark = get_spark("connectivity-demo")
+    X = make_signal()
+    sig = to_long_df(spark, X)
+
+    print(f"== Cross-correlogram: planted delay = {DELAY} samples ==")
+    xc = cross_correlation(sig, range(-20, 21))
+    (xc.withColumn("abs_r", F.abs("r"))
+     .withColumn("rk", F.row_number().over(
+         Window.partitionBy("ch_a", "ch_b").orderBy(F.desc("abs_r"))))
+     .filter("rk = 1")
+     .select("ch_a", "ch_b", "lag", F.round("r", 3).alias("r"))
+     .orderBy("ch_a", "ch_b").show())
+
+    print("== Coherence at the shared 40 Hz bin ==")
+    c = coherence_matrix(sig, RATE, frame_len=512)
+    (c.filter(F.col("bin") == int(40.0 * 512 / RATE))
+     .select("ch_a", "ch_b", F.round("coherence", 3).alias("coh_40hz"))
+     .orderBy("ch_a", "ch_b").show())
+
+    print("== Phase-amplitude coupling ==")
+    n = 16384
+    rng = np.random.default_rng(2)
+    phi = np.angle(np.exp(1j * 2 * np.pi * 6.0 * np.arange(n) / RATE))
+    base = pd.DataFrame({
+        "series_id": "s0", "channel": 0,
+        "sample_idx": np.arange(n, dtype=np.int64)})
+    for ch, amp in ((0, 1 + 0.8 * np.cos(phi) + 0.05 * rng.random(n)),
+                    (1, 1 + 0.05 * rng.random(n))):
+        pdf = spark.createDataFrame(base.assign(channel=ch, phase=phi))
+        adf = spark.createDataFrame(base.assign(channel=ch, amp=amp))
+        phase_amplitude_coupling(pdf, adf).select(
+            "channel", F.round("mi", 4).alias("mi")).show()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
