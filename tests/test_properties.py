@@ -152,6 +152,12 @@ def test_resample_exact_grid_alignment(n, rates, f_frac):
     assert len(y) == int(math.ceil(n * new / old))
     want = np.sin(2 * np.pi * f * np.arange(len(y)) * (old / new) / old)
     # interiors only (global edges pay reflect-pad transients); 5e-3 is
-    # finite-window numerics, the drift this pins produced ~0.5
-    m = slice(64, -64)
+    # finite-window numerics, the drift this pins produced ~0.5. A steep
+    # downsample can leave fewer than 2*64 output samples — shrink the
+    # edge guard instead of reducing over an empty slice (found by
+    # hypothesis at n=300, 2000->500 Hz: len(y)=75)
+    edge = min(64, len(y) // 3)
+    if len(y) <= 2 * edge:
+        return
+    m = slice(edge, -edge)
     assert np.max(np.abs(y[m] - want[m])) < 5e-3
