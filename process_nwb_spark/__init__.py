@@ -16,6 +16,7 @@ from .operators.stft import (stft_power, stft_power_batched,  # noqa: F401
 from .operators.coherence import coherence_matrix, stft_complex  # noqa: F401
 from .operators.quality import channel_quality, drop_bad_channels  # noqa: F401
 from .operators.xcorr import cross_correlation  # noqa: F401
-from .operators.pac import phase_amplitude_coupling  # noqa: F401
+from .operators.pac import phase_amplitude_coupling, phase_locking_value  # noqa: F401
+from .operators.epochs import epoch_trials, erp_average  # noqa: F401
 
 __version__ = "0.1.0"

@@ -61,3 +61,44 @@ def phase_amplitude_coupling(phase_df: DataFrame, amp_df: DataFrame,
         # information: emit MI 0, not a division error / NULL
         F.when(F.col("_abar") > 0, mi).otherwise(F.lit(0.0)).alias("mi"),
         "n_samples")
+
+
+def phase_locking_value(phase_df: DataFrame,
+                        phase_col: str = "phase",
+                        include_self: bool = False) -> DataFrame:
+    """Inter-channel phase-locking value (Lachaux 1999) per channel pair:
+
+        PLV(a, b) = | mean_t( exp(i * (phi_a[t] - phi_b[t])) ) |
+
+    1 when the phase difference is constant over time (locked), ~0 when
+    it drifts uniformly. The spectral-phase sibling of cross_correlation
+    (which sees amplitude too) and the pairwise sibling of
+    phase_amplitude_coupling.
+
+    Pure Catalyst: self equi-join on (series_id, sample_idx) — the same
+    per-timepoint channel-gather shape as the CAR window, shuffle linear
+    in samples with a bounded n_channels^2/2 pair fan-out — then ONE
+    partial-aggregable aggregate of cos/sin of the phase difference.
+
+    phase_df: long (series_id, channel, sample_idx, <phase_col>), phase
+    in radians (e.g. the preprocess(abs_only=False) phase stream of one
+    band). Returns (series_id, ch_a, ch_b, plv, n_samples).
+    """
+    p = F.col(phase_col)
+    a = phase_df.select("series_id", F.col("channel").alias("ch_a"),
+                        "sample_idx", p.alias("_pa"))
+    b = phase_df.select(F.col("series_id").alias("_sid"),
+                        F.col("channel").alias("ch_b"),
+                        F.col("sample_idx").alias("_idx"), p.alias("_pb"))
+    pair_pred = (F.col("ch_b") >= F.col("ch_a") if include_self
+                 else F.col("ch_b") > F.col("ch_a"))
+    j = a.join(b, (F.col("series_id") == F.col("_sid"))
+               & (F.col("sample_idx") == F.col("_idx")) & pair_pred)
+    d = F.col("_pa") - F.col("_pb")
+    agg = j.groupBy("series_id", "ch_a", "ch_b").agg(
+        F.avg(F.cos(d)).alias("_re"), F.avg(F.sin(d)).alias("_im"),
+        F.count(F.lit(1)).alias("n_samples"))
+    return agg.select(
+        "series_id", "ch_a", "ch_b",
+        F.sqrt(F.col("_re") ** 2 + F.col("_im") ** 2).alias("plv"),
+        "n_samples")

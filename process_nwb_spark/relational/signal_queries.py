@@ -590,3 +590,122 @@ def sig_pac_mi(spark, sf_dir):
     mi = phase_amplitude_coupling(phase_df, amp_df)
     return (mi.select("channel", F.round("mi", 6).alias("mi"), "n_samples")
             .orderBy("channel"))
+
+
+@query(
+    "sig_erp_trialavg",
+    """
+    WITH sig AS (
+      SELECT CAST(i % 2 AS INT) AS channel,
+             CAST(i // 2 AS BIGINT) AS sample_idx,
+             ROUND(SIN(2 * PI() * 3.7 * ((i // 2) / 1000.0) + (i % 2))
+                   + CASE WHEN (i // 2) % 1000 BETWEEN 500 AND 650
+                          THEN SIN(PI() * (((i // 2) % 1000) - 500) / 150.0)
+                          ELSE 0.0 END, 6) AS value
+      FROM RANGE(0, 10000) t(i)
+    ),
+    markers AS (
+      SELECT CAST(k AS INT) AS trial_id,
+             CAST(500 + 1000 * k AS BIGINT) AS onset_sample
+      FROM RANGE(0, 5) m(k)
+    ),
+    epochs AS (
+      SELECT s.channel, s.sample_idx - m.onset_sample AS rel_idx, s.value
+      FROM sig s JOIN markers m
+        ON s.sample_idx BETWEEN m.onset_sample - 50 AND m.onset_sample + 150
+    )
+    SELECT channel, CAST(rel_idx AS INT) AS rel_idx,
+           ROUND(AVG(value), 6) AS erp,
+           COUNT(*) AS n_trials
+    FROM epochs GROUP BY channel, rel_idx
+    ORDER BY channel, rel_idx
+    """,
+    doc="trial epoching + event-related averaging (operators/epochs.py): "
+        "sample->bucket projection, marker window exploded to its <= 2 "
+        "spanned buckets, equi-join on (series, bucket) + residual window "
+        "filter — linear shuffle, never the samples x markers nested loop "
+        "— then one partial-aggregable trial average. Fixture: a "
+        "deterministic evoked bump at rel 0..150 on top of a slow "
+        "background tone, 5 markers (odd trial count: the mean of five "
+        "6-dp values is a multiple of 2e-7 and can never sit on a "
+        "round-6 half boundary, so cross-engine 1-ulp sum differences "
+        "cannot flip the rounding); the oracle replays the naive "
+        "BETWEEN join (fine at oracle size). FULL hash match on the "
+        "whole ERP incl. per-rel trial counts",
+)
+def sig_erp_trialavg(spark, sf_dir):
+    from ..operators.epochs import epoch_trials, erp_average
+
+    pi = 3.141592653589793
+
+    def value_fn(ch, idx):
+        t = idx.cast("double")
+        phase_in = (idx % 1000).cast("double")
+        bump = F.when((idx % 1000).between(500, 650),
+                      F.sin(F.lit(pi) * (phase_in - 500) / 150.0)
+                      ).otherwise(0.0)
+        return F.round(
+            F.sin(2 * F.lit(pi) * 3.7 * (t / 1000.0) + ch.cast("double"))
+            + bump, 6)
+
+    sig = _synth_long(spark, 2, 5000, value_fn)
+    markers = (spark.range(0, 5)
+               .select(F.lit("synth").alias("series_id"),
+                       F.col("id").cast("int").alias("trial_id"),
+                       (500 + 1000 * F.col("id")).alias("onset_sample")))
+    ep = epoch_trials(sig, markers, pre=50, post=150)
+    return (erp_average(ep)
+            .select("channel", "rel_idx",
+                    F.round("erp", 6).alias("erp"), "n_trials")
+            .orderBy("channel", "rel_idx"))
+
+
+@query(
+    "sig_plv_pairs",
+    """
+    WITH ph AS (
+      SELECT CAST(i % 3 AS INT) AS channel,
+             CAST(i // 3 AS BIGINT) AS sample_idx,
+             ROUND(CASE
+               WHEN i % 3 = 0
+                 THEN 2 * PI() * (((i // 3) % 80) / 80.0) - PI()
+               WHEN i % 3 = 1
+                 THEN 2 * PI() * (((i // 3) % 80) / 80.0) - PI() + 0.7
+               ELSE 2 * PI() * (((i // 3) % 37) / 37.0) - PI()
+             END, 6) AS phase
+      FROM RANGE(0, 12000) t(i)
+    )
+    SELECT a.channel AS ch_a, b.channel AS ch_b,
+           ROUND(SQRT(POW(AVG(COS(a.phase - b.phase)), 2)
+                      + POW(AVG(SIN(a.phase - b.phase)), 2)), 6) AS plv,
+           COUNT(*) AS n_samples
+    FROM ph a JOIN ph b
+      ON a.sample_idx = b.sample_idx AND b.channel > a.channel
+    GROUP BY a.channel, b.channel
+    ORDER BY ch_a, ch_b
+    """,
+    doc="inter-channel phase-locking value (operators/pac.py "
+        "phase_locking_value): per-timepoint pair equi-join (the CAR "
+        "gather shape) + one mean-vector aggregate. Fixture: ch1 is ch0's "
+        "sawtooth phase at a constant 0.7 rad offset (PLV = 1), ch2 runs "
+        "an incommensurate period (PLV ~ 0.03). FULL hash match",
+)
+def sig_plv_pairs(spark, sf_dir):
+    from ..operators.pac import phase_locking_value
+
+    pi = 3.141592653589793
+
+    def phi_fn(ch, idx):
+        saw80 = 2 * F.lit(pi) * ((idx % 80).cast("double") / 80.0) - pi
+        saw37 = 2 * F.lit(pi) * ((idx % 37).cast("double") / 37.0) - pi
+        return F.round(
+            F.when(ch == 0, saw80)
+            .when(ch == 1, saw80 + 0.7)
+            .otherwise(saw37), 6)
+
+    ph = (_synth_long(spark, 3, 4000, phi_fn)
+          .withColumnRenamed("value", "phase"))
+    out = phase_locking_value(ph)
+    return (out.select("ch_a", "ch_b",
+                       F.round("plv", 6).alias("plv"), "n_samples")
+            .orderBy("ch_a", "ch_b"))
