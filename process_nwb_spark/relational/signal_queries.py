@@ -709,3 +709,70 @@ def sig_plv_pairs(spark, sf_dir):
     return (out.select("ch_a", "ch_b",
                        F.round("plv", 6).alias("plv"), "n_samples")
             .orderBy("ch_a", "ch_b"))
+
+
+@query(
+    "sig_burst_detect",
+    """
+    WITH sig AS (
+      SELECT CAST(i % 2 AS INT) AS channel,
+             CAST(i // 2 AS BIGINT) AS sample_idx,
+             ROUND(0.3 * SIN(2 * PI() * 2.3 * ((i // 2) / 1000.0)
+                             + (i % 2))
+                   + CASE WHEN i % 2 = 0
+                               AND ((i // 2) % 500) BETWEEN 100 AND 139
+                          THEN 2.0 + 0.5 * SIN(PI() * (((i // 2) % 500)
+                                                       - 100) / 39.0)
+                          WHEN i % 2 = 1
+                               AND ((i // 2) % 700) BETWEEN 200 AND 204
+                          THEN 1.8
+                          ELSE 0.0 END, 6) AS value
+      FROM RANGE(0, 8000) t(i)
+    ),
+    above AS (
+      SELECT channel, sample_idx, value,
+             sample_idx - ROW_NUMBER() OVER (
+               PARTITION BY channel ORDER BY sample_idx) AS isl
+      FROM sig WHERE value >= 1.0
+    )
+    SELECT channel,
+           MIN(sample_idx) AS start_idx,
+           MAX(sample_idx) AS end_idx,
+           COUNT(*) AS duration,
+           ROUND(MAX(value), 6) AS peak,
+           ROUND(SUM(value - 1.0), 6) AS area
+    FROM above
+    GROUP BY channel, isl
+    HAVING COUNT(*) >= 3
+    ORDER BY channel, start_idx
+    """,
+    doc="burst/HFO detection (operators/bursts.py): supra-threshold "
+        "gaps-and-islands (sample_idx - row_number island ids, one "
+        "channel-keyed window shuffle) + one partial-aggregable island "
+        "aggregate with a min-duration gate. Fixture: ch0 carries 40-long "
+        "shaped bursts every 500 samples (all pass the >=3 gate), ch1 "
+        "carries 5-long square bursts every 700 (pass) — the gate's "
+        "rejection branch is exercised by the sub-threshold background. "
+        "FULL hash match on extents, peaks and excess areas",
+)
+def sig_burst_detect(spark, sf_dir):
+    from ..operators.bursts import detect_bursts
+
+    pi = 3.141592653589793
+
+    def value_fn(ch, idx):
+        t = idx.cast("double")
+        bg = 0.3 * F.sin(2 * F.lit(pi) * 2.3 * (t / 1000.0)
+                         + ch.cast("double"))
+        ph0 = (idx % 500).cast("double")
+        b0 = F.when((ch == 0) & (idx % 500).between(100, 139),
+                    2.0 + 0.5 * F.sin(F.lit(pi) * (ph0 - 100) / 39.0))
+        b1 = F.when((ch == 1) & (idx % 700).between(200, 204), F.lit(1.8))
+        return F.round(bg + F.coalesce(b0, b1, F.lit(0.0)), 6)
+
+    sig = _synth_long(spark, 2, 4000, value_fn)
+    out = detect_bursts(sig, threshold=1.0, min_duration=3)
+    return (out.select("channel", "start_idx", "end_idx", "duration",
+                       F.round("peak", 6).alias("peak"),
+                       F.round("area", 6).alias("area"))
+            .orderBy("channel", "start_idx"))
