@@ -17,7 +17,8 @@ from .operators.coherence import coherence_matrix, stft_complex  # noqa: F401
 from .operators.quality import channel_quality, drop_bad_channels  # noqa: F401
 from .operators.xcorr import cross_correlation  # noqa: F401
 from .operators.pac import phase_amplitude_coupling, phase_locking_value  # noqa: F401
-from .operators.epochs import epoch_trials, erp_average  # noqa: F401
+from .operators.epochs import (epoch_trials, erp_average,  # noqa: F401
+                               inter_trial_coherence)
 from .operators.bursts import detect_bursts  # noqa: F401
 
 __version__ = "0.1.0"

@@ -67,3 +67,26 @@ def erp_average(epochs: DataFrame, value_col: str = "value") -> DataFrame:
     return (epochs.groupBy("series_id", "channel", "rel_idx")
             .agg(F.avg(value_col).alias("erp"),
                  F.count(F.lit(1)).alias("n_trials")))
+
+
+def inter_trial_coherence(epochs: DataFrame,
+                          phase_col: str = "phase") -> DataFrame:
+    """Inter-trial coherence (phase-locking across TRIALS at each
+    latency):
+
+        ITC(ch, rel) = | mean_trials( exp(i * phi[trial, ch, rel]) ) |
+
+    1 when every trial lands at the same phase `rel` samples after the
+    stimulus (a phase-reset response), ~1/sqrt(n_trials) for random
+    phase. Input is `epoch_trials` applied to a PHASE stream (the
+    preprocess(abs_only=False) output), value_col renamed to `phase`.
+    Same single partial-aggregable aggregate shape as erp_average —
+    the ERP's circular-statistics sibling."""
+    p = F.col(phase_col)
+    agg = epochs.groupBy("series_id", "channel", "rel_idx").agg(
+        F.avg(F.cos(p)).alias("_re"), F.avg(F.sin(p)).alias("_im"),
+        F.count(F.lit(1)).alias("n_trials"))
+    return agg.select(
+        "series_id", "channel", "rel_idx",
+        F.sqrt(F.col("_re") ** 2 + F.col("_im") ** 2).alias("itc"),
+        "n_trials")

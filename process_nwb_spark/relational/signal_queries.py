@@ -776,3 +776,67 @@ def sig_burst_detect(spark, sf_dir):
                        F.round("peak", 6).alias("peak"),
                        F.round("area", 6).alias("area"))
             .orderBy("channel", "start_idx"))
+
+
+@query(
+    "sig_itc_phase_reset",
+    """
+    WITH ph AS (
+      SELECT CAST(i % 2 AS INT) AS channel,
+             CAST(i // 2 AS BIGINT) AS sample_idx,
+             ROUND(CASE WHEN i % 2 = 0
+               THEN 2 * PI() * ((((i // 2) % 1000) * 7) % 100) / 100.0
+                    - PI()
+               ELSE 2 * PI() * (((i // 2) * 7) % 97) / 97.0 - PI()
+             END, 6) AS phase
+      FROM RANGE(0, 10000) t(i)
+    ),
+    markers AS (
+      SELECT CAST(500 + 1000 * k AS BIGINT) AS onset_sample
+      FROM RANGE(0, 5) m(k)
+    ),
+    epochs AS (
+      SELECT p.channel, p.sample_idx - m.onset_sample AS rel_idx, p.phase
+      FROM ph p JOIN markers m
+        ON p.sample_idx BETWEEN m.onset_sample - 50 AND m.onset_sample + 150
+    )
+    SELECT channel, CAST(rel_idx AS INT) AS rel_idx,
+           ROUND(SQRT(POW(AVG(COS(phase)), 2) + POW(AVG(SIN(phase)), 2)),
+                 6) AS itc,
+           COUNT(*) AS n_trials
+    FROM epochs GROUP BY channel, rel_idx
+    ORDER BY channel, rel_idx
+    """,
+    doc="inter-trial coherence (operators/epochs.py "
+        "inter_trial_coherence over epoch_trials of a phase stream): "
+        "bucketized epoch join + one circular-mean aggregate per "
+        "(channel, latency). Fixture: ch0's phase is a pure function of "
+        "(t mod 1000) so every trial lands at the same phase at every "
+        "latency (ITC = 1 at all 201 rels); ch1's phase cycles with "
+        "period 97 (1000 mod 97 != 0), decohering across the 5 trials. "
+        "Odd trial count keeps 6-dp means off round-half boundaries. "
+        "FULL hash match",
+)
+def sig_itc_phase_reset(spark, sf_dir):
+    from ..operators.epochs import epoch_trials, inter_trial_coherence
+
+    pi = 3.141592653589793
+
+    def phi_fn(ch, idx):
+        locked = (2 * F.lit(pi)
+                  * (((idx % 1000) * 7) % 100).cast("double") / 100.0 - pi)
+        drift = (2 * F.lit(pi)
+                 * ((idx * 7) % 97).cast("double") / 97.0 - pi)
+        return F.round(F.when(ch == 0, locked).otherwise(drift), 6)
+
+    ph = (_synth_long(spark, 2, 5000, phi_fn)
+          .withColumnRenamed("value", "phase"))
+    markers = (spark.range(0, 5)
+               .select(F.lit("synth").alias("series_id"),
+                       F.col("id").cast("int").alias("trial_id"),
+                       (500 + 1000 * F.col("id")).alias("onset_sample")))
+    ep = epoch_trials(ph, markers, pre=50, post=150, value_col="phase")
+    return (inter_trial_coherence(ep)
+            .select("channel", "rel_idx",
+                    F.round("itc", 6).alias("itc"), "n_trials")
+            .orderBy("channel", "rel_idx"))

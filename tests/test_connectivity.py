@@ -106,3 +106,18 @@ def test_pac_zero_envelope_is_zero_not_null(spark):
     row = phase_amplitude_coupling(
         *_pac_dfs(spark, phi, np.zeros(100))).collect()[0]
     assert row.mi == 0.0
+
+
+def test_connectivity_joins_plan_as_equi_joins(spark):
+    """The lag join and the PLV pair join must plan as hash/SMJ
+    equi-joins (expression keys), never nested-loop or cartesian."""
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((100, 2))
+    for df in (cross_correlation(_long_df(spark, X), [0, 1]),):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+    from process_nwb_spark.operators.pac import phase_locking_value
+    ph = _long_df(spark, X).withColumnRenamed("value", "phase")
+    plan = phase_locking_value(ph)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -100,3 +100,32 @@ def test_plv_matches_numpy_and_limits(spark):
         assert plv == pytest.approx(want, abs=1e-12)
     assert out[(0, 1)][0] == pytest.approx(1.0, abs=1e-12)
     assert out[(0, 2)][0] < 0.05
+
+
+def test_itc_matches_numpy_and_locked_limit(spark):
+    from process_nwb_spark.operators.epochs import (epoch_trials,
+                                                    inter_trial_coherence)
+
+    rng = np.random.default_rng(17)
+    n = 600
+    phi = rng.uniform(-np.pi, np.pi, (n, 1))
+    onsets = [100, 250, 400]
+    df = _sig_df(spark, phi).withColumnRenamed("value", "phase")
+    ep = epoch_trials(df, _markers_df(spark, onsets), 5, 10,
+                      value_col="phase")
+    got = {r.rel_idx: (r.itc, r.n_trials)
+           for r in inter_trial_coherence(ep).collect()}
+    assert len(got) == 16
+    for rel in range(-5, 11):
+        vals = np.array([phi[on + rel, 0] for on in onsets])
+        want = np.abs(np.mean(np.exp(1j * vals)))
+        itc, nt = got[rel]
+        assert nt == 3
+        assert itc == pytest.approx(want, abs=1e-12)
+    # identical phase at every trial -> ITC exactly 1
+    locked = _sig_df(spark, np.tile(0.3, (600, 1))) \
+        .withColumnRenamed("value", "phase")
+    ep2 = epoch_trials(locked, _markers_df(spark, onsets), 2, 2,
+                       value_col="phase")
+    for r in inter_trial_coherence(ep2).collect():
+        assert r.itc == pytest.approx(1.0, abs=1e-12)
