@@ -176,6 +176,102 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stream_burst_detect(signals: DataFrame, threshold: float,
+                        min_duration: int = 1) -> DataFrame:
+    """Streaming burst/HFO detection with islands carried ACROSS
+    micro-batches — the stateful twin of operators/bursts.detect_bursts.
+
+    A burst that straddles a file cut cannot be detected batch-locally
+    (each side would report a truncated island, or drop it under the
+    min-duration gate). Here `applyInPandasWithState` keys state by
+    (series_id, channel): the still-open island at a batch's tail
+    (start, last, peak, area) persists in the state store and stitches
+    onto the next batch when its first supra-threshold run continues at
+    last+1. Only CLOSED islands are emitted (outputMode append): an
+    island closes when a later sample (sub-threshold or gapped) proves
+    it ended; a recording's final open island stays in state, exactly
+    the semantics of a live stream where the burst may still be going.
+
+    Contract: per (series, channel), micro-batches must land in
+    increasing sample order (file source honors landing order under
+    maxFilesPerTrigger); a batch overlapping carried state raises
+    rather than silently double-counting. State is O(1) per key.
+    Batch==stream equality is pinned in tests/test_streaming.py with a
+    file cut through the middle of a burst."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    thr, mind = float(threshold), int(min_duration)
+    if mind < 1:
+        raise ValueError(f"need min_duration >= 1, got {min_duration}")
+
+    def runs_of(idx, val):
+        m = val >= thr
+        if not m.any():
+            return []
+        mi, mv = idx[m], val[m]
+        brk = np.nonzero(np.diff(mi) != 1)[0]
+        starts = np.r_[0, brk + 1]
+        ends = np.r_[brk, len(mi) - 1]
+        return [(int(mi[s]), int(mi[e]), float(mv[s:e + 1].max()),
+                 float((mv[s:e + 1] - thr).sum()))
+                for s, e in zip(starts, ends)]
+
+    def fn(key, pdfs, state: GroupState):
+        sid, ch = key
+        open_ = tuple(state.get) if state.exists else None
+        closed = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("sample_idx")
+            idx = pdf["sample_idx"].to_numpy(np.int64)
+            val = pdf["value"].to_numpy(np.float64)
+            if open_ is not None and idx[0] <= open_[1]:
+                raise ValueError(
+                    f"stream_burst_detect: batch for {sid!r}/ch{ch} starts "
+                    f"at sample {int(idx[0])} but state already covers "
+                    f"through {open_[1]} — out-of-order landing")
+            rs = runs_of(idx, val)
+            if open_ is not None:
+                if rs and rs[0][0] == open_[1] + 1:
+                    s0, e0, p0, a0 = rs[0]
+                    rs[0] = (open_[0], e0, max(p0, open_[2]), a0 + open_[3])
+                else:
+                    closed.append(open_)   # gap or sub-threshold closed it
+                open_ = None
+            batch_max = int(idx[-1])
+            for r in rs:
+                if r[1] == batch_max:
+                    open_ = r              # tail run: may continue next batch
+                else:
+                    closed.append(r)
+        if open_ is not None:
+            state.update(open_)
+        elif state.exists:
+            state.remove()
+        keep = [c for c in closed if c[1] - c[0] + 1 >= mind]
+        yield pd.DataFrame({
+            "series_id": [sid] * len(keep),
+            "channel": [ch] * len(keep),
+            "start_idx": [c[0] for c in keep],
+            "end_idx": [c[1] for c in keep],
+            "duration": [c[1] - c[0] + 1 for c in keep],
+            "peak": [c[2] for c in keep],
+            "area": [c[3] for c in keep],
+        })
+
+    return (signals.groupBy("series_id", "channel").applyInPandasWithState(
+        fn,
+        outputStructType=("series_id STRING, channel INT, start_idx BIGINT, "
+                          "end_idx BIGINT, duration BIGINT, peak DOUBLE, "
+                          "area DOUBLE"),
+        stateStructType="start BIGINT, last BIGINT, peak DOUBLE, area DOUBLE",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def foreach_batch_parquet(out_dir: str):
     """Incremental partitioned-parquet sink — the Spark analog of the
     reference's chunked HDF5 writer (wavelet_transform.py:219: DataChunk

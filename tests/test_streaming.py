@@ -251,3 +251,53 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
         _norm(got, ["click_id", "error_id"]),
         _norm(want, ["click_id", "error_id"]),
         check_dtype=False, check_like=True)
+
+
+def test_stream_bursts_stitch_across_file_cut(spark, tmp_path):
+    """A burst split by a micro-batch boundary must be emitted ONCE with
+    its full extent (state carries the open island); stream == batch
+    detect_bursts exactly when the recording ends sub-threshold."""
+    import numpy as np
+    import pandas as pd
+    from process_nwb_spark.operators.bursts import detect_bursts
+    from process_nwb_spark.streaming.ops import (SIGNALS_SCHEMA,
+                                                 stream_burst_detect)
+
+    n = 3000
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal(n) * 0.3
+    x[980:1060] += 2.0      # burst straddling the cut at 1000
+    x[1990:2015] += 2.0     # burst straddling the cut at 2000
+    x[300:303] += 3.0       # short burst, killed by min_duration=5
+    x[500:520] += 2.5       # interior burst
+    x[-1] = 0.0             # end sub-threshold: no open tail island
+    long_pdf = pd.DataFrame({
+        "series_id": "s0", "channel": np.int32(0),
+        "sample_idx": np.arange(n, dtype=np.int64), "value": x})
+    df = spark.createDataFrame(long_pdf)
+
+    in_dir = str(tmp_path / "in_bursts")
+    for lo, hi in [(0, 1000), (1000, 2000), (2000, 3000)]:
+        (df.filter((F.col("sample_idx") >= lo) & (F.col("sample_idx") < hi))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    sdf = (spark.readStream.schema(SIGNALS_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream_burst_detect(sdf, threshold=1.0, min_duration=5)
+         .writeStream.format("memory").queryName("t_bursts")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_bursts"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = (spark.table("t_bursts").toPandas()
+           .sort_values("start_idx").reset_index(drop=True))
+    want = (detect_bursts(df, 1.0, min_duration=5).toPandas()
+            .sort_values("start_idx").reset_index(drop=True))
+    assert len(got) == len(want) >= 3
+    # the straddling bursts appear once, full-extent (stitched)
+    assert (got.start_idx == want.start_idx).all()
+    assert (got.end_idx == want.end_idx).all()
+    assert (got.duration == want.duration).all()
+    np.testing.assert_allclose(got.peak, want.peak, rtol=0, atol=0)
+    np.testing.assert_allclose(got.area, want.area, rtol=1e-9)
