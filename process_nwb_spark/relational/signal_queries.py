@@ -840,3 +840,42 @@ def sig_itc_phase_reset(spark, sf_dir):
             .select("channel", "rel_idx",
                     F.round("itc", 6).alias("itc"), "n_trials")
             .orderBy("channel", "rel_idx"))
+
+
+@query(
+    "sig_multitaper_psd",
+    """
+    SELECT * FROM (VALUES (0, 257, 7, 1), (1, 257, 7, 1), (2, 257, 7, 1))
+      t(channel, n_bins, n_tapers, variance_ok)
+    ORDER BY channel
+    """,
+    doc="multitaper (Thomson/DPSS) PSD (operators/multitaper.py: "
+        "scipy-free Slepian tapers from the tridiagonal "
+        "eigendecomposition, K tapered periodograms per non-overlapping "
+        "frame, partial-aggregable per-bin average) certified by the "
+        "same normalization contract as sig_welch_psd: integrating the "
+        "one-sided PSD of deterministic hash-derived uniform noise over "
+        "[0, fs/2] recovers the signal variance (1/3) within estimator "
+        "tolerance, with the expected bin count and taper family size. "
+        "Contract-boolean oracle (spectra are not SQL-replayable); "
+        "taper-family math, concentration, variance reduction and an "
+        "exact NumPy replay are pinned in tests/test_multitaper.py",
+)
+def sig_multitaper_psd(spark, sf_dir):
+    from ..operators.multitaper import multitaper_psd
+
+    n_ch, n_t, rate = 3, 16384, 1000.0
+    sig = _synth_long(spark, n_ch, n_t,
+                      lambda ch, idx: _hash_uniform(idx, ch))
+    psd = multitaper_psd(sig, rate, frame_len=512, nw=4.0)
+    df_hz = rate / 512.0
+    per_ch = psd.groupBy("channel").agg(
+        F.count("*").alias("n_bins"),
+        F.max("n_tapers").alias("n_tapers"),
+        (F.sum("psd") * F.lit(df_hz)).alias("integral"))
+    var_ok = F.abs(F.col("integral") - F.lit(1.0 / 3.0)) < 0.1 / 3.0
+    return (per_ch.select("channel",
+                          F.col("n_bins").cast("int").alias("n_bins"),
+                          F.col("n_tapers").cast("int").alias("n_tapers"),
+                          var_ok.cast("int").alias("variance_ok"))
+            .orderBy("channel"))
