@@ -66,6 +66,23 @@ def stft_complex(signals: DataFrame, frame_len: int, hop: int | None = None,
             .applyInPandas(run, SPEC_SCHEMA))
 
 
+def _paired_spectra(spec: DataFrame, include_self: bool):
+    """Self-join the per-frame spectra on (series, frame, bin) and return
+    (joined, sxy_re, sxy_im, sxx, syy) — the shared channel-pairing step
+    of every spectral-connectivity estimator here."""
+    a, b = spec.alias("a"), spec.alias("b")
+    pair_cond = (F.col("a.channel") <= F.col("b.channel")) if include_self \
+        else (F.col("a.channel") < F.col("b.channel"))
+    j = a.join(b, (F.col("a.series_id") == F.col("b.series_id"))
+               & (F.col("a.frame") == F.col("b.frame"))
+               & (F.col("a.bin") == F.col("b.bin")) & pair_cond)
+    sxy_re = F.col("a.re") * F.col("b.re") + F.col("a.im") * F.col("b.im")
+    sxy_im = F.col("a.im") * F.col("b.re") - F.col("a.re") * F.col("b.im")
+    sxx = F.col("a.re") * F.col("a.re") + F.col("a.im") * F.col("a.im")
+    syy = F.col("b.re") * F.col("b.re") + F.col("b.im") * F.col("b.im")
+    return j, sxy_re, sxy_im, sxx, syy
+
+
 def coherence_matrix(signals: DataFrame, rate: float, frame_len: int,
                      hop: int | None = None, window: str = "hann",
                      include_self: bool = False) -> DataFrame:
@@ -82,18 +99,8 @@ def coherence_matrix(signals: DataFrame, rate: float, frame_len: int,
     local."""
     L = int(frame_len)
     spec = stft_complex(signals, L, hop, window=window)
-    a = spec.alias("a")
-    b = spec.alias("b")
-    pair_cond = (F.col("a.channel") <= F.col("b.channel")) if include_self \
-        else (F.col("a.channel") < F.col("b.channel"))
-    j = a.join(b, (F.col("a.series_id") == F.col("b.series_id"))
-               & (F.col("a.frame") == F.col("b.frame"))
-               & (F.col("a.bin") == F.col("b.bin")) & pair_cond)
     # X * conj(Y) per frame, then Welch averages — all partial-aggregable
-    sxy_re = F.col("a.re") * F.col("b.re") + F.col("a.im") * F.col("b.im")
-    sxy_im = F.col("a.im") * F.col("b.re") - F.col("a.re") * F.col("b.im")
-    sxx = F.col("a.re") * F.col("a.re") + F.col("a.im") * F.col("a.im")
-    syy = F.col("b.re") * F.col("b.re") + F.col("b.im") * F.col("b.im")
+    j, sxy_re, sxy_im, sxx, syy = _paired_spectra(spec, include_self)
     g = (j.groupBy(F.col("a.series_id").alias("series_id"),
                    F.col("a.channel").alias("ch_a"),
                    F.col("b.channel").alias("ch_b"),
@@ -107,3 +114,37 @@ def coherence_matrix(signals: DataFrame, rate: float, frame_len: int,
         "series_id", "ch_a", "ch_b", "bin",
         (F.col("bin") * F.lit(float(rate)) / F.lit(L)).alias("freq_hz"),
         "n_frames", coh.alias("coherence"))
+
+
+def wpli_matrix(signals: DataFrame, rate: float, frame_len: int,
+                hop: int | None = None, window: str = "hann") -> DataFrame:
+    """Weighted phase-lag index (Vinck 2011) per channel pair and bin:
+
+        wPLI_xy(f) = | avg_frames( imag(X_f * conj(Y_f)) ) |
+                     / avg_frames( |imag(X_f * conj(Y_f))| )
+
+    The field's volume-conduction fix: a zero-lag mixture (two
+    electrodes seeing the SAME source through tissue) has a purely REAL
+    cross-spectrum, so it inflates coherence but contributes nothing to
+    wPLI — only genuinely lagged coupling scores. Identically-shaped
+    plan as coherence_matrix (shared _paired_spectra join, two
+    partial-aggregable averages); by convention a pair whose
+    cross-spectrum is purely real in every frame (avg|imag| == 0)
+    returns 0, not NULL — zero lag IS the 'no lagged coupling' verdict.
+    Self-pairs are excluded (imag(Sxx) == 0 identically)."""
+    L = int(frame_len)
+    spec = stft_complex(signals, L, hop, window=window)
+    j, _, sxy_im, _, _ = _paired_spectra(spec, include_self=False)
+    g = (j.groupBy(F.col("a.series_id").alias("series_id"),
+                   F.col("a.channel").alias("ch_a"),
+                   F.col("b.channel").alias("ch_b"),
+                   F.col("a.bin").alias("bin"))
+         .agg(F.avg(sxy_im).alias("num"),
+              F.avg(F.abs(sxy_im)).alias("den"),
+              F.count("*").alias("n_frames")))
+    wpli = F.when(F.col("den") > 0,
+                  F.abs(F.col("num")) / F.col("den")).otherwise(F.lit(0.0))
+    return g.select(
+        "series_id", "ch_a", "ch_b", "bin",
+        (F.col("bin") * F.lit(float(rate)) / F.lit(L)).alias("freq_hz"),
+        "n_frames", wpli.alias("wpli"))

@@ -879,3 +879,61 @@ def sig_multitaper_psd(spark, sf_dir):
                           F.col("n_tapers").cast("int").alias("n_tapers"),
                           var_ok.cast("int").alias("variance_ok"))
             .orderBy("channel"))
+
+
+@query(
+    "sig_wpli_contract",
+    """
+    SELECT * FROM (VALUES
+        (0, 1, 1, 1, 1),
+        (0, 2, 1, 1, 1),
+        (1, 2, 1, 1, 1))
+      t(ch_a, ch_b, lag_ok, zerolag_ok, coh_ok)
+    ORDER BY ch_a, ch_b
+    """,
+    doc="weighted phase-lag index (operators/coherence.py wpli_matrix, "
+        "Vinck 2011) certified by the volume-conduction discrimination "
+        "that motivates it: ch1 carries ch0's 125 Hz tone at a "
+        "quarter-cycle lag (genuine lagged coupling -> wPLI > 0.8 at the "
+        "tone bin, for (0,1) and (1,2)); ch2 carries the tone at ZERO "
+        "lag (the volume-conduction artifact -> plain coherence stays "
+        "> 0.5 at the tone bin while wPLI collapses < 0.3 for (0,2)). "
+        "Contract-boolean oracle (cf. sig_coherence_contract)",
+)
+def sig_wpli_contract(spark, sf_dir):
+    from ..operators.coherence import coherence_matrix, wpli_matrix
+
+    # 65536 samples -> ~511 Welch frames: the zero-lag pair's null wPLI
+    # shrinks like 1/sqrt(n_frames) (measured 0.56 @63 frames, 0.03
+    # @511) — the margin under the 0.3 gate needs the frames, the
+    # lagged pairs sit at 1.0 regardless
+    n_ch, n_t, rate = 3, 65536, 1000.0
+    pi2 = 2 * 3.141592653589793
+
+    def value_fn(ch, idx):
+        t = idx.cast("double") / rate
+        t_lag = (idx.cast("double") - 2.0) / rate   # quarter cycle @125 Hz
+        tone = F.when(ch == 1, F.sin(F.lit(pi2 * 125.0) * t_lag)) \
+            .otherwise(F.sin(F.lit(pi2 * 125.0) * t))
+        return tone + 0.5 * _hash_uniform(idx, ch)
+
+    sig = _synth_long(spark, n_ch, n_t, value_fn)
+    tone_bin = 32                        # 125 Hz at frame 256 / 1000 Hz
+    w = (wpli_matrix(sig, rate, frame_len=256)
+         .filter(F.col("bin") == tone_bin)
+         .select("ch_a", "ch_b", F.col("wpli").alias("w")))
+    c = (coherence_matrix(sig, rate, frame_len=256)
+         .filter(F.col("bin") == tone_bin)
+         .select(F.col("ch_a").alias("ca"), F.col("ch_b").alias("cb"),
+                 F.col("coherence").alias("coh")))
+    j = w.join(c, (F.col("ch_a") == F.col("ca"))
+               & (F.col("ch_b") == F.col("cb")))
+    is_zerolag = (F.col("ch_a") == 0) & (F.col("ch_b") == 2)
+    lag_ok = F.when(~is_zerolag, F.col("w") > 0.8).otherwise(F.lit(True))
+    zerolag_ok = F.when(is_zerolag, F.col("w") < 0.3).otherwise(F.lit(True))
+    coh_ok = F.when(is_zerolag, F.col("coh") > 0.5).otherwise(F.lit(True))
+    return (j.select("ch_a", "ch_b",
+                     lag_ok.cast("int").alias("lag_ok"),
+                     zerolag_ok.cast("int").alias("zerolag_ok"),
+                     coh_ok.cast("int").alias("coh_ok"))
+            .orderBy("ch_a", "ch_b"))

@@ -78,3 +78,67 @@ def test_stft_complex_matches_power(spark):
 def test_guards():
     with pytest.raises(ValueError, match="hop"):
         stft_complex(None, frame_len=8, hop=16)
+
+
+def test_wpli_matches_numpy_replay_and_discriminates(spark):
+    """wPLI == direct NumPy evaluation of the same estimator on the same
+    frames; quarter-cycle-lagged coupling scores ~1 while a zero-lag
+    copy (volume conduction) collapses toward 0 even though coherence
+    stays high for both."""
+    import numpy as np
+    import pandas as pd
+    from process_nwb_spark.operators.coherence import wpli_matrix
+
+    rng = np.random.default_rng(31)
+    n, L, rate = 32768, 256, 1000.0
+    t = np.arange(n)
+    tone = np.sin(2 * np.pi * 125.0 * t / rate)
+    lagged = np.sin(2 * np.pi * 125.0 * (t - 2) / rate)
+    X = np.stack([tone + 0.5 * rng.standard_normal(n),
+                  lagged + 0.5 * rng.standard_normal(n),
+                  tone + 0.5 * rng.standard_normal(n)], axis=1)
+    n_t, n_ch = X.shape
+    df = spark.createDataFrame(pd.DataFrame({
+        "series_id": "s0",
+        "channel": np.tile(np.arange(n_ch, dtype=np.int32), n_t),
+        "sample_idx": np.repeat(np.arange(n_t, dtype=np.int64), n_ch),
+        "value": X.ravel()}))
+    got = {(r.ch_a, r.ch_b): r.wpli
+           for r in wpli_matrix(df, rate, L).filter("bin = 32").collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}   # self-pairs excluded
+
+    # NumPy replay: hann frames at hop L//2, full frames only
+    H = L // 2
+    w = np.hanning(L + 1)[:-1] if False else None
+    from process_nwb_spark.operators.stft import _window
+    win = _window("hann", L)
+    n_frames = (n - L) // H + 1
+    spec = np.stack([
+        np.stack([np.fft.rfft(X[f * H:f * H + L, c] * win)
+                  for f in range(n_frames)])
+        for c in range(n_ch)])                      # (ch, frame, bin)
+    for (a, b), v in got.items():
+        im = (spec[a, :, 32] * np.conj(spec[b, :, 32])).imag
+        want = abs(im.mean()) / np.abs(im).mean()
+        assert v == pytest.approx(want, abs=1e-12)
+    assert got[(0, 1)] > 0.95 and got[(1, 2)] > 0.95
+    assert got[(0, 2)] < 0.25
+
+
+def test_wpli_pure_zero_lag_is_zero_not_null(spark):
+    """Two channels that are exact scalar multiples: imag(Sxy) == 0 in
+    every frame -> the 0/0 convention must emit 0.0, not NULL/NaN."""
+    import numpy as np
+    import pandas as pd
+    from process_nwb_spark.operators.coherence import wpli_matrix
+
+    n = 2048
+    x = np.sin(2 * np.pi * 125.0 * np.arange(n) / 1000.0)
+    X = np.stack([x, 2.0 * x], axis=1)
+    df = spark.createDataFrame(pd.DataFrame({
+        "series_id": "s0",
+        "channel": np.tile(np.arange(2, dtype=np.int32), n),
+        "sample_idx": np.repeat(np.arange(n, dtype=np.int64), 2),
+        "value": X.ravel()}))
+    rows = wpli_matrix(df, 1000.0, 256).collect()
+    assert rows and all(r.wpli == 0.0 for r in rows)
