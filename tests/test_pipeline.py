@@ -376,3 +376,60 @@ def test_preprocess_phase_surface(spark, dense):
     with pytest.raises(ValueError, match="phase"):
         preprocess(to_long_df(spark, dense), RATE, INIT, FINAL,
                    abs_only=False).tf_packed.collect()
+
+
+def test_connectivity_tier_composes_with_pipeline(spark, dense):
+    """The round-6 analysis tier must consume the flagship pipeline's own
+    outputs directly (grids, column names, keys align) — PAC from the
+    phase+amp stages, PLV from the phase stage, epoching+ERP and burst
+    detection from the amplitude stage — and the dense NumPy replay of
+    PAC on the same arrays must agree to 1e-9."""
+    from process_nwb_spark.operators.bursts import detect_bursts
+    from process_nwb_spark.operators.epochs import epoch_trials, erp_average
+    from process_nwb_spark.operators.pac import (phase_amplitude_coupling,
+                                                 phase_locking_value)
+
+    res = preprocess(to_long_df(spark, dense), RATE, INIT,
+                     final_resample_rate=None, abs_only=False,
+                     precision="double")
+    ph = (res.stages["wvlt_phase"].filter("band = 0")
+          .select("series_id", "channel", "sample_idx", "phase"))
+    amp = (res.stages["wvlt_amp"].filter("band = 5")
+           .select("series_id", "channel", "sample_idx", "amp"))
+
+    mi = {r.channel: (r.mi, r.n_samples)
+          for r in phase_amplitude_coupling(ph, amp).collect()}
+    n_t = int(np.ceil(dense.shape[0] * INIT / RATE))
+    assert set(mi) == set(range(8))
+    assert all(n == n_t and 0.0 <= m <= 1.0 for m, n in mi.values())
+
+    # dense replay of the same MI for one channel
+    Xs = dense * 1e6
+    Xr = K.resample(Xs, INIT, RATE, precision="double")
+    Xn = K.apply_linenoise_notch(Xr, INIT, precision="double")
+    Xc = K.subtract_car(Xn, 0.95, precision="double")
+    Xh, _, _, _ = K.wavelet_transform(Xc, INIT, "rat", True,
+                                      precision="double")
+    phi0, a5 = np.angle(Xh[:, 3, 0]), np.abs(Xh[:, 3, 5])
+    want = np.abs(np.mean(a5 * np.exp(1j * phi0))) / a5.mean()
+    assert mi[3][0] == pytest.approx(want, abs=1e-9)
+
+    plv = phase_locking_value(ph).collect()
+    assert len(plv) == 8 * 7 // 2
+    assert all(0.0 <= r.plv <= 1.0 + 1e-12 and r.n_samples == n_t
+               for r in plv)
+
+    # epoch + ERP + bursts straight off the amplitude stage
+    import pandas as pd
+    sid = amp.select("series_id").first()[0]
+    markers = spark.createDataFrame(pd.DataFrame({
+        "series_id": sid, "trial_id": np.arange(3, dtype=np.int32),
+        "onset_sample": np.array([400, 900, 1400], dtype=np.int64)}))
+    erp = erp_average(epoch_trials(amp, markers, 50, 100,
+                                   value_col="amp"), value_col="amp")
+    rows = erp.filter("channel = 0").collect()
+    assert len(rows) == 151 and all(r.n_trials == 3 for r in rows)
+
+    bursts = detect_bursts(amp, threshold=1e9, min_duration=1,
+                           value_col="amp").count()
+    assert bursts == 0          # nothing exceeds an absurd threshold
