@@ -22,5 +22,6 @@ from .operators.pac import phase_amplitude_coupling, phase_locking_value  # noqa
 from .operators.epochs import (epoch_trials, erp_average,  # noqa: F401
                                inter_trial_coherence)
 from .operators.bursts import detect_bursts  # noqa: F401
+from .operators.spatial import csd_reference, electrode_neighbors  # noqa: F401
 
 __version__ = "0.1.0"

@@ -937,3 +937,54 @@ def sig_wpli_contract(spark, sf_dir):
                      zerolag_ok.cast("int").alias("zerolag_ok"),
                      coh_ok.cast("int").alias("coh_ok"))
             .orderBy("ch_a", "ch_b"))
+
+
+@query(
+    "sig_csd_laplacian",
+    f"""
+    WITH signals AS ({_GEN_SQL}),
+    electrodes AS (
+      SELECT CAST(i AS INT) AS id, CAST(i AS DOUBLE) AS x, 0.0 AS y,
+             0.0 AS z
+      FROM RANGE(0, {N_CH}) t(i)
+    ),
+    pairs AS (
+      SELECT a.id, b.id AS nbr
+      FROM electrodes a JOIN electrodes b
+        ON a.id <> b.id
+       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+           + (a.z - b.z) * (a.z - b.z) <= 1.5 * 1.5
+    ),
+    nbr_means AS (
+      SELECT p.id AS channel, s.sample_idx,
+             AVG(s.value) AS nbr_mean, COUNT(*) AS n_neighbors
+      FROM pairs p JOIN signals s ON s.channel = p.nbr
+      GROUP BY p.id, s.sample_idx
+    )
+    SELECT s.channel, s.sample_idx,
+           COALESCE(m.n_neighbors, 0) AS n_neighbors,
+           ROUND(s.value - m.nbr_mean, 6) AS csd
+    FROM signals s LEFT JOIN nbr_means m
+      ON s.channel = m.channel AND s.sample_idx = m.sample_idx
+    """,
+    doc="current source density / local-Laplacian referencing "
+        "(operators/spatial.py): the electrode dimension's distance "
+        "self-join defines adjacency (here a 1-D strip at unit pitch, "
+        "radius 1.5 -> chain neighbors, 1 at the ends, 2 interior), one "
+        "broadcast fan-out + per-timepoint neighbor mean, then a "
+        "co-partitioned join-back — CAR's spatial sibling, and the op "
+        "that finally USES the x/y/z columns of the reference's "
+        "electrode table (utils.py:222-253). FULL hash match on the "
+        "whole referenced recording incl. neighbor counts",
+)
+def sig_csd_laplacian(spark, sf_dir):
+    from ..operators.spatial import csd_reference
+    from ..synth import electrodes_df
+
+    el = (electrodes_df(spark, N_CH)
+          .select("id", F.col("id").cast("double").alias("x"),
+                  F.lit(0.0).alias("y"), F.lit(0.0).alias("z")))
+    out = csd_reference(_signals(spark), el, radius=1.5)
+    return (out.select("channel", "sample_idx", "n_neighbors",
+                       F.round("csd", 6).alias("csd"))
+            .orderBy("channel", "sample_idx"))
