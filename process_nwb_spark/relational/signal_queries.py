@@ -988,3 +988,103 @@ def sig_csd_laplacian(spark, sf_dir):
     return (out.select("channel", "sample_idx", "n_neighbors",
                        F.round("csd", 6).alias("csd"))
             .orderBy("channel", "sample_idx"))
+
+
+@query(
+    "sig_band_power",
+    """
+    SELECT * FROM (VALUES
+        (0, 'alpha', 1, 1), (0, 'beta',  1, 1), (0, 'delta', 1, 1),
+        (0, 'gamma', 1, 1), (0, 'theta', 1, 1),
+        (1, 'alpha', 1, 1), (1, 'beta',  1, 1), (1, 'delta', 1, 1),
+        (1, 'gamma', 1, 1), (1, 'theta', 1, 1))
+      t(channel, band_name, flat_ok, tone_ok)
+    ORDER BY channel, band_name
+    """,
+    doc="named-band power table (operators/spectral_summary.py "
+        "band_power): Welch PSD integrated over the clinical EEG band "
+        "dimension (broadcast range join — the reference's band-table "
+        "shape, SURVEY.md §1.2). Contract: a white-noise channel's "
+        "relative band power matches each band's bandwidth share of "
+        "[0, fs/2) within 0.05 (flat_ok, trivially true on ch1); a "
+        "10 Hz tone channel concentrates >60% in alpha with <5% in "
+        "each non-adjacent band (tone_ok, trivially true on ch0). "
+        "Contract-boolean oracle (PSD not SQL-replayable)",
+)
+def sig_band_power(spark, sf_dir):
+    from ..operators.spectral_summary import band_power
+
+    rate, n_t = 1000.0, 32768
+    pi2 = 2 * 3.141592653589793
+
+    def value_fn(ch, idx):
+        t = idx.cast("double") / rate
+        tone = F.lit(2.0 ** 0.5) * F.sin(F.lit(pi2 * 10.0) * t)
+        return F.when(ch == 1, tone + 0.3 * _hash_uniform(idx, ch)) \
+            .otherwise(_hash_uniform(idx, ch))
+
+    sig = _synth_long(spark, 2, n_t, value_fn)
+    bp = band_power(sig, rate, 512, relative=True)
+    share = (F.col("hi_hz") - F.col("lo_hz")) / F.lit(rate / 2.0)
+    flat_ok = F.when(F.col("channel") == 0,
+                     F.abs(F.col("rel_power") - share) < 0.05
+                     ).otherwise(F.lit(True))
+    is_far = F.col("band_name").isin("delta", "beta", "gamma")
+    tone_ok = F.when(
+        F.col("channel") == 1,
+        F.when(F.col("band_name") == "alpha", F.col("rel_power") > 0.6)
+        .when(is_far, F.col("rel_power") < 0.05)
+        .otherwise(F.lit(True))).otherwise(F.lit(True))
+    return (bp.select("channel", "band_name",
+                      flat_ok.cast("int").alias("flat_ok"),
+                      tone_ok.cast("int").alias("tone_ok"))
+            .orderBy("channel", "band_name"))
+
+
+@query(
+    "sig_line_noise_snr",
+    """
+    SELECT * FROM (VALUES (0, 8, 1, 1, 1), (1, 8, 1, 1, 1))
+      t(channel, n_harmonics, clean_ok, noisy_ok, notch_ok)
+    ORDER BY channel
+    """,
+    doc="line-noise SNR screen (operators/spectral_summary.py "
+        "line_noise_snr): mean PSD within +-1 bin of each 60 Hz harmonic "
+        "over flanking bins. Contract: the clean channel reads ~1 "
+        "(0.5..2), the channel carrying a 0.5-amplitude 60 Hz line reads "
+        "> 3 (measured 5.1), and AFTER the engine's own "
+        "apply_linenoise_notch (segmented, in-plan) BOTH channels drop "
+        "below 2 (measured ~0.8) — the screen doubles as the notch "
+        "stage's acceptance test. Contract-boolean oracle",
+)
+def sig_line_noise_snr(spark, sf_dir):
+    from ..operators.segmented import segmented_notch
+    from ..operators.spectral_summary import line_noise_snr
+
+    rate, n_t = 1000.0, 32768
+    pi2 = 2 * 3.141592653589793
+
+    def value_fn(ch, idx):
+        t = idx.cast("double") / rate
+        line = F.lit(0.5) * F.sin(F.lit(pi2 * 60.0) * t)
+        return F.when(ch == 1, line + _hash_uniform(idx, ch)) \
+            .otherwise(_hash_uniform(idx, ch))
+
+    sig = _synth_long(spark, 2, n_t, value_fn)
+    before = line_noise_snr(sig, rate, 512).select(
+        "channel", F.col("snr").alias("snr_b"), "n_harmonics")
+    notched = segmented_notch(sig, rate, seg_len=4096, overlap=512)
+    after = line_noise_snr(notched, rate, 512).select(
+        F.col("channel").alias("_ch"), F.col("snr").alias("snr_a"))
+    j = before.join(after, before.channel == after._ch)
+    clean_ok = F.when(F.col("channel") == 0,
+                      F.col("snr_b").between(0.5, 2.0)
+                      ).otherwise(F.lit(True))
+    noisy_ok = F.when(F.col("channel") == 1, F.col("snr_b") > 3.0
+                      ).otherwise(F.lit(True))
+    notch_ok = F.col("snr_a") < 2.0
+    return (j.select("channel", "n_harmonics",
+                     clean_ok.cast("int").alias("clean_ok"),
+                     noisy_ok.cast("int").alias("noisy_ok"),
+                     notch_ok.cast("int").alias("notch_ok"))
+            .orderBy("channel"))
