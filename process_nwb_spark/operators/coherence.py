@@ -148,3 +148,55 @@ def wpli_matrix(signals: DataFrame, rate: float, frame_len: int,
         "series_id", "ch_a", "ch_b", "bin",
         (F.col("bin") * F.lit(float(rate)) / F.lit(L)).alias("freq_hz"),
         "n_frames", wpli.alias("wpli"))
+
+
+def phase_slope_index(signals: DataFrame, rate: float, frame_len: int,
+                      hop: int | None = None, window: str = "hann",
+                      f_lo: float | None = None,
+                      f_hi: float | None = None) -> DataFrame:
+    """Phase-slope index (Nolte 2008) per channel pair — DIRECTIONALITY:
+
+        PSI_xy = sum_f Im( conj(C_xy(f)) * C_xy(f + df) ),
+        C_xy = S_xy / sqrt(S_xx * S_yy)   (complex coherency)
+
+    A consistent phase slope across frequencies means a consistent time
+    LAG: PSI > 0 when ch_a leads ch_b, < 0 when ch_b leads, ~0 for
+    zero-lag (volume-conducted) or un-coupled channels — the question
+    wPLI cannot answer (it detects lag but not its sign). Optional
+    [f_lo, f_hi] restricts the sum to a band (both f and f+df inside).
+
+    Plan: the coherence aggregates (one bounded-frame shuffle + the
+    _paired_spectra join), then a bin-shift self-join over the TINY
+    per-pair spectra (n_pairs x n_bins rows) and one sum. Returns
+    (series_id, ch_a, ch_b, psi, n_bins_used).
+    """
+    L = int(frame_len)
+    spec = stft_complex(signals, L, hop, window=window)
+    j, sxy_re, sxy_im, sxx, syy = _paired_spectra(spec, include_self=False)
+    g = (j.groupBy(F.col("a.series_id").alias("series_id"),
+                   F.col("a.channel").alias("ch_a"),
+                   F.col("b.channel").alias("ch_b"),
+                   F.col("a.bin").alias("bin"))
+         .agg(F.avg(sxy_re).alias("cre"), F.avg(sxy_im).alias("cim"),
+              F.avg(sxx).alias("sxx"), F.avg(syy).alias("syy")))
+    if f_lo is not None:
+        g = g.filter(F.col("bin") >= int(np.ceil(f_lo * L / rate)))
+    if f_hi is not None:
+        g = g.filter(F.col("bin") <= int(np.floor(f_hi * L / rate)))
+    den = F.sqrt(F.col("sxx") * F.col("syy"))
+    base = g.select("series_id", "ch_a", "ch_b", "bin",
+                    (F.col("cre") / den).alias("cr"),
+                    (F.col("cim") / den).alias("ci"))
+    nxt = base.select(F.col("series_id").alias("_s"),
+                      F.col("ch_a").alias("_a"), F.col("ch_b").alias("_b"),
+                      (F.col("bin") - 1).alias("_bin"),
+                      F.col("cr").alias("cr1"), F.col("ci").alias("ci1"))
+    jj = base.join(nxt, (F.col("series_id") == F.col("_s"))
+                   & (F.col("ch_a") == F.col("_a"))
+                   & (F.col("ch_b") == F.col("_b"))
+                   & (F.col("bin") == F.col("_bin")))
+    # Im(conj(C_f) * C_{f+1}) = cr_f * ci_{f+1} - ci_f * cr_{f+1}
+    return (jj.groupBy("series_id", "ch_a", "ch_b")
+            .agg(F.sum(F.col("cr") * F.col("ci1")
+                       - F.col("ci") * F.col("cr1")).alias("psi"),
+                 F.count(F.lit(1)).alias("n_bins_used")))

@@ -1088,3 +1088,47 @@ def sig_line_noise_snr(spark, sf_dir):
                      noisy_ok.cast("int").alias("noisy_ok"),
                      notch_ok.cast("int").alias("notch_ok"))
             .orderBy("channel"))
+
+
+@query(
+    "sig_psi_direction",
+    """
+    SELECT * FROM (VALUES
+        (0, 1, 1, 1), (0, 2, 1, 1), (1, 2, 1, 1))
+      t(ch_a, ch_b, dir_ok, null_ok)
+    ORDER BY ch_a, ch_b
+    """,
+    doc="phase-slope index directionality (operators/coherence.py "
+        "phase_slope_index, Nolte 2008): ch1 is ch0's broadband noise "
+        "DELAYED 5 samples (ch0 leads -> PSI(0,1) strongly positive, "
+        "measured +15), ch2 is a zero-lag copy of ch0 (PSI(0,2) ~ 0, the "
+        "volume-conduction null) which also makes ch2 lead ch1 "
+        "(PSI(1,2) strongly negative, measured -14) — the full "
+        "who-leads-whom triangle from one fixture. Contract-boolean "
+        "oracle (spectra not SQL-replayable)",
+)
+def sig_psi_direction(spark, sf_dir):
+    from ..operators.coherence import phase_slope_index
+
+    n_t, frame = 32768, 256
+
+    def value_fn(ch, idx):
+        src = _hash_uniform(idx, F.lit(0))
+        delayed = _hash_uniform(idx - 5, F.lit(0))
+        return (F.when(ch == 0, src)
+                .when(ch == 1, delayed + 0.2 * _hash_uniform(idx, F.lit(1)))
+                .otherwise(0.9 * src + 0.2 * _hash_uniform(idx, F.lit(2))))
+
+    sig = _synth_long(spark, 3, n_t, value_fn)
+    psi = phase_slope_index(sig, 1000.0, frame)
+    is_01 = (F.col("ch_a") == 0) & (F.col("ch_b") == 1)
+    is_12 = (F.col("ch_a") == 1) & (F.col("ch_b") == 2)
+    is_02 = (F.col("ch_a") == 0) & (F.col("ch_b") == 2)
+    dir_ok = (F.when(is_01, F.col("psi") > 5.0)
+              .when(is_12, F.col("psi") < -5.0)
+              .otherwise(F.lit(True)))
+    null_ok = F.when(is_02, F.abs(F.col("psi")) < 1.0).otherwise(F.lit(True))
+    return (psi.select("ch_a", "ch_b",
+                       dir_ok.cast("int").alias("dir_ok"),
+                       null_ok.cast("int").alias("null_ok"))
+            .orderBy("ch_a", "ch_b"))

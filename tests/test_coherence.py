@@ -142,3 +142,49 @@ def test_wpli_pure_zero_lag_is_zero_not_null(spark):
         "value": X.ravel()}))
     rows = wpli_matrix(df, 1000.0, 256).collect()
     assert rows and all(r.wpli == 0.0 for r in rows)
+
+
+def test_psi_direction_numpy_replay_and_antisymmetry(spark):
+    """PSI == direct NumPy evaluation; sign says who leads (a-leads ->
+    positive), zero-lag copy nulls out; swapping the pair roles flips
+    the sign (checked via the replay, since the op emits ch_a < ch_b)."""
+    import numpy as np
+    import pandas as pd
+    from process_nwb_spark.operators.coherence import phase_slope_index
+    from process_nwb_spark.operators.stft import _window
+
+    rng = np.random.default_rng(41)
+    n, L, rate = 16384, 256, 1000.0
+    src = rng.standard_normal(n + 8)
+    X = np.stack([src[8:], src[3:-5] + 0.2 * rng.standard_normal(n),
+                  0.9 * src[8:] + 0.2 * rng.standard_normal(n)], axis=1)
+    n_t, n_ch = X.shape
+    df = spark.createDataFrame(pd.DataFrame({
+        "series_id": "s0",
+        "channel": np.tile(np.arange(n_ch, dtype=np.int32), n_t),
+        "sample_idx": np.repeat(np.arange(n_t, dtype=np.int64), n_ch),
+        "value": X.ravel()}))
+    got = {(r.ch_a, r.ch_b): (r.psi, r.n_bins_used)
+           for r in phase_slope_index(df, rate, L).collect()}
+
+    H = L // 2
+    win = _window("hann", L)
+    n_frames = (n - L) // H + 1
+    spec = np.stack([
+        np.stack([np.fft.rfft(X[f * H:f * H + L, c] * win)
+                  for f in range(n_frames)])
+        for c in range(n_ch)])
+    def np_psi(a, b):
+        sxy = (spec[a] * np.conj(spec[b])).mean(axis=0)
+        sxx = (np.abs(spec[a]) ** 2).mean(axis=0)
+        syy = (np.abs(spec[b]) ** 2).mean(axis=0)
+        c = sxy / np.sqrt(sxx * syy)
+        return float(np.imag(np.conj(c[:-1]) * c[1:]).sum())
+    for (a, b), (psi, nb) in got.items():
+        assert nb == L // 2          # bins 0..N/2-1 each pair with +1
+        assert psi == pytest.approx(np_psi(a, b), abs=1e-9)
+        assert np_psi(b, a) == pytest.approx(-np_psi(a, b), abs=1e-12)
+    # ch1 = src delayed 5 relative to ch0 -> ch0 leads -> positive
+    assert got[(0, 1)][0] > 3.0
+    assert abs(got[(0, 2)][0]) < 0.5          # zero-lag null
+    assert got[(1, 2)][0] < -3.0              # ch2 (undelayed) leads ch1
