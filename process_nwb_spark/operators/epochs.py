@@ -32,15 +32,22 @@ from pyspark.sql import functions as F
 
 def epoch_trials(signals: DataFrame, markers: DataFrame,
                  pre: int, post: int,
-                 value_col: str = "value") -> DataFrame:
+                 value_col: str = "value",
+                 extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """Cut [-pre, +post] sample windows around each marker.
 
     signals: long (series_id, channel, sample_idx, <value_col>).
     markers: (series_id, trial_id, onset_sample) — one row per stimulus.
-    Returns (series_id, trial_id, channel, rel_idx, <value_col>) with
-    rel_idx in [-pre, +post]; windows running off the recording edge
-    simply contribute their existing samples (no padding — trial counts
-    per rel_idx are surfaced by erp_average for transparency).
+    Returns (series_id, trial_id, channel[, *extra_keys], rel_idx,
+    <value_col>) with rel_idx in [-pre, +post]; windows running off the
+    recording edge simply contribute their existing samples (no padding
+    — trial counts per rel_idx are surfaced by erp_average for
+    transparency).
+
+    `extra_keys` names additional identity columns to carry through
+    (e.g. ("band",) to epoch the pipeline's banded wavelet amplitude —
+    the ERSP workflow: epoch amp per band, then erp_average/
+    inter_trial_coherence with the same extra_keys).
     """
     if pre < 0 or post < 0:
         raise ValueError(f"need pre >= 0 and post >= 0, got {pre}/{post}")
@@ -55,22 +62,25 @@ def epoch_trials(signals: DataFrame, markers: DataFrame,
     j = s.join(m, ["series_id", "_bkt"])
     rel = F.col("sample_idx") - F.col("onset_sample")
     return (j.filter(rel.between(-pre, post))
-            .select("series_id", "trial_id", "channel",
+            .select("series_id", "trial_id", "channel", *extra_keys,
                     rel.cast("int").alias("rel_idx"), value_col))
 
 
-def erp_average(epochs: DataFrame, value_col: str = "value") -> DataFrame:
+def erp_average(epochs: DataFrame, value_col: str = "value",
+                extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """Average epoched samples across trials: one partial-aggregable
-    aggregate -> (series_id, channel, rel_idx, erp, n_trials).
-    `n_trials` exposes edge-truncated windows (fewer contributing trials
-    at a given rel_idx than markers)."""
-    return (epochs.groupBy("series_id", "channel", "rel_idx")
+    aggregate -> (series_id, channel[, *extra_keys], rel_idx, erp,
+    n_trials). `n_trials` exposes edge-truncated windows (fewer
+    contributing trials at a given rel_idx than markers); pass the same
+    `extra_keys` used for epoch_trials (e.g. ("band",) for ERSP)."""
+    return (epochs.groupBy("series_id", "channel", *extra_keys, "rel_idx")
             .agg(F.avg(value_col).alias("erp"),
                  F.count(F.lit(1)).alias("n_trials")))
 
 
 def inter_trial_coherence(epochs: DataFrame,
-                          phase_col: str = "phase") -> DataFrame:
+                          phase_col: str = "phase",
+                          extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """Inter-trial coherence (phase-locking across TRIALS at each
     latency):
 
@@ -83,10 +93,11 @@ def inter_trial_coherence(epochs: DataFrame,
     Same single partial-aggregable aggregate shape as erp_average —
     the ERP's circular-statistics sibling."""
     p = F.col(phase_col)
-    agg = epochs.groupBy("series_id", "channel", "rel_idx").agg(
+    agg = epochs.groupBy("series_id", "channel", *extra_keys,
+                         "rel_idx").agg(
         F.avg(F.cos(p)).alias("_re"), F.avg(F.sin(p)).alias("_im"),
         F.count(F.lit(1)).alias("n_trials"))
     return agg.select(
-        "series_id", "channel", "rel_idx",
+        "series_id", "channel", *extra_keys, "rel_idx",
         F.sqrt(F.col("_re") ** 2 + F.col("_im") ** 2).alias("itc"),
         "n_trials")

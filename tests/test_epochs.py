@@ -129,3 +129,30 @@ def test_itc_matches_numpy_and_locked_limit(spark):
                        value_col="phase")
     for r in inter_trial_coherence(ep2).collect():
         assert r.itc == pytest.approx(1.0, abs=1e-12)
+
+
+def test_epochs_extra_keys_carry_band_for_ersp(spark):
+    """extra_keys=("band",) epochs a banded stream (the ERSP workflow):
+    per-(band, rel) averages match the per-band NumPy slices."""
+    from process_nwb_spark.operators.epochs import epoch_trials, erp_average
+
+    rng = np.random.default_rng(29)
+    n_t, n_bands = 300, 3
+    amps = rng.standard_normal((n_t, n_bands))
+    rows = pd.DataFrame({
+        "series_id": "s0", "channel": 0,
+        "band": np.tile(np.arange(n_bands, dtype=np.int32), n_t),
+        "sample_idx": np.repeat(np.arange(n_t, dtype=np.int64), n_bands),
+        "amp": amps.ravel()})
+    df = spark.createDataFrame(rows)
+    onsets = [50, 150, 250]
+    ep = epoch_trials(df, _markers_df(spark, onsets), 10, 20,
+                      value_col="amp", extra_keys=("band",))
+    erp = erp_average(ep, value_col="amp", extra_keys=("band",))
+    got = {(r.band, r.rel_idx): (r.erp, r.n_trials) for r in erp.collect()}
+    assert len(got) == n_bands * 31
+    for b in range(n_bands):
+        for rel in (-10, 0, 20):
+            want = np.mean([amps[on + rel, b] for on in onsets])
+            erp_v, nt = got[(b, rel)]
+            assert nt == 3 and erp_v == pytest.approx(want, abs=1e-12)
