@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""Connectivity-tier demo: who talks to whom, at what delay, and does
-the fast band ride the slow band's phase?
+"""Connectivity-tier demo: who talks to whom, at what delay, in which
+direction — and does the fast band ride the slow band's phase?
 
 1. `cross_correlation` recovers a planted 12-sample conduction delay
    between two channels from the lag of their correlation peak;
 2. `coherence_matrix` confirms the same coupling in the frequency
    domain (shared 40 Hz component);
-3. `phase_amplitude_coupling` separates a channel whose high-frequency
+3. `wpli_matrix` + `phase_slope_index` separate GENUINE lagged coupling
+   from a zero-lag (volume-conducted) copy that fools coherence, and
+   sign who leads;
+4. `phase_amplitude_coupling` separates a channel whose high-frequency
    envelope is locked to the slow phase from one where it is not.
 """
 import os
@@ -20,7 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from process_nwb_spark import (coherence_matrix, cross_correlation,
-                               get_spark, phase_amplitude_coupling)
+                               get_spark, phase_amplitude_coupling,
+                               phase_slope_index, wpli_matrix)
 from process_nwb_spark.synth import to_long_df
 
 RATE = 1000.0
@@ -58,6 +62,17 @@ def main():
     c = coherence_matrix(sig, RATE, frame_len=512)
     (c.filter(F.col("bin") == int(40.0 * 512 / RATE))
      .select("ch_a", "ch_b", F.round("coherence", 3).alias("coh_40hz"))
+     .orderBy("ch_a", "ch_b").show())
+
+    print("== wPLI + PSI: lagged coupling vs volume conduction ==")
+    # ch1 = ch0 delayed (genuine), ch2 = independent; coherence above
+    # showed (0,1) coupled — wPLI confirms it is LAGGED, PSI signs it
+    w = wpli_matrix(sig, RATE, frame_len=512)
+    (w.filter(F.col("bin") == int(40.0 * 512 / RATE))
+     .select("ch_a", "ch_b", F.round("wpli", 3).alias("wpli_40hz"))
+     .orderBy("ch_a", "ch_b").show())
+    (phase_slope_index(sig, RATE, frame_len=512)
+     .select("ch_a", "ch_b", F.round("psi", 2).alias("psi"))
      .orderBy("ch_a", "ch_b").show())
 
     print("== Phase-amplitude coupling ==")
