@@ -16,7 +16,8 @@ from .operators.stft import (stft_power, stft_power_batched,  # noqa: F401
 from .operators.multitaper import dpss_tapers, multitaper_psd  # noqa: F401
 from .operators.coherence import (coherence_matrix, stft_complex,  # noqa: F401
                                   wpli_matrix, phase_slope_index)
-from .operators.quality import channel_quality, drop_bad_channels  # noqa: F401
+from .operators.quality import (channel_quality, drop_bad_channels,  # noqa: F401
+                                recording_qc)
 from .operators.xcorr import cross_correlation  # noqa: F401
 from .operators.pac import phase_amplitude_coupling, phase_locking_value  # noqa: F401
 from .operators.epochs import (epoch_trials, erp_average,  # noqa: F401

@@ -65,3 +65,41 @@ def drop_bad_channels(signals: DataFrame, mad_thresh: float = 3.0,
            .filter("is_bad").select("series_id", "channel"))
     return signals.join(F.broadcast(bad), ["series_id", "channel"],
                         "left_anti")
+
+
+def recording_qc(signals: DataFrame, rate: float, frame_len: int = 512,
+                 mad_thresh: float = 3.0, snr_thresh: float = 3.0,
+                 value_col: str = "value") -> DataFrame:
+    """The one-call QC report a lab runs before the preprocess chain:
+    per channel, the robust-variance screen (dead/saturated electrodes,
+    `channel_quality`) joined with the line-noise SNR screen
+    (`spectral_summary.line_noise_snr`), and a combined verdict.
+
+    Returns (series_id, channel, n_samples, variance, dev,
+    is_bad_variance, line_snr, is_line_noisy, is_bad) — `is_bad` is the
+    OR of both screens. Both inputs are channel-sized aggregates of the
+    same scan (the PSD pays its one bounded-frame shuffle; the variance
+    screen is a pure hash agg), and the final join is dimension-sized.
+    `drop_bad_channels` remains the filter form; this is the REPORT
+    form — keep it, inspect it, store it next to the recording.
+    """
+    from .spectral_summary import line_noise_snr
+
+    q = channel_quality(signals, mad_thresh=mad_thresh,
+                        value_col=value_col)
+    # line_noise_snr reads the canonical `value` column
+    s = signals if value_col == "value" else signals.select(
+        "series_id", "channel", "sample_idx",
+        F.col(value_col).alias("value"))
+    snr = (line_noise_snr(s, rate, frame_len)
+           .select(F.col("series_id").alias("_sid"),
+                   F.col("channel").alias("_ch"),
+                   F.col("snr").alias("line_snr")))
+    j = q.join(snr, (q.series_id == F.col("_sid"))
+               & (q.channel == F.col("_ch")), "left")
+    noisy = F.coalesce(F.col("line_snr") > float(snr_thresh), F.lit(False))
+    return j.select(
+        "series_id", "channel", "n_samples", "variance", "dev",
+        F.col("is_bad").alias("is_bad_variance"),
+        "line_snr", noisy.alias("is_line_noisy"),
+        (F.col("is_bad") | noisy).alias("is_bad"))

@@ -1132,3 +1132,49 @@ def sig_psi_direction(spark, sf_dir):
                        dir_ok.cast("int").alias("dir_ok"),
                        null_ok.cast("int").alias("null_ok"))
             .orderBy("ch_a", "ch_b"))
+
+
+@query(
+    "sig_recording_qc",
+    """
+    SELECT * FROM (VALUES
+        (0, 0, 0, 0), (1, 1, 0, 1), (2, 1, 0, 1), (3, 0, 1, 1),
+        (4, 0, 0, 0))
+      t(channel, is_bad_variance, is_line_noisy, is_bad)
+    ORDER BY channel
+    """,
+    doc="the one-call recording QC report (operators/quality.py "
+        "recording_qc): robust log-variance screen JOINed with the "
+        "60 Hz harmonic SNR screen, combined verdict. Fixture: ch1 dead "
+        "(0.1% amplitude) and ch2 saturated (100x) must flag on "
+        "VARIANCE only; ch3 carries a 2.0-amplitude mains line and must "
+        "flag on LINE NOISE only (measured SNR ~675 vs ~1 clean); ch0/4 "
+        "pass both. Each channel is asserted to flag for exactly the "
+        "right REASON, not just flag — FULL hash match on the three "
+        "boolean columns",
+)
+def sig_recording_qc(spark, sf_dir):
+    from ..operators.quality import recording_qc
+
+    rate, n_t = 1000.0, 32768
+    pi2 = 2 * 3.141592653589793
+
+    def value_fn(ch, idx):
+        t = idx.cast("double") / rate
+        base = (F.sin(F.lit(pi2 * 7.0) * t + ch.cast("double"))
+                + 0.3 * _hash_uniform(idx, ch))
+        return (F.when(ch == 1, 0.001 * base)
+                .when(ch == 2, 100.0 * base)
+                .when(ch == 3,
+                      base + F.lit(2.0) * F.sin(F.lit(pi2 * 60.0) * t))
+                .otherwise(base))
+
+    sig = _synth_long(spark, 5, n_t, value_fn)
+    qc = recording_qc(sig, rate)
+    return (qc.select("channel",
+                      F.col("is_bad_variance").cast("int")
+                      .alias("is_bad_variance"),
+                      F.col("is_line_noisy").cast("int")
+                      .alias("is_line_noisy"),
+                      F.col("is_bad").cast("int").alias("is_bad"))
+            .orderBy("channel"))

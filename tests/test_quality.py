@@ -54,3 +54,38 @@ def test_multi_series_independent(spark):
     q = channel_quality(a.unionByName(b)).toPandas()
     assert set(q[(q.series_id == "A") & q.is_bad].channel) == {0, 5}
     assert not q[q.series_id == "B"].is_bad.any()
+
+
+def test_recording_qc_flags_for_the_right_reason(spark):
+    """Dead/saturated flag on variance only; a mains-contaminated
+    channel flags on line noise only; clean channels pass both."""
+    import numpy as np
+    import pandas as pd
+    from process_nwb_spark.operators.quality import recording_qc
+
+    rng = np.random.default_rng(3)
+    rate, n = 1000.0, 16384
+    t = np.arange(n) / rate
+    base = np.sin(2 * np.pi * 7.0 * t)
+    X = np.stack([
+        base + 0.3 * rng.standard_normal(n),
+        0.001 * (base + 0.3 * rng.standard_normal(n)),       # dead
+        100.0 * (base + 0.3 * rng.standard_normal(n)),       # saturated
+        base + 2.0 * np.sin(2 * np.pi * 60.0 * t)
+        + 0.3 * rng.standard_normal(n),                       # mains
+        base + 0.3 * rng.standard_normal(n),
+    ], axis=1)
+    n_t, n_ch = X.shape
+    df = spark.createDataFrame(pd.DataFrame({
+        "series_id": "s0",
+        "channel": np.tile(np.arange(n_ch, dtype=np.int32), n_t),
+        "sample_idx": np.repeat(np.arange(n_t, dtype=np.int64), n_ch),
+        "value": X.ravel()}))
+    got = {r.channel: r for r in recording_qc(df, rate).collect()}
+    assert [got[c].is_bad_variance for c in range(5)] == \
+        [False, True, True, False, False]
+    assert [got[c].is_line_noisy for c in range(5)] == \
+        [False, False, False, True, False]
+    assert [got[c].is_bad for c in range(5)] == \
+        [False, True, True, True, False]
+    assert got[3].line_snr > 3.0 and 0.3 < got[0].line_snr < 3.0
