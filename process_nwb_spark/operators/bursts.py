@@ -42,7 +42,10 @@ def detect_bursts(signals: DataFrame, threshold: float,
     if min_duration < 1:
         raise ValueError(f"need min_duration >= 1, got {min_duration}")
     v = F.col(value_col)
-    above = signals.filter(v >= float(threshold))
+    # Spark orders NaN ABOVE every double, so `v >= threshold` would pull
+    # NaN samples into islands and poison their peak/area; an unmeasured
+    # sample instead SPLITS the island (conservative, like a gap)
+    above = signals.filter((v >= float(threshold)) & ~F.isnan(v))
     w = Window.partitionBy("series_id", "channel").orderBy("sample_idx")
     isl = above.withColumn(
         "_isl", F.col("sample_idx") - F.row_number().over(w))

@@ -63,3 +63,17 @@ def test_bursts_gap_splits_island(spark):
     got = sorted((r.start_idx, r.end_idx)
                  for r in detect_bursts(df, 1.0).collect())
     assert got == [(5, 8), (10, 14)]   # split, never merged
+
+
+def test_bursts_nan_splits_island_never_poisons(spark):
+    """Spark orders NaN above all doubles, so an unguarded threshold
+    filter would pull a NaN sample INTO an island and poison its
+    peak/area; the guard makes NaN split the island instead — matching
+    the NumPy semantics of the streaming twin."""
+    x = np.zeros(30)
+    x[5:15] = 2.0
+    x[9] = np.nan
+    got = sorted((r.start_idx, r.end_idx, r.peak)
+                 for r in detect_bursts(_df(spark, x), 1.0).collect())
+    assert [(s, e) for s, e, _ in got] == [(5, 8), (10, 14)]
+    assert all(np.isfinite(p) for _, _, p in got)
