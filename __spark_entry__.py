@@ -90,16 +90,17 @@ DRIVER_PRIORITY = (
 )
 
 # Round-7 rotation worklist: after this round's prefix is driver-checked,
-# these 22 registry queries remain never-driver-sampled (cumulative
-# coverage then 187/209 — the first thirteen are this round's new signal
+# these 24 registry queries remain never-driver-sampled (cumulative
+# coverage then 187/211 — the first fifteen are this round's new signal
 # faces: connectivity, epoching, bursts, multitaper, wPLI, PSI, CSD,
-# band power, line-noise SNR, recording QC). Rotate them to the head of
-# the prefix next round; the rest of the prefix is free for any new
-# queries' first driver sampling:
+# band power, line-noise SNR, recording QC, Hjorth, spectral features).
+# Rotate them to the head of the prefix next round; the rest of the
+# prefix is free for any new queries' first driver sampling:
 #   sig_xcorr_lags sig_pac_mi sig_erp_trialavg sig_plv_pairs
 #   sig_burst_detect sig_itc_phase_reset sig_multitaper_psd
 #   sig_wpli_contract sig_csd_laplacian sig_band_power
-#   sig_line_noise_snr sig_psi_direction sig_recording_qc
+#   sig_line_noise_snr sig_psi_direction sig_recording_qc sig_hjorth
+#   sig_spectral_features
 #   fn_explode_pos agg_shape_stats pareto_frontier_parts
 #   sub_not_exists_customers sub_scalar_threshold sub_in_region_suppliers
 #   unpivot_part_measures agg_listagg_nations sql_scripting_loop

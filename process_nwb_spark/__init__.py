@@ -26,5 +26,7 @@ from .operators.bursts import detect_bursts  # noqa: F401
 from .operators.spatial import csd_reference, electrode_neighbors  # noqa: F401
 from .operators.spectral_summary import (band_power, line_noise_snr,  # noqa: F401
                                          EEG_BANDS)
+from .operators.features import (hjorth_parameters, spectral_entropy,  # noqa: F401
+                                 spectral_edge)
 
 __version__ = "0.1.0"

@@ -1,0 +1,93 @@
+"""Per-channel scalar feature extraction — the classic EEG descriptors
+(Hjorth 1970 time-domain parameters; spectral entropy and edge
+frequency) that feed downstream classifiers: sleep staging, anesthesia
+depth, artifact triage. This is the bridge from the signal tier to the
+engine's ML/data-prep tier — each operator reduces a channel to a few
+numbers with plain partial-aggregable plans.
+
+- `hjorth_parameters`: activity/mobility/complexity from the variances
+  of the signal and its first two discrete differences — ONE window
+  shuffle (per-channel lag) + one hash aggregate, exactly SQL-replayable
+  (full-hash driver face).
+- `spectral_entropy`: Shannon entropy of the normalized Welch PSD,
+  optionally normalized to [0, 1] by log(n_bins) — white noise ~1, a
+  pure tone ~0.
+- `spectral_edge`: the frequency below which `fraction` of total power
+  lies (SEF95 by default) — a per-channel running-sum window over the
+  tiny PSD relation.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .stft import welch_psd
+
+
+def hjorth_parameters(signals: DataFrame,
+                      value_col: str = "value") -> DataFrame:
+    """(series_id, channel, n_samples, activity, mobility, complexity).
+
+    activity = var(x); mobility = sqrt(var(dx)/var(x));
+    complexity = sqrt(var(d2x)/var(dx)) / mobility — with dx the
+    first-order difference over the sample grid (population variances,
+    matching the reference's np.var default). A flat channel
+    (var(x) = 0) returns NULL mobility/complexity rather than a
+    division error."""
+    v = F.col(value_col)
+    w = Window.partitionBy("series_id", "channel").orderBy("sample_idx")
+    d1 = v - F.lag(v).over(w)
+    with_d = signals.select(
+        "series_id", "channel", "sample_idx", v.alias("_x"),
+        d1.alias("_d1"))
+    d2 = F.col("_d1") - F.lag("_d1").over(w)
+    with_d2 = with_d.withColumn("_d2", d2)
+    g = (with_d2.groupBy("series_id", "channel")
+         .agg(F.count(F.lit(1)).alias("n_samples"),
+              F.var_pop("_x").alias("activity"),
+              F.var_pop("_d1").alias("_v1"),
+              F.var_pop("_d2").alias("_v2")))
+    mob = F.when(F.col("activity") > 0,
+                 F.sqrt(F.col("_v1") / F.col("activity")))
+    cpx = F.when((F.col("_v1") > 0) & (F.col("activity") > 0),
+                 F.sqrt(F.col("_v2") / F.col("_v1"))
+                 / F.sqrt(F.col("_v1") / F.col("activity")))
+    return g.select("series_id", "channel", "n_samples", "activity",
+                    mob.alias("mobility"), cpx.alias("complexity"))
+
+
+def spectral_entropy(signals: DataFrame, rate: float, frame_len: int,
+                     normalized: bool = True) -> DataFrame:
+    """(series_id, channel, entropy, n_bins): Shannon entropy of the
+    Welch PSD as a probability distribution over bins; `normalized`
+    divides by ln(n_bins) so white noise reads ~1 and a pure tone ~0.
+    Zero-power bins contribute 0 (the 0*ln(0) limit)."""
+    psd = welch_psd(signals, rate, frame_len)
+    tot = Window.partitionBy("series_id", "channel")
+    p = F.col("psd") / F.sum("psd").over(tot)
+    term = F.when(p > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+    g = (psd.select("series_id", "channel", term.alias("_t"))
+         .groupBy("series_id", "channel")
+         .agg(F.sum("_t").alias("_h"), F.count(F.lit(1)).alias("n_bins")))
+    h = (F.col("_h") / F.log(F.col("n_bins").cast("double"))
+         if normalized else F.col("_h"))
+    return g.select("series_id", "channel", h.alias("entropy"), "n_bins")
+
+
+def spectral_edge(signals: DataFrame, rate: float, frame_len: int,
+                  fraction: float = 0.95) -> DataFrame:
+    """(series_id, channel, sef_hz): the lowest frequency at which the
+    cumulative one-sided PSD reaches `fraction` of the channel's total
+    power (SEF95 by default — the anesthesia-depth staple)."""
+    if not 0 < fraction <= 1:
+        raise ValueError(f"need 0 < fraction <= 1, got {fraction}")
+    psd = welch_psd(signals, rate, frame_len)
+    ch = Window.partitionBy("series_id", "channel")
+    run = (Window.partitionBy("series_id", "channel").orderBy("bin")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("psd").over(run) / F.sum("psd").over(ch)
+    return (psd.withColumn("_cum", cum)
+            .filter(F.col("_cum") >= float(fraction))
+            .groupBy("series_id", "channel")
+            .agg(F.min("freq_hz").alias("sef_hz")))

@@ -1178,3 +1178,92 @@ def sig_recording_qc(spark, sf_dir):
                       .alias("is_line_noisy"),
                       F.col("is_bad").cast("int").alias("is_bad"))
             .orderBy("channel"))
+
+
+@query(
+    "sig_hjorth",
+    f"""
+    WITH signals AS ({_GEN_SQL}),
+    d1 AS (
+      SELECT channel, sample_idx, value,
+             value - LAG(value) OVER (PARTITION BY channel
+                                      ORDER BY sample_idx) AS dx
+      FROM signals
+    ),
+    d2 AS (
+      SELECT channel, sample_idx, value, dx,
+             dx - LAG(dx) OVER (PARTITION BY channel
+                                ORDER BY sample_idx) AS d2x
+      FROM d1
+    ),
+    agg AS (
+      SELECT channel, COUNT(*) AS n_samples,
+             VAR_POP(value) AS act, VAR_POP(dx) AS v1, VAR_POP(d2x) AS v2
+      FROM d2 GROUP BY channel
+    )
+    SELECT channel, n_samples,
+           ROUND(act, 6) AS activity,
+           ROUND(SQRT(v1 / act), 5) AS mobility,
+           ROUND(SQRT(v2 / v1) / SQRT(v1 / act), 5) AS complexity
+    FROM agg ORDER BY channel
+    """,
+    doc="Hjorth time-domain parameters (operators/features.py "
+        "hjorth_parameters, Hjorth 1970): activity/mobility/complexity "
+        "from variances of the signal and its first two lag-differences "
+        "— one per-channel window shuffle + one hash aggregate. FULL "
+        "hash match (the whole computation is lag windows + VAR_POP, "
+        "exactly replayable); the spiked channel's derivative variances "
+        "separate it cleanly from the smooth tones",
+)
+def sig_hjorth(spark, sf_dir):
+    from ..operators.features import hjorth_parameters
+
+    h = hjorth_parameters(_signals(spark))
+    return (h.select("channel", "n_samples",
+                     F.round("activity", 6).alias("activity"),
+                     F.round("mobility", 5).alias("mobility"),
+                     F.round("complexity", 5).alias("complexity"))
+            .orderBy("channel"))
+
+
+@query(
+    "sig_spectral_features",
+    """
+    SELECT * FROM (VALUES (0, 257, 1, 1), (1, 257, 1, 1))
+      t(channel, n_bins, entropy_ok, sef_ok)
+    ORDER BY channel
+    """,
+    doc="spectral entropy + spectral edge frequency "
+        "(operators/features.py): normalized Shannon entropy of the "
+        "Welch PSD and SEF95. Contract: the white-noise channel reads "
+        "entropy > 0.9 (measured 0.999) with SEF95 within 460..490 Hz "
+        "(0.95 x Nyquist = 475); the 50 Hz tone channel reads entropy "
+        "< 0.35 (measured 0.16) with SEF95 within 45..56 Hz. "
+        "Contract-boolean oracle (PSD not SQL-replayable)",
+)
+def sig_spectral_features(spark, sf_dir):
+    from ..operators.features import spectral_edge, spectral_entropy
+
+    rate, n_t = 1000.0, 32768
+    pi2 = 2 * 3.141592653589793
+
+    def value_fn(ch, idx):
+        t = idx.cast("double") / rate
+        tone = F.lit(2.0 ** 0.5) * F.sin(F.lit(pi2 * 50.0) * t)
+        return F.when(ch == 1, tone + 0.05 * _hash_uniform(idx, ch)) \
+            .otherwise(_hash_uniform(idx, ch))
+
+    sig = _synth_long(spark, 2, n_t, value_fn)
+    ent = spectral_entropy(sig, rate, 512)
+    sef = (spectral_edge(sig, rate, 512)
+           .select(F.col("channel").alias("_ch"), "sef_hz"))
+    j = ent.join(sef, ent.channel == F.col("_ch"))
+    entropy_ok = F.when(F.col("channel") == 0, F.col("entropy") > 0.9) \
+        .otherwise(F.col("entropy") < 0.35)
+    sef_ok = F.when(F.col("channel") == 0,
+                    F.col("sef_hz").between(460.0, 490.0)) \
+        .otherwise(F.col("sef_hz").between(45.0, 56.0))
+    return (j.select("channel", F.col("n_bins").cast("int").alias("n_bins"),
+                     entropy_ok.cast("int").alias("entropy_ok"),
+                     sef_ok.cast("int").alias("sef_ok"))
+            .orderBy("channel"))
