@@ -63,6 +63,11 @@ def spectral_entropy(signals: DataFrame, rate: float, frame_len: int,
     Welch PSD as a probability distribution over bins; `normalized`
     divides by ln(n_bins) so white noise reads ~1 and a pure tone ~0.
     Zero-power bins contribute 0 (the 0*ln(0) limit)."""
+    if normalized and frame_len < 4:
+        # frame_len=2 gives a single one-sided bin -> ln(1)=0 divisor
+        raise ValueError(
+            f"normalized spectral entropy needs frame_len >= 4 "
+            f"(>= 2 PSD bins), got {frame_len}")
     psd = welch_psd(signals, rate, frame_len)
     tot = Window.partitionBy("series_id", "channel")
     p = F.col("psd") / F.sum("psd").over(tot)
@@ -87,7 +92,13 @@ def spectral_edge(signals: DataFrame, rate: float, frame_len: int,
     run = (Window.partitionBy("series_id", "channel").orderBy("bin")
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum("psd").over(run) / F.sum("psd").over(ch)
-    return (psd.withColumn("_cum", cum)
+    # the windowed cumulative sum and the partition total fold in
+    # different orders, so the last bin's ratio can land a hair below
+    # 1.0 — treat the partition's last bin as cum==1 so fractions at or
+    # near 1.0 cannot silently drop a channel from the output
+    is_last = F.col("bin") == F.max("bin").over(ch)
+    return (psd.withColumn("_cum", F.when(is_last, F.lit(1.0))
+                           .otherwise(cum))
             .filter(F.col("_cum") >= float(fraction))
             .groupBy("series_id", "channel")
             .agg(F.min("freq_hz").alias("sef_hz")))

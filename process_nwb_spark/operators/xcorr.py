@@ -38,19 +38,32 @@ from pyspark.sql import functions as F
 def cross_correlation(signals: DataFrame, lags: Sequence[int],
                       value_col: str = "value",
                       include_self: bool = False,
-                      max_lags: int = 256) -> DataFrame:
-    """Pearson cross-correlogram over all (ch_a <= ch_b) channel pairs.
+                      max_lags: int = 256,
+                      exact_scale: int | None = None) -> DataFrame:
+    """Pearson cross-correlogram over channel pairs: strictly
+    ch_b > ch_a by default, ch_b >= ch_a with include_self=True.
 
     signals: long layout (series_id, channel, sample_idx, value).
     lags:    bounded set of integer sample offsets (b leads a by `lag`).
     Returns (series_id, ch_a, ch_b, lag, r, n_overlap) — `r` is
-    corr(a[t], b[t+lag]) over the overlapping window, `n_overlap` its
-    sample count (estimator transparency: a lag near the recording
-    length correlates almost nothing and should be read accordingly).
+    corr(a[t], b[t+lag]) over the overlapping window, `n_overlap` the
+    count of overlapping pairs where BOTH values are non-null (matching
+    the rows F.corr actually uses; estimator transparency: a lag near
+    the recording length correlates almost nothing and should be read
+    accordingly).
 
     `max_lags` guards the explode fan-out: the shuffle grows by a factor
     of |lags|, so an unbounded lag sweep on a 100 TB input must be run
     as several bounded sweeps, not one unbounded plan.
+
+    `exact_scale`: for fixed-point data (values on a 1/exact_scale
+    grid), compute r from exact BIGINT moment sums instead of F.corr —
+    the result is then independent of partitioning/summation order
+    (bit-identical across runs and engines), and integer partial sums
+    are cheaper than float corr's. Scale factors cancel in r. Guard
+    rails: |value*exact_scale| must stay < ~1e6 and n per group < ~4e6
+    so n*Sxx fits int64; with 6-dp signals in [-2, 2] that allows
+    million-sample windows.
     """
     lag_list = sorted({int(l) for l in lags})
     if not lag_list:
@@ -76,6 +89,22 @@ def cross_correlation(signals: DataFrame, lags: Sequence[int],
         (F.col("series_id") == F.col("_sid_b"))
         & (F.col("idx_b") == F.col("idx_a") + F.col("lag"))
         & pair_pred)
-    return (j.groupBy("series_id", "ch_a", "ch_b", "lag")
-            .agg(F.corr("va", "vb").alias("r"),
-                 F.count(F.lit(1)).alias("n_overlap")))
+    both = F.col("va").isNotNull() & F.col("vb").isNotNull()
+    grp = j.groupBy("series_id", "ch_a", "ch_b", "lag")
+    if exact_scale is None:
+        return grp.agg(F.corr("va", "vb").alias("r"),
+                       F.sum(both.cast("long")).alias("n_overlap"))
+    s = F.lit(float(exact_scale))
+    xa = F.when(both, F.round(F.col("va") * s).cast("bigint"))
+    xb = F.when(both, F.round(F.col("vb") * s).cast("bigint"))
+    g = grp.agg(F.sum(both.cast("long")).alias("n"),
+                F.sum(xa).alias("sx"), F.sum(xb).alias("sy"),
+                F.sum(xa * xa).alias("sxx"), F.sum(xb * xb).alias("syy"),
+                F.sum(xa * xb).alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    da = (n * F.col("sxx") - sx * sx).cast("double")
+    db = (n * F.col("syy") - sy * sy).cast("double")
+    r = F.when((da > 0) & (db > 0), num / (F.sqrt(da) * F.sqrt(db)))
+    return g.select("series_id", "ch_a", "ch_b", "lag", r.alias("r"),
+                    F.col("n").alias("n_overlap"))

@@ -702,8 +702,13 @@ def funnel_latency(spark, sf_dir):
     "ts_seasonal_decompose",
     """
     WITH hourly AS (
+        -- exact integer-cent sum: order-independent, so v is the SAME
+        -- double in both engines before any trend/seasonal arithmetic
+        -- (values are 2-dp generated; no *100 product sits on a .5
+        -- rounding boundary at any sf -- verified)
         SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS h,
-               SUM(CAST(value AS DOUBLE)) AS v
+               CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 100)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS v
         FROM events GROUP BY 1
     ),
     trended AS (
@@ -737,8 +742,12 @@ def funnel_latency(spark, sf_dir):
 )
 def ts_seasonal_decompose(spark, sf_dir):
     e = T(spark, sf_dir, "events")
+    # exact integer-cent sum -> v is bit-identical to DuckDB's regardless
+    # of partitioning/summation order (r6 driver red: ROUND(.,4) over an
+    # engine-order float sum flipped 1/720 residuals by an ulp)
+    cents = F.round(F.col("value").cast("double") * 100).cast("bigint")
     hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"))
-              .agg(F.sum(F.col("value").cast("double")).alias("v"))
+              .agg((F.sum(cents).cast("double") / F.lit(100.0)).alias("v"))
               .select(F.col("w.start").alias("h"), "v"))
     wt = Window.orderBy("h").rowsBetween(-12, 12)
     # ordered sequential folds (not avg()) so the float summation order
@@ -982,8 +991,8 @@ def ts_ewma_daily(spark, sf_dir):
     ),
     risk AS (
       SELECT t, d,
-             SUM(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
-                          AND UNBOUNDED FOLLOWING) AS n_risk
+             CAST(SUM(c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
       FROM steps
     ),
     fac AS (
@@ -992,13 +1001,10 @@ def ts_ewma_daily(spark, sf_dir):
       FROM risk
     )
     SELECT t, n_risk, d AS d_churned,
-           CASE WHEN SUM(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
-                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0
-                THEN 0.0
-                ELSE ROUND(EXP(SUM(CASE WHEN factor > 0 THEN LN(factor)
-                                        ELSE 0 END)
-                               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)),
-                           4) END AS survival
+           ROUND(LIST_REDUCE(LIST(factor)
+                               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING),
+                             (a, b) -> a * b),
+                 4) AS survival
     FROM fac
     """,
     doc="Kaplan-Meier survival curve of user engagement lifetime "
@@ -1006,13 +1012,15 @@ def ts_ewma_daily(spark, sf_dir):
         "silent for >7 days before the observation end (global MAX(ts), "
         "broadcast as a one-row cross join), else right-censored. "
         "n-at-risk is a reverse cumulative count and S(t) the running "
-        "product Π(1 - d/n), taken as EXP of a cumulative LN-sum so no "
-        "product aggregate is needed; factors are rounded before the sum "
-        "so both engines sum identical terms, and the d==n terminal step "
-        "(factor 0, LN undefined — Spark yields NULL, DuckDB -inf) is "
-        "CASE-guarded to an exact 0 on both sides. Everything after the "
-        "per-user groupBy runs on rows proportional to DISTINCT LIFETIME "
-        "DAYS — the curve itself is calendar-bounded",
+        "product Π(1 - d/n), computed as an ORDERED product fold over the "
+        "rounded factors (collect_list over the running frame + "
+        "F.aggregate, DuckDB list_reduce) — identical multiplications in "
+        "identical order are bit-identical across engines, where "
+        "EXP(SUM(LN)) crossed two libm implementations and flipped a "
+        "last-ulp ROUND boundary at the r6 driver. The d==n terminal "
+        "step (factor 0) propagates exactly through the product. "
+        "Everything after the per-user groupBy runs on rows proportional "
+        "to DISTINCT LIFETIME DAYS — the curve itself is calendar-bounded",
 )
 def survival_km_churn(spark, sf_dir):
     e = T(spark, sf_dir, "events")
@@ -1036,10 +1044,15 @@ def survival_km_churn(spark, sf_dir):
     fac = risk.withColumn(
         "factor",
         F.round(F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double"), 6))
-    lnf = F.when(F.col("factor") > 0, F.log(F.col("factor"))).otherwise(0.0)
-    zeros = F.sum(F.when(F.col("factor") <= 0, 1).otherwise(0)).over(wcum)
-    surv = (F.when(zeros > 0, F.lit(0.0))
-            .otherwise(F.round(F.exp(F.sum(lnf).over(wcum)), 4)))
+    # ordered product fold seeded with the first element, matching
+    # DuckDB's list_reduce exactly (same multiplications, same order ->
+    # bit-identical survival before ROUND); see ts_ewma_daily for the idiom
+    arr = F.collect_list("factor").over(wcum)
+    prod = F.aggregate(
+        F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1).cast("double"),
+        lambda acc, x: acc * x)
+    surv = F.round(prod, 4)
     return fac.select("t", "n_risk", F.col("d").alias("d_churned"),
                       surv.alias("survival"))
 

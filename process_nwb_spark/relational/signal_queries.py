@@ -168,11 +168,18 @@ def sig_resample_lengths(spark, sf_dir):
                AS group_name
       FROM RANGE(0, {N_CH}) t(i)
     ),
-    signals AS ({_GEN_SQL}),
+    signals AS (
+      SELECT CAST(i % {N_CH} AS INT) AS channel,
+             CAST(i // {N_CH} AS BIGINT) AS sample_idx,
+             ((i // {N_CH}) * 2654435761 + (i % {N_CH}) * 40503) % 100000
+               AS h
+      FROM RANGE(0, {N_CH * N_T}) t(i)
+    ),
     region AS (SELECT id FROM electrodes WHERE group_name = 'GridA')
     SELECT s.channel,
            COUNT(*) AS n_samples,
-           ROUND(AVG(s.value), 6) AS mean_value
+           CAST(SUM(s.h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100000.0
+             + CAST(s.channel AS DOUBLE) * 0.1 AS mean_value
     FROM signals s
     WHERE EXISTS (SELECT 1 FROM region r WHERE r.id = s.channel)
     GROUP BY s.channel
@@ -180,7 +187,12 @@ def sig_resample_lengths(spark, sf_dir):
     doc="the electrode dimension table + region reference (utils.py:222-253; "
         "create_electrode_table_region utils.py:251) as a broadcast LEFT "
         "SEMI join: the electrode-region view IS a semi-join of the signal "
-        "facts against a filtered dim (SURVEY.md §1.2)",
+        "facts against a filtered dim (SURVEY.md §1.2). The per-channel "
+        "mean is computed from an exact BIGINT sum of an integer-valued "
+        "fixture (value = h/1e5 + ch*0.1, h a Knuth-LCG of the sample "
+        "index), so it is order-independent and bit-identical across "
+        "engines — the r6 driver red was ROUND(AVG(double),6) over 2000 "
+        "engine-order float terms on a SIN fixture",
 )
 def sig_electrode_region(spark, sf_dir):
     from ..synth import electrodes_df
@@ -190,12 +202,20 @@ def sig_electrode_region(spark, sf_dir):
         "group_name",
         F.when(F.col("id") < N_CH // 2, "GridA").otherwise("GridB"))
     region = el.filter(F.col("group_name") == "GridA").select("id")
-    s = _signals(spark)
+    i = F.col("id")
+    ch = (i % N_CH).cast("int")
+    idx = (i / N_CH).cast("bigint")
+    h = (idx * F.lit(2654435761) + ch.cast("bigint") * F.lit(40503)) \
+        % F.lit(100000)
+    s = (spark.range(0, N_CH * N_T)
+         .select(ch.alias("channel"), idx.alias("sample_idx"), h.alias("h")))
+    mean = (F.sum("h").cast("double") / F.count("*").cast("double")
+            / F.lit(100000.0)
+            + F.col("channel").cast("double") * F.lit(0.1))
     return (
         s.join(F.broadcast(region), s.channel == region.id, "left_semi")
         .groupBy("channel")
-        .agg(F.count("*").alias("n_samples"),
-             F.round(F.avg("value"), 6).alias("mean_value"))
+        .agg(F.count("*").alias("n_samples"), mean.alias("mean_value"))
     )
 
 
@@ -500,24 +520,44 @@ def sig_bad_channels(spark, sf_dir):
                    END, 6) AS value
       FROM RANGE(0, 6000) t(i)
     ),
-    lags AS (SELECT UNNEST([-5, -3, 0, 3, 5]) AS lag)
-    SELECT a.channel AS ch_a, b.channel AS ch_b, l.lag,
-           ROUND(CORR(a.value, b.value), 6) AS r,
-           COUNT(*) AS n_overlap
-    FROM sig a
-    CROSS JOIN lags l
-    JOIN sig b ON b.sample_idx = a.sample_idx + l.lag
-              AND b.channel > a.channel
-    GROUP BY a.channel, b.channel, l.lag
+    lags AS (SELECT UNNEST([-5, -3, 0, 3, 5]) AS lag),
+    mom AS (
+      SELECT a.channel AS ch_a, b.channel AS ch_b, l.lag,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(a.value * 1000000) AS BIGINT)) AS sx,
+             SUM(CAST(ROUND(b.value * 1000000) AS BIGINT)) AS sy,
+             SUM(CAST(ROUND(a.value * 1000000) AS BIGINT)
+                 * CAST(ROUND(a.value * 1000000) AS BIGINT)) AS sxx,
+             SUM(CAST(ROUND(b.value * 1000000) AS BIGINT)
+                 * CAST(ROUND(b.value * 1000000) AS BIGINT)) AS syy,
+             SUM(CAST(ROUND(a.value * 1000000) AS BIGINT)
+                 * CAST(ROUND(b.value * 1000000) AS BIGINT)) AS sxy
+      FROM sig a
+      CROSS JOIN lags l
+      JOIN sig b ON b.sample_idx = a.sample_idx + l.lag
+                AND b.channel > a.channel
+      GROUP BY a.channel, b.channel, l.lag
+    )
+    SELECT ch_a, ch_b, lag,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             + 0.0 AS r,
+           n AS n_overlap
+    FROM mom
     ORDER BY ch_a, ch_b, lag
     """,
     doc="lagged channel-pair cross-correlogram (operators/xcorr.py: "
         "bounded lag explode -> expression equi-join -> partial-aggregable "
-        "F.corr; the time-domain sibling of sig_coherence_contract). "
+        "moments; the time-domain sibling of sig_coherence_contract). "
         "Fixture: ch1 is ch0's 125-sample-period tone delayed by 3 "
         "samples, so r peaks at lag 3; ch2 is a different frequency and "
-        "stays decorrelated. FULL hash-match oracle — the whole "
-        "correlogram is SQL-replayable",
+        "stays decorrelated. FULL hash-match oracle: r comes from the "
+        "operator's exact_scale fixed-point path (exact BIGINT moment "
+        "sums -> one double expression), so it is independent of "
+        "partition/summation order on BOTH engines — float CORR at "
+        "ROUND(.,6) was the r6 knife-edge class; `+ 0.0` normalizes "
+        "-0.0 at decorrelated lags",
 )
 def sig_xcorr_lags(spark, sf_dir):
     from ..operators.xcorr import cross_correlation
@@ -532,9 +572,10 @@ def sig_xcorr_lags(spark, sf_dir):
             .otherwise(F.sin(F.lit(pi2 * 13) * (t / 500.0) + 1)), 6)
 
     sig = _synth_long(spark, 3, 2000, value_fn)
-    xc = cross_correlation(sig, [-5, -3, 0, 3, 5])
+    xc = cross_correlation(sig, [-5, -3, 0, 3, 5], exact_scale=1_000_000)
     return (xc.select("ch_a", "ch_b", "lag",
-                      F.round("r", 6).alias("r"), "n_overlap")
+                      (F.round("r", 6) + F.lit(0.0)).alias("r"),
+                      "n_overlap")
             .orderBy("ch_a", "ch_b", "lag"))
 
 
@@ -963,7 +1004,7 @@ def sig_wpli_contract(spark, sf_dir):
     )
     SELECT s.channel, s.sample_idx,
            COALESCE(m.n_neighbors, 0) AS n_neighbors,
-           ROUND(s.value - m.nbr_mean, 6) AS csd
+           ROUND(s.value - m.nbr_mean, 6) + 0.0 AS csd
     FROM signals s LEFT JOIN nbr_means m
       ON s.channel = m.channel AND s.sample_idx = m.sample_idx
     """,
@@ -985,8 +1026,11 @@ def sig_csd_laplacian(spark, sf_dir):
           .select("id", F.col("id").cast("double").alias("x"),
                   F.lit(0.0).alias("y"), F.lit(0.0).alias("z")))
     out = csd_reference(_signals(spark), el, radius=1.5)
+    # + 0.0 folds IEEE -0.0 to +0.0 (ROUND of a tiny negative keeps the
+    # sign in DuckDB but not in Spark's BigDecimal path — a bit-level
+    # hash diff on numerically equal frames)
     return (out.select("channel", "sample_idx", "n_neighbors",
-                       F.round("csd", 6).alias("csd"))
+                       (F.round("csd", 6) + F.lit(0.0)).alias("csd"))
             .orderBy("channel", "sample_idx"))
 
 

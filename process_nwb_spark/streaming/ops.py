@@ -221,6 +221,12 @@ def stream_burst_detect(signals: DataFrame, threshold: float,
     def fn(key, pdfs, state: GroupState):
         sid, ch = key
         open_ = tuple(state.get) if state.exists else None
+        # high-water mark across carried state AND every Arrow chunk of
+        # this micro-batch: Spark does not guarantee cross-chunk order
+        # after the groupBy shuffle, and an out-of-order chunk while no
+        # island is open would silently split bursts straddling the
+        # chunk boundary instead of raising
+        max_seen = open_[1] if open_ is not None else None
         closed = []
         for pdf in pdfs:
             if not len(pdf):
@@ -228,11 +234,12 @@ def stream_burst_detect(signals: DataFrame, threshold: float,
             pdf = pdf.sort_values("sample_idx")
             idx = pdf["sample_idx"].to_numpy(np.int64)
             val = pdf["value"].to_numpy(np.float64)
-            if open_ is not None and idx[0] <= open_[1]:
+            if max_seen is not None and idx[0] <= max_seen:
                 raise ValueError(
                     f"stream_burst_detect: batch for {sid!r}/ch{ch} starts "
-                    f"at sample {int(idx[0])} but state already covers "
-                    f"through {open_[1]} — out-of-order landing")
+                    f"at sample {int(idx[0])} but samples through "
+                    f"{max_seen} were already processed — out-of-order "
+                    f"landing")
             rs = runs_of(idx, val)
             if open_ is not None:
                 if rs and rs[0][0] == open_[1] + 1:
@@ -242,6 +249,7 @@ def stream_burst_detect(signals: DataFrame, threshold: float,
                     closed.append(open_)   # gap or sub-threshold closed it
                 open_ = None
             batch_max = int(idx[-1])
+            max_seen = batch_max
             for r in rs:
                 if r[1] == batch_max:
                     open_ = r              # tail run: may continue next batch

@@ -109,7 +109,6 @@ def test_wpli_matches_numpy_replay_and_discriminates(spark):
 
     # NumPy replay: hann frames at hop L//2, full frames only
     H = L // 2
-    w = np.hanning(L + 1)[:-1] if False else None
     from process_nwb_spark.operators.stft import _window
     win = _window("hann", L)
     n_frames = (n - L) // H + 1

@@ -71,6 +71,44 @@ def test_xcorr_guards(spark):
         cross_correlation(df, range(10), max_lags=4)
 
 
+def test_xcorr_exact_scale_matches_corr_and_is_partition_stable(spark):
+    """exact_scale: fixed-point moment path agrees with F.corr on
+    fixed-point data, and its bits do not move when the input
+    partitioning (hence summation order) changes."""
+    rng = np.random.default_rng(11)
+    X = np.round(rng.standard_normal((500, 2)), 6)   # 6-dp grid
+    lags = [-3, 0, 3]
+    base = _long_df(spark, X)
+    float_r = {(r.ch_a, r.ch_b, r.lag): r.r
+               for r in cross_correlation(base, lags).collect()}
+    outs = []
+    for nparts in (1, 7, 32):
+        got = {(r.ch_a, r.ch_b, r.lag): (r.r, r.n_overlap)
+               for r in cross_correlation(
+                   base.repartition(nparts), lags,
+                   exact_scale=1_000_000).collect()}
+        outs.append(got)
+    for k, (r, n) in outs[0].items():
+        assert r == pytest.approx(float_r[k], abs=1e-9)
+        want_r, want_n = _np_xcorr(X, *k)
+        assert n == want_n and r == pytest.approx(want_r, abs=1e-9)
+    for other in outs[1:]:   # bit-identical across partitionings
+        for k, (r, n) in outs[0].items():
+            assert other[k][0].hex() == r.hex() and other[k][1] == n
+
+
+def test_xcorr_n_overlap_counts_non_null_pairs_only(spark):
+    X = np.random.default_rng(5).standard_normal((50, 2))
+    df = _long_df(spark, X).withColumn(
+        "value", F.when(F.col("sample_idx") < 10, None)
+                  .otherwise(F.col("value")))
+    out = {r.lag: r.n_overlap
+           for r in cross_correlation(df, [0, 5]).collect()}
+    # lag 0: 40 rows where both sides non-null; lag 5: a[t] needs t>=10
+    # and b[t+5] needs t+5>=10 -> t in [10, 44] = 35 rows
+    assert out[0] == 40 and out[5] == 35
+
+
 def _pac_dfs(spark, phi, amp):
     n = len(phi)
     base = pd.DataFrame({"series_id": "s0",
