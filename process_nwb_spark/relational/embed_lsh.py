@@ -71,6 +71,12 @@ def _band_key_sql(vec_expr: str, band: int) -> str:
     return " + ".join(terms)
 
 
+# within-bucket pairwise cap for dedup_embed_cosine: any LSH bucket over
+# this many members is refined into equal-population tiles (the
+# semantic_dedup construction), bounding candidate generation to
+# n * cap per band regardless of how a fixed-width band key populates
+_LSH_BUCKET_CAP = 128
+
 _COS_SQL = """
   LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim} + 1),
            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
@@ -327,20 +333,52 @@ def embed_ivf_topk(spark, sf_dir):
     "dedup_embed_cosine",
     f"""
     WITH bands AS ({_bands_sql()}),
+    ranked AS (
+      SELECT vec_id, band, bkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY band, bkey
+               ORDER BY ROUND({_dot_plane_sql('embedding', _PLANES[0])}, 9),
+                        vec_id) AS rn,
+             COUNT(*) OVER (PARTITION BY band, bkey) AS cnt
+      FROM bands
+    ),
+    tiles AS (
+      SELECT vec_id, band, bkey, g.grid,
+             CASE WHEN g.grid = 0 THEN (rn - 1) // {_LSH_BUCKET_CAP}
+                  ELSE (rn - 1 + {_LSH_BUCKET_CAP // 2})
+                       // {_LSH_BUCKET_CAP} END AS tile
+      FROM ranked CROSS JOIN (SELECT UNNEST([0, 1]) AS grid) g
+    ),
     pairs AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             a.embedding AS ea, b.embedding AS eb
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM tiles a JOIN tiles b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.grid = b.grid
+       AND a.tile = b.tile AND a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, ROUND({_cos_sql('ea', 'eb')}, 6) AS cosine
-    FROM pairs
-    WHERE {_cos_sql('ea', 'eb')} >= 0.35
+    SELECT p.vec_a, p.vec_b,
+           ROUND({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS cosine
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.vec_a
+    JOIN embeddings eb ON eb.vec_id = p.vec_b
+    WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= 0.35
     """,
-    doc="embedding-cosine near-dup: banded sign-LSH candidate pairs, exact "
-        "cosine filter at 0.35 inside buckets only. Self-join is on "
-        "(band, bkey) — shuffle is bounded by bucket populations, not n^2. "
-        "The band join and pair dedup move ONLY (vec_id, band, bkey): "
+    doc=f"embedding-cosine near-dup: banded sign-LSH candidate pairs, exact "
+        f"cosine filter at 0.35 inside buckets only. Self-join is on "
+        f"(band, bkey, grid, tile) — any bucket over {_LSH_BUCKET_CAP} "
+        "members is refined into fixed-width rank tiles along a "
+        "deterministic projection (rank by plane-0 dot, integer-exact "
+        "tile arithmetic, the semantic_dedup construction) in TWO grids "
+        f"offset by {_LSH_BUCKET_CAP // 2} ranks, so a run of "
+        "near-identical vectors shorter than half a tile can never be "
+        "cut in both grids. Pairwise work is <= 2 * n * "
+        f"{_LSH_BUCKET_CAP} per band = LINEAR in corpus size even "
+        "though the 2-band x 4-bit key caps buckets at 16 per band (the "
+        "r6 scale hole: fixed band width made bucket populations ~n/16 "
+        "and candidates quadratic). Recall trade vs unbounded buckets, "
+        "measured at sf1 in SCALE.md: ~1.0 for true near-dups "
+        "(cos>=0.9); the moderately-similar 0.35-0.5 tail is shed — "
+        "projection-distant pairs do not share a tile. The band "
+        "join and pair dedup move ONLY (vec_id, band, bkey, tile): "
         "embeddings re-attach afterward by vec_id equi-join (AQE "
         "broadcasts the dim-sized table here; at 100 TB it degrades to a "
         "plain hash join), so no 64-float array ever rides the "
@@ -348,15 +386,41 @@ def embed_ivf_topk(spark, sf_dir):
         "unique pair",
 )
 def dedup_embed_cosine(spark, sf_dir):
+    from pyspark.sql.window import Window
+
     e = spread(T(spark, sf_dir, "embeddings"))
-    bands = _bands_df(e).select("vec_id", "band", "bkey")
-    # merge: the bands table is corpus-sized (never broadcastable at scale)
+    cap = _LSH_BUCKET_CAP
+    proj = F.round(_dot_plane_spark(F.col("embedding"), _PLANES[0]), 9)
+    ranked = (_bands_df(e)
+              .select("vec_id", "band", "bkey", proj.alias("_proj"))
+              .withColumn("_rn", F.row_number().over(
+                  Window.partitionBy("band", "bkey").orderBy("_proj",
+                                                             "vec_id")))
+              .withColumn("_cnt", F.count("*").over(
+                  Window.partitionBy("band", "bkey"))))
+    # TWO offset tile grids (stride cap/2): a run of near-identical
+    # vectors shorter than cap/2 ranks can never straddle a boundary in
+    # BOTH grids, so boundary cuts cost no true-dup recall (one grid:
+    # ~8% of copy-groups were cut at sf1). Work bound: <= 2 * n * cap
+    # candidate pairs per band — still linear.
+    g0 = F.expr(f"(_rn - 1) div {cap}")
+    g1 = F.expr(f"(_rn - 1 + {cap // 2}) div {cap}")
+    tiles = (ranked.select(
+        "vec_id", "band", "bkey",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("grid"), g0.alias("tile")),
+            F.struct(F.lit(1).alias("grid"), g1.alias("tile")))).alias("gt"))
+        .select("vec_id", "band", "bkey",
+                F.col("gt.grid").alias("grid"), F.col("gt.tile").alias("tile")))
+    # merge: the tiles table is corpus-sized (never broadcastable at scale)
     # and the estimated broadcast re-executes the 8 plane dot products for
     # the build side
-    a, b = bands.hint("merge").alias("a"), bands.hint("merge").alias("b")
+    a, b = tiles.hint("merge").alias("a"), tiles.hint("merge").alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.grid") == F.col("b.grid"))
+               & (F.col("a.tile") == F.col("b.tile"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
