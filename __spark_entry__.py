@@ -48,62 +48,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: correctness harnesses that sample a prefix of
 # this dict should see a DIVERSE cross-section of the engine. The prefix is
-# ROTATED each round so cumulative driver coverage grows: rounds 1-5
-# driver-checked 137 distinct queries (see CORRECTNESS_r0{1..5}.json); this
-# round's prefix is 50 queries never yet driver-checked — the four round-5
-# spectral faces + bad-channel screening near the head, then signal/source
-# faces, text/embeddings, time-series analytics, DQ/dataprep, scalar fns,
-# sources, and the UDF tier. The previously-proven queries follow in
-# registry order (still covered by the committed full-registry local gate,
-# ORACLE_LOCAL_r*.json / ORACLE_ANSI_r*.json).
+# ROTATED each round so cumulative driver coverage grows: rounds 1-6
+# driver-checked 187 distinct queries, 184 green (CORRECTNESS_r0{1..6}.json).
+# This round's prefix: the 3 r6 hash-red faces FIRST (repaired this round —
+# bit-exact order-pinned folds / integer-exact fixtures — the driver should
+# re-adjudicate them), then the 24 never-driver-sampled queries (the r6
+# signal-analysis tier: connectivity, epoching, bursts, multitaper, wPLI,
+# PSI, CSD, band power, line-noise SNR, QC, Hjorth, spectral features —
+# plus 9 relational faces deferred since r5). Green rows on all 27 ==
+# cumulative driver coverage 211/211. The previously-proven queries follow
+# in registry order (still covered by the committed full-registry local
+# exact gate, ORACLE_LOCAL_r7.json / ORACLE_ANSI_r7.json).
 DRIVER_PRIORITY = (
-    # spectral tier faces (r5 additions) + channel-quality screening
-    "sig_stft_energy", "sig_coherence_contract", "sig_welch_psd",
-    "sig_band_dim", "sig_bad_channels",
-    # remaining signal faces
-    "sig_resample_lengths", "sig_electrode_region",
-    # text analysis / corpus statistics
-    "text_source_stats", "text_vocab_topk", "text_lm_score",
-    "langid_confusion", "vocab_zipf_slope", "dsir_importance",
-    # embeddings / ANN / semantic dedup
-    "embed_centroids", "embed_knn_per_label", "embed_pca_power",
-    "dedup_embed_cosine", "embed_ivf_probe2",
-    # multimodal metadata
-    "multimodal_meta",
-    # event-time / time-series analytics
-    "funnel_latency", "ts_seasonal_decompose", "user_journey_paths",
-    "win_cumulative_users", "ts_ewma_daily", "survival_km_churn",
-    "abtest_conversion_z", "win_mom_growth", "win_streaks",
-    "orders_gap_stats", "alert_error_rate", "win_distribution",
-    # dataprep / data quality / curation
-    "global_row_index", "scd2_status_history", "fuzzy_match_blocked",
-    "dq_benford_digits", "mix_to_target_weights", "snapshot_diff",
-    "agg_entropy_mix", "mix_upsample_repeat", "agg_chi2_independence",
-    # scalar-fn surface
-    "fn_string_extra", "fn_collation", "fn_array_predicates",
-    # SQL surface
-    "sql_parameterized",
-    # sources
-    "source_json_roundtrip", "source_orc_roundtrip", "source_xml_roundtrip",
-    # UDF tier
-    "udf_grouped_covar", "udf_python_fallback", "udf_arrow_map_stats",
+    # r6 driver-red faces, repaired this round — re-adjudicate first
+    "ts_seasonal_decompose", "survival_km_churn", "sig_electrode_region",
+    # connectivity / trial-analysis tier (r6 additions, never sampled)
+    "sig_xcorr_lags", "sig_pac_mi", "sig_erp_trialavg", "sig_plv_pairs",
+    "sig_burst_detect", "sig_itc_phase_reset", "sig_multitaper_psd",
+    "sig_wpli_contract", "sig_csd_laplacian", "sig_band_power",
+    "sig_line_noise_snr", "sig_psi_direction", "sig_recording_qc",
+    "sig_hjorth", "sig_spectral_features",
+    # relational faces never sampled (deferred since r5)
+    "fn_explode_pos", "agg_shape_stats", "pareto_frontier_parts",
+    "sub_not_exists_customers", "sub_scalar_threshold",
+    "sub_in_region_suppliers", "unpivot_part_measures",
+    "agg_listagg_nations", "sql_scripting_loop",
 )
-
-# Round-7 rotation worklist: after this round's prefix is driver-checked,
-# these 24 registry queries remain never-driver-sampled (cumulative
-# coverage then 187/211 — the first fifteen are this round's new signal
-# faces: connectivity, epoching, bursts, multitaper, wPLI, PSI, CSD,
-# band power, line-noise SNR, recording QC, Hjorth, spectral features).
-# Rotate them to the head of the prefix next round; the rest of the
-# prefix is free for any new queries' first driver sampling:
-#   sig_xcorr_lags sig_pac_mi sig_erp_trialavg sig_plv_pairs
-#   sig_burst_detect sig_itc_phase_reset sig_multitaper_psd
-#   sig_wpli_contract sig_csd_laplacian sig_band_power
-#   sig_line_noise_snr sig_psi_direction sig_recording_qc sig_hjorth
-#   sig_spectral_features
-#   fn_explode_pos agg_shape_stats pareto_frontier_parts
-#   sub_not_exists_customers sub_scalar_threshold sub_in_region_suppliers
-#   unpivot_part_measures agg_listagg_nations sql_scripting_loop
 
 
 def _ordered_registry():
