@@ -61,7 +61,7 @@ def test_query_matches_oracle(spark, duck, name):
     sdf = spec.fn(spark, SF).toPandas()
     assert spec.oracle is not None
     ddf = duck.sql(spec.oracle).df()
-    problems = compare(name, sdf, ddf)
+    problems, _close = compare(name, sdf, ddf)
     assert not problems, problems
 
 
