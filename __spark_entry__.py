@@ -55,10 +55,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-adjudicate them), then the 24 never-driver-sampled queries (the r6
 # signal-analysis tier: connectivity, epoching, bursts, multitaper, wPLI,
 # PSI, CSD, band power, line-noise SNR, QC, Hjorth, spectral features —
-# plus 9 relational faces deferred since r5). Green rows on all 27 ==
-# cumulative driver coverage 211/211. The previously-proven queries follow
-# in registry order (still covered by the committed full-registry local
-# exact gate, ORACLE_LOCAL_r7.json / ORACLE_ANSI_r7.json).
+# plus 9 relational faces deferred since r5), then the 15 queries ADDED in
+# r7 (TPC-H Q4/Q7/Q12/Q13/Q14/Q15/Q19/Q22 shapes, delay estimation, n:m
+# coupling, peak detection, envelope correlation, n-gram novelty, MinHash
+# estimator calibration, gate calibration) for their first sampling.
+# Green rows on all 42 == cumulative driver coverage 226/226. The
+# previously-proven queries follow in registry order (still covered by the
+# committed full-registry local exact gate, ORACLE_LOCAL_r7.json /
+# ORACLE_ANSI_r7.json).
 DRIVER_PRIORITY = (
     # r6 driver-red faces, repaired this round — re-adjudicate first
     "ts_seasonal_decompose", "survival_km_churn", "sig_electrode_region",
@@ -73,6 +77,16 @@ DRIVER_PRIORITY = (
     "sub_not_exists_customers", "sub_scalar_threshold",
     "sub_in_region_suppliers", "unpivot_part_measures",
     "agg_listagg_nations", "sql_scripting_loop",
+    # r7 additions, first driver sampling: TPC-H Q4/Q7/Q12/Q13/Q14/Q15/
+    # Q19/Q22 shapes on exact integer money units
+    "orders_priority_exists", "star_nation_volume", "line_priority_counts",
+    "cust_order_count_dist", "promo_revenue_share", "top_revenue_suppliers",
+    "disjunctive_revenue", "idle_customers_balance",
+    # r7 signal tier: delay estimation, n:m coupling, peaks, AEC
+    "sig_delay_estimate", "sig_ppc_nm", "sig_peak_detect",
+    "sig_envelope_corr",
+    # r7 curation tier: novelty, sketch calibration, gate calibration
+    "ngram_novelty", "minhash_jaccard_est", "quality_calibration",
 )
 
 

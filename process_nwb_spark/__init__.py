@@ -15,14 +15,17 @@ from .operators.stft import (stft_power, stft_power_batched,  # noqa: F401
                              spectrogram_db, welch_psd)
 from .operators.multitaper import dpss_tapers, multitaper_psd  # noqa: F401
 from .operators.coherence import (coherence_matrix, stft_complex,  # noqa: F401
-                                  wpli_matrix, phase_slope_index)
+                                  wpli_matrix, phase_slope_index,
+                                  envelope_correlation)
 from .operators.quality import (channel_quality, drop_bad_channels,  # noqa: F401
                                 recording_qc)
-from .operators.xcorr import cross_correlation  # noqa: F401
-from .operators.pac import phase_amplitude_coupling, phase_locking_value  # noqa: F401
+from .operators.xcorr import cross_correlation, estimate_delays  # noqa: F401
+from .operators.pac import (phase_amplitude_coupling,  # noqa: F401
+                            phase_locking_value, phase_phase_coupling)
 from .operators.epochs import (epoch_trials, erp_average,  # noqa: F401
                                inter_trial_coherence)
 from .operators.bursts import detect_bursts  # noqa: F401
+from .operators.peaks import detect_peaks  # noqa: F401
 from .operators.spatial import csd_reference, electrode_neighbors  # noqa: F401
 from .operators.spectral_summary import (band_power, line_noise_snr,  # noqa: F401
                                          EEG_BANDS)

@@ -200,3 +200,50 @@ def phase_slope_index(signals: DataFrame, rate: float, frame_len: int,
             .agg(F.sum(F.col("cr") * F.col("ci1")
                        - F.col("ci") * F.col("cr1")).alias("psi"),
                  F.count(F.lit(1)).alias("n_bins_used")))
+
+
+def envelope_correlation(signals: DataFrame, rate: float, frame_len: int,
+                         lo_hz: float, hi_hz: float,
+                         hop: int | None = None,
+                         window: str = "hann",
+                         log_power: bool = True) -> DataFrame:
+    """Amplitude-envelope correlation (AEC, Hipp 2012-family) per channel
+    pair: Pearson correlation of the per-frame band power time courses
+    in [lo_hz, hi_hz) — the slow co-modulation measure that survives
+    when signals are not phase-locked (coherence/PLV read ~0 on
+    amplitude-coupled but phase-scrambled carriers; AEC reads high).
+
+    -> (series_id, ch_a, ch_b, aec, n_frames), ch_a < ch_b.
+
+    Plan: stft_power (one bounded per-frame shuffle) -> band power per
+    (series, channel, frame) via a partial agg over the band's bins ->
+    self-join on (series, frame) with ch_b > ch_a -> F.corr. The
+    envelope relation has n_frames rows per channel (hop-decimated —
+    tiny next to samples), so the pairwise join fans out over FRAMES,
+    not raw samples. `log_power=True` correlates log envelopes (the
+    field convention; tames the chi-square tail of band power).
+    """
+    from .stft import stft_power
+
+    L = int(frame_len)
+    if not 0 <= lo_hz < hi_hz:
+        raise ValueError(f"need 0 <= lo_hz < hi_hz, got [{lo_hz}, {hi_hz})")
+    bin_hz = float(rate) / L
+    p = stft_power(signals, L, hop, window=window, include_partial=False)
+    env = (p.filter((F.col("bin") * bin_hz >= float(lo_hz))
+                    & (F.col("bin") * bin_hz < float(hi_hz)))
+           .groupBy("series_id", "channel", "frame")
+           .agg(F.sum("power").alias("_bp")))
+    e = F.log(F.col("_bp") + F.lit(1e-300)) if log_power else F.col("_bp")
+    env = env.select("series_id", "channel", "frame", e.alias("_env"))
+    a = env.select("series_id", F.col("channel").alias("ch_a"),
+                   "frame", F.col("_env").alias("_ea"))
+    b = env.select(F.col("series_id").alias("_sid"),
+                   F.col("channel").alias("ch_b"),
+                   F.col("frame").alias("_frm"), F.col("_env").alias("_eb"))
+    j = a.join(b, (F.col("series_id") == F.col("_sid"))
+               & (F.col("frame") == F.col("_frm"))
+               & (F.col("ch_b") > F.col("ch_a")))
+    return (j.groupBy("series_id", "ch_a", "ch_b")
+            .agg(F.corr("_ea", "_eb").alias("aec"),
+                 F.count(F.lit(1)).alias("n_frames")))

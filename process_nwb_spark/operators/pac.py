@@ -102,3 +102,43 @@ def phase_locking_value(phase_df: DataFrame,
         "series_id", "ch_a", "ch_b",
         F.sqrt(F.col("_re") ** 2 + F.col("_im") ** 2).alias("plv"),
         "n_samples")
+
+
+def phase_phase_coupling(phase_slow_df: DataFrame, phase_fast_df: DataFrame,
+                         n: int, m: int,
+                         phase_col: str = "phase") -> DataFrame:
+    """n:m phase-phase coupling (Tass 1998) per (series_id, channel):
+
+        R_nm = | mean_t( exp(i * (n*phi_slow[t] - m*phi_fast[t])) ) |
+
+    1 when the fast rhythm completes exactly n cycles per m slow cycles
+    at a fixed phase relation (e.g. theta-gamma 4:1 locking), ~0 when
+    the rhythms are incommensurate. The cross-frequency sibling of
+    phase_locking_value (same mean-resultant-vector aggregate, phases
+    from two different bands of the SAME channel).
+
+    Pure Catalyst: inner equi-join of the two phase streams on
+    (series_id, channel, sample_idx) — aligned by construction when both
+    come out of the pipeline's shared final grid — then ONE
+    partial-aggregable cos/sin mean. Scale: shuffle linear in samples,
+    state one row per channel.
+
+    Reference context: the reference pipeline ends at wavelet
+    amplitudes/phases (pipelines.py:15-111); this consumes two of its
+    per-band phase streams.
+    """
+    if n < 1 or m < 1:
+        raise ValueError(f"need n, m >= 1, got n={n} m={m}")
+    p = phase_slow_df.select("series_id", "channel", "sample_idx",
+                             F.col(phase_col).alias("_ps"))
+    q = phase_fast_df.select("series_id", "channel", "sample_idx",
+                             F.col(phase_col).alias("_pf"))
+    j = p.join(q, ["series_id", "channel", "sample_idx"])
+    d = F.lit(float(n)) * F.col("_ps") - F.lit(float(m)) * F.col("_pf")
+    agg = j.groupBy("series_id", "channel").agg(
+        F.avg(F.cos(d)).alias("_re"), F.avg(F.sin(d)).alias("_im"),
+        F.count(F.lit(1)).alias("n_samples"))
+    return agg.select(
+        "series_id", "channel",
+        F.sqrt(F.col("_re") ** 2 + F.col("_im") ** 2).alias("r_nm"),
+        "n_samples")

@@ -108,3 +108,35 @@ def cross_correlation(signals: DataFrame, lags: Sequence[int],
     r = F.when((da > 0) & (db > 0), num / (F.sqrt(da) * F.sqrt(db)))
     return g.select("series_id", "ch_a", "ch_b", "lag", r.alias("r"),
                     F.col("n").alias("n_overlap"))
+
+
+def estimate_delays(signals: DataFrame, max_lag: int,
+                    value_col: str = "value",
+                    exact_scale: int | None = None,
+                    min_abs_r: float = 0.0) -> DataFrame:
+    """Per-pair delay estimation: the lag in [-max_lag, max_lag] that
+    maximizes |r| of the cross-correlogram (ch_b leads ch_a by
+    `best_lag` samples when positive). Ties break toward the smaller
+    lag, so the argmax is deterministic whenever r values are (pass
+    `exact_scale` for fixed-point data to make them bit-deterministic).
+
+    `min_abs_r` drops pairs whose best correlation is below a floor —
+    at scale most pairs are unrelated and their argmax is noise; the
+    floor keeps the output proportional to genuinely-coupled pairs.
+
+    One window over the (pairs x lags)-sized correlogram — rows are
+    bounded by n_channels^2 * (2*max_lag+1), never by samples.
+    """
+    from pyspark.sql.window import Window
+
+    lags = list(range(-int(max_lag), int(max_lag) + 1))
+    xc = cross_correlation(signals, lags, value_col=value_col,
+                           exact_scale=exact_scale)
+    w = (Window.partitionBy("series_id", "ch_a", "ch_b")
+         .orderBy(F.abs(F.col("r")).desc(), F.col("lag").asc()))
+    return (xc.filter(F.col("r").isNotNull())
+            .withColumn("_rk", F.row_number().over(w))
+            .filter((F.col("_rk") == 1)
+                    & (F.abs(F.col("r")) >= float(min_abs_r)))
+            .select("series_id", "ch_a", "ch_b",
+                    F.col("lag").alias("best_lag"), "r", "n_overlap"))

@@ -1845,3 +1845,176 @@ def dsir_importance(spark, sf_dir):
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("n_tokens"),
                  (F.sum("lw_q") / F.lit(1000000.0)).alias("log_importance")))
+
+
+@query(
+    "ngram_novelty",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    flagged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY sh)
+                  THEN 1 ELSE 0 END AS novel
+      FROM sh
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           CAST(SUM(novel) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    doc="per-document n-gram novelty: the fraction of a doc's distinct "
+        "word-3-gram shingles whose global FIRST appearance (min doc_id "
+        "— ingestion order) is this doc. The curation signal behind "
+        "dedup scheduling: novelty ~1 docs contribute new content, "
+        "novelty ~0 docs are recombinations of already-seen text and "
+        "dedup/downsample first. Plan: shingle flatMap -> the first-seen "
+        "flag is a MIN window over the shingle partition (ONE "
+        "shingle-keyed shuffle — an agg + join-back formulation would "
+        "scan and shuffle the shingle stream twice) -> doc-keyed partial "
+        "agg. The fraction is an exact integer ratio — bit-identical "
+        "across engines, no ROUND needed",
+)
+def ngram_novelty(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    sh = _shingles_df(spark, sf_dir)
+    novel = F.when(
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("sh")),
+        1).otherwise(0)
+    return (sh.select("doc_id", novel.alias("novel"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum("novel").cast("bigint").alias("n_novel"))
+            .select("doc_id", "n_shingles", "n_novel",
+                    (F.col("n_novel").cast("double")
+                     / F.col("n_shingles").cast("double")).alias("novelty")))
+
+
+@query(
+    "minhash_jaccard_est",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    {_BANDS_SQL_FRAG.format(sig_cols=_minhash_sig_cols_sql)},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS c
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             {" + ".join(f"(CASE WHEN sa.sig{s} = sb.sig{s} THEN 1 ELSE 0 END)"
+                         for s in range(_N_SIGS))} AS n_match
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+    )
+    SELECT e.doc_a, e.doc_b,
+           CAST(e.n_match AS BIGINT) AS n_match,
+           CAST(e.n_match AS DOUBLE) / {_N_SIGS}.0 AS j_est,
+           CAST(COALESCE(s.c, 0) AS DOUBLE)
+             / CAST(za.n + zb.n - COALESCE(s.c, 0) AS DOUBLE) AS j_exact,
+           ABS(CAST(e.n_match AS DOUBLE) / {_N_SIGS}.0
+               - CAST(COALESCE(s.c, 0) AS DOUBLE)
+                 / CAST(za.n + zb.n - COALESCE(s.c, 0) AS DOUBLE)) AS abs_err
+    FROM est e
+    LEFT JOIN shared s ON s.doc_a = e.doc_a AND s.doc_b = e.doc_b
+    JOIN sizes za ON za.doc_id = e.doc_a
+    JOIN sizes zb ON zb.doc_id = e.doc_b
+    """,
+    doc="MinHash estimator calibration per LSH candidate pair: the "
+        "sketch's Jaccard ESTIMATE (matching signature fraction, k=8) "
+        "against the exact shingle Jaccard, with the absolute error — "
+        "the eval that tells you whether to spend more signature "
+        "components (error ~ 1/sqrt(k)). Candidate CTEs compose the SAME "
+        "_BANDS_SQL_FRAG as the dedup pipeline, so the estimator under "
+        "eval can't drift from the one in production. All three metrics "
+        "are exact integer ratios on both engines — full hash match. "
+        "Plan: pairs are LSH-bounded; signatures re-attach by doc_id "
+        "equi-join; the shared-shingle count joins pair-constrained "
+        "shingle sides",
+)
+def minhash_jaccard_est(spark, sf_dir):
+    sh = _shingles_df(spark, sf_dir)
+    cand = minhash_lsh_candidates(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"sig{s}").alias(f"a{s}") for s in range(_N_SIGS)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"sig{s}").alias(f"b{s}") for s in range(_N_SIGS)])
+    n_match = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(_N_SIGS))
+    est = (cand.join(sa, "doc_a").join(sb, "doc_b")
+           .select("doc_a", "doc_b", n_match.cast("bigint").alias("n_match")))
+    shra = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shrb = sh.select(F.col("doc_id").alias("_db"),
+                     F.col("sh").alias("_shb"))
+    shared = (cand.join(shra, "doc_a")
+              .join(shrb, (F.col("_shb") == F.col("sh"))
+                    & (F.col("_db") == F.col("doc_b")))
+              .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("c")))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j_est = F.col("n_match").cast("double") / float(_N_SIGS)
+    c = F.coalesce(F.col("c"), F.lit(0))
+    j_exact = (c.cast("double")
+               / (F.col("na") + F.col("nb") - c).cast("double"))
+    return (est.join(shared, ["doc_a", "doc_b"], "left")
+            .join(za, "doc_a").join(zb, "doc_b")
+            .select("doc_a", "doc_b", "n_match",
+                    j_est.alias("j_est"), j_exact.alias("j_exact"),
+                    F.abs(j_est - j_exact).alias("abs_err")))
+
+
+@query(
+    "quality_calibration",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             (lang = 'en') AS is_en,
+             LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                 '\\b(the|and|of)\\b')) AS s_en,
+             GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')), 1) AS n_tok
+      FROM documents
+    )
+    SELECT CAST(LEAST((s_en * 20) // n_tok, 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+    FROM scored
+    GROUP BY 1
+    """,
+    doc="classifier-calibration (reliability) table for the "
+        "English-stopword scorer against the lang label: docs bucketed "
+        "by score, per bucket the observed positive rate — the curve "
+        "that tells you whether a quality/language gate's threshold "
+        "means what it claims before you filter a corpus with it. "
+        "Buckets come from INTEGER arithmetic ((s_en*20) div n_tok, "
+        "capped) so membership can't flip at a float boundary; rates "
+        "are exact integer ratios. One scan, one partial agg",
+)
+def quality_calibration(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    s_en = F.regexp_count(F.lower("text"), F.lit(r"\b(the|and|of)\b"))
+    n_tok = F.greatest(F.regexp_count("text", F.lit(r"\w+")), F.lit(1))
+    bucket = F.least((s_en * 20).cast("bigint") / n_tok.cast("bigint"),
+                     F.lit(9))
+    scored = d.select(
+        (F.col("lang") == "en").alias("is_en"),
+        F.expr("CAST(LEAST((regexp_count(lower(text), "
+               "'\\\\b(the|and|of)\\\\b') * 20) div "
+               "GREATEST(regexp_count(text, '\\\\w+'), 1), 9) AS BIGINT)")
+        .alias("bucket"))
+    pos = F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("bigint")
+    return (scored.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"), pos.alias("n_pos"))
+            .select("bucket", "n_docs", "n_pos",
+                    (F.col("n_pos").cast("double")
+                     / F.col("n_docs").cast("double")).alias("pos_rate")))

@@ -1311,3 +1311,262 @@ def sig_spectral_features(spark, sf_dir):
                      entropy_ok.cast("int").alias("entropy_ok"),
                      sef_ok.cast("int").alias("sef_ok"))
             .orderBy("channel"))
+
+
+_DELAY_VAL_SQL = """(((i // 3) + 20
+                     + CASE i % 3 WHEN 0 THEN 0 WHEN 1 THEN -4 ELSE 6 END)
+                    * 2654435761 + 12345) % 100000 / 100000.0 - 0.5"""
+
+
+@query(
+    "sig_delay_estimate",
+    f"""
+    WITH sig AS (
+      SELECT CAST(i % 3 AS INT) AS channel,
+             CAST(i // 3 AS BIGINT) AS sample_idx,
+             {_DELAY_VAL_SQL} AS value
+      FROM RANGE(0, 6000) t(i)
+    ),
+    lags AS (SELECT UNNEST(RANGE(-12, 13)) AS lag),
+    mom AS (
+      SELECT a.channel AS ch_a, b.channel AS ch_b, l.lag,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(a.value * 1000000) AS BIGINT)) AS sx,
+             SUM(CAST(ROUND(b.value * 1000000) AS BIGINT)) AS sy,
+             SUM(CAST(ROUND(a.value * 1000000) AS BIGINT)
+                 * CAST(ROUND(a.value * 1000000) AS BIGINT)) AS sxx,
+             SUM(CAST(ROUND(b.value * 1000000) AS BIGINT)
+                 * CAST(ROUND(b.value * 1000000) AS BIGINT)) AS syy,
+             SUM(CAST(ROUND(a.value * 1000000) AS BIGINT)
+                 * CAST(ROUND(b.value * 1000000) AS BIGINT)) AS sxy
+      FROM sig a
+      CROSS JOIN lags l
+      JOIN sig b ON b.sample_idx = a.sample_idx + l.lag
+                AND b.channel > a.channel
+      GROUP BY a.channel, b.channel, l.lag
+    ),
+    scored AS (
+      SELECT ch_a, ch_b, lag, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS r_raw
+      FROM mom
+      WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY ch_a, ch_b
+                                   ORDER BY ABS(r_raw) DESC, lag ASC) AS k
+      FROM scored
+    )
+    SELECT ch_a, ch_b, lag AS best_lag,
+           ROUND(r_raw, 6) + 0.0 AS r, n AS n_overlap
+    FROM rk WHERE k = 1
+    ORDER BY ch_a, ch_b
+    """,
+    doc="per-pair delay estimation (operators/xcorr.py estimate_delays): "
+        "argmax-|r| lag over a bounded correlogram, ties to the smaller "
+        "lag. Fixture: three views of ONE broadband LCG noise stream — "
+        "ch1 lags ch0 by 4 samples, ch2 leads ch0 by 6 — so the planted "
+        "delay triangle (+4, -6, -10) comes back exactly with r = 1 at "
+        "the true lags. FULL hash-match oracle: r rides the operator's "
+        "exact_scale fixed-point moment path (bit-identical at any "
+        "partitioning), so the argmax is deterministic on both engines",
+)
+def sig_delay_estimate(spark, sf_dir):
+    from ..operators.xcorr import estimate_delays
+
+    i = F.col("id")
+    ch = (i % 3).cast("int")
+    idx = (i / 3).cast("bigint")
+    shift = (F.when(ch == 0, 0).when(ch == 1, -4).otherwise(6))
+    h = ((idx + 20 + shift) * F.lit(2654435761) + F.lit(12345)) \
+        % F.lit(100000)
+    sig = (spark.range(0, 6000)
+           .select(F.lit("synth").alias("series_id"), ch.alias("channel"),
+                   idx.alias("sample_idx"),
+                   (h.cast("double") / 100000.0 - 0.5).alias("value")))
+    d = estimate_delays(sig, max_lag=12, exact_scale=1_000_000)
+    return (d.select("ch_a", "ch_b", "best_lag",
+                     (F.round("r", 6) + F.lit(0.0)).alias("r"), "n_overlap")
+            .orderBy("ch_a", "ch_b"))
+
+
+@query(
+    "sig_ppc_nm",
+    """
+    WITH v AS (
+      SELECT CAST(i % 2 AS INT) AS channel,
+             CAST(i // 2 AS BIGINT) AS idx,
+             ROUND(2 * PI() * (((i // 2) % 80) / 80.0) - PI(), 6) AS ps,
+             ROUND(CASE WHEN i % 2 = 0
+                        THEN 2 * PI() * ((((i // 2) * 4) % 80) / 80.0)
+                             + 0.7 - PI()
+                        ELSE 2 * PI() * ((((i // 2) * 13) % 97) / 97.0)
+                             - PI()
+                   END, 6) AS pf
+      FROM RANGE(0, 8000) t(i)
+    )
+    SELECT channel,
+           ROUND(SQRT(POW(AVG(COS(4 * ps - 1 * pf)), 2)
+                      + POW(AVG(SIN(4 * ps - 1 * pf)), 2)), 6) AS r_nm,
+           COUNT(*) AS n_samples
+    FROM v GROUP BY channel ORDER BY channel
+    """,
+    doc="n:m phase-phase coupling (operators/pac.py phase_phase_coupling, "
+        "Tass 1998): R_41 of a slow sawtooth phase against a fast phase. "
+        "Fixture: ch0's fast phase runs exactly 4 cycles per slow cycle "
+        "at a fixed 0.7 rad offset (4:1 locked, R ~ 1 up to the 6-dp "
+        "input rounding), ch1's fast phase cycles on an incommensurate "
+        "97-sample period (R ~ 1/sqrt(n)). Inputs rounded to 6 dp in "
+        "both engines before the op; the mean-resultant vector is the "
+        "same partial-aggregable cos/sin AVG as sig_pac_mi",
+)
+def sig_ppc_nm(spark, sf_dir):
+    from ..operators.pac import phase_phase_coupling
+
+    pi = 3.141592653589793
+    n_ch, n_t = 2, 4000
+
+    def slow_fn(ch, idx):
+        return F.round(
+            2 * F.lit(pi) * ((idx % 80).cast("double") / 80.0) - pi, 6)
+
+    def fast_fn(ch, idx):
+        locked = (2 * F.lit(pi) * (((idx * 4) % 80).cast("double") / 80.0)
+                  + 0.7 - pi)
+        free = (2 * F.lit(pi) * (((idx * 13) % 97).cast("double") / 97.0)
+                - pi)
+        return F.round(F.when(ch == 0, locked).otherwise(free), 6)
+
+    slow = (_synth_long(spark, n_ch, n_t, slow_fn)
+            .withColumnRenamed("value", "phase"))
+    fast = (_synth_long(spark, n_ch, n_t, fast_fn)
+            .withColumnRenamed("value", "phase"))
+    r = phase_phase_coupling(slow, fast, n=4, m=1)
+    return (r.select("channel", F.round("r_nm", 6).alias("r_nm"),
+                     "n_samples")
+            .orderBy("channel"))
+
+
+@query(
+    "sig_peak_detect",
+    """
+    WITH sig AS (
+      SELECT CAST(i % 2 AS INT) AS channel,
+             CAST(i // 2 AS BIGINT) AS sample_idx,
+             ROUND(((i // 2) * 1103515245 + (i % 2) * 12345 + 54321)
+                     % 100000 / 100000.0 * 0.2
+                   + CASE WHEN (i // 2) % 250 = 125 THEN 1.5
+                          WHEN (i // 2) % 250 = 127 THEN 1.0
+                          ELSE 0.0 END, 6) AS value
+      FROM RANGE(0, 6000) t(i)
+    ),
+    stencil AS (
+      SELECT channel, sample_idx, value,
+             LAG(value) OVER w AS prev, LEAD(value) OVER w AS next
+      FROM sig
+      WINDOW w AS (PARTITION BY channel ORDER BY sample_idx)
+    ),
+    cand AS (
+      SELECT channel, sample_idx, value
+      FROM stencil
+      WHERE value >= 0.8 AND prev IS NOT NULL AND value > prev
+        AND next IS NOT NULL AND value >= next
+    ),
+    flagged AS (
+      SELECT channel, sample_idx, value,
+             CASE WHEN LAG(sample_idx) OVER w IS NULL
+                       OR sample_idx - LAG(sample_idx) OVER w >= 50
+                  THEN 1 ELSE 0 END AS new_island
+      FROM cand
+      WINDOW w AS (PARTITION BY channel ORDER BY sample_idx)
+    ),
+    islands AS (
+      SELECT channel, sample_idx, value,
+             SUM(new_island) OVER (PARTITION BY channel ORDER BY sample_idx
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT channel, sample_idx, value AS peak_value,
+           CAST(island_size AS BIGINT) AS island_size
+    FROM (
+      SELECT channel, sample_idx, value,
+             ROW_NUMBER() OVER (PARTITION BY channel, island
+                                ORDER BY value DESC, sample_idx ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY channel, island) AS island_size
+      FROM islands
+    ) WHERE rk = 1
+    ORDER BY channel, sample_idx
+    """,
+    doc="local-maxima peak detection with refractory separation "
+        "(operators/peaks.py detect_peaks): 3-tap stencil candidates -> "
+        "gaps-and-islands refractory grouping -> per-island amplitude "
+        "argmax. Fixture plants a 1.5 peak and a 1.0 companion 2 samples "
+        "later in every 250-sample block over LCG noise; with "
+        "min_separation=50 the pair merges and the 1.5 peak is reported "
+        "(island_size 2). FULL hash match — all comparisons run on "
+        "identical 6-dp doubles",
+)
+def sig_peak_detect(spark, sf_dir):
+    from ..operators.peaks import detect_peaks
+
+    i = F.col("id")
+    ch = (i % 2).cast("int")
+    idx = (i / 2).cast("bigint")
+    noise = ((idx * F.lit(1103515245) + ch.cast("bigint") * F.lit(12345)
+              + F.lit(54321)) % F.lit(100000)).cast("double") \
+        / 100000.0 * 0.2
+    plant = (F.when(idx % 250 == 125, 1.5)
+             .when(idx % 250 == 127, 1.0).otherwise(0.0))
+    sig = (spark.range(0, 6000)
+           .select(F.lit("synth").alias("series_id"), ch.alias("channel"),
+                   idx.alias("sample_idx"),
+                   F.round(noise + plant, 6).alias("value")))
+    p = detect_peaks(sig, threshold=0.8, min_separation=50)
+    return (p.select("channel", "sample_idx", "peak_value", "island_size")
+            .orderBy("channel", "sample_idx"))
+
+
+@query(
+    "sig_envelope_corr",
+    """
+    SELECT * FROM (VALUES (0, 1, 1, 1), (0, 2, 1, 1), (1, 2, 1, 1))
+      t(ch_a, ch_b, coupled_ok, uncoupled_ok)
+    ORDER BY ch_a, ch_b
+    """,
+    doc="amplitude-envelope correlation (operators/coherence.py "
+        "envelope_correlation, Hipp 2012-family): per-frame band power "
+        "time courses correlated across channels — the co-modulation "
+        "measure that fires when signals share an envelope WITHOUT "
+        "phase locking. Fixture: ch0 (80 Hz carrier) and ch1 (120 Hz "
+        "carrier) ride the SAME 1.5 Hz slow envelope (different "
+        "carriers -> no phase relation; AEC alone sees the coupling), "
+        "ch2 rides an independent 2.3 Hz envelope. Contract: "
+        "AEC(0,1) > 0.8, AEC(0,2) and AEC(1,2) < 0.4. Contract-boolean "
+        "oracle (spectra not SQL-replayable); margins probed before "
+        "freezing",
+)
+def sig_envelope_corr(spark, sf_dir):
+    from ..operators.coherence import envelope_correlation
+
+    rate, n_t = 1000.0, 16384
+    pi2 = 2 * 3.141592653589793
+
+    def value_fn(ch, idx):
+        t = idx.cast("double") / rate
+        env_shared = 1 + 0.8 * F.sin(F.lit(pi2 * 1.5) * t)
+        env_free = 1 + 0.8 * F.sin(F.lit(pi2 * 2.3) * t + 1.0)
+        return (F.when(ch == 0, env_shared * F.sin(F.lit(pi2 * 80.0) * t))
+                .when(ch == 1, env_shared * F.sin(F.lit(pi2 * 120.0) * t))
+                .otherwise(env_free * F.sin(F.lit(pi2 * 100.0) * t)))
+
+    sig = _synth_long(spark, 3, n_t, value_fn)
+    aec = envelope_correlation(sig, rate, 256, lo_hz=60.0, hi_hz=140.0)
+    is_coupled = (F.col("ch_a") == 0) & (F.col("ch_b") == 1)
+    coupled_ok = F.when(is_coupled, F.col("aec") > 0.8).otherwise(F.lit(True))
+    uncoupled_ok = F.when(~is_coupled, F.abs(F.col("aec")) < 0.4) \
+        .otherwise(F.lit(True))
+    return (aec.select("ch_a", "ch_b",
+                       coupled_ok.cast("int").alias("coupled_ok"),
+                       uncoupled_ok.cast("int").alias("uncoupled_ok"))
+            .orderBy("ch_a", "ch_b"))

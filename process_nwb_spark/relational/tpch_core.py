@@ -1599,3 +1599,316 @@ def sub_late_sole_supplier(spark, sf_dir):
     return (sole.groupBy("culprit").agg(F.count("*").alias("numwait"))
             .join(F.broadcast(s), F.col("s_suppkey") == F.col("culprit"))
             .select("s_suppkey", "s_name", "numwait"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 / Q7 / Q12 / Q13 / Q14 / Q15 / Q19 / Q22 shapes (round 7;
+# adapted to the testdata's columns — no l_commitdate/l_shipmode/c_phone/
+# partsupp here, and money aggregates ride EXACT integer sub-cent sums so
+# every face full-hash-matches regardless of partitioning/summation order)
+# --------------------------------------------------------------------------
+_NET4_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+
+
+def _net4():
+    """price*(1-discount) in exact 1e-4 units: the two float ops are
+    IEEE-identical across engines on identical parquet doubles, and the
+    integer sum is order-independent — the money-face determinism idiom."""
+    return F.round((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   * 10000).cast("bigint")
+
+
+@query(
+    "orders_priority_exists",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): correlated EXISTS "
+        "against the fact decorrelates to a LEFT SEMI join; the quarter "
+        "predicate pushes into the orders scan and the returnflag "
+        "predicate into the lineitem scan BEFORE the join, so the semi "
+        "join's build side is the filtered fact, not the raw table. "
+        "Output is integer counts — exact by construction",
+)
+def orders_priority_exists(spark, sf_dir):
+    o = (T(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate").cast("date") >= F.lit("1996-01-01"))
+                 & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01"))))
+    ret = (T(spark, sf_dir, "lineitem")
+           .filter(F.col("l_returnflag") == "R").select("l_orderkey"))
+    return (o.join(ret, o.o_orderkey == ret.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
+@query(
+    "star_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS INT)
+             AS l_year,
+           CAST(SUM({_NET4_SQL}) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (volume shipping between two nations): the fact "
+        "joins BOTH role-playing nation dims (via supplier and via "
+        "customer/orders); every dim side broadcasts, the disjunctive "
+        "nation-pair predicate prunes after the cheap dim joins, and the "
+        "year rollup is one partial agg. Revenue is an exact integer "
+        "1e-4-unit sum — full hash match at any partitioning",
+)
+def star_nation_volume(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", _net4().alias("net4"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_3")
+             & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7")
+               & (F.col("cust_nation") == "NATION_3")))
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year(F.col("l_shipdate").cast("date")).alias("l_year"))
+            .agg((F.sum("net4").cast("double") / F.lit(10000.0))
+                 .alias("revenue")))
+
+
+@query(
+    "line_priority_counts",
+    """
+    SELECT l.l_returnflag AS flag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape (shipping-mode priority audit; l_returnflag "
+        "stands in for the absent l_shipmode): conditional counts fold "
+        "in ONE partial agg on the join output — no per-priority "
+        "re-scans; the ship-year predicate pushes into the fact scan. "
+        "Integer counts — exact",
+)
+def line_priority_counts(spark, sf_dir):
+    li = (T(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01")))
+          .select("l_orderkey", "l_returnflag"))
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("l_returnflag").alias("flag"))
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count")))
+
+
+@query(
+    "cust_order_count_dist",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): LEFT OUTER "
+        "join keeps zero-order customers (COUNT of the nullable side "
+        "counts only matches), then a count-of-counts second aggregate — "
+        "the distribution-histogram double-agg. The residual status "
+        "predicate rides the join, not a post-filter (it must not drop "
+        "the NULL rows). Integer counts — exact",
+)
+def cust_order_count_dist(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select("c_custkey")
+    o = (T(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") != "F")
+         .select("o_custkey", "o_orderkey"))
+    per_c = (c.join(o, c.c_custkey == o.o_custkey, "left")
+             .groupBy("c_custkey")
+             .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_c.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+@query(
+    "promo_revenue_share",
+    f"""
+    SELECT ROUND(CAST(SUM(CASE WHEN p.p_type = 'ECONOMY'
+                              THEN {_NET4_SQL} ELSE 0 END) AS DOUBLE)
+                 * 100.0
+                 / CAST(SUM({_NET4_SQL}) AS DOUBLE), 4) AS promo_share
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-09-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1996-10-01'
+    """,
+    doc="TPC-H Q14 shape (promo revenue share; p_type='ECONOMY' stands in "
+        "for PROMO%): conditional and total sums fold in the SAME "
+        "partial agg over one broadcast part join — never two scans. "
+        "Both sums are exact integer 1e-4 units, so the share divides "
+        "two identical bigints on both engines — bit-exact before ROUND",
+)
+def promo_revenue_share(spark, sf_dir):
+    li = (T(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate").cast("date") >= F.lit("1996-09-01"))
+                  & (F.col("l_shipdate").cast("date") < F.lit("1996-10-01")))
+          .select("l_partkey", _net4().alias("net4")))
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "ECONOMY", F.col("net4")).otherwise(0)
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(F.sum(promo).cast("double") * F.lit(100.0)
+                         / F.sum("net4").cast("double"), 4)
+                 .alias("promo_share")))
+
+
+@query(
+    "top_revenue_suppliers",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey, SUM({_NET4_SQL}) AS total4
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total4 AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+    WHERE r.total4 = (SELECT MAX(total4) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier by quarterly revenue, ties kept): "
+        "the revenue view aggregates once; its MAX is a one-row "
+        "broadcast compared by EXACT integer equality (float revenue "
+        "equality across engines is a knife edge; bigint 1e-4 units are "
+        "not). Supplier dim broadcasts onto the winner set",
+)
+def top_revenue_suppliers(spark, sf_dir):
+    rev = (T(spark, sf_dir, "lineitem")
+           .filter((F.col("l_shipdate").cast("date") >= F.lit("1996-01-01"))
+                   & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01")))
+           .groupBy(F.col("l_suppkey").alias("suppkey"))
+           .agg(F.sum(_net4()).alias("total4")))
+    mx = rev.agg(F.max("total4").alias("mx"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total4") == F.col("mx"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("suppkey"))
+            .select("s_suppkey", "s_name",
+                    (F.col("total4").cast("double") / F.lit(10000.0))
+                    .alias("total_revenue")))
+
+
+@query(
+    "disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({_NET4_SQL}) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (disjunctive brand/size/quantity predicate): "
+        "Catalyst extracts the common conjuncts from the OR-of-ANDs — "
+        "l_quantity BETWEEN 1 AND 30 pushes into the lineitem scan and "
+        "the brand IN-list + size range into the part scan — so the "
+        "broadcast join sees pre-pruned sides and the full disjunction "
+        "evaluates only on survivors. Exact integer revenue",
+)
+def disjunctive_revenue(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _net4().alias("net4"))
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & F.col("l_quantity").between(q_lo, q_hi))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .filter(arm("Brand#3", 5, 1, 11) | arm("Brand#12", 10, 10, 20)
+                    | arm("Brand#20", 15, 20, 30))
+            .agg((F.sum("net4").cast("double") / F.lit(10000.0))
+                 .alias("revenue")))
+
+
+@query(
+    "idle_customers_balance",
+    """
+    WITH pos AS (
+      SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    sel AS (
+      SELECT c.c_custkey % 7 AS cgroup,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal2
+      FROM customer c CROSS JOIN pos
+      WHERE c.c_custkey % 7 IN (0, 2, 3, 5)
+        AND CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND CAST(o.o_orderdate AS DATE)
+                              >= DATE '1999-01-01')
+    )
+    SELECT CAST(cgroup AS BIGINT) AS cgroup, COUNT(*) AS numcust,
+           CAST(SUM(bal2) AS DOUBLE) / 100.0 AS totacctbal
+    FROM sel GROUP BY cgroup
+    """,
+    doc="TPC-H Q22 shape (global-sales-opportunity: above-average-balance "
+        "customers idle since 1999; c_custkey%7 stands in for the "
+        "phone country code): the positive-balance average is a one-row "
+        "broadcast, and `bal > avg` is evaluated as the EXACT integer "
+        "cross-multiplication bal_cents*n > sum_cents — no float "
+        "average ever exists, so membership cannot flip at an engine "
+        "boundary. NOT EXISTS decorrelates to a LEFT ANTI join on the "
+        "orders key projection",
+)
+def idle_customers_balance(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("bigint")
+        .alias("bal2"))
+    pos = (c.filter(F.col("bal2") > 0)
+           .agg(F.sum("bal2").alias("s"), F.count("*").alias("n")))
+    o = (T(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate").cast("date") >= F.lit("1999-01-01"))
+         .select("o_custkey"))
+    return (c.filter((F.col("c_custkey") % 7).isin(0, 2, 3, 5))
+            .crossJoin(F.broadcast(pos))
+            .filter(F.col("bal2") * F.col("n") > F.col("s"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy((F.col("c_custkey") % 7).alias("cgroup"))
+            .agg(F.count("*").alias("numcust"),
+                 (F.sum("bal2").cast("double") / F.lit(100.0))
+                 .alias("totacctbal")))
