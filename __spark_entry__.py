@@ -55,11 +55,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-adjudicate them), then the 24 never-driver-sampled queries (the r6
 # signal-analysis tier: connectivity, epoching, bursts, multitaper, wPLI,
 # PSI, CSD, band power, line-noise SNR, QC, Hjorth, spectral features —
-# plus 9 relational faces deferred since r5), then the 15 queries ADDED in
+# plus 9 relational faces deferred since r5), then the 16 queries ADDED in
 # r7 (TPC-H Q4/Q7/Q12/Q13/Q14/Q15/Q19/Q22 shapes, delay estimation, n:m
-# coupling, peak detection, envelope correlation, n-gram novelty, MinHash
-# estimator calibration, gate calibration) for their first sampling.
-# Green rows on all 42 == cumulative driver coverage 226/226. The
+# coupling, peak detection, envelope correlation, Granger-lite causality,
+# n-gram novelty, MinHash estimator calibration, gate calibration) for
+# their first sampling.
+# Green rows on all 43 == cumulative driver coverage 227/227. The
 # previously-proven queries follow in registry order (still covered by the
 # committed full-registry local exact gate, ORACLE_LOCAL_r7.json /
 # ORACLE_ANSI_r7.json).
@@ -84,7 +85,7 @@ DRIVER_PRIORITY = (
     "disjunctive_revenue", "idle_customers_balance",
     # r7 signal tier: delay estimation, n:m coupling, peaks, AEC
     "sig_delay_estimate", "sig_ppc_nm", "sig_peak_detect",
-    "sig_envelope_corr",
+    "sig_envelope_corr", "sig_granger_dir",
     # r7 curation tier: novelty, sketch calibration, gate calibration
     "ngram_novelty", "minhash_jaccard_est", "quality_calibration",
 )

@@ -26,6 +26,7 @@ from .operators.epochs import (epoch_trials, erp_average,  # noqa: F401
                                inter_trial_coherence)
 from .operators.bursts import detect_bursts  # noqa: F401
 from .operators.peaks import detect_peaks  # noqa: F401
+from .operators.granger import granger_pairwise  # noqa: F401
 from .operators.spatial import csd_reference, electrode_neighbors  # noqa: F401
 from .operators.spectral_summary import (band_power, line_noise_snr,  # noqa: F401
                                          EEG_BANDS)

@@ -1570,3 +1570,105 @@ def sig_envelope_corr(spark, sf_dir):
                        coupled_ok.cast("int").alias("coupled_ok"),
                        uncoupled_ok.cast("int").alias("uncoupled_ok"))
             .orderBy("ch_a", "ch_b"))
+
+
+@query(
+    "sig_granger_dir",
+    """
+    WITH raw AS (
+      SELECT CAST(i % 3 AS INT) AS channel,
+             CAST(i // 3 AS BIGINT) AS t,
+             (((i // 3) * 2654435761 + 12345) % 100000) / 100000.0 - 0.5
+               AS x,
+             (((i // 3) * 1103515245 + 777) % 100000) / 100000.0 - 0.5
+               AS e,
+             ((((i // 3) - 1) * 2654435761 + 12345) % 100000) / 100000.0
+               - 0.5 AS x_prev,
+             (((i // 3) * 69069 + 55555) % 100000) / 100000.0 - 0.5 AS z
+      FROM RANGE(0, 6003) t(i)
+    ),
+    sig AS (
+      SELECT channel, t AS sample_idx,
+             ROUND(CASE channel WHEN 0 THEN x
+                                WHEN 1 THEN 0.8 * x_prev + 0.3 * e
+                                ELSE z END, 6) AS value
+      FROM raw WHERE t >= 1
+    ),
+    lagged AS (
+      SELECT channel, sample_idx,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v,
+             LAG(CAST(ROUND(value * 1000000) AS BIGINT))
+               OVER (PARTITION BY channel ORDER BY sample_idx) AS v1
+      FROM sig
+    ),
+    joined AS (
+      SELECT d.channel AS ch_dst, s.channel AS ch_src,
+             d.v AS y, d.v1 AS y1, s.v1 AS x1
+      FROM lagged d JOIN lagged s
+        ON s.sample_idx = d.sample_idx AND s.channel <> d.channel
+      WHERE d.v1 IS NOT NULL AND s.v1 IS NOT NULL
+    ),
+    mom AS (
+      SELECT ch_src, ch_dst, COUNT(*) AS n,
+             SUM(y) AS sy, SUM(y1) AS s1, SUM(x1) AS s2,
+             SUM(y * y) AS syy, SUM(y1 * y1) AS s11,
+             SUM(x1 * x1) AS s22, SUM(y * y1) AS s1y,
+             SUM(y * x1) AS s2y, SUM(y1 * x1) AS s12
+      FROM joined GROUP BY ch_src, ch_dst
+    ),
+    cm AS (
+      SELECT ch_src, ch_dst, n,
+             CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+             CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+             CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+             CAST(n * s1y - sy * s1 AS DOUBLE) AS c1y,
+             CAST(n * s2y - sy * s2 AS DOUBLE) AS c2y,
+             CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12
+      FROM mom
+    )
+    SELECT ch_src, ch_dst,
+           ROUND((cyy - c1y * c1y / c11)
+                 / (cyy - (c22 * c1y * c1y - 2 * c12 * c1y * c2y
+                           + c11 * c2y * c2y)
+                          / (c11 * c22 - c12 * c12)), 6)
+             + 0.0 AS var_ratio,
+           n
+    FROM cm
+    ORDER BY ch_src, ch_dst
+    """,
+    doc="pairwise lag-1 Granger-style causality (operators/granger.py "
+        "granger_pairwise): closed-form OLS variance ratio "
+        "RSS_restricted/RSS_full from one pair join + ten partial-agg "
+        "moments, Cramer-solved in the projection — no iteration, no "
+        "matrix library, no libm. Fixture: ch1 = 0.8*ch0[t-1] + noise "
+        "(ch0 -> ch1 reads ~7.6), every other direction ~1.0-1.2 (the "
+        "residue is LCG serial correlation, not leakage). FULL "
+        "hash-match oracle: the exact_scale path computes every centered "
+        "moment in INTEGER arithmetic before one deterministic cast, so "
+        "the ratio is bit-identical at any partitioning on both engines",
+)
+def sig_granger_dir(spark, sf_dir):
+    from ..operators.granger import granger_pairwise
+
+    i = F.col("id")
+    ch = (i % 3).cast("int")
+    t = (i / 3).cast("bigint")
+    lcg = lambda k, a, b: ((k * F.lit(a) + F.lit(b))  # noqa: E731
+                           % F.lit(100000)).cast("double") / 100000.0 - 0.5
+    x = lcg(t, 2654435761, 12345)
+    x_prev = lcg(t - 1, 2654435761, 12345)
+    e = lcg(t, 1103515245, 777)
+    z = lcg(t, 69069, 55555)
+    val = F.round(
+        F.when(ch == 0, x)
+        .when(ch == 1, 0.8 * x_prev + 0.3 * e)
+        .otherwise(z), 6)
+    sig = (spark.range(0, 6003)
+           .filter(t >= 1)
+           .select(F.lit("synth").alias("series_id"), ch.alias("channel"),
+                   t.alias("sample_idx"), val.alias("value")))
+    g = granger_pairwise(sig, exact_scale=1_000_000)
+    return (g.select("ch_src", "ch_dst",
+                     (F.round("var_ratio", 6) + F.lit(0.0))
+                     .alias("var_ratio"), "n")
+            .orderBy("ch_src", "ch_dst"))

@@ -146,3 +146,53 @@ def test_envelope_correlation_shared_vs_free_envelope(spark):
     assert out[(0, 1)] == pytest.approx(want, abs=1e-6)
     with pytest.raises(ValueError, match="lo_hz < hi_hz"):
         envelope_correlation(_long_df(spark, X), fs, 256, 100.0, 50.0)
+
+
+def _np_granger_ratio(x_src, y_dst):
+    """Closed-form lag-1 OLS variance ratio, replayed with lstsq."""
+    y, y1, x1 = y_dst[1:], y_dst[:-1], x_src[:-1]
+    A_r = np.stack([y1, np.ones_like(y1)], axis=1)
+    A_f = np.stack([y1, x1, np.ones_like(y1)], axis=1)
+    rss = lambda A: np.sum(  # noqa: E731
+        (y - A @ np.linalg.lstsq(A, y, rcond=None)[0]) ** 2)
+    return rss(A_r) / rss(A_f)
+
+
+def test_granger_pairwise_matches_lstsq_and_finds_direction(spark):
+    from process_nwb_spark.operators.granger import granger_pairwise
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(1500)
+    e = rng.standard_normal(1500)
+    y = np.empty(1500)
+    y[0] = 0.0
+    y[1:] = 0.8 * x[:-1] + 0.3 * e[1:]
+    X = np.stack([x, y], axis=1)
+    out = {(r.ch_src, r.ch_dst): r.var_ratio
+           for r in granger_pairwise(_long_df(spark, X)).collect()}
+    assert out[(0, 1)] == pytest.approx(_np_granger_ratio(x, y), rel=1e-9)
+    assert out[(1, 0)] == pytest.approx(_np_granger_ratio(y, x), rel=1e-9)
+    assert out[(0, 1)] > 5.0 and out[(1, 0)] < 1.1
+
+
+def test_granger_exact_scale_is_partition_stable(spark):
+    from process_nwb_spark.operators.granger import granger_pairwise
+
+    rng = np.random.default_rng(10)
+    X = np.round(rng.standard_normal((800, 2)) * 0.4, 6)
+    X[1:, 1] = np.round(0.7 * X[:-1, 0] + 0.2 * X[1:, 1], 6)
+    base = _long_df(spark, X)
+    outs = []
+    for nparts in (1, 7, 32):
+        outs.append({(r.ch_src, r.ch_dst): r.var_ratio
+                     for r in granger_pairwise(
+                         base.repartition(nparts),
+                         exact_scale=1_000_000).collect()})
+    for other in outs[1:]:
+        for k, v in outs[0].items():
+            assert other[k].hex() == v.hex()
+    # and the exact path agrees with the float path numerically
+    flt = {(r.ch_src, r.ch_dst): r.var_ratio
+           for r in granger_pairwise(base).collect()}
+    for k, v in outs[0].items():
+        assert v == pytest.approx(flt[k], rel=1e-9)
