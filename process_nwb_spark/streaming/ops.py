@@ -478,3 +478,131 @@ def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_peak_detect(signals: DataFrame, threshold: float,
+                       min_separation: int = 1) -> DataFrame:
+    """Streaming refractory peak detection — the stateful twin of
+    operators/peaks.detect_peaks, with decisions carried ACROSS
+    micro-batches.
+
+    Two things cannot be decided batch-locally: (a) the last sample of a
+    batch has no right neighbor yet, so its candidacy is pending until
+    the next batch's first sample arrives (state carries the last two
+    (idx, value) points for the 3-tap stencil); (b) a refractory island
+    whose last candidate is within `min_separation` of the batch tail
+    may still merge with a candidate early in the next batch, so only
+    PROVEN-closed islands are emitted (append mode): an island closes
+    once the stream has advanced `min_separation` samples past its last
+    candidate, or a non-merging candidate arrives. A live recording's
+    final pending island stays in state — exactly stream semantics
+    (cf. stream_burst_detect).
+
+    Contract: per (series_id, channel) batches must land in increasing
+    sample order (a batch at or below the high-water mark raises —
+    same guard as stream_burst_detect); within a batch any sample order
+    is fine (sorted here). NaN samples are dropped, matching the batch
+    operator's NaN policy, and the stencil then runs on the filtered
+    adjacency exactly like the batch op's lag/lead. State is O(1) per
+    key. Batch==stream equality is pinned in tests/test_streaming.py
+    with cuts through a stencil boundary and through an open island.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    thr, sep = float(threshold), int(min_separation)
+    if sep < 1:
+        raise ValueError(f"need min_separation >= 1, got {min_separation}")
+
+    def fn(key, pdfs, state: GroupState):
+        sid, ch = key
+        # state: last two points for the stencil + the open island
+        if state.exists:
+            (p1_idx, p1_val, p2_val, has_p2,
+             b_idx, b_val, cnt, last_cand, has_isl) = tuple(state.get)
+        else:
+            p1_idx = None
+            p2_val = has_p2 = b_idx = b_val = cnt = last_cand = None
+            has_isl = False
+        closed = []
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("sample_idx")
+            v_all = pdf["value"].to_numpy(np.float64)
+            keep = ~np.isnan(v_all)
+            idx = pdf["sample_idx"].to_numpy(np.int64)[keep]
+            val = v_all[keep]
+            if not len(idx):
+                continue
+            if p1_idx is not None and idx[0] <= p1_idx:
+                raise ValueError(
+                    f"stream_peak_detect: batch for {sid!r}/ch{ch} starts "
+                    f"at sample {int(idx[0])} but samples through "
+                    f"{int(p1_idx)} were already processed — out-of-order "
+                    f"landing")
+            # prepend carried context so the carried p1 gets its stencil
+            if p1_idx is not None:
+                pre_i = [p1_idx - 1, p1_idx] if has_p2 else [p1_idx]
+                pre_v = [p2_val, p1_val] if has_p2 else [p1_val]
+                idx = np.concatenate([np.asarray(pre_i, np.int64), idx])
+                val = np.concatenate([np.asarray(pre_v, np.float64), val])
+            # 3-tap stencil over interior points (the filtered adjacency)
+            if len(val) >= 3:
+                m = ((val[1:-1] >= thr) & (val[1:-1] > val[:-2])
+                     & (val[1:-1] >= val[2:]))
+                cands = list(zip(idx[1:-1][m].tolist(),
+                                 val[1:-1][m].tolist()))
+            else:
+                cands = []
+            # skip candidates already decided in a previous batch: only
+            # the carried p1 (and later) are undecided
+            if p1_idx is not None and has_p2:
+                cands = [(i, x) for (i, x) in cands if i >= p1_idx]
+            for (c, x) in cands:
+                if has_isl and c - last_cand < sep:
+                    if x > b_val:
+                        b_idx, b_val = c, x
+                    cnt += 1
+                    last_cand = c
+                else:
+                    if has_isl:
+                        closed.append((b_idx, b_val, cnt))
+                    b_idx, b_val, cnt, last_cand, has_isl = c, x, 1, c, True
+            # island provably closed once the stream is `sep` past it
+            if has_isl and int(idx[-1]) - last_cand >= sep:
+                closed.append((b_idx, b_val, cnt))
+                has_isl = False
+                b_idx = b_val = cnt = last_cand = None
+            # carry the stencil tail (len(idx) == 1 only on a first-ever
+            # single-sample batch: no left neighbor exists yet)
+            if len(idx) >= 2:
+                p2_val, has_p2 = float(val[-2]), True
+            else:
+                p2_val, has_p2 = None, False
+            p1_idx, p1_val = int(idx[-1]), float(val[-1])
+
+        state.update((p1_idx, p1_val,
+                      p2_val if has_p2 else None, bool(has_p2),
+                      b_idx, b_val, cnt, last_cand, bool(has_isl)))
+        yield pd.DataFrame({
+            "series_id": [sid] * len(closed),
+            "channel": [ch] * len(closed),
+            "sample_idx": [c[0] for c in closed],
+            "peak_value": [c[1] for c in closed],
+            "island_size": [c[2] for c in closed],
+        })
+
+    return (signals.groupBy("series_id", "channel").applyInPandasWithState(
+        fn,
+        outputStructType=("series_id STRING, channel INT, "
+                          "sample_idx BIGINT, peak_value DOUBLE, "
+                          "island_size BIGINT"),
+        stateStructType=("p1_idx BIGINT, p1_val DOUBLE, p2_val DOUBLE, "
+                         "has_p2 BOOLEAN, best_idx BIGINT, "
+                         "best_val DOUBLE, cnt BIGINT, last_cand BIGINT, "
+                         "has_island BOOLEAN"),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))

@@ -301,3 +301,58 @@ def test_stream_bursts_stitch_across_file_cut(spark, tmp_path):
     assert (got.duration == want.duration).all()
     np.testing.assert_allclose(got.peak, want.peak, rtol=0, atol=0)
     np.testing.assert_allclose(got.area, want.area, rtol=1e-9)
+
+
+def test_stream_peaks_decide_across_file_cut(spark, tmp_path):
+    """Peak candidacy at a micro-batch boundary needs the next batch's
+    first sample (3-tap stencil), and a refractory island straddling the
+    cut must merge across it — both carried in state; stream == batch
+    detect_peaks exactly once every island is provably closed."""
+    import numpy as np
+    import pandas as pd
+    from process_nwb_spark.operators.peaks import detect_peaks
+    from process_nwb_spark.streaming.ops import (SIGNALS_SCHEMA,
+                                                 stream_peak_detect)
+
+    n = 3000
+    rng = np.random.default_rng(31)
+    x = rng.random(n) * 0.3
+    x[999] += 1.5        # peak exactly AT the cut: right neighbor is in
+                         # the next file, candidacy must wait for it
+    x[1030] += 1.2       # within min_separation of 999: merges ACROSS
+                         # the cut into one island (the 1.5 wins)
+    x[500] += 2.0        # interior peak
+    x[503] += 1.6        # companion -> island_size 2, 500 reported
+    x[1995] += 1.8       # island open at the 2000 cut, closed in batch 3
+    x[2500] += 1.4
+    x[-1] = 0.0          # quiet tail: every island provably closes
+    pdf = pd.DataFrame({
+        "series_id": "s0", "channel": np.int32(0),
+        "sample_idx": np.arange(n, dtype=np.int64), "value": x})
+    df = spark.createDataFrame(pdf)
+
+    in_dir = str(tmp_path / "in_peaks")
+    for lo, hi in [(0, 1000), (1000, 2000), (2000, 3000)]:
+        (df.filter((F.col("sample_idx") >= lo) & (F.col("sample_idx") < hi))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    sdf = (spark.readStream.schema(SIGNALS_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream_peak_detect(sdf, threshold=0.8, min_separation=50)
+         .writeStream.format("memory").queryName("t_peaks")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_peaks"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = (spark.table("t_peaks").toPandas()
+           .sort_values("sample_idx").reset_index(drop=True))
+    want = (detect_peaks(df, threshold=0.8, min_separation=50).toPandas()
+            .sort_values("sample_idx").reset_index(drop=True))
+    assert len(got) == len(want) >= 4
+    assert (got.sample_idx.values == want.sample_idx.values).all()
+    assert (got.island_size.values == want.island_size.values).all()
+    np.testing.assert_allclose(got.peak_value, want.peak_value,
+                               rtol=0, atol=0)
+    # the cut-straddling island reported once, with the 999 peak winning
+    assert 999 in set(got.sample_idx) and 1030 not in set(got.sample_idx)
