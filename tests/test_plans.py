@@ -396,3 +396,49 @@ def test_tpch_shape_plans(spark, qs):
         "Q21 rewrite scans each of lineitem/orders/supplier exactly once"
     n = count_exchanges(q21)
     assert n <= 4, f"sub_late_sole_supplier: {n} exchanges"
+
+
+def test_disjunctive_predicates_push_into_both_scans(spark, qs):
+    """Q19 shape: Catalyst must extract the common conjuncts of the
+    OR-of-ANDs and push them into BOTH parquet scans — the quantity
+    range union into lineitem, the brand/size union into part."""
+    df = qs["disjunctive_revenue"].fn(spark, SF)
+    pushed = "\n".join(pushed_filters(df))
+    assert "l_quantity" in pushed and "Or(" in pushed
+    assert "p_brand" in pushed and "p_size" in pushed
+
+
+def test_q22_exact_threshold_is_broadcast_not_float_avg(spark, qs):
+    """Q22 shape: the positive-balance aggregate is a one-row broadcast
+    (cross join), the no-recent-orders test a LEFT ANTI join, and no AVG
+    appears anywhere — membership is integer cross-multiplication."""
+    df = qs["idle_customers_balance"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "avg(" not in plan.lower()
+
+
+def test_ngram_novelty_single_shingle_shuffle(spark, qs):
+    """The first-seen flag must ride ONE shingle-keyed window shuffle —
+    an agg + join-back formulation would scan/shuffle the shingle
+    stream twice (two parquet scans of documents)."""
+    df = qs["ngram_novelty"].fn(spark, SF)
+    assert count_scans(df) == 1, formatted_plan(df)
+
+
+def test_granger_moments_partial_aggregate(spark, qs):
+    """Granger's ten moment sums must partial-aggregate map-side; the
+    whole estimator is join + one agg + projection (no extra shuffles
+    beyond lag windows and the pair join)."""
+    df = qs["sig_granger_dir"].fn(spark, SF)
+    assert has_partial_aggregation(df), formatted_plan(df)
+
+
+def test_delay_estimate_windows_on_correlogram_not_samples(spark, qs):
+    """estimate_delays ranks over the pairs x lags correlogram — the
+    plan's window must sit above the moment AGGREGATE (model-sized
+    input), not above the raw joined samples."""
+    plan = formatted_plan(qs["sig_delay_estimate"].fn(spark, SF))
+    agg_pos = plan.lower().find("hashaggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
