@@ -40,7 +40,14 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "attribution_last_touch", "vocab_zipf_slope", "star_market_share",
         "sub_small_qty_revenue", "sub_late_sole_supplier",
         "dedup_chunk_exact", "dq_ks_drift", "agg_chi2_independence",
-        "semantic_dedup", "dsir_importance"]
+        "semantic_dedup", "dsir_importance",
+        # r7 additions
+        "orders_priority_exists", "star_nation_volume",
+        "cust_order_count_dist", "promo_revenue_share",
+        "top_revenue_suppliers", "disjunctive_revenue",
+        "idle_customers_balance", "sig_delay_estimate", "sig_peak_detect",
+        "sig_granger_dir", "ngram_novelty", "minhash_jaccard_est",
+        "quality_calibration"]
 
 
 @pytest.fixture(scope="module")
