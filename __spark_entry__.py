@@ -59,8 +59,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # r7 (TPC-H Q4/Q7/Q12/Q13/Q14/Q15/Q19/Q22 shapes, delay estimation, n:m
 # coupling, peak detection, envelope correlation, Granger-lite causality,
 # n-gram novelty, MinHash estimator calibration, gate calibration) for
-# their first sampling.
-# Green rows on all 43 == cumulative driver coverage 227/227. The
+# their first sampling, then the 7 late-r7 TPC-H completions (Q2/Q6/Q9/
+# Q10/Q11/Q16/Q20 shapes — all 22 TPC-H queries now have a face).
+# Green rows on all 50 == cumulative driver coverage 234/234. The
 # previously-proven queries follow in registry order (still covered by the
 # committed full-registry local exact gate, ORACLE_LOCAL_r7.json /
 # ORACLE_ANSI_r7.json).
@@ -88,6 +89,11 @@ DRIVER_PRIORITY = (
     "sig_envelope_corr", "sig_granger_dir",
     # r7 curation tier: novelty, sketch calibration, gate calibration
     "ngram_novelty", "minhash_jaccard_est", "quality_calibration",
+    # r7 second batch: the remaining TPC-H shapes (Q2/Q6/Q9/Q10/Q11/Q16/
+    # Q20 on the partsupp-free testdata) — completes all 22
+    "min_cost_supplier", "forecast_revenue_delta", "product_type_profit",
+    "returned_top_customers", "important_part_value",
+    "supplier_cnt_by_part", "surge_part_suppliers",
 )
 
 

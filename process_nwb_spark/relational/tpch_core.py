@@ -1912,3 +1912,366 @@ def idle_customers_balance(spark, sf_dir):
             .agg(F.count("*").alias("numcust"),
                  (F.sum("bal2").cast("double") / F.lit(100.0))
                  .alias("totacctbal")))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2 / Q6 / Q9 / Q10 / Q11 / Q16 / Q20 shapes (round 7, second batch —
+# completes all 22 TPC-H query shapes). partsupp does not exist in the
+# testdata, so the supply relationship is derived from lineitem (the set of
+# (l_partkey, l_suppkey) pairs IS the supplier-part catalog, and observed
+# unit price l_extendedprice / l_quantity stands in for ps_supplycost).
+# Money faces ride exact integer sub-cent sums; MIN/MAX/COUNT faces are
+# order-independent by construction — every face full-hash-matches under
+# any partitioning.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+      GROUP BY 1, 2
+    ),
+    best AS (SELECT l_partkey, MIN(unit_cost) AS min_cost
+             FROM cost GROUP BY 1)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+           c.unit_cost AS supply_cost
+    FROM cost c
+    JOIN best b ON b.l_partkey = c.l_partkey
+                AND c.unit_cost = b.min_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size IN (5, 15, 25, 35, 45) AND p.p_type = 'LARGE'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey,
+             s.s_suppkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier): the correlated "
+        "MIN-supplycost subquery decorrelates to a per-part MIN "
+        "re-aggregation joined back on (partkey, cost) equality. The "
+        "region filter prunes suppliers BEFORE the per-pair cost agg, "
+        "every dim side broadcasts, and the join-back key includes the "
+        "MIN value itself — exact, because MIN over identical float "
+        "sets is bit-identical in any engine and any order. Top-100 "
+        "rides a total ordering (acctbal desc then unique keys), so "
+        "membership is deterministic",
+)
+def min_cost_supplier(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("uc"))
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = (T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+         .select("r_regionkey"))
+    asia_supp = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                 .join(F.broadcast(r), F.col("n_regionkey")
+                       == F.col("r_regionkey"))
+                 .select("s_suppkey"))
+    cost = (li.join(F.broadcast(asia_supp),
+                    li.l_suppkey == F.col("s_suppkey"))
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.min("uc").alias("unit_cost")))
+    # rename at the source projection: `best` is derived FROM `cost`, and a
+    # derived-agg join-back on the shared lineage trips Spark's ambiguous
+    # self-join check unless the join keys carry fresh names
+    best = (cost.groupBy(F.col("l_partkey").alias("bk"))
+            .agg(F.min("unit_cost").alias("min_cost")))
+    p = (T(spark, sf_dir, "part")
+         .filter(F.col("p_size").isin(5, 15, 25, 35, 45)
+                 & (F.col("p_type") == "LARGE"))
+         .select("p_partkey"))
+    sd = s.select(F.col("s_suppkey").alias("sk"), "s_name", "s_acctbal",
+                  F.col("s_nationkey").alias("snk"))
+    nd = n.select(F.col("n_nationkey").alias("nk"), "n_name")
+    out = (cost.join(best, (cost.l_partkey == F.col("bk"))
+                     & (cost.unit_cost == F.col("min_cost")))
+           .drop("bk", "min_cost")
+           .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+           .join(F.broadcast(sd), F.col("l_suppkey") == F.col("sk"))
+           .join(F.broadcast(nd), F.col("snk") == F.col("nk"))
+           .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                   F.col("unit_cost").alias("supply_cost"),
+                   F.col("sk").alias("s_suppkey")))
+    return (out.orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                        "p_partkey", "s_suppkey")
+            .limit(100)
+            .drop("s_suppkey"))
+
+
+@query(
+    "forecast_revenue_delta",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue_delta
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecasting revenue change): a pure "
+        "scan-filter-aggregate — all three predicates push into the "
+        "parquet scan (min/max row-group skipping on shipdate), the "
+        "projection carries two columns, and the only exchange is the "
+        "final single-row reduce of an exact integer 1e-4-unit sum",
+)
+def forecast_revenue_delta(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate").cast("date")
+                       >= F.lit("1997-01-01"))
+                      & (F.col("l_shipdate").cast("date")
+                         < F.lit("1998-01-01"))
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg((F.sum(F.round(F.col("l_extendedprice")
+                                * F.col("l_discount") * 10000)
+                        .cast("bigint")).cast("double") / F.lit(10000.0))
+                 .alias("revenue_delta")))
+
+
+@query(
+    "product_type_profit",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS INT)
+             AS o_year,
+           CAST(SUM({_NET4_SQL}
+                    - CAST(ROUND(p.p_retailprice * l.l_quantity * 1000)
+                           AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (product-type profit): profit = revenue minus a "
+        "10%%-of-retail unit cost (ps_supplycost stand-in), rolled up by "
+        "the supplier's nation and order year. part/supplier/nation "
+        "broadcast; the LIKE predicate prunes the fact through the part "
+        "join before the orders join; both money legs are exact integer "
+        "1e-4-unit folds, so the profit sum is order-independent",
+)
+def product_type_profit(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        _net4().alias("net4"))
+    p = (T(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+         .select("p_partkey", "p_retailprice"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (F.col("net4")
+              - F.round(F.col("p_retailprice") * F.col("l_quantity")
+                        * 1000).cast("bigint"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(n), F.col("s_nationkey")
+                  == F.col("n_nationkey"))
+            .withColumn("amount4", amount)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year(F.col("o_orderdate").cast("date"))
+                     .alias("o_year"))
+            .agg((F.sum("amount4").cast("double") / F.lit(10000.0))
+                 .alias("sum_profit")))
+
+
+@query(
+    "returned_top_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM({_NET4_SQL}) AS DOUBLE) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-10-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): revenue lost to "
+        "returns per customer in one quarter, top 20. The quarter "
+        "predicate prunes orders before the fact join, the returnflag "
+        "predicate prunes lineitem at the scan, customer/nation "
+        "broadcast, and the top-20 rides (exact integer revenue desc, "
+        "custkey) — a total ordering, so membership never flips",
+)
+def returned_top_customers(spark, sf_dir):
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    o = (T(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate").cast("date") >= F.lit("1996-10-01"))
+                 & (F.col("o_orderdate").cast("date") < F.lit("1997-01-01")))
+         .select("o_orderkey", "o_custkey"))
+    li = (T(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", _net4().alias("net4")))
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum("net4").alias("rev4"))
+            .orderBy(F.col("rev4").desc(), "c_custkey")
+            .limit(20)
+            .select("c_custkey", "c_name", "n_name",
+                    (F.col("rev4").cast("double") / F.lit(10000.0))
+                    .alias("revenue")))
+
+
+@query(
+    "important_part_value",
+    f"""
+    WITH val AS (
+      SELECT l.l_partkey, SUM({_NET4_SQL}) AS value4
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_5'
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(value4) AS total4 FROM val)
+    SELECT v.l_partkey AS p_partkey,
+           CAST(v.value4 AS DOUBLE) / 10000.0 AS part_value
+    FROM val v CROSS JOIN tot
+    WHERE v.value4 * 1000 > tot.total4
+    """,
+    doc="TPC-H Q11 shape (important stock identification): per-part "
+        "traded value from one nation's suppliers, kept where the part "
+        "exceeds 0.1%% of that nation's total. The global total is a "
+        "one-row broadcast re-aggregated from the per-part sums (no "
+        "second fact scan), and the threshold is evaluated as the EXACT "
+        "integer cross-multiplication value4*1000 > total4 — no float "
+        "fraction ever exists, so membership cannot flip at an engine "
+        "boundary",
+)
+def important_part_value(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", _net4().alias("net4"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (T(spark, sf_dir, "nation")
+         .filter(F.col("n_name") == "NATION_5").select("n_nationkey"))
+    supp5 = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .select("s_suppkey"))
+    val = (li.join(F.broadcast(supp5), li.l_suppkey == F.col("s_suppkey"))
+           .groupBy("l_partkey").agg(F.sum("net4").alias("value4")))
+    tot = val.agg(F.sum("value4").alias("total4"))
+    return (val.crossJoin(F.broadcast(tot))
+            .filter(F.col("value4") * 1000 > F.col("total4"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    (F.col("value4").cast("double") / F.lit(10000.0))
+                    .alias("part_value")))
+
+
+@query(
+    "supplier_cnt_by_part",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0.0)
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship): distinct "
+        "suppliers per (brand, type, size) bucket, excluding "
+        "negative-balance suppliers (the customer-complaints stand-in). "
+        "The NOT IN is a broadcast anti join against a 100-row dim "
+        "(null-safe: s_suppkey is non-null), the part predicates prune "
+        "through a broadcast join, and COUNT(DISTINCT) is a two-phase "
+        "partial-then-merge distinct agg — exact integers throughout",
+)
+def supplier_cnt_by_part(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (T(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#1")
+                 & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (T(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0.0).select("s_suppkey"))
+    return (li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+                    "left_anti")
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@query(
+    "surge_part_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             SUM(CASE WHEN CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+                       AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+                      THEN CAST(ROUND(l.l_quantity) AS BIGINT)
+                      ELSE 0 END) AS qty97,
+             SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS qty_all
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND EXISTS (SELECT 1 FROM shipped sh
+                  WHERE sh.l_suppkey = s.s_suppkey
+                    AND sh.qty97 * 2 > sh.qty_all)
+    """,
+    doc="TPC-H Q20 shape (potential part promotion): suppliers in one "
+        "region who shipped more than half of a 'small%%' part's "
+        "all-time volume inside 1997 (availqty>half-shipped stand-in "
+        "without partsupp). The inner block aggregates the name-filtered "
+        "fact once per (supplier, part) with a conditional sum — one "
+        "scan for both the year slice and the all-time total — and the "
+        "surge test is the exact integer cross-multiply qty97*2 > "
+        "qty_all. EXISTS decorrelates to a LEFT SEMI join into the "
+        "100-row supplier dim",
+)
+def surge_part_suppliers(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_shipdate",
+        F.round("l_quantity").cast("bigint").alias("qty"))
+    p = (T(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("small%")).select("p_partkey"))
+    in97 = ((F.col("l_shipdate").cast("date") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01")))
+    shipped = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+               .groupBy("l_suppkey", "l_partkey")
+               .agg(F.sum(F.when(in97, F.col("qty")).otherwise(F.lit(0)))
+                    .alias("qty97"),
+                    F.sum("qty").alias("qty_all")))
+    surge = (shipped.filter(F.col("qty97") * 2 > F.col("qty_all"))
+             .select("l_suppkey").distinct())
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name",
+                                            "s_nationkey")
+    n = T(spark, sf_dir, "nation")
+    r = (T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+         .select("r_regionkey"))
+    return (s.join(surge, s.s_suppkey == surge.l_suppkey, "left_semi")
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), F.col("n_regionkey")
+                  == F.col("r_regionkey"))
+            .select("s_name", "n_name").distinct())

@@ -47,7 +47,10 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "top_revenue_suppliers", "disjunctive_revenue",
         "idle_customers_balance", "sig_delay_estimate", "sig_peak_detect",
         "sig_granger_dir", "ngram_novelty", "minhash_jaccard_est",
-        "quality_calibration"]
+        "quality_calibration",
+        "min_cost_supplier", "forecast_revenue_delta", "product_type_profit",
+        "returned_top_customers", "important_part_value",
+        "supplier_cnt_by_part", "surge_part_suppliers"]
 
 
 @pytest.fixture(scope="module")
