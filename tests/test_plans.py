@@ -442,3 +442,48 @@ def test_delay_estimate_windows_on_correlogram_not_samples(spark, qs):
     agg_pos = plan.lower().find("hashaggregate")
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos != -1
+
+
+def test_tpch_completion_batch_plans(spark, qs):
+    """Scale contracts of the late-r7 TPC-H completions. Q2: the region
+    prune reaches the supplier side before the per-pair cost aggregate and
+    all dims broadcast. Q6: pure scan-filter-aggregate — one scan, no join,
+    the shipdate/discount/quantity predicates pushed into the parquet scan.
+    Q9: part/supplier/nation broadcast around the single fact scan. Q11:
+    the 0.1% threshold re-aggregates the per-part sums (no second fact
+    scan) and joins back as a one-row broadcast. Q16: the complaint
+    exclusion is a broadcast LEFT ANTI, distinct-count partial-aggregates.
+    Q20: ONE name-filtered fact scan computes both the 1997 slice and the
+    all-time total (conditional sum), EXISTS becomes a LEFT SEMI."""
+    q2 = qs["min_cost_supplier"].fn(spark, SF)
+    assert has_broadcast_join(q2)
+    pushed = " ".join(pushed_filters(q2))
+    assert "r_name" in pushed and "p_size" in pushed, pushed
+
+    q6 = qs["forecast_revenue_delta"].fn(spark, SF)
+    assert count_scans(q6) == 1
+    p6 = " ".join(pushed_filters(q6))
+    assert "l_discount" in p6 and "l_quantity" in p6, p6
+    assert "Join" not in formatted_plan(q6)
+
+    q9 = qs["product_type_profit"].fn(spark, SF)
+    assert has_broadcast_join(q9)
+    assert has_partial_aggregation(q9)
+    assert "p_name" in " ".join(pushed_filters(q9))
+
+    q11 = qs["important_part_value"].fn(spark, SF)
+    assert count_scans(q11) <= 3, \
+        "Q11 total must re-aggregate per-part sums, not rescan the fact"
+    assert "avg(" not in formatted_plan(q11).lower()
+
+    q16 = qs["supplier_cnt_by_part"].fn(spark, SF)
+    plan16 = formatted_plan(q16)
+    assert "LeftAnti" in plan16 and has_broadcast_join(q16)
+    assert has_partial_aggregation(q16)
+
+    q20 = qs["surge_part_suppliers"].fn(spark, SF)
+    plan20 = formatted_plan(q20)
+    assert "LeftSemi" in plan20
+    assert count_scans(q20) <= 4, \
+        "Q20 must fold the year slice and all-time total into ONE " \
+        "conditional-sum pass over the name-filtered fact"
