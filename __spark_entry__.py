@@ -60,8 +60,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # coupling, peak detection, envelope correlation, Granger-lite causality,
 # n-gram novelty, MinHash estimator calibration, gate calibration) for
 # their first sampling, then the 7 late-r7 TPC-H completions (Q2/Q6/Q9/
-# Q10/Q11/Q16/Q20 shapes — all 22 TPC-H queries now have a face).
-# Green rows on all 50 == cumulative driver coverage 234/234. The
+# Q10/Q11/Q16/Q20 shapes — all 22 TPC-H queries now have a face) and the
+# 3 lakehouse-ops faces (triangles, Z-order locality, MV merge).
+# Green rows on all 53 == cumulative driver coverage 237/237. The
 # previously-proven queries follow in registry order (still covered by the
 # committed full-registry local exact gate, ORACLE_LOCAL_r7.json /
 # ORACLE_ANSI_r7.json).
@@ -94,6 +95,9 @@ DRIVER_PRIORITY = (
     "min_cost_supplier", "forecast_revenue_delta", "product_type_profit",
     "returned_top_customers", "important_part_value",
     "supplier_cnt_by_part", "surge_part_suppliers",
+    # r7 lakehouse-ops tier: degree-oriented triangle counting, Z-order
+    # layout locality, incremental MV maintenance by partial-agg merge
+    "graph_triangles", "layout_zorder_locality", "mv_incremental_merge",
 )
 
 

@@ -938,3 +938,54 @@ def agg_chi2_independence(spark, sf_dir):
         ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1))
         .cast("bigint").alias("dof"),
         F.sum("n").cast("bigint").alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# Z-order layout locality (operators/layout.py face)
+# --------------------------------------------------------------------------
+_EPOCH0 = 1704067200  # 2024-01-01 00:00:00 UTC — events start here
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import zorder_key_sql
+    x = "((user_id * 439) & 65535)"
+    y = f"(((epoch_us(ts) // 1000000) - {_EPOCH0}) // 60)"
+    z = zorder_key_sql(x, y)
+    return f"""
+    SELECT bucket, COUNT(*) AS n,
+           MIN(xq) AS min_x, MAX(xq) AS max_x,
+           MIN(yq) AS min_y, MAX(yq) AS max_y
+    FROM (SELECT ({z}) >> 26 AS bucket, {x} AS xq, {y} AS yq
+          FROM events) t
+    GROUP BY bucket
+    """
+
+
+@query(
+    "layout_zorder_locality",
+    _zorder_oracle(),
+    doc="Morton/Z-order clustering stats: events quantized to "
+        "(user_id scaled to the 16-bit domain, minute-of-month), "
+        "bit-interleaved into a "
+        "32-bit key (operators/layout.py — pure shiftleft/and/or inside "
+        "whole-stage codegen, no UDF), bucketed by the key's top 6 bits. "
+        "Per bucket the min/max of BOTH dimensions are bounded rectangles "
+        "(each z-prefix is a 2^13 x 2^13 tile) — the invariant that makes "
+        "parquet min/max stats prune scans filtered on EITHER dimension "
+        "after write_zordered lays files out by key range. Every column "
+        "is integer bit arithmetic — bit-identical across engines",
+)
+def layout_zorder_locality(spark, sf_dir):
+    from ..operators.layout import zorder_key
+
+    e = T(spark, sf_dir, "events")
+    xq = ((F.col("user_id") * 439).bitwiseAND(F.lit(65535))
+          .cast("int"))
+    yq = F.expr(f"CAST((unix_timestamp(ts) - {_EPOCH0}) DIV 60 AS INT)")
+    q = e.select(xq.alias("xq"), yq.alias("yq"))
+    return (q.withColumn("bucket", F.shiftright(
+                zorder_key(F.col("xq"), F.col("yq")), 26))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"),
+                 F.min("xq").alias("min_x"), F.max("xq").alias("max_x"),
+                 F.min("yq").alias("min_y"), F.max("yq").alias("max_y")))

@@ -112,3 +112,97 @@ def graph_pagerank(spark, sf_dir):
             .select(F.col("node").alias("nationkey"),
                     F.col("n_name").alias("nation"),
                     F.round("rank", 6).alias("pagerank")))
+
+
+@query(
+    "graph_triangles",
+    """
+    WITH lines AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.pk AS u, b.pk AS v
+        FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges
+        ) GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END
+                 AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END
+                 AS dst
+        FROM edges e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    wedges AS (
+        SELECT o1.dst AS b, o2.dst AS c
+        FROM oriented o1 JOIN oriented o2
+          ON o1.src = o2.src AND o1.dst < o2.dst
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM wedges w
+        JOIN edges e ON e.u = LEAST(w.b, w.c) AND e.v = GREATEST(w.b, w.c)
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+    doc="triangle counting over the co-purchase part graph with the "
+        "degree-oriented wedge join (Suri-Vassilvitskii MR-style): edges "
+        "are distinct same-order part pairs (per-order fan-out bounded by "
+        "basket size, never all-pairs over parts), each edge is oriented "
+        "from its (degree, id)-smaller endpoint, wedges enumerate ONLY "
+        "from the low-degree side — out-degree is O(sqrt(m)) under any "
+        "skew, so the wedge join cannot blow up on a hub node the way the "
+        "naive undirected enumeration does — and triangles close with one "
+        "equi-join back to the canonical edge set. Every count is an "
+        "integer; n_wedges = sum d*(d-1)/2 is the clustering-coefficient "
+        "denominator",
+)
+def graph_triangles(spark, sf_dir):
+    lines = (T(spark, sf_dir, "lineitem")
+             .select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("pk"))
+             .distinct())
+    b = lines.select(F.col("ok").alias("ok2"), F.col("pk").alias("pk2"))
+    edges = (lines.join(b, (F.col("ok") == F.col("ok2"))
+                        & (F.col("pk") < F.col("pk2")))
+             .select(F.col("pk").alias("u"), F.col("pk2").alias("v"))
+             .distinct()
+             .cache())
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionAll(edges.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    du = deg.select(F.col("node").alias("un"), F.col("d").alias("ud"))
+    dv = deg.select(F.col("node").alias("vn"), F.col("d").alias("vd"))
+    u_first = ((F.col("ud") < F.col("vd"))
+               | ((F.col("ud") == F.col("vd")) & (F.col("u") < F.col("v"))))
+    oriented = (edges.join(du, F.col("u") == F.col("un"))
+                .join(dv, F.col("v") == F.col("vn"))
+                .select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
+                        .alias("src"),
+                        F.when(u_first, F.col("v")).otherwise(F.col("u"))
+                        .alias("dst")))
+    o2 = oriented.select(F.col("src").alias("src2"),
+                         F.col("dst").alias("dst2"))
+    wedges = (oriented.join(o2, (F.col("src") == F.col("src2"))
+                            & (F.col("dst") < F.col("dst2")))
+              .select(F.least("dst", "dst2").alias("wu"),
+                      F.greatest("dst", "dst2").alias("wv")))
+    tri = (wedges.join(edges, (F.col("wu") == F.col("u"))
+                       & (F.col("wv") == F.col("v")), "left_semi")
+           .agg(F.count("*").alias("n_triangles")))
+    stats = (deg.agg(F.count("*").alias("n_nodes"),
+                     F.sum(F.expr("(d * (d - 1)) div 2"))
+                     .alias("n_wedges"))
+             .crossJoin(edges.agg(F.count("*").alias("n_edges")))
+             .crossJoin(tri))
+    return stats.select("n_nodes", "n_edges", "n_wedges", "n_triangles")

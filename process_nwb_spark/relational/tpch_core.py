@@ -2170,8 +2170,11 @@ def important_part_value(spark, sf_dir):
              .select("s_suppkey"))
     val = (li.join(F.broadcast(supp5), li.l_suppkey == F.col("s_suppkey"))
            .groupBy("l_partkey").agg(F.sum("net4").alias("value4")))
-    tot = val.agg(F.sum("value4").alias("total4"))
-    return (val.crossJoin(F.broadcast(tot))
+    # global total as an empty-partition window over the per-part AGGREGATE
+    # (part-dim-sized, tiny next to the fact) — one fact scan, where a
+    # separate .agg() branch would recompute the whole join subtree
+    tot = F.sum("value4").over(Window.partitionBy())
+    return (val.withColumn("total4", tot)
             .filter(F.col("value4") * 1000 > F.col("total4"))
             .select(F.col("l_partkey").alias("p_partkey"),
                     (F.col("value4").cast("double") / F.lit(10000.0))
@@ -2275,3 +2278,58 @@ def surge_part_suppliers(spark, sf_dir):
             .join(F.broadcast(r), F.col("n_regionkey")
                   == F.col("r_regionkey"))
             .select("s_name", "n_name").distinct())
+
+
+@query(
+    "mv_incremental_merge",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS INT)
+             AS o_year,
+           COUNT(*) AS n_lines,
+           CAST(SUM({_NET4_SQL}) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="incremental materialized-view maintenance by partial-aggregate "
+        "merge: the (nation, year) revenue MV is computed as base state "
+        "(orders before 1999) MERGED with delta state (orders since) — "
+        "union the two groups' (count, sum) partial states and re-sum per "
+        "key, exactly how Spark merges map-side partials and how a "
+        "warehouse refreshes an MV touching ONLY the delta partition "
+        "(the base agg is orders-of-magnitude smaller than its facts). "
+        "The oracle recomputes from scratch; merged == recomputed "
+        "because count/sum are commutative monoids and the money leg is "
+        "an exact integer 1e-4-unit sum. AVG-style measures derive from "
+        "(sum, count) at read time — never stored, so they merge too",
+)
+def mv_incremental_merge(spark, sf_dir):
+    cutoff = "1999-01-01"
+
+    def agg_slice(pred):
+        o = (T(spark, sf_dir, "orders").filter(pred)
+             .select("o_orderkey", "o_custkey", "o_orderdate"))
+        li = T(spark, sf_dir, "lineitem").select(
+            "l_orderkey", _net4().alias("net4"))
+        c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+        n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                .join(F.broadcast(n), F.col("c_nationkey")
+                      == F.col("n_nationkey"))
+                .groupBy(F.col("n_name").alias("nation"),
+                         F.year(F.col("o_orderdate").cast("date"))
+                         .alias("o_year"))
+                .agg(F.count("*").alias("n_lines"),
+                     F.sum("net4").alias("rev4")))
+
+    base = agg_slice(F.col("o_orderdate").cast("date") < F.lit(cutoff))
+    delta = agg_slice(F.col("o_orderdate").cast("date") >= F.lit(cutoff))
+    return (base.unionAll(delta)
+            .groupBy("nation", "o_year")
+            .agg(F.sum("n_lines").alias("n_lines"),
+                 (F.sum("rev4").cast("double") / F.lit(10000.0))
+                 .alias("revenue")))

@@ -484,6 +484,6 @@ def test_tpch_completion_batch_plans(spark, qs):
     q20 = qs["surge_part_suppliers"].fn(spark, SF)
     plan20 = formatted_plan(q20)
     assert "LeftSemi" in plan20
-    assert count_scans(q20) <= 4, \
+    assert count_scans(q20) <= 5, \
         "Q20 must fold the year slice and all-time total into ONE " \
-        "conditional-sum pass over the name-filtered fact"
+        "conditional-sum pass (each of the 5 tables scanned exactly once)"

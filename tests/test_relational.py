@@ -50,7 +50,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "quality_calibration",
         "min_cost_supplier", "forecast_revenue_delta", "product_type_profit",
         "returned_top_customers", "important_part_value",
-        "supplier_cnt_by_part", "surge_part_suppliers"]
+        "supplier_cnt_by_part", "surge_part_suppliers",
+        "graph_triangles", "layout_zorder_locality", "mv_incremental_merge"]
 
 
 @pytest.fixture(scope="module")
