@@ -61,8 +61,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # n-gram novelty, MinHash estimator calibration, gate calibration) for
 # their first sampling, then the 7 late-r7 TPC-H completions (Q2/Q6/Q9/
 # Q10/Q11/Q16/Q20 shapes — all 22 TPC-H queries now have a face) and the
-# 3 lakehouse-ops faces (triangles, Z-order locality, MV merge).
-# Green rows on all 53 == cumulative driver coverage 237/237. The
+# 3 lakehouse-ops faces (triangles, Z-order locality, MV merge), the
+# exact-median selection, and the aperiodic-fit face.
+# Green rows on all 55 == cumulative driver coverage 239/239. The
 # previously-proven queries follow in registry order (still covered by the
 # committed full-registry local exact gate, ORACLE_LOCAL_r7.json /
 # ORACLE_ANSI_r7.json).
@@ -98,6 +99,9 @@ DRIVER_PRIORITY = (
     # r7 lakehouse-ops tier: degree-oriented triangle counting, Z-order
     # layout locality, incremental MV maintenance by partial-agg merge
     "graph_triangles", "layout_zorder_locality", "mv_incremental_merge",
+    # r7 late additions: exact fact-scale median by histogram selection,
+    # FOOOF-lite aperiodic 1/f fit with robust peak exclusion
+    "agg_exact_median_selection", "sig_aperiodic_fit",
 )
 
 

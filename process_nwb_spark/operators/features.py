@@ -102,3 +102,76 @@ def spectral_edge(signals: DataFrame, rate: float, frame_len: int,
             .filter(F.col("_cum") >= float(fraction))
             .groupBy("series_id", "channel")
             .agg(F.min("freq_hz").alias("sef_hz")))
+
+
+def aperiodic_fit(signals: DataFrame, rate: float, frame_len: int,
+                  fmin: float, fmax: float,
+                  robust_sigma: float = 2.0,
+                  bins=None) -> DataFrame:
+    """FOOOF-lite aperiodic (1/f) parameterization of the Welch PSD
+    (Donoghue et al. 2020's aperiodic component, without the Gaussian
+    peak model): per channel, an ordinary-least-squares line through
+    (log10 f, log10 PSD) over [fmin, fmax], then a robust refit that
+    drops bins whose residual exceeds `robust_sigma` residual-stddevs —
+    oscillatory peaks ride ABOVE the 1/f trend, so the refit recovers
+    the aperiodic slope a narrowband oscillation would otherwise bias.
+
+    Returns (series_id, channel, n_fit, slope, intercept, r2,
+    slope_robust, intercept_robust, n_excluded).
+
+    Scale shape: the regression runs on the PSD — n_channels x n_bins
+    rows, orders of magnitude smaller than samples — and both passes are
+    single partial-aggregable groupBys (covar/var/avg are commutative
+    monoids); the residual screen is a broadcast join of the per-channel
+    line back onto the bins. No window functions, no Python."""
+    if not 0 < fmin < fmax:
+        raise ValueError(f"need 0 < fmin < fmax, got ({fmin}, {fmax})")
+    psd = (welch_psd(signals, rate, frame_len)
+           .filter((F.col("freq_hz") >= float(fmin))
+                   & (F.col("freq_hz") <= float(fmax))
+                   & (F.col("psd") > 0)))
+    if bins is not None:
+        # fit a known comb / exclude a noise floor: restrict to named bins
+        psd = psd.filter(F.col("bin").isin(*[int(b) for b in bins]))
+    psd = psd.select("series_id", "channel",
+                     F.log10("freq_hz").alias("lf"),
+                     F.log10("psd").alias("lp"))
+
+    def ols(df):
+        return df.groupBy("series_id", "channel").agg(
+            F.count("*").alias("n_fit"),
+            (F.covar_pop("lf", "lp") / F.var_pop("lf")).alias("slope"),
+            F.avg("lp").alias("mlp"), F.avg("lf").alias("mlf"),
+            (F.covar_pop("lf", "lp") * F.covar_pop("lf", "lp")
+             / (F.var_pop("lf") * F.var_pop("lp"))).alias("r2"),
+            F.var_pop("lp").alias("vlp"))
+
+    f1 = (ols(psd)
+          .withColumn("intercept",
+                      F.col("mlp") - F.col("slope") * F.col("mlf")))
+    line = f1.select(F.col("series_id").alias("sid"),
+                     F.col("channel").alias("chl"),
+                     "slope", "intercept", "n_fit", "r2")
+    resid = (psd.join(F.broadcast(line),
+                      (psd.series_id == F.col("sid"))
+                      & (psd.channel == F.col("chl")))
+             .withColumn("res", F.col("lp") - (F.col("intercept")
+                                               + F.col("slope")
+                                               * F.col("lf"))))
+    sig = (resid.groupBy("sid", "chl")
+           .agg(F.stddev_pop("res").alias("s_res")))
+    kept = (resid.join(F.broadcast(sig), ["sid", "chl"])
+            .filter(F.abs(F.col("res"))
+                    <= F.lit(float(robust_sigma)) * F.col("s_res")))
+    f2 = (ols(kept)
+          .withColumnRenamed("n_fit", "n_kept")
+          .withColumnRenamed("slope", "slope_robust")
+          .withColumn("intercept_robust",
+                      F.col("mlp") - F.col("slope_robust") * F.col("mlf"))
+          .select("series_id", "channel", "n_kept", "slope_robust",
+                  "intercept_robust"))
+    return (f1.select("series_id", "channel", "n_fit", "slope",
+                      "intercept", "r2")
+            .join(f2, ["series_id", "channel"])
+            .withColumn("n_excluded", F.col("n_fit") - F.col("n_kept"))
+            .drop("n_kept"))

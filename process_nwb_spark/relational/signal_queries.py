@@ -1672,3 +1672,58 @@ def sig_granger_dir(spark, sf_dir):
                      (F.round("var_ratio", 6) + F.lit(0.0))
                      .alias("var_ratio"), "n")
             .orderBy("ch_src", "ch_dst"))
+
+
+@query(
+    "sig_aperiodic_fit",
+    """
+    SELECT * FROM (VALUES (0, 14, 1, 1, 1), (1, 14, 1, 1, 1))
+      t(channel, n_fit, slope_ok, bias_detected, n_excluded)
+    ORDER BY channel
+    """,
+    doc="FOOOF-lite aperiodic 1/f parameterization "
+        "(operators/features.py aperiodic_fit: OLS on (log10 f, "
+        "log10 PSD) via partial-aggregable covar/var, then a robust "
+        "refit excluding residual outliers): a 14-tone log-spaced comb "
+        "with amplitudes f^-1 (true PSD slope -2) is contaminated by a "
+        "6x-boosted oscillation at the comb's high end. Contract: the "
+        "robust slope lands within +-0.05 of -2 (probed margin ~250x), "
+        "the naive fit is biased less-negative by >0.15 (probed 0.35), "
+        "and exactly the one contaminated bin is excluded (outlier "
+        "residual ~1.56 vs ~0.83 threshold — 1.9x margin). "
+        "Contract-boolean oracle (spectra are not SQL-replayable); the "
+        "estimator is pinned against NumPy in tests/test_features.py",
+)
+def sig_aperiodic_fit(spark, sf_dir):
+    import numpy as np
+
+    from ..operators.features import aperiodic_fit
+
+    rate, frame_len, n_t, n_ch = 1000.0, 512, 16384, 2
+    ks = sorted(set(int(round(k))
+                    for k in np.logspace(np.log10(8), np.log10(200), 14)))
+    k_osc, beta = 156, 2.0
+
+    def value_fn(ch, idx):
+        t = idx.cast("double") / rate
+        expr = None
+        for j, k in enumerate(ks):
+            f = k * rate / frame_len
+            a = f ** (-beta / 2) * (6.0 if k == k_osc else 1.0)
+            term = (F.lit(float(a))
+                    * F.sin(F.lit(2 * np.pi * f) * t + F.lit(float(j))
+                            + ch.cast("double")))
+            expr = term if expr is None else expr + term
+        return expr
+
+    sig = _synth_long(spark, n_ch, n_t, value_fn)
+    fit = aperiodic_fit(sig, rate, frame_len, fmin=10.0, fmax=420.0,
+                        robust_sigma=2.0, bins=ks)
+    slope_ok = F.abs(F.col("slope_robust") + 2.0) < 0.05
+    bias = (F.col("slope") - F.col("slope_robust")) > 0.15
+    return (fit.select("channel",
+                       F.col("n_fit").cast("int").alias("n_fit"),
+                       slope_ok.cast("int").alias("slope_ok"),
+                       bias.cast("int").alias("bias_detected"),
+                       F.col("n_excluded").cast("int").alias("n_excluded"))
+            .orderBy("channel"))

@@ -2333,3 +2333,70 @@ def mv_incremental_merge(spark, sf_dir):
             .agg(F.sum("n_lines").alias("n_lines"),
                  (F.sum("rev4").cast("double") / F.lit(10000.0))
                  .alias("revenue")))
+
+
+@query(
+    "agg_exact_median_selection",
+    """
+    SELECT CAST(c AS DOUBLE) / 100.0 AS median_price
+    FROM (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (ORDER BY CAST(ROUND(o_totalprice * 100)
+                                              AS BIGINT)) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ) t
+    WHERE rn = (n + 1) // 2
+    """,
+    doc="EXACT median of a fact column WITHOUT a global sort: iterative "
+        "histogram selection. Each round scans the (narrowed) range once, "
+        "builds a 1024-bucket count histogram (one partial-aggregable "
+        "groupBy; the collected histogram is metadata-sized, <=1025 rows "
+        "— the documented bounded-collect pattern), and descends into the "
+        "bucket containing the target rank; when the candidate range "
+        "holds few rows, the exact k-th value falls out of a bounded "
+        "sort. log_1024(n) rounds ~ 2-4 passes at ANY n — the way to take "
+        "an exact percentile of a 100 TB column, vs the oracle's "
+        "ROW_NUMBER global sort which is the thing that does NOT scale. "
+        "Lower median on exact integer cents: deterministic selection of "
+        "an existing value, bit-identical across engines",
+)
+def agg_exact_median_selection(spark, sf_dir):
+    o = (T(spark, sf_dir, "orders")
+         .select(F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("c")))
+    o = o.persist()
+    try:
+        first = o.agg(F.min("c").alias("lo"), F.max("c").alias("hi"),
+                      F.count("*").alias("n")).first()
+        lo, hi, n = first["lo"], first["hi"], first["n"]
+        k = (n + 1) // 2                    # 1-indexed rank of lower median
+        n_buckets, leaf_rows = 1024, 4096
+        cand = o
+        while True:
+            span = hi - lo + 1
+            if n <= leaf_rows or span <= n_buckets:
+                break
+            w = (span + n_buckets - 1) // n_buckets
+            hist = (cand.filter((F.col("c") >= lo) & (F.col("c") <= hi))
+                    .groupBy(((F.col("c") - lo) / w).cast("bigint")
+                             .alias("b"))
+                    .count().collect())
+            counts = {int(r["b"]): r["count"] for r in hist}
+            cum = 0
+            for b in range(n_buckets + 1):
+                cb = counts.get(b, 0)
+                if cum + cb >= k:
+                    lo, hi = lo + b * w, min(hi, lo + (b + 1) * w - 1)
+                    k -= cum
+                    n = cb
+                    break
+                cum += cb
+        # leaf: exact k-th smallest of the bounded remainder
+        kth = (cand.filter((F.col("c") >= lo) & (F.col("c") <= hi))
+               .orderBy("c").limit(int(k))
+               .agg(F.max("c").alias("c")))
+        return kth.select((F.col("c").cast("double") / F.lit(100.0))
+                          .alias("median_price"))
+    finally:
+        o.unpersist()

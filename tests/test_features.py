@@ -74,3 +74,57 @@ def test_spectral_edge_fraction_sweep(spark):
         assert sef == pytest.approx(q * RATE / 2, rel=0.06)
     with pytest.raises(ValueError, match="fraction"):
         spectral_edge(_df(spark, x), RATE, 512, fraction=0.0)
+
+
+def _np_welch(x, rate, L):
+    """NumPy Welch replay matching operators/stft.py: hann window, 50%
+    hop, full frames, one-sided, normalized by fs * sum(w^2)."""
+    w = np.hanning(L)  # stft._window("hann", L)
+    H = L // 2
+    frames = [x[s:s + L] for s in range(0, len(x) - L + 1, H)]
+    u = rate * np.sum(w ** 2)
+    p = np.zeros(L // 2 + 1)
+    for fr in frames:
+        sp = np.abs(np.fft.rfft(fr * w)) ** 2
+        sp[1:-1] *= 2.0
+        p += sp
+    return p / (len(frames) * u)
+
+
+def test_aperiodic_fit_matches_numpy_ols(spark):
+    from process_nwb_spark.operators.features import aperiodic_fit
+
+    L, n = 512, 16384
+    ks = sorted(set(int(round(k))
+                    for k in np.logspace(np.log10(8), np.log10(200), 14)))
+    t = np.arange(n) / RATE
+    x = np.zeros(n)
+    for j, k in enumerate(ks):
+        f = k * RATE / L
+        a = f ** -1.0 * (6.0 if k == 156 else 1.0)
+        x += a * np.sin(2 * np.pi * f * t + j)
+    got = aperiodic_fit(_df(spark, x[:, None]), RATE, L,
+                        fmin=10.0, fmax=420.0, bins=ks).collect()[0]
+
+    psd = _np_welch(x, RATE, L)
+    lf = np.log10(np.array(ks) * RATE / L)
+    lp = np.log10(psd[np.array(ks)])
+    A = np.vstack([lf, np.ones_like(lf)]).T
+    slope, intercept = np.linalg.lstsq(A, lp, rcond=None)[0]
+    assert got.slope == pytest.approx(slope, rel=1e-6)
+    assert got.intercept == pytest.approx(intercept, rel=1e-6)
+    # robust refit drops exactly the boosted 156 bin, recovering -2
+    res = lp - (intercept + slope * lf)
+    keep = np.abs(res) <= 2.0 * res.std()
+    s2, _ = np.linalg.lstsq(A[keep], lp[keep], rcond=None)[0]
+    assert got.n_excluded == int((~keep).sum()) == 1
+    assert got.slope_robust == pytest.approx(s2, rel=1e-6)
+    assert got.slope_robust == pytest.approx(-2.0, abs=0.01)
+
+
+def test_aperiodic_fit_validates_band(spark):
+    from process_nwb_spark.operators.features import aperiodic_fit
+
+    with pytest.raises(ValueError, match="fmin"):
+        aperiodic_fit(_df(spark, np.zeros((64, 1))), RATE, 32,
+                      fmin=50.0, fmax=10.0)

@@ -51,7 +51,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "min_cost_supplier", "forecast_revenue_delta", "product_type_profit",
         "returned_top_customers", "important_part_value",
         "supplier_cnt_by_part", "surge_part_suppliers",
-        "graph_triangles", "layout_zorder_locality", "mv_incremental_merge"]
+        "graph_triangles", "layout_zorder_locality", "mv_incremental_merge",
+        "agg_exact_median_selection", "sig_aperiodic_fit"]
 
 
 @pytest.fixture(scope="module")
