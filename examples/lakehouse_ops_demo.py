@@ -12,37 +12,21 @@ deployment leans on, shown end-to-end on the testdata.
 3. `graph_triangles`'s degree-oriented wedge join counts co-purchase
    triangles with per-node work bounded by O(sqrt(m)) under any skew.
 """
-import glob
 import os
 import sys
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
-from process_nwb_spark.operators.layout import write_zordered, zorder_key
+from process_nwb_spark.operators.layout import (parquet_file_rects,
+                                                write_zordered)
 from process_nwb_spark.relational.core import all_queries
+from process_nwb_spark.relational.dataprep import zorder_quantize_events
 from process_nwb_spark.session import get_spark
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-
-
-def file_rects(path, xcol, ycol):
-    rects = []
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
-        meta = pq.ParquetFile(f).metadata
-        xs, ys = [], []
-        for g in range(meta.num_row_groups):
-            rg = meta.row_group(g)
-            cols = {rg.column(i).path_in_schema: rg.column(i).statistics
-                    for i in range(rg.num_columns)}
-            xs += [cols[xcol].min, cols[xcol].max]
-            ys += [cols[ycol].min, cols[ycol].max]
-        if xs:
-            rects.append((min(xs), max(xs), min(ys), max(ys)))
-    return rects
 
 
 def main():
@@ -50,18 +34,14 @@ def main():
     qs = all_queries()
 
     print("== 1. Z-order layout: bounded rectangles per file ==")
-    e = (spark.read.parquet(f"{SF}/events.parquet")
-         .select(((F.col("user_id") * 439).bitwiseAND(F.lit(65535))
-                  .cast("int")).alias("xq"),
-                 F.expr("CAST((unix_timestamp(ts) - 1704067200) DIV 60 "
-                        "AS INT)").alias("yq")))
+    e = zorder_quantize_events(spark.read.parquet(f"{SF}/events.parquet"))
     with tempfile.TemporaryDirectory() as d:
         zp, lp = os.path.join(d, "z"), os.path.join(d, "linear")
         write_zordered(e, zp, F.col("xq"), F.col("yq"), n_files=16)
         (e.repartitionByRange(16, "yq").sortWithinPartitions("yq")
          .write.mode("overwrite").parquet(lp))
         for name, path in [("z-ordered", zp), ("time-sorted", lp)]:
-            rects = file_rects(path, "xq", "yq")
+            rects = parquet_file_rects(path, "xq", "yq")
             xr = sorted(r[1] - r[0] for r in rects)
             yr = sorted(r[3] - r[2] for r in rects)
             print(f"  {name:11s}: {len(rects):2d} files, "

@@ -70,3 +70,28 @@ def write_zordered(df: DataFrame, path: str, x: Column, y: Column,
      .sortWithinPartitions("_z")
      .drop("_z")
      .write.mode("overwrite").parquet(path))
+
+
+def parquet_file_rects(path: str, xcol: str, ycol: str):
+    """Per-file (x_min, x_max, y_min, y_max) bounding rectangles from
+    parquet FOOTER statistics — the exact metadata min/max pruning reads,
+    so these rectangles ARE the layout's skipping behavior. Shared by the
+    layout tests and the lakehouse demo."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rects = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        meta = pq.ParquetFile(f).metadata
+        xs, ys = [], []
+        for g in range(meta.num_row_groups):
+            rg = meta.row_group(g)
+            cols = {rg.column(i).path_in_schema: rg.column(i).statistics
+                    for i in range(rg.num_columns)}
+            xs += [cols[xcol].min, cols[xcol].max]
+            ys += [cols[ycol].min, cols[ycol].max]
+        if xs:
+            rects.append((min(xs), max(xs), min(ys), max(ys)))
+    return rects

@@ -946,6 +946,16 @@ def agg_chi2_independence(spark, sf_dir):
 _EPOCH0 = 1704067200  # 2024-01-01 00:00:00 UTC — events start here
 
 
+def zorder_quantize_events(e):
+    """The face's quantization recipe, shared with tests and the demo so
+    the three cannot drift: user_id scaled into the 16-bit domain (439 is
+    coprime to 65536 — injective for <=65536 users) and minute-of-month.
+    Returns an (xq, yq) projection of an events DataFrame."""
+    xq = ((F.col("user_id") * 439).bitwiseAND(F.lit(65535)).cast("int"))
+    yq = F.expr(f"CAST((unix_timestamp(ts) - {_EPOCH0}) DIV 60 AS INT)")
+    return e.select(xq.alias("xq"), yq.alias("yq"))
+
+
 def _zorder_oracle() -> str:
     from ..operators.layout import zorder_key_sql
     x = "((user_id * 439) & 65535)"
@@ -978,11 +988,7 @@ def _zorder_oracle() -> str:
 def layout_zorder_locality(spark, sf_dir):
     from ..operators.layout import zorder_key
 
-    e = T(spark, sf_dir, "events")
-    xq = ((F.col("user_id") * 439).bitwiseAND(F.lit(65535))
-          .cast("int"))
-    yq = F.expr(f"CAST((unix_timestamp(ts) - {_EPOCH0}) DIV 60 AS INT)")
-    q = e.select(xq.alias("xq"), yq.alias("yq"))
+    q = zorder_quantize_events(T(spark, sf_dir, "events"))
     return (q.withColumn("bucket", F.shiftright(
                 zorder_key(F.col("xq"), F.col("yq")), 26))
             .groupBy("bucket")

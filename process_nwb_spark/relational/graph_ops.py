@@ -147,7 +147,7 @@ def graph_pagerank(spark, sf_dir):
     tri AS (
         SELECT COUNT(*) AS n_triangles
         FROM wedges w
-        JOIN edges e ON e.u = LEAST(w.b, w.c) AND e.v = GREATEST(w.b, w.c)
+        JOIN edges e ON e.u = w.b AND e.v = w.c
     )
     SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
            (SELECT COUNT(*) FROM edges) AS n_edges,
@@ -193,10 +193,12 @@ def graph_triangles(spark, sf_dir):
                         .alias("dst")))
     o2 = oriented.select(F.col("src").alias("src2"),
                          F.col("dst").alias("dst2"))
+    # the join condition already enforces dst < dst2, so (dst, dst2) is
+    # the canonical (low, high) pair for the edge-closure lookup
     wedges = (oriented.join(o2, (F.col("src") == F.col("src2"))
                             & (F.col("dst") < F.col("dst2")))
-              .select(F.least("dst", "dst2").alias("wu"),
-                      F.greatest("dst", "dst2").alias("wv")))
+              .select(F.col("dst").alias("wu"),
+                      F.col("dst2").alias("wv")))
     tri = (wedges.join(edges, (F.col("wu") == F.col("u"))
                        & (F.col("wv") == F.col("v")), "left_semi")
            .agg(F.count("*").alias("n_triangles")))

@@ -2326,7 +2326,11 @@ def mv_incremental_merge(spark, sf_dir):
                 .agg(F.count("*").alias("n_lines"),
                      F.sum("net4").alias("rev4")))
 
-    base = agg_slice(F.col("o_orderdate").cast("date") < F.lit(cutoff))
+    # base takes NULL orderdates too: the two slices must PARTITION the
+    # orders (a NULL date fails both < and >=, and a row landing in
+    # neither slice would silently break merged == recomputed)
+    base = agg_slice((F.col("o_orderdate").cast("date") < F.lit(cutoff))
+                     | F.col("o_orderdate").isNull())
     delta = agg_slice(F.col("o_orderdate").cast("date") >= F.lit(cutoff))
     return (base.unionAll(delta)
             .groupBy("nation", "o_year")
@@ -2373,11 +2377,14 @@ def agg_exact_median_selection(spark, sf_dir):
         k = (n + 1) // 2                    # 1-indexed rank of lower median
         n_buckets, leaf_rows = 1024, 4096
         cand = o
-        while True:
+        while n > leaf_rows:
+            # histogram rounds keep running while the remainder is large;
+            # once w reaches 1 each bucket IS a single value, so the rank
+            # lookup terminates exactly — NEVER a driver-side sort of an
+            # unbounded remainder (a narrow range over billions of rows,
+            # e.g. heavily quantized prices, must not hit the leaf sort)
             span = hi - lo + 1
-            if n <= leaf_rows or span <= n_buckets:
-                break
-            w = (span + n_buckets - 1) // n_buckets
+            w = max(1, (span + n_buckets - 1) // n_buckets)
             hist = (cand.filter((F.col("c") >= lo) & (F.col("c") <= hi))
                     .groupBy(((F.col("c") - lo) / w).cast("bigint")
                              .alias("b"))
@@ -2392,7 +2399,12 @@ def agg_exact_median_selection(spark, sf_dir):
                     n = cb
                     break
                 cum += cb
-        # leaf: exact k-th smallest of the bounded remainder
+            if w == 1:
+                # the winning bucket is one exact value — done
+                return spark.range(1).select(
+                    (F.lit(int(lo)).cast("double") / F.lit(100.0))
+                    .alias("median_price"))
+        # leaf: exact k-th smallest of a remainder bounded by leaf_rows
         kth = (cand.filter((F.col("c") >= lo) & (F.col("c") <= hi))
                .orderBy("c").limit(int(k))
                .agg(F.max("c").alias("c")))

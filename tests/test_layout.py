@@ -5,12 +5,13 @@ property parquet min/max pruning needs. A linear time-sorted layout of the
 same data fails the x-dimension bound, proving the interleave (not the
 sort) is what buys two-dimensional locality."""
 import numpy as np
-import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
-from process_nwb_spark.operators.layout import (spread16, write_zordered,
+from process_nwb_spark.operators.layout import (parquet_file_rects,
+                                                spread16, write_zordered,
                                                 zorder_key)
+from process_nwb_spark.relational.dataprep import zorder_quantize_events
 from tests.conftest import SF_CORRECT
 
 
@@ -44,35 +45,14 @@ def test_spread16_even_bits_only(spark):
         assert (r.s & 0xAAAAAAAA) == 0, "spread must land on even bits"
 
 
-def _file_rects(path):
-    """(x_range, y_range) per parquet file from its row-group stats."""
-    import glob
-    import os
-    rects = []
-    for f in glob.glob(os.path.join(path, "*.parquet")):
-        meta = pq.ParquetFile(f).metadata
-        xs, ys = [], []
-        for g in range(meta.num_row_groups):
-            rg = meta.row_group(g)
-            cols = {rg.column(i).path_in_schema: rg.column(i).statistics
-                    for i in range(rg.num_columns)}
-            xs += [cols["xq"].min, cols["xq"].max]
-            ys += [cols["yq"].min, cols["yq"].max]
-        if xs:
-            rects.append((max(xs) - min(xs), max(ys) - min(ys)))
-    return rects
-
-
 @pytest.mark.parametrize("n_files", [16])
 def test_zordered_files_are_bounded_rectangles(spark, tmp_path, n_files):
-    e = (spark.read.parquet(f"{SF_CORRECT}/events.parquet")
-         .select(((F.col("user_id") * 439).bitwiseAND(F.lit(65535))
-                  .cast("int")).alias("xq"),
-                 F.expr("CAST((unix_timestamp(ts) - 1704067200) DIV 60 "
-                        "AS INT)").alias("yq")))
+    e = zorder_quantize_events(
+        spark.read.parquet(f"{SF_CORRECT}/events.parquet"))
     zpath = str(tmp_path / "zordered")
     write_zordered(e, zpath, F.col("xq"), F.col("yq"), n_files=n_files)
-    rects = _file_rects(zpath)
+    rects = [(xmax - xmin, ymax - ymin) for xmin, xmax, ymin, ymax
+             in parquet_file_rects(zpath, "xq", "yq")]
     assert len(rects) >= n_files // 2
     x_span = 149 * 439  # user_id domain scaled into 16 bits
     zx = sorted(r[0] for r in rects)
@@ -85,7 +65,8 @@ def test_zordered_files_are_bounded_rectangles(spark, tmp_path, n_files):
     lpath = str(tmp_path / "linear")
     (e.repartitionByRange(n_files, "yq").sortWithinPartitions("yq")
      .write.mode("overwrite").parquet(lpath))
-    lin = sorted(r[0] for r in _file_rects(lpath))
+    lin = sorted(xmax - xmin for xmin, xmax, _, _
+                 in parquet_file_rects(lpath, "xq", "yq"))
     assert lin[len(lin) // 2] >= x_span * 0.9, \
         "time-sorted layout should NOT bound the user dimension"
     # and the z layout's median user-range beats linear by a wide margin
