@@ -62,8 +62,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # their first sampling, then the 7 late-r7 TPC-H completions (Q2/Q6/Q9/
 # Q10/Q11/Q16/Q20 shapes — all 22 TPC-H queries now have a face) and the
 # 3 lakehouse-ops faces (triangles, Z-order locality, MV merge), the
-# exact-median selection, and the aperiodic-fit face.
-# Green rows on all 55 == cumulative driver coverage 239/239. The
+# exact-median selection, and the aperiodic-fit face, and the final r7
+# trio (CUSUM shift detection, Theil-Sen trend, MG heavy hitters).
+# Green rows on all 58 == cumulative driver coverage 242/242. The
 # previously-proven queries follow in registry order (still covered by the
 # committed full-registry local exact gate, ORACLE_LOCAL_r7.json /
 # ORACLE_ANSI_r7.json).
@@ -102,6 +103,10 @@ DRIVER_PRIORITY = (
     # r7 late additions: exact fact-scale median by histogram selection,
     # FOOOF-lite aperiodic 1/f fit with robust peak exclusion
     "agg_exact_median_selection", "sig_aperiodic_fit",
+    # r7 final batch: CUSUM level-shift detection (ordered fold), Theil-Sen
+    # robust trend (pairwise-slope order statistic), exact heavy hitters
+    # via mergeable Misra-Gries sketch + broadcast recount
+    "ts_cusum_shift", "ts_theilsen_trend", "text_heavy_hitters",
 )
 
 

@@ -1515,3 +1515,182 @@ def attribution_last_touch(spark, sf_dir):
     return (ordered.filter(F.col("event_type") == "purchase")
             .groupBy(touch.alias("touch"))
             .agg(F.count("*").alias("n_purchases")))
+
+
+@query(
+    "ts_cusum_shift",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS xc
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, d, CAST(xc AS DOUBLE) / 100.0 AS x,
+             ROUND(LIST_REDUCE(
+                     LIST_PREPEND(CAST(0 AS DOUBLE),
+                       LIST_TRANSFORM((LIST(xc) OVER all_w)[1:7],
+                                      v -> CAST(v AS DOUBLE) / 100.0)),
+                     (a, b) -> a + b)
+                   / CAST(LEN((LIST(xc) OVER all_w)[1:7]) AS DOUBLE),
+                   2) AS mu
+      FROM daily
+      WINDOW all_w AS (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)
+    ),
+    param AS (
+      SELECT event_type, d, x, mu,
+             ROUND(mu * CAST(0.05 AS DOUBLE), 2) AS kappa,
+             ROUND(mu * CAST(0.25 AS DOUBLE), 2) AS h
+      FROM base
+    ),
+    deltas AS (
+      SELECT *, x - mu - kappa AS dhi, mu - kappa - x AS dlo
+      FROM param
+    ),
+    folded AS (
+      SELECT event_type, d, x, mu, h,
+             LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                                      LIST(dhi) OVER run_w),
+                         (a, b) -> GREATEST(CAST(0 AS DOUBLE), a + b))
+               AS chi,
+             LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+                                      LIST(dlo) OVER run_w),
+                         (a, b) -> GREATEST(CAST(0 AS DOUBLE), a + b))
+               AS clo
+      FROM deltas
+      WINDOW run_w AS (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day, x,
+           ROUND(chi, 4) AS cusum_hi, ROUND(clo, 4) AS cusum_lo,
+           CASE WHEN chi > h OR clo > h THEN 1 ELSE 0 END AS shift_flag
+    FROM folded
+    """,
+    doc="two-sided CUSUM level-shift detector per event type over daily "
+        "value totals: s_hi(t) = max(0, s_hi(t-1) + x_t - mu - kappa), "
+        "s_lo symmetric, alarm when either side crosses h. Baseline mu is "
+        "the mean of the first seven calendar days (reference period), "
+        "kappa (slack) 5% and h (decision interval) 25% of it. Daily "
+        "totals are EXACT integer cent sums (per-row ROUND(value*100) to "
+        "BIGINT, then an order-free integer SUM) so the fold's inputs are "
+        "bit-identical across engines regardless of aggregation order; "
+        "the recurrence itself is an ORDERED fold seeded with 0 "
+        "(F.aggregate over a running-frame collect_list vs DuckDB "
+        "LIST_REDUCE(LIST_PREPEND(0, ...))) — same max/add steps in the "
+        "same order are bit-identical, the r6 knife-edge lesson applied "
+        "from the start. Scale: the only data-sized stage is the "
+        "(type, day) partial-agg groupBy; everything after runs on rows "
+        "bounded by event-types x calendar days, so the O(days^2) "
+        "running-frame folds are calendar-bounded no matter how many "
+        "raw events feed them",
+)
+def ts_cusum_shift(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+                  .cast("bigint").alias("xc")))
+    wall = (Window.partitionBy("event_type").orderBy("d")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    wrun = (Window.partitionBy("event_type").orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    base7 = F.transform(F.slice(F.collect_list("xc").over(wall), 1, 7),
+                        lambda v: v.cast("double") / F.lit(100.0))
+    mu = F.round(
+        F.aggregate(base7, F.lit(0.0), lambda a, v: a + v)
+        / F.size(base7).cast("double"), 2)
+    param = (daily
+             .withColumn("x", F.col("xc").cast("double") / F.lit(100.0))
+             .withColumn("mu", mu)
+             .withColumn("kappa", F.round(F.col("mu") * F.lit(0.05), 2))
+             .withColumn("h", F.round(F.col("mu") * F.lit(0.25), 2)))
+    deltas = (param
+              .withColumn("dhi", F.col("x") - F.col("mu") - F.col("kappa"))
+              .withColumn("dlo", F.col("mu") - F.col("kappa") - F.col("x")))
+
+    def cusum(col):
+        return F.aggregate(F.collect_list(col).over(wrun), F.lit(0.0),
+                           lambda a, v: F.greatest(F.lit(0.0), a + v))
+
+    folded = (deltas.withColumn("chi", cusum("dhi"))
+              .withColumn("clo", cusum("dlo")))
+    return folded.select(
+        "event_type", F.date_format("d", "yyyy-MM-dd").alias("day"), "x",
+        F.round("chi", 4).alias("cusum_hi"),
+        F.round("clo", 4).alias("cusum_lo"),
+        F.when((F.col("chi") > F.col("h")) | (F.col("clo") > F.col("h")),
+               1).otherwise(0).alias("shift_flag"))
+
+
+@query(
+    "ts_theilsen_trend",
+    """
+    WITH monthly AS (
+      SELECT n_name AS nation,
+             YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS m,
+             CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                       AS BIGINT) AS DOUBLE) / 100.0 AS r
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.nation, (b.r - a.r) / CAST(b.m - a.m AS DOUBLE) AS slope
+      FROM monthly a JOIN monthly b
+        ON a.nation = b.nation AND b.m > a.m
+    ),
+    ranked AS (
+      SELECT nation, slope,
+             ROW_NUMBER() OVER (PARTITION BY nation ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY nation) AS n_pairs
+      FROM pairs
+    )
+    SELECT nation, CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(slope, 6) AS theil_slope
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+    doc="Theil-Sen robust trend of monthly revenue per nation: the median "
+        "of all pairwise slopes (r_j - r_i) / (m_j - m_i) over month "
+        "indices, immune to outlier months where least squares is not "
+        "(29% breakdown point). Monthly revenue is an exact integer cent "
+        "sum (order-free), so every slope is bit-identical across "
+        "engines; the median is the LOWER median selected by rank "
+        "((n+1) DIV 2), a pure order statistic with NO averaging — "
+        "selection of an existing value can never land on a rounding "
+        "boundary, where a mean-of-two-middles could. Scale: the "
+        "pairwise self-join is keyed on nation and quadratic only in "
+        "DISTINCT MONTHS (calendar-bounded, ~80 here -> ~3k pairs per "
+        "nation) — fact-table size only affects the one partial-agg "
+        "groupBy feeding it, the honest way to run Theil-Sen at 100 TB",
+)
+def ts_theilsen_trend(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    monthly = (o.join(c, o.o_custkey == c.c_custkey)
+               .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+               .groupBy(F.col("n_name").alias("nation"),
+                        (F.year("o_orderdate") * 12
+                         + F.month("o_orderdate")).alias("m"))
+               .agg((F.sum(F.round(F.col("o_totalprice") * 100.0, 0)
+                           .cast("bigint")).cast("bigint")
+                     .cast("double") / F.lit(100.0)).alias("r")))
+    b = monthly.select(F.col("nation").alias("nation2"),
+                       F.col("m").alias("m2"), F.col("r").alias("r2"))
+    pairs = (monthly.join(b, (F.col("nation") == F.col("nation2"))
+                          & (F.col("m2") > F.col("m")))
+             .select("nation",
+                     ((F.col("r2") - F.col("r"))
+                      / (F.col("m2") - F.col("m")).cast("double"))
+                     .alias("slope")))
+    wr = Window.partitionBy("nation").orderBy("slope")
+    wn = Window.partitionBy("nation")
+    ranked = (pairs.withColumn("rn", F.row_number().over(wr))
+              .withColumn("n_pairs", F.count("*").over(wn).cast("bigint")))
+    return (ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+            .select("nation", "n_pairs",
+                    F.round("slope", 6).alias("theil_slope")))

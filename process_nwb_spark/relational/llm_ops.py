@@ -2018,3 +2018,66 @@ def quality_calibration(spark, sf_dir):
             .select("bucket", "n_docs", "n_pos",
                     (F.col("n_pos").cast("double")
                      / F.col("n_docs").cast("double")).alias("pos_rate")))
+
+
+@query(
+    "text_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+           ROUND(COUNT(*) / CAST((SELECT n FROM tot) AS DOUBLE), 6)
+             AS share
+    FROM toks GROUP BY token
+    HAVING COUNT(*) * 200 > (SELECT n FROM tot)
+    """,
+    doc="exact heavy hitters (tokens with frequency > n/k, k=200) via "
+        "the two-pass sketch-then-recount pattern that makes top-k "
+        "tractable at 100 TB: pass 1 runs a MERGEABLE Misra-Gries "
+        "summary per partition inside mapInPandas (k counters of "
+        "bounded memory; each Arrow batch is value_counts-merged, then "
+        "pruned by subtracting the (k+1)-th largest count — the "
+        "summary-merge form of MG, total undercount <= n_p/(k+1) per "
+        "partition). Any token with GLOBAL frequency > n/k must exceed "
+        "n_p/(k+1) in at least one partition (averaging argument), so "
+        "the union of partition survivors is a SUPERSET of the true "
+        "heavy hitters under ANY partitioning. Pass 2 broadcast-semi-"
+        "joins the tiny candidate set (<= k per partition) back and "
+        "recounts EXACTLY, filtering freq*k > n with pure integer "
+        "arithmetic — the output is the exact deterministic answer, "
+        "independent of which extra candidates the sketch happened to "
+        "carry, which is what makes the face hash-stable while still "
+        "exercising the sketch. The oracle is the definitionally exact "
+        "GROUP BY ... HAVING. No full-vocabulary shuffle ever happens: "
+        "the sketch needs none, the recount shuffles only candidate "
+        "tokens, and total-n is a partial-agg count",
+)
+def text_heavy_hitters(spark, sf_dir):
+    k = 200
+    toks = (spread(T(spark, sf_dir, "documents"))
+            .select(F.explode(_words()).alias("token")))
+
+    def mg_sketch(batches):
+        import pandas as pd
+        counters: dict = {}
+        for pdf in batches:
+            for t, c in pdf["token"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k:
+                off = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - off for t, c in counters.items()
+                            if c > off}
+        yield pd.DataFrame({"token": list(counters)})
+
+    cand = toks.mapInPandas(mg_sketch, "token string").distinct()
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (toks.join(F.broadcast(cand), "token", "left_semi")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+            .crossJoin(F.broadcast(tot))
+            .filter(F.col("freq") * k > F.col("n"))
+            .select("token", "freq",
+                    F.round(F.col("freq") / F.col("n").cast("double"), 6)
+                    .alias("share")))

@@ -52,7 +52,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "returned_top_customers", "important_part_value",
         "supplier_cnt_by_part", "surge_part_suppliers",
         "graph_triangles", "layout_zorder_locality", "mv_incremental_merge",
-        "agg_exact_median_selection", "sig_aperiodic_fit"]
+        "agg_exact_median_selection", "sig_aperiodic_fit",
+        "ts_cusum_shift", "ts_theilsen_trend", "text_heavy_hitters"]
 
 
 @pytest.fixture(scope="module")
