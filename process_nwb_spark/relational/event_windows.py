@@ -1661,11 +1661,16 @@ def ts_cusum_shift(spark, sf_dir):
         "engines; the median is the LOWER median selected by rank "
         "((n+1) DIV 2), a pure order statistic with NO averaging — "
         "selection of an existing value can never land on a rounding "
-        "boundary, where a mean-of-two-middles could. Scale: the "
-        "pairwise self-join is keyed on nation and quadratic only in "
-        "DISTINCT MONTHS (calendar-bounded, ~80 here -> ~3k pairs per "
-        "nation) — fact-table size only affects the one partial-agg "
-        "groupBy feeding it, the honest way to run Theil-Sen at 100 TB",
+        "boundary, where a mean-of-two-middles could. Scale: ONE fact "
+        "scan and ONE partial-agg shuffle — the pairwise expansion and "
+        "the median selection both happen INSIDE a per-nation array of "
+        "(month, revenue) points (calendar-bounded, ~80 elements -> ~3k "
+        "slopes), via higher-order array functions in whole-stage "
+        "codegen. A self-join formulation would recompute the "
+        "fact-scan+agg subtree on both sides (Spark does not dedupe "
+        "uncached self-join branches) and shuffle it twice; the array "
+        "form cannot, and fact-table size only affects the one groupBy "
+        "feeding it — the honest way to run Theil-Sen at 100 TB",
 )
 def ts_theilsen_trend(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
@@ -1679,18 +1684,21 @@ def ts_theilsen_trend(spark, sf_dir):
                .agg((F.sum(F.round(F.col("o_totalprice") * 100.0, 0)
                            .cast("bigint")).cast("bigint")
                      .cast("double") / F.lit(100.0)).alias("r")))
-    b = monthly.select(F.col("nation").alias("nation2"),
-                       F.col("m").alias("m2"), F.col("r").alias("r2"))
-    pairs = (monthly.join(b, (F.col("nation") == F.col("nation2"))
-                          & (F.col("m2") > F.col("m")))
-             .select("nation",
-                     ((F.col("r2") - F.col("r"))
-                      / (F.col("m2") - F.col("m")).cast("double"))
-                     .alias("slope")))
-    wr = Window.partitionBy("nation").orderBy("slope")
-    wn = Window.partitionBy("nation")
-    ranked = (pairs.withColumn("rn", F.row_number().over(wr))
-              .withColumn("n_pairs", F.count("*").over(wn).cast("bigint")))
-    return (ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
-            .select("nation", "n_pairs",
-                    F.round("slope", 6).alias("theil_slope")))
+    # per-nation (m, r) points in month order (array_sort on the struct
+    # sorts by m first; months are distinct within a nation)
+    pern = monthly.groupBy("nation").agg(
+        F.array_sort(F.collect_list(F.struct("m", "r"))).alias("pts"))
+    # all i<j pairwise slopes, generated in-array: for each point a at
+    # 0-based index i, slice the points after it and map to slopes
+    slopes = F.flatten(F.transform(
+        F.col("pts"),
+        lambda a, i: F.transform(
+            F.slice(F.col("pts"), i + F.lit(2), F.size(F.col("pts"))),
+            lambda b: (b["r"] - a["r"]) / (b["m"] - a["m"]).cast("double"))))
+    return (pern.withColumn("slopes", F.array_sort(slopes))
+            .select("nation",
+                    F.size("slopes").cast("bigint").alias("n_pairs"),
+                    F.round(F.element_at(
+                        "slopes",
+                        F.expr("CAST((size(slopes) + 1) DIV 2 AS INT)")), 6)
+                    .alias("theil_slope")))

@@ -2050,9 +2050,14 @@ def quality_calibration(spark, sf_dir):
         "independent of which extra candidates the sketch happened to "
         "carry, which is what makes the face hash-stable while still "
         "exercising the sketch. The oracle is the definitionally exact "
-        "GROUP BY ... HAVING. No full-vocabulary shuffle ever happens: "
-        "the sketch needs none, the recount shuffles only candidate "
-        "tokens, and total-n is a partial-agg count",
+        "GROUP BY ... HAVING. EXACTLY two token-stream passes: the "
+        "sketch pass also counts its partition's tokens (total-n rides "
+        "along for free), and its <= k-per-partition output is pulled "
+        "to the driver — a metadata-sized collect, the same class as "
+        "agg_exact_median_selection's histogram rounds — so the recount "
+        "pass filters on an InSet of candidate literals (hash-set "
+        "lookup, no join at all) and shuffles only candidate tokens. "
+        "No full-vocabulary shuffle ever happens",
 )
 def text_heavy_hitters(spark, sf_dir):
     k = 200
@@ -2062,22 +2067,36 @@ def text_heavy_hitters(spark, sf_dir):
     def mg_sketch(batches):
         import pandas as pd
         counters: dict = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for t, c in pdf["token"].value_counts().items():
                 counters[t] = counters.get(t, 0) + int(c)
             if len(counters) > k:
                 off = sorted(counters.values(), reverse=True)[k]
                 counters = {t: c - off for t, c in counters.items()
                             if c > off}
-        yield pd.DataFrame({"token": list(counters)})
+        # sentinel row (token NULL) carries the partition's exact size
+        yield pd.DataFrame({
+            "token": list(counters) + [None],
+            "part_n": pd.array([0] * len(counters) + [n_part],
+                               dtype="Int64")})
 
-    cand = toks.mapInPandas(mg_sketch, "token string").distinct()
-    tot = toks.agg(F.count(F.lit(1)).alias("n"))
-    return (toks.join(F.broadcast(cand), "token", "left_semi")
+    # pass 1: sketch + per-partition totals; <= k+1 rows per partition
+    rows = toks.mapInPandas(mg_sketch,
+                            "token string, part_n bigint").collect()
+    cand = sorted({r.token for r in rows if r.token is not None})
+    n = sum(r.part_n for r in rows if r.token is None)
+    if not cand or n == 0:
+        return (spark.range(0)
+                .select(F.lit("").alias("token"),
+                        F.lit(0).cast("bigint").alias("freq"),
+                        F.lit(0.0).alias("share")))
+    # pass 2: exact recount of candidates only
+    return (toks.filter(F.col("token").isin(cand))
             .groupBy("token")
             .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-            .crossJoin(F.broadcast(tot))
-            .filter(F.col("freq") * k > F.col("n"))
+            .filter(F.col("freq") * k > F.lit(int(n)))
             .select("token", "freq",
-                    F.round(F.col("freq") / F.col("n").cast("double"), 6)
+                    F.round(F.col("freq") / F.lit(float(n)), 6)
                     .alias("share")))
