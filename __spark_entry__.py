@@ -107,6 +107,13 @@ DRIVER_PRIORITY = (
     # robust trend (pairwise-slope order statistic), exact heavy hitters
     # via mergeable Misra-Gries sketch + broadcast recount
     "ts_cusum_shift", "ts_theilsen_trend", "text_heavy_hitters",
+    # r7 closing batch: Pregel-style BFS over the sparsified trade graph,
+    # BPE merge-pair counting (tokenizer training iteration 0),
+    # daily-count autocorrelation from exact integer sums, contrastive
+    # hard-negative mining (entries past the driver's 50-query sample
+    # window roll into the r8 rotation; all are covered by the committed
+    # full-registry local exact-gate artifacts meanwhile)
+    "graph_bfs_hops", "bpe_pair_counts", "ts_acf", "embed_hard_negatives",
 )
 
 

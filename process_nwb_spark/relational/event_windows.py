@@ -1702,3 +1702,86 @@ def ts_theilsen_trend(spark, sf_dir):
                         "slopes",
                         F.expr("CAST((size(slopes) + 1) DIV 2 AS INT)")), 6)
                     .alias("theil_slope")))
+
+
+@query(
+    "ts_acf",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT UNNEST(RANGE(1, 8)) AS k),
+    pairs AS (
+      SELECT a.event_type, l.k, a.cnt AS x, b.cnt AS y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type AND b.di = a.di + l.k
+    ),
+    s AS (
+      SELECT event_type, k, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sx2, SUM(y*y) AS sy2
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(k AS BIGINT) AS lag, n AS n_pairs,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / SQRT(CAST(n*sx2 - sx*sx AS DOUBLE)
+                        * CAST(n*sy2 - sy*sy AS DOUBLE)), 6) AS acf
+    FROM s
+    WHERE n >= 3 AND n*sx2 > sx*sx AND n*sy2 > sy*sy
+    """,
+    doc="sample autocorrelation of the per-type DAILY event count at lags "
+        "1..7 — the standard seasonality/persistence diagnostic before "
+        "fitting any forecast model. The fact table aggregates once into "
+        "per-(type, day) integer counts; the lagged alignment is then an "
+        "equi-join of that small aggregate with itself keyed on "
+        "(type, day+k) after a 7-way lag fan-out, and Pearson r comes from "
+        "the closed-form over six EXACT integer sums (n, Σx, Σy, Σxy, "
+        "Σx², Σy²) — a partial-aggregable shuffle, never a window over raw "
+        "events. Because every input to the float expression is an exact "
+        "integer and the expression is evaluated identically in both "
+        "engines, the face is hash-exact without any order pinning; "
+        "variance factors are cast to double BEFORE multiplying so the "
+        "product cannot overflow bigint at large scale. Constant series "
+        "(zero variance) are excluded by the integer guard, not a float "
+        "epsilon",
+)
+def ts_acf(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    # cached: the rollup feeds BOTH sides of the lag self-join, and Spark
+    # does not dedupe uncached self-join branches — without the cache the
+    # 100 TB fact would be scanned and aggregated twice
+    daily = (ev.groupBy(F.col("event_type"),
+                        F.datediff(F.col("ts").cast("date"),
+                                   F.lit("2024-01-01").cast("date"))
+                        .alias("di"))
+             .agg(F.count("*").cast("bigint").alias("cnt"))
+             .cache())
+    lags = spark.range(1, 8).select(F.col("id").alias("k"))
+    a = (daily.crossJoin(F.broadcast(lags))
+         .select("event_type", "k", (F.col("di") + F.col("k")).alias("dj"),
+                 F.col("cnt").alias("x")))
+    b = daily.select(F.col("event_type").alias("et2"),
+                     F.col("di").alias("dj2"), F.col("cnt").alias("y"))
+    pairs = a.join(b, (F.col("event_type") == F.col("et2"))
+                   & (F.col("dj") == F.col("dj2")))
+    s = (pairs.groupBy("event_type", "k")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sx2"),
+              F.sum(F.col("y") * F.col("y")).alias("sy2")))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    vx = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    vy = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")) \
+        .cast("double")
+    return (s.filter((F.col("n") >= 3)
+                     & (F.col("n") * F.col("sx2") > F.col("sx") * F.col("sx"))
+                     & (F.col("n") * F.col("sy2") > F.col("sy") * F.col("sy")))
+            .select("event_type", F.col("k").cast("bigint").alias("lag"),
+                    F.col("n").alias("n_pairs"),
+                    F.round(num / F.sqrt(vx * vy), 6).alias("acf")))

@@ -208,3 +208,111 @@ def graph_triangles(spark, sf_dir):
              .crossJoin(edges.agg(F.count("*").alias("n_edges")))
              .crossJoin(tri))
     return stats.select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+
+
+_BFS_SRC = 0       # start nation for the BFS face
+_BFS_HOPS = 4      # unrolled frontier rounds (graph diameter bound)
+_BFS_FANOUT = 3    # top-k outgoing trade edges kept per nation
+
+
+def _bfs_oracle() -> str:
+    ctes = [f"""
+    edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst) AS rn
+        FROM edges
+    ),
+    g AS (SELECT src, dst FROM ranked WHERE rn <= {_BFS_FANOUT}),
+    d0 AS (SELECT {_BFS_SRC} AS node, 0 AS dist)"""]
+    for t in range(_BFS_HOPS):
+        ctes.append(f"""
+    d{t + 1} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{t}
+            UNION ALL
+            SELECT g.dst AS node, d.dist + 1 AS dist
+            FROM d{t} d JOIN g ON g.src = d.node
+        ) GROUP BY node
+    )""")
+    return ("WITH " + ",".join(ctes) + f"""
+    SELECT d.node AS nationkey, n.n_name AS nation,
+           CAST(d.dist AS BIGINT) AS hops
+    FROM d{_BFS_HOPS} d JOIN nation n ON n.n_nationkey = d.node
+    """)
+
+
+@query(
+    "graph_bfs_hops",
+    _bfs_oracle(),
+    doc=f"BFS hop distance from nation {_BFS_SRC} over the SPARSIFIED trade "
+        f"graph (each nation keeps its top-{_BFS_FANOUT} outgoing edges by "
+        "trade volume, ties broken by destination id — deterministic). The "
+        "fact tables aggregate ONCE into edges; sparsification is a "
+        "per-source window top-k on that already-small edge list; each of "
+        f"the {_BFS_HOPS} unrolled rounds is then frontier⋈edges + a "
+        "MIN(dist) group-by, so per-round state is bounded by |V| and the "
+        "min-dedup stops re-expansion of settled nodes — the standard "
+        "Pregel-style BFS on DataFrames. All-integer arithmetic, "
+        "hash-exact by construction; unreached nations are absent (no "
+        "sentinel distance). The oracle unrolls the identical rounds as "
+        "chained CTEs",
+)
+def graph_bfs_hops(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+
+    edges = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .join(c, o.o_custkey == c.c_custkey)
+             .join(s, li.l_suppkey == s.s_suppkey)
+             .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+             .groupBy(F.col("c_nationkey").alias("src"),
+                      F.col("s_nationkey").alias("dst"))
+             .agg(F.count("*").cast("double").alias("w")))
+    wn = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    g = (edges.withColumn("rn", F.row_number().over(wn))
+         .filter(F.col("rn") <= _BFS_FANOUT)
+         .select("src", "dst")
+         .cache())
+
+    dist = spark.range(1).select(
+        F.lit(_BFS_SRC).cast("long").alias("node"),
+        F.lit(0).cast("int").alias("dist"))
+    for _ in range(_BFS_HOPS):
+        # single reference to `dist` per round: a naive
+        # dist.unionAll(dist.join(g)) references the frontier TWICE, which
+        # doubles the uncached lineage every round (2^hops plan blow-up —
+        # measured 66 scans / 142 exchanges at 4 hops). The left join
+        # keeps the carried row and the neighbor expansion in ONE pass:
+        # unmatched nodes carry through, matched nodes emit themselves
+        # plus each neighbor at dist+1, and MIN collapses duplicates.
+        j = dist.join(g, dist.node == g.src, "left")
+        keep = F.struct(F.col("node"), F.col("dist"))
+        step = F.struct(F.col("dst").cast("long").alias("node"),
+                        (F.col("dist") + 1).cast("int").alias("dist"))
+        dist = (j.select(F.explode(F.when(F.col("dst").isNull(),
+                                          F.array(keep))
+                                   .otherwise(F.array(keep, step)))
+                         .alias("p"))
+                .select("p.node", "p.dist")
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+
+    return (dist.join(F.broadcast(n), dist.node == n.n_nationkey)
+            .select(F.col("node").alias("nationkey"),
+                    F.col("n_name").alias("nation"),
+                    F.col("dist").cast("bigint").alias("hops")))

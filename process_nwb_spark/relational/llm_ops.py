@@ -2100,3 +2100,126 @@ def text_heavy_hitters(spark, sf_dir):
             .select("token", "freq",
                     F.round(F.col("freq") / F.lit(float(n)), 6)
                     .alias("share")))
+
+
+@query(
+    "bpe_pair_counts",
+    """
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word
+            FROM documents) u
+      WHERE LENGTH(word) >= 2
+      GROUP BY word
+    ),
+    p AS (
+      SELECT SUBSTR(w.word, CAST(t.i AS INT), 2) AS pair, w.f
+      FROM w, UNNEST(RANGE(1, LENGTH(w.word))) AS t(i)
+    )
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS total
+    FROM p GROUP BY pair
+    ORDER BY total DESC, pair ASC
+    LIMIT 20
+    """,
+    doc="the first iteration of BPE tokenizer training at corpus scale: "
+        "count adjacent character pairs weighted by word frequency and "
+        "surface the top merge candidates (the pair a BPE trainer would "
+        "merge first). The token stream collapses to a DISTINCT-WORD "
+        "frequency table before any pair enumeration — pair explosion is "
+        "then bounded by vocabulary size times word length, NOT corpus "
+        "size, which is exactly how production BPE trainers scale (work "
+        "per merge round is O(vocab), the 100 TB corpus is touched once "
+        "for the word count). Pair generation is an in-plan sequence "
+        "explode + substring — all JVM, no UDF; counts are exact "
+        "integers, ties at the top-20 boundary broken by pair text, so "
+        "the face is hash-exact. Corpus is ASCII so character and byte "
+        "pairs coincide (a byte-level trainer would pre-map to bytes)",
+)
+def bpe_pair_counts(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    words = (d.select(F.explode(_words()).alias("word"))
+             .filter(F.length("word") >= 2)
+             .groupBy("word")
+             .agg(F.count("*").cast("bigint").alias("f")))
+    pairs = (words
+             .select("word", "f",
+                     F.explode(F.sequence(F.lit(1), F.length("word") - 1))
+                     .alias("i"))
+             .select(F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"),
+                     "f"))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("f").cast("bigint").alias("total"))
+            .orderBy(F.desc("total"), F.asc("pair"))
+            .limit(20))
+
+
+@query(
+    "embed_hard_negatives",
+    """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS av
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    sims AS (
+      SELECT a.anchor_id, a.anchor_label,
+             e.vec_id AS neg_id, e.label AS neg_label,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE)
+                             * CAST(a.av[i] AS DOUBLE)))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(a.av,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+               AS cosine
+      FROM embeddings e CROSS JOIN a
+      WHERE e.label <> a.anchor_label
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY cosine DESC, neg_id) AS rn
+          FROM sims)
+    SELECT anchor_id, anchor_label, neg_id, neg_label, cosine
+    FROM r WHERE rn <= 3
+    """,
+    doc="hard-negative mining for contrastive training: for each anchor "
+        "vector, the top-3 most cosine-similar vectors with a DIFFERENT "
+        "label — the negatives that sit closest to the decision boundary "
+        "and carry the most gradient signal. Anchors (a small deterministic "
+        "id-stride sample) broadcast against the corpus, so the scan is "
+        "one pass with no shuffle of the embedding column; the per-anchor "
+        "top-3 is a window over anchor-id partitions whose input is "
+        "already down to one row per (anchor, candidate). Ranking uses the "
+        "ROUNDED cosine with a neg_id tie-break so the order the hash sees "
+        "is identical in both engines (the dot/norm folds are ordered "
+        "element walks, same as embed_cosine_topk). At corpus scale the "
+        "brute-force candidate set would first be cut by the IVF/LSH "
+        "routes (embed_ivf_probe2, embed_ann_lsh) before this exact "
+        "re-rank — this face is the exact baseline those approximate",
+)
+def embed_hard_negatives(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = spread(T(spark, sf_dir, "embeddings"))
+    a = (e.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("anchor_id"),
+                 F.col("label").alias("anchor_label"),
+                 F.col("embedding").alias("av")))
+    dot = F.aggregate(
+        F.zip_with("embedding", "av",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sims = (e.crossJoin(F.broadcast(a))
+            .filter(F.col("label") != F.col("anchor_label"))
+            .select("anchor_id", "anchor_label",
+                    F.col("vec_id").alias("neg_id"),
+                    F.col("label").alias("neg_label"),
+                    F.round(dot / (norm("embedding") * norm("av")), 6)
+                    .alias("cosine")))
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"),
+                                                F.asc("neg_id"))
+    return (sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .drop("rn"))
