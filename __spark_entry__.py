@@ -114,6 +114,8 @@ DRIVER_PRIORITY = (
     # window roll into the r8 rotation; all are covered by the committed
     # full-registry local exact-gate artifacts meanwhile)
     "graph_bfs_hops", "bpe_pair_counts", "ts_acf", "embed_hard_negatives",
+    "bitmap_retention_intersect", "mix_temperature_weights",
+    "ts_holt_linear",
 )
 
 

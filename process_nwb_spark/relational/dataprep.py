@@ -995,3 +995,65 @@ def layout_zorder_locality(spark, sf_dir):
             .agg(F.count("*").alias("n"),
                  F.min("xq").alias("min_x"), F.max("xq").alias("max_x"),
                  F.min("yq").alias("min_y"), F.max("yq").alias("max_y")))
+
+
+@query(
+    "mix_temperature_weights",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY lang
+    ),
+    arrs AS (
+      SELECT LIST(c ORDER BY lang) AS cs, SUM(c) AS n FROM counts
+    ),
+    den AS (
+      SELECT n, LIST_SUM(LIST_TRANSFORM(cs,
+                 x -> SQRT(CAST(x AS DOUBLE) / n))) AS d
+      FROM arrs
+    )
+    SELECT lang, c AS n_docs,
+           ROUND(CAST(c AS DOUBLE) / n, 6) AS share,
+           ROUND(SQRT(CAST(c AS DOUBLE) / n) / d, 6) AS temp_share,
+           ROUND(SQRT(CAST(c AS DOUBLE) / n) / d
+                 / (CAST(c AS DOUBLE) / n), 4) AS boost
+    FROM counts CROSS JOIN den
+    """,
+    doc="temperature-based mixture reweighting at T=2 — the standard "
+        "multilingual recipe (sample language i with probability "
+        "p_i^(1/T) / sum_j p_j^(1/T)) that upweights low-resource strata "
+        "without the hard caps of explicit targets "
+        "(cf. mix_to_target_weights). 1/T = 0.5 makes the exponent a "
+        "SQRT, which IEEE-754 requires to be correctly rounded — unlike "
+        "libm POWER, which differs across engines — so the face is "
+        "hash-exact; the denominator sum_j sqrt(p_j) is an ORDERED fold "
+        "over the lang-sorted stratum list (strata-sized, one row) "
+        "because a 5-element float SUM could still flip a last ulp "
+        "between engines. One fact-scan groupBy; everything after is "
+        "arithmetic on the broadcast stratum table. `boost` is the "
+        "effective upsample factor temp_share/share a sampler would "
+        "apply per stratum",
+)
+def mix_temperature_weights(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    # cached: the strata-sized count table feeds both the denominator fold
+    # and the output rows; uncached, Spark would scan+aggregate the corpus
+    # twice (self-referencing branches are not deduped)
+    counts = (d.groupBy("lang").agg(F.count("*").cast("bigint").alias("c"))
+              .cache())
+    den = (counts
+           .agg(F.array_sort(F.collect_list(F.struct("lang", "c")))
+                .alias("arr"),
+                F.sum("c").alias("n"))
+           .select("n",
+                   F.aggregate(
+                       F.col("arr"), F.lit(0.0),
+                       lambda acc, x: acc
+                       + F.sqrt(x["c"].cast("double") / F.col("n")))
+                   .alias("d")))
+    p = F.col("c").cast("double") / F.col("n")
+    w = F.sqrt(p) / F.col("d")
+    return (counts.crossJoin(F.broadcast(den))
+            .select("lang", F.col("c").alias("n_docs"),
+                    F.round(p, 6).alias("share"),
+                    F.round(w, 6).alias("temp_share"),
+                    F.round(w / p, 4).alias("boost")))

@@ -1785,3 +1785,76 @@ def ts_acf(spark, sf_dir):
             .select("event_type", F.col("k").cast("bigint").alias("lag"),
                     F.col("n").alias("n_pairs"),
                     F.round(num / F.sqrt(vx * vy), 6).alias("acf")))
+
+
+@query(
+    "ts_holt_linear",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    arrs AS (
+      SELECT event_type, LIST(x ORDER BY d) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY event_type HAVING COUNT(*) >= 2
+    ),
+    folded AS (
+      SELECT event_type, n,
+             LIST_REDUCE(
+               LIST_PREPEND([xs[1], xs[2] - xs[1]],
+                            LIST_TRANSFORM(xs[2:], x -> [x, 0.0])),
+               (acc, e) -> [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+                            0.5 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2]))
+                                   - acc[1]) + 0.5 * acc[2]]) AS st
+      FROM arrs
+    )
+    SELECT event_type, n AS n_days,
+           ROUND(st[1], 4) AS level, ROUND(st[2], 4) AS trend,
+           ROUND(st[1] + 7 * st[2], 4) AS forecast_7d
+    FROM folded
+    """,
+    doc="Holt's linear (double exponential) smoothing of the per-type "
+        "daily count, alpha=beta=0.5, initialized with l0=x0, b0=x1-x0 — "
+        "the level+trend recurrence a plain EWMA (ts_ewma_daily) cannot "
+        "capture; forecast_7d extrapolates level + 7*trend. The "
+        "2-component state rides as a 2-element double array through an "
+        "ordered fold (F.aggregate vs DuckDB LIST_REDUCE over the "
+        "identical element walk); alpha=1/2 makes every smoothing step a "
+        "halving — exact in binary floating point — and the day counts "
+        "are exact integers, so the fold is bit-identical across engines "
+        "by construction, not by tolerance. Runs AFTER the partial-agg "
+        "day rollup: the sequential part touches rows proportional to "
+        "CALENDAR DAYS per type, never raw facts — the honest way to run "
+        "any recurrence at 100 TB",
+)
+def ts_holt_linear(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("double").alias("x")))
+    arrs = (daily.groupBy("event_type")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "x")))
+                 .alias("pts"),
+                 F.count("*").cast("bigint").alias("n"))
+            .filter(F.col("n") >= 2)
+            .withColumn("xs", F.transform("pts", lambda p: p["x"])))
+    x0 = F.element_at("xs", 1)
+    x1 = F.element_at("xs", 2)
+    init = F.array(x0, x1 - x0)
+    rest = F.transform(F.slice(F.col("xs"), 2, F.size("xs") - 1),
+                       lambda x: F.array(x, F.lit(0.0)))
+
+    def step(acc, e):
+        new_l = F.lit(0.5) * e[0] + F.lit(0.5) * (acc[0] + acc[1])
+        new_b = (F.lit(0.5) * ((F.lit(0.5) * e[0]
+                                + F.lit(0.5) * (acc[0] + acc[1]))
+                               - acc[0])
+                 + F.lit(0.5) * acc[1])
+        return F.array(new_l, new_b)
+
+    st = F.aggregate(rest, init, step)
+    return (arrs.select("event_type", F.col("n").alias("n_days"),
+                        F.round(st[0], 4).alias("level"),
+                        F.round(st[1], 4).alias("trend"),
+                        F.round(st[0] + F.lit(7) * st[1], 4)
+                        .alias("forecast_7d")))

@@ -119,3 +119,57 @@ def test_hard_negatives_contract(spark):
         for r in got:
             ref = -[s for s, vid in sims if vid == int(r.neg_id)][0]
             assert abs(r.cosine - ref) < 2e-6
+
+
+def test_bitmap_retention_matches_set_intersection(spark):
+    from process_nwb_spark.relational.fn_extra import (
+        bitmap_retention_intersect)
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet") \
+        .select("user_id", "ts").toPandas()
+    w1 = set(ev.loc[(ev.ts >= "2024-01-01") & (ev.ts < "2024-01-08"),
+                    "user_id"])
+    w2 = set(ev.loc[(ev.ts >= "2024-01-08") & (ev.ts < "2024-01-15"),
+                    "user_id"])
+    r = bitmap_retention_intersect(spark, SF_CORRECT).collect()[0]
+    assert (r.n_week1, r.n_week2, r.n_retained) == \
+        (len(w1), len(w2), len(w1 & w2))
+    assert r.retention == round(len(w1 & w2) / len(w1), 6)
+
+
+def test_temperature_weights_sum_to_one_and_boost_rare(spark):
+    from process_nwb_spark.relational.dataprep import mix_temperature_weights
+    rows = mix_temperature_weights(spark, SF_CORRECT).collect()
+    shares = {r.lang: r.share for r in rows}
+    temps = {r.lang: r.temp_share for r in rows}
+    assert abs(sum(shares.values()) - 1.0) < 1e-5
+    assert abs(sum(temps.values()) - 1.0) < 1e-5
+    # T=2 compresses the distribution: rare strata boosted, common damped
+    rare = min(shares, key=shares.get)
+    common = max(shares, key=shares.get)
+    assert temps[rare] > shares[rare]
+    assert temps[common] < shares[common]
+    for r in rows:
+        want = (shares[r.lang] ** 0.5
+                / sum(s ** 0.5 for s in shares.values()))
+        assert abs(r.temp_share - want) < 1e-4
+        assert abs(r.boost - r.temp_share / r.share) < 2e-3
+
+
+def test_holt_linear_matches_python_recurrence(spark):
+    from process_nwb_spark.relational.event_windows import ts_holt_linear
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet") \
+        .select("event_type", "ts").toPandas()
+    ev["d"] = ev["ts"].dt.normalize()
+    got = {r.event_type: (r.n_days, r.level, r.trend, r.forecast_7d)
+           for r in ts_holt_linear(spark, SF_CORRECT).collect()}
+    for et, grp in ev.groupby("event_type"):
+        xs = grp.groupby("d").size().sort_index().to_list()
+        l, b = float(xs[0]), float(xs[1] - xs[0])
+        for x in xs[1:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (nl - l) + 0.5 * b
+            l = nl
+        n, lv, tr, fc = got[et]
+        assert n == len(xs)
+        assert lv == round(l, 4) and tr == round(b, 4)
+        assert fc == round(l + 7 * b, 4)

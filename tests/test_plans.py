@@ -487,3 +487,39 @@ def test_tpch_completion_batch_plans(spark, qs):
     assert count_scans(q20) <= 5, \
         "Q20 must fold the year slice and all-time total into ONE " \
         "conditional-sum pass (each of the 5 tables scanned exactly once)"
+
+
+def test_bpe_pairs_one_scan_no_python(spark, qs):
+    # the word-frequency collapse means ONE corpus scan; pair explosion is
+    # sequence+substring in codegen, never a Python crossing
+    df = qs["bpe_pair_counts"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert count_scans(df) == 1, "BPE pair counting must scan the corpus once"
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_bfs_unroll_is_linear_not_exponential(spark, qs):
+    # the frontier must be referenced once per round: a union-of-self
+    # formulation doubles the lineage every round (2^hops exchanges)
+    df = qs["graph_bfs_hops"].fn(spark, SF)
+    # 4 rounds x (join + min-agg) + edge build + final: well under the
+    # ~140-exchange blow-up of the double-reference form
+    assert count_exchanges(df) <= 30, \
+        "BFS plan grew superlinearly in hops — frontier referenced twice?"
+
+
+def test_acf_day_rollup_cached_single_fact_scan(spark, qs):
+    # the day rollup feeds both sides of the lag self-join; the cache is
+    # what keeps the 100 TB fact from being scanned twice
+    df = qs["ts_acf"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" in plan, \
+        "ts_acf day rollup not cached — fact would be scanned twice"
+
+
+def test_hard_negatives_anchors_broadcast(spark, qs):
+    df = qs["embed_hard_negatives"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or has_broadcast_join(df), \
+        "anchor table must broadcast, never shuffle the embedding column"
