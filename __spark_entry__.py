@@ -116,6 +116,11 @@ DRIVER_PRIORITY = (
     "graph_bfs_hops", "bpe_pair_counts", "ts_acf", "embed_hard_negatives",
     "bitmap_retention_intersect", "mix_temperature_weights",
     "ts_holt_linear",
+    # r7 continuation: collocation PMI (phrase detection), shingle
+    # containment (sub-document dedup), Bollinger bands + MASE backtest
+    # on the daily rollup — all integer-exact arithmetic, no order pinning
+    "text_collocations_pmi", "text_ngram_containment",
+    "ts_bollinger_daily", "ts_mase_backtest",
 )
 
 

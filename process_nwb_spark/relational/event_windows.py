@@ -1858,3 +1858,161 @@ def ts_holt_linear(spark, sf_dir):
                         F.round(st[1], 4).alias("trend"),
                         F.round(st[0] + F.lit(7) * st[1], 4)
                         .alias("forecast_7d")))
+
+
+@query(
+    "ts_bollinger_daily",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, d, cnt,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             CAST(SUM(cnt) OVER win AS BIGINT) AS s,
+             CAST(SUM(cnt * cnt) OVER win AS BIGINT) AS s2
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day, cnt,
+           ROUND(CAST(s AS DOUBLE) / 7.0, 6) AS ma7,
+           ROUND(CAST(s AS DOUBLE) / 7.0
+                 + 2.0 * SQRT(CAST(7 * s2 - s * s AS DOUBLE) / 42.0), 6)
+             AS upper_band,
+           ROUND(CAST(s AS DOUBLE) / 7.0
+                 - 2.0 * SQRT(CAST(7 * s2 - s * s AS DOUBLE) / 42.0), 6)
+             AS lower_band,
+           CAST(CAST(cnt AS DOUBLE) > CAST(s AS DOUBLE) / 7.0
+                + 2.0 * SQRT(CAST(7 * s2 - s * s AS DOUBLE) / 42.0) AS INT)
+             AS breach_hi
+    FROM w WHERE n = 7
+    ORDER BY event_type, day
+    """,
+    doc="Bollinger bands on the per-type DAILY event count: 7-day rolling "
+        "mean ± 2σ with a breach flag — the volatility-band anomaly "
+        "monitor. The fact table rolls up ONCE to (type, day) integer "
+        "counts; the rolling window then runs over ~days×types rows, "
+        "never raw events, so the window shuffle is calendar-bounded at "
+        "any corpus size. Mean and σ come from the closed form over "
+        "EXACT integer window sums (n, Σx, Σx²) — every float op is an "
+        "IEEE-correctly-rounded function of identical integer inputs, so "
+        "bands AND the breach comparison (int count vs deterministic "
+        "double band) land bit-identically in both engines; no ordered "
+        "fold needed. Bessel-corrected σ: var = (7·Σx² − (Σx)²)/(7·6)",
+)
+def ts_bollinger_daily(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("bigint").alias("cnt")))
+    win = (Window.partitionBy("event_type").orderBy("d")
+           .rowsBetween(-6, 0))
+    w = (daily
+         .withColumn("n", F.count("*").over(win).cast("bigint"))
+         .withColumn("s", F.sum("cnt").over(win).cast("bigint"))
+         .withColumn("s2", F.sum(F.col("cnt") * F.col("cnt")).over(win)
+                     .cast("bigint")))
+    ma = F.col("s").cast("double") / F.lit(7.0)
+    sd = F.sqrt((F.lit(7) * F.col("s2") - F.col("s") * F.col("s"))
+                .cast("double") / F.lit(42.0))
+    upper = ma + F.lit(2.0) * sd
+    return (w.filter(F.col("n") == 7)
+            .select("event_type", F.col("d").cast("string").alias("day"),
+                    "cnt",
+                    F.round(ma, 6).alias("ma7"),
+                    F.round(upper, 6).alias("upper_band"),
+                    F.round(ma - F.lit(2.0) * sd, 6).alias("lower_band"),
+                    (F.col("cnt").cast("double") > upper).cast("int")
+                    .alias("breach_hi"))
+            .orderBy("event_type", "day"))
+
+
+@query(
+    "ts_mase_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(d) AS mxd FROM daily),
+    fc AS (
+      SELECT a.event_type AS et, CAST(SUM(ABS(a.cnt - b.cnt)) AS BIGINT)
+               AS sae_f,
+             CAST(COUNT(*) AS BIGINT) AS n_f
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d = a.d - 7
+      CROSS JOIN mx WHERE a.d > mx.mxd - 7
+      GROUP BY 1
+    ),
+    nv AS (
+      SELECT a.event_type AS et, CAST(SUM(ABS(a.cnt - b.cnt)) AS BIGINT)
+               AS sae_n,
+             CAST(COUNT(*) AS BIGINT) AS n_n
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d = a.d - 1
+      CROSS JOIN mx WHERE a.d <= mx.mxd - 7
+      GROUP BY 1
+    )
+    SELECT f.et AS event_type, f.n_f AS n_test, n.n_n AS n_train_steps,
+           ROUND(CAST(f.sae_f AS DOUBLE) / CAST(f.n_f AS DOUBLE), 6)
+             AS mae_forecast,
+           ROUND(CAST(n.sae_n AS DOUBLE) / CAST(n.n_n AS DOUBLE), 6)
+             AS mae_naive,
+           ROUND((CAST(f.sae_f AS DOUBLE) / CAST(f.n_f AS DOUBLE))
+                 / (CAST(n.sae_n AS DOUBLE) / CAST(n.n_n AS DOUBLE)), 6)
+             AS mase
+    FROM fc f JOIN nv n ON n.et = f.et
+    WHERE n.sae_n > 0
+    ORDER BY event_type
+    """,
+    doc="forecast-accuracy backtest: seasonal-naive (ŷ_d = y_{d-7}) "
+        "evaluated on the final week, scored by MASE — MAE of the model "
+        "over MAE of the in-sample one-step naive walk, the scale-free "
+        "metric that makes error comparable across series of different "
+        "volume (MASE < 1 beats the naive baseline). The fact scan rolls "
+        "up once to (type, day) integer counts (cached: it feeds both "
+        "lag alignments); the 7-lag and 1-lag alignments are equi-joins "
+        "of that calendar-sized aggregate with itself. Absolute errors "
+        "are integer sums, MAEs exact-integer divisions, and MASE a "
+        "division of those two deterministic doubles — bit-identical "
+        "across engines with no order pinning. Zero-variance train "
+        "series are excluded by an integer guard (sae_n > 0)",
+)
+def ts_mase_backtest(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("bigint").alias("cnt"))
+             .cache())
+    mx = daily.agg(F.max("d").alias("mxd"))
+    base = daily.crossJoin(F.broadcast(mx))
+    b = daily.select(F.col("event_type").alias("et2"),
+                     F.col("d").alias("d2"), F.col("cnt").alias("prev"))
+
+    def _align(df, lag, pred):
+        j = df.join(b, (F.col("event_type") == F.col("et2"))
+                    & (F.expr(f"date_add(d, -{lag})") == F.col("d2")))
+        return (j.filter(pred)
+                .groupBy(F.col("event_type").alias("et"))
+                .agg(F.sum(F.abs(F.col("cnt") - F.col("prev")))
+                     .cast("bigint").alias("sae"),
+                     F.count("*").cast("bigint").alias("n")))
+
+    fc = _align(base, 7, F.col("d") > F.expr("date_add(mxd, -7)"))
+    nv = _align(base, 1, F.col("d") <= F.expr("date_add(mxd, -7)"))
+    mae_f = F.col("sae_f").cast("double") / F.col("n_f").cast("double")
+    mae_n = F.col("sae_n").cast("double") / F.col("n_n").cast("double")
+    return (fc.select(F.col("et"), F.col("sae").alias("sae_f"),
+                      F.col("n").alias("n_f"))
+            .join(nv.select(F.col("et").alias("et2"),
+                            F.col("sae").alias("sae_n"),
+                            F.col("n").alias("n_n")),
+                  F.col("et") == F.col("et2"))
+            .filter(F.col("sae_n") > 0)
+            .select(F.col("et").alias("event_type"),
+                    F.col("n_f").alias("n_test"),
+                    F.col("n_n").alias("n_train_steps"),
+                    F.round(mae_f, 6).alias("mae_forecast"),
+                    F.round(mae_n, 6).alias("mae_naive"),
+                    F.round(mae_f / mae_n, 6).alias("mase"))
+            .orderBy("event_type"))

@@ -2223,3 +2223,142 @@ def embed_hard_negatives(spark, sf_dir):
     return (sims.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
             .drop("rn"))
+
+
+# --------------------------------------------------------------------------
+# Collocation mining + containment dedup
+# --------------------------------------------------------------------------
+@query(
+    "text_collocations_pmi",
+    """
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT UNNEST(ws) AS w FROM toks) u GROUP BY w
+    ),
+    big AS (
+      SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM toks, UNNEST(RANGE(1, LEN(ws))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(SUM(LEN(ws) - 1) AS BIGINT) AS nb
+          FROM toks WHERE LEN(ws) >= 2)
+    SELECT b.w1, b.w2, b.c_ab, u1.c AS c_a, u2.c AS c_b,
+           ROUND(CAST(b.c_ab AS DOUBLE) * CAST(n.nb AS DOUBLE)
+                 / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)), 6) AS lift
+    FROM big b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN n
+    WHERE b.c_ab >= 5
+    ORDER BY lift DESC, b.w1, b.w2
+    LIMIT 20
+    """,
+    doc="collocation mining: the top-20 adjacent word pairs by PMI lift "
+        "P(ab)/(P(a)P(b)) — the classic phrase-detection pass (word2vec's "
+        "phrase step, Gensim Phrases) run before tokenizer/vocab training. "
+        "Bigrams come from an in-plan slice/zip of the token array (no "
+        "window shuffle, no UDF); the corpus collapses to unigram and "
+        "bigram count tables, so the two count joins move vocabulary-sized "
+        "data, never corpus-sized — and the unigram side of the join is "
+        "broadcast. The lift is evaluated as one multiply/divide tree over "
+        "EXACT integer counts — IEEE-correctly-rounded ops on identical "
+        "inputs are bit-identical across engines, no libm LN in sight, so "
+        "ranking + the LIMIT-20 cut land identically in both engines "
+        "(residual ties broken by pair text). The min-support cut (c_ab "
+        ">= 5) is what bounds output at 100 TB: pairs are Zipf-distributed "
+        "and the long random tail dies at the filter",
+)
+def text_collocations_pmi(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    ws = _words()
+    toks = d.select("doc_id", ws.alias("ws"))
+    uni = (toks.select(F.explode("ws").alias("w"))
+           .groupBy("w").agg(F.count("*").cast("bigint").alias("c")))
+    pairs = (toks.filter(F.size("ws") >= 2)
+             .select(F.explode(F.arrays_zip(
+                 F.slice("ws", 1, F.size("ws") - 1).alias("w1"),
+                 F.expr("slice(ws, 2, size(ws) - 1)").alias("w2")))
+                 .alias("p"))
+             .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c_ab"))
+    nb = (toks.filter(F.size("ws") >= 2)
+          .agg(F.sum(F.size("ws") - 1).cast("bigint").alias("nb")))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    lift = (F.col("c_ab").cast("double") * F.col("nb").cast("double")
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double")))
+    return (big.filter(F.col("c_ab") >= 5)
+            .join(F.broadcast(u1), "w1")
+            .join(F.broadcast(u2), "w2")
+            .crossJoin(F.broadcast(nb))
+            .select("w1", "w2", "c_ab", "c_a", "c_b",
+                    F.round(lift, 6).alias("lift"))
+            .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+            .limit(20))
+
+
+@query(
+    "text_ngram_containment",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    df AS (SELECT sh, COUNT(*) AS d FROM sh GROUP BY sh),
+    shf AS (SELECT s.doc_id, s.sh
+            FROM sh s JOIN df ON df.sh = s.sh WHERE df.d <= 50),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common, sa.sz AS size_a, sb.sz AS size_b,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common * 10 >= LEAST(sa.sz, sb.sz) * 3
+    ORDER BY containment DESC, doc_a, doc_b
+    """,
+    doc="containment (asymmetric Jaccard) over 3-gram shingle sets: "
+        "|A∩B| / min(|A|,|B|) — catches SUB-document duplication "
+        "(one doc embedded in a longer one) that symmetric Jaccard "
+        "dilutes below threshold. Candidates come from the shared-shingle "
+        "equi-join AFTER a document-frequency cut (df <= 50) that removes "
+        "stop-shingles — the same frequency bound that keeps "
+        "ngram_jaccard_pairs' candidate count linear at 100 TB (a shingle "
+        "seen in d docs contributes d^2 pairs; capping d caps the "
+        "blow-up). The threshold test is integer cross-multiplication "
+        "(10*common >= 3*min_size), so no float comparison sits on the "
+        "keep/drop boundary; the reported containment divides two exact "
+        "integers — bit-identical in both engines",
+)
+def text_ngram_containment(spark, sf_dir):
+    sh = _shingles_df(spark, sf_dir, k=3)
+    df_cut = (sh.groupBy("sh").agg(F.count("*").alias("d"))
+              .filter(F.col("d") <= 50))
+    shf = sh.join(df_cut.select("sh"), "sh")
+    sizes = (shf.groupBy("doc_id")
+             .agg(F.count("*").cast("bigint").alias("sz")))
+    a = shf.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = shf.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (a.join(b, "sh")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").cast("bigint").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sz").alias("size_b"))
+    mn = F.least("size_a", "size_b")
+    return (inter.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .filter(F.col("n_common") * 10 >= mn * 3)
+            .select("doc_a", "doc_b", "n_common", "size_a", "size_b",
+                    F.round(F.col("n_common").cast("double")
+                            / mn.cast("double"), 6).alias("containment"))
+            .orderBy(F.desc("containment"), F.asc("doc_a"), F.asc("doc_b")))
