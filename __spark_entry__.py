@@ -121,6 +121,9 @@ DRIVER_PRIORITY = (
     # on the daily rollup — all integer-exact arithmetic, no order pinning
     "text_collocations_pmi", "text_ngram_containment",
     "ts_bollinger_daily", "ts_mase_backtest",
+    # cross-series correlation matrix, Welch two-sample t (decimal-exact
+    # sum of squares), kNN-graph link prediction by neighbor Jaccard
+    "ts_corr_matrix", "abtest_welch_t", "graph_link_predict",
 )
 
 

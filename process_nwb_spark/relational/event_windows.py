@@ -2016,3 +2016,165 @@ def ts_mase_backtest(spark, sf_dir):
                     F.round(mae_n, 6).alias("mae_naive"),
                     F.round(mae_f / mae_n, 6).alias("mase"))
             .orderBy("event_type"))
+
+
+@query(
+    "ts_corr_matrix",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.cnt AS x, b.cnt AS y
+      FROM daily a JOIN daily b ON b.d = a.d AND a.event_type < b.event_type
+    ),
+    s AS (
+      SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sx2, SUM(y*y) AS sy2
+      FROM p GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n AS n_days,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / SQRT(CAST(n*sx2 - sx*sx AS DOUBLE)
+                        * CAST(n*sy2 - sy*sy AS DOUBLE)), 6) AS r
+    FROM s WHERE n >= 3 AND n*sx2 > sx*sx AND n*sy2 > sy*sy
+    ORDER BY type_a, type_b
+    """,
+    doc="cross-series co-movement: the Pearson correlation matrix between "
+        "the DAILY counts of every event-type pair (upper triangle) — "
+        "which metrics move together, the first question any metric "
+        "dashboard answers. One fact rollup to (type, day) integer "
+        "counts; same-day alignment is a self-equi-join on the day key of "
+        "that calendar-bounded aggregate (types^2 x days rows, never raw "
+        "events), and r comes from the closed form over six EXACT integer "
+        "sums — hash-exact with no order pinning, zero-variance series "
+        "excluded by integer guards. The sibling of ts_acf (auto- vs "
+        "cross-correlation, both on the same rollup shape)",
+)
+def ts_corr_matrix(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("bigint").alias("cnt"))
+             .cache())
+    a = daily.select(F.col("event_type").alias("type_a"), "d",
+                     F.col("cnt").alias("x"))
+    b = daily.select(F.col("event_type").alias("type_b"),
+                     F.col("d").alias("d2"), F.col("cnt").alias("y"))
+    p = a.join(b, (F.col("d") == F.col("d2"))
+               & (F.col("type_a") < F.col("type_b")))
+    s = (p.groupBy("type_a", "type_b")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).alias("sx2"),
+              F.sum(F.col("y") * F.col("y")).alias("sy2")))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    vx = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    vy = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")) \
+        .cast("double")
+    return (s.filter((F.col("n") >= 3)
+                     & (F.col("n") * F.col("sx2") > F.col("sx") * F.col("sx"))
+                     & (F.col("n") * F.col("sy2") > F.col("sy") * F.col("sy")))
+            .select("type_a", "type_b", F.col("n").alias("n_days"),
+                    F.round(num / F.sqrt(vx * vy), 6).alias("r"))
+            .orderBy("type_a", "type_b"))
+
+
+@query(
+    "abtest_welch_t",
+    """
+    WITH x AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    ),
+    s AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                      * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      FROM x GROUP BY seg
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN seg = 'BUILDING' THEN CAST(n AS DOUBLE) END) AS na,
+        MAX(CASE WHEN seg = 'BUILDING' THEN s1 END) AS sa,
+        MAX(CASE WHEN seg = 'BUILDING' THEN s2 END) AS qa,
+        MAX(CASE WHEN seg = 'AUTOMOBILE' THEN CAST(n AS DOUBLE) END) AS nb,
+        MAX(CASE WHEN seg = 'AUTOMOBILE' THEN s1 END) AS sb,
+        MAX(CASE WHEN seg = 'AUTOMOBILE' THEN s2 END) AS qb
+      FROM s
+    ),
+    v AS (
+      SELECT na, nb, sa, sb,
+             ((qa - sa*sa/na) / (na - 1.0)) / na AS va,
+             ((qb - sb*sb/nb) / (nb - 1.0)) / nb AS vb
+      FROM w
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND((sa/na - sb/nb) / 100.0, 4) AS mean_diff_dollars,
+           ROUND((sa/na - sb/nb) / SQRT(va + vb), 6) AS t_stat,
+           ROUND((va + vb) * (va + vb)
+                 / ((va * va) / (na - 1.0) + (vb * vb) / (nb - 1.0)), 2)
+             AS welch_df
+    FROM v
+    """,
+    doc="two-sample Welch t-test on order value between customer "
+        "segments — the continuous-metric A/B readout beside "
+        "abtest_conversion_z's proportion z-test. Prices fix to integer "
+        "cents; the sum of squares is accumulated in DECIMAL(38,0) "
+        "(bigint would wrap at ~1e19 — cents^2 crosses that near sf1, "
+        "and non-ANSI Spark wraps SILENTLY) so both engines sum exactly "
+        "in any order, then convert once to double (correctly-rounded in "
+        "both). Each arm collapses to one (n, Σx, Σx²) row via partial "
+        "agg — the whole test is a one-scan closed form; t, and the "
+        "Welch-Satterthwaite df, use explicit multiplies (no libm POW). "
+        "Degrees of freedom reported so a notebook can look up the "
+        "critical value; |t| < 2 here == the segments spend the same",
+)
+def abtest_welch_t(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    x = (o.join(F.broadcast(
+            c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+            .select("c_custkey", F.col("c_mktsegment").alias("seg"))),
+            F.col("o_custkey") == F.col("c_custkey"))
+         .select("seg", F.floor(F.col("o_totalprice") * 100 + 0.5)
+                 .cast("bigint").alias("cents")))
+    dec = F.col("cents").cast("decimal(19,0)")
+    s = (x.groupBy("seg")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(dec).cast("double").alias("s1"),
+              F.sum(dec * dec).cast("double").alias("s2")))
+
+    def arm(seg, col):
+        return F.max(F.when(F.col("seg") == seg, F.col(col)))
+
+    w = s.agg(arm("BUILDING", "n").cast("double").alias("na"),
+              arm("BUILDING", "s1").alias("sa"),
+              arm("BUILDING", "s2").alias("qa"),
+              arm("AUTOMOBILE", "n").cast("double").alias("nb"),
+              arm("AUTOMOBILE", "s1").alias("sb"),
+              arm("AUTOMOBILE", "s2").alias("qb"))
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb = F.col("sa"), F.col("sb")
+    va = ((F.col("qa") - sa * sa / na) / (na - F.lit(1.0))) / na
+    vb = ((F.col("qb") - sb * sb / nb) / (nb - F.lit(1.0))) / nb
+    v = w.select(na.alias("na"), nb.alias("nb"), sa.alias("sa"),
+                 sb.alias("sb"), va.alias("va"), vb.alias("vb"))
+    va, vb = F.col("va"), F.col("vb")
+    na, nb, sa, sb = F.col("na"), F.col("nb"), F.col("sa"), F.col("sb")
+    diff = sa / na - sb / nb
+    return v.select(
+        na.cast("bigint").alias("n_a"), nb.cast("bigint").alias("n_b"),
+        F.round(diff / F.lit(100.0), 4).alias("mean_diff_dollars"),
+        F.round(diff / F.sqrt(va + vb), 6).alias("t_stat"),
+        F.round((va + vb) * (va + vb)
+                / ((va * va) / (na - F.lit(1.0))
+                   + (vb * vb) / (nb - F.lit(1.0))), 2).alias("welch_df"))

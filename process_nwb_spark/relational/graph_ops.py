@@ -316,3 +316,111 @@ def graph_bfs_hops(spark, sf_dir):
             .select(F.col("node").alias("nationkey"),
                     F.col("n_name").alias("nation"),
                     F.col("dist").cast("bigint").alias("hops")))
+
+
+@query(
+    "graph_link_predict",
+    """
+    WITH wedges_raw AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    kept AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM wedges_raw
+        ) WHERE rn <= 3
+    ),
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM kept
+    ),
+    sym AS (
+        SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b AS node, a AS nbr FROM und
+    ),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM sym
+            GROUP BY node),
+    cn AS (
+        SELECT s1.node AS a, s2.node AS b, CAST(COUNT(*) AS BIGINT)
+                 AS n_common
+        FROM sym s1 JOIN sym s2
+          ON s1.nbr = s2.nbr AND s1.node < s2.node
+        GROUP BY 1, 2
+    )
+    SELECT cn.a, cn.b, cn.n_common, da.d AS deg_a, db.d AS deg_b,
+           ROUND(CAST(cn.n_common AS DOUBLE)
+                 / CAST(da.d + db.d - cn.n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM cn
+    JOIN deg da ON da.node = cn.a
+    JOIN deg db ON db.node = cn.b
+    LEFT JOIN und e ON e.a = cn.a AND e.b = cn.b
+    WHERE e.a IS NULL
+    ORDER BY jaccard DESC, cn.a, cn.b
+    """,
+    doc="link prediction by neighborhood similarity: for every "
+        "NON-adjacent nation pair in the undirected trade graph, the "
+        "common-neighbor count and neighbor-set Jaccard — the classic "
+        "who-should-trade-next candidate score. The 100 TB fact chain "
+        "collapses ONCE to the distinct undirected edge set; common "
+        "neighbors come from the wedge self-join of the symmetrized "
+        "adjacency on the shared-neighbor key (work = sum of squared "
+        "degrees of the GRAPH, never fact-sized), adjacency is excluded "
+        "by an anti join on the edge set, and the Jaccard divides two "
+        "exact integers (|N(a)∩N(b)| / |N(a)∪N(b)| via inclusion-"
+        "exclusion) — hash-exact, no order pinning. On a hub-skewed "
+        "graph the wedge join is the quadratic face; production runs cut "
+        "it with a degree cap or sample, which would slot in as a filter "
+        "on deg before the self-join",
+)
+def graph_link_predict(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    from pyspark.sql.window import Window
+
+    wr = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(s, li.l_suppkey == s.s_suppkey)
+          .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+          .groupBy(F.col("c_nationkey").alias("src"),
+                   F.col("s_nationkey").alias("dst"))
+          .agg(F.count("*").cast("bigint").alias("w")))
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst")))
+    und = (wr.withColumn("rn", rn).filter(F.col("rn") <= 3)
+           .select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b"))
+           .distinct()
+           .cache())
+    sym = (und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+           .unionAll(und.select(F.col("b").alias("node"),
+                                F.col("a").alias("nbr"))))
+    deg = sym.groupBy("node").agg(F.count("*").cast("bigint").alias("d"))
+    s1 = sym.select(F.col("node").alias("na"), "nbr")
+    s2 = sym.select(F.col("node").alias("nb"), F.col("nbr").alias("nbr2"))
+    cn = (s1.join(s2, (F.col("nbr") == F.col("nbr2"))
+                  & (F.col("na") < F.col("nb")))
+          .groupBy(F.col("na").alias("a"), F.col("nb").alias("b"))
+          .agg(F.count("*").cast("bigint").alias("n_common")))
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b"))
+    nonadj = cn.join(und, ["a", "b"], "left_anti")
+    return (nonadj
+            .join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+            .select("a", "b", "n_common", "deg_a", "deg_b",
+                    F.round(F.col("n_common").cast("double")
+                            / (F.col("deg_a") + F.col("deg_b")
+                               - F.col("n_common")).cast("double"), 6)
+                    .alias("jaccard"))
+            .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")))

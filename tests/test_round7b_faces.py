@@ -138,3 +138,108 @@ def test_mase_matches_dict_walk(spark):
         assert row.mase == round(mae_f / mae_n, 6)
         # MASE is the scale-free metric: must be finite and positive
         assert 0 < row.mase < 100
+
+
+def test_corr_matrix_matches_numpy(spark):
+    daily = _daily_counts(spark)
+    per_type = collections.defaultdict(dict)
+    for (et, d), c in daily.items():
+        per_type[et][d] = c
+    types = sorted(per_type)
+    got = {(r.type_a, r.type_b): r
+           for r in __import__(
+               "process_nwb_spark.relational.event_windows",
+               fromlist=["ts_corr_matrix"])
+           .ts_corr_matrix(spark, SF_CORRECT).collect()}
+    n_pairs = 0
+    for i, ta in enumerate(types):
+        for tb in types[i + 1:]:
+            days = sorted(set(per_type[ta]) & set(per_type[tb]))
+            x = np.array([per_type[ta][d] for d in days], dtype=np.int64)
+            y = np.array([per_type[tb][d] for d in days], dtype=np.int64)
+            if len(days) < 3 or x.var() == 0 or y.var() == 0:
+                assert (ta, tb) not in got
+                continue
+            # the exact integer-sum closed form the face evaluates
+            n = len(days)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy = int((x * y).sum())
+            sx2, sy2 = int((x * x).sum()), int((y * y).sum())
+            r = float(n * sxy - sx * sy) / math.sqrt(
+                float(n * sx2 - sx * sx) * float(n * sy2 - sy * sy))
+            row = got[(ta, tb)]
+            assert row.n_days == n
+            assert row.r == round(r, 6)
+            assert abs(row.r - np.corrcoef(x, y)[0, 1]) < 5e-7
+            n_pairs += 1
+    assert n_pairs == len(got) > 0
+
+
+def test_welch_t_matches_formula(spark):
+    from process_nwb_spark.relational.event_windows import abtest_welch_t
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet") \
+        .select("o_custkey", "o_totalprice").toPandas()
+    c = spark.read.parquet(f"{SF_CORRECT}/customer.parquet") \
+        .select("c_custkey", "c_mktsegment").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    arms = {}
+    for seg in ("BUILDING", "AUTOMOBILE"):
+        cents = np.floor(
+            j.loc[j.c_mktsegment == seg, "o_totalprice"].to_numpy()
+            * 100 + 0.5).astype(np.int64)
+        arms[seg] = cents
+    a, b = arms["BUILDING"], arms["AUTOMOBILE"]
+    va = a.var(ddof=1) / len(a)
+    vb = b.var(ddof=1) / len(b)
+    diff = a.mean() - b.mean()
+    t = diff / math.sqrt(va + vb)
+    df = (va + vb) ** 2 / (va * va / (len(a) - 1) + vb * vb / (len(b) - 1))
+    row = abtest_welch_t(spark, SF_CORRECT).collect()[0]
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    assert abs(row.mean_diff_dollars - diff / 100.0) < 1e-3
+    assert abs(row.t_stat - t) < 1e-5
+    assert abs(row.welch_df - df) < 0.5
+
+
+def test_link_predict_matches_python_graph(spark):
+    from process_nwb_spark.relational.graph_ops import graph_link_predict
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet") \
+        .select("l_orderkey", "l_suppkey")
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet") \
+        .select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{SF_CORRECT}/customer.parquet") \
+        .select("c_custkey", "c_nationkey")
+    s = spark.read.parquet(f"{SF_CORRECT}/supplier.parquet") \
+        .select("s_suppkey", "s_nationkey")
+    pdf = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(c, o.o_custkey == c.c_custkey)
+           .join(s, li.l_suppkey == s.s_suppkey)
+           .select("c_nationkey", "s_nationkey").toPandas())
+    w = collections.Counter((int(a), int(b))
+                            for a, b in pdf.itertuples(index=False)
+                            if a != b)
+    und = set()
+    by_src = collections.defaultdict(list)
+    for (src, dst), cnt in w.items():
+        by_src[src].append((-cnt, dst))
+    for src, lst in by_src.items():
+        for _, dst in sorted(lst)[:3]:
+            und.add((min(src, dst), max(src, dst)))
+    nbrs = collections.defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) in und:
+                continue
+            common = len(nbrs[a] & nbrs[b])
+            if common:
+                want[(a, b)] = (common, len(nbrs[a]), len(nbrs[b]),
+                                round(common / len(nbrs[a] | nbrs[b]), 6))
+    got = {(r.a, r.b): (r.n_common, r.deg_a, r.deg_b, r.jaccard)
+           for r in graph_link_predict(spark, SF_CORRECT).collect()}
+    assert got == want
+    assert len(got) > 0
