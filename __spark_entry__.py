@@ -124,6 +124,9 @@ DRIVER_PRIORITY = (
     # cross-series correlation matrix, Welch two-sample t (decimal-exact
     # sum of squares), kNN-graph link prediction by neighbor Jaccard
     "ts_corr_matrix", "abtest_welch_t", "graph_link_predict",
+    # PACF via the Durbin-Levinson recursion unrolled over the lag-array
+    # column — completes the Box-Jenkins ACF/PACF pair
+    "ts_pacf",
 )
 
 

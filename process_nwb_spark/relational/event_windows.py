@@ -2178,3 +2178,177 @@ def abtest_welch_t(spark, sf_dir):
         F.round((va + vb) * (va + vb)
                 / ((va * va) / (na - F.lit(1.0))
                    + (vb * vb) / (nb - F.lit(1.0))), 2).alias("welch_df"))
+
+
+_PACF_K = 7
+
+
+def _pacf_oracle() -> str:
+    """Durbin-Levinson unrolled as chained CTEs (the graph_pagerank oracle
+    pattern): level k derives phi_k / pacf_k from level k-1 with list ops
+    whose folds walk in index order — the same order Spark's aggregate()
+    uses, so every float op sees identical inputs in identical order."""
+    K = _PACF_K
+    ctes = ["""daily AS (
+      SELECT event_type,
+             DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    meta AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s,
+             SUM(x*x) AS sxx, MIN(di) AS d0, MAX(di) AS d1
+      FROM daily GROUP BY 1
+    ),
+    lagk AS (
+      SELECT a.event_type AS et, l.k,
+             SUM(a.x * b.x) AS sxy, SUM(a.x) AS shead, SUM(b.x) AS stail
+      FROM daily a
+      CROSS JOIN (SELECT UNNEST(RANGE(1, %d)) AS k) l
+      JOIN daily b ON b.event_type = a.event_type AND b.di = a.di + l.k
+      GROUP BY 1, 2
+    ),
+    gams AS (
+      SELECT m.event_type,
+             LIST(
+               CAST(lagk.sxy AS DOUBLE)
+               - (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                 * CAST(lagk.shead + lagk.stail AS DOUBLE)
+               + CAST(m.n - lagk.k AS DOUBLE)
+                 * (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                 * (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+               ORDER BY lagk.k) AS gam,
+             MAX(CAST(m.sxx AS DOUBLE)
+                 - CAST(m.n AS DOUBLE)
+                   * (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                   * (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))) AS g0
+      FROM lagk JOIN meta m ON m.event_type = lagk.et
+      WHERE m.d1 - m.d0 + 1 = m.n AND m.n > %d AND m.n * m.sxx > m.s * m.s
+      GROUP BY 1
+    ),
+    r AS (
+      SELECT event_type, LIST_TRANSFORM(gam, g -> g / g0) AS rho FROM gams
+    ),
+    lvl1 AS (
+      SELECT event_type, rho, [rho[1]] AS phi, [rho[1]] AS pacf FROM r
+    )""" % (K + 1, K)]
+    for k in range(2, K + 1):
+        ctes.append(f"""a{k} AS (
+      SELECT event_type, rho, phi, pacf,
+             (rho[{k}] - LIST_SUM(LIST_TRANSFORM(RANGE(1, {k}),
+                  j -> phi[CAST(j AS INT)] * rho[{k} - CAST(j AS INT)])))
+             / (1.0 - LIST_SUM(LIST_TRANSFORM(RANGE(1, {k}),
+                  j -> phi[CAST(j AS INT)] * rho[CAST(j AS INT)]))) AS a
+      FROM lvl{k - 1}
+    ),
+    lvl{k} AS (
+      SELECT event_type, rho,
+             LIST_APPEND(LIST_TRANSFORM(RANGE(1, {k}),
+                 j -> phi[CAST(j AS INT)] - a * phi[{k} - CAST(j AS INT)]),
+               a) AS phi,
+             LIST_APPEND(pacf, a) AS pacf
+      FROM a{k}
+    )""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT event_type, CAST(t.k AS BIGINT) AS lag,
+           ROUND(rho[CAST(t.k AS INT)], 6) AS acf,
+           ROUND(pacf[CAST(t.k AS INT)], 6) AS pacf
+    FROM lvl{K}, UNNEST(RANGE(1, {K + 1})) AS t(k)
+    ORDER BY event_type, lag
+    """)
+
+
+@query(
+    "ts_pacf",
+    _pacf_oracle(),
+    doc="partial autocorrelation (PACF) of the per-type daily count at "
+        "lags 1..7 via the Durbin-Levinson recursion — with ts_acf this "
+        "completes the ACF/PACF pair every Box-Jenkins order-selection "
+        "step reads (PACF cutting off at p identifies the AR(p)). The "
+        "autocovariances come from EXACT integer sums (Σxᵢxᵢ₊ₖ, head/"
+        "tail sums, n, S) over the same calendar-bounded lag fan-out as "
+        "ts_acf — biased estimator, closed form, no per-element float "
+        "sums — and the D-L recursion is then unrolled over the "
+        "lag-array column as 7 in-plan levels of array transforms + "
+        "index-ordered folds (a recurrence windows cannot express; "
+        "state = the φ coefficient array). Identical expression shapes "
+        "walk identical doubles in identical order in both engines, so "
+        "the face is hash-exact. Non-contiguous or constant series are "
+        "excluded by integer guards; sequential depth is 7 regardless of "
+        "corpus size, and everything upstream is partial-aggregable",
+)
+def ts_pacf(spark, sf_dir):
+    K = _PACF_K
+    ev = T(spark, sf_dir, "events")
+    epoch = F.lit("2024-01-01").cast("date")
+    daily = (ev.groupBy("event_type",
+                        F.datediff(F.col("ts").cast("date"), epoch)
+                        .alias("di"))
+             .agg(F.count("*").cast("bigint").alias("x"))
+             .cache())
+    meta = (daily.groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.sum("x").alias("s"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.min("di").alias("d0"), F.max("di").alias("d1")))
+    lags = spark.range(1, K + 1).select(F.col("id").alias("k"))
+    a = (daily.crossJoin(F.broadcast(lags))
+         .select("event_type", "k", (F.col("di") + F.col("k")).alias("dj"),
+                 F.col("x").alias("xh")))
+    b = daily.select(F.col("event_type").alias("et2"),
+                     F.col("di").alias("dj2"), F.col("x").alias("xt"))
+    lagk = (a.join(b, (F.col("event_type") == F.col("et2"))
+                   & (F.col("dj") == F.col("dj2")))
+            .groupBy("event_type", "k")
+            .agg(F.sum(F.col("xh") * F.col("xt")).alias("sxy"),
+                 F.sum("xh").alias("shead"), F.sum("xt").alias("stail")))
+    m = F.col("s").cast("double") / F.col("n").cast("double")
+    gam_k = (F.col("sxy").cast("double")
+             - m * (F.col("shead") + F.col("stail")).cast("double")
+             + (F.col("n") - F.col("k")).cast("double") * m * m)
+    g0 = (F.col("sxx").cast("double")
+          - F.col("n").cast("double") * m * m)
+    gams = (lagk.join(meta, "event_type")
+            .filter((F.col("d1") - F.col("d0") + 1 == F.col("n"))
+                    & (F.col("n") > K)
+                    & (F.col("n") * F.col("sxx") > F.col("s") * F.col("s")))
+            .groupBy("event_type")
+            .agg(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("k"), gam_k.alias("g")))),
+                     lambda x: x["g"]).alias("gam"),
+                 F.max(g0).alias("g0")))
+    lvl = (gams.select(
+        "event_type",
+        F.transform("gam", lambda g: g / F.col("g0")).alias("rho"))
+        .withColumn("phi", F.array(F.element_at("rho", 1)))
+        .withColumn("pacf", F.array(F.element_at("rho", 1))))
+    for k in range(2, K + 1):
+        num = (F.element_at("rho", k)
+               - F.aggregate(F.sequence(F.lit(1), F.lit(k - 1)), F.lit(0.0),
+                             lambda acc, j: acc + F.element_at("phi", j)
+                             * F.element_at("rho", (F.lit(k) - j)
+                                            .cast("int"))))
+        den = (F.lit(1.0)
+               - F.aggregate(F.sequence(F.lit(1), F.lit(k - 1)), F.lit(0.0),
+                             lambda acc, j: acc + F.element_at("phi", j)
+                             * F.element_at("rho", j)))
+        lvl = (lvl.withColumn("a", num / den)
+               .withColumn("phi", F.concat(
+                   F.transform(F.sequence(F.lit(1), F.lit(k - 1)),
+                               lambda j: F.element_at("phi", j)
+                               - F.col("a")
+                               * F.element_at("phi", (F.lit(k) - j)
+                                              .cast("int"))),
+                   F.array(F.col("a"))))
+               .withColumn("pacf", F.concat("pacf", F.array(F.col("a"))))
+               .drop("a"))
+    return (lvl.select("event_type", "rho", "pacf",
+                       F.explode(F.sequence(F.lit(1), F.lit(K)))
+                       .alias("lag"))
+            .select("event_type", F.col("lag").cast("bigint").alias("lag"),
+                    F.round(F.element_at("rho", F.col("lag").cast("int")), 6)
+                    .alias("acf"),
+                    F.round(F.element_at("pacf", F.col("lag").cast("int")), 6)
+                    .alias("pacf"))
+            .orderBy("event_type", "lag"))

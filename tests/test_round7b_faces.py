@@ -243,3 +243,43 @@ def test_link_predict_matches_python_graph(spark):
            for r in graph_link_predict(spark, SF_CORRECT).collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_pacf_matches_numpy_durbin_levinson(spark):
+    from process_nwb_spark.relational.event_windows import _PACF_K, ts_pacf
+    daily = _daily_counts(spark)
+    per_type = collections.defaultdict(dict)
+    for (et, d), c in daily.items():
+        per_type[et][d] = c
+    got = {(r.event_type, r.lag): r
+           for r in ts_pacf(spark, SF_CORRECT).collect()}
+    K = _PACF_K
+    n_series = 0
+    for et, series in per_type.items():
+        days = sorted(series)
+        x = np.array([series[d] for d in days], dtype=float)
+        n = len(x)
+        contiguous = (days[-1] - days[0]).days + 1 == n
+        if not contiguous or n <= K or x.var() == 0:
+            assert not any((et, k) in got for k in range(1, K + 1))
+            continue
+        m = x.mean()
+        gam = [((x[:n - k] - m) * (x[k:] - m)).sum() / n
+               for k in range(K + 1)]
+        rho = [g / gam[0] for g in gam]
+        phi = {1: rho[1]}
+        pacf = [rho[1]]
+        for k in range(2, K + 1):
+            num = rho[k] - sum(phi[j] * rho[k - j] for j in range(1, k))
+            den = 1 - sum(phi[j] * rho[j] for j in range(1, k))
+            a = num / den
+            phi = {j: phi[j] - a * phi[k - j] for j in range(1, k)}
+            phi[k] = a
+            pacf.append(a)
+        for k in range(1, K + 1):
+            row = got[(et, k)]
+            assert abs(row.acf - rho[k]) < 1e-6
+            assert abs(row.pacf - pacf[k - 1]) < 1e-6
+        assert got[(et, 1)].acf == got[(et, 1)].pacf  # D-L base case
+        n_series += 1
+    assert n_series * K == len(got) > 0
