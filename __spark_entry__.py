@@ -127,6 +127,10 @@ DRIVER_PRIORITY = (
     # PACF via the Durbin-Levinson recursion unrolled over the lag-array
     # column — completes the Box-Jenkins ACF/PACF pair
     "ts_pacf",
+    # mergeable-sketch tier: KLL quantiles (two-level day->type merge,
+    # exact-n + rank-band contract), Theta set algebra (the intersection
+    # HLL can't do; exact cardinalities oracled, 5% contract booleans)
+    "agg_kll_quantiles", "agg_theta_set_ops",
 )
 
 

@@ -816,3 +816,132 @@ def bitmap_retention_intersect(spark, sf_dir):
                     F.round((F.col("n1") + F.col("n2") - F.col("nu"))
                             .cast("double") / F.col("n1"), 6)
                     .alias("retention")))
+
+
+@query(
+    "agg_kll_quantiles",
+    """
+    WITH cents AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(QUANTILE_DISC(c, 0.5) AS BIGINT) AS exact_median_cents
+      FROM cents GROUP BY event_type
+    )
+    SELECT event_type, n, exact_median_cents,
+           1 AS rank_ok, 1 AS n_exact
+    FROM med ORDER BY event_type
+    """,
+    doc="mergeable quantiles with KLL sketches (Apache DataSketches, "
+        "Spark 4): one kll_sketch_agg_bigint per (event_type, day), "
+        "kll_merge day sketches up to event_type — the 100 TB rollup "
+        "pattern for percentile dashboards: per-shard sketches persist "
+        "once and re-merge along any dimension without rescanning raw "
+        "data (the quantile analog of agg_hll_sketch). Values fix to "
+        "integer cents so the exact side is a pure order statistic "
+        "(QUANTILE_DISC — no interpolation float). The binary sketch "
+        "isn't replayable in DuckDB, so the oracled contract is: "
+        "n_exact — KLL tracks the stream length EXACTLY, so get_n == "
+        "COUNT(*) must hold bit-for-bit even though quantiles are "
+        "approximate — plus rank_ok: the sketch's rank estimate of the "
+        "TRUE median sits in [0.45, 0.55] (k=200 guarantees ~1.65% "
+        "rank error at 99% confidence; 5% is a 3x margin, not a "
+        "knife edge)",
+)
+def agg_kll_quantiles(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"))
+    daily = (cents.groupBy("event_type", "day")
+             .agg(F.expr("kll_sketch_agg_bigint(c, 200)").alias("sk")))
+    merged = (daily.groupBy("event_type")
+              .agg(F.expr("kll_merge_agg_bigint(sk)").alias("sk")))
+    exact = (cents.groupBy("event_type")
+             .agg(F.count("*").cast("bigint").alias("n"),
+                  F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+                  .cast("bigint").alias("exact_median_cents"),
+                  F.expr("percentile_disc(0.45) WITHIN GROUP (ORDER BY c)")
+                  .cast("bigint").alias("q45"),
+                  F.expr("percentile_disc(0.55) WITHIN GROUP (ORDER BY c)")
+                  .cast("bigint").alias("q55")))
+    est = F.expr("kll_sketch_get_quantile_bigint(sk, 0.5)")
+    return (merged.join(exact, "event_type")
+            .select("event_type", "n", "exact_median_cents",
+                    ((est >= F.col("q45")) & (est <= F.col("q55")))
+                    .cast("int").alias("rank_ok"),
+                    (F.expr("kll_sketch_get_n_bigint(sk)") == F.col("n"))
+                    .cast("int").alias("n_exact"))
+            .orderBy("event_type"))
+
+
+@query(
+    "agg_theta_set_ops",
+    """
+    WITH c AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase')
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS exact_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS exact_purchase,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT user_id FROM c UNION SELECT user_id FROM p))
+             AS exact_union,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM c JOIN p USING (user_id)) AS exact_intersect,
+           1 AS union_ok, 1 AS intersect_ok
+    """,
+    doc="distinct-count SET ALGEBRA with Theta sketches (Apache "
+        "DataSketches, Spark 4): audience overlap — |click ∪ purchase| "
+        "and |click ∩ purchase| from two theta_sketch_agg sketches via "
+        "theta_union / theta_intersection — the operation HLL cannot do "
+        "(HLL unions but never intersects). At 100 TB each segment's "
+        "sketch is built once in one scan and any pairwise overlap "
+        "matrix is then sketch-side algebra, no re-scan, no n² "
+        "COUNT(DISTINCT) joins. Binary sketches aren't replayable in "
+        "DuckDB, so the oracle pins the EXACT four cardinalities "
+        "(distinct-user rollups + one equi-join) and the contract "
+        "booleans assert both estimates land within 5% of exact "
+        "(lgK=12 -> RSE ~1.6%; intersections inflate error, hence the "
+        "wider margin on a deliberately overlapping pair)",
+)
+def agg_theta_set_ops(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    sk = (e.filter(F.col("event_type").isin("click", "purchase"))
+          .groupBy("event_type")
+          .agg(F.expr("theta_sketch_agg(user_id, 12)").alias("sk")))
+    w = sk.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("sk")))
+        .alias("sk_c"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sk")))
+        .alias("sk_p"))
+    est = w.select(
+        F.expr("theta_sketch_estimate(theta_union(sk_c, sk_p))")
+        .alias("est_union"),
+        F.expr("theta_sketch_estimate(theta_intersection(sk_c, sk_p))")
+        .alias("est_intersect"))
+    c = e.filter(F.col("event_type") == "click") \
+        .select("user_id").distinct()
+    p = e.filter(F.col("event_type") == "purchase") \
+        .select("user_id").distinct()
+    exact = (c.agg(F.count("*").cast("bigint").alias("exact_click"))
+             .crossJoin(p.agg(F.count("*").cast("bigint")
+                              .alias("exact_purchase")))
+             .crossJoin(c.union(p).distinct()
+                        .agg(F.count("*").cast("bigint")
+                             .alias("exact_union")))
+             .crossJoin(c.join(p, "user_id")
+                        .agg(F.count("*").cast("bigint")
+                             .alias("exact_intersect"))))
+    ok = lambda est_c, ex_c: (  # noqa: E731
+        F.abs(F.col(est_c) - F.col(ex_c))
+        <= 0.05 * F.col(ex_c)).cast("int")
+    return (est.crossJoin(exact)
+            .select("exact_click", "exact_purchase", "exact_union",
+                    "exact_intersect",
+                    ok("est_union", "exact_union").alias("union_ok"),
+                    ok("est_intersect", "exact_intersect")
+                    .alias("intersect_ok")))

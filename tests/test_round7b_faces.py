@@ -283,3 +283,43 @@ def test_pacf_matches_numpy_durbin_levinson(spark):
         assert got[(et, 1)].acf == got[(et, 1)].pacf  # D-L base case
         n_series += 1
     assert n_series * K == len(got) > 0
+
+
+def test_kll_quantiles_contract_and_margin(spark):
+    from process_nwb_spark.relational.fn_extra import agg_kll_quantiles
+    rows = agg_kll_quantiles(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_exact == 1      # KLL tracks n EXACTLY — hard contract
+        assert r.rank_ok == 1      # estimate within the 10%-wide rank band
+    # margin check (VERDICT r6 ask #7 pattern): the estimate should sit
+    # well inside the band, not on its edge — recompute the exact rank of
+    # the sketch median per type and require >= 2x slack vs the 0.05 bound
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet") \
+        .selectExpr("event_type",
+                    "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c") \
+        .toPandas()
+    import pyspark.sql.functions as FN
+    sk = (spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+          .selectExpr("event_type",
+                      "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c")
+          .groupBy("event_type")
+          .agg(FN.expr("kll_sketch_get_quantile_bigint("
+                       "kll_sketch_agg_bigint(c, 200), 0.5)").alias("est"))
+          .collect())
+    for r in sk:
+        grp = ev.loc[ev.event_type == r.event_type, "c"].to_numpy()
+        rank = (grp <= r.est).mean()
+        assert abs(rank - 0.5) <= 0.025, (r.event_type, rank)
+
+
+def test_theta_set_ops_contract(spark):
+    from process_nwb_spark.relational.fn_extra import agg_theta_set_ops
+    r = agg_theta_set_ops(spark, SF_CORRECT).collect()[0]
+    assert r.union_ok == 1 and r.intersect_ok == 1
+    # the click/purchase audiences genuinely overlap in the testdata
+    assert 0 < r.exact_intersect <= min(r.exact_click, r.exact_purchase)
+    assert r.exact_union <= r.exact_click + r.exact_purchase
+    # inclusion-exclusion on the exact side
+    assert (r.exact_union
+            == r.exact_click + r.exact_purchase - r.exact_intersect)
