@@ -131,6 +131,9 @@ DRIVER_PRIORITY = (
     # exact-n + rank-band contract), Theta set algebra (the intersection
     # HLL can't do; exact cardinalities oracled, 5% contract booleans)
     "agg_kll_quantiles", "agg_theta_set_ops",
+    # CEP pattern matching: MATCH_RECOGNIZE DOWN{2,}UP{2,} compiled to
+    # gaps-and-islands run compression + run-table adjacency join
+    "seq_pattern_vshape",
 )
 
 

@@ -2352,3 +2352,112 @@ def ts_pacf(spark, sf_dir):
                     F.round(F.element_at("pacf", F.col("lag").cast("int")), 6)
                     .alias("pacf"))
             .orderBy("event_type", "lag"))
+
+
+@query(
+    "seq_pattern_vshape",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    diffs AS (
+      SELECT event_type, d, x,
+             CASE WHEN x > LAG(x) OVER w THEN 1
+                  WHEN x < LAG(x) OVER w THEN -1 ELSE 0 END AS s,
+             ROW_NUMBER() OVER w AS rn
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    runs AS (
+      SELECT event_type, s,
+             MIN(d) AS run_start, MAX(d) AS run_end,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(rn) AS rn0, MAX(rn) AS rn1
+      FROM (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY event_type, s
+                                              ORDER BY rn) AS grp
+            FROM diffs WHERE s <> 0)
+      GROUP BY event_type, s, grp
+    ),
+    vshapes AS (
+      SELECT dn.event_type AS et,
+             dn.run_start AS decline_first_day, dn.run_end AS trough_day,
+             up.run_end AS recovery_end_day,
+             dn.len AS decline_len, up.len AS recovery_len
+      FROM runs dn JOIN runs up
+        ON up.event_type = dn.event_type AND up.rn0 = dn.rn1 + 1
+       AND dn.s = -1 AND up.s = 1
+    )
+    SELECT v.et AS event_type,
+           CAST(v.decline_first_day AS VARCHAR) AS decline_first_day,
+           CAST(v.trough_day AS VARCHAR) AS trough_day,
+           CAST(v.recovery_end_day AS VARCHAR) AS recovery_end_day,
+           v.decline_len, v.recovery_len, a.x AS trough_value
+    FROM vshapes v JOIN daily a
+      ON a.event_type = v.et AND a.d = v.trough_day
+    WHERE v.decline_len >= 2 AND v.recovery_len >= 2
+    ORDER BY event_type, decline_first_day
+    """,
+    doc="complex-event-processing pattern matching — the MATCH_RECOGNIZE "
+        "/ Flink-CEP shape `DOWN{2,} UP{2,}` (a V: sustained decline into "
+        "a trough, then sustained recovery) detected over the per-type "
+        "daily count, with VARIABLE-length runs (fixed-width lag chains "
+        "can't express 'one or more'). Spark has no MATCH_RECOGNIZE; the "
+        "engine compiles the pattern to relational algebra: sign-of-diff "
+        "-> gaps-and-islands run compression (both windows ride ONE "
+        "type-keyed shuffle) -> adjacency self-join of the RUN table "
+        "(rows = number of direction changes, calendar-bounded) pairing "
+        "each maximal down-run with the up-run that starts where it "
+        "ends. All comparisons are integer, so the face is hash-exact. "
+        "At 100 TB the pattern runs on the rollup, never raw events — "
+        "the same fact->state-table split as the CUSUM/streak faces",
+)
+def seq_pattern_vshape(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("bigint").alias("x"))
+             .cache())
+    w = Window.partitionBy("event_type").orderBy("d")
+    diffs = (daily
+             .withColumn("px", F.lag("x").over(w))
+             .withColumn("s", F.when(F.col("x") > F.col("px"), 1)
+                         .when(F.col("x") < F.col("px"), -1)
+                         .otherwise(0))
+             .withColumn("rn", F.row_number().over(w))
+             .drop("px"))
+    wg = Window.partitionBy("event_type", "s").orderBy("rn")
+    runs = (diffs.filter(F.col("s") != 0)
+            .withColumn("grp", F.col("rn") - F.row_number().over(wg))
+            .groupBy("event_type", "s", "grp")
+            .agg(F.min("d").alias("run_start"), F.max("d").alias("run_end"),
+                 F.count("*").cast("bigint").alias("len"),
+                 F.min("rn").alias("rn0"), F.max("rn").alias("rn1"))
+            .drop("grp"))
+    dn = (runs.filter(F.col("s") == -1)
+          .select(F.col("event_type").alias("et"),
+                  F.col("run_start").alias("decline_first_day"),
+                  F.col("run_end").alias("trough_day"),
+                  F.col("len").alias("decline_len"),
+                  F.col("rn1")))
+    up = (runs.filter(F.col("s") == 1)
+          .select(F.col("event_type").alias("et2"),
+                  F.col("run_end").alias("recovery_end_day"),
+                  F.col("len").alias("recovery_len"),
+                  F.col("rn0")))
+    v = dn.join(up, (F.col("et") == F.col("et2"))
+                & (F.col("rn0") == F.col("rn1") + 1))
+    tr = daily.select(F.col("event_type").alias("et3"),
+                      F.col("d").alias("td"),
+                      F.col("x").alias("trough_value"))
+    return (v.join(tr, (F.col("et") == F.col("et3"))
+                   & (F.col("trough_day") == F.col("td")))
+            .filter((F.col("decline_len") >= 2)
+                    & (F.col("recovery_len") >= 2))
+            .select(F.col("et").alias("event_type"),
+                    F.col("decline_first_day").cast("string")
+                    .alias("decline_first_day"),
+                    F.col("trough_day").cast("string").alias("trough_day"),
+                    F.col("recovery_end_day").cast("string")
+                    .alias("recovery_end_day"),
+                    "decline_len", "recovery_len", "trough_value")
+            .orderBy("event_type", "decline_first_day"))

@@ -323,3 +323,45 @@ def test_theta_set_ops_contract(spark):
     # inclusion-exclusion on the exact side
     assert (r.exact_union
             == r.exact_click + r.exact_purchase - r.exact_intersect)
+
+
+def test_vshape_matches_python_scan(spark):
+    from process_nwb_spark.relational.event_windows import seq_pattern_vshape
+    daily = _daily_counts(spark)
+    per_type = collections.defaultdict(list)
+    for (et, d), c in sorted(daily.items()):
+        per_type[et].append((d, c))
+    got = {(r.event_type, r.decline_first_day, r.trough_day,
+            r.recovery_end_day, r.decline_len, r.recovery_len,
+            r.trough_value)
+           for r in seq_pattern_vshape(spark, SF_CORRECT).collect()}
+    # literal CEP scan: compress into signed runs, pair DOWN{2,}UP{2,};
+    # decline_first_day is the first day whose diff is negative (run_start)
+    want2 = set()
+    for et, series in per_type.items():
+        xs = series
+        runs = []
+        for i in range(1, len(xs)):
+            (d0, x0), (d1, x1) = xs[i - 1], xs[i]
+            s = 1 if x1 > x0 else (-1 if x1 < x0 else 0)
+            if s == 0:
+                runs.append(None)
+                continue
+            if runs and runs[-1] and runs[-1][0] == s:
+                sign, fd, _, ln = runs[-1]
+                runs[-1] = (sign, fd, d1, ln + 1)
+            else:
+                runs.append((s, d1, d1, 1))
+        runs = [r for r in runs if r]
+        vals = dict(xs)
+        for r1, r2 in zip(runs, runs[1:]):
+            if (r1[0] == -1 and r2[0] == 1 and r1[3] >= 2 and r2[3] >= 2
+                    and r2[1] == r1[2] + pd.Timedelta(days=1)):
+                want2.add((et, str(r1[1]), str(r1[2]), str(r2[2]),
+                           r1[3], r2[3], vals[r1[2]]))
+    assert got == want2
+    assert len(got) > 0
+    for r in got:   # trough is a genuine local minimum of the series
+        vals = dict(per_type[r[0]])
+        td = pd.Timestamp(r[2]).date()
+        assert vals[td] == r[6]
