@@ -134,6 +134,9 @@ DRIVER_PRIORITY = (
     # CEP pattern matching: MATCH_RECOGNIZE DOWN{2,}UP{2,} compiled to
     # gaps-and-islands run compression + run-table adjacency join
     "seq_pattern_vshape",
+    # modern embedding-deployment evals: MRL truncation recall@5,
+    # sign-bit binary quantization + Hamming coarse search (all-integer)
+    "embed_matryoshka_eval", "embed_binary_quant",
 )
 
 

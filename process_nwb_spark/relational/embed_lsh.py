@@ -744,3 +744,190 @@ def semantic_dedup(spark, sf_dir):
             .join(dup, tiles.vec_id == dup.va, "left")
             .select("vec_id", "cid",
                     F.coalesce("d", F.lit(0)).alias("is_dup")))
+
+
+@query(
+    "embed_matryoshka_eval",
+    """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS av
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE)
+                             * CAST(a.av[i] AS DOUBLE)))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(a.av,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) AS cos_full,
+             ROUND(
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+                        i -> CAST(e.embedding[i] AS DOUBLE)
+                             * CAST(a.av[i] AS DOUBLE)))
+               / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+                           i -> CAST(e.embedding[i] AS DOUBLE)
+                                * CAST(e.embedding[i] AS DOUBLE))))
+                  * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+                           i -> CAST(a.av[i] AS DOUBLE)
+                                * CAST(a.av[i] AS DOUBLE))))),
+               6) AS cos_trunc
+      FROM embeddings e CROSS JOIN a
+      WHERE e.vec_id <> a.anchor_id
+    ),
+    ranked AS (
+      SELECT anchor_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_full DESC, vec_id) AS rn_f,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_trunc DESC, vec_id) AS rn_t
+      FROM scored
+    )
+    SELECT anchor_id,
+           CAST(SUM(CASE WHEN rn_t <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS overlap_at_5,
+           ROUND(CAST(SUM(CASE WHEN rn_t <= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / 5.0, 6) AS recall_at_5
+    FROM ranked WHERE rn_f <= 5
+    GROUP BY anchor_id
+    ORDER BY anchor_id
+    """,
+    doc="Matryoshka (MRL) truncation evaluation: per anchor, how much of "
+        "the exact full-dimension cosine top-5 survives when retrieval "
+        "uses only the FIRST 16 of 64 dimensions — the measurement that "
+        "decides whether a pipeline can run its ANN index at 4x less "
+        "memory/bandwidth and re-rank with full vectors (the standard "
+        "MRL deployment). One scored scan computes both similarities "
+        "(the truncated one a prefix fold over the same array — no "
+        "second pass over the corpus), two per-anchor top-5 windows, "
+        "(riding one anchor-keyed shuffle), and the overlap is a "
+        "conditional count over the full top-5 — no join. Both order by the "
+        "ROUNDED cosine with vec_id tie-break (the embed_hard_negatives "
+        "idiom) so the cut is identical in both engines; overlap is an "
+        "integer and recall an exact /5 division. At corpus scale the "
+        "anchors broadcast and the candidate generation would ride the "
+        "IVF/LSH routes; this face is the exact eval those feed",
+)
+def embed_matryoshka_eval(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = spread(T(spark, sf_dir, "embeddings"))
+    a = (e.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("anchor_id"),
+                 F.col("embedding").alias("av")))
+
+    def dot(c1, c2):
+        return F.aggregate(
+            F.zip_with(c1, c2,
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def norm(c):
+        return F.sqrt(F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    sl = lambda c: F.slice(F.col(c), 1, 16)  # noqa: E731
+    scored = (e.crossJoin(F.broadcast(a))
+              .filter(F.col("vec_id") != F.col("anchor_id"))
+              .select("anchor_id", "vec_id",
+                      F.round(dot(F.col("embedding"), F.col("av"))
+                              / (norm(F.col("embedding"))
+                                 * norm(F.col("av"))), 6).alias("cos_full"),
+                      F.round(dot(sl("embedding"), sl("av"))
+                              / (norm(sl("embedding")) * norm(sl("av"))), 6)
+                      .alias("cos_trunc")))
+    wf = Window.partitionBy("anchor_id").orderBy(F.desc("cos_full"),
+                                                 F.asc("vec_id"))
+    wt = Window.partitionBy("anchor_id").orderBy(F.desc("cos_trunc"),
+                                                 F.asc("vec_id"))
+    # both rankings ride ONE anchor-keyed shuffle; the overlap is then a
+    # conditional count — no K-sized self-join, no second corpus pass
+    top = (scored
+           .withColumn("rn_f", F.row_number().over(wf))
+           .withColumn("rn_t", F.row_number().over(wt)))
+    return (top.filter(F.col("rn_f") <= 5)
+            .groupBy("anchor_id")
+            .agg(F.sum((F.col("rn_t") <= 5).cast("int")).cast("bigint")
+                 .alias("overlap_at_5"))
+            .select("anchor_id", "overlap_at_5",
+                    F.round(F.col("overlap_at_5").cast("double") / 5.0, 6)
+                    .alias("recall_at_5"))
+            .orderBy("anchor_id"))
+
+
+@query(
+    "embed_binary_quant",
+    """
+    WITH packed AS (
+      SELECT vec_id,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 33),
+                  i -> CASE WHEN embedding[CAST(i AS INT)] > 0
+                            THEN CAST(1 AS BIGINT) << (CAST(i AS INT) - 1)
+                            ELSE CAST(0 AS BIGINT) END))
+               AS BIGINT) AS lo,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(33, 65),
+                  i -> CASE WHEN embedding[CAST(i AS INT)] > 0
+                            THEN CAST(1 AS BIGINT) << (CAST(i AS INT) - 33)
+                            ELSE CAST(0 AS BIGINT) END))
+               AS BIGINT) AS hi
+      FROM embeddings
+    ),
+    a AS (SELECT vec_id AS anchor_id, lo AS alo, hi AS ahi
+          FROM packed WHERE vec_id % 50 = 0),
+    d AS (
+      SELECT a.anchor_id, p.vec_id,
+             CAST(BIT_COUNT(XOR(p.lo, a.alo))
+                  + BIT_COUNT(XOR(p.hi, a.ahi)) AS BIGINT) AS hamming
+      FROM packed p CROSS JOIN a WHERE p.vec_id <> a.anchor_id
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                       ORDER BY hamming, vec_id) AS rn
+          FROM d)
+    SELECT anchor_id, vec_id, hamming FROM r WHERE rn <= 3
+    ORDER BY anchor_id, hamming, vec_id
+    """,
+    doc="binary quantization retrieval: each 64-dim vector compresses to "
+        "64 SIGN BITS (8 bytes — a 32x memory cut vs float32) packed "
+        "into two 32-bit halves, and the coarse search is top-3 by "
+        "Hamming distance = bit_count(xor) — one or two CPU instructions "
+        "per comparison, the bit-index stage modern vector stores "
+        "(Qdrant/Weaviate binary quantization, Cohere int8/binary "
+        "embeddings) run before exact re-rank. The packing is one "
+        "in-plan integer fold per vector (no UDF); halves stay below "
+        "2^32 so no engine promotes to wider types (a single 64-bit "
+        "pack would set the sign bit and DuckDB would silently widen "
+        "the SUM to HUGEINT while Spark wrapped). Everything is integer "
+        "— packing, xor, popcount, ranking, tie-breaks — so the face is "
+        "hash-exact by construction with no rounding anywhere. At "
+        "corpus scale the packed table is built once (8 B/vector), "
+        "anchors broadcast, and the exact cosine re-rank "
+        "(embed_cosine_topk) runs only on these coarse candidates",
+)
+def embed_binary_quant(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = spread(T(spark, sf_dir, "embeddings"))
+    pack = lambda lo, hi_off: F.expr(  # noqa: E731
+        f"aggregate(sequence({lo}, {lo + 31}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + IF(element_at(embedding, i) > CAST(0 AS FLOAT), "
+        f"shiftleft(CAST(1 AS BIGINT), i - {hi_off}), CAST(0 AS BIGINT)))")
+    packed = e.select("vec_id", pack(1, 1).alias("lo"),
+                      pack(33, 33).alias("hi"))
+    a = (packed.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("anchor_id"),
+                 F.col("lo").alias("alo"), F.col("hi").alias("ahi")))
+    ham = (F.bit_count(F.expr("lo ^ alo"))
+           + F.bit_count(F.expr("hi ^ ahi"))).cast("bigint")
+    d = (packed.crossJoin(F.broadcast(a))
+         .filter(F.col("vec_id") != F.col("anchor_id"))
+         .select("anchor_id", "vec_id", ham.alias("hamming")))
+    w = Window.partitionBy("anchor_id").orderBy(F.asc("hamming"),
+                                                F.asc("vec_id"))
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("anchor_id", "vec_id", "hamming")
+            .orderBy("anchor_id", "hamming", "vec_id"))

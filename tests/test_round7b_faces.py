@@ -365,3 +365,60 @@ def test_vshape_matches_python_scan(spark):
         vals = dict(per_type[r[0]])
         td = pd.Timestamp(r[2]).date()
         assert vals[td] == r[6]
+
+
+def _embeddings(spark):
+    return spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet") \
+        .select("vec_id", "embedding").toPandas()
+
+
+def test_matryoshka_eval_matches_numpy(spark):
+    from process_nwb_spark.relational.embed_lsh import embed_matryoshka_eval
+    pdf = _embeddings(spark)
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    got = {r.anchor_id: r
+           for r in embed_matryoshka_eval(spark, SF_CORRECT).collect()}
+    n_anchors = 0
+    for ai, aid in enumerate(ids):
+        if aid % 50 != 0:
+            continue
+        mask = ids != aid
+
+        def topk(X, q):
+            cos = X @ q / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+            # face ranks by ROUNDED cosine with vec_id tie-break
+            order = sorted(zip(np.round(cos[mask], 6), -ids[mask]),
+                           key=lambda t: (-t[0], -t[1]))
+            return {int(-i) for _, i in order[:5]}
+
+        full = topk(V, V[ai])
+        trunc = topk(V[:, :16], V[ai, :16])
+        row = got[aid]
+        assert row.overlap_at_5 == len(full & trunc)
+        assert row.recall_at_5 == round(len(full & trunc) / 5.0, 6)
+        n_anchors += 1
+    assert n_anchors == len(got) > 0
+    # truncation must retain signal: average recall over anchors > 0
+    assert sum(r.overlap_at_5 for r in got.values()) > 0
+
+
+def test_binary_quant_matches_numpy_hamming(spark):
+    from process_nwb_spark.relational.embed_lsh import embed_binary_quant
+    pdf = _embeddings(spark)
+    V = np.stack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    bits = (V > 0)
+    got = collections.defaultdict(list)
+    for r in embed_binary_quant(spark, SF_CORRECT).collect():
+        got[r.anchor_id].append((r.hamming, r.vec_id))
+    n_anchors = 0
+    for ai, aid in enumerate(ids):
+        if aid % 50 != 0:
+            continue
+        ham = (bits != bits[ai]).sum(axis=1)
+        cand = sorted((int(h), int(v)) for h, v in zip(ham, ids)
+                      if v != aid)[:3]
+        assert sorted(got[aid]) == cand
+        n_anchors += 1
+    assert n_anchors == len(got) > 0
