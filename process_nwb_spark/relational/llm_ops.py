@@ -2261,8 +2261,8 @@ def embed_hard_negatives(spark, sf_dir):
         "Bigrams come from an in-plan slice/zip of the token array (no "
         "window shuffle, no UDF); the corpus collapses to unigram and "
         "bigram count tables, so the two count joins move vocabulary-sized "
-        "data, never corpus-sized — and the unigram side of the join is "
-        "broadcast. The lift is evaluated as one multiply/divide tree over "
+        "data, never corpus-sized (unhinted: AQE broadcasts them at small "
+        "scale, SMJ at billion-token vocabularies). One multiply/divide tree over "
         "EXACT integer counts — IEEE-correctly-rounded ops on identical "
         "inputs are bit-identical across engines, no libm LN in sight, so "
         "ranking + the LIMIT-20 cut land identically in both engines "
@@ -2290,9 +2290,12 @@ def text_collocations_pmi(spark, sf_dir):
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
     lift = (F.col("c_ab").cast("double") * F.col("nb").cast("double")
             / (F.col("c_a").cast("double") * F.col("c_b").cast("double")))
+    # no broadcast hint on the unigram sides: the vocabulary of a 100 TB
+    # corpus does not fit an executor; AQE converts these to broadcast
+    # joins at small scale on runtime stats and keeps SMJ at vocab scale
     return (big.filter(F.col("c_ab") >= 5)
-            .join(F.broadcast(u1), "w1")
-            .join(F.broadcast(u2), "w2")
+            .join(u1, "w1")
+            .join(u2, "w2")
             .crossJoin(F.broadcast(nb))
             .select("w1", "w2", "c_ab", "c_a", "c_b",
                     F.round(lift, 6).alias("lift"))
@@ -2355,8 +2358,10 @@ def text_ngram_containment(spark, sf_dir):
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
                       F.col("sz").alias("size_b"))
     mn = F.least("size_a", "size_b")
-    return (inter.join(F.broadcast(sa), "doc_a")
-            .join(F.broadcast(sb), "doc_b")
+    # sizes is per-doc (corpus-cardinality) — unhinted joins let AQE
+    # broadcast at small scale without pinning a 100 TB-corpus broadcast
+    return (inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
             .filter(F.col("n_common") * 10 >= mn * 3)
             .select("doc_a", "doc_b", "n_common", "size_a", "size_b",
                     F.round(F.col("n_common").cast("double")
