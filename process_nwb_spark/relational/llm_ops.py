@@ -2282,10 +2282,16 @@ def text_collocations_pmi(spark, sf_dir):
                  F.expr("slice(ws, 2, size(ws) - 1)").alias("w2")))
                  .alias("p"))
              .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
-    big = pairs.groupBy("w1", "w2").agg(
-        F.count("*").cast("bigint").alias("c_ab"))
-    nb = (toks.filter(F.size("ws") >= 2)
-          .agg(F.sum(F.size("ws") - 1).cast("bigint").alias("nb")))
+    # bigram-type counts cached: N (= Σ c_ab, exactly the bigram total)
+    # and the support-filtered table both read it — without the cache the
+    # 100 TB corpus would be scanned a third time just to count tokens.
+    # uni cached for the same reason: it feeds BOTH attach joins.
+    big_all = (pairs.groupBy("w1", "w2")
+               .agg(F.count("*").cast("bigint").alias("c_ab"))
+               .cache())
+    big = big_all
+    nb = big_all.agg(F.sum("c_ab").cast("bigint").alias("nb"))
+    uni = uni.cache()
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
     lift = (F.col("c_ab").cast("double") * F.col("nb").cast("double")

@@ -523,3 +523,83 @@ def test_hard_negatives_anchors_broadcast(spark, qs):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or has_broadcast_join(df), \
         "anchor table must broadcast, never shuffle the embedding column"
+
+
+def test_collocations_one_scan_no_python(spark, qs):
+    # bigrams come from slice/zip of the token array IN PLAN — one corpus
+    # scan feeds both unigram and bigram counts? (two branches, so <= 2
+    # scans) and no Python crossing anywhere
+    df = qs["text_collocations_pmi"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert has_partial_aggregation(df)
+    # corpus scanned at most twice (token branch x {unigram, bigram});
+    # N and both unigram attaches REUSE the cached count tables, so the
+    # DISTINCT parquet scan nodes (ids repeat under reused
+    # InMemoryRelations) stay at 2 even though 4 references appear
+    import re
+    distinct_scans = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(distinct_scans) <= 2, plan.count("Scan parquet")
+    assert "InMemoryTableScan" in plan
+
+
+def test_containment_df_cut_before_pair_join(spark, qs):
+    # the df<=50 stop-shingle cut must land before the shingle self-join;
+    # without it a hot shingle in d docs contributes d^2 candidate pairs
+    df = qs["text_ngram_containment"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert has_partial_aggregation(df)
+
+
+def test_daily_rollup_faces_cache_fact(spark, qs):
+    # these faces all self-join the (type, day) rollup — the cache keeps
+    # the 100 TB fact at ONE scan (the ts_acf contract, extended)
+    for name in ("ts_mase_backtest", "ts_corr_matrix", "ts_pacf"):
+        df = qs[name].fn(spark, SF)
+        plan = formatted_plan(df)
+        assert "InMemoryTableScan" in plan, \
+            f"{name}: day rollup not cached — fact scanned twice"
+
+
+def test_bollinger_single_shuffle_window(spark, qs):
+    # rollup agg + one type-keyed window + output sort: nothing else
+    df = qs["ts_bollinger_daily"].fn(spark, SF)
+    assert has_partial_aggregation(df)
+    assert count_exchanges(df) <= 3, \
+        "bollinger grew extra shuffles beyond rollup/window/sort"
+
+
+def test_welch_t_one_scan_per_side_no_window(spark, qs):
+    # closed-form conditional agg: no window operator should appear
+    df = qs["abtest_welch_t"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, "Welch t must be pure aggregation"
+    assert has_broadcast_join(df), "customer dim join must broadcast"
+
+
+def test_matryoshka_one_corpus_pass_no_join_overlap(spark, qs):
+    # both rankings ride one anchor-keyed shuffle; overlap is a
+    # conditional count, not a top-5 x top-5 self-join
+    df = qs["embed_matryoshka_eval"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("SortMergeJoin") == 0, \
+        "overlap must be a conditional count, not a join"
+    assert count_scans(df, "parquet") <= 2  # corpus + anchor branch
+
+
+def test_binary_quant_all_integer_no_python(spark, qs):
+    df = qs["embed_binary_quant"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan
+    # packed table + anchor branch only
+    assert count_scans(df, "parquet") <= 2
+
+
+def test_vshape_windows_share_one_shuffle(spark, qs):
+    # lag + row_number ride the SAME type-keyed sort; the islands window
+    # adds one more keyed exchange; run join + trough attach + sort
+    df = qs["seq_pattern_vshape"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" in plan, "daily rollup must be cached"
+    assert "Python" not in plan
