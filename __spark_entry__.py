@@ -137,6 +137,8 @@ DRIVER_PRIORITY = (
     # modern embedding-deployment evals: MRL truncation recall@5,
     # sign-bit binary quantization + Hamming coarse search (all-integer)
     "embed_matryoshka_eval", "embed_binary_quant",
+    # Spark 4 approx_top_k contracted against the exact tie-closure
+    "text_approx_top_k",
 )
 
 

@@ -2373,3 +2373,70 @@ def text_ngram_containment(spark, sf_dir):
                     F.round(F.col("n_common").cast("double")
                             / mn.cast("double"), 6).alias("containment"))
             .orderBy(F.desc("containment"), F.asc("doc_a"), F.asc("doc_b")))
+
+
+@query(
+    "text_approx_top_k",
+    """
+    WITH toks AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY token
+    ),
+    th AS (
+      SELECT MIN(f) AS thf FROM (
+        SELECT f FROM freq ORDER BY f DESC, token LIMIT 20)
+    )
+    SELECT CAST(20 AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM freq, th
+             WHERE f >= thf) AS closure_size,
+           (SELECT thf FROM th) AS threshold_freq,
+           1 AS overlap_ok, 1 AS counts_ok
+    """,
+    doc="sketch-based top-k with Spark 4's approx_top_k aggregate, "
+        "contracted against the exact answer: the approximate top-20 "
+        "tokens must all land inside the exact TIE-CLOSURE (every token "
+        "whose count >= the 20th-highest count) and report the true "
+        "counts. The closure comparison is what makes the face "
+        "deterministic: at the rank-20 boundary equal-count tokens are "
+        "interchangeable, so set-vs-set equality would be engine-"
+        "internal tie luck, while closure membership is invariant. "
+        "Complements text_heavy_hitters (hand-built Misra-Gries): this "
+        "is the built-in one-shuffle sketch path a dashboard would use, "
+        "with maxItemsTracked (10k) >> vocabulary here, so estimates "
+        "are exact at test scale and degrade gracefully at 100 TB "
+        "vocabularies; the oracle pins the exact closure size and "
+        "threshold frequency",
+)
+def text_approx_top_k(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(_words()).alias("token")).cache()
+    freq = (toks.groupBy("token")
+            .agg(F.count("*").cast("bigint").alias("f")))
+    th = (freq.orderBy(F.desc("f"), F.asc("token")).limit(20)
+          .agg(F.min("f").alias("thf")))
+    closure = (freq.crossJoin(F.broadcast(th))
+               .filter(F.col("f") >= F.col("thf")))
+    cl_stats = closure.agg(
+        F.count("*").cast("bigint").alias("closure_size"),
+        F.max("thf").alias("threshold_freq"))
+    approx = (toks.agg(F.expr("approx_top_k(token, 20)").alias("tk"))
+              .select(F.explode("tk").alias("e"))
+              .select(F.col("e.item").alias("token"),
+                      F.col("e.count").cast("bigint").alias("est")))
+    joined = (approx.join(closure.select("token",
+                                         F.col("f").alias("exact_f")),
+                          "token", "left")
+              .agg(F.sum(F.col("exact_f").isNotNull().cast("int"))
+                   .alias("in_closure"),
+                   F.sum((F.col("est") == F.col("exact_f")).cast("int"))
+                   .alias("exact_counts"),
+                   F.count("*").alias("n_items")))
+    return (joined.crossJoin(F.broadcast(cl_stats))
+            .select(F.col("n_items").cast("bigint").alias("k"),
+                    "closure_size", "threshold_freq",
+                    (F.col("in_closure") == F.col("n_items")).cast("int")
+                    .alias("overlap_ok"),
+                    (F.col("exact_counts") == F.col("n_items")).cast("int")
+                    .alias("counts_ok")))

@@ -422,3 +422,20 @@ def test_binary_quant_matches_numpy_hamming(spark):
         assert sorted(got[aid]) == cand
         n_anchors += 1
     assert n_anchors == len(got) > 0
+
+
+def test_approx_top_k_contract_vs_counter(spark):
+    from process_nwb_spark.relational.llm_ops import text_approx_top_k
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet") \
+        .select("text").toPandas()
+    freq = collections.Counter()
+    for text in docs["text"]:
+        freq.update(text.split(" "))
+    counts = sorted(freq.values(), reverse=True)
+    thf = counts[19]
+    closure = sum(1 for v in freq.values() if v >= thf)
+    r = text_approx_top_k(spark, SF_CORRECT).collect()[0]
+    assert r.k == 20
+    assert r.threshold_freq == thf
+    assert r.closure_size == closure
+    assert r.overlap_ok == 1 and r.counts_ok == 1
