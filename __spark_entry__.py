@@ -139,6 +139,9 @@ DRIVER_PRIORITY = (
     "embed_matryoshka_eval", "embed_binary_quant",
     # Spark 4 approx_top_k contracted against the exact tie-closure
     "text_approx_top_k",
+    # exact weighted median (integer cross-multiplied selection) and
+    # Holt-Winters additive seasonal smoothing (9-state halving fold)
+    "agg_weighted_median", "ts_holt_winters",
 )
 
 

@@ -2461,3 +2461,109 @@ def seq_pattern_vshape(spark, sf_dir):
                     .alias("recovery_end_day"),
                     "decline_len", "recovery_len", "trough_value")
             .orderBy("event_type", "decline_first_day"))
+
+
+@query(
+    "ts_holt_winters",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    arrs AS (
+      SELECT event_type, LIST(x ORDER BY d) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY event_type HAVING COUNT(*) >= 15
+    ),
+    inits AS (
+      SELECT event_type, xs, n,
+             (xs[1]+xs[2]+xs[3]+xs[4]+xs[5]+xs[6]+xs[7]) / 7.0 AS m1,
+             (xs[8]+xs[9]+xs[10]+xs[11]+xs[12]+xs[13]+xs[14]) / 7.0 AS m2
+      FROM arrs
+    ),
+    folded AS (
+      SELECT event_type, n,
+             LIST_REDUCE(
+               LIST_PREPEND(
+                 [m1, (m2 - m1) / 7.0,
+                  xs[1]-m1, xs[2]-m1, xs[3]-m1, xs[4]-m1,
+                  xs[5]-m1, xs[6]-m1, xs[7]-m1],
+                 LIST_TRANSFORM(xs[8:],
+                   x -> [x, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+               (acc, e) -> [
+                 0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]),
+                 0.5 * ((0.5 * (e[1] - acc[3]) + 0.5 * (acc[1] + acc[2]))
+                        - acc[1]) + 0.5 * acc[2],
+                 acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+                 0.5 * (e[1] - (0.5 * (e[1] - acc[3])
+                                + 0.5 * (acc[1] + acc[2])))
+                   + 0.5 * acc[3]]) AS st
+      FROM inits
+    )
+    SELECT event_type, n AS n_days,
+           ROUND(st[1], 4) AS level, ROUND(st[2], 4) AS trend,
+           ROUND(st[3], 4) AS season_next,
+           ROUND(st[1] + st[2] + st[3], 4) AS forecast_1d,
+           ROUND(st[1] + 7 * st[2] + st[9], 4) AS forecast_7d
+    FROM folded
+    """,
+    doc="Holt-Winters ADDITIVE triple exponential smoothing (alpha=beta="
+        "gamma=1/2, weekly season m=7) of the per-type daily count — "
+        "completes the forecasting tier: seasonal-naive baseline "
+        "(ts_mase_backtest), EWMA, Holt linear, and now level+trend+"
+        "seasonality. State is a 9-element array [l, b, s1..s7] rotated "
+        "through an ordered fold; every smoothing step is a HALVING "
+        "(exact in binary floats) over values derived deterministically "
+        "from exact integer day counts, and the init (two week means, "
+        "week-1 seasonal offsets) is the same correctly-rounded "
+        "expression tree in both engines — so the face is bit-identical "
+        "by construction, the 9-state generalization of ts_holt_linear's "
+        "argument. h-step forecast = l + h*b + s_h; 1-day and 7-day "
+        "horizons reported. Sequential depth = calendar days AFTER the "
+        "partial-agg rollup — the only honest recurrence shape at 100 TB",
+)
+def ts_holt_winters(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("double").alias("x")))
+    arrs = (daily.groupBy("event_type")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "x")))
+                 .alias("pts"),
+                 F.count("*").cast("bigint").alias("n"))
+            .filter(F.col("n") >= 15)
+            .withColumn("xs", F.transform("pts", lambda p: p["x"])))
+    e_ = F.element_at
+    wk = lambda o: sum((e_("xs", i + o) for i in range(2, 8)),  # noqa: E731
+                       e_("xs", 1 + o))
+    inits = (arrs
+             .withColumn("m1", wk(0) / F.lit(7.0))
+             .withColumn("m2", wk(7) / F.lit(7.0)))
+    init = F.array(*([F.col("m1"), (F.col("m2") - F.col("m1")) / F.lit(7.0)]
+                     + [e_("xs", i) - F.col("m1") for i in range(1, 8)]))
+    rest = F.transform(F.slice(F.col("xs"), 8, F.size("xs") - 7),
+                       lambda x: F.array(*([x] + [F.lit(0.0)] * 8)))
+
+    def step(acc, e):
+        lp = (F.lit(0.5) * (e[0] - acc[2])
+              + F.lit(0.5) * (acc[0] + acc[1]))
+        bp = (F.lit(0.5) * ((F.lit(0.5) * (e[0] - acc[2])
+                             + F.lit(0.5) * (acc[0] + acc[1])) - acc[0])
+              + F.lit(0.5) * acc[1])
+        sp = (F.lit(0.5) * (e[0] - (F.lit(0.5) * (e[0] - acc[2])
+                                    + F.lit(0.5) * (acc[0] + acc[1])))
+              + F.lit(0.5) * acc[2])
+        return F.array(lp, bp, acc[3], acc[4], acc[5], acc[6], acc[7],
+                       acc[8], sp)
+
+    st = F.aggregate(rest, init, step)
+    folded = inits.select("event_type", F.col("n").alias("n_days"),
+                          st.alias("st"))
+    return folded.select(
+        "event_type", "n_days",
+        F.round(e_("st", 1), 4).alias("level"),
+        F.round(e_("st", 2), 4).alias("trend"),
+        F.round(e_("st", 3), 4).alias("season_next"),
+        F.round(e_("st", 1) + e_("st", 2) + e_("st", 3), 4)
+        .alias("forecast_1d"),
+        F.round(e_("st", 1) + F.lit(7) * e_("st", 2) + e_("st", 9), 4)
+        .alias("forecast_7d"))

@@ -2412,3 +2412,56 @@ def agg_exact_median_selection(spark, sf_dir):
                           .alias("median_price"))
     finally:
         o.unpersist()
+
+
+@query(
+    "agg_weighted_median",
+    """
+    WITH w AS (
+      SELECT p.p_brand AS brand, p.p_size AS v,
+             CAST(SUM(l.l_quantity) AS BIGINT) AS wt
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT brand, v, wt,
+             SUM(wt) OVER (PARTITION BY brand ORDER BY v) AS cum,
+             SUM(wt) OVER (PARTITION BY brand) AS tot
+      FROM w
+    )
+    SELECT brand, CAST(MIN(v) AS BIGINT) AS weighted_median_size,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+    FROM c WHERE cum * 2 >= tot
+    GROUP BY brand
+    ORDER BY brand
+    """,
+    doc="exact WEIGHTED median: the part size at which half the shipped "
+        "QUANTITY (not half the parts) lies below, per brand — the "
+        "inventory-planning statistic plain percentile gets wrong "
+        "whenever volume concentrates in a few SKUs. The fact scan "
+        "collapses to (brand, size, Σqty) — value-domain-sized, so the "
+        "two windows (running + total weight, both on ONE brand-keyed "
+        "shuffle) never see raw lineitem rows. Selection is the integer "
+        "cross-multiplication cum*2 >= tot on exact integer weights — "
+        "no float division anywhere, hash-exact by construction. The "
+        "same shape generalizes to any weighted percentile by replacing "
+        "the factor 2",
+)
+def agg_weighted_median(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    w = (li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+                 F.col("l_partkey") == F.col("p_partkey"))
+         .groupBy(F.col("p_brand").alias("brand"),
+                  F.col("p_size").alias("v"))
+         .agg(F.sum("l_quantity").cast("bigint").alias("wt")))
+    run = (Window.partitionBy("brand").orderBy("v")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy("brand")
+    c = (w.withColumn("cum", F.sum("wt").over(run))
+         .withColumn("tot", F.sum("wt").over(tot)))
+    return (c.filter(F.col("cum") * 2 >= F.col("tot"))
+            .groupBy("brand")
+            .agg(F.min("v").cast("bigint").alias("weighted_median_size"),
+                 F.max("tot").cast("bigint").alias("total_weight"))
+            .orderBy("brand"))

@@ -439,3 +439,37 @@ def test_approx_top_k_contract_vs_counter(spark):
     assert r.threshold_freq == thf
     assert r.closure_size == closure
     assert r.overlap_ok == 1 and r.counts_ok == 1
+
+
+def test_holt_winters_matches_python_recurrence(spark):
+    from process_nwb_spark.relational.event_windows import ts_holt_winters
+    daily = _daily_counts(spark)
+    per_type = collections.defaultdict(list)
+    for (et, d), c in sorted(daily.items()):
+        per_type[et].append(float(c))
+    got = {r.event_type: r
+           for r in ts_holt_winters(spark, SF_CORRECT).collect()}
+    n_series = 0
+    for et, xs in per_type.items():
+        if len(xs) < 15:
+            assert et not in got
+            continue
+        m1 = sum(xs[:7]) / 7.0
+        m2 = sum(xs[7:14]) / 7.0
+        l, b = m1, (m2 - m1) / 7.0
+        s = [x - m1 for x in xs[:7]]
+        for x in xs[7:]:
+            lp = 0.5 * (x - s[0]) + 0.5 * (l + b)
+            bp = 0.5 * (lp - l) + 0.5 * b
+            sp = 0.5 * (x - lp) + 0.5 * s[0]
+            l, b = lp, bp
+            s = s[1:] + [sp]
+        row = got[et]
+        assert row.n_days == len(xs)
+        assert abs(row.level - l) < 1e-4
+        assert abs(row.trend - b) < 1e-4
+        assert abs(row.season_next - s[0]) < 1e-4
+        assert abs(row.forecast_1d - (l + b + s[0])) < 1e-4
+        assert abs(row.forecast_7d - (l + 7 * b + s[6])) < 1e-4
+        n_series += 1
+    assert n_series == len(got) > 0
