@@ -142,6 +142,9 @@ DRIVER_PRIORITY = (
     # exact weighted median (integer cross-multiplied selection) and
     # Holt-Winters additive seasonal smoothing (9-state halving fold)
     "agg_weighted_median", "ts_holt_winters",
+    # Pareto 80/20 concentration (integer cross-multiplied selection),
+    # rolling 7-day distinct users via RANGE-framed exact bitmap OR
+    "agg_revenue_concentration", "win_rolling_distinct_users",
 )
 
 

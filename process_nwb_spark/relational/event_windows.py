@@ -2567,3 +2567,126 @@ def ts_holt_winters(spark, sf_dir):
         .alias("forecast_1d"),
         F.round(e_("st", 1) + F.lit(7) * e_("st", 2) + e_("st", 9), 4)
         .alias("forecast_7d"))
+
+
+@query(
+    "agg_revenue_concentration",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT seg, cents,
+             ROW_NUMBER() OVER (PARTITION BY seg
+                                ORDER BY cents DESC, ck) AS rk,
+             SUM(cents) OVER (PARTITION BY seg
+                              ORDER BY cents DESC, ck) AS cum,
+             SUM(cents) OVER (PARTITION BY seg) AS tot,
+             COUNT(*) OVER (PARTITION BY seg) AS n_cust
+      FROM rev
+    )
+    SELECT seg, CAST(MIN(rk) AS BIGINT) AS n_top,
+           CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+           ROUND(CAST(MIN(rk) AS DOUBLE) / CAST(MAX(n_cust) AS DOUBLE), 6)
+             AS top_fraction
+    FROM r WHERE cum * 5 >= tot * 4
+    GROUP BY seg ORDER BY seg
+    """,
+    doc="revenue concentration (the Pareto 80/20 question): per segment, "
+        "the minimum number of top customers whose cumulative revenue "
+        "reaches 80% of the segment's total, and what fraction of the "
+        "customer base that is — the whale-dependence metric every "
+        "account team reads. Revenue fixes to integer cents and "
+        "collapses to one row per (segment, customer); the ranking + "
+        "running-sum + total windows all ride ONE segment-keyed shuffle "
+        "over that customer-sized table, and the 80% selection is the "
+        "integer cross-multiplication cum*5 >= tot*4 — no float "
+        "threshold, deterministic ties via (cents DESC, custkey). "
+        "top_fraction ~0.67 here (uniform synthetic spend); a real "
+        "Zipf-spend book reads ~0.2 — the face measures exactly that "
+        "deviation",
+)
+def agg_revenue_concentration(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    rev = (o.join(F.broadcast(c.select("c_custkey",
+                                       F.col("c_mktsegment").alias("seg"))),
+                  F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("seg", F.col("o_custkey").alias("ck"))
+           .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                      .cast("bigint")).cast("bigint").alias("cents")))
+    order = [F.desc("cents"), F.asc("ck")]
+    run = (Window.partitionBy("seg").orderBy(*order)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    seg = Window.partitionBy("seg")
+    r = (rev.withColumn("rk", F.row_number().over(
+            Window.partitionBy("seg").orderBy(*order)))
+         .withColumn("cum", F.sum("cents").over(run))
+         .withColumn("tot", F.sum("cents").over(seg))
+         .withColumn("n_cust", F.count("*").over(seg)))
+    return (r.filter(F.col("cum") * 5 >= F.col("tot") * 4)
+            .groupBy("seg")
+            .agg(F.min("rk").cast("bigint").alias("n_top"),
+                 F.max("n_cust").cast("bigint").alias("n_customers"))
+            .select("seg", "n_top", "n_customers",
+                    F.round(F.col("n_top").cast("double")
+                            / F.col("n_customers").cast("double"), 6)
+                    .alias("top_fraction"))
+            .orderBy("seg"))
+
+
+@query(
+    "win_rolling_distinct_users",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM du)
+    SELECT CAST(days.d AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS rolling_7d_users
+    FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d ORDER BY days.d
+    """,
+    doc="rolling 7-day distinct users (weekly active users per day) — "
+        "the canonical HARD window: COUNT(DISTINCT) doesn't distribute "
+        "over sliding frames, and re-joining each day against its "
+        "trailing week (the oracle's formulation) re-touches raw ids 7x. "
+        "The engine instead ORs per-(bucket, day) EXACT Spark-4 bitmaps "
+        "through a RANGE-framed window over a dense day x bucket grid: "
+        "day bitmaps build once from one scan (the agg_bitmap_distinct "
+        "rollup), each rolling union is fixed-size bit math, per-day "
+        "totals sum bucket popcounts. The grid join keeps a bucket's "
+        "older bitmaps in frame on days it gains no new users (RANGE, "
+        "not ROWS, so calendar gaps can't silently shift the frame). "
+        "EXACT — bitmaps, not sketches — and mergeable at 100 TB: day "
+        "bitmaps persist once, any window length re-ORs them without "
+        "touching raw ids",
+)
+def win_rolling_distinct_users(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    cell = (ev.select(F.col("ts").cast("date").alias("d"), "user_id")
+            .distinct()
+            .groupBy("d", F.expr("bitmap_bucket_number(user_id)")
+                     .alias("bucket"))
+            .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+                 .alias("bm")))
+    days = cell.select("d").distinct()
+    buckets = cell.select("bucket").distinct()
+    grid = (days.crossJoin(F.broadcast(buckets))
+            .join(cell, ["d", "bucket"], "left")
+            .withColumn("di", F.datediff(
+                F.col("d"), F.lit("2024-01-01").cast("date"))))
+    win = (Window.partitionBy("bucket").orderBy("di")
+           .rangeBetween(-6, 0))
+    rolled = (grid
+              .withColumn("rolled_bm", F.expr("bitmap_or_agg(bm)").over(win))
+              .withColumn("cnt", F.coalesce(
+                  F.expr("bitmap_count(rolled_bm)").cast("bigint"),
+                  F.lit(0).cast("bigint"))))
+    return (rolled.groupBy("d")
+            .agg(F.sum("cnt").cast("bigint").alias("rolling_7d_users"))
+            .select(F.col("d").cast("string").alias("day"),
+                    "rolling_7d_users")
+            .orderBy("day"))

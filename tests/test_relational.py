@@ -53,7 +53,15 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "supplier_cnt_by_part", "surge_part_suppliers",
         "graph_triangles", "layout_zorder_locality", "mv_incremental_merge",
         "agg_exact_median_selection", "sig_aperiodic_fit",
-        "ts_cusum_shift", "ts_theilsen_trend", "text_heavy_hitters"]
+        "ts_cusum_shift", "ts_theilsen_trend", "text_heavy_hitters",
+        # r7 continuation (this session)
+        "text_collocations_pmi", "text_ngram_containment",
+        "ts_bollinger_daily", "ts_mase_backtest", "ts_corr_matrix",
+        "abtest_welch_t", "graph_link_predict", "ts_pacf",
+        "agg_kll_quantiles", "agg_theta_set_ops", "seq_pattern_vshape",
+        "embed_matryoshka_eval", "embed_binary_quant", "text_approx_top_k",
+        "agg_weighted_median", "ts_holt_winters",
+        "agg_revenue_concentration", "win_rolling_distinct_users"]
 
 
 @pytest.fixture(scope="module")

@@ -473,3 +473,52 @@ def test_holt_winters_matches_python_recurrence(spark):
         assert abs(row.forecast_7d - (l + 7 * b + s[6])) < 1e-4
         n_series += 1
     assert n_series == len(got) > 0
+
+
+def test_revenue_concentration_matches_pandas(spark):
+    from process_nwb_spark.relational.event_windows import (
+        agg_revenue_concentration)
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet") \
+        .select("o_custkey", "o_totalprice").toPandas()
+    c = spark.read.parquet(f"{SF_CORRECT}/customer.parquet") \
+        .select("c_custkey", "c_mktsegment").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.floor(j.o_totalprice.to_numpy() * 100 + 0.5) \
+        .astype(np.int64)
+    got = {r.seg: r
+           for r in agg_revenue_concentration(spark, SF_CORRECT).collect()}
+    for seg, grp in j.groupby("c_mktsegment"):
+        rev = (grp.groupby("o_custkey")["cents"].sum()
+               .sort_values(ascending=False))
+        # ties broken by custkey ascending, like the face
+        rev = rev.reset_index().sort_values(
+            ["cents", "o_custkey"], ascending=[False, True])["cents"]
+        cum = rev.cumsum().to_numpy()
+        tot = int(rev.sum())
+        n_top = int(np.argmax(cum * 5 >= tot * 4)) + 1
+        row = got[seg]
+        assert row.n_top == n_top
+        assert row.n_customers == len(rev)
+        assert row.top_fraction == round(n_top / len(rev), 6)
+    assert len(got) == j.c_mktsegment.nunique()
+
+
+def test_rolling_distinct_matches_python_sets(spark):
+    from process_nwb_spark.relational.event_windows import (
+        win_rolling_distinct_users)
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet") \
+        .selectExpr("CAST(ts AS DATE) AS d", "user_id").toPandas()
+    by_day = collections.defaultdict(set)
+    for d, u in ev.itertuples(index=False):
+        by_day[d].add(int(u))
+    got = {r.day: r.rolling_7d_users
+           for r in win_rolling_distinct_users(spark, SF_CORRECT).collect()}
+    days = sorted(by_day)
+    for d in days:
+        window_users = set()
+        for k in range(7):
+            window_users |= by_day.get(d - pd.Timedelta(days=k), set())
+        assert got[str(d)] == len(window_users), d
+    assert len(got) == len(days)
+    # rolling WAU must be >= any single day's DAU in its window
+    assert all(got[str(d)] >= len(by_day[d]) for d in days)
