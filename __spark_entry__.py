@@ -145,6 +145,8 @@ DRIVER_PRIORITY = (
     # Pareto 80/20 concentration (integer cross-multiplied selection),
     # rolling 7-day distinct users via RANGE-framed exact bitmap OR
     "agg_revenue_concentration", "win_rolling_distinct_users",
+    # nonparametric A/B: Mann-Whitney U from the value-domain rollup
+    "abtest_mann_whitney",
 )
 
 

@@ -2690,3 +2690,108 @@ def win_rolling_distinct_users(spark, sf_dir):
             .select(F.col("d").cast("string").alias("day"),
                     "rolling_7d_users")
             .orderBy("day"))
+
+
+@query(
+    "abtest_mann_whitney",
+    """
+    WITH x AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    ),
+    g AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM x GROUP BY v
+    ),
+    w AS (
+      SELECT v, ca, t,
+             CAST(COALESCE(SUM(t) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(t - ca) AS BIGINT) AS nb,
+             CAST(SUM(ca * (2 * cum + t + 1)) AS BIGINT) AS s2,
+             CAST(SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+                      * CAST(t AS DECIMAL(38,0))
+                      - CAST(t AS DECIMAL(38,0))) AS DOUBLE) AS tie3
+      FROM w
+    )
+    SELECT na, nb,
+           (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+            + CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)
+            - CAST(s2 AS DOUBLE)) / 2.0 AS u_stat,
+           ROUND(
+             ((2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+               + CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)
+               - CAST(s2 AS DOUBLE)) / 2.0
+              - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+             / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                    * ((CAST(na + nb AS DOUBLE) + 1.0)
+                       - tie3 / (CAST(na + nb AS DOUBLE)
+                                 * (CAST(na + nb AS DOUBLE) - 1.0)))), 6)
+             AS z
+    FROM s
+    """,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) on order value between "
+        "customer segments — the NONPARAMETRIC mate of abtest_welch_t "
+        "for revenue metrics whose heavy tails break the t-test. The "
+        "trick is the VALUE-DOMAIN rollup: instead of ranking raw rows "
+        "(a global sort at 100 TB), rows collapse to one row per "
+        "distinct cents value with per-arm counts, and the tie-averaged "
+        "rank sum comes out of exact INTEGER arithmetic — 2·R_A = "
+        "Σ ca·(2·cum + t + 1) over the bounded distinct-value table, so "
+        "U = na·nb + na(na+1)/2 − R_A involves only integer sums and "
+        "exact halvings. The normal approximation applies the standard "
+        "tie correction, with Σ(t³−t) accumulated in DECIMAL(38,0) "
+        "(t³ crosses bigint range on heavily tied domains at scale). "
+        "One scan, one value-keyed window, one closed form — and "
+        "bit-identical across engines with no order pinning because "
+        "every float input is an exact integer or halving. The global "
+        "cumulative window runs single-partition over the PRICE-DOMAIN "
+        "rollup (same posture as dq_ks_drift's ECDF); past ~1e7 "
+        "distinct values the two-phase bucketed-offsets pattern of "
+        "global_row_index slots in unchanged",
+)
+def abtest_mann_whitney(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    x = (o.join(F.broadcast(
+            c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+            .select("c_custkey", F.col("c_mktsegment").alias("seg"))),
+            F.col("o_custkey") == F.col("c_custkey"))
+         .select("seg", F.floor(F.col("o_totalprice") * 100 + 0.5)
+                 .cast("bigint").alias("v")))
+    g = (x.groupBy("v")
+         .agg(F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))
+              .cast("bigint").alias("ca"),
+              F.count("*").cast("bigint").alias("t")))
+    run = (Window.orderBy("v")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    w = g.withColumn("cum", F.coalesce(F.sum("t").over(run),
+                                       F.lit(0)).cast("bigint"))
+    td = F.col("t").cast("decimal(38,0)")
+    s = w.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum(F.col("t") - F.col("ca")).cast("bigint").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("cum") + F.col("t") + 1))
+        .cast("bigint").alias("s2"),
+        F.sum(td * td * td - td).cast("double").alias("tie3"))
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    u = (F.lit(2.0) * na * nb + na * (na + F.lit(1.0))
+         - F.col("s2").cast("double")) / F.lit(2.0)
+    n = na + nb
+    var = (na * nb / F.lit(12.0)
+           * ((n + F.lit(1.0))
+              - F.col("tie3") / (n * (n - F.lit(1.0)))))
+    return s.select("na", "nb", u.alias("u_stat"),
+                    F.round((u - na * nb / F.lit(2.0)) / F.sqrt(var), 6)
+                    .alias("z"))

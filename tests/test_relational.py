@@ -61,7 +61,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "agg_kll_quantiles", "agg_theta_set_ops", "seq_pattern_vshape",
         "embed_matryoshka_eval", "embed_binary_quant", "text_approx_top_k",
         "agg_weighted_median", "ts_holt_winters",
-        "agg_revenue_concentration", "win_rolling_distinct_users"]
+        "agg_revenue_concentration", "win_rolling_distinct_users",
+        "abtest_mann_whitney"]
 
 
 @pytest.fixture(scope="module")

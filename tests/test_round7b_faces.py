@@ -522,3 +522,34 @@ def test_rolling_distinct_matches_python_sets(spark):
     assert len(got) == len(days)
     # rolling WAU must be >= any single day's DAU in its window
     assert all(got[str(d)] >= len(by_day[d]) for d in days)
+
+
+def test_mann_whitney_matches_numpy_ranks(spark):
+    from process_nwb_spark.relational.event_windows import abtest_mann_whitney
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet") \
+        .select("o_custkey", "o_totalprice").toPandas()
+    c = spark.read.parquet(f"{SF_CORRECT}/customer.parquet") \
+        .select("c_custkey", "c_mktsegment").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j = j[j.c_mktsegment.isin(["BUILDING", "AUTOMOBILE"])]
+    v = np.floor(j.o_totalprice.to_numpy() * 100 + 0.5).astype(np.int64)
+    is_a = (j.c_mktsegment == "BUILDING").to_numpy()
+    # tie-averaged ranks via pandas (scipy absent in this container)
+    ranks = pd.Series(v).rank(method="average").to_numpy()
+    na, nb = int(is_a.sum()), int((~is_a).sum())
+    r_a = ranks[is_a].sum()
+    u = na * nb + na * (na + 1) / 2.0 - r_a
+    n = na + nb
+    _, t_counts = np.unique(v, return_counts=True)
+    tie3 = float((t_counts.astype(np.float64) ** 3 - t_counts).sum())
+    var = na * nb / 12.0 * ((n + 1.0) - tie3 / (n * (n - 1.0)))
+    z = (u - na * nb / 2.0) / math.sqrt(var)
+    row = abtest_mann_whitney(spark, SF_CORRECT).collect()[0]
+    assert (row.na, row.nb) == (na, nb)
+    assert row.u_stat == u
+    assert abs(row.z - z) < 1e-6
+    # coherence with the parametric test: same direction of effect
+    from process_nwb_spark.relational.event_windows import abtest_welch_t
+    t_row = abtest_welch_t(spark, SF_CORRECT).collect()[0]
+    # U below its mean <-> arm A stochastically larger -> t positive
+    assert (row.u_stat < na * nb / 2.0) == (t_row.t_stat > 0)
