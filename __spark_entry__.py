@@ -147,6 +147,8 @@ DRIVER_PRIORITY = (
     "agg_revenue_concentration", "win_rolling_distinct_users",
     # nonparametric A/B: Mann-Whitney U from the value-domain rollup
     "abtest_mann_whitney",
+    # Spark 4 SQL-defined scalar UDF, inlined by Catalyst (semantic layer)
+    "sql_udf_scalar",
 )
 
 

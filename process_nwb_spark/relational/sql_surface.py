@@ -455,3 +455,49 @@ def sql_pipe_syntax(spark, sf_dir):
         |> SELECT event_type, n, total_value
         |> ORDER BY event_type
     """)
+
+
+@query(
+    "sql_udf_scalar",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(CAST(SUM(
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+           ) AS DOUBLE) / 10000.0, 2) AS net_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="SQL-defined scalar functions (Spark 4 CREATE FUNCTION ... "
+        "RETURN <expr>): the net-revenue expression packaged as a "
+        "reusable SQL UDF and applied inside an aggregation — the "
+        "semantic-layer mechanism that lets analysts share exact "
+        "business logic without shipping Python. Catalyst INLINES the "
+        "function body into the plan (it is an expression substitution, "
+        "not a call), so the aggregate stays whole-stage-codegen with "
+        "map-side partial agg — zero overhead vs writing the expression "
+        "in place, which is exactly what the oracle replays textually. "
+        "The body computes in integer cent-percent units "
+        "(cents x (100 - disc_pct)), so SUM is an exact bigint fold and "
+        "the single display division is deterministic — the same exact-"
+        "money discipline as the TPC-H faces",
+)
+def sql_udf_scalar(spark, sf_dir):
+    _views(spark, sf_dir, "lineitem")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION net_cp(
+            price DOUBLE, disc DOUBLE) RETURNS BIGINT
+        RETURN CAST(FLOOR(price * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(FLOOR(disc * 100 + 0.5) AS BIGINT))
+    """)
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(CAST(SUM(net_cp(l_extendedprice, l_discount))
+                     AS DOUBLE) / 10000.0, 2) AS net_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)

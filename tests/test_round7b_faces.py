@@ -553,3 +553,26 @@ def test_mann_whitney_matches_numpy_ranks(spark):
     t_row = abtest_welch_t(spark, SF_CORRECT).collect()[0]
     # U below its mean <-> arm A stochastically larger -> t positive
     assert (row.u_stat < na * nb / 2.0) == (t_row.t_stat > 0)
+
+
+def test_sql_udf_inlined_and_exact(spark):
+    from process_nwb_spark.relational.sql_surface import sql_udf_scalar
+    from process_nwb_spark.plans.inspect import (formatted_plan,
+                                                 has_partial_aggregation)
+    df = sql_udf_scalar(spark, SF_CORRECT)
+    plan = formatted_plan(df)
+    # Catalyst must inline the SQL UDF body: no Python/eval nodes, and
+    # the aggregate keeps map-side combine
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert has_partial_aggregation(df)
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet") \
+        .select("l_returnflag", "l_extendedprice", "l_discount").toPandas()
+    cents = np.floor(li.l_extendedprice.to_numpy() * 100 + 0.5) \
+        .astype(np.int64)
+    disc = np.floor(li.l_discount.to_numpy() * 100 + 0.5).astype(np.int64)
+    li["net"] = cents * (100 - disc)
+    want = {flag: (len(g), round(float(g.net.sum()) / 10000.0, 2))
+            for flag, g in li.groupby("l_returnflag")}
+    got = {r.l_returnflag: (r.n_items, r.net_revenue)
+           for r in df.collect()}
+    assert got == want
