@@ -149,6 +149,8 @@ DRIVER_PRIORITY = (
     "abtest_mann_whitney",
     # Spark 4 SQL-defined scalar UDF, inlined by Catalyst (semantic layer)
     "sql_udf_scalar",
+    # Gini inequality index from the same rollup as the 80/20 face
+    "agg_gini_coefficient",
 )
 
 

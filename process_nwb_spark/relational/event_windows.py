@@ -2795,3 +2795,70 @@ def abtest_mann_whitney(spark, sf_dir):
     return s.select("na", "nb", u.alias("u_stat"),
                     F.round((u - na * nb / F.lit(2.0)) / F.sqrt(var), 6)
                     .alias("z"))
+
+
+@query(
+    "agg_gini_coefficient",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT seg, cents,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, ck) AS rk
+      FROM rev
+    ),
+    s AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS sx,
+             CAST(SUM(CAST(rk AS DECIMAL(38,0))
+                      * CAST(cents AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS srx
+      FROM r GROUP BY seg
+    )
+    SELECT seg, n AS n_customers,
+           ROUND(CAST(2 * srx - (CAST(n AS DECIMAL(38,0)) + 1)
+                      * CAST(sx AS DECIMAL(38,0)) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS gini
+    FROM s ORDER BY seg
+    """,
+    doc="Gini coefficient of customer spend per segment — the standard "
+        "inequality index (0 = everyone spends alike, ->1 = one whale), "
+        "the continuous companion to agg_revenue_concentration's 80/20 "
+        "cut, from the same customer-sized rollup and the same one "
+        "segment-keyed shuffle. Uses the rank form G = (2·Σ rk·x − "
+        "(n+1)·Σx) / (n·Σx) with ties pinned by (cents, custkey): rk·x "
+        "accumulates in DECIMAL(38,0) (rank x cents crosses bigint near "
+        "sf100) so the sum is exact in any order, then ONE cast to "
+        "double and one division — deterministic in both engines. "
+        "~0.20 here (uniform synthetic spend); a real book reads "
+        "0.6-0.9 — this face is the drift monitor for that",
+)
+def agg_gini_coefficient(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    rev = (o.join(F.broadcast(c.select("c_custkey",
+                                       F.col("c_mktsegment").alias("seg"))),
+                  F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy("seg", F.col("o_custkey").alias("ck"))
+           .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
+                      .cast("bigint")).cast("bigint").alias("cents")))
+    r = rev.withColumn("rk", F.row_number().over(
+        Window.partitionBy("seg").orderBy(F.asc("cents"), F.asc("ck"))))
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    s = (r.groupBy("seg")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum("cents").cast("bigint").alias("sx"),
+              F.sum(dec("rk") * dec("cents")).cast("decimal(38,0)")
+              .alias("srx")))
+    num = (F.lit(2) * F.col("srx")
+           - (F.col("n").cast("decimal(38,0)") + 1)
+           * F.col("sx").cast("decimal(38,0)")).cast("double")
+    den = F.col("n").cast("double") * F.col("sx").cast("double")
+    return (s.select("seg", F.col("n").alias("n_customers"),
+                     F.round(num / den, 6).alias("gini"))
+            .orderBy("seg"))

@@ -62,7 +62,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "embed_matryoshka_eval", "embed_binary_quant", "text_approx_top_k",
         "agg_weighted_median", "ts_holt_winters",
         "agg_revenue_concentration", "win_rolling_distinct_users",
-        "abtest_mann_whitney", "sql_udf_scalar"]
+        "abtest_mann_whitney", "sql_udf_scalar",
+        "agg_gini_coefficient"]
 
 
 @pytest.fixture(scope="module")

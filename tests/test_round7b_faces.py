@@ -576,3 +576,27 @@ def test_sql_udf_inlined_and_exact(spark):
     got = {r.l_returnflag: (r.n_items, r.net_revenue)
            for r in df.collect()}
     assert got == want
+
+
+def test_gini_matches_numpy(spark):
+    from process_nwb_spark.relational.event_windows import (
+        agg_gini_coefficient)
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet") \
+        .select("o_custkey", "o_totalprice").toPandas()
+    c = spark.read.parquet(f"{SF_CORRECT}/customer.parquet") \
+        .select("c_custkey", "c_mktsegment").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = np.floor(j.o_totalprice.to_numpy() * 100 + 0.5) \
+        .astype(np.int64)
+    got = {r.seg: r for r in
+           agg_gini_coefficient(spark, SF_CORRECT).collect()}
+    for seg, grp in j.groupby("c_mktsegment"):
+        x = np.sort(grp.groupby("o_custkey")["cents"].sum().to_numpy())
+        n = len(x)
+        gini = (2 * (np.arange(1, n + 1) * x).sum()
+                - (n + 1) * x.sum()) / (n * x.sum())
+        row = got[seg]
+        assert row.n_customers == n
+        assert abs(row.gini - gini) < 1e-6
+        assert 0 <= row.gini < 1
+    assert len(got) == j.c_mktsegment.nunique()
