@@ -151,6 +151,9 @@ DRIVER_PRIORITY = (
     "sql_udf_scalar",
     # Gini inequality index from the same rollup as the 80/20 face
     "agg_gini_coefficient",
+    # lakehouse observability: _metadata row-to-file lineage,
+    # mergeSchema additive-column evolution across file generations
+    "source_file_lineage", "source_schema_evolution",
 )
 
 

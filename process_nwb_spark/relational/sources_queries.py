@@ -126,3 +126,79 @@ def source_json_roundtrip(spark, sf_dir):
     back = spark.read.schema(
         "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT").json(out)
     return _roundtrip_agg(back)
+
+
+@query(
+    "source_file_lineage",
+    """
+    SELECT 'documents.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents
+    """,
+    doc="row-to-file lineage via Spark's hidden _metadata struct (file "
+        "path/name/size exposed per row by the parquet reader): rows per "
+        "physical file with id ranges — the observability query behind "
+        "'which file produced this bad row' incident triage and "
+        "small-file compaction planning. The metadata column is "
+        "generated at scan time (no extra I/O, no join against a file "
+        "listing); grouping by file name makes the whole thing one "
+        "partial-aggregable pass. The driver testdata is one file per "
+        "table so the oracle pins the degenerate single-row case; at "
+        "100 TB the same query profiles millions of files and its "
+        "output IS the compaction planner's input",
+)
+def source_file_lineage(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", F.col("_metadata.file_name").alias("file_name"))
+    return (d.groupBy("file_name")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.min("doc_id").cast("bigint").alias("min_id"),
+                 F.max("doc_id").cast("bigint").alias("max_id"))
+            .orderBy("file_name"))
+
+
+@query(
+    "source_schema_evolution",
+    """
+    WITH v1 AS (SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0),
+         v2 AS (SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id % 2 = 1)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars,
+           CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars
+    FROM (SELECT doc_id, lang, NULL::BIGINT AS n_chars FROM v1
+          UNION ALL SELECT doc_id, lang, n_chars FROM v2)
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="schema evolution across file generations: an old writer emitted "
+        "(doc_id, lang), a newer one added n_chars; mergeSchema=true "
+        "reads both generations as ONE table with NULLs where the old "
+        "files lack the column — the additive-column migration every "
+        "long-lived lake table goes through, with no rewrite of old "
+        "data. The face writes the two generations to scratch parquet, "
+        "reads them back merged, and aggregates with COUNT(col) / "
+        "COALESCE to show the NULL semantics; the oracle replays the "
+        "same union-with-NULL shape. At 100 TB the merged-schema scan "
+        "costs a footer read per file (schema union happens at planning "
+        "time), and per-generation row counts out of this face are the "
+        "backfill progress monitor",
+)
+def source_schema_evolution(spark, sf_dir):
+    out = _scratch(sf_dir, "evolve")
+    d = T(spark, sf_dir, "documents")
+    (d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+     .write.mode("overwrite").parquet(os.path.join(out, "gen=1")))
+    (d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+     .write.mode("overwrite").parquet(os.path.join(out, "gen=2")))
+    back = (spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(out, "gen=1"),
+                     os.path.join(out, "gen=2")))
+    return (back.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.count("n_chars").cast("bigint").alias("n_with_chars"),
+                 F.sum(F.coalesce("n_chars", F.lit(0))).cast("bigint")
+                 .alias("total_chars"))
+            .orderBy("lang"))

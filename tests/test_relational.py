@@ -63,7 +63,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "agg_weighted_median", "ts_holt_winters",
         "agg_revenue_concentration", "win_rolling_distinct_users",
         "abtest_mann_whitney", "sql_udf_scalar",
-        "agg_gini_coefficient"]
+        "agg_gini_coefficient",
+        "source_file_lineage", "source_schema_evolution"]
 
 
 @pytest.fixture(scope="module")

@@ -600,3 +600,29 @@ def test_gini_matches_numpy(spark):
         assert abs(row.gini - gini) < 1e-6
         assert 0 <= row.gini < 1
     assert len(got) == j.c_mktsegment.nunique()
+
+
+def test_file_lineage_counts(spark):
+    from process_nwb_spark.relational.sources_queries import (
+        source_file_lineage)
+    rows = source_file_lineage(spark, SF_CORRECT).collect()
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    assert len(rows) == 1 and rows[0].file_name == "documents.parquet"
+    assert rows[0].n_rows == docs.count()
+    assert rows[0].min_id == 0
+
+
+def test_schema_evolution_null_semantics(spark):
+    from process_nwb_spark.relational.sources_queries import (
+        source_schema_evolution)
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet") \
+        .select("doc_id", "lang", "n_chars").toPandas()
+    got = {r.lang: r
+           for r in source_schema_evolution(spark, SF_CORRECT).collect()}
+    for lang, grp in docs.groupby("lang"):
+        odd = grp[grp.doc_id % 2 == 1]
+        row = got[lang]
+        assert row.n_docs == len(grp)
+        assert row.n_with_chars == len(odd)       # evens read as NULL
+        assert row.total_chars == int(odd.n_chars.sum())
+    assert len(got) == docs.lang.nunique()
