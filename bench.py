@@ -69,6 +69,12 @@ SF1_SUBSET = [
     # (semantic_dedup is not in HEADLINE; bench_sf1 times its own sf0.1
     # base)
     "dedup_embed_cosine", "semantic_dedup",
+    # r7-continuation candidate generators: the df<=50 shingle cut
+    # (containment), the top-3-partner kNN sparsification (link
+    # prediction), and the bitmap rolling-distinct grid — each claims a
+    # bounded-growth shape; the sf1 ratio is the measured check
+    "text_ngram_containment", "graph_link_predict",
+    "win_rolling_distinct_users",
 ]
 
 
