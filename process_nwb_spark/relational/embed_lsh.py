@@ -819,17 +819,7 @@ def embed_matryoshka_eval(spark, sf_dir):
          .select(F.col("vec_id").alias("anchor_id"),
                  F.col("embedding").alias("av")))
 
-    def dot(c1, c2):
-        return F.aggregate(
-            F.zip_with(c1, c2,
-                       lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x)
-
-    def norm(c):
-        return F.sqrt(F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x))
-
+    dot, norm = _dot_spark, _norm_spark  # canonical ordered-fold idiom
     sl = lambda c: F.slice(F.col(c), 1, 16)  # noqa: E731
     scored = (e.crossJoin(F.broadcast(a))
               .filter(F.col("vec_id") != F.col("anchor_id"))

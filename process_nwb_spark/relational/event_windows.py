@@ -1870,8 +1870,12 @@ def ts_holt_linear(spark, sf_dir):
     w AS (
       SELECT event_type, d, cnt,
              CAST(COUNT(*) OVER win AS BIGINT) AS n,
-             CAST(SUM(cnt) OVER win AS BIGINT) AS s,
-             CAST(SUM(cnt * cnt) OVER win AS BIGINT) AS s2
+             MIN(d) OVER win AS d0,
+             CAST(SUM(CAST(cnt AS DECIMAL(38,0))) OVER win
+               AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(cnt AS DECIMAL(38,0))
+                      * CAST(cnt AS DECIMAL(38,0))) OVER win
+               AS DECIMAL(38,0)) AS s2
       FROM daily
       WINDOW win AS (PARTITION BY event_type ORDER BY d
                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -1887,7 +1891,7 @@ def ts_holt_linear(spark, sf_dir):
            CAST(CAST(cnt AS DOUBLE) > CAST(s AS DOUBLE) / 7.0
                 + 2.0 * SQRT(CAST(7 * s2 - s * s AS DOUBLE) / 42.0) AS INT)
              AS breach_hi
-    FROM w WHERE n = 7
+    FROM w WHERE n = 7 AND d - d0 = 6
     ORDER BY event_type, day
     """,
     doc="Bollinger bands on the per-type DAILY event count: 7-day rolling "
@@ -1900,7 +1904,10 @@ def ts_holt_linear(spark, sf_dir):
         "IEEE-correctly-rounded function of identical integer inputs, so "
         "bands AND the breach comparison (int count vs deterministic "
         "double band) land bit-identically in both engines; no ordered "
-        "fold needed. Bessel-corrected σ: var = (7·Σx² − (Σx)²)/(7·6)",
+        "fold needed. Bessel-corrected σ: var = (7·Σx² − (Σx)²)/(7·6). "
+        "Bands emit only for GAPLESS weeks (the 7-row frame must span "
+        "exactly 6 calendar days): zero-count days have no rollup row, "
+        "and a ROWS frame would otherwise silently bridge the gap",
 )
 def ts_bollinger_daily(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
@@ -1908,16 +1915,24 @@ def ts_bollinger_daily(spark, sf_dir):
              .agg(F.count("*").cast("bigint").alias("cnt")))
     win = (Window.partitionBy("event_type").orderBy("d")
            .rowsBetween(-6, 0))
+    # quadratic window sums in DECIMAL(38,0): daily counts >= ~1.15e9
+    # would wrap 7*Σcnt² past bigint (non-ANSI Spark wraps SILENTLY,
+    # DuckDB raises — a divergence, not just a wrong band)
+    dec = F.col("cnt").cast("decimal(38,0)")
     w = (daily
          .withColumn("n", F.count("*").over(win).cast("bigint"))
-         .withColumn("s", F.sum("cnt").over(win).cast("bigint"))
-         .withColumn("s2", F.sum(F.col("cnt") * F.col("cnt")).over(win)
-                     .cast("bigint")))
+         .withColumn("d0", F.min("d").over(win))
+         .withColumn("s", F.sum(dec).over(win).cast("decimal(38,0)"))
+         .withColumn("s2", F.sum(dec * dec).over(win)
+                     .cast("decimal(38,0)")))
     ma = F.col("s").cast("double") / F.lit(7.0)
     sd = F.sqrt((F.lit(7) * F.col("s2") - F.col("s") * F.col("s"))
                 .cast("double") / F.lit(42.0))
     upper = ma + F.lit(2.0) * sd
-    return (w.filter(F.col("n") == 7)
+    # n == 7 alone would let the 7-row frame span calendar gaps (a
+    # zero-count day has no rollup row); require a gapless week
+    return (w.filter((F.col("n") == 7)
+                     & (F.datediff(F.col("d"), F.col("d0")) == 6))
             .select("event_type", F.col("d").cast("string").alias("day"),
                     "cnt",
                     F.round(ma, 6).alias("ma7"),
@@ -2031,12 +2046,18 @@ def ts_mase_backtest(spark, sf_dir):
       FROM daily a JOIN daily b ON b.d = a.d AND a.event_type < b.event_type
     ),
     s AS (
-      SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
-             SUM(x*x) AS sx2, SUM(y*y) AS sy2
+      SELECT type_a, type_b, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS sx2,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS sy2
       FROM p GROUP BY 1, 2
     )
-    SELECT type_a, type_b, n AS n_days,
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
            ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
                  / SQRT(CAST(n*sx2 - sx*sx AS DOUBLE)
                         * CAST(n*sy2 - sy*sy AS DOUBLE)), 6) AS r
@@ -2065,12 +2086,17 @@ def ts_corr_matrix(spark, sf_dir):
                      F.col("d").alias("d2"), F.col("cnt").alias("y"))
     p = a.join(b, (F.col("d") == F.col("d2"))
                & (F.col("type_a") < F.col("type_b")))
+    # Σx², Σxy and the n·Σx² − (Σx)² products in DECIMAL(38,0): daily
+    # counts past ~1e9 wrap these in bigint (silently, in non-ANSI Spark)
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     s = (p.groupBy("type_a", "type_b")
-         .agg(F.count("*").cast("bigint").alias("n"),
-              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-              F.sum(F.col("x") * F.col("y")).alias("sxy"),
-              F.sum(F.col("x") * F.col("x")).alias("sx2"),
-              F.sum(F.col("y") * F.col("y")).alias("sy2")))
+         .agg(F.count("*").cast("decimal(38,0)").alias("n"),
+              F.sum(xd).cast("decimal(38,0)").alias("sx"),
+              F.sum(yd).cast("decimal(38,0)").alias("sy"),
+              F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+              F.sum(xd * xd).cast("decimal(38,0)").alias("sx2"),
+              F.sum(yd * yd).cast("decimal(38,0)").alias("sy2")))
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
         .cast("double")
     vx = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")) \
@@ -2080,7 +2106,8 @@ def ts_corr_matrix(spark, sf_dir):
     return (s.filter((F.col("n") >= 3)
                      & (F.col("n") * F.col("sx2") > F.col("sx") * F.col("sx"))
                      & (F.col("n") * F.col("sy2") > F.col("sy") * F.col("sy")))
-            .select("type_a", "type_b", F.col("n").alias("n_days"),
+            .select("type_a", "type_b",
+                    F.col("n").cast("bigint").alias("n_days"),
                     F.round(num / F.sqrt(vx * vy), 6).alias("r"))
             .orderBy("type_a", "type_b"))
 
@@ -2196,13 +2223,22 @@ def _pacf_oracle() -> str:
       FROM events GROUP BY 1, 2
     ),
     meta AS (
-      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s,
-             SUM(x*x) AS sxx, MIN(di) AS d0, MAX(di) AS d1
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS sxx,
+             MIN(di) AS d0, MAX(di) AS d1
       FROM daily GROUP BY 1
     ),
     lagk AS (
       SELECT a.event_type AS et, l.k,
-             SUM(a.x * b.x) AS sxy, SUM(a.x) AS shead, SUM(b.x) AS stail
+             CAST(SUM(CAST(a.x AS DECIMAL(38,0))
+                      * CAST(b.x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sxy,
+             CAST(SUM(CAST(a.x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS shead,
+             CAST(SUM(CAST(b.x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS stail
       FROM daily a
       CROSS JOIN (SELECT UNNEST(RANGE(1, %d)) AS k) l
       JOIN daily b ON b.event_type = a.event_type AND b.di = a.di + l.k
@@ -2223,7 +2259,8 @@ def _pacf_oracle() -> str:
                    * (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
                    * (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))) AS g0
       FROM lagk JOIN meta m ON m.event_type = lagk.et
-      WHERE m.d1 - m.d0 + 1 = m.n AND m.n > %d AND m.n * m.sxx > m.s * m.s
+      WHERE m.d1 - m.d0 + 1 = m.n AND m.n > %d
+        AND CAST(m.n AS DECIMAL(38,0)) * m.sxx > m.s * m.s
       GROUP BY 1
     ),
     r AS (
@@ -2267,7 +2304,8 @@ def _pacf_oracle() -> str:
         "step reads (PACF cutting off at p identifies the AR(p)). The "
         "autocovariances come from EXACT integer sums (Σxᵢxᵢ₊ₖ, head/"
         "tail sums, n, S) over the same calendar-bounded lag fan-out as "
-        "ts_acf — biased estimator, closed form, no per-element float "
+        "ts_acf (quadratic sums in DECIMAL(38,0): bigint wraps near "
+        "1e9-count days) — biased estimator, closed form, no per-element float "
         "sums — and the D-L recursion is then unrolled over the "
         "lag-array column as 7 in-plan levels of array transforms + "
         "index-ordered folds (a recurrence windows cannot express; "
@@ -2286,10 +2324,11 @@ def ts_pacf(spark, sf_dir):
                         .alias("di"))
              .agg(F.count("*").cast("bigint").alias("x"))
              .cache())
+    xdec = F.col("x").cast("decimal(38,0)")
     meta = (daily.groupBy("event_type")
             .agg(F.count("*").cast("bigint").alias("n"),
-                 F.sum("x").alias("s"),
-                 F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                 F.sum(xdec).cast("decimal(38,0)").alias("s"),
+                 F.sum(xdec * xdec).cast("decimal(38,0)").alias("sxx"),
                  F.min("di").alias("d0"), F.max("di").alias("d1")))
     lags = spark.range(1, K + 1).select(F.col("id").alias("k"))
     a = (daily.crossJoin(F.broadcast(lags))
@@ -2297,11 +2336,14 @@ def ts_pacf(spark, sf_dir):
                  F.col("x").alias("xh")))
     b = daily.select(F.col("event_type").alias("et2"),
                      F.col("di").alias("dj2"), F.col("x").alias("xt"))
+    hd = F.col("xh").cast("decimal(38,0)")
+    td_ = F.col("xt").cast("decimal(38,0)")
     lagk = (a.join(b, (F.col("event_type") == F.col("et2"))
                    & (F.col("dj") == F.col("dj2")))
             .groupBy("event_type", "k")
-            .agg(F.sum(F.col("xh") * F.col("xt")).alias("sxy"),
-                 F.sum("xh").alias("shead"), F.sum("xt").alias("stail")))
+            .agg(F.sum(hd * td_).cast("decimal(38,0)").alias("sxy"),
+                 F.sum(hd).cast("decimal(38,0)").alias("shead"),
+                 F.sum(td_).cast("decimal(38,0)").alias("stail")))
     m = F.col("s").cast("double") / F.col("n").cast("double")
     gam_k = (F.col("sxy").cast("double")
              - m * (F.col("shead") + F.col("stail")).cast("double")
@@ -2311,7 +2353,8 @@ def ts_pacf(spark, sf_dir):
     gams = (lagk.join(meta, "event_type")
             .filter((F.col("d1") - F.col("d0") + 1 == F.col("n"))
                     & (F.col("n") > K)
-                    & (F.col("n") * F.col("sxx") > F.col("s") * F.col("s")))
+                    & (F.col("n").cast("decimal(38,0)") * F.col("sxx")
+                       > F.col("s") * F.col("s")))
             .groupBy("event_type")
             .agg(F.transform(
                      F.array_sort(F.collect_list(
@@ -2386,7 +2429,10 @@ def ts_pacf(spark, sf_dir):
              dn.len AS decline_len, up.len AS recovery_len
       FROM runs dn JOIN runs up
         ON up.event_type = dn.event_type AND up.rn0 = dn.rn1 + 1
+       AND up.run_start = dn.run_end + 1
        AND dn.s = -1 AND up.s = 1
+      WHERE dn.run_end - dn.run_start + 1 = dn.len
+        AND up.run_end - up.run_start + 1 = up.len
     )
     SELECT v.et AS event_type,
            CAST(v.decline_first_day AS VARCHAR) AS decline_first_day,
@@ -2408,7 +2454,11 @@ def ts_pacf(spark, sf_dir):
         "type-keyed shuffle) -> adjacency self-join of the RUN table "
         "(rows = number of direction changes, calendar-bounded) pairing "
         "each maximal down-run with the up-run that starts where it "
-        "ends. All comparisons are integer, so the face is hash-exact. "
+        "ends — with the up-run required to START the calendar day "
+        "after the trough and every run required to be day-contiguous "
+        "(run-index adjacency alone would stitch a V across a missing "
+        "day, since absent rollup rows keep rn consecutive). All "
+        "comparisons are integer/date, so the face is hash-exact. "
         "At 100 TB the pattern runs on the rollup, never raw events — "
         "the same fact->state-table split as the CUSUM/streak faces",
 )
@@ -2433,19 +2483,27 @@ def seq_pattern_vshape(spark, sf_dir):
                  F.count("*").cast("bigint").alias("len"),
                  F.min("rn").alias("rn0"), F.max("rn").alias("rn1"))
             .drop("grp"))
-    dn = (runs.filter(F.col("s") == -1)
+    # run-index adjacency alone would stitch a V across a missing
+    # calendar day (absent rollup rows keep rn consecutive); require
+    # day-adjacency at the trough AND intra-run calendar contiguity
+    contig = (F.datediff(F.col("run_end"), F.col("run_start")) + 1
+              == F.col("len"))
+    dn = (runs.filter((F.col("s") == -1) & contig)
           .select(F.col("event_type").alias("et"),
                   F.col("run_start").alias("decline_first_day"),
                   F.col("run_end").alias("trough_day"),
                   F.col("len").alias("decline_len"),
                   F.col("rn1")))
-    up = (runs.filter(F.col("s") == 1)
+    up = (runs.filter((F.col("s") == 1) & contig)
           .select(F.col("event_type").alias("et2"),
+                  F.col("run_start").alias("rstart"),
                   F.col("run_end").alias("recovery_end_day"),
                   F.col("len").alias("recovery_len"),
                   F.col("rn0")))
     v = dn.join(up, (F.col("et") == F.col("et2"))
-                & (F.col("rn0") == F.col("rn1") + 1))
+                & (F.col("rn0") == F.col("rn1") + 1)
+                & (F.col("rstart")
+                   == F.expr("date_add(trough_day, 1)")))
     tr = daily.select(F.col("event_type").alias("et3"),
                       F.col("d").alias("td"),
                       F.col("x").alias("trough_value"))
@@ -2473,7 +2531,8 @@ def seq_pattern_vshape(spark, sf_dir):
     arrs AS (
       SELECT event_type, LIST(x ORDER BY d) AS xs,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM daily GROUP BY event_type HAVING COUNT(*) >= 15
+      FROM daily GROUP BY event_type
+      HAVING COUNT(*) >= 15 AND MAX(d) - MIN(d) + 1 = COUNT(*)
     ),
     inits AS (
       SELECT event_type, xs, n,
@@ -2518,7 +2577,10 @@ def seq_pattern_vshape(spark, sf_dir):
         "week-1 seasonal offsets) is the same correctly-rounded "
         "expression tree in both engines — so the face is bit-identical "
         "by construction, the 9-state generalization of ts_holt_linear's "
-        "argument. h-step forecast = l + h*b + s_h; 1-day and 7-day "
+        "argument. Gapped series are EXCLUDED by an integer contiguity "
+        "guard (the season index rotates per observed row, so a missing "
+        "day would silently shift every later seasonal slot off its "
+        "weekday — the ts_pacf guard, same reason). h-step forecast = l + h*b + s_h; 1-day and 7-day "
         "horizons reported. Sequential depth = calendar days AFTER the "
         "partial-agg rollup — the only honest recurrence shape at 100 TB",
 )
@@ -2529,8 +2591,14 @@ def ts_holt_winters(spark, sf_dir):
     arrs = (daily.groupBy("event_type")
             .agg(F.array_sort(F.collect_list(F.struct("d", "x")))
                  .alias("pts"),
-                 F.count("*").cast("bigint").alias("n"))
-            .filter(F.col("n") >= 15)
+                 F.count("*").cast("bigint").alias("n"),
+                 F.min("d").alias("d0"), F.max("d").alias("d1"))
+            .filter((F.col("n") >= 15)
+                    # the 7-slot season rotates once per OBSERVED row: a
+                    # single missing day would shift s_i off its weekday
+                    # for the rest of the series — require gapless input
+                    & (F.datediff(F.col("d1"), F.col("d0")) + 1
+                       == F.col("n")))
             .withColumn("xs", F.transform("pts", lambda p: p["x"])))
     e_ = F.element_at
     wk = lambda o: sum((e_("xs", i + o) for i in range(2, 8)),  # noqa: E731

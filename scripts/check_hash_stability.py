@@ -27,6 +27,12 @@ def hashes(parts, names):
     from process_nwb_spark.session import get_spark
 
     spark = get_spark(shuffle_partitions=parts)
+    # AQE's partition coalescing would collapse BOTH configurations to
+    # the same tiny post-shuffle layout at test scale, making the two
+    # runs fold partial states in identical order and neutralizing the
+    # perturbation this probe exists to apply — turn it off so the
+    # partition counts actually differ
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     reg = all_queries()
     out = {}
     for n in names:

@@ -544,12 +544,16 @@ def test_collocations_one_scan_no_python(spark, qs):
 
 
 def test_containment_df_cut_before_pair_join(spark, qs):
-    # the df<=50 stop-shingle cut must land before the shingle self-join;
-    # without it a hot shingle in d docs contributes d^2 candidate pairs
+    # the df<=50 stop-shingle cut bounds the shingle self-join (a hot
+    # shingle in d docs contributes d^2 candidate pairs); the face's
+    # dataflow joins the FILTERED side, so assert the cut exists in the
+    # physical plan at all (a refactor that drops it passes no-Python
+    # checks but reopens the quadratic)
     df = qs["text_ngram_containment"].fn(spark, SF)
     plan = formatted_plan(df)
     assert "Python" not in plan and "ArrowEval" not in plan
     assert has_partial_aggregation(df)
+    assert "<= 50" in plan, "df<=50 stop-shingle cut missing from plan"
 
 
 def test_daily_rollup_faces_cache_fact(spark, qs):

@@ -626,3 +626,49 @@ def test_schema_evolution_null_semantics(spark):
         assert row.n_with_chars == len(odd)       # evens read as NULL
         assert row.total_chars == int(odd.n_chars.sum())
     assert len(got) == docs.lang.nunique()
+
+
+def test_calendar_gap_guards_fire(spark, tmp_path):
+    """A missing day must not let ROWS frames, season rotation, or
+    run-index adjacency silently bridge the gap (code-review findings)."""
+    rows = []
+    eid = 0
+    # type 'gap': days 1..30 except day 10 missing; counts form a clean
+    # V around day 20 (down 17..20, up 20..23) and one around day 8/11
+    # that straddles the missing day and must NOT match
+    for day in range(1, 31):
+        if day == 10:
+            continue
+        base = 50
+        if day in (8, 9):
+            base = 50 - (day - 7) * 5      # decline into the gap
+        if day in (11, 12):
+            base = 35 + (day - 10) * 5     # recovery right after the gap
+        if 17 <= day <= 20:
+            base = 50 - (day - 16) * 5     # clean decline
+        if 21 <= day <= 23:
+            base = 30 + (day - 20) * 5     # clean recovery
+        for _ in range(base):
+            rows.append((eid, f"2024-01-{day:02d} 12:00:00", 1, "gap",
+                         1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/events.parquet")
+
+    from process_nwb_spark.relational.event_windows import (
+        seq_pattern_vshape, ts_bollinger_daily, ts_holt_winters)
+    # 1. bollinger: every emitted band spans exactly 6 calendar days —
+    # the first 6 rows after the gap (windows containing day 10) drop
+    bands = ts_bollinger_daily(spark, sf).collect()
+    days = sorted(pd.Timestamp(r.day).day for r in bands)
+    assert days, "gapless weeks exist and must emit"
+    assert all(d >= 17 or d <= 9 for d in days), days  # 11..16 span the gap
+    # 2. holt-winters: the gapped series is excluded entirely
+    assert ts_holt_winters(spark, sf).collect() == []
+    # 3. vshape: only the clean V (trough day 20) matches; the pair of
+    # runs straddling the missing day 10 must not stitch
+    vs = seq_pattern_vshape(spark, sf).collect()
+    assert [r.trough_day for r in vs] == ["2024-01-20"]
