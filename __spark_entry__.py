@@ -154,6 +154,10 @@ DRIVER_PRIORITY = (
     # lakehouse observability: _metadata row-to-file lineage,
     # mergeSchema additive-column evolution across file generations
     "source_file_lineage", "source_schema_evolution",
+    # lakehouse-ops completion: compaction planner by cumulative-capacity
+    # banding on the layout key (explicit DIV sidesteps the cast-rounding
+    # divergence between engines)
+    "layout_compaction_plan",
 )
 
 

@@ -1057,3 +1057,65 @@ def mix_temperature_weights(spark, sf_dir):
                     F.round(p, 6).alias("share"),
                     F.round(w, 6).alias("temp_share"),
                     F.round(w / p, 4).alias("boost")))
+
+
+@query(
+    "layout_compaction_plan",
+    """
+    WITH shards AS (
+      SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS bytes,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang, source
+    ),
+    placed AS (
+      SELECT lang, source, bytes, n_docs,
+             CAST(COALESCE(SUM(bytes) OVER (ORDER BY lang, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM shards
+    )
+    SELECT CAST(cum_before // 60000 AS BIGINT) AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           ROUND(CAST(SUM(bytes) AS DOUBLE) / 60000.0, 6) AS fill_ratio
+    FROM placed GROUP BY 1 ORDER BY file_id
+    """,
+    doc="small-file compaction planning — the lakehouse-ops step between "
+        "source_file_lineage (which files are small) and write_zordered "
+        "(how rows lay out inside them): shard-level size stats are "
+        "sorted on the layout key and banded into target-size output "
+        "files by cumulative-capacity cut (SUM OVER preceding, integer-"
+        "DIV by the 60 KB target) — the deterministic sort-and-chunk "
+        "strategy production compactors (Delta OPTIMIZE, Iceberg "
+        "rewrite_data_files bin-pack) apply, expressed as one window + "
+        "one groupBy. Integer division is written as explicit DIV in "
+        "BOTH engines: plain '/' is double division in each, but "
+        "Spark's double->bigint cast truncates while DuckDB's ROUNDS — "
+        "a silent cross-engine off-by-one-file divergence this face "
+        "deliberately sidesteps. Sorting by the layout key (not FFD) "
+        "keeps key locality inside output files, so data-skipping "
+        "min/max stats stay tight after compaction; fill_ratio is the "
+        "auditable packing quality",
+)
+def layout_compaction_plan(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    shards = (d.groupBy("lang", "source")
+              .agg(F.sum("n_chars").cast("bigint").alias("bytes"),
+                   F.count("*").cast("bigint").alias("n_docs")))
+    run = (Window.orderBy("lang", "source")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    placed = shards.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("bytes").over(run), F.lit(0)).cast("bigint"))
+    return (placed
+            .withColumn("file_id", F.expr("cum_before div 60000")
+                        .cast("bigint"))
+            .groupBy("file_id")
+            .agg(F.count("*").cast("bigint").alias("n_shards"),
+                 F.sum("n_docs").cast("bigint").alias("n_docs"),
+                 F.sum("bytes").cast("bigint").alias("total_bytes"))
+            .select("file_id", "n_shards", "n_docs", "total_bytes",
+                    F.round(F.col("total_bytes").cast("double")
+                            / F.lit(60000.0), 6).alias("fill_ratio"))
+            .orderBy("file_id"))

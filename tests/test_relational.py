@@ -64,7 +64,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "agg_revenue_concentration", "win_rolling_distinct_users",
         "abtest_mann_whitney", "sql_udf_scalar",
         "agg_gini_coefficient",
-        "source_file_lineage", "source_schema_evolution"]
+        "source_file_lineage", "source_schema_evolution",
+        "layout_compaction_plan"]
 
 
 @pytest.fixture(scope="module")

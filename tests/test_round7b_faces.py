@@ -672,3 +672,24 @@ def test_calendar_gap_guards_fire(spark, tmp_path):
     # runs straddling the missing day 10 must not stitch
     vs = seq_pattern_vshape(spark, sf).collect()
     assert [r.trough_day for r in vs] == ["2024-01-20"]
+
+
+def test_compaction_plan_matches_python_banding(spark):
+    from process_nwb_spark.relational.dataprep import layout_compaction_plan
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet") \
+        .select("lang", "source", "n_chars").toPandas()
+    shards = (docs.groupby(["lang", "source"])
+              .agg(bytes=("n_chars", "sum"), n_docs=("n_chars", "size"))
+              .reset_index().sort_values(["lang", "source"]))
+    cum_before = shards["bytes"].cumsum().shift(1, fill_value=0)
+    shards["file_id"] = (cum_before // 60000).astype(np.int64)
+    want = {int(fid): (len(g), int(g.n_docs.sum()), int(g.bytes.sum()),
+                       round(float(g.bytes.sum()) / 60000.0, 6))
+            for fid, g in shards.groupby("file_id")}
+    got = {r.file_id: (r.n_shards, r.n_docs, r.total_bytes, r.fill_ratio)
+           for r in layout_compaction_plan(spark, SF_CORRECT).collect()}
+    assert got == want
+    # every file except possibly the last is near target (sort-and-chunk
+    # guarantees fill >= 1 - max_shard/target for interior files)
+    fids = sorted(got)
+    assert len(fids) >= 1 and fids == list(range(len(fids)))
