@@ -606,3 +606,114 @@ def stream_peak_detect(signals: DataFrame, threshold: float,
                          "has_island BOOLEAN"),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_cusum_shift(daily: DataFrame) -> DataFrame:
+    """Streaming two-sided CUSUM level-shift detection — the stateful
+    twin of relational/event_windows.ts_cusum_shift, with the recurrence
+    carried ACROSS micro-batches. CUSUM is the textbook ONLINE detector;
+    this is its natural streaming form.
+
+    Input: the per-(event_type, day) EXACT integer-cent daily totals
+    (`d` date, `xc` bigint) — in production the output of an upstream
+    windowed aggregation; granularity matches the batch face so the two
+    can be compared row-for-row.
+
+    Semantics, replicated bit-for-bit from the batch fold: the baseline
+    mu is the HALF-UP-rounded mean of the first seven days (buffered in
+    state until all seven have arrived — nothing is emitted before
+    that, then the buffer replays through the fold so days 1..7 are
+    emitted too), kappa = round2(mu*0.05), h = round2(mu*0.25), and
+    s_hi/s_lo advance via max(0, prev + delta) in day order — the same
+    float ops in the same order as the batch's seeded LIST_REDUCE, so
+    batch == stream exactly (pinned in tests/test_streaming.py with
+    file cuts through the baseline and through the fold). Series with
+    fewer than seven days total never leave the buffer — a stream
+    cannot know the series ended (the batch face, which can, uses what
+    exists; parity holds for >= 7-day series).
+
+    Contract: per event_type, days must land in increasing order (a
+    day at or below the high-water mark raises — the
+    stream_burst_detect guard); within a micro-batch any order is fine.
+    State is O(1) per key (7-slot buffer + 2 sums). Emits in append
+    mode.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def r2(x):
+        return math.floor(x * 100.0 + 0.5) / 100.0
+
+    def r4(x):
+        return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+    def fn(key, pdfs, state: GroupState):
+        (etype,) = key
+        if state.exists:
+            (buf_d, buf_x, mu, kappa, h, s_hi, s_lo, last_di,
+             ready) = tuple(state.get)
+            buf_d, buf_x = list(buf_d), list(buf_x)
+        else:
+            buf_d, buf_x = [], []
+            mu = kappa = h = 0.0
+            s_hi = s_lo = 0.0
+            last_di = -(1 << 62)
+            ready = False
+        out = []
+
+        def advance(di, xc):
+            nonlocal s_hi, s_lo
+            x = float(xc) / 100.0
+            s_hi = max(0.0, s_hi + (x - mu - kappa))
+            s_lo = max(0.0, s_lo + (mu - kappa - x))
+            out.append((etype, pd.Timestamp(di, unit="D")
+                        .strftime("%Y-%m-%d"), x,
+                        r4(s_hi), r4(s_lo),
+                        1 if (s_hi > h or s_lo > h) else 0))
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("d")
+            for d, xc in zip(pdf["d"], pdf["xc"]):
+                di = (pd.Timestamp(d) - pd.Timestamp("1970-01-01")).days
+                if di <= last_di:
+                    raise ValueError(
+                        f"stream_cusum_shift: day {d} for {etype!r} at or "
+                        f"below the high-water mark — out-of-order landing")
+                last_di = di
+                if not ready:
+                    buf_d.append(di)
+                    buf_x.append(int(xc))
+                    if len(buf_d) == 7:
+                        # seeded ordered sum, same assoc as the batch fold
+                        acc = 0.0
+                        for v in buf_x:
+                            acc = acc + float(v) / 100.0
+                        mu = r2(acc / float(len(buf_x)))
+                        kappa = r2(mu * 0.05)
+                        h = r2(mu * 0.25)
+                        ready = True
+                        for bdi, bxc in zip(buf_d, buf_x):
+                            advance(bdi, bxc)
+                        buf_d, buf_x = [], []
+                else:
+                    advance(di, int(xc))
+        state.update((buf_d, buf_x, mu, kappa, h, s_hi, s_lo, last_di,
+                      ready))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "event_type", "day", "x", "cusum_hi", "cusum_lo",
+                "shift_flag"])
+
+    out_schema = ("event_type string, day string, x double, "
+                  "cusum_hi double, cusum_lo double, shift_flag int")
+    state_schema = ("buf_d array<long>, buf_x array<long>, mu double, "
+                    "kappa double, h double, s_hi double, s_lo double, "
+                    "last_di long, ready boolean")
+    return (daily.groupBy("event_type")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))

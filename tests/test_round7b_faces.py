@@ -693,3 +693,24 @@ def test_compaction_plan_matches_python_banding(spark):
     # guarantees fill >= 1 - max_shard/target for interior files)
     fids = sorted(got)
     assert len(fids) >= 1 and fids == list(range(len(fids)))
+
+
+def test_driver_priority_names_resolve():
+    """Every DRIVER_PRIORITY entry must name a registered query (a typo
+    here silently shrinks the driver's sampled prefix), with no dupes,
+    and the whole registry must stay SQL-oracled."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+            "__spark_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    from process_nwb_spark.relational.core import all_queries
+    reg = all_queries()
+    missing = [n for n in m.DRIVER_PRIORITY if n not in reg]
+    assert not missing, missing
+    assert len(set(m.DRIVER_PRIORITY)) == len(m.DRIVER_PRIORITY)
+    unoracled = [n for n, s in reg.items() if s.oracle is None]
+    assert not unoracled, unoracled

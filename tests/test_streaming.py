@@ -356,3 +356,49 @@ def test_stream_peaks_decide_across_file_cut(spark, tmp_path):
                                rtol=0, atol=0)
     # the cut-straddling island reported once, with the 999 peak winning
     assert 999 in set(got.sample_idx) and 1030 not in set(got.sample_idx)
+
+
+def test_stream_cusum_equals_batch_across_cuts(spark, tmp_path):
+    """The online CUSUM must equal the batch face row-for-row when the
+    daily stream is cut mid-baseline (day 4) and mid-fold (day 15) —
+    state carries the baseline buffer and the s_hi/s_lo recurrence."""
+    import pandas as pd
+    from process_nwb_spark.relational.event_windows import ts_cusum_shift
+    from process_nwb_spark.streaming.ops import stream_cusum_shift
+    from tests.conftest import SF_CORRECT
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+                  .cast("bigint").alias("xc")))
+
+    in_dir = str(tmp_path / "in_cusum")
+    for lo, hi in [("2024-01-01", "2024-01-05"),
+                   ("2024-01-05", "2024-01-16"),
+                   ("2024-01-16", "2024-02-01")]:
+        (daily.filter((F.col("d") >= lo) & (F.col("d") < hi))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    sdf = (spark.readStream
+           .schema("event_type string, d date, xc long")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream_cusum_shift(sdf)
+         .writeStream.format("memory").queryName("t_cusum")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = (spark.table("t_cusum").toPandas()
+           .sort_values(["event_type", "day"]).reset_index(drop=True))
+    want = (ts_cusum_shift(spark, SF_CORRECT).toPandas()
+            .sort_values(["event_type", "day"]).reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["event_type", "day", "x", "cusum_hi", "cusum_lo",
+             "shift_flag"]],
+        want[["event_type", "day", "x", "cusum_hi", "cusum_lo",
+              "shift_flag"]],
+        check_dtype=False, check_exact=True)  # bit-for-bit, not rtol
+    assert want.shift_flag.sum() > 0  # the detector actually fires
