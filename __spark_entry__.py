@@ -162,6 +162,9 @@ DRIVER_PRIORITY = (
     # banding on the layout key (explicit DIV sidesteps the cast-rounding
     # divergence between engines)
     "layout_compaction_plan",
+    # Newman degree assortativity — the structural prior for degree-cap
+    # and degree-orientation strategies
+    "graph_assortativity",
 )
 
 

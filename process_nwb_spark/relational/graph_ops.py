@@ -424,3 +424,90 @@ def graph_link_predict(spark, sf_dir):
                                - F.col("n_common")).cast("double"), 6)
                     .alias("jaccard"))
             .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")))
+
+
+@query(
+    "graph_assortativity",
+    """
+    WITH lines AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM lines a JOIN lines b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+      ) GROUP BY node
+    ),
+    ends AS (
+      SELECT du.d AS x, dv.d AS y FROM edges e
+      JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d AS x, du.d AS y FROM edges e
+      JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS m,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS sx2
+      FROM ends
+    )
+    SELECT CAST(m AS BIGINT) // 2 AS n_edges,
+           ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+                 / CAST(m * sx2 - sx * sx AS DOUBLE), 6) AS assortativity
+    FROM s WHERE m * sx2 > sx * sx
+    """,
+    doc="degree assortativity of the co-purchase part graph (Newman's r): "
+        "the Pearson correlation of endpoint degrees over all edge "
+        "orientations — positive means hubs link to hubs (social-network "
+        "shape), negative means hub-and-spoke (infrastructure shape), "
+        "~0 here (random co-purchase). The structural prior that decides "
+        "whether degree-capped sampling (graph_link_predict's top-k cut) "
+        "or degree-oriented joins (graph_triangles) will pay off on a "
+        "given graph. Both orientations of each edge feed the closed "
+        "form over four EXACT sums — symmetry makes Σy=Σx, so only m, "
+        "Σx, Σxy, Σx² are needed — accumulated in DECIMAL(38,0) "
+        "(degree² sums cross bigint on hub-heavy graphs). One number "
+        "out, no order pinning, hash-exact; edges/degrees reuse the "
+        "graph_triangles aggregation shape, so at 100 TB the only fact-"
+        "scale work is the same distinct-pair rollup",
+)
+def graph_assortativity(spark, sf_dir):
+    lines = (T(spark, sf_dir, "lineitem")
+             .select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("pk"))
+             .distinct())
+    b = lines.select(F.col("ok").alias("ok2"), F.col("pk").alias("pk2"))
+    edges = (lines.join(b, (F.col("ok") == F.col("ok2"))
+                        & (F.col("pk") < F.col("pk2")))
+             .select(F.col("pk").alias("u"), F.col("pk2").alias("v"))
+             .distinct()
+             .cache())
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionAll(edges.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("bigint").alias("d")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
+    joined = edges.join(du, "u").join(dv, "v")
+    ends = (joined.select(F.col("dx").alias("x"), F.col("dy").alias("y"))
+            .unionAll(joined.select(F.col("dy").alias("x"),
+                                    F.col("dx").alias("y"))))
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    s = ends.agg(F.count("*").cast("decimal(38,0)").alias("m"),
+                 F.sum(xd).cast("decimal(38,0)").alias("sx"),
+                 F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+                 F.sum(xd * xd).cast("decimal(38,0)").alias("sx2"))
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    den = (F.col("m") * F.col("sx2") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    return (s.filter(F.col("m") * F.col("sx2")
+                     > F.col("sx") * F.col("sx"))
+            .select(F.expr("CAST(m AS BIGINT) div 2").alias("n_edges"),
+                    F.round(num / den, 6).alias("assortativity")))

@@ -714,3 +714,33 @@ def test_driver_priority_names_resolve():
     assert len(set(m.DRIVER_PRIORITY)) == len(m.DRIVER_PRIORITY)
     unoracled = [n for n, s in reg.items() if s.oracle is None]
     assert not unoracled, unoracled
+
+
+def test_assortativity_matches_python_graph(spark):
+    from process_nwb_spark.relational.graph_ops import graph_assortativity
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet") \
+        .select("l_orderkey", "l_partkey").toPandas()
+    edges = set()
+    by_order = collections.defaultdict(set)
+    for ok, pk in li.itertuples(index=False):
+        by_order[int(ok)].add(int(pk))
+    for pks in by_order.values():
+        ps = sorted(pks)
+        for i, a in enumerate(ps):
+            for b_ in ps[i + 1:]:
+                edges.add((a, b_))
+    deg = collections.Counter()
+    for a, b_ in edges:
+        deg[a] += 1
+        deg[b_] += 1
+    xs, ys = [], []
+    for a, b_ in edges:
+        xs += [deg[a], deg[b_]]
+        ys += [deg[b_], deg[a]]
+    x = np.array(xs, dtype=np.float64)
+    y = np.array(ys, dtype=np.float64)
+    r = np.corrcoef(x, y)[0, 1]
+    row = graph_assortativity(spark, SF_CORRECT).collect()[0]
+    assert row.n_edges == len(edges)
+    assert abs(row.assortativity - r) < 1e-6
+    assert -1 <= row.assortativity <= 1
