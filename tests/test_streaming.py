@@ -402,3 +402,39 @@ def test_stream_cusum_equals_batch_across_cuts(spark, tmp_path):
               "shift_flag"]],
         check_dtype=False, check_exact=True)  # bit-for-bit, not rtol
     assert want.shift_flag.sum() > 0  # the detector actually fires
+
+
+def test_stream_cusum_out_of_order_raises(spark, tmp_path):
+    """A day landing at or below the high-water mark must fail loudly
+    (silent reordering would corrupt the recurrence), even while the
+    series is still buffering its baseline."""
+    import pandas as pd
+    from py4j.protocol import Py4JJavaError
+    from process_nwb_spark.streaming.ops import stream_cusum_shift
+
+    days = (pd.DataFrame({
+        "event_type": "t",
+        "d": pd.to_datetime(["2024-01-03", "2024-01-04"]).date,
+        "xc": [100, 200]}))
+    in_dir = str(tmp_path / "in_ooo")
+    spark.createDataFrame(days).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+    # second file replays an EARLIER day
+    late = pd.DataFrame({"event_type": "t",
+                         "d": pd.to_datetime(["2024-01-02"]).date,
+                         "xc": [50]})
+    spark.createDataFrame(late).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+    sdf = (spark.readStream
+           .schema("event_type string, d date, xc long")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream_cusum_shift(sdf)
+         .writeStream.format("memory").queryName("t_cusum_ooo")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+         .trigger(availableNow=True).start())
+    import pytest as _pytest
+    with _pytest.raises((Py4JJavaError, Exception),
+                        match="out-of-order landing"):
+        q.awaitTermination()
