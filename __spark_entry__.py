@@ -64,12 +64,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # 3 lakehouse-ops faces (triangles, Z-order locality, MV merge), the
 # exact-median selection, and the aperiodic-fit face, and the final r7
 # trio (CUSUM shift detection, Theil-Sen trend, MG heavy hitters).
-# After those come the 25 faces of the r7 continuation session (text
+# After those come the 27 faces of the r7 continuation session (text
 # mining, forecasting, sketches, CEP, embedding evals, lakehouse ops,
 # nonparametric stats) — entries past the driver's 50-query sample window
 # roll into the r8 rotation; ALL of them are covered by the committed
 # full-registry local exact gate in both default and ANSI modes
-# (ORACLE_LOCAL_r7.json / ORACLE_ANSI_r7.json, 274/274) plus the
+# (ORACLE_LOCAL_r7.json / ORACLE_ANSI_r7.json, 276/276) plus the
 # shuffle-partition hash-stability probe (scripts/check_hash_stability.py).
 # The previously-proven queries follow in registry order.
 DRIVER_PRIORITY = (
@@ -165,6 +165,9 @@ DRIVER_PRIORITY = (
     # Newman degree assortativity — the structural prior for degree-cap
     # and degree-orientation strategies
     "graph_assortativity",
+    # embedding dim-variance profile (fixed-point moments), lexical
+    # type-token/hapax source triage
+    "embed_dim_variance", "text_ttr_profile",
 )
 
 

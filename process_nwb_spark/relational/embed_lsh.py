@@ -921,3 +921,62 @@ def embed_binary_quant(spark, sf_dir):
             .filter(F.col("rn") <= 3)
             .select("anchor_id", "vec_id", "hamming")
             .orderBy("anchor_id", "hamming", "vec_id"))
+
+
+@query(
+    "embed_dim_variance",
+    """
+    WITH vals AS (
+      SELECT t.i AS dim,
+             CAST(ROUND(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)
+                        * 1000000000.0) AS BIGINT) AS q
+      FROM embeddings, UNNEST(RANGE(1, 65)) AS t(i)
+    ),
+    s AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+             CAST(SUM(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS sq2
+      FROM vals GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           ROUND(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e9), 6)
+             AS mean_val,
+           ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sq2 - sq * sq AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * 1e18),
+                 6) AS var_val
+    FROM s ORDER BY dim
+    """,
+    doc="per-dimension mean/variance profile of the embedding corpus — "
+        "the diagnostic behind MRL truncation (embed_matryoshka_eval "
+        "asks whether the first 16 dims suffice; this face shows WHERE "
+        "the variance actually lives), dead-dimension detection, and "
+        "whitening decisions. Values quantize to exact 1e-9 fixed-point "
+        "integers first (the sig_xcorr moment idiom), so all moment "
+        "sums are order-free exact integer arithmetic in DECIMAL(38,0) "
+        "— no per-dim ordered folds, no collect_list whose size grows "
+        "with the corpus — and the Bessel-corrected variance is one "
+        "deterministic closed form per dim. One explode + one "
+        "partial-agg shuffle keyed on the 64-value dim domain; state "
+        "per dim is three numbers at any corpus size",
+)
+def embed_dim_variance(spark, sf_dir):
+    e = spread(T(spark, sf_dir, "embeddings"))
+    vals = (e.select(F.posexplode("embedding").alias("dim0", "v"))
+            .select((F.col("dim0") + 1).alias("dim"),
+                    F.round(F.col("v").cast("double") * 1000000000.0, 0)
+                    .cast("bigint").alias("q")))
+    qd = F.col("q").cast("decimal(38,0)")
+    s = (vals.groupBy("dim")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(qd).cast("decimal(38,0)").alias("sq"),
+              F.sum(qd * qd).cast("decimal(38,0)").alias("sq2")))
+    nd = F.col("n").cast("double")
+    var = ((F.col("n").cast("decimal(38,0)") * F.col("sq2")
+            - F.col("sq") * F.col("sq")).cast("double")
+           / (nd * (nd - F.lit(1.0)) * F.lit(1e18)))
+    return (s.select(F.col("dim").cast("bigint").alias("dim"), "n",
+                     F.round(F.col("sq").cast("double")
+                             / (nd * F.lit(1e9)), 6).alias("mean_val"),
+                     F.round(var, 6).alias("var_val"))
+            .orderBy("dim"))

@@ -2440,3 +2440,53 @@ def text_approx_top_k(spark, sf_dir):
                     .alias("overlap_ok"),
                     (F.col("exact_counts") == F.col("n_items")).cast("int")
                     .alias("counts_ok")))
+
+
+@query(
+    "text_ttr_profile",
+    """
+    WITH toks AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY source, w)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+             AS ttr,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+    FROM wc GROUP BY source ORDER BY source
+    """,
+    doc="lexical-diversity profile per source: type-token ratio and "
+        "hapax-legomena share — low TTR flags template/boilerplate "
+        "sources, abnormally high hapax share flags OCR noise or "
+        "gibberish; both are standard pre-training source-triage "
+        "signals beside text_source_stats' length morphology and "
+        "vocab_zipf_slope's distribution fit. The corpus collapses to "
+        "the (source, word) count table in one partial-agg pass and "
+        "the three statistics are integer counts + two exact "
+        "divisions — hash-exact, vocabulary-sized state, no "
+        "corpus-sized shuffle",
+)
+def text_ttr_profile(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    wc = (d.select("source", F.explode(_words()).alias("w"))
+          .groupBy("source", "w")
+          .agg(F.count("*").cast("bigint").alias("c")))
+    return (wc.groupBy("source")
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.count("*").cast("bigint").alias("n_types"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("n_hapax"))
+            .select("source", "n_tokens", "n_types", "n_hapax",
+                    F.round(F.col("n_types").cast("double")
+                            / F.col("n_tokens").cast("double"), 6)
+                    .alias("ttr"),
+                    F.round(F.col("n_hapax").cast("double")
+                            / F.col("n_types").cast("double"), 6)
+                    .alias("hapax_share"))
+            .orderBy("source"))

@@ -65,7 +65,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "abtest_mann_whitney", "sql_udf_scalar",
         "agg_gini_coefficient",
         "source_file_lineage", "source_schema_evolution",
-        "layout_compaction_plan", "graph_assortativity"]
+        "layout_compaction_plan", "graph_assortativity",
+        "embed_dim_variance", "text_ttr_profile"]
 
 
 @pytest.fixture(scope="module")

@@ -744,3 +744,45 @@ def test_assortativity_matches_python_graph(spark):
     assert row.n_edges == len(edges)
     assert abs(row.assortativity - r) < 1e-6
     assert -1 <= row.assortativity <= 1
+
+
+def test_dim_variance_matches_numpy(spark):
+    from process_nwb_spark.relational.embed_lsh import embed_dim_variance
+    pdf = _embeddings(spark)
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = np.round(V * 1e9).astype(np.int64)
+    got = {r.dim: r for r in embed_dim_variance(spark, SF_CORRECT).collect()}
+    assert len(got) == V.shape[1]
+    for j in range(V.shape[1]):
+        col = q[:, j]
+        n = len(col)
+        mean = col.sum() / (n * 1e9)
+        var = (n * int((col.astype(object) ** 2).sum())
+               - int(col.sum()) ** 2) / (n * (n - 1) * 1e18)
+        row = got[j + 1]
+        assert row.n == n
+        assert row.mean_val == round(mean, 6)
+        assert abs(row.var_val - var) < 1e-6
+        # quantized variance tracks true float variance to ~1e-9 scale
+        assert abs(var - V[:, j].var(ddof=1)) < 1e-6
+
+
+def test_ttr_profile_matches_counter(spark):
+    from process_nwb_spark.relational.llm_ops import text_ttr_profile
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet") \
+        .select("source", "text").toPandas()
+    per_src = collections.defaultdict(collections.Counter)
+    for src, text in docs.itertuples(index=False):
+        per_src[src].update(text.split(" "))
+    got = {r.source: r for r in
+           text_ttr_profile(spark, SF_CORRECT).collect()}
+    for src, cnt in per_src.items():
+        row = got[src]
+        n_tokens = sum(cnt.values())
+        n_types = len(cnt)
+        n_hapax = sum(1 for v in cnt.values() if v == 1)
+        assert (row.n_tokens, row.n_types, row.n_hapax) == \
+            (n_tokens, n_types, n_hapax)
+        assert row.ttr == round(n_types / n_tokens, 6)
+        assert row.hapax_share == round(n_hapax / n_types, 6)
+    assert len(got) == len(per_src)
