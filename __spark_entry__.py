@@ -48,81 +48,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: correctness harnesses that sample a prefix of
 # this dict should see a DIVERSE cross-section of the engine. The prefix is
-# ROTATED each round so cumulative driver coverage grows: rounds 1-6
-# driver-checked 187 distinct queries, 184 green (CORRECTNESS_r0{1..6}.json).
-# This round's prefix: the 3 r6 hash-red faces FIRST (repaired this round —
-# bit-exact order-pinned folds / integer-exact fixtures — the driver should
-# re-adjudicate them), then the 24 never-driver-sampled queries (the r6
-# signal-analysis tier: connectivity, epoching, bursts, multitaper, wPLI,
-# PSI, CSD, band power, line-noise SNR, QC, Hjorth, spectral features —
-# plus 9 relational faces deferred since r5), then the 16 queries ADDED in
-# r7 (TPC-H Q4/Q7/Q12/Q13/Q14/Q15/Q19/Q22 shapes, delay estimation, n:m
-# coupling, peak detection, envelope correlation, Granger-lite causality,
-# n-gram novelty, MinHash estimator calibration, gate calibration) for
-# their first sampling, then the 7 late-r7 TPC-H completions (Q2/Q6/Q9/
-# Q10/Q11/Q16/Q20 shapes — all 22 TPC-H queries now have a face) and the
-# 3 lakehouse-ops faces (triangles, Z-order locality, MV merge), the
-# exact-median selection, and the aperiodic-fit face, and the final r7
-# trio (CUSUM shift detection, Theil-Sen trend, MG heavy hitters).
-# After those come the 27 faces of the r7 continuation session (text
-# mining, forecasting, sketches, CEP, embedding evals, lakehouse ops,
-# nonparametric stats) — entries past the driver's 50-query sample window
-# roll into the r8 rotation; ALL of them are covered by the committed
-# full-registry local exact gate in both default and ANSI modes
-# (ORACLE_LOCAL_r7.json / ORACLE_ANSI_r7.json, 276/276) plus the
-# shuffle-partition hash-stability probe (scripts/check_hash_stability.py).
-# The previously-proven queries follow in registry order.
+# ROTATED each round so cumulative driver coverage grows: rounds 1-7
+# driver-checked 234 distinct queries, 234 green (CORRECTNESS_r0{1..7}.json).
+# This round's prefix: the 42 registry faces that have NEVER had a driver
+# CORRECTNESS row (everything past r7's 50-query sample window — lakehouse
+# ops, forecasting/TS, mergeable sketches, CEP, embedding-deployment evals,
+# nonparametric A/B stats, text mining, graph analytics), so cumulative
+# coverage converts 234/276 driver-proven into 276/276. All 42 are green
+# under the committed full-registry local exact gate in BOTH default and
+# ANSI modes (ORACLE_LOCAL_r7.json / ORACLE_ANSI_r7.json, 276/276 each)
+# plus the shuffle-partition hash-stability probe. Faces ADDED in r8 slot
+# in right after (first sampling); the previously-proven 234 follow in
+# registry order.
 DRIVER_PRIORITY = (
-    # r6 driver-red faces, repaired this round — re-adjudicate first
-    "ts_seasonal_decompose", "survival_km_churn", "sig_electrode_region",
-    # connectivity / trial-analysis tier (r6 additions, never sampled)
-    "sig_xcorr_lags", "sig_pac_mi", "sig_erp_trialavg", "sig_plv_pairs",
-    "sig_burst_detect", "sig_itc_phase_reset", "sig_multitaper_psd",
-    "sig_wpli_contract", "sig_csd_laplacian", "sig_band_power",
-    "sig_line_noise_snr", "sig_psi_direction", "sig_recording_qc",
-    "sig_hjorth", "sig_spectral_features",
-    # relational faces never sampled (deferred since r5)
-    "fn_explode_pos", "agg_shape_stats", "pareto_frontier_parts",
-    "sub_not_exists_customers", "sub_scalar_threshold",
-    "sub_in_region_suppliers", "unpivot_part_measures",
-    "agg_listagg_nations", "sql_scripting_loop",
-    # r7 additions, first driver sampling: TPC-H Q4/Q7/Q12/Q13/Q14/Q15/
-    # Q19/Q22 shapes on exact integer money units
-    "orders_priority_exists", "star_nation_volume", "line_priority_counts",
-    "cust_order_count_dist", "promo_revenue_share", "top_revenue_suppliers",
-    "disjunctive_revenue", "idle_customers_balance",
-    # r7 signal tier: delay estimation, n:m coupling, peaks, AEC
-    "sig_delay_estimate", "sig_ppc_nm", "sig_peak_detect",
-    "sig_envelope_corr", "sig_granger_dir",
-    # r7 curation tier: novelty, sketch calibration, gate calibration
-    "ngram_novelty", "minhash_jaccard_est", "quality_calibration",
-    # r7 second batch: the remaining TPC-H shapes (Q2/Q6/Q9/Q10/Q11/Q16/
-    # Q20 on the partsupp-free testdata) — completes all 22
-    "min_cost_supplier", "forecast_revenue_delta", "product_type_profit",
-    "returned_top_customers", "important_part_value",
-    "supplier_cnt_by_part", "surge_part_suppliers",
     # r7 lakehouse-ops tier: degree-oriented triangle counting, Z-order
     # layout locality, incremental MV maintenance by partial-agg merge
     "graph_triangles", "layout_zorder_locality", "mv_incremental_merge",
-    # r7 late additions: exact fact-scale median by histogram selection,
-    # FOOOF-lite aperiodic 1/f fit with robust peak exclusion
+    # exact fact-scale median by histogram selection; FOOOF-lite
+    # aperiodic 1/f fit with robust peak exclusion
     "agg_exact_median_selection", "sig_aperiodic_fit",
-    # r7 final batch: CUSUM level-shift detection (ordered fold), Theil-Sen
-    # robust trend (pairwise-slope order statistic), exact heavy hitters
-    # via mergeable Misra-Gries sketch + broadcast recount
+    # CUSUM level-shift detection (ordered fold), Theil-Sen robust trend
+    # (pairwise-slope order statistic), exact heavy hitters via mergeable
+    # Misra-Gries sketch + broadcast recount
     "ts_cusum_shift", "ts_theilsen_trend", "text_heavy_hitters",
-    # r7 closing batch: Pregel-style BFS over the sparsified trade graph,
-    # BPE merge-pair counting (tokenizer training iteration 0),
-    # daily-count autocorrelation from exact integer sums, contrastive
-    # hard-negative mining (entries past the driver's 50-query sample
-    # window roll into the r8 rotation; all are covered by the committed
-    # full-registry local exact-gate artifacts meanwhile)
+    # Pregel-style BFS over the sparsified trade graph, BPE merge-pair
+    # counting, daily-count autocorrelation from exact integer sums,
+    # contrastive hard-negative mining
     "graph_bfs_hops", "bpe_pair_counts", "ts_acf", "embed_hard_negatives",
     "bitmap_retention_intersect", "mix_temperature_weights",
     "ts_holt_linear",
-    # r7 continuation: collocation PMI (phrase detection), shingle
-    # containment (sub-document dedup), Bollinger bands + MASE backtest
-    # on the daily rollup — all integer-exact arithmetic, no order pinning
+    # collocation PMI (phrase detection), shingle containment
+    # (sub-document dedup), Bollinger bands + MASE backtest on the daily
+    # rollup — all integer-exact arithmetic, no order pinning
     "text_collocations_pmi", "text_ngram_containment",
     "ts_bollinger_daily", "ts_mase_backtest",
     # cross-series correlation matrix, Welch two-sample t (decimal-exact
@@ -168,6 +125,31 @@ DRIVER_PRIORITY = (
     # embedding dim-variance profile (fixed-point moments), lexical
     # type-token/hapax source triage
     "embed_dim_variance", "text_ttr_profile",
+    # ---- end of the 42 never-driver-sampled faces; r8 additions next
+    # (first sampling) ----
+    # r8: composed end-to-end curation pipeline (dedup -> quality gate ->
+    # temperature mix -> deterministic shards) as ONE lazily-composed plan
+    "pipeline_curate_shard",
+    # ---- previously driver-proven faces (234/234 green r1-r7) follow ----
+    "ts_seasonal_decompose", "survival_km_churn", "sig_electrode_region",
+    "sig_xcorr_lags", "sig_pac_mi", "sig_erp_trialavg", "sig_plv_pairs",
+    "sig_burst_detect", "sig_itc_phase_reset", "sig_multitaper_psd",
+    "sig_wpli_contract", "sig_csd_laplacian", "sig_band_power",
+    "sig_line_noise_snr", "sig_psi_direction", "sig_recording_qc",
+    "sig_hjorth", "sig_spectral_features",
+    "fn_explode_pos", "agg_shape_stats", "pareto_frontier_parts",
+    "sub_not_exists_customers", "sub_scalar_threshold",
+    "sub_in_region_suppliers", "unpivot_part_measures",
+    "agg_listagg_nations", "sql_scripting_loop",
+    "orders_priority_exists", "star_nation_volume", "line_priority_counts",
+    "cust_order_count_dist", "promo_revenue_share", "top_revenue_suppliers",
+    "disjunctive_revenue", "idle_customers_balance",
+    "sig_delay_estimate", "sig_ppc_nm", "sig_peak_detect",
+    "sig_envelope_corr", "sig_granger_dir",
+    "ngram_novelty", "minhash_jaccard_est", "quality_calibration",
+    "min_cost_supplier", "forecast_revenue_delta", "product_type_profit",
+    "returned_top_customers", "important_part_value",
+    "supplier_cnt_by_part", "surge_part_suppliers",
 )
 
 

@@ -77,6 +77,26 @@ def _band_key_sql(vec_expr: str, band: int) -> str:
 # n * cap per band regardless of how a fixed-width band key populates
 _LSH_BUCKET_CAP = 128
 
+# single-slot cache handle for dedup_embed_cosine's tiles table: the face
+# persists the key-only tiles DF so the band/rank CTE executes once for
+# BOTH self-join sides (Spark plans no ReusedExchange across the
+# DeduplicateRelations split — measured). The previous call's cache is
+# dropped on entry so (a) repeated invocations hold at most one copy and
+# (b) every run recomputes from the scan — min-of-N bench passes are never
+# flattered by a warm cache.
+_TILES_CACHE: list = []
+
+
+def _persist_tiles_once(tiles):
+    while _TILES_CACHE:
+        try:
+            _TILES_CACHE.pop().unpersist(False)
+        except Exception:
+            pass
+    tiles = tiles.persist()
+    _TILES_CACHE.append(tiles)
+    return tiles
+
 _COS_SQL = """
   LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim} + 1),
            i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
@@ -377,12 +397,26 @@ def embed_ivf_topk(spark, sf_dir):
         "and candidates quadratic). Recall trade vs unbounded buckets, "
         "measured at sf1 in SCALE.md: ~1.0 for true near-dups "
         "(cos>=0.9); the moderately-similar 0.35-0.5 tail is shed — "
-        "projection-distant pairs do not share a tile. The band "
-        "join and pair dedup move ONLY (vec_id, band, bkey, tile): "
+        "projection-distant pairs do not share a tile. The key-only "
+        "tiles table (vec_id, band, bkey, grid, tile — 5 small ints, no "
+        "embedding) is PERSISTED before the self-join: Spark plans no "
+        "ReusedExchange across the DeduplicateRelations split (measured "
+        "— both join sides re-executed the scan + 8 plane dots + rank "
+        "window, the r7 bench regression), so the cache is what makes "
+        "the band/rank CTE single-pass; it is corpus-sized but "
+        "embedding-free (~40 B/row, MEMORY_AND_DISK so it spills, never "
+        "OOMs, at 100 TB), and the PREVIOUS call's cache is unpersisted "
+        "on entry so repeated invocations hold at most one copy and "
+        "each run recomputes honestly (no stale-cache flattering of "
+        "min-of-N bench passes). Measured at sf1 this beats both the "
+        "uncached self-join (5.3 vs 5.9 s) and a groupBy+collect_list "
+        "per-tile pair enumeration (6.9 s: array-of-struct explosion "
+        "allocates C(cap,2)-element arrays and loses to the streaming "
+        "SMJ). Only (vec_a, vec_b) rides the pair-dedup shuffle: "
         "embeddings re-attach afterward by vec_id equi-join (AQE "
-        "broadcasts the dim-sized table here; at 100 TB it degrades to a "
-        "plain hash join), so no 64-float array ever rides the "
-        "candidate-pair shuffle, and the cosine is evaluated once per "
+        "broadcasts the dim-sized table here; at 100 TB it degrades to "
+        "a plain hash join), so no 64-float array ever rides the "
+        "candidate shuffle, and the cosine is evaluated once per "
         "unique pair",
 )
 def dedup_embed_cosine(spark, sf_dir):
@@ -395,9 +429,7 @@ def dedup_embed_cosine(spark, sf_dir):
               .select("vec_id", "band", "bkey", proj.alias("_proj"))
               .withColumn("_rn", F.row_number().over(
                   Window.partitionBy("band", "bkey").orderBy("_proj",
-                                                             "vec_id")))
-              .withColumn("_cnt", F.count("*").over(
-                  Window.partitionBy("band", "bkey"))))
+                                                             "vec_id"))))
     # TWO offset tile grids (stride cap/2): a run of near-identical
     # vectors shorter than cap/2 ranks can never straddle a boundary in
     # BOTH grids, so boundary cuts cost no true-dup recall (one grid:
@@ -412,9 +444,8 @@ def dedup_embed_cosine(spark, sf_dir):
             F.struct(F.lit(1).alias("grid"), g1.alias("tile")))).alias("gt"))
         .select("vec_id", "band", "bkey",
                 F.col("gt.grid").alias("grid"), F.col("gt.tile").alias("tile")))
+    tiles = _persist_tiles_once(tiles)
     # merge: the tiles table is corpus-sized (never broadcastable at scale)
-    # and the estimated broadcast re-executes the 8 plane dot products for
-    # the build side
     a, b = tiles.hint("merge").alias("a"), tiles.hint("merge").alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
