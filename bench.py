@@ -6,9 +6,11 @@ Prints ONE compact JSON line (the driver contract — its tail capture is
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec_ms_rounded, ...}, "sf": <sf>}
 
-EVERYTHING else — per-query spread, the single-node NumPy anchors, the
-amortized multi-series ratio, and (when the input is the default sf0.1
-and SPARK_GRAFT_BENCH_SCALE isn't 0) the scaling sections — is written
+EVERYTHING else — per-query spread AND median (min-of-N alone cannot
+distinguish a 15% regression from ambient noise at the measured
+spreads), the single-node NumPy anchors, the amortized multi-series
+ratio, and (when the input is the default sf0.1 and
+SPARK_GRAFT_BENCH_SCALE isn't 0) the scaling sections — is written
 to $SPARK_GRAFT_BENCH_FULL_OUT (default <repo>/BENCH_SCALING.json):
   "sf1"  — a subset of headline queries re-timed on a deterministic 10x
            key-shifted scale-up (process_nwb_spark/benchdata.py), with
@@ -75,6 +77,15 @@ SF1_SUBSET = [
     # bounded-growth shape; the sf1 ratio is the measured check
     "text_ngram_containment", "graph_link_predict",
     "win_rolling_distinct_users",
+    # r8: the heaviest r7 faces, each claiming a bounded-candidate or
+    # bounded-pass property the sf1 ratio is the proof of — triangle
+    # counting (degree-oriented, low-degree-first edge direction),
+    # Misra-Gries heavy hitters (two token passes, no full-vocab
+    # shuffle), MATCH_RECOGNIZE V-shape (run compression before the
+    # adjacency join), exact median by histogram selection (fixed
+    # number of value-domain rounds)
+    "graph_triangles", "text_heavy_hitters", "seq_pattern_vshape",
+    "agg_exact_median_selection",
 ]
 
 
@@ -405,11 +416,18 @@ def main():
         ref_many_samples.append(bench_signal_numpy_many_reference())
         ratio_spark_samples.append(bench_signal_pipeline_many(spark))
 
+    import statistics
+
     timings = {k: round(min(v), 3) for k, v in samples.items()}
     # per-query spread (max - min over the interleaved passes): makes
     # ambient-load noise self-evident in the artifact — a query whose
     # spread rivals its min was measured through a load burst
     spread = {k: round(max(v) - min(v), 3) for k, v in samples.items()}
+    # per-query MEDIAN beside the min: with spreads the same order as the
+    # round-over-round deltas (e.g. dedup_exact spread 1.77 on a 0.48 min
+    # in r7), min-of-N alone cannot distinguish a 15% regression from
+    # ambient noise — the median pins what a typical pass costs
+    medians = {k: round(statistics.median(v), 3) for k, v in samples.items()}
 
     # single-node reference-math replays — not part of the total; recorded
     # so the Spark numbers have absolute single-node anchors beside them
@@ -433,6 +451,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "median": medians,
         "sf": sf,
         # the amortized folder workload (the reference's real multi-file
         # shape): N series through one Spark job vs the same N serially

@@ -228,9 +228,14 @@ def stream_burst_detect(signals: DataFrame, threshold: float,
         # chunk boundary instead of raising
         max_seen = open_[1] if open_ is not None else None
         closed = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # buffer ALL Arrow chunks of the key's micro-batch and sort once:
+        # Spark splits a key's batch at arrow.maxRecordsPerBatch with no
+        # cross-chunk ordering, so per-chunk processing would raise the
+        # out-of-order guard on valid input (the guard still fires across
+        # micro-batches, which is the real contract)
+        chunks = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(chunks, ignore_index=True)]
+                    if chunks else []):
             pdf = pdf.sort_values("sample_idx")
             idx = pdf["sample_idx"].to_numpy(np.int64)
             val = pdf["value"].to_numpy(np.float64)
@@ -527,9 +532,12 @@ def stream_peak_detect(signals: DataFrame, threshold: float,
             has_isl = False
         closed = []
 
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # same chunk-buffering as stream_burst_detect: sort the whole
+        # micro-batch once so Spark's arbitrary Arrow chunk split can't
+        # trip the high-water guard on valid in-order data
+        chunks = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(chunks, ignore_index=True)]
+                    if chunks else []):
             pdf = pdf.sort_values("sample_idx")
             v_all = pdf["value"].to_numpy(np.float64)
             keep = ~np.isnan(v_all)
@@ -634,20 +642,33 @@ def stream_cusum_shift(daily: DataFrame) -> DataFrame:
 
     Contract: per event_type, days must land in increasing order (a
     day at or below the high-water mark raises — the
-    stream_burst_detect guard); within a micro-batch any order is fine.
-    State is O(1) per key (7-slot buffer + 2 sums). Emits in append
-    mode.
+    stream_burst_detect guard); within a micro-batch any order is fine
+    (all Arrow chunks of the key's batch are buffered and sorted once,
+    so the guard cannot trip on chunk-split reordering past
+    arrow.maxRecordsPerBatch). State is O(1) per key (7-slot buffer +
+    2 sums). Emits in append mode.
     """
-    import math
+    from decimal import ROUND_HALF_UP, Decimal
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # Spark's F.round on DOUBLE is BigDecimal.valueOf(x) (the SHORTEST
+    # decimal representation, like Python's repr) + setScale(HALF_UP).
+    # A floor(x*100+0.5)/100 trick diverges on values like 1.005 or
+    # mu=0.58 -> kappa arg 0.145 (floor: 0.14, Spark: 0.15), and
+    # Decimal(x) (the EXACT binary expansion) diverges on 2.675
+    # (exact: 2.67, Spark: 2.68) — verified against Spark round.
+    # Decimal(repr(x)) reproduces Spark bit-for-bit on all of them,
+    # which is what keeps the claimed batch==stream parity exact
+    # (tests/test_streaming.py pins the knife-edge values).
     def r2(x):
-        return math.floor(x * 100.0 + 0.5) / 100.0
+        return float(Decimal(repr(float(x)))
+                     .quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
 
     def r4(x):
-        return math.floor(x * 10000.0 + 0.5) / 10000.0
+        return float(Decimal(repr(float(x)))
+                     .quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
 
     def fn(key, pdfs, state: GroupState):
         (etype,) = key
@@ -673,11 +694,17 @@ def stream_cusum_shift(daily: DataFrame) -> DataFrame:
                         r4(s_hi), r4(s_lo),
                         1 if (s_hi > h or s_lo > h) else 0))
 
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("d")
-            for d, xc in zip(pdf["d"], pdf["xc"]):
+        # applyInPandasWithState splits a key's micro-batch into multiple
+        # Arrow chunks past arrow.maxRecordsPerBatch with NO cross-chunk
+        # ordering — sorting each chunk independently would trip the
+        # high-water-mark guard on valid input (e.g. a multi-year backfill
+        # whose earlier days land in a later chunk). Buffer the whole
+        # batch and sort ONCE: state is O(1), and the rows buffered here
+        # are exactly the rows the executor already holds for this key.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values("d")
+            for d, xc in zip(rows["d"], rows["xc"]):
                 di = (pd.Timestamp(d) - pd.Timestamp("1970-01-01")).days
                 if di <= last_di:
                     raise ValueError(

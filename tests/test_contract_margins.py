@@ -71,6 +71,128 @@ def test_line_noise_snr_face_margins(spark):
     assert after[0] < 1.2 and after[1] < 1.2, after
 
 
+# ---------------------------------------------------------------------------
+# r7 contract faces (first driver sampling expected in r8): pin each face's
+# contract statistic at >=2x slack from its threshold, so the face booleans
+# / rank cuts cannot flip at the driver without a real regression. Measured
+# (2026-08, sf0.01, local[8]): theta rel_err 0.0 exact-mode / 0.48%-0.9%
+# estimating-mode (thr 5%), minhash mean abs_err 0.045 max 0.242 (k=8,
+# sd ~0.17), quality buckets {0:(395,180), 1:(100,33), 2:(5,5)},
+# matryoshka min midpoint distance 1.1e-11 (flip window ~1e-16).
+# ---------------------------------------------------------------------------
+
+from tests.conftest import SF_CORRECT  # noqa: E402
+
+
+def test_theta_set_ops_face_margins(spark):
+    """The face's union_ok/intersect_ok booleans assert <=5% error. At
+    sf0.01 both sketches hold < 2^lgK entries, so Theta is in EXACT mode
+    and the slack is infinite — assert exactly that, so a fixture growth
+    that pushes the sketch into estimation mode is caught here before
+    the driver sees it. A synthetic 350k-cardinality probe then pins the
+    estimating-mode error at <=2.5% (half the face threshold)."""
+    e = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    sk = (e.filter(F.col("event_type").isin("click", "purchase"))
+          .groupBy("event_type")
+          .agg(F.expr("theta_sketch_agg(user_id, 12)").alias("sk")))
+    w = sk.agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("sk")))
+        .alias("sk_c"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("sk")))
+        .alias("sk_p"))
+    got = w.select(
+        F.expr("theta_sketch_estimate(theta_union(sk_c, sk_p))").alias("u"),
+        F.expr("theta_sketch_estimate(theta_intersection(sk_c, sk_p))")
+        .alias("i")).first()
+    c = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select("user_id").distinct())
+    ex_u = c.union(p).distinct().count()
+    ex_i = c.join(p, "user_id").count()
+    # exact mode: zero error, not merely <=5%
+    assert got.u == ex_u and got.i == ex_i, (got, ex_u, ex_i)
+
+    # estimating mode: two 200k/250k ranges overlapping in 100k ids
+    a = spark.range(0, 200_000).select(F.col("id").alias("uid"),
+                                       F.lit("a").alias("g"))
+    b = spark.range(100_000, 350_000).select(F.col("id").alias("uid"),
+                                             F.lit("b").alias("g"))
+    sk2 = (a.union(b).groupBy("g")
+           .agg(F.expr("theta_sketch_agg(uid, 12)").alias("sk")))
+    w2 = sk2.agg(F.max(F.when(F.col("g") == "a", F.col("sk"))).alias("ska"),
+                 F.max(F.when(F.col("g") == "b", F.col("sk"))).alias("skb"))
+    r = w2.select(
+        F.expr("theta_sketch_estimate(theta_union(ska, skb))").alias("u"),
+        F.expr("theta_sketch_estimate(theta_intersection(ska, skb))")
+        .alias("i")).first()
+    # face threshold 5% -> require 2.5% (measured 0.48% / 0.9%)
+    assert abs(r.u - 350_000) / 350_000 <= 0.025, r.u
+    assert abs(r.i - 100_000) / 100_000 <= 0.025, r.i
+
+
+def test_minhash_jaccard_est_face_margins(spark):
+    """The face publishes the k=8 estimator's calibration; its documented
+    contract is error ~ 1/sqrt(k) (~0.35 sd). Pin the measured errors at
+    >=2x slack (mean 0.045 -> allow 0.15; max 0.242 -> allow 0.45) and
+    the estimate's integer domain, so a signature or banding regression
+    can't silently degrade the estimator the dedup pipeline trusts."""
+    from process_nwb_spark.relational.core import all_queries
+
+    pdf = (all_queries()["minhash_jaccard_est"].fn(spark, SF_CORRECT)
+           .toPandas())
+    assert len(pdf) > 0
+    assert pdf["n_match"].between(0, 8).all()
+    assert ((pdf["j_est"] * 8).round() == pdf["j_est"] * 8).all()
+    assert pdf["abs_err"].mean() <= 0.15, pdf["abs_err"].mean()
+    assert pdf["abs_err"].max() <= 0.45, pdf["abs_err"].max()
+
+
+def test_quality_calibration_face_margins(spark):
+    """Bucket membership is integer arithmetic ((s_en*20) div n_tok,
+    capped) — assert the whole sf0.01 reliability table EXACTLY, pinning
+    that n_pos/n_docs are integers whose ratio reproduces pos_rate
+    bit-for-bit (pos_rate is one float division of exact ints in both
+    engines). Any float-boundary bucket flip or fixture drift lands
+    here before the driver."""
+    from process_nwb_spark.relational.core import all_queries
+
+    rows = {r.bucket: r for r in all_queries()["quality_calibration"]
+            .fn(spark, SF_CORRECT).collect()}
+    assert {b: (r.n_docs, r.n_pos) for b, r in rows.items()} == {
+        0: (395, 180), 1: (100, 33), 2: (5, 5)}
+    for r in rows.values():
+        assert r.pos_rate == r.n_pos / r.n_docs   # exact double division
+
+
+def test_matryoshka_rounding_margin(spark):
+    """The face ranks by ROUND(cosine, 6) with vec_id tie-break; a driver
+    flip would need an unrounded cosine to sit within the cross-engine
+    fold-difference window (~1e-16; the fold is libm-free multiply-add
+    in pinned order) of a 0.5e-6 rounding midpoint. Assert every
+    anchor-candidate cosine — full AND 16-dim truncated — keeps >=5e-12
+    distance from the nearest midpoint (measured minimum 1.1e-11): four
+    orders of magnitude of slack."""
+    import numpy as np
+
+    pdf = (spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+           .select("vec_id", "embedding").toPandas())
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+
+    def min_middist(X, q):
+        cos = X @ q / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+        scaled = cos * 1e6 - 0.5
+        return float(np.min(np.abs(scaled - np.round(scaled)))) * 1e-6
+
+    worst = 1.0
+    for aid in ids[ids % 50 == 0]:
+        ai = int(np.where(ids == aid)[0][0])
+        mask = ids != aid
+        worst = min(worst, min_middist(V[mask], V[ai]),
+                    min_middist(V[mask][:, :16], V[ai][:16]))
+    assert worst >= 5e-12, worst
+
+
 def test_spectral_features_face_margins(spark):
     from process_nwb_spark.operators.features import (spectral_edge,
                                                       spectral_entropy)

@@ -438,3 +438,91 @@ def test_stream_cusum_out_of_order_raises(spark, tmp_path):
     with _pytest.raises((Py4JJavaError, Exception),
                         match="out-of-order landing"):
         q.awaitTermination()
+
+
+def test_stream_cusum_short_series_emits_nothing(spark, tmp_path):
+    """A series with fewer than 7 total days never leaves the baseline
+    buffer (a stream cannot know the series ended), while the batch face
+    — which can see the end — emits rows from a shorter baseline. This
+    pins the INTENDED asymmetry explicitly so a fixture change that
+    introduces a <7-day event type surfaces here, not as a confusing
+    len(got)==len(want) failure in the parity test above (whose corpus
+    currently contains none)."""
+    import pandas as pd
+    from process_nwb_spark.streaming.ops import stream_cusum_shift
+
+    days = pd.DataFrame({
+        "event_type": "short",
+        "d": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03",
+                             "2024-01-04", "2024-01-05"]).date,
+        "xc": [100, 200, 300, 250, 150]})
+    in_dir = str(tmp_path / "in_short")
+    spark.createDataFrame(days).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+    sdf = (spark.readStream
+           .schema("event_type string, d date, xc long")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream_cusum_shift(sdf)
+         .writeStream.format("memory").queryName("t_cusum_short")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_short"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.table("t_cusum_short").count() == 0
+
+
+def test_stream_cusum_knife_edge_rounding_matches_spark_round(spark,
+                                                              tmp_path):
+    """mu = 2.90 puts BOTH derived parameters on decimal-halfway doubles:
+    kappa arg 2.9*0.05 = 0.145 and h arg 2.9*0.25 = 0.725. Spark's
+    F.round (shortest-repr HALF_UP) gives 0.15 / 0.73; a
+    floor(x*100+0.5)/100 helper gives 0.14 / 0.72(+) — the silent
+    batch!=stream divergence class ADVICE flagged. The expected fold is
+    replayed here with the JVM's own round() via spark.sql (not the
+    stream's Python helper), so the assertion is non-circular."""
+    import pandas as pd
+    from process_nwb_spark.streaming.ops import stream_cusum_shift
+
+    xcs = [290] * 7 + [400, 50, 320]
+    ds = pd.date_range("2024-03-01", periods=len(xcs), freq="D").date
+    days = pd.DataFrame({"event_type": "knife", "d": ds, "xc": xcs})
+    in_dir = str(tmp_path / "in_knife")
+    spark.createDataFrame(days).coalesce(1) \
+        .write.mode("append").parquet(in_dir)
+
+    sdf = (spark.readStream
+           .schema("event_type string, d date, xc long")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream_cusum_shift(sdf)
+         .writeStream.format("memory").queryName("t_cusum_knife")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_knife"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = (spark.table("t_cusum_knife").toPandas()
+           .sort_values("day").reset_index(drop=True))
+    assert len(got) == len(xcs)
+
+    # JVM-round replay: mu, kappa, h and the seeded max(0, prev+delta)
+    # fold, all rounded by Spark SQL round() on literals
+    def jround(expr, scale):
+        return spark.sql(
+            f"SELECT round(CAST({expr} AS DOUBLE), {scale})").first()[0]
+
+    mu = jround("CAST(2.9 AS DOUBLE)", 2)
+    kappa = jround(f"CAST({mu!r} AS DOUBLE) * CAST(0.05 AS DOUBLE)", 2)
+    h = jround(f"CAST({mu!r} AS DOUBLE) * CAST(0.25 AS DOUBLE)", 2)
+    assert (mu, kappa, h) == (2.9, 0.15, 0.73)   # the knife-edge values
+    s_hi = s_lo = 0.0
+    for i, xc in enumerate(xcs):
+        x = xc / 100.0
+        s_hi = max(0.0, s_hi + (x - mu - kappa))
+        s_lo = max(0.0, s_lo + (mu - kappa - x))
+        r_hi = jround(f"CAST({s_hi!r} AS DOUBLE)", 4)
+        r_lo = jround(f"CAST({s_lo!r} AS DOUBLE)", 4)
+        assert got.loc[i, "cusum_hi"] == r_hi, (i, got.loc[i, "cusum_hi"],
+                                                r_hi)
+        assert got.loc[i, "cusum_lo"] == r_lo, (i, got.loc[i, "cusum_lo"],
+                                                r_lo)
+        assert got.loc[i, "shift_flag"] == int(s_hi > h or s_lo > h)
