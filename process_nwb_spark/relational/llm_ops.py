@@ -1775,6 +1775,158 @@ def dedup_keep_list(spark, sf_dir):
 
 _HEX = "0123456789abcdef"
 
+# 16-bit uniform hash from the first 4 hex digits of MD5(doc_id): the
+# cross-engine replayable "random" draw (Spark conv(hex) vs DuckDB STRPOS
+# digit expansion, the dsir_importance idiom) used for deterministic
+# mixture thinning and shard assignment in pipeline_curate_shard
+_U16_SQL = (
+    f"((STRPOS('{_HEX}', SUBSTR(m, 1, 1)) - 1) * 4096"
+    f" + (STRPOS('{_HEX}', SUBSTR(m, 2, 1)) - 1) * 256"
+    f" + (STRPOS('{_HEX}', SUBSTR(m, 3, 1)) - 1) * 16"
+    f" + (STRPOS('{_HEX}', SUBSTR(m, 4, 1)) - 1))")
+
+
+@query(
+    "pipeline_curate_shard",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    {_BANDS_SQL_FRAG.format(sig_cols=_minhash_sig_cols_sql)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
+    exact AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY MD5(LOWER(TRIM(
+               REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))) AS keep_id
+      FROM documents
+    ),
+    gated AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             CAST({_U16_SQL} AS BIGINT) AS u
+      FROM documents d
+      JOIN (SELECT doc_id FROM exact WHERE doc_id = keep_id) ek
+        USING (doc_id)
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      CROSS JOIN LATERAL (SELECT MD5(CAST(d.doc_id AS VARCHAR)) AS m) h
+      WHERE COALESCE(c.component, d.doc_id) = d.doc_id
+        AND LEAST((LEN(REGEXP_EXTRACT_ALL(LOWER(d.text),
+                       '\\b(the|and|of)\\b')) * 20)
+                  // GREATEST(LEN(REGEXP_EXTRACT_ALL(d.text, '\\w+')), 1),
+                  9) >= 1
+    ),
+    counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY lang
+    ),
+    arrs AS (SELECT LIST(c ORDER BY lang) AS cs, SUM(c) AS n FROM counts),
+    den AS (
+      SELECT n, LIST_SUM(LIST_TRANSFORM(cs,
+                 x -> SQRT(CAST(x AS DOUBLE) / n))) AS d
+      FROM arrs
+    ),
+    rates AS (
+      SELECT lang,
+             CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                    CAST(0.5 AS DOUBLE)
+                    * (SQRT(CAST(c AS DOUBLE) / n) / d)
+                    / (CAST(c AS DOUBLE) / n))
+                  * CAST(65536.0 AS DOUBLE)) AS BIGINT) AS thr
+      FROM counts CROSS JOIN den
+    ),
+    mixed AS (
+      SELECT g.doc_id, g.n_chars, g.u, g.u % 8 AS shard
+      FROM gated g JOIN rates r USING (lang)
+      WHERE g.u < r.thr
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(u) AS BIGINT) AS sum_u,
+           CAST(SUM(u * u) AS BIGINT) AS sum_uu,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM mixed GROUP BY shard ORDER BY shard
+    """,
+    doc="the COMPOSED curation pipeline a real corpus run executes, as one "
+        "lazily-built plan with one oracled output: raw documents -> exact "
+        "dedup (normalized-md5 window, keep min doc_id) -> MinHash/LSH "
+        "near-dup keep-list (the dedup_keep_list decision, left-semi) -> "
+        "quality gate (the integer stopword-score bucket >= 1, "
+        "quality_calibration's arithmetic) -> temperature-mix thinning "
+        "(T=2 sqrt weights over the raw lang strata; each doc keeps iff "
+        "its 16-bit MD5 draw < floor(min(1, 0.5*boost)*65536) — "
+        "deterministic stratified sampling, no RNG) -> 8-way hash shards "
+        "with a manifest row per shard (doc count, integer checksum "
+        "moments sum_u/sum_uu, byte total) — the llm/shards.py manifest "
+        "construction without the filesystem write, so the whole "
+        "composition is exact-gateable. Every stage is the SAME "
+        "arithmetic as its standalone face; the md5-derived draw and "
+        "shard id are cross-engine via the dsir hex idiom. Scale shape: "
+        "two corpus-wide shuffles (fp window, doc_id semi-join chain), "
+        "the LSH pipeline's own banded joins (bounded-bucket by "
+        "construction), a strata-sized broadcast for the mix thresholds, "
+        "and a shard-count-sized final agg; nothing quadratic, no "
+        "collect beyond dedup_components' documented O(1)-per-round "
+        "convergence probes. checksum sums are 16/32-bit-bounded ints "
+        "over corpus rows — cross 2^63 only past 2^31 rows per shard "
+        "(switch to DECIMAL(38,0) there, the established rule)",
+)
+def pipeline_curate_shard(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    # stage 1: exact dedup survivors (one fp-keyed window shuffle)
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    exact = (d.select("doc_id", "lang", "text", "n_chars", fp.alias("fp"))
+             .withColumn("_keep", F.min("doc_id").over(
+                 Window.partitionBy("fp")))
+             .filter(F.col("doc_id") == F.col("_keep"))
+             .drop("fp", "_keep"))
+    # stage 2: near-dup keep-list (LSH + components), as a semi-join
+    near = (dedup_keep_list(spark, sf_dir)
+            .filter(F.col("keep") == 1).select("doc_id"))
+    # stage 3: quality gate — integer bucket arithmetic, no float boundary
+    bucket = F.expr(
+        "CAST(LEAST((regexp_count(lower(text), '\\\\b(the|and|of)\\\\b') "
+        "* 20) div GREATEST(regexp_count(text, '\\\\w+'), 1), 9) AS BIGINT)")
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                16, 10).cast("bigint"))
+    gated = (exact.join(near, "doc_id", "semi")
+             .filter(bucket >= 1)
+             .select("doc_id", "lang", "n_chars", u.alias("u")))
+    # stage 4: temperature-mix thinning thresholds from the RAW strata
+    # (mixture targets are defined on the source distribution; cached —
+    # the strata table feeds both the denominator fold and the rate rows)
+    counts = (d.groupBy("lang")
+              .agg(F.count("*").cast("bigint").alias("c")).cache())
+    den = (counts
+           .agg(F.array_sort(F.collect_list(F.struct("lang", "c")))
+                .alias("arr"), F.sum("c").alias("n"))
+           .select("n", F.aggregate(
+               F.col("arr"), F.lit(0.0),
+               lambda acc, x: acc
+               + F.sqrt(x["c"].cast("double") / F.col("n"))).alias("d")))
+    p = F.col("c").cast("double") / F.col("n")
+    w = F.sqrt(p) / F.col("d")
+    thr = F.floor(F.least(F.lit(1.0), F.lit(0.5) * w / p)
+                  * F.lit(65536.0)).cast("bigint")
+    rates = (counts.crossJoin(F.broadcast(den))
+             .select("lang", thr.alias("thr")))
+    mixed = (gated.join(F.broadcast(rates), "lang")
+             .filter(F.col("u") < F.col("thr")))
+    # stage 5: deterministic 8-way shards + manifest (llm/shards.py shape)
+    return (mixed.withColumn("shard", F.col("u") % 8)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("u").cast("bigint").alias("sum_u"),
+                 F.sum(F.col("u") * F.col("u")).cast("bigint")
+                 .alias("sum_uu"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars"))
+            .orderBy("shard"))
+
 
 @query(
     "dsir_importance",

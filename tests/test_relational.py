@@ -66,7 +66,9 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "agg_gini_coefficient",
         "source_file_lineage", "source_schema_evolution",
         "layout_compaction_plan", "graph_assortativity",
-        "embed_dim_variance", "text_ttr_profile"]
+        "embed_dim_variance", "text_ttr_profile",
+        # r8 additions
+        "pipeline_curate_shard"]
 
 
 @pytest.fixture(scope="module")
