@@ -130,6 +130,10 @@ DRIVER_PRIORITY = (
     # r8: composed end-to-end curation pipeline (dedup -> quality gate ->
     # temperature mix -> deterministic shards) as ONE lazily-composed plan
     "pipeline_curate_shard",
+    # r8: 14-day rolling OLS slope from exact integer window sums;
+    # ANN probe-budget recall curve (IVF nprobe=1/2/4 vs exact top-10);
+    # per-nation coreness via bounded-round k-core peeling
+    "win_rolling_regression", "ann_recall_at_k", "graph_kcore_peel",
     # ---- previously driver-proven faces (234/234 green r1-r7) follow ----
     "ts_seasonal_decompose", "survival_km_churn", "sig_electrode_region",
     "sig_xcorr_lags", "sig_pac_mi", "sig_erp_trialavg", "sig_plv_pairs",

@@ -536,6 +536,111 @@ def embed_ivf_probe2(spark, sf_dir):
     )
 
 
+@query(
+    "ann_recall_at_k",
+    f"""
+    WITH {_IVF_LISTS_SQL},
+    anch AS (SELECT vec_id AS anchor_id, embedding AS av
+             FROM embeddings WHERE vec_id % 50 = 0),
+    cellrank AS (
+      SELECT a.anchor_id, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+               ORDER BY ROUND({_L2_SQL.format(dim=_DIM, a='a.av',
+                                              b='c.cvec')}, 9),
+                        c.cid) AS crank
+      FROM cents c CROSS JOIN anch a
+    ),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+               ORDER BY ROUND({_cos_sql('e.embedding', 'a.av')}, 6) DESC,
+                        e.vec_id) AS rn
+      FROM embeddings e CROSS JOIN anch a
+      WHERE e.vec_id <> a.anchor_id
+    ),
+    topc AS (
+      SELECT s.anchor_id, l.cid
+      FROM scored s JOIN lists l ON l.vec_id = s.vec_id
+      WHERE s.rn <= 10
+    ),
+    na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_anchors FROM anch),
+    j AS (
+      SELECT t.anchor_id, cr.crank, p.probe
+      FROM topc t
+      JOIN cellrank cr ON cr.anchor_id = t.anchor_id AND cr.cid = t.cid
+      CROSS JOIN (SELECT UNNEST([1, 2, 4]) AS probe) p
+    )
+    SELECT CAST(probe AS BIGINT) AS probe,
+           CAST(SUM(CASE WHEN crank <= probe THEN 1 ELSE 0 END) AS BIGINT)
+             AS sum_overlap,
+           (SELECT n_anchors FROM na) AS n_anchors,
+           CAST(SUM(CASE WHEN crank <= probe THEN 1 ELSE 0 END) AS DOUBLE)
+             / (10.0 * CAST((SELECT n_anchors FROM na) AS DOUBLE))
+             AS recall_at_10
+    FROM j GROUP BY probe ORDER BY probe
+    """,
+    doc="the ANN probe-budget recall CURVE — recall@10 of IVF search at "
+        "nprobe = 1/2/4 against the exact brute-force top-10, averaged "
+        "over the %50 anchor set (matryoshka's anchors): the measurement "
+        "that picks the nprobe knob before a corpus-scale deployment "
+        "(nprobe trades scanned fraction ~nprobe/k for recall). Because "
+        "within-candidate ranking uses the SAME cosine as the exact "
+        "ranking, an exact-top-10 member is beaten only by other "
+        "exact-top-10 members — so per-anchor overlap reduces to 'how "
+        "many of the exact top-10 live in a probed cell', a counting "
+        "join over the assignment table, no second ANN execution per "
+        "probe setting. Cell ranking rounds the L2 to 9 dp with cid "
+        "tie-break and the exact ranking rounds cosine to 6 dp with "
+        "vec_id tie-break (the established cross-engine rank idioms; "
+        "the folds are libm-free multiply-adds). sum_overlap is an "
+        "integer and recall one double division of exact integers. "
+        "Scale: anchors and centroids broadcast; the only corpus-wide "
+        "work is the exact scoring pass (the eval's ground truth — "
+        "at 100 TB you run it on a sampled anchor set exactly like "
+        "this) and the assignment join",
+)
+def ann_recall_at_k(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e, cents, lists = _ivf_lists(spark, sf_dir)
+    a = (e.filter(F.col("vec_id") % 50 == 0)
+         .select(F.col("vec_id").alias("anchor_id"),
+                 F.col("embedding").alias("av")))
+    l2 = F.sqrt(F.aggregate(
+        F.zip_with("av", "cvec",
+                   lambda x, c: (x.cast("double") - c)
+                   * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, x: acc + x))
+    wc = Window.partitionBy("anchor_id").orderBy(F.round(l2, 9), F.col("cid"))
+    cellrank = (cents.crossJoin(F.broadcast(a))
+                .select("anchor_id", "cid",
+                        F.row_number().over(wc).alias("crank")))
+    ws = Window.partitionBy("anchor_id").orderBy(
+        F.desc(F.round(_cosine_spark("embedding", "av"), 6)),
+        F.asc("vec_id"))
+    scored = (e.crossJoin(F.broadcast(a))
+              .filter(F.col("vec_id") != F.col("anchor_id"))
+              .select("anchor_id", "vec_id",
+                      F.row_number().over(ws).alias("rn")))
+    topc = (scored.filter(F.col("rn") <= 10)
+            .join(lists.select("vec_id", "cid"), "vec_id")
+            .select("anchor_id", "cid"))
+    na = a.agg(F.count(F.lit(1)).cast("bigint").alias("n_anchors"))
+    j = (topc.join(cellrank, ["anchor_id", "cid"])
+         .select("crank", F.explode(F.array(
+             F.lit(1), F.lit(2), F.lit(4))).alias("probe")))
+    hit = F.sum(F.when(F.col("crank") <= F.col("probe"), 1).otherwise(0))
+    return (j.groupBy("probe")
+            .agg(hit.cast("bigint").alias("sum_overlap"))
+            .crossJoin(F.broadcast(na))
+            .select(F.col("probe").cast("bigint").alias("probe"),
+                    "sum_overlap", "n_anchors",
+                    (F.col("sum_overlap").cast("double")
+                     / (F.lit(10.0) * F.col("n_anchors").cast("double")))
+                    .alias("recall_at_10"))
+            .orderBy("probe"))
+
+
 _PQ_SUB_SQL = """
     sub AS (
       SELECT vec_id, label,

@@ -1944,6 +1944,83 @@ def ts_bollinger_daily(spark, sf_dir):
 
 
 @query(
+    "win_rolling_regression",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS yc
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, d, yc,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             MIN(d) OVER win AS d0,
+             CAST(SUM(CAST(yc AS DECIMAL(38,0))) OVER win
+               AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(d - DATE '1970-01-01' AS DECIMAL(38,0))
+                      * CAST(yc AS DECIMAL(38,0))) OVER win
+               AS DECIMAL(38,0)) AS sdy
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day,
+           ROUND(CAST(14 * (sdy - CAST(d0 - DATE '1970-01-01'
+                                       AS DECIMAL(38,0)) * sy)
+                      - 91 * sy AS DOUBLE) / 3185.0, 6) AS slope_cents,
+           CAST(CAST(14 * (sdy - CAST(d0 - DATE '1970-01-01'
+                                      AS DECIMAL(38,0)) * sy)
+                     - 91 * sy AS DOUBLE) > 0.0 AS INT) AS rising
+    FROM w WHERE n = 14 AND d - d0 = 13
+    ORDER BY event_type, day
+    """,
+    doc="14-day rolling OLS slope of per-type DAILY revenue — the "
+        "trend-detection window a monitoring stack runs beside the "
+        "Bollinger bands. Same scale shape as ts_bollinger_daily: the "
+        "fact table rolls up ONCE to (type, day) integer cents, the "
+        "window runs over calendar-bounded rows. The regression is the "
+        "closed form over EXACT integer window sums: with gapless "
+        "14-day frames the x design is fixed (x = day - window start in "
+        "0..13, so sum x = 91, sum x^2 = 819, and 14*819 - 91^2 = 3185 "
+        "is a CONSTANT denominator), and sum xy decomposes as "
+        "sum(epoch_day * y) - d0 * sum(y) — two window sums, both in "
+        "DECIMAL(38,0) (epoch-day x cents products cross bigint once "
+        "daily cents pass ~3e13; non-ANSI Spark would wrap SILENTLY "
+        "while DuckDB widens — the established divergence class). The "
+        "slope is one double cast of an exact integer, so both the "
+        "rounded value AND the rising comparison land bit-identically "
+        "in both engines. Gapless guard: the 14-row frame must span "
+        "exactly 13 calendar days (ROWS frames silently bridge "
+        "zero-revenue days, which have no rollup row)",
+)
+def win_rolling_regression(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+                  .cast("bigint").alias("yc")))
+    win = (Window.partitionBy("event_type").orderBy("d")
+           .rowsBetween(-13, 0))
+    epoch = F.datediff(F.col("d"), F.lit("1970-01-01"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w = (daily
+         .withColumn("n", F.count("*").over(win).cast("bigint"))
+         .withColumn("d0", F.min("d").over(win))
+         .withColumn("sy", F.sum(dec(F.col("yc"))).over(win)
+                     .cast("decimal(38,0)"))
+         .withColumn("sdy", F.sum(dec(epoch) * dec(F.col("yc"))).over(win)
+                     .cast("decimal(38,0)")))
+    e0 = dec(F.datediff(F.col("d0"), F.lit("1970-01-01")))
+    num = (F.lit(14) * (F.col("sdy") - e0 * F.col("sy"))
+           - F.lit(91) * F.col("sy")).cast("double")
+    return (w.filter((F.col("n") == 14)
+                     & (F.datediff(F.col("d"), F.col("d0")) == 13))
+            .select("event_type", F.col("d").cast("string").alias("day"),
+                    F.round(num / F.lit(3185.0), 6).alias("slope_cents"),
+                    (num > F.lit(0.0)).cast("int").alias("rising"))
+            .orderBy("event_type", "day"))
+
+
+@query(
     "ts_mase_backtest",
     """
     WITH daily AS (

@@ -10,9 +10,13 @@ earlier symptom.
 
 Usage: python scripts/check_hash_stability.py [name ...]   (default: all)
 Exit 0 = all stable. Run time ~2 min per partition count for the full
-registry at sf0.01.
+registry at sf0.01. Set HASHSTAB_JSON_OUT=<path> to also write a
+committed artifact: {"parts": [7, 64], "sf": ..., "n_stable": N,
+"n_unstable": M, "unstable": [...], "hashes": {name: md5}} — the
+hashes make a later run diffable face-by-face, not just pass/fail.
 """
 import hashlib
+import json
 import os
 import sys
 
@@ -57,6 +61,14 @@ def main():
         print(f"UNSTABLE {n}: {a[n]} != {b[n]}")
     print(f"{len(names) - len(bad)} stable, {len(bad)} unstable "
           f"(shuffle.partitions {PARTS[0]} vs {PARTS[1]})")
+    out = os.environ.get("HASHSTAB_JSON_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump({"parts": list(PARTS), "sf_dir": SF,
+                       "n_stable": len(names) - len(bad),
+                       "n_unstable": len(bad), "unstable": bad,
+                       "hashes": a}, f, indent=1)
+            f.write("\n")
     sys.exit(1 if bad else 0)
 
 

@@ -68,7 +68,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "layout_compaction_plan", "graph_assortativity",
         "embed_dim_variance", "text_ttr_profile",
         # r8 additions
-        "pipeline_curate_shard"]
+        "pipeline_curate_shard", "win_rolling_regression",
+        "ann_recall_at_k", "graph_kcore_peel"]
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,152 @@
+"""Independent (non-DuckDB) replays for the round-8 faces, plus the
+convergence margin for the bounded-round k-core peel."""
+import math
+
+import numpy as np
+
+from tests.conftest import SF_CORRECT
+
+
+def _reg():
+    from process_nwb_spark.relational.core import all_queries
+    return all_queries()
+
+
+def test_rolling_regression_matches_numpy(spark):
+    """Replay the 14-day OLS slope with numpy lstsq over the collected
+    daily series — independent of both engines' window machinery."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    daily = (spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+             .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+                  .alias("yc"))
+             .toPandas().sort_values(["event_type", "d"]))
+    got = {(r.event_type, r.day): (r.slope_cents, r.rising)
+           for r in _reg()["win_rolling_regression"]
+           .fn(spark, SF_CORRECT).collect()}
+    n_checked = 0
+    for et, g in daily.groupby("event_type"):
+        ds = pd.to_datetime(g["d"]).to_numpy()
+        ys = g["yc"].to_numpy(dtype=np.float64)
+        for i in range(13, len(g)):
+            span = (ds[i] - ds[i - 13]) / np.timedelta64(1, "D")
+            key = (et, str(pd.Timestamp(ds[i]).date()))
+            if span != 13:
+                assert key not in got, f"gapped window emitted: {key}"
+                continue
+            x = np.arange(14, dtype=np.float64)
+            y = ys[i - 13:i + 1]
+            slope = np.polyfit(x, y, 1)[0]
+            assert key in got, key
+            assert math.isclose(got[key][0], slope, rel_tol=1e-6,
+                                abs_tol=1e-4), (key, got[key][0], slope)
+            assert got[key][1] == int(slope > 0) or abs(slope) < 1e-6
+            n_checked += 1
+    assert n_checked >= 50   # the face actually covers real windows
+
+
+def test_ann_recall_matches_numpy(spark):
+    """Replay the probe-budget recall curve densely: per-label mean
+    centroids, nearest-cell assignment (rounded L2, cid tie-break),
+    exact cosine top-10 (rounded, vec_id tie-break), overlap counting."""
+    pdf = (spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+           .select("vec_id", "label", "embedding").toPandas())
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    labels = pdf["label"].to_numpy()
+    cids = sorted(set(labels))
+    C = np.stack([V[labels == c].mean(axis=0) for c in cids])
+
+    def l2r(a, b):
+        return np.round(np.sqrt(((a - b) ** 2).sum(-1)), 9)
+
+    # vector -> cell (min rounded L2, cid tie-break via sorted cids order)
+    d2c = l2r(V[:, None, :], C[None, :, :])
+    assign = {int(i): cids[int(r)] for i, r in zip(ids, d2c.argmin(axis=1))}
+
+    overlap = {1: 0, 2: 0, 4: 0}
+    anchors = [int(i) for i in ids if i % 50 == 0]
+    for aid in anchors:
+        ai = int(np.where(ids == aid)[0][0])
+        mask = ids != aid
+        cos = np.round(
+            V[mask] @ V[ai]
+            / (np.linalg.norm(V[mask], axis=1) * np.linalg.norm(V[ai])), 6)
+        order = sorted(zip(-cos, ids[mask]))
+        top10 = [int(v) for _, v in order[:10]]
+        cell_rank = {cids[int(c)]: r + 1
+                     for r, c in enumerate(np.lexsort(
+                         (cids, l2r(C, V[ai]))))}
+        for p in overlap:
+            overlap[p] += sum(1 for v in top10
+                              if cell_rank[assign[v]] <= p)
+    got = {r.probe: r for r in _reg()["ann_recall_at_k"]
+           .fn(spark, SF_CORRECT).collect()}
+    for p in (1, 2, 4):
+        assert got[p].sum_overlap == overlap[p], (p, got[p], overlap[p])
+        assert got[p].n_anchors == len(anchors)
+        assert got[p].recall_at_10 == overlap[p] / (10.0 * len(anchors))
+    # the curve is monotone in probe budget and ends usefully high
+    assert got[1].sum_overlap <= got[2].sum_overlap <= got[4].sum_overlap
+
+
+def test_kcore_matches_python_peel_and_converges_with_margin(spark):
+    """Pure-Python peel replay (same sparsified graph, run to FIXPOINT)
+    must equal the face's bounded-round output — which also proves the
+    5-round bound converged; the margin assertion pins convergence by
+    round 3 (2x slack below the bound) so a fixture change can't
+    silently turn 'bounded peel' into 'truncated peel'."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    c = spark.read.parquet(f"{SF_CORRECT}/customer.parquet")
+    s = spark.read.parquet(f"{SF_CORRECT}/supplier.parquet")
+    de = (ev.join(o, ev.l_orderkey == o.o_orderkey)
+          .join(c, o.o_custkey == c.c_custkey)
+          .join(s, ev.l_suppkey == s.s_suppkey)
+          .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+          .groupBy(F.col("c_nationkey").alias("src"),
+                   F.col("s_nationkey").alias("dst"))
+          .agg(F.count("*").alias("w")).collect())
+    by_src = {}
+    for r in de:
+        by_src.setdefault(r.src, []).append((-r.w, r.dst))
+    edges = set()
+    for src, lst in by_src.items():
+        for _, dst in sorted(lst)[:3]:
+            edges.add((min(src, dst), max(src, dst)))
+
+    def peel(k):
+        e = set(edges)
+        rounds = 0
+        while True:
+            deg = {}
+            for u, v in e:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            alive = {n for n, d in deg.items() if d >= k}
+            e2 = {(u, v) for u, v in e if u in alive and v in alive}
+            if e2 == e:
+                return e, rounds
+            e, rounds = e2, rounds + 1
+
+    want, max_rounds = {}, 0
+    for k in range(1, 5):
+        ek, rounds = peel(k)
+        max_rounds = max(max_rounds, rounds)
+        for u, v in ek:
+            for node in (u, v):
+                want[node] = max(want.get(node, 0), k)
+    # convergence margin: bound is 5 rounds, require fixpoint by 3
+    assert max_rounds <= 3, max_rounds
+
+    got = {r.nationkey: r.coreness for r in _reg()["graph_kcore_peel"]
+           .fn(spark, SF_CORRECT).collect()}
+    assert len(got) == 25
+    for node in got:
+        assert got[node] == want.get(node, 0), (node, got[node],
+                                                want.get(node))
+    assert max(got.values()) == 3      # fixture max coreness (cap is 4)
