@@ -54,6 +54,29 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     return df.repartition(n or df.sparkSession.sparkContext.defaultParallelism)
 
 
+# single-slot persist registry: faces whose plan references an intermediate
+# MORE THAN ONCE persist it here, because Spark plans no ReusedExchange
+# across a DeduplicateRelations split (measured on the embedding near-dup
+# self-join and the triangle wedge join — every reference re-executed the
+# whole subtree). The slot drops the PREVIOUS call's cache on entry, so
+# (a) repeated invocations hold at most one copy per slot and (b) each run
+# recomputes from the scan — min-of-N bench passes are never flattered by
+# a warm cache.
+_PERSIST_SLOTS: dict = {}
+
+
+def fresh_persist(slot: str, df: DataFrame) -> DataFrame:
+    prev = _PERSIST_SLOTS.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass
+    df = df.persist()
+    _PERSIST_SLOTS[slot] = df
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         T(spark, sf_dir, t).createOrReplaceTempView(t)

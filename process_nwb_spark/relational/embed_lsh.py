@@ -77,25 +77,18 @@ def _band_key_sql(vec_expr: str, band: int) -> str:
 # n * cap per band regardless of how a fixed-width band key populates
 _LSH_BUCKET_CAP = 128
 
-# single-slot cache handle for dedup_embed_cosine's tiles table: the face
-# persists the key-only tiles DF so the band/rank CTE executes once for
-# BOTH self-join sides (Spark plans no ReusedExchange across the
-# DeduplicateRelations split — measured). The previous call's cache is
-# dropped on entry so (a) repeated invocations hold at most one copy and
-# (b) every run recomputes from the scan — min-of-N bench passes are never
-# flattered by a warm cache.
-_TILES_CACHE: list = []
+# dedup_embed_cosine persists its key-only tiles table via the shared
+# single-slot registry (core.fresh_persist) so the band/rank CTE executes
+# once for BOTH self-join sides (Spark plans no ReusedExchange across the
+# DeduplicateRelations split — measured); the previous call's cache is
+# dropped on entry, so repeated invocations hold one copy and every run
+# recomputes honestly.
 
 
 def _persist_tiles_once(tiles):
-    while _TILES_CACHE:
-        try:
-            _TILES_CACHE.pop().unpersist(False)
-        except Exception:
-            pass
-    tiles = tiles.persist()
-    _TILES_CACHE.append(tiles)
-    return tiles
+    from .core import fresh_persist
+
+    return fresh_persist("embed_dedup_tiles", tiles)
 
 _COS_SQL = """
   LIST_SUM(LIST_TRANSFORM(RANGE(1, {dim} + 1),

@@ -168,29 +168,44 @@ def graph_pagerank(spark, sf_dir):
         "denominator",
 )
 def graph_triangles(spark, sf_dir):
-    lines = (T(spark, sf_dir, "lineitem")
-             .select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_partkey").alias("pk"))
-             .distinct())
+    from .core import fresh_persist
+
+    # lines feeds both sides of the pair self-join; edges feeds degree,
+    # orientation, the wedge closure AND the edge-count stat; deg feeds
+    # du/dv/stats; oriented feeds both wedge sides. NONE of these reuse
+    # without an explicit persist (no ReusedExchange across the self-join
+    # split — measured 28 lineitem scans / 74 exchanges uncached, 15.5 s
+    # at sf0.1 vs 3.4 s persisted). fresh_persist drops the previous
+    # call's copy so bench passes recompute honestly.
+    lines = fresh_persist("tri_lines",
+                          T(spark, sf_dir, "lineitem")
+                          .select(F.col("l_orderkey").alias("ok"),
+                                  F.col("l_partkey").alias("pk"))
+                          .distinct())
     b = lines.select(F.col("ok").alias("ok2"), F.col("pk").alias("pk2"))
-    edges = (lines.join(b, (F.col("ok") == F.col("ok2"))
-                        & (F.col("pk") < F.col("pk2")))
-             .select(F.col("pk").alias("u"), F.col("pk2").alias("v"))
-             .distinct()
-             .cache())
-    deg = (edges.select(F.col("u").alias("node"))
-           .unionAll(edges.select(F.col("v").alias("node")))
-           .groupBy("node").agg(F.count("*").alias("d")))
+    edges = fresh_persist(
+        "tri_edges",
+        lines.join(b, (F.col("ok") == F.col("ok2"))
+                   & (F.col("pk") < F.col("pk2")))
+        .select(F.col("pk").alias("u"), F.col("pk2").alias("v"))
+        .distinct())
+    deg = fresh_persist(
+        "tri_deg",
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("d")))
     du = deg.select(F.col("node").alias("un"), F.col("d").alias("ud"))
     dv = deg.select(F.col("node").alias("vn"), F.col("d").alias("vd"))
     u_first = ((F.col("ud") < F.col("vd"))
                | ((F.col("ud") == F.col("vd")) & (F.col("u") < F.col("v"))))
-    oriented = (edges.join(du, F.col("u") == F.col("un"))
-                .join(dv, F.col("v") == F.col("vn"))
-                .select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
-                        .alias("src"),
-                        F.when(u_first, F.col("v")).otherwise(F.col("u"))
-                        .alias("dst")))
+    oriented = fresh_persist(
+        "tri_oriented",
+        edges.join(du, F.col("u") == F.col("un"))
+        .join(dv, F.col("v") == F.col("vn"))
+        .select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
+                .alias("src"),
+                F.when(u_first, F.col("v")).otherwise(F.col("u"))
+                .alias("dst")))
     o2 = oriented.select(F.col("src").alias("src2"),
                          F.col("dst").alias("dst2"))
     # the join condition already enforces dst < dst2, so (dst, dst2) is
