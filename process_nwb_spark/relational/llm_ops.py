@@ -160,6 +160,12 @@ def minhash_lsh_candidates(spark, sf_dir):
     bands = (sig.select("doc_id", F.explode(band_structs).alias("bb"))
              .select("doc_id", F.col("bb.band").alias("band"),
                      F.col("bb.bkey").alias("bkey")))
+    # the self-join would otherwise execute the signature aggregation
+    # (shingle explode + 8 min-aggs, the expensive stage) once per side —
+    # no ReusedExchange across the split; key-only rows, single-slot cache
+    from .core import fresh_persist
+
+    bands = fresh_persist("minhash_bands", bands)
     a = bands.alias("a")
     b2 = bands.alias("b")
     return (
@@ -219,6 +225,11 @@ def ngram_jaccard_pairs(spark, sf_dir):
     # corpus scale it can never broadcast, and locally the size-estimated
     # broadcast pick re-executes the whole window sub-plan for the build
     # side (no exchange reuse) — measured 4.3s -> 1.3s at sf0.1 with SMJ.
+    # The single-slot persist then makes the explode+windows stage itself
+    # single-pass across the two join sides (no ReusedExchange either).
+    from .core import fresh_persist
+
+    filtered = fresh_persist("ngram_filtered_shingles", filtered)
     a = filtered.hint("merge").alias("a")
     b = filtered.hint("merge").alias("b")
     pairs = (
