@@ -280,6 +280,15 @@ def _ivf_lists(spark, sf_dir):
     # doubles whose partial-agg summation order differs between Spark
     # and DuckDB, so an unrounded knife-edge distance could assign a
     # near-equidistant vector to different cells in the two engines
+    # both the centroid table and the assignment are referenced more than
+    # once by every consumer (query side + corpus side; the broadcast of
+    # cents would otherwise re-execute the posexplode aggregation, and a
+    # second `lists` reference re-runs the whole assignment) — single-slot
+    # persists make train-once/assign-once real (no ReusedExchange across
+    # the splits, the measured Spark behavior this module documents)
+    from .core import fresh_persist
+
+    cents = fresh_persist("ivf_cents", cents)
     lists = (e.crossJoin(F.broadcast(cents))
              .groupBy("vec_id")
              .agg(F.min_by(F.struct("label", "embedding", "cid"),
@@ -289,6 +298,7 @@ def _ivf_lists(spark, sf_dir):
              .select("vec_id", F.col("_best.label").alias("label"),
                      F.col("_best.embedding").alias("embedding"),
                      F.col("_best.cid").alias("cid")))
+    lists = fresh_persist("ivf_lists", lists)
     return e, cents, lists
 
 
