@@ -616,6 +616,22 @@ def stream_peak_detect(signals: DataFrame, threshold: float,
         timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def _spark_round(x, quantum: str) -> float:
+    """Python replica of Spark's F.round on DOUBLE: BigDecimal.valueOf(x)
+    (the SHORTEST decimal representation, like Python's repr) + setScale
+    HALF_UP. A floor(x*100+0.5)/100 trick diverges on values like 1.005
+    or 0.145 (floor: 0.14, Spark: 0.15), and Decimal(x) (the EXACT
+    binary expansion) diverges on 2.675 (exact: 2.67, Spark: 2.68) —
+    verified against Spark round. Decimal(repr(x)) reproduces Spark
+    bit-for-bit on all of them, which is what keeps the streaming twins'
+    claimed batch==stream parity exact (tests/test_streaming.py pins the
+    knife-edge values)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x)))
+                 .quantize(Decimal(quantum), rounding=ROUND_HALF_UP))
+
+
 def stream_cusum_shift(daily: DataFrame) -> DataFrame:
     """Streaming two-sided CUSUM level-shift detection — the stateful
     twin of relational/event_windows.ts_cusum_shift, with the recurrence
@@ -648,27 +664,14 @@ def stream_cusum_shift(daily: DataFrame) -> DataFrame:
     arrow.maxRecordsPerBatch). State is O(1) per key (7-slot buffer +
     2 sums). Emits in append mode.
     """
-    from decimal import ROUND_HALF_UP, Decimal
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    # Spark's F.round on DOUBLE is BigDecimal.valueOf(x) (the SHORTEST
-    # decimal representation, like Python's repr) + setScale(HALF_UP).
-    # A floor(x*100+0.5)/100 trick diverges on values like 1.005 or
-    # mu=0.58 -> kappa arg 0.145 (floor: 0.14, Spark: 0.15), and
-    # Decimal(x) (the EXACT binary expansion) diverges on 2.675
-    # (exact: 2.67, Spark: 2.68) — verified against Spark round.
-    # Decimal(repr(x)) reproduces Spark bit-for-bit on all of them,
-    # which is what keeps the claimed batch==stream parity exact
-    # (tests/test_streaming.py pins the knife-edge values).
     def r2(x):
-        return float(Decimal(repr(float(x)))
-                     .quantize(Decimal("0.01"), rounding=ROUND_HALF_UP))
+        return _spark_round(x, "0.01")
 
     def r4(x):
-        return float(Decimal(repr(float(x)))
-                     .quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+        return _spark_round(x, "0.0001")
 
     def fn(key, pdfs, state: GroupState):
         (etype,) = key
@@ -740,6 +743,82 @@ def stream_cusum_shift(daily: DataFrame) -> DataFrame:
     state_schema = ("buf_d array<long>, buf_x array<long>, mu double, "
                     "kappa double, h double, s_hi double, s_lo double, "
                     "last_di long, ready boolean")
+    return (daily.groupBy("event_type")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def stream_rolling_slope(daily: DataFrame) -> DataFrame:
+    """Streaming 14-day rolling OLS slope — the stateful twin of
+    relational/event_windows.win_rolling_regression, with the window
+    buffer carried ACROSS micro-batches.
+
+    Input: the per-(event_type, day) EXACT integer-cent daily totals
+    (`d` date, `yc` bigint), the same upstream rollup as the batch face.
+
+    Semantics, replicated bit-for-bit: a 14-slot (day, cents) ring per
+    key; once 14 days are buffered AND they span exactly 13 calendar
+    days (the batch face's gapless guard — ROWS frames must not bridge
+    zero-revenue days), emit slope = (14*(Σ(d_i*y_i) - d0*Σy) - 91*Σy)
+    / 3185 with the numerator in EXACT unbounded-int arithmetic
+    (Python ints ≡ the batch's DECIMAL(38,0)), one float division, and
+    Spark-round-identical 6-dp rounding (_spark_round). Gapped windows
+    emit nothing but still slide — identical to the batch filter.
+
+    Contract: per event_type, days must land in increasing order (a
+    day at or below the high-water mark raises — the established
+    guard); within a micro-batch any order is fine (all Arrow chunks
+    are buffered and sorted once). State is O(1) per key (14-slot
+    buffer). Emits in append mode.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (etype,) = key
+        if state.exists:
+            buf_d, buf_y, last_di = tuple(state.get)
+            buf_d, buf_y = list(buf_d), list(buf_y)
+        else:
+            buf_d, buf_y = [], []
+            last_di = -(1 << 62)
+        out = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values("d")
+            for d, yc in zip(rows["d"], rows["yc"]):
+                di = (pd.Timestamp(d) - pd.Timestamp("1970-01-01")).days
+                if di <= last_di:
+                    raise ValueError(
+                        f"stream_rolling_slope: day {d} for {etype!r} at "
+                        f"or below the high-water mark — out-of-order "
+                        f"landing")
+                last_di = di
+                buf_d.append(di)
+                buf_y.append(int(yc))
+                if len(buf_d) > 14:
+                    buf_d.pop(0)
+                    buf_y.pop(0)
+                if len(buf_d) == 14 and buf_d[-1] - buf_d[0] == 13:
+                    d0 = buf_d[0]
+                    sy = sum(buf_y)                      # exact ints
+                    sdy = sum(dd * yy for dd, yy in zip(buf_d, buf_y))
+                    num = 14 * (sdy - d0 * sy) - 91 * sy
+                    fnum = float(num)                    # == DECIMAL->DOUBLE
+                    out.append((etype,
+                                pd.Timestamp(di, unit="D")
+                                .strftime("%Y-%m-%d"),
+                                _spark_round(fnum / 3185.0, "0.000001"),
+                                1 if fnum > 0.0 else 0))
+        state.update((buf_d, buf_y, last_di))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "event_type", "day", "slope_cents", "rising"])
+
+    out_schema = ("event_type string, day string, slope_cents double, "
+                  "rising int")
+    state_schema = "buf_d array<long>, buf_y array<long>, last_di long"
     return (daily.groupBy("event_type")
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append",

@@ -526,3 +526,51 @@ def test_stream_cusum_knife_edge_rounding_matches_spark_round(spark,
         assert got.loc[i, "cusum_lo"] == r_lo, (i, got.loc[i, "cusum_lo"],
                                                 r_lo)
         assert got.loc[i, "shift_flag"] == int(s_hi > h or s_lo > h)
+
+
+def test_stream_rolling_slope_equals_batch_across_cuts(spark, tmp_path):
+    """The streaming 14-day rolling OLS twin must equal the batch face
+    row-for-row when the daily stream is cut mid-window (day 10) and
+    again at day 20 — state carries the 14-slot buffer across cuts, and
+    gapped windows are skipped identically on both sides."""
+    import pandas as pd
+    from process_nwb_spark.relational.event_windows import \
+        win_rolling_regression
+    from process_nwb_spark.streaming.ops import stream_rolling_slope
+    from tests.conftest import SF_CORRECT
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.sum(F.round(F.col("value") * 100.0, 0).cast("bigint"))
+                  .cast("bigint").alias("yc")))
+
+    in_dir = str(tmp_path / "in_slope")
+    for lo, hi in [("2024-01-01", "2024-01-11"),
+                   ("2024-01-11", "2024-01-21"),
+                   ("2024-01-21", "2024-03-01")]:
+        (daily.filter((F.col("d") >= lo) & (F.col("d") < hi))
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    sdf = (spark.readStream
+           .schema("event_type string, d date, yc long")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream_rolling_slope(sdf)
+         .writeStream.format("memory").queryName("t_slope")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_slope"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = (spark.table("t_slope").toPandas()
+           .sort_values(["event_type", "day"]).reset_index(drop=True))
+    want = (win_rolling_regression(spark, SF_CORRECT).toPandas()
+            .sort_values(["event_type", "day"]).reset_index(drop=True))
+    # the batch face covers the whole fixture range; restrict to the
+    # streamed date range for the comparison
+    want = want[want.day <= got.day.max()].reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["event_type", "day", "slope_cents", "rising"]],
+        want[["event_type", "day", "slope_cents", "rising"]],
+        check_dtype=False, check_exact=True)  # bit-for-bit
