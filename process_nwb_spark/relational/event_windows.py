@@ -1626,6 +1626,70 @@ def ts_cusum_shift(spark, sf_dir):
 
 
 @query(
+    "ts_anomaly_mad",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY cnt)
+               AS BIGINT) AS med
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.d, d.cnt, m.med,
+             ABS(d.cnt - m.med) AS adev
+      FROM daily d JOIN med m ON m.event_type = d.event_type
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY adev)
+               AS BIGINT) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT v.event_type, CAST(v.d AS VARCHAR) AS day, v.cnt,
+           CAST(v.med AS BIGINT) AS med, CAST(a.mad AS BIGINT) AS mad,
+           CAST(v.adev > 3 * a.mad AS INT) AS is_anomaly
+    FROM dev v JOIN mad a ON a.event_type = v.event_type
+    ORDER BY v.event_type, day
+    """,
+    doc="robust (median/MAD) daily-count anomaly flags per event type — "
+        "the outlier-resistant alternative to the z-score/Bollinger "
+        "monitors (one bad day inflates a stddev and masks itself; it "
+        "moves a median by at most one rank). EVERYTHING is an integer "
+        "order statistic: daily counts are exact integers, the median "
+        "and the median absolute deviation are PERCENTILE_DISC picks "
+        "(no interpolation float), and the flag is the integer "
+        "comparison adev > 3*mad — no float exists anywhere in the "
+        "face, so cross-engine agreement is by construction. Scale "
+        "shape: the fact table rolls up ONCE to (type, day); both "
+        "medians and the flag join run on calendar-bounded rows "
+        "(types x days), and the two broadcast join-backs carry "
+        "types-sized model tables",
+)
+def ts_anomaly_mad(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("bigint").alias("cnt")))
+    med = (daily.groupBy("event_type")
+           .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)")
+                .cast("bigint").alias("med")))
+    dev = (daily.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("cnt") - F.col("med"))))
+    mad = (dev.groupBy("event_type")
+           .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+                .cast("bigint").alias("mad")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .select("event_type", F.col("d").cast("string").alias("day"),
+                    "cnt", "med", "mad",
+                    (F.col("adev") > 3 * F.col("mad")).cast("int")
+                    .alias("is_anomaly"))
+            .orderBy("event_type", "day"))
+
+
+@query(
     "ts_theilsen_trend",
     """
     WITH monthly AS (

@@ -319,6 +319,95 @@ def join_asof(spark, sf_dir):
                      best.asof_orderkey == dim.o_orderkey).drop("o_orderkey")
 
 
+@query(
+    "join_range_bucket",
+    """
+    WITH cents AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS t
+      FROM orders
+    ),
+    q AS (
+      SELECT CAST(MIN(t) AS BIGINT) AS q0,
+             CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY t) AS BIGINT) AS q1,
+             CAST(PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY t) AS BIGINT) AS q2,
+             CAST(PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY t) AS BIGINT) AS q3,
+             CAST(MAX(t) + 1 AS BIGINT) AS q4
+      FROM cents
+    ),
+    bands AS (
+      SELECT 0 AS band, q0 AS lo, q1 AS hi FROM q
+      UNION ALL SELECT 1, q1, q2 FROM q
+      UNION ALL SELECT 2, q2, q3 FROM q
+      UNION ALL SELECT 3, q3, q4 FROM q
+    )
+    SELECT b.band,
+           CAST(b.lo AS BIGINT) AS lo, CAST(b.hi AS BIGINT) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(c.t) AS BIGINT) AS sum_cents
+    FROM cents c JOIN bands b ON c.t >= b.lo AND c.t < b.hi
+    GROUP BY b.band, b.lo, b.hi
+    ORDER BY band
+    """,
+    doc="RANGE (interval) join with the bucketing optimization: orders "
+        "joined to quartile price bands by t in [lo, hi). The oracle "
+        "states the plain BETWEEN join; the Spark plan does what a range "
+        "join must do at 100 TB — each band EXPLODES into the uniform "
+        "buckets it covers (sequence(lo div W, (hi-1) div W), interval-"
+        "table-sized x O(span/W)), the probe side maps to its single "
+        "bucket with pure integer arithmetic, and the join is an "
+        "EQUI-join on bucket plus the residual range predicate, so no "
+        "nested-loop scan of probe x intervals ever happens (the naive "
+        "theta join is BroadcastNestedLoop — fine for 4 bands, a "
+        "job-killer when the interval table is a million IP ranges / "
+        "time intervals; plan-gated in test_plans.py). Band boundaries "
+        "are integer-cent ORDER STATISTICS (PERCENTILE_DISC on BIGINT) "
+        "and all outputs exact integer sums — no float boundary can "
+        "flip membership between engines",
+)
+def join_range_bucket(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint").alias("t"))
+    q = cents.agg(
+        F.min("t").cast("bigint").alias("q0"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY t)")
+        .cast("bigint").alias("q1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY t)")
+        .cast("bigint").alias("q2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY t)")
+        .cast("bigint").alias("q3"),
+        (F.max("t") + 1).cast("bigint").alias("q4"))
+    bands = (q.select(F.explode(F.array(
+        F.struct(F.lit(0).alias("band"), F.col("q0").alias("lo"),
+                 F.col("q1").alias("hi")),
+        F.struct(F.lit(1).alias("band"), F.col("q1").alias("lo"),
+                 F.col("q2").alias("hi")),
+        F.struct(F.lit(2).alias("band"), F.col("q2").alias("lo"),
+                 F.col("q3").alias("hi")),
+        F.struct(F.lit(3).alias("band"), F.col("q3").alias("lo"),
+                 F.col("q4").alias("hi")))).alias("b"))
+        .select("b.band", "b.lo", "b.hi"))
+    # bucket width: coarse enough that each band covers O(16) buckets,
+    # never 0 (GREATEST), computed from the same exact quartile row
+    width = (q.select(F.greatest(
+        ((F.col("q4") - F.col("q0")) / F.lit(64)).cast("bigint"),
+        F.lit(1)).alias("w")))
+    covered = (bands.crossJoin(F.broadcast(width))
+               .select("band", "lo", "hi",
+                       F.explode(F.sequence(
+                           F.expr("lo div w"),
+                           F.expr("(hi - 1) div w"))).alias("bucket")))
+    probe = (cents.crossJoin(F.broadcast(width))
+             .select("t", F.expr("t div w").alias("bucket")))
+    return (probe.join(F.broadcast(covered), "bucket")
+            .filter((F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
+            .groupBy("band", "lo", "hi")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.sum("t").cast("bigint").alias("sum_cents"))
+            .select("band", "lo", "hi", "n_orders", "sum_cents")
+            .orderBy("band"))
+
+
 # --------------------------------------------------------------------------
 # Aggregation
 # --------------------------------------------------------------------------

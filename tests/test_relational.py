@@ -69,7 +69,8 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         "embed_dim_variance", "text_ttr_profile",
         # r8 additions
         "pipeline_curate_shard", "win_rolling_regression",
-        "ann_recall_at_k", "graph_kcore_peel"]
+        "ann_recall_at_k", "graph_kcore_peel",
+        "join_range_bucket", "ts_anomaly_mad"]
 
 
 @pytest.fixture(scope="module")

@@ -150,3 +150,84 @@ def test_kcore_matches_python_peel_and_converges_with_margin(spark):
         assert got[node] == want.get(node, 0), (node, got[node],
                                                 want.get(node))
     assert max(got.values()) == 3      # fixture max coreness (cap is 4)
+
+
+def test_range_bucket_join_is_equi_not_nested_loop(spark):
+    """The bucketing rewrite exists to keep interval joins off the
+    nested-loop path; gate the plan on it (4 bands won't hurt, a
+    million IP ranges would)."""
+    from process_nwb_spark.plans.inspect import formatted_plan
+
+    df = _reg()["join_range_bucket"].fn(spark, SF_CORRECT)
+    plan = formatted_plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    # the interval match itself must be a HASH join on bucket with the
+    # range condition as its residual — never a nested-loop over
+    # probe x intervals
+    join_lines = [l for l in plan.splitlines() if "Join" in l]
+    hash_lines = [l for l in join_lines if "BroadcastHashJoin" in l
+                  or "SortMergeJoin" in l]
+    assert any("bucket" in l and "lo" in l and "hi" in l
+               for l in hash_lines), join_lines
+    # the only nested-loop joins allowed are the ONE-ROW width-scalar
+    # attaches (the established broadcast-scalar crossJoin pattern) —
+    # none may carry the interval predicate
+    for l in join_lines:
+        if "BroadcastNestedLoopJoin" in l:
+            assert "lo" not in l and "hi" not in l, l
+
+
+def test_range_bucket_matches_numpy(spark):
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    t = (spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+         .select(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+                 .alias("t")).toPandas()["t"].to_numpy())
+    ts = np.sort(t)
+
+    def disc(p):   # PERCENTILE_DISC: smallest value with cum_frac >= p
+        idx = int(np.ceil(p * len(ts))) - 1
+        return int(ts[max(idx, 0)])
+
+    qs = [int(ts[0]), disc(0.25), disc(0.5), disc(0.75), int(ts[-1]) + 1]
+    want = {}
+    for b in range(4):
+        lo, hi = qs[b], qs[b + 1]
+        sel = t[(t >= lo) & (t < hi)]
+        if len(sel):
+            want[b] = (lo, hi, len(sel), int(sel.sum()))
+    got = {r.band: (r.lo, r.hi, r.n_orders, r.sum_cents)
+           for r in _reg()["join_range_bucket"].fn(spark, SF_CORRECT)
+           .collect()}
+    assert got == want
+    assert sum(v[2] for v in got.values()) == len(t)  # partition covers all
+
+
+def test_anomaly_mad_matches_numpy(spark):
+    from pyspark.sql import functions as F
+
+    daily = (spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+             .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").alias("cnt")).toPandas())
+    got = {(r.event_type, r.day): (r.cnt, r.med, r.mad, r.is_anomaly)
+           for r in _reg()["ts_anomaly_mad"].fn(spark, SF_CORRECT)
+           .collect()}
+    assert len(got) == len(daily)
+    n_anom = 0
+    for et, g in daily.groupby("event_type"):
+        cnt = np.sort(g["cnt"].to_numpy())
+
+        def disc(arr, p=0.5):
+            arr = np.sort(arr)
+            return int(arr[max(int(np.ceil(p * len(arr))) - 1, 0)])
+
+        med = disc(cnt)
+        adev = np.abs(g["cnt"].to_numpy() - med)
+        mad = disc(adev)
+        for d, c, a in zip(g["d"], g["cnt"], adev):
+            key = (et, str(d))
+            assert got[key] == (c, med, mad, int(a > 3 * mad)), (
+                key, got[key], (c, med, mad, int(a > 3 * mad)))
+            n_anom += int(a > 3 * mad)
+    assert n_anom >= 0   # flags replayed exactly (count pinned above)
