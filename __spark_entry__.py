@@ -137,7 +137,7 @@ DRIVER_PRIORITY = (
     # r8: bucketed range (interval) join — equi-join on uniform buckets
     # plus residual, never a probe x intervals nested loop; MAD robust
     # anomaly flags (all-integer order statistics)
-    "join_range_bucket", "ts_anomaly_mad",
+    "join_interval_bucketed", "ts_anomaly_mad",
     # ---- previously driver-proven faces (234/234 green r1-r7) follow ----
     "ts_seasonal_decompose", "survival_km_churn", "sig_electrode_region",
     "sig_xcorr_lags", "sig_pac_mi", "sig_erp_trialavg", "sig_plv_pairs",

@@ -320,7 +320,7 @@ def join_asof(spark, sf_dir):
 
 
 @query(
-    "join_range_bucket",
+    "join_interval_bucketed",
     """
     WITH cents AS (
       SELECT o_orderkey, CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS t
@@ -364,7 +364,7 @@ def join_asof(spark, sf_dir):
         "and all outputs exact integer sums — no float boundary can "
         "flip membership between engines",
 )
-def join_range_bucket(spark, sf_dir):
+def join_interval_bucketed(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     cents = o.select(
         F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint").alias("t"))

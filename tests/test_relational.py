@@ -70,7 +70,7 @@ FAST = ["proj_filter_case", "join_inner_broadcast", "join_asof",
         # r8 additions
         "pipeline_curate_shard", "win_rolling_regression",
         "ann_recall_at_k", "graph_kcore_peel",
-        "join_range_bucket", "ts_anomaly_mad"]
+        "join_interval_bucketed", "ts_anomaly_mad"]
 
 
 @pytest.fixture(scope="module")

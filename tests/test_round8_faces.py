@@ -158,7 +158,7 @@ def test_range_bucket_join_is_equi_not_nested_loop(spark):
     million IP ranges would)."""
     from process_nwb_spark.plans.inspect import formatted_plan
 
-    df = _reg()["join_range_bucket"].fn(spark, SF_CORRECT)
+    df = _reg()["join_interval_bucketed"].fn(spark, SF_CORRECT)
     plan = formatted_plan(df, "simple")
     assert "CartesianProduct" not in plan
     # the interval match itself must be a HASH join on bucket with the
@@ -198,7 +198,7 @@ def test_range_bucket_matches_numpy(spark):
         if len(sel):
             want[b] = (lo, hi, len(sel), int(sel.sum()))
     got = {r.band: (r.lo, r.hi, r.n_orders, r.sum_cents)
-           for r in _reg()["join_range_bucket"].fn(spark, SF_CORRECT)
+           for r in _reg()["join_interval_bucketed"].fn(spark, SF_CORRECT)
            .collect()}
     assert got == want
     assert sum(v[2] for v in got.values()) == len(t)  # partition covers all
