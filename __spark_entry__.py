@@ -138,6 +138,13 @@ DRIVER_PRIORITY = (
     # plus residual, never a probe x intervals nested loop; MAD robust
     # anomaly flags (all-integer order statistics)
     "join_interval_bucketed", "ts_anomaly_mad",
+    # r8b: deterministic synchronous label propagation (community
+    # detection, completes the graph tier); bucket-co-located SMJ with
+    # zero join-input exchanges (write-time organization amortized);
+    # Count-Min frequency sketch (mergeable, contract booleans); RAG
+    # sliding-window chunking; substring-dup profile (Lee et al. 2022)
+    "graph_label_propagation", "join_bucketed_colocated",
+    "agg_count_min_sketch", "text_chunk_overlap", "text_kgram_dup_profile",
     # ---- previously driver-proven faces (234/234 green r1-r7) follow ----
     "ts_seasonal_decompose", "survival_km_churn", "sig_electrode_region",
     "sig_xcorr_lags", "sig_pac_mi", "sig_erp_trialavg", "sig_plv_pairs",

@@ -483,6 +483,68 @@ def sink_partitioned_prune(spark, sf_dir):
         F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"))
 
 
+_N_BUCKETS = 8
+
+
+@query(
+    "join_bucketed_colocated",
+    """
+    SELECT o_orderkey % 4 AS key_mod,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(CAST(l_extendedprice AS DOUBLE)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderkey % 4
+    """,
+    doc=f"bucket-co-located join: orders and lineitem are written as "
+        f"bucketBy({_N_BUCKETS}, orderkey) sortBy(orderkey) tables "
+        "(external path under scratch, in-memory catalog), read back, and "
+        "joined on the bucket key — Spark's scan reports the bucket "
+        "layout as its output partitioning, so the SortMergeJoin needs "
+        "NO Exchange on either side, and with one file per bucket "
+        "(repartition-by-key before the write) plus "
+        "spark.sql.legacy.bucketedTableScan.outputOrdering the Sorts "
+        "elide too (both asserted in test_plans). THE pre-organization "
+        "move for 100 TB fact-to-fact "
+        "joins: the shuffle that dominates an orders⋈lineitem join is "
+        "paid once at write time and amortized over every subsequent "
+        "join/agg keyed on orderkey; only the post-join rollup (grouped "
+        "on a derived key) shuffles, and it is aggregate-sized. The "
+        "oracle joins the raw tables — bucketing must be "
+        "result-invariant, which is what the hash match proves",
+)
+def join_bucketed_colocated(spark, sf_dir):
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"pnwb_spark_bucketed_{tag}")
+    specs = [
+        (f"pnwb_bkt_orders_{tag}",
+         T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+         "o_orderkey"),
+        (f"pnwb_bkt_lineitem_{tag}",
+         T(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_extendedprice"),
+         "l_orderkey"),
+    ]
+    for name, df, key in specs:
+        # repartition on the bucket key with the bucket count BEFORE the
+        # bucketed write: same murmur3 hash, same modulus, so each task
+        # holds exactly one bucket and writes exactly one file per bucket
+        # — the reader only trusts write-time sort order when a bucket is
+        # a single file, and one-file-per-bucket is what lets the
+        # downstream SMJ skip the Sort as well as the Exchange
+        (df.repartition(_N_BUCKETS, F.col(key))
+         .write.mode("overwrite")
+         .option("path", os.path.join(base, name))
+         .bucketBy(_N_BUCKETS, key).sortBy(key)
+         .format("parquet").saveAsTable(name))
+    ob = spark.table(specs[0][0])
+    lb = spark.table(specs[1][0])
+    return (ob.join(lb, lb.l_orderkey == ob.o_orderkey)
+            .groupBy((F.col("o_orderkey") % 4).alias("key_mod"))
+            .agg(F.count("*").cast("bigint").alias("n_lines"),
+                 F.round(F.sum(F.col("l_extendedprice").cast("double")), 2)
+                 .alias("revenue")))
+
+
 @query(
     "fn_map_higher_order",
     """

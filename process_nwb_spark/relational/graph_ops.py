@@ -528,6 +528,127 @@ def graph_assortativity(spark, sf_dir):
                     F.round(num / den, 6).alias("assortativity")))
 
 
+_LPA_ROUNDS = 4     # fixed synchronous rounds keep the oracle replayable
+_LPA_FANOUT = 3     # same top-k sparsification as graph_bfs_hops
+
+
+def _lpa_oracle() -> str:
+    ctes = [f"""
+    dedges AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+                           ORDER BY w DESC, dst) AS rn
+        FROM dedges
+    ),
+    und AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM ranked WHERE rn <= {_LPA_FANOUT}
+    ),
+    sym AS MATERIALIZED (
+        SELECT u AS node, v AS nbr FROM und
+        UNION ALL SELECT v AS node, u AS nbr FROM und
+    ),
+    l0 AS (SELECT DISTINCT node, node AS label FROM sym)"""]
+    for t in range(_LPA_ROUNDS):
+        ctes.append(f"""
+    c{t + 1} AS (
+        SELECT s.node, l.label, COUNT(*) AS c
+        FROM sym s JOIN l{t} l ON l.node = s.nbr
+        GROUP BY s.node, l.label
+    ),
+    l{t + 1} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM c{t + 1}
+        ) WHERE rn = 1
+    )""")
+    return ("WITH " + ",".join(ctes) + f"""
+    SELECT CAST(l.node AS BIGINT) AS nationkey, n.n_name AS nation,
+           CAST(l.label AS BIGINT) AS community
+    FROM l{_LPA_ROUNDS} l JOIN nation n ON n.n_nationkey = l.node
+    ORDER BY nationkey
+    """)
+
+
+@query(
+    "graph_label_propagation",
+    _lpa_oracle(),
+    doc=f"community detection by synchronous label propagation "
+        f"(Raghavan et al. 2007) over the sparsified undirected trade "
+        f"graph ({_LPA_ROUNDS} fixed rounds, top-{_LPA_FANOUT} fanout): "
+        "every node starts labeled with its own id and each round adopts "
+        "the most frequent label among its neighbors, ties broken by "
+        "smallest label — the deterministic variant, so both engines "
+        "replay the identical computation (async LPA is run-order-"
+        "dependent and unverifiable cross-engine). Scale shape: the fact "
+        "tables aggregate ONCE into the graph; each round is one "
+        "labels⋈adjacency equi-join + a (node, label) count + a per-node "
+        "argmax window — all keyed by node id, so every round is one "
+        "shuffle of graph-sized (not fact-sized) rows, the same loop "
+        "skeleton as graph_pagerank with the sum swapped for a mode. "
+        "All-integer, hash-exact; the oracle unrolls the rounds as "
+        "chained CTEs",
+)
+def graph_label_propagation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+
+    dedges = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(s, li.l_suppkey == s.s_suppkey)
+              .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+              .groupBy(F.col("c_nationkey").alias("src"),
+                       F.col("s_nationkey").alias("dst"))
+              .agg(F.count("*").cast("double").alias("w")))
+    wn = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    und = (dedges.withColumn("rn", F.row_number().over(wn))
+           .filter(F.col("rn") <= _LPA_FANOUT)
+           .select(F.least("src", "dst").alias("u"),
+                   F.greatest("src", "dst").alias("v"))
+           .distinct())
+    # sym feeds l0 plus one join per round — persist so the fact join
+    # runs once (same rationale as graph_pagerank's cached contrib)
+    from .core import fresh_persist
+    sym = fresh_persist(
+        "lpa_sym",
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(und.select(F.col("v").alias("node"),
+                             F.col("u").alias("nbr"))))
+
+    labels = sym.select("node").distinct().withColumn(
+        "label", F.col("node"))
+    wv = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(_LPA_ROUNDS):
+        lbl = labels.select(F.col("node").alias("lnode"), "label")
+        cnt = (sym.join(lbl, sym.nbr == F.col("lnode"))
+               .groupBy("node", "label").agg(F.count("*").alias("c")))
+        labels = (cnt.withColumn("rn", F.row_number().over(wv))
+                  .filter(F.col("rn") == 1)
+                  .select("node", "label"))
+
+    return (labels.join(F.broadcast(n), labels.node == n.n_nationkey)
+            .select(F.col("node").cast("bigint").alias("nationkey"),
+                    F.col("n_name").alias("nation"),
+                    F.col("label").cast("bigint").alias("community"))
+            .orderBy("nationkey"))
+
+
 _KCORE_KMAX = 4     # coreness cap; fixture max coreness is 3 (margin test)
 _KCORE_ROUNDS = 5   # bounded peel rounds per k; fixture converges by 3
 _KCORE_FANOUT = 3   # same top-k sparsification as graph_bfs_hops

@@ -588,6 +588,215 @@ def doc_fingerprint_winnow(spark, sf_dir):
             .distinct())
 
 
+_CHUNK = 32    # tokens per chunk
+_STRIDE = 24   # chunk stride (overlap = _CHUNK - _STRIDE = 8 tokens)
+
+
+@query(
+    "text_chunk_overlap",
+    f"""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+               FROM documents),
+    st AS (SELECT doc_id, toks,
+                  UNNEST(RANGE(0, LEN(toks), {_STRIDE})) AS start
+           FROM t)
+    SELECT doc_id,
+           CAST(start // {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(LEAST({_CHUNK}, LEN(toks) - start) AS BIGINT) AS n_tok,
+           MD5(ARRAY_TO_STRING(toks[start + 1 : start + {_CHUNK}], ' '))
+             AS chunk_hash
+    FROM st
+    """,
+    doc=f"RAG chunking: sliding windows of {_CHUNK} tokens at stride "
+        f"{_STRIDE} ({_CHUNK - _STRIDE}-token overlap so retrieval never "
+        "loses a sentence to a chunk boundary), emitting per-chunk "
+        "position, length, and content hash — the id a vector store "
+        "dedups on before embedding. All row-local JVM array ops "
+        "(sequence/slice/array_join, no UDF, no shuffle at all: the "
+        "explode fans out inside the scan stage), so at 100 TB the cost "
+        "is exactly one pass over the corpus; the hash makes the face "
+        "exact cross-engine",
+)
+def text_chunk_overlap(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    words = _words()
+    starts = F.sequence(F.lit(0), F.size(words) - 1, F.lit(_STRIDE))
+    return (d.select("doc_id", words.alias("toks"),
+                     F.explode(starts).alias("start"))
+            .select(
+                "doc_id",
+                F.expr(f"start div {_STRIDE}").cast("bigint")
+                .alias("chunk_idx"),
+                F.col("start").cast("bigint").alias("start_tok"),
+                F.least(F.lit(_CHUNK), F.size("toks") - F.col("start"))
+                .cast("bigint").alias("n_tok"),
+                F.md5(F.array_join(
+                    F.slice("toks", F.col("start") + 1, _CHUNK), " "))
+                .alias("chunk_hash")))
+
+
+_KG = 8        # substring-dedup gram width (tokens)
+
+
+@query(
+    "text_kgram_dup_profile",
+    f"""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+               FROM documents),
+    g AS (
+      SELECT doc_id,
+             MD5(ARRAY_TO_STRING(toks[i + 1 : i + {_KG}], ' ')) AS h
+      FROM (SELECT doc_id, toks,
+                   UNNEST(RANGE(0, LEN(toks) - {_KG} + 1)) AS i
+            FROM t WHERE LEN(toks) >= {_KG})
+    ),
+    stats AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY h)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           ROUND(CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS dup_ratio
+    FROM g JOIN stats s ON s.h = g.h
+    GROUP BY g.doc_id
+    """,
+    doc=f"substring-level duplication profile (Lee et al. 2022, "
+        f"'Deduplicating Training Data Makes Language Models Better'): "
+        f"every {_KG}-token gram POSITION is hashed (md5 of the joined "
+        "window — the exact-dedup analog of that paper's suffix-array "
+        "spans), gram document-frequency is one hash-keyed count-distinct, "
+        "and each document gets the fraction of its gram positions that "
+        "also occur in another document — the cut score substring dedup "
+        "thresholds on. Scale: the explode is one corpus pass fanning out "
+        "x(len-k+1) inside the scan stage; both the df count and the "
+        "position⋈df join are equi-keyed on the gram hash (linear, "
+        "map-side-combining); nothing is pairwise — doc similarity never "
+        "materializes, only per-gram counts, which is why this shape "
+        "survives 100 TB where a doc-pair join would not",
+)
+def text_kgram_dup_profile(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    words = _words()
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(words) - _KG),
+        lambda i: F.md5(F.array_join(F.slice(words, i + 1, _KG), " ")))
+    g = (d.filter(F.size(words) >= _KG)
+         .select("doc_id", F.explode(sh).alias("h")))
+    from .core import fresh_persist
+    g = fresh_persist("kgram_g", g)
+    stats = (g.groupBy("h")
+             .agg(F.countDistinct("doc_id").alias("ndocs")))
+    dup = F.when(F.col("ndocs") >= 2, 1).otherwise(0)
+    return (g.join(stats, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_grams"),
+                 F.sum(dup).cast("bigint").alias("n_dup_grams"),
+                 F.round(F.sum(dup).cast("double") / F.count("*"), 4)
+                 .alias("dup_ratio")))
+
+
+_CMS_D = 4     # sketch rows (independent hashes)
+_CMS_W = 256   # buckets per row (two md5 hex digits)
+
+
+def _cms_oracle() -> str:
+    # bucket index = first two hex digits of md5(token || ':' || row)
+    idx = ("(STRPOS('0123456789abcdef', SUBSTR(h, 1, 1)) - 1) * 16 + "
+           "STRPOS('0123456789abcdef', SUBSTR(h, 2, 1)) - 1")
+    return f"""
+    WITH tok AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    hashed AS (
+      SELECT w, r, MD5(w || ':' || CAST(r AS VARCHAR)) AS h
+      FROM tok, (SELECT UNNEST(RANGE(0, {_CMS_D})) AS r)
+    ),
+    cms AS (
+      SELECT r, {idx} AS idx, CAST(COUNT(*) AS BIGINT) AS c
+      FROM hashed GROUP BY r, idx
+    ),
+    exact AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY w
+    ),
+    topk AS (
+      SELECT w, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, w ASC LIMIT 10
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+    probes AS (
+      SELECT t.w, t.exact_cnt, p.r,
+             (STRPOS('0123456789abcdef',
+                     SUBSTR(MD5(t.w || ':' || CAST(p.r AS VARCHAR)), 1, 1))
+              - 1) * 16 +
+             STRPOS('0123456789abcdef',
+                    SUBSTR(MD5(t.w || ':' || CAST(p.r AS VARCHAR)), 2, 1))
+              - 1 AS idx
+      FROM topk t, (SELECT UNNEST(RANGE(0, {_CMS_D})) AS r) p
+    ),
+    est AS (
+      SELECT p.w, p.exact_cnt, MIN(c.c) AS est_cnt
+      FROM probes p JOIN cms c ON c.r = p.r AND c.idx = p.idx
+      GROUP BY p.w, p.exact_cnt
+    )
+    SELECT e.w AS token, e.exact_cnt, e.est_cnt,
+           e.est_cnt >= e.exact_cnt AS over_ok,
+           (e.est_cnt - e.exact_cnt) * {_CMS_W} <= 4 * n.total AS bound_ok
+    FROM est e CROSS JOIN n
+    ORDER BY e.exact_cnt DESC, e.w ASC
+    """
+
+
+@query(
+    "agg_count_min_sketch",
+    _cms_oracle(),
+    doc=f"Count-Min sketch (Cormode-Muthukrishnan 2005): d={_CMS_D} "
+        f"hash rows x w={_CMS_W} buckets built as ONE group-by over "
+        "(row, md5-derived bucket) — the sketch is mergeable by "
+        f"construction (counts add), bounded at {_CMS_D * _CMS_W} cells "
+        "total regardless of corpus size, and folds map-side, so at "
+        "100 TB each executor ships 1 KB of partial sketch. Probing the "
+        "top-10 exact tokens: estimate = min over rows of the token's "
+        "bucket count; the face emits the CMS contract as booleans — "
+        "estimates never undercount (structural) and overcount by at "
+        f"most 4N/w (Markov bound at 4x slack; margin-tested). Completes "
+        "the mergeable-sketch tier (KLL quantiles, Theta set ops, "
+        "Misra-Gries heavy hitters, HLL distinct) with the frequency "
+        "point-query sketch. All-integer, hash-exact",
+)
+def agg_count_min_sketch(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(_words()).alias("w"))
+    from .core import fresh_persist
+    tok = fresh_persist("cms_tok", tok)
+
+    rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
+    bucket = F.expr("CAST(conv(substr(md5(concat(w, ':', CAST(r AS STRING)))"
+                    ", 1, 2), 16, 10) AS INT)")
+    cms = (tok.select("w", rows)
+           .select("r", bucket.alias("idx"))
+           .groupBy("r", "idx")
+           .agg(F.count("*").cast("bigint").alias("c")))
+
+    exact = tok.groupBy("w").agg(F.count("*").cast("bigint")
+                                 .alias("exact_cnt"))
+    topk = (exact.orderBy(F.desc("exact_cnt"), F.asc("w")).limit(10))
+    total = tok.agg(F.count("*").cast("bigint").alias("total"))
+
+    probes = (topk.select("w", "exact_cnt", rows)
+              .select("w", "exact_cnt", "r", bucket.alias("idx")))
+    est = (probes.join(F.broadcast(cms), ["r", "idx"])
+           .groupBy("w", "exact_cnt")
+           .agg(F.min("c").alias("est_cnt")))
+    return (est.crossJoin(F.broadcast(total))
+            .select(F.col("w").alias("token"), "exact_cnt", "est_cnt",
+                    (F.col("est_cnt") >= F.col("exact_cnt"))
+                    .alias("over_ok"),
+                    ((F.col("est_cnt") - F.col("exact_cnt")) * _CMS_W
+                     <= 4 * F.col("total")).alias("bound_ok"))
+            .orderBy(F.desc("exact_cnt"), F.asc("token")))
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search
 # --------------------------------------------------------------------------

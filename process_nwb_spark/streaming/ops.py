@@ -823,3 +823,95 @@ def stream_rolling_slope(daily: DataFrame) -> DataFrame:
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def stream_sessionize(events: DataFrame,
+                      gap_us: int = 30 * 60 * 1_000_000) -> DataFrame:
+    """Streaming gap-based sessionization — the stateful twin of
+    relational/event_windows.event_sessionize, with the open session
+    carried ACROSS micro-batches.
+
+    Input: per-event rows (`user_id` bigint, `event_id` bigint,
+    `event_type` string, `us` bigint event-time micros), the same
+    projection the batch face starts from.
+
+    Semantics, replicated exactly on the columns a fold CAN replicate:
+    events per user in (us, event_id) order; a gap > 30 min closes the
+    running session and opens the next (ordinals 1, 2, ... identical to
+    the batch lag+flag-sum). A session is EMITTED when it closes —
+    (user_id, session_no, n_events, n_types, duration_s) with
+    duration_s = round((max_us - min_us)/1e6, 3) computed from exact
+    integer micros via the Spark-round-identical _spark_round, so the
+    emitted rows are bit-for-bit the batch face's rows for every closed
+    session. Two deliberate asymmetries, both structural: (1) the batch
+    face also emits each user's final STILL-OPEN session, which a
+    stream cannot know is over (parity tests drop each user's last
+    batch row); (2) the batch face's total_value is an order-sensitive
+    DOUBLE sum — deterministic within one Spark plan but not a
+    replayable fold contract — so the twin omits it (the exact-cents
+    rollup used by stream_rolling_slope is the fix when a streamed
+    revenue total is needed).
+
+    Contract: per user_id, (us, event_id) must land in increasing order
+    across micro-batches (at-or-below the high-water mark raises — the
+    established guard); within a micro-batch any order is fine (all
+    Arrow chunks are buffered and sorted once). State is O(1) per key
+    plus the distinct event-type set of the OPEN session (bounded by
+    the type vocabulary). Emits in append mode.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (uid,) = key
+        if state.exists:
+            (sess_no, n_events, types, min_us, max_us,
+             last_us, last_eid) = tuple(state.get)
+            types = list(types)
+        else:
+            sess_no, n_events, types, min_us, max_us = 0, 0, [], 0, 0
+            last_us, last_eid = -(1 << 62), -(1 << 62)
+        out = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = (pd.concat(chunks, ignore_index=True)
+                    .sort_values(["us", "event_id"]))
+            for eid, etype, us in zip(rows["event_id"],
+                                      rows["event_type"], rows["us"]):
+                us, eid = int(us), int(eid)
+                if (us, eid) <= (last_us, last_eid):
+                    raise ValueError(
+                        f"stream_sessionize: event {eid} for user {uid} "
+                        f"at or below the high-water mark — out-of-order "
+                        f"landing")
+                if sess_no == 0:
+                    sess_no, n_events = 1, 1
+                    types, min_us, max_us = [etype], us, us
+                elif us - last_us > gap_us:
+                    out.append((uid, sess_no, n_events, len(set(types)),
+                                _spark_round((max_us - min_us) / 1e6,
+                                             "0.001")))
+                    sess_no += 1
+                    n_events, types, min_us, max_us = 1, [etype], us, us
+                else:
+                    n_events += 1
+                    if etype not in types:
+                        types.append(etype)
+                    max_us = us
+                last_us, last_eid = us, eid
+        state.update((sess_no, n_events, types, min_us, max_us,
+                      last_us, last_eid))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "user_id", "session_no", "n_events", "n_types",
+                "duration_s"])
+
+    out_schema = ("user_id long, session_no long, n_events long, "
+                  "n_types long, duration_s double")
+    state_schema = ("sess_no long, n_events long, types array<string>, "
+                    "min_us long, max_us long, last_us long, "
+                    "last_eid long")
+    return (events.groupBy("user_id")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -213,3 +213,22 @@ def test_spectral_features_face_margins(spark):
     # face windows 460..490 / 45..56 -> require the inner halves
     assert 467.0 < sef[0] < 483.0, sef[0]
     assert 47.0 < sef[1] < 54.0, sef[1]
+
+
+def test_cms_overcount_margin(spark):
+    """agg_count_min_sketch emits bound_ok := (est-exact)*W <= 4N.
+    Measured (2026-08, sf0.01, local[32]): worst overcount 0 vs bound
+    ~424 — the top-10 tokens dominate their own buckets. Pin >=2x slack:
+    worst overcount must stay under HALF the face bound so cross-session
+    noise cannot flip the boolean at the driver."""
+    from process_nwb_spark.relational.core import T, all_queries
+    from process_nwb_spark.relational.llm_ops import _CMS_W
+
+    sf = "/root/testdata/sf0.01"
+    rows = all_queries()["agg_count_min_sketch"].fn(spark, sf).collect()
+    assert rows and all(r.over_ok and r.bound_ok for r in rows)
+    n_tok = (T(spark, sf, "documents")
+             .select(F.explode(F.split("text", " ")))
+             .count())
+    worst = max(r.est_cnt - r.exact_cnt for r in rows)
+    assert worst <= (4 * n_tok / _CMS_W) / 2, (worst, n_tok)

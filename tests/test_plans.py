@@ -607,3 +607,62 @@ def test_vshape_windows_share_one_shuffle(spark, qs):
     plan = formatted_plan(df)
     assert "InMemoryTableScan" in plan, "daily rollup must be cached"
     assert "Python" not in plan
+
+
+def test_bucketed_join_no_exchange_no_sort(spark, qs):
+    # bucketBy(orderkey) on BOTH sides: the SMJ must consume the bucket
+    # layout directly — any Exchange or Sort on a join input means the
+    # write-time organization was thrown away and the 100 TB join would
+    # re-shuffle both facts. At sf0.01 the orders side fits the broadcast
+    # threshold (also exchange-free, but that's not the contract under
+    # test), so pin the threshold off to surface the fact-to-fact shape.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # scan output ORDERING from sorted buckets is gated behind a legacy
+    # flag (verifying one-file-per-bucket costs a listing at planning
+    # time); the write path produces one file per bucket exactly so this
+    # is safe to enable here and demonstrates the full Sort elision too
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+                   "true")
+    try:
+        df = qs["join_bucketed_colocated"].fn(spark, SF)
+        plan = formatted_plan(df)
+        tree = formatted_plan(df, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+                       "false")
+    assert "Bucketed: true" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    # exactly ONE exchange total: the post-join rollup on the derived
+    # key. Neither join input re-shuffles (bucket layout is the
+    # partitioning) nor re-sorts (one file per bucket, sorted at write).
+    assert count_exchanges(df) == 1, tree
+    below_join = tree.split("SortMergeJoin", 1)[1]
+    assert "Sort" not in below_join, tree
+
+
+def test_kgram_profile_single_gram_pass(spark, qs):
+    # gram positions persist once and feed BOTH the df count and the
+    # profile join: exactly one documents scan in the plan
+    df = qs["text_kgram_dup_profile"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" in plan, "gram positions must be persisted"
+    assert "Python" not in plan
+
+
+def test_chunk_overlap_no_shuffle(spark, qs):
+    # chunking is row-local: explode inside the scan stage, zero exchanges
+    # beyond the input spread
+    df = qs["text_chunk_overlap"].fn(spark, SF)
+    assert count_exchanges(df) <= 1, formatted_plan(df, "simple")
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+
+
+def test_cms_sketch_bounded_and_partial(spark, qs):
+    # the sketch build folds map-side (partial agg) and the probe join
+    # broadcasts the <=1024-cell sketch
+    df = qs["agg_count_min_sketch"].fn(spark, SF)
+    assert has_partial_aggregation(df)
+    assert has_broadcast_join(df), "CMS probe must broadcast the sketch"

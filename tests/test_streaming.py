@@ -574,3 +574,59 @@ def test_stream_rolling_slope_equals_batch_across_cuts(spark, tmp_path):
         got[["event_type", "day", "slope_cents", "rising"]],
         want[["event_type", "day", "slope_cents", "rising"]],
         check_dtype=False, check_exact=True)  # bit-for-bit
+
+
+def test_stream_sessionize_equals_batch_across_cuts(spark, tmp_path):
+    """The streaming sessionization twin must equal the batch face
+    row-for-row on every CLOSED session when the event stream is cut
+    into three micro-batches mid-session-history — state carries the
+    open session across cuts. The batch face additionally emits each
+    user's final still-open session (a stream cannot know it is over):
+    those rows are dropped from the expectation, pinning the documented
+    asymmetry. total_value is omitted by design (order-sensitive double
+    sum — see the twin's docstring)."""
+    import pandas as pd
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import stream_sessionize
+    from tests.conftest import SF_CORRECT
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    ev = (ev.withColumn("ts", F.col("ts").cast("timestamp"))
+          .select("user_id", "event_id", "event_type",
+                  F.unix_micros("ts").alias("us")))
+
+    in_dir = str(tmp_path / "in_sess")
+    # time-ordered cuts (the twin's cross-batch contract is event-time
+    # order per user, so cut on event time)
+    lo, hi = ev.agg(F.min("us"), F.max("us")).first()
+    t1 = lo + (hi - lo) // 3
+    t2 = lo + 2 * (hi - lo) // 3
+    for pred in [F.col("us") < t1,
+                 (F.col("us") >= t1) & (F.col("us") < t2),
+                 F.col("us") >= t2]:
+        ev.filter(pred).coalesce(1).write.mode("append").parquet(in_dir)
+
+    sdf = (spark.readStream
+           .schema("user_id long, event_id long, event_type string, "
+                   "us long")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream_sessionize(sdf)
+         .writeStream.format("memory").queryName("t_sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = (spark.table("t_sess").toPandas()
+           .sort_values(["user_id", "session_no"]).reset_index(drop=True))
+    want_all = (all_queries()["event_sessionize"].fn(spark, SF_CORRECT)
+                .toPandas())
+    # drop each user's final (still-open) session from the expectation
+    last = want_all.groupby("user_id")["session_no"].transform("max")
+    want = (want_all[want_all.session_no < last]
+            .sort_values(["user_id", "session_no"]).reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_no", "n_events", "n_types", "duration_s"]],
+        want[["user_id", "session_no", "n_events", "n_types", "duration_s"]],
+        check_dtype=False, check_exact=True)  # bit-for-bit
