@@ -86,6 +86,11 @@ SF1_SUBSET = [
     # number of value-domain rounds)
     "graph_triangles", "text_heavy_hitters", "seq_pattern_vshape",
     "agg_exact_median_selection",
+    # r8b: the gram-position explode (x len per doc) with hash-keyed
+    # counts only — the claim is "nothing pairwise ever materializes";
+    # and the mergeable CMS whose build must stay one bounded-cell
+    # group-by regardless of corpus size
+    "text_kgram_dup_profile", "agg_count_min_sketch",
 ]
 
 

@@ -666,3 +666,38 @@ def test_cms_sketch_bounded_and_partial(spark, qs):
     df = qs["agg_count_min_sketch"].fn(spark, SF)
     assert has_partial_aggregation(df)
     assert has_broadcast_join(df), "CMS probe must broadcast the sketch"
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    # Spark's InjectRuntimeFilter: a selective filter on the small side
+    # of a shuffle join grows a bloom_filter_agg, and the FACT side gets
+    # a might_contain() pre-filter — rows that cannot join are dropped
+    # before the shuffle. At 100 TB this is the difference between
+    # shuffling the whole fact table and shuffling the ~matching slice.
+    # The thresholds are sized for real data; at sf0.01 the application
+    # side is far below the 10 GB scan threshold, so lower it to observe
+    # the injection (the conf Spark itself uses, not a private hook).
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        import pyspark.sql.functions as F
+        o = (spark.read.parquet(f"{SF}/orders.parquet")
+             .filter("o_orderpriority = '1-URGENT' "
+                     "AND o_totalprice > 200000"))
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        phys = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in opt, opt
+    assert "might_contain" in phys, phys
