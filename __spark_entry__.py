@@ -145,6 +145,9 @@ DRIVER_PRIORITY = (
     # sliding-window chunking; substring-dup profile (Lee et al. 2022)
     "graph_label_propagation", "join_bucketed_colocated",
     "agg_count_min_sketch", "text_chunk_overlap", "text_kgram_dup_profile",
+    # r8b: join-key skew diagnostics (the pick-your-strategy query) and
+    # the parse_url scalar surface (web-corpus ingest primitive)
+    "dq_key_skew_profile", "fn_url_parse",
     # ---- previously driver-proven faces (234/234 green r1-r7) follow ----
     "ts_seasonal_decompose", "survival_km_churn", "sig_electrode_region",
     "sig_xcorr_lags", "sig_pac_mi", "sig_erp_trialavg", "sig_plv_pairs",

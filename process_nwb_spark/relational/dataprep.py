@@ -1119,3 +1119,56 @@ def layout_compaction_plan(spark, sf_dir):
                     F.round(F.col("total_bytes").cast("double")
                             / F.lit(60000.0), 6).alias("fill_ratio"))
             .orderBy("file_id"))
+
+
+@query(
+    "dq_key_skew_profile",
+    """
+    WITH pairs AS (
+      SELECT 'l_orderkey' AS key_col, l_orderkey AS v FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ),
+    byval AS (
+      SELECT key_col, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pairs GROUP BY key_col, v
+    )
+    SELECT key_col,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS top_cnt,
+           ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+             AS top_share,
+           CAST(SUM(c) AS BIGINT) // COUNT(*) AS mean_rows_per_key
+    FROM byval GROUP BY key_col
+    """,
+    doc="join-key skew profile: rows, exact NDV, hottest-key count/share "
+        "and mean rows-per-key for each candidate join column of the "
+        "fact table — THE query a 100 TB pipeline runs BEFORE choosing "
+        "between plain shuffle, AQE skew split, and manual salting "
+        "(bench_skew measures the strategies; this face is how you pick "
+        "per key). One corpus pass: the columns fan out row-locally into "
+        "(key_col, value) pairs inside the scan stage, the per-value "
+        "count folds map-side on the (key_col, value) shuffle, and the "
+        "profile re-agg is NDV-sized. top_share is one double division "
+        "of exact integers — deterministic, no order pinning",
+)
+def dq_key_skew_profile(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    pairs = li.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("key_col"),
+                 F.col(c).cast("bigint").alias("v"))
+        for c in ("l_orderkey", "l_partkey", "l_suppkey")])).alias("p")
+    ).select("p.key_col", "p.v")
+    byval = pairs.groupBy("key_col", "v").agg(
+        F.count("*").cast("bigint").alias("c"))
+    return (byval.groupBy("key_col")
+            .agg(F.sum("c").cast("bigint").alias("n_rows"),
+                 F.count("*").cast("bigint").alias("n_distinct"),
+                 F.max("c").cast("bigint").alias("top_cnt"))
+            .select("key_col", "n_rows", "n_distinct", "top_cnt",
+                    F.round(F.col("top_cnt").cast("double")
+                            / F.col("n_rows").cast("double"), 6)
+                    .alias("top_share"),
+                    F.expr("n_rows div n_distinct")
+                    .alias("mean_rows_per_key")))

@@ -1007,3 +1007,39 @@ def agg_theta_set_ops(spark, sf_dir):
                     ok("est_union", "exact_union").alias("union_ok"),
                     ok("est_intersect", "exact_intersect")
                     .alias("intersect_ok")))
+
+
+@query(
+    "fn_url_parse",
+    """
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) AS path,
+           'k=' || CAST(doc_id % 7 AS VARCHAR) AS query,
+           CAST(doc_id % 7 AS VARCHAR) AS k_param
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+    doc="URL scalar functions — the ingest primitive every web-corpus "
+        "pipeline needs (canonicalization, host-level dedup and "
+        "source attribution all start at parse_url): a URL is built "
+        "row-locally from base columns, then parse_url extracts HOST / "
+        "PATH / QUERY and the k= parameter — all JVM built-ins inside "
+        "whole-stage codegen, zero shuffles. The oracle computes the "
+        "same RESULT from the base columns directly (the URL is "
+        "row-local derived state — same proof shape as "
+        "fn_map_higher_order), so the hash match proves the parse "
+        "inverts the construction exactly",
+)
+def fn_url_parse(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/"), F.col("lang"),
+                   F.lit("/doc-"), F.col("doc_id").cast("string"),
+                   F.lit("?k="), (F.col("doc_id") % 7).cast("string"))
+    return (d.withColumn("url", url)
+            .select("doc_id",
+                    F.expr("parse_url(url, 'HOST')").alias("host"),
+                    F.expr("parse_url(url, 'PATH')").alias("path"),
+                    F.expr("parse_url(url, 'QUERY')").alias("query"),
+                    F.expr("parse_url(url, 'QUERY', 'k')")
+                    .alias("k_param")))

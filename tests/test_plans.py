@@ -701,3 +701,18 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
             spark.conf.set(k, v)
     assert "bloom_filter_agg" in opt, opt
     assert "might_contain" in phys, phys
+
+
+def test_key_skew_profile_one_scan_partial_agg(spark, qs):
+    # the 3-column fan-out is row-local (one lineitem scan); both aggs
+    # fold map-side; no joins anywhere
+    df = qs["dq_key_skew_profile"].fn(spark, SF)
+    assert count_scans(df) == 1, formatted_plan(df, "simple")
+    assert has_partial_aggregation(df)
+    assert "Join" not in formatted_plan(df, "simple")
+
+
+def test_url_parse_zero_shuffle(spark, qs):
+    df = qs["fn_url_parse"].fn(spark, SF)
+    assert count_exchanges(df) == 0, formatted_plan(df, "simple")
+    assert "Python" not in formatted_plan(df)
