@@ -54,11 +54,16 @@ def sub_exists_returned(spark, sf_dir):
     return spark.sql(_EXISTS_SQL)
 
 
+# predicate includes the priority filter: every fixture customer HAS
+# orders, so the unfiltered "never ordered" set was empty at every SF —
+# a vacuous 0==0 hash check. "never placed an URGENT order" is real.
 _NOT_EXISTS_SQL = """
     SELECT c_nationkey, COUNT(*) AS n_customers,
            ROUND(SUM(c_acctbal), 2) AS total_bal
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c.c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY c_nationkey
 """
 
@@ -66,18 +71,22 @@ _NOT_EXISTS_SQL = """
 @query(
     "sub_not_exists_customers",
     _NOT_EXISTS_SQL,
-    doc="correlated NOT EXISTS: customers who never ordered, per nation. "
-        "Decorrelates to a left-anti join on the order foreign key",
+    doc="correlated NOT EXISTS: customers who never placed an urgent "
+        "order, per nation. Decorrelates to a left-anti join on the "
+        "order foreign key",
 )
 def sub_not_exists_customers(spark, sf_dir):
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_NOT_EXISTS_SQL)
 
 
+# threshold factor 1.03: the fixture's price spread tops out at
+# max/avg ~= 1.05, so the historical 1.5x matched ZERO rows at every
+# SF — a vacuous 0==0 hash check. 1.03x selects a real top slice.
 _SCALAR_SQL = """
     SELECT p_partkey, p_brand, ROUND(p_retailprice, 2) AS price
     FROM part
-    WHERE p_retailprice > 1.5 * (SELECT AVG(p_retailprice) FROM part)
+    WHERE p_retailprice > 1.03 * (SELECT AVG(p_retailprice) FROM part)
 """
 
 

@@ -217,13 +217,20 @@ def join_semi(spark, sf_dir):
     """
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     """,
-    doc="left anti join (NOT EXISTS)",
+    doc="left anti join (NOT EXISTS) with a filtered right side: "
+        "customers with no order above 300k. (The unfiltered variant "
+        "matched EVERY customer in the fixture — a vacuous 0==0 hash "
+        "check; the filter makes the anti-join output real while "
+        "keeping the same plan shape)",
 )
 def join_anti(spark, sf_dir):
     c = T(spark, sf_dir, "customer")
-    o = T(spark, sf_dir, "orders")
+    o = (T(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice") > 300000))
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name")
 
@@ -920,16 +927,22 @@ def set_intersect(spark, sf_dir):
 @query(
     "set_except",
     """
-    SELECT c_nationkey AS k FROM customer
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
     EXCEPT
-    SELECT s_nationkey AS k FROM supplier
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
     """,
-    doc="EXCEPT (distinct)",
+    doc="EXCEPT (distinct): negative-balance customers minus those with "
+        "a finished order. (The nationkey variant was a subset relation "
+        "in the fixture — empty output, a vacuous 0==0 hash check; this "
+        "operand pair leaves a real difference at every SF)",
 )
 def set_except(spark, sf_dir):
-    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
-    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.subtract(s)  # EXCEPT DISTINCT (exceptAll would be bag-except)
+    c = (T(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+         .select(F.col("c_custkey").alias("k")))
+    o = (T(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select(F.col("o_custkey").alias("k")))
+    return c.subtract(o)  # EXCEPT DISTINCT (exceptAll would be bag-except)
 
 
 # --------------------------------------------------------------------------
