@@ -716,3 +716,48 @@ def test_url_parse_zero_shuffle(spark, qs):
     df = qs["fn_url_parse"].fn(spark, SF)
     assert count_exchanges(df) == 0, formatted_plan(df, "simple")
     assert "Python" not in formatted_plan(df)
+
+
+def test_aqe_skew_join_splitter_activates(spark):
+    # bench_skew MEASURES the adaptive win; this pins the MECHANISM: on
+    # a 35%-hot key, AQE's OptimizeSkewedJoin must actually split the
+    # skewed partition (the final adaptive plan tags the SMJ with
+    # skew=true). Thresholds lowered to trigger at test size — the same
+    # knobs a real cluster tunes when 256 MB partitions are fine but a
+    # 2 GB straggler is not.
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from process_nwb_spark.benchdata import gen_skewed_events
+
+    dest = os.path.join(tempfile.gettempdir(), "spark_graft_bench", "skew")
+    gen_skewed_events(spark, dest)
+    facts = spark.read.parquet(os.path.join(dest, "skew_facts.parquet"))
+    dims = spark.read.parquet(os.path.join(dest, "skew_dims.parquet"))
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = (facts.join(dims.hint("merge"), "key")
+             .groupBy("attr").agg(F.sum("value").alias("v")))
+        # run THROUGH the DataFrame's own QueryExecution (a write would
+        # plan a separate execution whose adaptive plan we can't read)
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final, "adaptive plan did not finalize"
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    assert "skew=true" in final, final[:2000]
