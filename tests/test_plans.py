@@ -761,3 +761,31 @@ def test_aqe_skew_join_splitter_activates(spark):
             if v is not None:
                 spark.conf.set(k, v)
     assert "skew=true" in final, final[:2000]
+
+
+def test_dynamic_partition_pruning_on_star_join(spark):
+    # The third runtime-pruning lever beside bloom filters and AQE skew:
+    # a partitioned fact scan joined to a FILTERED dim must carry a
+    # dynamicpruningexpression in its PartitionFilters — pruned
+    # partitions are skipped at runtime using the dim join keys, before
+    # any fact bytes are read. At 100 TB with date-partitioned facts
+    # this is the difference between scanning 7 years and scanning the
+    # selected ones.
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    out = os.path.join(tempfile.gettempdir(), "pnwb_dpp_orders")
+    (spark.read.parquet(f"{SF}/orders.parquet")
+     .withColumn("oyear", F.year(F.col("o_orderdate").cast("date")))
+     .write.mode("overwrite").partitionBy("oyear").parquet(out))
+    facts = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [(y, "odd" if y % 2 else "even") for y in range(1992, 1999)],
+        "dyear int, tag string")
+    j = (facts.join(dim.filter(F.col("tag") == "odd"),
+                    facts.oyear == dim.dyear)
+         .groupBy("tag").agg(F.count("*").alias("n")))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan[:2000]
