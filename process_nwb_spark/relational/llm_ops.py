@@ -765,10 +765,14 @@ def _cms_oracle() -> str:
         "point-query sketch. All-integer, hash-exact",
 )
 def agg_count_min_sketch(spark, sf_dir):
+    # the token explode is NOT persisted: caching a corpus-sized explode
+    # is the one move that wouldn't survive 100 TB. The two consumers
+    # (sketch build, exact counts) each re-derive it from the scan — a
+    # narrow pass — and the VOCAB-sized exact table is what persists,
+    # feeding both the top-10 probe and the total (Σ exact counts), so
+    # nothing corpus-sized is ever materialized.
     d = spread(T(spark, sf_dir, "documents"))
     tok = d.select(F.explode(_words()).alias("w"))
-    from .core import fresh_persist
-    tok = fresh_persist("cms_tok", tok)
 
     rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
     bucket = F.expr("CAST(conv(substr(md5(concat(w, ':', CAST(r AS STRING)))"
@@ -778,10 +782,13 @@ def agg_count_min_sketch(spark, sf_dir):
            .groupBy("r", "idx")
            .agg(F.count("*").cast("bigint").alias("c")))
 
-    exact = tok.groupBy("w").agg(F.count("*").cast("bigint")
-                                 .alias("exact_cnt"))
+    from .core import fresh_persist
+    exact = fresh_persist(
+        "cms_exact",
+        tok.groupBy("w").agg(F.count("*").cast("bigint")
+                             .alias("exact_cnt")))
     topk = (exact.orderBy(F.desc("exact_cnt"), F.asc("w")).limit(10))
-    total = tok.agg(F.count("*").cast("bigint").alias("total"))
+    total = exact.agg(F.sum("exact_cnt").cast("bigint").alias("total"))
 
     probes = (topk.select("w", "exact_cnt", rows)
               .select("w", "exact_cnt", "r", bucket.alias("idx")))
