@@ -237,13 +237,17 @@ def bench_sf1(spark, registry, sf_dir: str, sf01_timings: dict) -> dict:
     # the ratio sample the same ambient-load windows
     base_extra: dict[str, list[float]] = {
         n: [] for n in SF1_SUBSET if n not in sf01_timings}
+    from process_nwb_spark.relational.core import clear_persist_slots
+
     for _ in range(2):
         for name in SF1_SUBSET:
             samples[name].append(
                 _timed_noop(registry[name].fn(spark, dest)))
+            clear_persist_slots()   # sf1-sized caches must not linger
             if name in base_extra:
                 base_extra[name].append(
                     _timed_noop(registry[name].fn(spark, sf_dir)))
+                clear_persist_slots()
     out = {}
     for name, s in samples.items():
         t1 = round(min(s), 3)
@@ -401,12 +405,17 @@ def main():
     samples["signal_pipeline"] = []
     many_samples: list[float] = []
     ref_many_samples: list[float] = []
+    from process_nwb_spark.relational.core import clear_persist_slots
+
     for _ in range(runs):
         for name in HEADLINE:
             df = registry[name].fn(spark, sf_dir)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)
+            # each face pays for (and then releases) its own persists:
+            # a resident cache from face A must not evict face B's
+            clear_persist_slots()
         samples["signal_pipeline"].append(bench_signal_pipeline(spark))
         many_samples.append(bench_signal_pipeline_many(spark))
     # the multi-series ratio is the headline scale claim, so it is taken

@@ -77,6 +77,22 @@ def fresh_persist(slot: str, df: DataFrame) -> DataFrame:
     return df
 
 
+def clear_persist_slots() -> None:
+    """Drop EVERY registered persist slot. Bench isolation: a face's
+    persisted intermediate (tiles, gram table, triangle edge sets)
+    must not squeeze the executor memory the NEXT face's timing runs
+    in — measured on graph_triangles at sf1, whose time flapped 37 ->
+    67 s when the preceding face's sf1-sized cache was still resident.
+    Production pipelines don't interleave unrelated faces in one JVM,
+    so clearing between timings is the honest steady-state."""
+    for slot in list(_PERSIST_SLOTS):
+        df = _PERSIST_SLOTS.pop(slot)
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         T(spark, sf_dir, t).createOrReplaceTempView(t)
