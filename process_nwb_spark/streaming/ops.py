@@ -915,3 +915,28 @@ def stream_sessionize(events: DataFrame,
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def foreach_batch_parquet_idempotent(out_dir: str):
+    """Exactly-once-per-batch parquet sink: rows land under their
+    batch-id partition with DYNAMIC partition overwrite, so a RETRIED
+    micro-batch (Spark re-runs a batch after executor/driver failure —
+    foreachBatch only guarantees at-least-once) replaces its own
+    partition instead of appending duplicates. The plain
+    foreach_batch_parquet sink is the throughput path when downstream
+    dedups anyway; this is the idempotent path a 100 TB pipeline points
+    at tables consumed without a dedup."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = sp.conf.get(key, "static")
+        sp.conf.set(key, "dynamic")
+        try:
+            (batch_df.withColumn("_batch", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("_batch")
+             .parquet(out_dir))
+        finally:
+            sp.conf.set(key, prev)
+
+    return write_batch

@@ -231,3 +231,129 @@ def test_anomaly_mad_matches_numpy(spark):
                 key, got[key], (c, med, mad, int(a > 3 * mad)))
             n_anom += int(a > 3 * mad)
     assert n_anom >= 0   # flags replayed exactly (count pinned above)
+
+
+def test_label_propagation_matches_python_lpa(spark):
+    """Replay the synchronous min-tie-break LPA in pure Python over the
+    same sparsified graph — independent of Spark's join/window
+    machinery — and pin the structural invariants (labels are node ids;
+    a node's community lies inside its connected component)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    got = {r.nationkey: r.community
+           for r in _reg()["graph_label_propagation"]
+           .fn(spark, SF_CORRECT).collect()}
+
+    # rebuild the same graph: top-3 outgoing trade edges, undirected
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    c = spark.read.parquet(f"{SF_CORRECT}/customer.parquet")
+    s = spark.read.parquet(f"{SF_CORRECT}/supplier.parquet")
+    w = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(s, li.l_suppkey == s.s_suppkey)
+         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+         .groupBy(F.col("c_nationkey").alias("src"),
+                  F.col("s_nationkey").alias("dst"))
+         .agg(F.count("*").alias("w"))).collect()
+    by_src = {}
+    for r in w:
+        by_src.setdefault(r.src, []).append((-r.w, r.dst))
+    und = set()
+    for src, lst in by_src.items():
+        for _, dst in sorted(lst)[:3]:
+            und.add((min(src, dst), max(src, dst)))
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+
+    labels = {n: n for n in adj}
+    for _ in range(4):
+        nxt = {}
+        for n in adj:
+            cnt = Counter(labels[nb] for nb in adj[n])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    assert got == labels
+
+    # invariants: community ids are node ids within the same component;
+    # map every node to a canonical component representative
+    reps = {}
+    for start in adj:
+        if start not in reps:
+            stack, seen = [start], {start}
+            while stack:
+                x = stack.pop()
+                reps[x] = start
+                for nb in adj[x]:
+                    if nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+    for n, lbl in got.items():
+        assert lbl in adj, "community id must be a node id"
+        assert reps.get(lbl) == reps.get(n), \
+            "community must stay within the connected component"
+
+
+def test_kgram_profile_bounds_and_python_replay(spark):
+    """dup counts bounded by gram counts; ratios in [0,1]; exact replay
+    of a sample of docs with pure-Python hashing."""
+    import hashlib
+
+    rows = (_reg()["text_kgram_dup_profile"].fn(spark, SF_CORRECT)
+            .collect())
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_grams <= r.n_grams
+        assert 0.0 <= r.dup_ratio <= 1.0
+
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .select("doc_id", "text").collect()}
+    grams = {}
+    per_doc = {}
+    for did, text in docs.items():
+        toks = text.split(" ")
+        hs = [hashlib.md5(" ".join(toks[i:i + 8]).encode()).hexdigest()
+              for i in range(len(toks) - 7)]
+        per_doc[did] = hs
+        for h in hs:
+            grams.setdefault(h, set()).add(did)
+    want = {}
+    for did, hs in per_doc.items():
+        if not hs:
+            continue
+        dup = sum(1 for h in hs if len(grams[h]) >= 2)
+        want[did] = (len(hs), dup)
+    got = {r.doc_id: (r.n_grams, r.n_dup_grams) for r in rows}
+    assert got == want
+
+
+def test_chunk_overlap_tiles_every_token(spark):
+    """Chunks must cover every token position (stride < chunk width) and
+    the md5 ids must replay in pure Python for a sample of docs."""
+    import hashlib
+
+    rows = (_reg()["text_chunk_overlap"].fn(spark, SF_CORRECT)
+            .filter("doc_id % 97 = 0").collect())
+    docs = {r.doc_id: r.text.split(" ") for r in
+            spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .filter("doc_id % 97 = 0").select("doc_id", "text").collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for did, toks in docs.items():
+        chunks = sorted(by_doc[did], key=lambda r: r.start_tok)
+        covered = set()
+        for r in chunks:
+            piece = toks[r.start_tok:r.start_tok + 32]
+            assert r.n_tok == len(piece)
+            assert r.chunk_hash == hashlib.md5(
+                " ".join(piece).encode()).hexdigest()
+            covered.update(range(r.start_tok, r.start_tok + r.n_tok))
+        assert covered == set(range(len(toks))), "chunks must tile the doc"

@@ -630,3 +630,25 @@ def test_stream_sessionize_equals_batch_across_cuts(spark, tmp_path):
         got[["user_id", "session_no", "n_events", "n_types", "duration_s"]],
         want[["user_id", "session_no", "n_events", "n_types", "duration_s"]],
         check_dtype=False, check_exact=True)  # bit-for-bit
+
+
+def test_foreach_batch_idempotent_replay(spark, tmp_path):
+    """A retried micro-batch must REPLACE its own output, not append a
+    duplicate: dynamic partition overwrite keyed by batch id. Replaying
+    batch 0 with different content converges to the retry's content
+    (last-write-wins per batch), and batch 1 lands beside it."""
+    from process_nwb_spark.streaming.ops import \
+        foreach_batch_parquet_idempotent
+
+    out = str(tmp_path / "idem")
+    sink = foreach_batch_parquet_idempotent(out)
+    b0 = spark.range(10).withColumnRenamed("id", "v")
+    sink(b0, 0)
+    sink(b0, 0)                       # verbatim retry: no duplicates
+    assert spark.read.parquet(out).count() == 10
+    sink(spark.range(7).withColumnRenamed("id", "v"), 0)  # partial retry
+    assert spark.read.parquet(out).count() == 7
+    sink(spark.range(5).withColumnRenamed("id", "v"), 1)
+    got = spark.read.parquet(out)
+    assert got.count() == 12
+    assert got.filter("_batch = 1").count() == 5
