@@ -940,3 +940,38 @@ def foreach_batch_parquet_idempotent(out_dir: str):
             sp.conf.set(key, prev)
 
     return write_batch
+
+
+def mv_upsert_sink(out_dir: str, keys: list[str]):
+    """Streaming materialized-view maintenance: an UPDATE-mode aggregated
+    stream hands foreachBatch the keys whose running totals changed this
+    micro-batch; the sink UPSERTS them into a parquet MV (current rows
+    minus touched keys, union the new rows). Because update-mode rows
+    are RUNNING TOTALS — not increments — a retried micro-batch upserts
+    the same values it wrote the first time: the sink is idempotent
+    without a batch-id high-water mark (the increments formulation would
+    double-count on retry; this is why production MV merges feed on
+    totals). The MV is aggregate-sized, so the rewrite is O(result);
+    localCheckpoint materializes the merge before the overwrite so the
+    target can be both source and sink of the same batch. At 100 TB the
+    same shape lands on a lakehouse MERGE INTO keyed by the group
+    columns; this is the plain-parquet equivalent with the identical
+    correctness contract (batch == streamed MV, pinned in
+    test_streaming.py)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        new = batch_df
+        try:
+            cur = sp.read.parquet(out_dir)
+            have = True
+        except Exception:
+            have = False
+        if have:
+            merged = cur.join(new, keys, "left_anti").unionByName(new)
+        else:
+            merged = new
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(out_dir)
+
+    return write_batch

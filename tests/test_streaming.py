@@ -652,3 +652,47 @@ def test_foreach_batch_idempotent_replay(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 12
     assert got.filter("_batch = 1").count() == 5
+
+
+def test_stream_mv_merge_equals_batch(spark, tmp_path):
+    """Streamed MV (update-mode running totals upserted per micro-batch)
+    must equal the batch rollup after the drain, and a replayed batch
+    must leave the MV unchanged (running totals are idempotent where
+    increments would double-count)."""
+    from process_nwb_spark.streaming.ops import mv_upsert_sink
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    in_dir = str(tmp_path / "mv_in")
+    for m in range(3):
+        (ev.filter(F.month("ts") % 3 == m)
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    out = str(tmp_path / "mv")
+    sdf = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    agg = (sdf.groupBy("event_type")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .alias("cents")))
+    q = (agg.writeStream.outputMode("update")
+         .foreachBatch(mv_upsert_sink(out, ["event_type"]))
+         .option("checkpointLocation", str(tmp_path / "mv_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out).toPandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    want = (ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("cents"))
+            .toPandas().sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # retry replay: upserting the final totals again changes nothing
+    sink = mv_upsert_sink(out, ["event_type"])
+    sink(spark.read.parquet(out), 99)
+    again = spark.read.parquet(out).toPandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(again, want, check_dtype=False)
