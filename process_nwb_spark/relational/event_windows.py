@@ -3071,3 +3071,152 @@ def agg_gini_coefficient(spark, sf_dir):
     return (s.select("seg", F.col("n").alias("n_customers"),
                      F.round(num / den, 6).alias("gini"))
             .orderBy("seg"))
+
+
+_LTTB_OUT = 12                 # points kept per series
+_LTTB_NB = _LTTB_OUT - 2       # interior buckets (endpoints always kept)
+
+
+def _lttb_oracle() -> str:
+    nb = _LTTB_NB
+    # DuckDB lambdas cannot host correlated subqueries, so every helper
+    # (bucket bounds, next-bucket sums, the max area) is expanded by
+    # TEXTUAL macro substitution — the generated SQL is long but each
+    # term is the same exact-integer expression the Spark side builds.
+    # j and acc come from the LIST_REDUCE lambda (e = [j], prev =
+    # acc[-1]); DuckDB lists are 1-based, so 0-based index i reads [i+1]
+    s = lambda k: f"(1 + ({k} * (m - 2)) // {nb})"           # noqa: E731
+    prev, j = "acc[-1]", "e[1]"
+    lo, hi = s(j), f"({s(f'({j} + 1)')} - 1)"
+    nlo = s(f"({j} + 1)")
+    nhi = f"LEAST({s(f'({j} + 2)')} - 1, m - 1)"
+    cnt = f"({nhi} - {nlo} + 1)"
+    sx = f"LIST_SUM(ds[{nlo} + 1 : {nhi} + 1])"
+    sy = f"LIST_SUM(ys[{nlo} + 1 : {nhi} + 1])"
+    pre = (f"LIST_TRANSFORM(RANGE(0, {nb}), "
+           "j -> [CAST(j AS BIGINT)])")
+
+    def area(i):
+        return (f"ABS((ds[{prev} + 1] * {cnt} - {sx}) * (ys[{i} + 1] "
+                f"- ys[{prev} + 1]) - (ds[{prev} + 1] - ds[{i} + 1]) "
+                f"* ({sy} - ys[{prev} + 1] * {cnt}))")
+
+    amax = (f"LIST_AGGREGATE(LIST_TRANSFORM(RANGE({lo}, {hi} + 1), "
+            f"i -> {area('i')}), 'max')")
+    pick = (f"LIST_MIN(LIST_FILTER(RANGE({lo}, {hi} + 1), "
+            f"i -> {area('i')} = {amax}))")
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    arrs AS (
+      SELECT event_type, LIST(d ORDER BY d) AS dsd,
+             LIST(y ORDER BY d) AS ys,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM daily GROUP BY event_type HAVING COUNT(*) >= {_LTTB_OUT}
+    ),
+    conv AS (
+      SELECT event_type, dsd, ys, m,
+             LIST_TRANSFORM(dsd,
+               x -> CAST(x - DATE '1970-01-01' AS BIGINT)) AS ds
+      FROM arrs
+    ),
+    folded AS (
+      SELECT event_type, dsd, ys, m,
+             LIST_APPEND(
+               LIST_REDUCE(LIST_PREPEND([CAST(0 AS BIGINT)], {pre}),
+                           (acc, e) -> LIST_APPEND(acc, {pick})),
+               m - 1) AS sel
+      FROM conv
+    )
+    SELECT event_type, CAST(g.pick_no AS BIGINT) AS pick_no,
+           STRFTIME(dsd[sel[g.pick_no] + 1], '%Y-%m-%d') AS d,
+           ys[sel[g.pick_no] + 1] AS y
+    FROM folded, (SELECT UNNEST(RANGE(1, {_LTTB_OUT} + 1)) AS pick_no) g
+    """
+
+
+@query(
+    "ts_lttb_downsample",
+    _lttb_oracle(),
+    doc=f"LTTB downsampling (Steinarsson 2013, the Grafana/Timescale "
+        f"visualization reducer): each per-type daily series keeps "
+        f"{_LTTB_OUT} points — both endpoints plus, per interior bucket, "
+        "the point forming the LARGEST TRIANGLE with the previously "
+        "selected point and the next bucket's centroid, which preserves "
+        "spikes and inflections a plain every-kth sample erases. The "
+        "centroid division is eliminated by cross-multiplying the area "
+        "comparison through the next-bucket count, so every candidate "
+        "score is an exact |bigint| and the argmax (ties -> smallest "
+        "index) is hash-exact with no float anywhere. Sequential "
+        "dependency (each pick anchors the next triangle) rides as a "
+        "growing index array through an ordered fold over the FIXED "
+        f"{_LTTB_NB} buckets (F.aggregate vs LIST_REDUCE) — after the "
+        "partial-agg day rollup, so the sequential work is bucket-count "
+        "per series, never fact-sized: the honest shape for any "
+        "visualization pipeline at 100 TB",
+)
+def ts_lttb_downsample(spark, sf_dir):
+    nb = _LTTB_NB
+    ev = T(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").cast("bigint").alias("y")))
+    arrs = (daily.groupBy("event_type")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "y")))
+                 .alias("pts"),
+                 F.count("*").cast("bigint").alias("m"))
+            .filter(F.col("m") >= _LTTB_OUT)
+            .withColumn("dsd", F.transform("pts", lambda p: p["d"]))
+            .withColumn("ds", F.transform(
+                "pts", lambda p: F.unix_date(p["d"]).cast("bigint")))
+            .withColumn("ys", F.transform("pts", lambda p: p["y"])))
+
+    div = lambda x: ((x - F.pmod(x, F.lit(nb))) / F.lit(nb)) \
+        .cast("bigint")                                       # noqa: E731
+    mm = F.col("m")
+    s_at = lambda k: F.lit(1) + div(k * (mm - 2))             # noqa: E731
+
+    def merge(acc, j):
+        prev = F.element_at(acc, -1)
+        lo = s_at(j)
+        hi = s_at(j + 1) - 1
+        nlo = s_at(j + 1)
+        nhi = F.least(s_at(j + 2) - 1, mm - 1)
+        cnt = nhi - nlo + 1
+        zero = F.lit(0).cast("bigint")
+        sx = F.aggregate(
+            F.slice(F.col("ds"), (nlo + 1).cast("int"), cnt.cast("int")),
+            zero, lambda a, x: a + x)
+        sy = F.aggregate(
+            F.slice(F.col("ys"), (nlo + 1).cast("int"), cnt.cast("int")),
+            zero, lambda a, x: a + x)
+        pd_ = F.element_at(F.col("ds"), (prev + 1).cast("int"))
+        py_ = F.element_at(F.col("ys"), (prev + 1).cast("int"))
+
+        def area(i):
+            yi = F.element_at(F.col("ys"), (i + 1).cast("int"))
+            di = F.element_at(F.col("ds"), (i + 1).cast("int"))
+            return F.abs((pd_ * cnt - sx) * (yi - py_)
+                         - (pd_ - di) * (sy - py_ * cnt))
+
+        cands = F.sequence(lo, hi)
+        amax = F.array_max(F.transform(cands, area))
+        pick = F.array_min(F.filter(cands, lambda i: area(i) == amax))
+        return F.concat(acc, F.array(pick))
+
+    picks = F.aggregate(
+        F.sequence(F.lit(0).cast("bigint"), F.lit(nb - 1).cast("bigint")),
+        F.array(F.lit(0).cast("bigint")), merge)
+    sel = F.concat(picks, F.array(mm - 1))
+    out = (arrs.select("event_type", "dsd", "ys",
+                       F.posexplode(sel).alias("pos", "idx")))
+    return out.select(
+        "event_type",
+        (F.col("pos") + 1).cast("bigint").alias("pick_no"),
+        F.date_format(F.element_at(F.col("dsd"),
+                                   (F.col("idx") + 1).cast("int")),
+                      "yyyy-MM-dd").alias("d"),
+        F.element_at(F.col("ys"), (F.col("idx") + 1).cast("int"))
+        .alias("y"))

@@ -925,6 +925,49 @@ def set_intersect(spark, sf_dir):
 
 
 @query(
+    "set_intersect_all",
+    """
+    SELECT l_partkey % 50 AS k FROM lineitem WHERE l_quantity > 45
+    INTERSECT ALL
+    SELECT p_partkey % 50 AS k FROM part WHERE p_size > 25
+    """,
+    doc="INTERSECT ALL (bag semantics): each value keeps "
+        "min(multiplicity_left, multiplicity_right) copies — the "
+        "multiset operator DISTINCT intersect loses. Spark plans it as "
+        "a counted anti-semantics join under the hood; both operands "
+        "are filtered fact projections, so the duplicate counts are "
+        "real on both sides",
+)
+def set_intersect_all(spark, sf_dir):
+    a = (T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+         .select((F.col("l_partkey") % 50).alias("k")))
+    b = (T(spark, sf_dir, "part").filter(F.col("p_size") > 25)
+         .select((F.col("p_partkey") % 50).alias("k")))
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    """
+    SELECT l_partkey % 50 AS k FROM lineitem WHERE l_quantity > 45
+    EXCEPT ALL
+    SELECT p_partkey % 50 AS k FROM part WHERE p_size > 25
+    """,
+    doc="EXCEPT ALL (bag semantics): each value keeps "
+        "max(0, multiplicity_left - multiplicity_right) copies — the "
+        "per-occurrence difference DISTINCT except collapses. Same "
+        "operands as set_intersect_all, so together the two faces "
+        "partition the left multiset exactly",
+)
+def set_except_all(spark, sf_dir):
+    a = (T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+         .select((F.col("l_partkey") % 50).alias("k")))
+    b = (T(spark, sf_dir, "part").filter(F.col("p_size") > 25)
+         .select((F.col("p_partkey") % 50).alias("k")))
+    return a.exceptAll(b)
+
+
+@query(
     "set_except",
     """
     SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0

@@ -357,3 +357,53 @@ def test_chunk_overlap_tiles_every_token(spark):
                 " ".join(piece).encode()).hexdigest()
             covered.update(range(r.start_tok, r.start_tok + r.n_tok))
         assert covered == set(range(len(toks))), "chunks must tile the doc"
+
+
+def test_lttb_matches_python_replay(spark):
+    """Replay LTTB in pure Python (textbook formulation with float
+    centroid areas) over the same daily rollup: the face's integer
+    cross-multiplied argmax must select the identical points — the
+    cross-multiplication is an algebraic identity, and this replay is
+    the proof it was applied correctly."""
+    from pyspark.sql import functions as F
+
+    got = {}
+    for r in (_reg()["ts_lttb_downsample"].fn(spark, SF_CORRECT)
+              .collect()):
+        got.setdefault(r.event_type, []).append((r.pick_no, r.d, r.y))
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    daily = (ev.withColumn("ts", F.col("ts").cast("timestamp"))
+             .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.count("*").alias("y")).collect())
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.d, r.y))
+    n_out, nb = 12, 10
+    for et, pts in series.items():
+        pts.sort()
+        m = len(pts)
+        if m < n_out:
+            assert et not in got
+            continue
+        xs = [d.toordinal() - 719163 for d, _ in pts]  # epoch days
+        # (1970-01-01 has ordinal 719163)
+        ys = [y for _, y in pts]
+        s = lambda k: 1 + (k * (m - 2)) // nb   # noqa: E731
+        sel = [0]
+        for j in range(nb):
+            lo, hi = s(j), s(j + 1) - 1
+            nlo, nhi = s(j + 1), min(s(j + 2) - 1, m - 1)
+            cx = sum(xs[nlo:nhi + 1]) / (nhi - nlo + 1)
+            cy = sum(ys[nlo:nhi + 1]) / (nhi - nlo + 1)
+            px, py = xs[sel[-1]], ys[sel[-1]]
+            best, barea = None, -1.0
+            for i in range(lo, hi + 1):
+                a = abs((px - cx) * (ys[i] - py)
+                        - (px - xs[i]) * (cy - py))
+                if a > barea + 1e-12:
+                    best, barea = i, a
+            sel.append(best)
+        sel.append(m - 1)
+        want = [(k + 1, pts[i][0].strftime("%Y-%m-%d"), pts[i][1])
+                for k, i in enumerate(sel)]
+        assert got[et] == want, et
