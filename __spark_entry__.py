@@ -151,6 +151,8 @@ DRIVER_PRIORITY = (
     # r8b: LTTB visualization downsampling (integer cross-multiplied
     # triangle argmax through an ordered fold); bag-semantics set ops
     "ts_lttb_downsample", "set_intersect_all", "set_except_all",
+    # r8b: two-threshold alert debounce (integer decisions + state carry)
+    "alert_hysteresis_state",
     # ---- previously driver-proven faces (234/234 green r1-r7) follow ----
     "ts_seasonal_decompose", "survival_km_churn", "sig_electrode_region",
     "sig_xcorr_lags", "sig_pac_mi", "sig_erp_trialavg", "sig_plv_pairs",

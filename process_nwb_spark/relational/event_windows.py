@@ -3220,3 +3220,69 @@ def ts_lttb_downsample(spark, sf_dir):
                       "yyyy-MM-dd").alias("d"),
         F.element_at(F.col("ys"), (F.col("idx") + 1).cast("int"))
         .alias("y"))
+
+
+@query(
+    "alert_hysteresis_state",
+    """
+    WITH hourly AS (
+      SELECT STRFTIME(TIME_BUCKET(INTERVAL '1 hour', ts),
+                      '%Y-%m-%d %H:%M:%S') AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    ),
+    marked AS (
+      SELECT *, CASE WHEN n_errors * 100 > 25 * n_events THEN 1
+                     WHEN n_errors * 100 < 15 * n_events THEN 0
+                     ELSE NULL END AS mark
+      FROM hourly
+    ),
+    filled AS (
+      SELECT hour, n_events, n_errors,
+             COALESCE(LAST_VALUE(mark IGNORE NULLS) OVER
+                        (ORDER BY hour ROWS UNBOUNDED PRECEDING),
+                      0) AS state
+      FROM marked
+    )
+    SELECT hour, n_events, n_errors, CAST(state AS INT) AS state,
+           CAST(CASE WHEN state = 1 AND COALESCE(LAG(state) OVER
+                       (ORDER BY hour), 0) = 0
+                     THEN 1 ELSE 0 END AS INT) AS fired
+    FROM filled
+    """,
+    doc="alerting with HYSTERESIS (Schmitt trigger): the alert turns ON "
+        "above a 25% error rate and stays on until the rate drops below "
+        "15% — the two-threshold debounce that stops a rate oscillating "
+        "around one threshold from paging every hour. Definite states "
+        "(above-high -> 1, below-low -> 0) are marked row-locally with "
+        "INTEGER cross-multiplied comparisons (n_errors*100 vs "
+        "k*n_events — no float rate on the decision path), the "
+        "in-between rows carry the previous state via LAST_VALUE IGNORE "
+        "NULLS, and `fired` flags the rising edges (the actual pages). "
+        "The global window runs over the bounded HOURLY rollup (the "
+        "value-domain escape hatch every global-window face documents: "
+        "hours per retention window, never raw events); per-service "
+        "alerting would partition the same window by service key",
+)
+def alert_hysteresis_state(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    hourly = (e.groupBy(F.date_format(
+        F.window("ts", "1 hour").start, _TS_FMT).alias("hour"))
+        .agg(F.count("*").cast("bigint").alias("n_events"),
+             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+              .cast("bigint").alias("n_errors")))
+    mark = (F.when(F.col("n_errors") * 100 > 25 * F.col("n_events"), 1)
+            .when(F.col("n_errors") * 100 < 15 * F.col("n_events"), 0))
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    filled = (hourly.withColumn("mark", mark)
+              .withColumn("state",
+                          F.coalesce(F.last("mark", ignorenulls=True)
+                                     .over(w), F.lit(0))))
+    prev = F.lag("state").over(Window.orderBy("hour"))
+    return filled.select(
+        "hour", "n_events", "n_errors",
+        F.col("state").cast("int").alias("state"),
+        F.when((F.col("state") == 1) & (F.coalesce(prev, F.lit(0)) == 0),
+               1).otherwise(0).cast("int").alias("fired"))

@@ -975,3 +975,66 @@ def mv_upsert_sink(out_dir: str, keys: list[str]):
         merged.write.mode("overwrite").parquet(out_dir)
 
     return write_batch
+
+
+def stream_alert_hysteresis(hourly: DataFrame) -> DataFrame:
+    """Streaming Schmitt-trigger alerting — the stateful twin of
+    relational/event_windows.alert_hysteresis_state, with the on/off
+    state carried ACROSS micro-batches.
+
+    Input: per-(series, hour) counts (`series` string — the alerting
+    key, e.g. a service; `hour` sortable string; `n_events`, `n_errors`
+    bigint), i.e. the same hourly rollup the batch face builds.
+
+    Semantics, replicated exactly (all-integer decisions): ON when
+    n_errors*100 > 25*n_events, OFF when n_errors*100 < 15*n_events,
+    otherwise carry the previous state (initially OFF); `fired` marks
+    rising edges. Contract: per series, hours must land in increasing
+    order across micro-batches (at-or-below the high-water mark
+    raises); within a micro-batch any order is fine (chunks buffered
+    and sorted once). State is two integers per series. Append mode.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (series,) = key
+        if state.exists:
+            st, last_hour = tuple(state.get)
+        else:
+            st, last_hour = 0, ""
+        out = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = (pd.concat(chunks, ignore_index=True)
+                    .sort_values("hour"))
+            for hour, n, e in zip(rows["hour"], rows["n_events"],
+                                  rows["n_errors"]):
+                if hour <= last_hour:
+                    raise ValueError(
+                        f"stream_alert_hysteresis: hour {hour} for "
+                        f"{series!r} at or below the high-water mark — "
+                        f"out-of-order landing")
+                n, e = int(n), int(e)
+                if e * 100 > 25 * n:
+                    new = 1
+                elif e * 100 < 15 * n:
+                    new = 0
+                else:
+                    new = st
+                fired = 1 if (new == 1 and st == 0) else 0
+                out.append((series, hour, n, e, new, fired))
+                st, last_hour = new, hour
+        state.update((st, last_hour))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "series", "hour", "n_events", "n_errors", "state",
+                "fired"])
+
+    out_schema = ("series string, hour string, n_events long, "
+                  "n_errors long, state int, fired int")
+    state_schema = "st int, last_hour string"
+    return (hourly.groupBy("series")
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -696,3 +696,47 @@ def test_stream_mv_merge_equals_batch(spark, tmp_path):
     again = spark.read.parquet(out).toPandas() \
         .sort_values("event_type").reset_index(drop=True)
     pd.testing.assert_frame_equal(again, want, check_dtype=False)
+
+
+def test_stream_alert_hysteresis_equals_batch_across_cuts(spark, tmp_path):
+    """The streaming Schmitt-trigger twin must equal the batch face
+    row-for-row when the hourly rollup is cut into three micro-batches —
+    the carried on/off state crosses the cuts (a cut landing inside a
+    carry run is exactly where a stateless replay would reset to 0)."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import stream_alert_hysteresis
+    from tests.conftest import SF_CORRECT
+
+    hourly = (all_queries()["alert_hysteresis_state"].fn(spark, SF_CORRECT)
+              .select("hour", "n_events", "n_errors")
+              .withColumn("series", F.lit("all")))
+    in_dir = str(tmp_path / "hyst_in")
+    hrs = sorted(r.hour for r in hourly.select("hour").collect())
+    c1, c2 = hrs[len(hrs) // 3], hrs[2 * len(hrs) // 3]
+    for pred in [F.col("hour") < c1,
+                 (F.col("hour") >= c1) & (F.col("hour") < c2),
+                 F.col("hour") >= c2]:
+        hourly.filter(pred).coalesce(1).write.mode("append").parquet(in_dir)
+
+    sdf = (spark.readStream
+           .schema("hour string, n_events long, n_errors long, "
+                   "series string")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (stream_alert_hysteresis(sdf)
+         .writeStream.format("memory").queryName("t_hyst")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "hyst_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = (spark.table("t_hyst").toPandas()
+           .sort_values("hour").reset_index(drop=True))
+    want = (all_queries()["alert_hysteresis_state"].fn(spark, SF_CORRECT)
+            .toPandas().sort_values("hour").reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    cols = ["hour", "n_events", "n_errors", "state", "fired"]
+    pd.testing.assert_frame_equal(got[cols], want[cols],
+                                  check_dtype=False, check_exact=True)
+    # the fixture must actually exercise the hysteresis: both states
+    # occur and at least one carry row sits between the thresholds
+    assert got.state.nunique() == 2 and got.fired.sum() >= 1
