@@ -153,6 +153,9 @@ DRIVER_PRIORITY = (
     "ts_lttb_downsample", "set_intersect_all", "set_except_all",
     # r8b: two-threshold alert debounce (integer decisions + state carry)
     "alert_hysteresis_state",
+    # r8b: pipeline observability — freshness SLA and pre-join
+    # cardinality estimation (the size half of join planning)
+    "dq_freshness_lag", "dq_join_cardinality",
     # ---- previously driver-proven faces (234/234 green r1-r7) follow ----
     "ts_seasonal_decompose", "survival_km_churn", "sig_electrode_region",
     "sig_xcorr_lags", "sig_pac_mi", "sig_erp_trialavg", "sig_plv_pairs",

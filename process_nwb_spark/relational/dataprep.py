@@ -1172,3 +1172,88 @@ def dq_key_skew_profile(spark, sf_dir):
                     .alias("top_share"),
                     F.expr("n_rows div n_distinct")
                     .alias("mean_rows_per_key")))
+
+
+@query(
+    "dq_freshness_lag",
+    """
+    WITH per_type AS (
+      SELECT event_type,
+             MAX(EPOCH_US(ts)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    ref AS (SELECT MAX(last_us) AS ref_us FROM per_type)
+    SELECT event_type, n_events,
+           CAST((ref_us - last_us) // 3600000000 AS BIGINT)
+             AS hours_behind,
+           (ref_us - last_us) <= 24 * 3600000000 AS fresh_24h
+    FROM per_type CROSS JOIN ref
+    """,
+    doc="data-freshness monitor: per-stream lag behind the newest event "
+        "in the feed (the corpus high-water mark stands in for now() so "
+        "the face is deterministic — a deployment binds the reference to "
+        "the clock) with an integer hours-behind and a 24 h SLA boolean. "
+        "One partial-agg pass builds the per-type high-water marks; the "
+        "reference mark is a 1-row broadcast crossJoin (the established "
+        "scalar-attach pattern). THE first query any pipeline-health "
+        "dashboard runs; all-integer microsecond arithmetic, hash-exact",
+)
+def dq_freshness_lag(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    per_type = (e.groupBy("event_type")
+                .agg(F.max(F.unix_micros("ts")).alias("last_us"),
+                     F.count("*").cast("bigint").alias("n_events")))
+    ref = per_type.agg(F.max("last_us").alias("ref_us"))
+    hr = 3_600_000_000
+    return (per_type.crossJoin(F.broadcast(ref))
+            .select("event_type", "n_events",
+                    F.expr(f"(ref_us - last_us) div {hr}").cast("bigint")
+                    .alias("hours_behind"),
+                    ((F.col("ref_us") - F.col("last_us")) <= 24 * hr)
+                    .alias("fresh_24h")))
+
+
+@query(
+    "dq_join_cardinality",
+    """
+    WITH ca AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                FROM orders GROUP BY 1),
+    cb AS (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+           FROM customer WHERE c_acctbal > 0 GROUP BY 1)
+    SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS est_rows,
+           (SELECT COUNT(*) FROM orders o JOIN customer c
+            ON o.o_custkey = c.c_custkey AND c.c_acctbal > 0)
+             AS actual_rows,
+           CAST(SUM(ca.c * cb.c) AS BIGINT) =
+           (SELECT COUNT(*) FROM orders o JOIN customer c
+            ON o.o_custkey = c.c_custkey AND c.c_acctbal > 0)
+             AS exact_match
+    FROM ca JOIN cb ON cb.k = ca.k
+    """,
+    doc="join-output cardinality from per-key count tables BEFORE the "
+        "join runs: |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k), computed by joining "
+        "the two NDV-sized count rollups — the second join-planning "
+        "number beside dq_key_skew_profile's hottest-key share (size "
+        "says whether the join output fits; skew says whether it "
+        "stragglers). For equi-joins the formula is an identity, which "
+        "the face proves by ALSO running the join and emitting the "
+        "match boolean — at 100 TB you run only the cheap half on the "
+        "count tables (or their sketches) and skip the rehearsal",
+)
+def dq_join_cardinality(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    ca = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("ca"))
+    cb = c.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("cb"))
+    est = (ca.join(cb, "k")
+           .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint")
+                .alias("est_rows")))
+    actual = (o.join(c, o.o_custkey == c.c_custkey)
+              .agg(F.count("*").cast("bigint").alias("actual_rows")))
+    return (est.crossJoin(F.broadcast(actual))
+            .select("est_rows", "actual_rows",
+                    (F.col("est_rows") == F.col("actual_rows"))
+                    .alias("exact_match")))
