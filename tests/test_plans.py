@@ -789,3 +789,26 @@ def test_dynamic_partition_pruning_on_star_join(spark):
          .groupBy("tag").agg(F.count("*").alias("n")))
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan, plan[:2000]
+
+
+def test_hysteresis_single_rollup_no_join(spark, qs):
+    # hourly rollup -> two windows over the SAME (empty-partition) sort;
+    # no self-join of errors vs totals
+    df = qs["alert_hysteresis_state"].fn(spark, SF)
+    tree = formatted_plan(df, "simple")
+    assert "Join" not in tree, tree
+    assert has_partial_aggregation(df)
+
+
+def test_freshness_broadcast_scalar_attach(spark, qs):
+    df = qs["dq_freshness_lag"].fn(spark, SF)
+    assert has_broadcast_join(df)
+    assert has_partial_aggregation(df)
+
+
+def test_join_cardinality_count_tables_not_fact_rescan(spark, qs):
+    # two count rollups + their NDV-sized join, plus the rehearsal join
+    # (which a production run would skip): 2 scans per table max
+    df = qs["dq_join_cardinality"].fn(spark, SF)
+    assert count_scans(df) <= 4, formatted_plan(df, "simple")
+    assert has_partial_aggregation(df)
