@@ -407,3 +407,27 @@ def test_lttb_matches_python_replay(spark):
         want = [(k + 1, pts[i][0].strftime("%Y-%m-%d"), pts[i][1])
                 for k, i in enumerate(sel)]
         assert got[et] == want, et
+
+
+def test_scd2_apply_interval_invariants(spark):
+    """Structural SCD2 invariants on the incremental result: per key,
+    exactly one current row; intervals chain exactly (each valid_to
+    equals the next valid_from); adjacent intervals never share a
+    status (else they'd be one island)."""
+    rows = (_reg()["scd2_apply_changeset"].fn(spark, SF_CORRECT)
+            .collect())
+    assert rows
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.custkey, []).append(r)
+    n_multi = 0
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in ivs if r.is_current == 1) == 1, k
+        assert ivs[-1].is_current == 1 and ivs[-1].valid_to is None, k
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from, (k, a, b)
+            assert a.status != b.status, (k, a, b)
+        if len(ivs) > 1:
+            n_multi += 1
+    assert n_multi > 100   # the history is real, not one-row-per-key
