@@ -1038,3 +1038,72 @@ def stream_alert_hysteresis(hourly: DataFrame) -> DataFrame:
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append",
                                     GroupStateTimeout.NoTimeout))
+
+
+def scd2_upsert_sink(out_dir: str):
+    """foreachBatch SCD2 maintenance — the streaming form of
+    relational/dataprep.scd2_apply_changeset: each micro-batch of daily
+    statuses (`custkey` bigint, `d` date, `status` string — one FINAL
+    status per (key, day), i.e. the upstream daily argmax rollup)
+    merges into the parquet history at `out_dir`. Only the batch's keys
+    re-derive (their stored change-points union the new events through
+    one gaps-and-islands pass — islands are invariant to the dropped
+    no-change rows); untouched keys pass through window-free.
+
+    Two properties a CDC consumer needs, both pinned in
+    test_streaming.py: RETRY-IDEMPOTENT (re-applying a batch re-derives
+    to the same rows — duplicate (key, day, status) events collapse
+    inside the islands pass) and BACKFILL-SAFE (batches may arrive in
+    any order: the re-derivation re-sorts each key's full point set by
+    date, so a late historical batch splices in correctly instead of
+    corrupting the chain — the property incremental interval-patching
+    schemes have to work hard for, and re-derivation gets free). Same
+    (key, day) in two batches with different statuses resolves
+    max(status)-wins, mirroring the batch face's deterministic argmax
+    contract. The history is change-point-sized; the rewrite is
+    O(result), localCheckpoint'ed so the target can be source and sink
+    of the same batch."""
+    from pyspark.sql.window import Window
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        new_ev = (batch_df.groupBy("custkey", "d")
+                  .agg(F.max("status").alias("status")))
+        changed = new_ev.select("custkey").distinct()
+        try:
+            hist = sp.read.parquet(out_dir)
+            have = True
+        except Exception:
+            have = False
+        if have:
+            untouched = hist.join(changed, "custkey", "left_anti")
+            old_pts = (hist.join(changed, "custkey", "semi")
+                       .select("custkey",
+                               F.to_date("valid_from").alias("d"),
+                               "status"))
+            events = (old_pts.unionByName(new_ev)
+                      .groupBy("custkey", "d")
+                      .agg(F.max("status").alias("status")))
+        else:
+            untouched = None
+            events = new_ev
+
+        w = Window.partitionBy("custkey").orderBy("d")
+        prev = F.lag("status").over(w)
+        pts = (events.withColumn(
+                   "chg", F.when(prev.isNull()
+                                 | (prev != F.col("status")), 1)
+                   .otherwise(0))
+               .filter(F.col("chg") == 1))
+        nxt = F.lead("d").over(w)
+        redone = pts.select(
+            "custkey", "status",
+            F.date_format("d", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+            F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"))
+        out = (redone if untouched is None
+               else untouched.unionByName(redone))
+        out = out.localCheckpoint()
+        out.write.mode("overwrite").parquet(out_dir)
+
+    return write_batch

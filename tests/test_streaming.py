@@ -740,3 +740,63 @@ def test_stream_alert_hysteresis_equals_batch_across_cuts(spark, tmp_path):
     # the fixture must actually exercise the hysteresis: both states
     # occur and at least one carry row sits between the thresholds
     assert got.state.nunique() == 2 and got.fired.sum() >= 1
+
+
+def test_stream_scd2_apply_equals_full_rebuild(spark, tmp_path):
+    """Streamed SCD2 history (three date-cut micro-batches through
+    scd2_upsert_sink) must equal the batch face's incremental result —
+    which is itself oracled against the full rebuild. Then: re-applying
+    the last batch leaves the history unchanged (retry idempotence),
+    and applying the SAME batches in scrambled order into a fresh
+    history converges to the identical rows (backfill safety)."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import scd2_upsert_sink
+    from tests.conftest import SF_CORRECT
+
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    daily = (o.groupBy(F.col("o_custkey").alias("custkey"),
+                       F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.max_by("o_orderstatus", "o_orderkey").alias("status")))
+    in_dir = str(tmp_path / "scd2_in")
+    cuts = ["1995-01-01", "1997-07-01"]
+    preds = [F.col("d") < cuts[0],
+             (F.col("d") >= cuts[0]) & (F.col("d") < cuts[1]),
+             F.col("d") >= cuts[1]]
+    for p in preds:
+        daily.filter(p).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out = str(tmp_path / "scd2_hist")
+    sdf = (spark.readStream
+           .schema("custkey long, d date, status string")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (sdf.writeStream.foreachBatch(scd2_upsert_sink(out))
+         .option("checkpointLocation", str(tmp_path / "scd2_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    def norm(df):
+        pdf = df.toPandas().fillna({"valid_to": ""})
+        return (pdf.sort_values(["custkey", "valid_from"])
+                .reset_index(drop=True))
+
+    got = norm(spark.read.parquet(out))
+    want = norm(all_queries()["scd2_apply_changeset"].fn(spark, SF_CORRECT))
+    cols = ["custkey", "status", "valid_from", "valid_to", "is_current"]
+    pd.testing.assert_frame_equal(got[cols], want[cols],
+                                  check_dtype=False, check_exact=True)
+
+    # retry idempotence: re-apply the final batch verbatim
+    sink = scd2_upsert_sink(out)
+    sink(daily.filter(preds[2]), 99)
+    pd.testing.assert_frame_equal(
+        norm(spark.read.parquet(out))[cols], want[cols],
+        check_dtype=False, check_exact=True)
+
+    # backfill safety: scrambled batch order into a fresh history
+    out2 = str(tmp_path / "scd2_hist2")
+    sink2 = scd2_upsert_sink(out2)
+    for i in (2, 0, 1):
+        sink2(daily.filter(preds[i]), i)
+    pd.testing.assert_frame_equal(
+        norm(spark.read.parquet(out2))[cols], want[cols],
+        check_dtype=False, check_exact=True)
