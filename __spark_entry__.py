@@ -158,6 +158,8 @@ DRIVER_PRIORITY = (
     "dq_freshness_lag", "dq_join_cardinality",
     # r8b: incremental SCD2 maintenance, oracled against the full rebuild
     "scd2_apply_changeset",
+    # r8b: percent-of-total window; GROUP BY ALL inference parity
+    "win_ratio_to_report", "sql_group_by_all",
     # ---- previously driver-proven faces (234/234 green r1-r7) follow ----
     "ts_seasonal_decompose", "survival_km_churn", "sig_electrode_region",
     "sig_xcorr_lags", "sig_pac_mi", "sig_erp_trialavg", "sig_plv_pairs",

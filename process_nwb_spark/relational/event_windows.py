@@ -3286,3 +3286,54 @@ def alert_hysteresis_state(spark, sf_dir):
         F.col("state").cast("int").alias("state"),
         F.when((F.col("state") == 1) & (F.coalesce(prev, F.lit(0)) == 0),
                1).otherwise(0).cast("int").alias("fired"))
+
+
+@query(
+    "win_ratio_to_report",
+    """
+    WITH nat AS (
+      SELECT n.n_regionkey AS regionkey, c.c_nationkey AS nationkey,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT regionkey, nationkey, cents,
+           ROUND(CAST(cents AS DOUBLE) /
+                 CAST(SUM(cents) OVER (PARTITION BY regionkey)
+                      AS DOUBLE), 6) AS share_in_region,
+           CAST(RANK() OVER (PARTITION BY regionkey
+                             ORDER BY cents DESC, nationkey) AS INT)
+             AS rank_in_region
+    FROM nat
+    """,
+    doc="ratio-to-report: each nation's share of its region's revenue "
+        "plus its in-region rank — the classic BI percent-of-total "
+        "window (Oracle's RATIO_TO_REPORT), spelled as a windowed sum "
+        "over the NATION-sized rollup. The fact join+agg is the only "
+        "corpus-scale work (exact integer cents); both windows share "
+        "one regionkey shuffle of 25 rows, and the share is one double "
+        "division of exact integers — deterministic, no order pinning",
+)
+def win_ratio_to_report(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    nat = (o.join(c, c.c_custkey == o.o_custkey)
+           .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+           .groupBy(F.col("n_regionkey").alias("regionkey"),
+                    F.col("c_nationkey").alias("nationkey"))
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100.0, 0)
+                      .cast("bigint"))
+                .cast("bigint").alias("cents")))
+    wr = Window.partitionBy("regionkey")
+    wk = Window.partitionBy("regionkey").orderBy(F.desc("cents"),
+                                                 F.asc("nationkey"))
+    return nat.select(
+        "regionkey", "nationkey", "cents",
+        F.round(F.col("cents").cast("double")
+                / F.sum("cents").over(wr).cast("double"), 6)
+        .alias("share_in_region"),
+        F.rank().over(wk).cast("int").alias("rank_in_region"))

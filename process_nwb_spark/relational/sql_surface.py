@@ -510,3 +510,28 @@ def sql_udf_scalar(spark, sf_dir):
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """)
+
+
+_GBALL_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_orderkey % 7 = 0
+    GROUP BY ALL
+"""
+
+
+@query(
+    "sql_group_by_all",
+    _GBALL_SQL,
+    doc="GROUP BY ALL (Spark 3.4+ / DuckDB): the grouping keys are "
+        "inferred as every non-aggregate select item — the same SQL "
+        "text runs verbatim on both engines, so the face pins that the "
+        "inference resolves to the identical key set (a divergence "
+        "would hash-mismatch). Plans exactly like the explicit "
+        "GROUP BY: one partial-agg shuffle",
+)
+def sql_group_by_all(spark, sf_dir):
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_GBALL_SQL)
