@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""CDC / history-maintenance demo: one changelog, four consumption shapes.
+
+1. `merge_upsert_changeset` — MERGE-style snapshot apply (latest row wins);
+2. `scd2_apply_changeset`  — INCREMENTAL SCD2: only changed keys re-derive
+   their validity intervals, the untouched majority passes through; the
+   registry oracle proves incremental == full rebuild;
+3. `scd2_upsert_sink`       — the same maintenance as a foreachBatch
+   streaming sink: retry-idempotent and BACKFILL-SAFE (batches in any
+   order converge — demonstrated below by applying them scrambled);
+4. `mv_upsert_sink`         — a running-totals materialized view kept
+   fresh from update-mode streaming aggregates (totals, not increments,
+   so replays are idempotent with no high-water mark).
+"""
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from process_nwb_spark import get_spark
+from process_nwb_spark.relational.core import T, all_queries
+from process_nwb_spark.streaming.ops import scd2_upsert_sink
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main():
+    spark = get_spark(shuffle_partitions=8)
+    qs = all_queries()
+
+    print("== 1. MERGE snapshot apply ==")
+    merged = qs["merge_upsert_changeset"].fn(spark, SF)
+    print(f"   post-merge rows: {merged.count()}")
+
+    print("== 2. incremental SCD2 (oracled vs full rebuild) ==")
+    hist = qs["scd2_apply_changeset"].fn(spark, SF)
+    cur = hist.filter("is_current = 1").count()
+    print(f"   intervals: {hist.count()}, current rows: {cur}")
+
+    print("== 3. streaming SCD2 sink, batches applied OUT OF ORDER ==")
+    daily = (T(spark, SF, "orders")
+             .groupBy(F.col("o_custkey").alias("custkey"),
+                      F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.max_by("o_orderstatus", "o_orderkey").alias("status")))
+    out = os.path.join(tempfile.gettempdir(), "pnwb_demo_scd2_hist")
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    sink = scd2_upsert_sink(out)
+    cuts = [F.col("d") >= "1997-07-01",                      # newest first
+            F.col("d") < "1995-01-01",                       # then oldest
+            (F.col("d") >= "1995-01-01") & (F.col("d") < "1997-07-01")]
+    for i, p in enumerate(cuts):
+        sink(daily.filter(p), i)
+    streamed = spark.read.parquet(out)
+    # backfill safety: scrambled order converged to the batch result
+    a = streamed.orderBy("custkey", "valid_from").toPandas()
+    b = hist.orderBy("custkey", "valid_from").toPandas()
+    same = a[["custkey", "status", "valid_from"]].equals(
+        b[["custkey", "status", "valid_from"]])
+    print(f"   scrambled-order streamed history == batch rebuild: {same}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -960,13 +960,18 @@ def mv_upsert_sink(out_dir: str, keys: list[str]):
     test_streaming.py)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int):
+        import os
+
         sp = batch_df.sparkSession
         new = batch_df
-        try:
-            cur = sp.read.parquet(out_dir)
-            have = True
-        except Exception:
-            have = False
+        # cheap existence pre-check keeps the first batch from logging a
+        # JVM FileNotFound stack; the except stays for non-local FSs
+        have = os.path.exists(out_dir)
+        if have:
+            try:
+                cur = sp.read.parquet(out_dir)
+            except Exception:
+                have = False
         if have:
             merged = cur.join(new, keys, "left_anti").unionByName(new)
         else:
@@ -1067,14 +1072,17 @@ def scd2_upsert_sink(out_dir: str):
 
     def write_batch(batch_df: DataFrame, batch_id: int):
         sp = batch_df.sparkSession
+        import os
+
         new_ev = (batch_df.groupBy("custkey", "d")
                   .agg(F.max("status").alias("status")))
         changed = new_ev.select("custkey").distinct()
-        try:
-            hist = sp.read.parquet(out_dir)
-            have = True
-        except Exception:
-            have = False
+        have = os.path.exists(out_dir)
+        if have:
+            try:
+                hist = sp.read.parquet(out_dir)
+            except Exception:
+                have = False
         if have:
             untouched = hist.join(changed, "custkey", "left_anti")
             old_pts = (hist.join(changed, "custkey", "semi")
