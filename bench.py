@@ -91,6 +91,10 @@ SF1_SUBSET = [
     # and the mergeable CMS whose build must stay one bounded-cell
     # group-by regardless of corpus size
     "text_kgram_dup_profile", "agg_count_min_sketch",
+    # r8b: incremental SCD2 — per-key windows over the daily argmax
+    # rollup; the claim is the window input scales with (keys x days),
+    # and the untouched branch adds no window work at all
+    "scd2_apply_changeset",
 ]
 
 
