@@ -50,16 +50,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # this dict should see a DIVERSE cross-section of the engine. The prefix is
 # ROTATED each round so cumulative driver coverage grows: rounds 1-7
 # driver-checked 234 distinct queries, 234 green (CORRECTNESS_r0{1..7}.json).
-# This round's prefix: the 42 registry faces that have NEVER had a driver
+# This round's prefix: the 48 registry faces that have NEVER had a driver
 # CORRECTNESS row (everything past r7's 50-query sample window — lakehouse
 # ops, forecasting/TS, mergeable sketches, CEP, embedding-deployment evals,
-# nonparametric A/B stats, text mining, graph analytics), so cumulative
-# coverage converts 234/276 driver-proven into 276/276. All 42 are green
-# under the committed full-registry local exact gate in BOTH default and
-# ANSI modes (ORACLE_LOCAL_r7.json / ORACLE_ANSI_r7.json, 276/276 each)
-# plus the shuffle-partition hash-stability probe. Faces ADDED in r8 slot
-# in right after (first sampling); the previously-proven 234 follow in
-# registry order.
+# nonparametric A/B stats, text mining, graph analytics), converting
+# cumulative driver coverage toward 298/298. Faces ADDED in r8/r8b slot in
+# right after (first sampling; past the 50-query window they roll into the
+# r9 rotation); the previously-proven 234 follow in registry order. The
+# ENTIRE 298-face registry is green under the committed full-registry
+# exact gate in BOTH default and ANSI modes (ORACLE_LOCAL_r8.json /
+# ORACLE_ANSI_r8.json, 298/298 each) plus the shuffle-partition
+# hash-stability probe (HASHSTAB_r8.json, 298/298 stable).
 DRIVER_PRIORITY = (
     # r7 lakehouse-ops tier: degree-oriented triangle counting, Z-order
     # layout locality, incremental MV maintenance by partial-agg merge
