@@ -397,13 +397,18 @@ def main():
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
 
-    # min-of-N: single runs on this box vary +-40% (and worse) with ambient
-    # load; the min over repeated runs is the reproducible cost of the plan
-    # and is what makes round-over-round comparisons meaningful. Whole-suite
-    # passes are interleaved (1st pass of every query, then the 2nd, ...) so
-    # a load burst degrades at most one pass of each query, not all N runs
-    # of whichever query it lands on.
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # MEDIAN-of-N is the headline (r9): single runs on this box vary +-40%
+    # (and worse) with ambient load, and two consecutive rounds' "headline
+    # regressions" (r7, r8) were both window noise — the committed per-query
+    # spreads (e.g. dedup_exact 2.27 s on a 0.67 s min) are larger than any
+    # real round-over-round delta, so neither a single window's min nor its
+    # sum can resolve a 15% change. The median over >=5 interleaved passes
+    # pins what a typical pass costs; the min stays beside it as the
+    # reproducible floor of the plan. Whole-suite passes are interleaved
+    # (1st pass of every query, then the 2nd, ...) so a load burst degrades
+    # at most one pass of each query, not all N runs of whichever query it
+    # lands on.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
 
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     samples["signal_pipeline"] = []
@@ -441,10 +446,9 @@ def main():
     # ambient-load noise self-evident in the artifact — a query whose
     # spread rivals its min was measured through a load burst
     spread = {k: round(max(v) - min(v), 3) for k, v in samples.items()}
-    # per-query MEDIAN beside the min: with spreads the same order as the
-    # round-over-round deltas (e.g. dedup_exact spread 1.77 on a 0.48 min
-    # in r7), min-of-N alone cannot distinguish a 15% regression from
-    # ambient noise — the median pins what a typical pass costs
+    # per-query MEDIAN is the PRIMARY number (headline value = sum of
+    # medians): min-of-N cannot distinguish a 15% regression from ambient
+    # noise at the measured spreads; the min stays as the plan's floor
     medians = {k: round(statistics.median(v), 3) for k, v in samples.items()}
 
     # single-node reference-math replays — not part of the total; recorded
@@ -455,7 +459,8 @@ def main():
     spark_many = round(min(ratio_spark_samples), 3)
     many_samples += ratio_spark_samples   # spread sees every pass
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(medians.values()), 3)
+    total_min = round(sum(timings.values()), 3)
     multi = {
         "n_series": N_SERIES_MANY,
         "spark_one_job": spark_many,
@@ -465,11 +470,13 @@ def main():
     }
     full = {
         "metric": "headline_queries_total",
-        "value": total,
+        "value": total,            # sum of per-query MEDIANS (r9 onward)
+        "value_min": total_min,    # sum of per-query mins (pre-r9 headline)
         "unit": "sec",
-        "queries": timings,
+        "queries": medians,        # primary per-query number: the median
+        "min": timings,            # the plan's floor, kept beside it
         "spread": spread,
-        "median": medians,
+        "n_passes": runs,
         "sf": sf,
         # the amortized folder workload (the reference's real multi-file
         # shape): N series through one Spark job vs the same N serially
@@ -501,7 +508,8 @@ def main():
         f.write("\n")
 
     headline = {"metric": full["metric"], "value": total, "unit": "sec",
-                "queries": timings, "sf": sf}
+                "queries": medians, "min": timings, "value_min": total_min,
+                "sf": sf}
     line = json.dumps(headline, separators=(",", ":"))
     assert len(line) < 1900, (
         f"driver line {len(line)} B would outgrow the ~2 KB tail capture")

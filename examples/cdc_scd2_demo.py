@@ -55,12 +55,20 @@ def main():
     for i, p in enumerate(cuts):
         sink(daily.filter(p), i)
     streamed = spark.read.parquet(out)
-    # backfill safety: scrambled order converged to the batch result
-    a = streamed.orderBy("custkey", "valid_from").toPandas()
-    b = hist.orderBy("custkey", "valid_from").toPandas()
-    same = a[["custkey", "status", "valid_from"]].equals(
-        b[["custkey", "status", "valid_from"]])
-    print(f"   scrambled-order streamed history == batch rebuild: {same}")
+    # backfill safety: scrambled order converged to the batch result —
+    # ALL five columns (valid_to / is_current are the ones a splice bug
+    # corrupts), and a mismatch is a hard failure, not a printed bool
+    cols = ["custkey", "status", "valid_from", "valid_to", "is_current"]
+    a = (streamed.orderBy("custkey", "valid_from").toPandas()[cols]
+         .fillna({"valid_to": ""}).reset_index(drop=True))
+    b = (hist.orderBy("custkey", "valid_from").toPandas()[cols]
+         .fillna({"valid_to": ""}).reset_index(drop=True))
+    if not a.equals(b):
+        diff = a.compare(b) if a.shape == b.shape else (a.shape, b.shape)
+        sys.exit(f"FAIL: scrambled-order streamed history diverged from "
+                 f"the batch rebuild:\n{diff}")
+    print("   scrambled-order streamed history == batch rebuild: True "
+          f"({len(a)} intervals, all 5 columns exact)")
 
     spark.stop()
 

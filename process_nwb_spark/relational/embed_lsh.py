@@ -387,7 +387,7 @@ def embed_ivf_topk(spark, sf_dir):
     """,
     doc=f"embedding-cosine near-dup: banded sign-LSH candidate pairs, exact "
         f"cosine filter at 0.35 inside buckets only. Self-join is on "
-        f"(band, bkey, grid, tile) — any bucket over {_LSH_BUCKET_CAP} "
+        f"(band, bkey, tile) — any bucket over {_LSH_BUCKET_CAP} "
         "members is refined into fixed-width rank tiles along a "
         "deterministic projection (rank by plane-0 dot, integer-exact "
         "tile arithmetic, the semantic_dedup construction) in TWO grids "
@@ -400,27 +400,29 @@ def embed_ivf_topk(spark, sf_dir):
         "and candidates quadratic). Recall trade vs unbounded buckets, "
         "measured at sf1 in SCALE.md: ~1.0 for true near-dups "
         "(cos>=0.9); the moderately-similar 0.35-0.5 tail is shed — "
-        "projection-distant pairs do not share a tile. The key-only "
-        "tiles table (vec_id, band, bkey, grid, tile — 5 small ints, no "
-        "embedding) is PERSISTED before the self-join: Spark plans no "
-        "ReusedExchange across the DeduplicateRelations split (measured "
-        "— both join sides re-executed the scan + 8 plane dots + rank "
-        "window, the r7 bench regression), so the cache is what makes "
-        "the band/rank CTE single-pass; it is corpus-sized but "
-        "embedding-free (~40 B/row, MEMORY_AND_DISK so it spills, never "
-        "OOMs, at 100 TB), and the PREVIOUS call's cache is unpersisted "
-        "on entry so repeated invocations hold at most one copy and "
-        "each run recomputes honestly (no stale-cache flattering of "
-        "min-of-N bench passes). Measured at sf1 this beats both the "
-        "uncached self-join (5.3 vs 5.9 s) and a groupBy+collect_list "
-        "per-tile pair enumeration (6.9 s: array-of-struct explosion "
-        "allocates C(cap,2)-element arrays and loses to the streaming "
-        "SMJ). Only (vec_a, vec_b) rides the pair-dedup shuffle: "
-        "embeddings re-attach afterward by vec_id equi-join (AQE "
-        "broadcasts the dim-sized table here; at 100 TB it degrades to "
-        "a plain hash join), so no 64-float array ever rides the "
-        "candidate shuffle, and the cosine is evaluated once per "
-        "unique pair",
+        "projection-distant pairs do not share a tile. r9 FUSED plan "
+        "(measured sf1 6.4 -> 4.2 s, exact same results): the tiles "
+        "table carries (embedding, norm, t0, t1) — ONE row per "
+        "(vec, band), both grid ids as columns, no explode — and is "
+        "PERSISTED before the self-joins (Spark plans no ReusedExchange "
+        "across the DeduplicateRelations split, measured in r7: both "
+        "sides re-executed scan + 8 plane dots + rank window). "
+        "MEMORY_AND_DISK so it spills, never OOMs, at 100 TB; the "
+        "PREVIOUS call's cache is unpersisted on entry so repeated "
+        "invocations hold one copy and each run recomputes honestly. "
+        "TWO equi-joins replace the exploded-grid join: grid-0 tiles "
+        "emit all their pairs; grid-1 tiles emit ONLY pairs whose "
+        "members straddle a grid-0 boundary (a.t0 != b.t0 residual), "
+        "so no pair's cosine is ever computed twice across grids "
+        "(~25% of candidate evaluations at sf1). The cosine + 0.35 "
+        "filter run INSIDE the pipelined join output — embeddings flow "
+        "through the SMJ but are never shuffled or materialized "
+        "post-join — and dropDuplicates (needed only for cross-BAND "
+        "repeats) runs on threshold survivors, i.e. result-sized data, "
+        "not the ~n*cap candidate set (the r8 plan shuffled 3.5M "
+        "candidate ids at sf1 for dedup, then re-attached embeddings "
+        "through two more joins; filter-before-dedup removes all "
+        "three shuffles)",
 )
 def dedup_embed_cosine(spark, sf_dir):
     from pyspark.sql.window import Window
@@ -429,7 +431,8 @@ def dedup_embed_cosine(spark, sf_dir):
     cap = _LSH_BUCKET_CAP
     proj = F.round(_dot_plane_spark(F.col("embedding"), _PLANES[0]), 9)
     ranked = (_bands_df(e)
-              .select("vec_id", "band", "bkey", proj.alias("_proj"))
+              .select("vec_id", "band", "bkey", "embedding",
+                      proj.alias("_proj"))
               .withColumn("_rn", F.row_number().over(
                   Window.partitionBy("band", "bkey").orderBy("_proj",
                                                              "vec_id"))))
@@ -437,41 +440,40 @@ def dedup_embed_cosine(spark, sf_dir):
     # vectors shorter than cap/2 ranks can never straddle a boundary in
     # BOTH grids, so boundary cuts cost no true-dup recall (one grid:
     # ~8% of copy-groups were cut at sf1). Work bound: <= 2 * n * cap
-    # candidate pairs per band — still linear.
-    g0 = F.expr(f"(_rn - 1) div {cap}")
-    g1 = F.expr(f"(_rn - 1 + {cap // 2}) div {cap}")
+    # candidate pairs per band — still linear. Both grid ids are
+    # COLUMNS (t0, t1), not exploded rows: one cached row per
+    # (vec, band), and the norm is computed once per vector here
+    # (bitwise-identical fold to the one inside _cosine).
     tiles = (ranked.select(
-        "vec_id", "band", "bkey",
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("grid"), g0.alias("tile")),
-            F.struct(F.lit(1).alias("grid"), g1.alias("tile")))).alias("gt"))
-        .select("vec_id", "band", "bkey",
-                F.col("gt.grid").alias("grid"), F.col("gt.tile").alias("tile")))
+        "vec_id", "band", "bkey", "embedding",
+        _norm_spark("embedding").alias("nrm"),
+        F.expr(f"(_rn - 1) div {cap}").alias("t0"),
+        F.expr(f"(_rn - 1 + {cap // 2}) div {cap}").alias("t1")))
     tiles = _persist_tiles_once(tiles)
     # merge: the tiles table is corpus-sized (never broadcastable at scale)
     a, b = tiles.hint("merge").alias("a"), tiles.hint("merge").alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bkey") == F.col("b.bkey"))
-               & (F.col("a.grid") == F.col("b.grid"))
-               & (F.col("a.tile") == F.col("b.tile"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    # norms are computed ONCE per vector in the dim-table projection, not
-    # per candidate pair (bitwise-identical: same fold as inside _cosine)
-    emb = T(spark, sf_dir, "embeddings")
-    ea = emb.select(F.col("vec_id").alias("vec_a"),
-                    F.col("embedding").alias("ea"),
-                    _norm_spark("embedding").alias("na"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("eb"),
-                    _norm_spark("embedding").alias("nb"))
-    cos = _dot_spark("ea", "eb") / (F.col("na") * F.col("nb"))
-    return (pairs.join(ea, "vec_a").join(eb, "vec_b")
-            .withColumn("_c", cos)
-            .filter(F.col("_c") >= 0.35)
+    cos = (_dot_spark("a.embedding", "b.embedding")
+           / (F.col("a.nrm") * F.col("b.nrm")))
+
+    def _half(tcol, extra):
+        cond = ((F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col(f"a.{tcol}") == F.col(f"b.{tcol}"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")))
+        if extra is not None:
+            cond = cond & extra
+        # cosine + threshold evaluate in the join's pipelined output:
+        # the 64-float arrays ride no shuffle, and only threshold
+        # SURVIVORS reach the cross-band dedup below
+        return (a.join(b, cond)
+                .select(F.col("a.vec_id").alias("vec_a"),
+                        F.col("b.vec_id").alias("vec_b"),
+                        cos.alias("_c"))
+                .filter(F.col("_c") >= 0.35))
+
+    both = _half("t0", None).unionAll(
+        _half("t1", F.col("a.t0") != F.col("b.t0")))
+    return (both.dropDuplicates(["vec_a", "vec_b"])
             .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine")))
 
 

@@ -10,6 +10,7 @@ core §2C entries at 100 TB.
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 
 from pyspark.sql import functions as F
@@ -500,11 +501,13 @@ _N_BUCKETS = 8
         "(external path under scratch, in-memory catalog), read back, and "
         "joined on the bucket key — Spark's scan reports the bucket "
         "layout as its output partitioning, so the SortMergeJoin needs "
-        "NO Exchange on either side, and with one file per bucket "
-        "(repartition-by-key before the write) plus "
-        "spark.sql.legacy.bucketedTableScan.outputOrdering the Sorts "
-        "elide too (both asserted in test_plans). THE pre-organization "
-        "move for 100 TB fact-to-fact "
+        "NO Exchange on either side (asserted in test_plans under any "
+        "config). With one file per bucket (repartition-by-key before "
+        "the write) AND spark.sql.legacy.bucketedTableScan."
+        "outputOrdering=true the Sorts elide too — that conf is set in "
+        "test_plans' session, where the Sort elision is asserted; in a "
+        "default session the SMJ keeps its Sorts but still skips both "
+        "Exchanges. THE pre-organization move for 100 TB fact-to-fact "
         "joins: the shuffle that dominates an orders⋈lineitem join is "
         "paid once at write time and amortized over every subsequent "
         "join/agg keyed on orderkey; only the post-join rollup (grouped "
@@ -513,7 +516,9 @@ _N_BUCKETS = 8
         "result-invariant, which is what the hash match proves",
 )
 def join_bucketed_colocated(spark, sf_dir):
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # table identifiers allow only [A-Za-z0-9_]; sanitize EVERY other
+    # character (a '-' or '.' in sf_dir would otherwise break saveAsTable)
+    tag = re.sub(r"[^0-9a-zA-Z_]", "_", sf_dir.strip("/"))
     base = os.path.join(tempfile.gettempdir(), f"pnwb_spark_bucketed_{tag}")
     specs = [
         (f"pnwb_bkt_orders_{tag}",

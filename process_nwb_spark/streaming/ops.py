@@ -965,8 +965,12 @@ def mv_upsert_sink(out_dir: str, keys: list[str]):
         sp = batch_df.sparkSession
         new = batch_df
         # cheap existence pre-check keeps the first batch from logging a
-        # JVM FileNotFound stack; the except stays for non-local FSs
-        have = os.path.exists(out_dir)
+        # JVM FileNotFound stack. The probe is driver-local, so it is
+        # only authoritative for local paths: for a remote target
+        # (s3://, hdfs://, abfss://) it would always be False and the
+        # sink would wrongly treat every batch as the first — there the
+        # try/except read below is the real detector.
+        have = os.path.exists(out_dir) or "://" in out_dir
         if have:
             try:
                 cur = sp.read.parquet(out_dir)
@@ -1051,50 +1055,73 @@ def scd2_upsert_sink(out_dir: str):
     statuses (`custkey` bigint, `d` date, `status` string — one FINAL
     status per (key, day), i.e. the upstream daily argmax rollup)
     merges into the parquet history at `out_dir`. Only the batch's keys
-    re-derive (their stored change-points union the new events through
-    one gaps-and-islands pass — islands are invariant to the dropped
-    no-change rows); untouched keys pass through window-free.
+    re-derive; untouched keys pass through window-free.
+
+    Backfill safety needs complete information: the interval table
+    alone is NOT enough to splice a late batch, because it stores only
+    change-points — a no-change observation inside a same-status run is
+    dropped, and a later out-of-order event landing inside that run
+    would re-derive the wrong chain (e.g. stored points {day1:A} from
+    events {day1:A, day3:A}; late {day2:B} would yield [A,B] current B,
+    while the truth is [A,B,A] current A). So the sink persists the
+    FULL (custkey, d, status) point set in a sidecar table at
+    `<out_dir>__points` and re-derives each changed key from that. The
+    sidecar is O(events) for the changed keys — that is the honest
+    price of order-free backfill; sinks that can guarantee per-key
+    monotone batch order (the high-water-mark contract
+    stream_alert_hysteresis uses) can stay change-point-sized.
 
     Two properties a CDC consumer needs, both pinned in
-    test_streaming.py: RETRY-IDEMPOTENT (re-applying a batch re-derives
-    to the same rows — duplicate (key, day, status) events collapse
-    inside the islands pass) and BACKFILL-SAFE (batches may arrive in
-    any order: the re-derivation re-sorts each key's full point set by
-    date, so a late historical batch splices in correctly instead of
-    corrupting the chain — the property incremental interval-patching
-    schemes have to work hard for, and re-derivation gets free). Same
+    test_streaming.py (including an adversarial same-status-run splice
+    the interval-only scheme gets wrong): RETRY-IDEMPOTENT
+    (re-applying a batch merges the same points and re-derives the same
+    rows) and BACKFILL-SAFE (batches in any order converge — the
+    re-derivation sorts each key's complete point set by date). Same
     (key, day) in two batches with different statuses resolves
     max(status)-wins, mirroring the batch face's deterministic argmax
-    contract. The history is change-point-sized; the rewrite is
-    O(result), localCheckpoint'ed so the target can be source and sink
-    of the same batch."""
+    contract. The interval history is change-point-sized; both rewrites
+    are O(touched keys' events), localCheckpoint'ed so the targets can
+    be source and sink of the same batch."""
     from pyspark.sql.window import Window
+
+    pts_dir = out_dir.rstrip("/") + "__points"
+
+    def _read_if_exists(sp, path):
+        import os
+
+        # driver-local existence probe is only authoritative for local
+        # paths; for remote FSs (s3:// etc.) fall through to the read
+        if os.path.exists(path) or "://" in path:
+            try:
+                return sp.read.parquet(path)
+            except Exception:
+                return None
+        return None
 
     def write_batch(batch_df: DataFrame, batch_id: int):
         sp = batch_df.sparkSession
-        import os
 
         new_ev = (batch_df.groupBy("custkey", "d")
                   .agg(F.max("status").alias("status")))
         changed = new_ev.select("custkey").distinct()
-        have = os.path.exists(out_dir)
-        if have:
-            try:
-                hist = sp.read.parquet(out_dir)
-            except Exception:
-                have = False
-        if have:
-            untouched = hist.join(changed, "custkey", "left_anti")
-            old_pts = (hist.join(changed, "custkey", "semi")
-                       .select("custkey",
-                               F.to_date("valid_from").alias("d"),
-                               "status"))
-            events = (old_pts.unionByName(new_ev)
+        hist = _read_if_exists(sp, out_dir)
+        old_pts = _read_if_exists(sp, pts_dir)
+
+        if old_pts is not None:
+            kept_pts = old_pts.join(changed, "custkey", "left_anti")
+            events = (old_pts.join(changed, "custkey", "semi")
+                      .unionByName(new_ev)
                       .groupBy("custkey", "d")
                       .agg(F.max("status").alias("status")))
         else:
-            untouched = None
+            kept_pts = None
             events = new_ev
+        untouched = (None if hist is None
+                     else hist.join(changed, "custkey", "left_anti"))
+
+        all_pts = (events if kept_pts is None
+                   else kept_pts.unionByName(events))
+        all_pts = all_pts.localCheckpoint()
 
         w = Window.partitionBy("custkey").orderBy("d")
         prev = F.lag("status").over(w)
@@ -1112,6 +1139,7 @@ def scd2_upsert_sink(out_dir: str):
         out = (redone if untouched is None
                else untouched.unionByName(redone))
         out = out.localCheckpoint()
+        all_pts.write.mode("overwrite").parquet(pts_dir)
         out.write.mode("overwrite").parquet(out_dir)
 
     return write_batch

@@ -800,3 +800,45 @@ def test_stream_scd2_apply_equals_full_rebuild(spark, tmp_path):
     pd.testing.assert_frame_equal(
         norm(spark.read.parquet(out2))[cols], want[cols],
         check_dtype=False, check_exact=True)
+
+
+def test_stream_scd2_splice_into_samestatus_run(spark, tmp_path):
+    """Adversarial backfill: a late out-of-order event lands INSIDE a
+    collapsed same-status run. An interval-only re-derivation (change
+    points drop the no-change day3 observation) would produce [A, B]
+    with B current; the truth, re-derived from the full point set the
+    sink persists in its sidecar, is [A, B, A] with A current. This is
+    the case where valid_to / is_current silently corrupt — pin it."""
+    from process_nwb_spark.streaming.ops import scd2_upsert_sink
+
+    out = str(tmp_path / "hist")
+    sink = scd2_upsert_sink(out)
+    mk = lambda rows: spark.createDataFrame(
+        [(k, pd.Timestamp(d).date(), s) for k, d, s in rows],
+        "custkey long, d date, status string")
+    # batch 1: same status A on day 1 and day 3 (one collapsed run)
+    sink(mk([(7, "2024-01-01", "A"), (7, "2024-01-03", "A")]), 0)
+    # late batch 2: day 2 flips to B, splicing inside the run
+    sink(mk([(7, "2024-01-02", "B")]), 1)
+
+    got = (spark.read.parquet(out)
+           .orderBy("valid_from")
+           .select("custkey", "status", "valid_from", "valid_to",
+                   "is_current")
+           .toPandas().fillna({"valid_to": ""}))
+    want = pd.DataFrame(
+        [(7, "A", "2024-01-01", "2024-01-02", 0),
+         (7, "B", "2024-01-02", "2024-01-03", 0),
+         (7, "A", "2024-01-03", "", 1)],
+        columns=["custkey", "status", "valid_from", "valid_to",
+                 "is_current"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    # and a retry of the late batch leaves it unchanged
+    sink(mk([(7, "2024-01-02", "B")]), 1)
+    got2 = (spark.read.parquet(out).orderBy("valid_from")
+            .select("custkey", "status", "valid_from", "valid_to",
+                    "is_current")
+            .toPandas().fillna({"valid_to": ""}))
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False,
+                                  check_exact=True)
