@@ -1292,8 +1292,13 @@ _SCD2_CUT = "1997-07-01"       # history before, changeset on/after
         f"before {_SCD2_CUT}) absorbs a changeset (daily statuses "
         f"after) by re-deriving ONLY the keys the changeset touches — "
         "their old change-points (each interval's valid_from IS the "
-        "event that opened it, and islands are invariant to the "
-        "dropped no-change rows) union the new events go back through "
+        "event that opened it; re-deriving from change-points alone is "
+        "sound here because the changeset is a MONOTONE date cut — "
+        "every new event postdates every stored point, so no event can "
+        "splice inside a collapsed same-status run. Out-of-order "
+        "backfill needs the full point set: see "
+        "streaming/ops.scd2_upsert_sink's sidecar) "
+        "union the new events go back through "
         "one gaps-and-islands pass, formerly-current rows close, and "
         "the UNTOUCHED majority passes through as a window-free "
         "anti-join — at 100 TB that majority is the whole point (the "

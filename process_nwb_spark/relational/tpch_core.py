@@ -2484,6 +2484,14 @@ def mv_incremental_merge(spark, sf_dir):
                  .alias("revenue")))
 
 
+# growth-law observability: rounds of the last agg_exact_median_selection
+# histogram narrowing loop. Each round is one scan of the (range-filtered)
+# remainder + a <=1024-row collect; rounds <= ceil(log_1024(value span)) is
+# a DATA property independent of row count, pinned in
+# tests/test_growth_laws.py so superlinear drift at a scale-up is caught.
+_MEDIAN_ROUNDS_LAST = -1
+
+
 @query(
     "agg_exact_median_selection",
     """
@@ -2522,7 +2530,10 @@ def agg_exact_median_selection(spark, sf_dir):
         k = (n + 1) // 2                    # 1-indexed rank of lower median
         n_buckets, leaf_rows = 1024, 4096
         cand = o
+        global _MEDIAN_ROUNDS_LAST
+        _MEDIAN_ROUNDS_LAST = 0
         while n > leaf_rows:
+            _MEDIAN_ROUNDS_LAST += 1
             # histogram rounds keep running while the remainder is large;
             # once w reaches 1 each bucket IS a single value, so the rank
             # lookup terminates exactly — NEVER a driver-side sort of an

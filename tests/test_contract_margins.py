@@ -232,3 +232,95 @@ def test_cms_overcount_margin(spark):
              .count())
     worst = max(r.est_cnt - r.exact_cnt for r in rows)
     assert worst <= (4 * n_tok / _CMS_W) / 2, (worst, n_tok)
+
+
+def test_freshness_sla_margin(spark):
+    """dq_freshness_lag emits fresh_24h := lag <= 24 h. If any stream's
+    lag sat NEAR 24 h, a fixture regeneration or timezone slip could
+    flip the boolean at the driver. Require >=2x slack on BOTH sides:
+    every fresh stream under 12 h behind, every stale one over 48 h."""
+    from process_nwb_spark.relational.core import all_queries
+
+    rows = all_queries()["dq_freshness_lag"].fn(
+        spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        if r.fresh_24h:
+            assert r.hours_behind < 12, (r.event_type, r.hours_behind)
+        else:
+            assert r.hours_behind > 48, (r.event_type, r.hours_behind)
+
+
+def test_join_cardinality_exact_under_skew(spark):
+    """dq_join_cardinality emits exact_match := Σ ca·cb == |A ⋈ B|.
+    The identity must hold under a skewed key (the exact case where a
+    sampling-based estimator would be off): one hot key carrying 35% of
+    fact rows against a dim key repeated 7x. Built from scratch so the
+    margin doesn't depend on the TPC-H generator's key spread."""
+    a = spark.range(0, 10_000).selectExpr(
+        "CASE WHEN id % 100 < 35 THEN 0 ELSE id END AS k")
+    b = (spark.range(0, 200).selectExpr("id AS k")
+         .unionAll(spark.range(0, 7).selectExpr("0 AS k")))
+    ca = a.groupBy("k").agg(F.count("*").alias("ca"))
+    cb = b.groupBy("k").agg(F.count("*").alias("cb"))
+    est = (ca.join(cb, "k")
+           .agg(F.sum(F.col("ca") * F.col("cb"))).first()[0])
+    actual = a.join(b, "k").count()
+    # hot key alone contributes 3500*7 = 24500 of the output
+    assert actual > 24_000
+    assert est == actual
+    # and the shipped face's boolean on the fixture data
+    from process_nwb_spark.relational.core import all_queries
+    row = all_queries()["dq_join_cardinality"].fn(
+        spark, "/root/testdata/sf0.01").first()
+    assert row.exact_match and row.est_rows == row.actual_rows
+
+
+def test_lttb_exact_tie_resolution(spark, tmp_path):
+    """ts_lttb_downsample scores candidates with exact |bigint| areas,
+    ties -> smallest index. The knife-edge is an EXACT tie: craft one
+    series where every area is 0 (constant y — every candidate tied)
+    and one where y oscillates symmetrically (two-way ties inside
+    buckets), write them as an events table, and assert the Spark face
+    equals the DuckDB oracle row-for-row. Float-area implementations
+    diverge here (which candidate wins depends on rounding); the
+    cross-multiplied integer form cannot."""
+    import datetime
+
+    import duckdb
+    import pandas as pd
+
+    from process_nwb_spark.relational.core import all_queries
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for day in range(40):
+        ts = base + datetime.timedelta(days=day)
+        for _ in range(5):                       # constant series: all ties
+            rows.append(("flat", ts))
+        for _ in range(3 + (day % 2)):           # symmetric oscillation
+            rows.append(("osc", ts))
+    pdf = pd.DataFrame(rows, columns=["event_type", "ts"])
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/events.parquet")
+
+    spec = all_queries()["ts_lttb_downsample"]
+    got = (spec.fn(spark, sf_dir).toPandas()
+           .sort_values(["event_type", "pick_no"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet/*.parquet')")
+    want = (con.execute(spec.oracle).df()
+            .sort_values(["event_type", "pick_no"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    # the tie rule itself: constant series must pick each bucket's FIRST
+    # candidate — with m=40, s(j) = 1 + (j*38) div 10
+    flat = got[got.event_type == "flat"]
+    m, nb = 40, 10
+    first_cands = [1 + (j * (m - 2)) // nb for j in range(nb)]
+    picked_days = list(flat.d)[1:-1]
+    want_days = [(base + datetime.timedelta(days=i)).strftime("%Y-%m-%d")
+                 for i in first_cands]
+    assert picked_days == want_days

@@ -1,0 +1,95 @@
+"""Growth-law pins for the sf1 bench-ratio edge faces (VERDICT r8 #3).
+
+`BENCH_SCALING` measures TIME ratios, which mix real work with ambient
+noise; these tests pin the BOUNDED QUANTITY each edge face's
+scale-claim rests on, using the two committed testdata scales
+(sf0.01 -> sf0.1, 10x rows), so superlinear drift is caught
+structurally even when the timing window is noisy.
+
+Expected growth laws (documented in SCALE.md §growth-laws):
+- graph_triangles: work ~ oriented wedges Σ_src C(outdeg, 2); the
+  degree-orientation caps outdeg at O(sqrt(|E|)) so wedges grow
+  ~linearly with edges under the keyshift scale-up.
+- agg_exact_median_selection: rounds = narrowing passes, a function of
+  the VALUE SPAN (<= ceil(log_1024(span)) + 1), independent of rows.
+- text_token_counts: a pure per-row projection — ZERO exchanges; cost
+  is linear in characters by plan shape, there is nothing to measure.
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from process_nwb_spark.relational.core import T, all_queries
+
+SF_A = "/root/testdata/sf0.01"
+SF_B = "/root/testdata/sf0.1"
+
+
+def _wedges(spark, sf_dir):
+    """Oriented wedge count: the exact candidate-generation workload of
+    graph_triangles (same edge construction, same low-degree-first
+    orientation), reduced to one number by pure aggregation."""
+    lines = (T(spark, sf_dir, "lineitem")
+             .select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("pk")).distinct())
+    b = lines.select(F.col("ok").alias("ok2"), F.col("pk").alias("pk2"))
+    edges = (lines.join(b, (F.col("ok") == F.col("ok2"))
+                        & (F.col("pk") < F.col("pk2")))
+             .select(F.col("pk").alias("u"), F.col("pk2").alias("v"))
+             .distinct())
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionAll(edges.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    du = deg.select(F.col("node").alias("un"), F.col("d").alias("ud"))
+    dv = deg.select(F.col("node").alias("vn"), F.col("d").alias("vd"))
+    u_first = ((F.col("ud") < F.col("vd"))
+               | ((F.col("ud") == F.col("vd")) & (F.col("u") < F.col("v"))))
+    oriented = (edges.join(du, F.col("u") == F.col("un"))
+                .join(dv, F.col("v") == F.col("vn"))
+                .select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
+                        .alias("src")))
+    row = (oriented.groupBy("src").agg(F.count("*").alias("od"))
+           .agg(F.sum(F.expr("od * (od - 1) div 2")).alias("w"),
+                F.count("*").alias("n_src")).first())
+    n_edges = edges.count()
+    return row["w"], n_edges
+
+
+def test_triangle_wedges_grow_linearly_with_edges(spark):
+    """Degree orientation bounds wedge growth: on 10x rows, wedges per
+    edge must not blow up (a broken orientation makes wedges ~quadratic
+    in the hot part's degree — that is exactly what this catches).
+    Measured 2026-08: wedges/edge 33.4 (sf0.01) vs 34.4 (sf0.1) —
+    per-edge wedge load is FLAT under 10x rows (ratio 1.03); the 4x
+    headroom separates fixture drift from quadratic blowup, where the
+    per-edge load itself would scale with the hot degree."""
+    w_a, e_a = _wedges(spark, SF_A)
+    w_b, e_b = _wedges(spark, SF_B)
+    assert w_a > 0 and w_b > 0
+    ratio_per_edge = (w_b / e_b) / (w_a / e_a)
+    assert ratio_per_edge < 4.0, (w_a, e_a, w_b, e_b)
+
+
+def test_exact_median_rounds_are_span_bounded_not_row_bounded(spark):
+    import math
+
+    from process_nwb_spark.relational import tpch_core
+
+    rounds = {}
+    for sf in (SF_A, SF_B):
+        all_queries()["agg_exact_median_selection"].fn(spark, sf).collect()
+        o = T(spark, sf, "orders").select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"))
+        span = o.agg((F.max("c") - F.min("c") + 1).alias("s")).first()["s"]
+        bound = math.ceil(math.log(max(span, 2), 1024)) + 1
+        rounds[sf] = tpch_core._MEDIAN_ROUNDS_LAST
+        assert 0 <= tpch_core._MEDIAN_ROUNDS_LAST <= bound, (
+            sf, tpch_core._MEDIAN_ROUNDS_LAST, span, bound)
+    # 10x rows must not add rounds beyond the span bound's growth
+    assert rounds[SF_B] <= rounds[SF_A] + 1, rounds
+
+
+def test_token_counts_plan_is_shuffle_free(spark):
+    df = all_queries()["text_token_counts"].fn(spark, SF_A)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
