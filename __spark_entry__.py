@@ -90,7 +90,13 @@ DRIVER_PRIORITY = (
     # de-vacuousized operands; historical driver rows are stale) ----
     "sub_not_exists_customers", "sub_scalar_threshold",
     "join_anti", "set_except",
-    # ---- (c) faces ADDED in r9 slot in here (first sampling) ----
+    # ---- (c) faces ADDED in r9 (first sampling) ----
+    # connected components via bounded large-star/small-star contraction
+    # (oracled against the ground-truth reachability fixpoint, so green
+    # == the O(log n) rounds actually converged); URL canonicalization
+    # dedup (lower-host/strip-port/drop-utm/sort-params/untrail —
+    # the web-corpus collapse step between parse_url and host dedup)
+    "graph_wcc_star", "fn_url_canonicalize",
     # ---- (d) backfill: plan-interesting proven faces, none from the
     # r8 window (re-verification diversity across the engine tiers) ----
     # flagship joins: broadcast star, fact-to-fact SMJ, as-of, salted

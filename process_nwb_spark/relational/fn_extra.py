@@ -1048,3 +1048,83 @@ def fn_url_parse(spark, sf_dir):
                     F.expr("parse_url(url, 'QUERY')").alias("query"),
                     F.expr("parse_url(url, 'QUERY', 'k')")
                     .alias("k_param")))
+
+
+@query(
+    "fn_url_canonicalize",
+    """
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             CAST(doc_id % 7 AS VARCHAR) AS k,
+             CAST(doc_id % 3 AS VARCHAR) AS b
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           'https://' || source || '.example.com/' || lang || '/doc-'
+             || CAST(doc_id AS VARCHAR) || '?b=' || b || '&k=' || k
+             AS canonical_url,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+             AS n_variants,
+           CASE WHEN doc_id % 2 = 0 THEN
+             'HTTPS://' || UPPER(LEFT(source, 1)) || SUBSTR(source, 2)
+               || '.Example.COM:443/' || lang || '/doc-'
+               || CAST(doc_id AS VARCHAR) || '?utm_source=feed&k=' || k
+               || '&b=' || b || '#frag'
+           ELSE
+             'https://' || source || '.example.com/' || lang || '/doc-'
+               || CAST(doc_id AS VARCHAR) || '/?b=' || b || '&k=' || k
+               || '&utm_campaign=promo'
+           END AS kept_url
+    FROM base
+    """,
+    doc="URL CANONICALIZATION dedup — the collapse step between "
+        "parse_url and host-level dedup in every web-corpus pipeline "
+        "(CommonCrawl-style): messy raw variants of each page "
+        "(uppercase scheme+host, explicit :443, utm_* tracking params, "
+        "param order, trailing slash, #fragment) are built row-locally, "
+        "then canonicalized with JVM built-ins only — lower(parse_url "
+        "HOST) (HOST drops the port), PATH with the trailing slash "
+        "regexp-stripped, QUERY split on '&', utm_* filtered out, "
+        "params array_sort-ed and rejoined (fragment never survives "
+        "parse_url) — and grouped by the canonical form: n_variants "
+        "counts the collapse (3 variants for even doc_ids, 2 for odd — "
+        "the hash match proves EVERY variant landed on the same "
+        "canonical), kept_url is the deterministic min-raw-URL keeper. "
+        "Zero shuffles before the canonical groupBy, which is "
+        "result-sized. The oracle computes canonical + keeper directly "
+        "from the base columns (the URL is row-local derived state — "
+        "the fn_url_parse proof shape), so the match proves the "
+        "canonicalizer inverts every messiness the variants inject",
+)
+def fn_url_canonicalize(spark, sf_dir):
+    d = (T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+         .select("doc_id", "source", "lang",
+                 (F.col("doc_id") % 7).cast("string").alias("k"),
+                 (F.col("doc_id") % 3).cast("string").alias("b")))
+    stem = F.concat(F.col("source"), F.lit(".example.com/"), F.col("lang"),
+                    F.lit("/doc-"), F.col("doc_id").cast("string"))
+    up = F.concat(F.upper(F.substring("source", 1, 1)),
+                  F.substring("source", 2, 100))
+    v0 = F.concat(F.lit("HTTPS://"), up, F.lit(".Example.COM:443/"),
+                  F.col("lang"), F.lit("/doc-"),
+                  F.col("doc_id").cast("string"),
+                  F.lit("?utm_source=feed&k="), F.col("k"),
+                  F.lit("&b="), F.col("b"), F.lit("#frag"))
+    v1 = F.concat(F.lit("https://"), stem, F.lit("/?b="), F.col("b"),
+                  F.lit("&k="), F.col("k"), F.lit("&utm_campaign=promo"))
+    v2 = F.concat(F.lit("https://"), stem, F.lit("?k="), F.col("k"),
+                  F.lit("&b="), F.col("b"))
+    variants = F.when(F.col("doc_id") % 2 == 0, F.array(v0, v1, v2)) \
+        .otherwise(F.array(v1, v2))
+    raw = d.select("doc_id", F.explode(variants).alias("url"))
+    canonical = F.concat(
+        F.lit("https://"), F.lower(F.expr("parse_url(url,'HOST')")),
+        F.regexp_replace(F.expr("parse_url(url,'PATH')"), "/$", ""),
+        F.lit("?"),
+        F.array_join(F.array_sort(F.filter(
+            F.split(F.expr("parse_url(url,'QUERY')"), "&"),
+            lambda p: ~p.startswith("utm_"))), "&"))
+    return (raw.withColumn("canonical_url", canonical)
+            .groupBy("doc_id", "canonical_url")
+            .agg(F.count("*").cast("bigint").alias("n_variants"),
+                 F.min("url").alias("kept_url")))

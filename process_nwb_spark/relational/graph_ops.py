@@ -798,3 +798,129 @@ def graph_kcore_peel(spark, sf_dir):
                     F.coalesce("coreness", F.lit(0)).cast("bigint")
                     .alias("coreness"))
             .orderBy("nationkey"))
+
+
+_WCC_ROUNDS = 8    # alternating large/small-star rounds; fixture converges
+                   # by round 5 (margin test in test_round9_faces.py)
+_WCC_MOD = 16      # deterministic edge sparsifier: (u*31 + v) % mod == 0
+
+
+def _wcc_edges_sql() -> str:
+    return f"""
+    ln AS (SELECT l_orderkey AS ok, l_linenumber AS lnum,
+                  l_partkey AS pk FROM lineitem),
+    chain AS (
+      SELECT a.pk AS x, b.pk AS y FROM ln a JOIN ln b
+        ON a.ok = b.ok AND b.lnum = a.lnum + 1
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(x, y) AS u, GREATEST(x, y) AS v
+      FROM chain
+      WHERE x <> y AND (LEAST(x, y) * 31 + GREATEST(x, y)) % {_WCC_MOD} = 0
+    )"""
+
+
+@query(
+    "graph_wcc_star",
+    f"""
+    WITH RECURSIVE {_wcc_edges_sql()},
+    edges AS (SELECT u AS src, v AS dst FROM e
+              UNION ALL SELECT v, u FROM e),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    reach(n, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT ed.dst, reach.r FROM reach JOIN edges ed ON ed.src = reach.n
+    ),
+    comp AS (SELECT n, MIN(r) AS c FROM reach GROUP BY n)
+    SELECT CAST(n AS BIGINT) AS node, CAST(c AS BIGINT) AS component,
+           CAST(COUNT(*) OVER (PARTITION BY c) AS BIGINT)
+             AS component_size
+    FROM comp
+    """,
+    doc=f"connected components via ALTERNATING LARGE-STAR/SMALL-STAR "
+        f"contraction (Kiveris et al. 2014), {_WCC_ROUNDS} bounded "
+        "rounds — the O(log n)-round CC algorithm for graphs whose "
+        "diameter makes per-round min-label propagation "
+        "(dedup_components' loop, O(diameter) rounds) too slow at "
+        "scale. Graph: the part co-purchase CHAIN graph (consecutive "
+        "lineitem lines within an order), deterministically sparsified "
+        f"by (u*31+v) % {_WCC_MOD} so components are many and "
+        "multi-hop (sf0.01: 1677 nodes, 85 components, largest 111). "
+        "Each round: LARGE-STAR hangs every strictly-larger neighbor "
+        "of u onto min(N(u) ∪ u) — one groupBy-min + join on the "
+        "doubled edge list; SMALL-STAR re-hangs each hub's "
+        "smaller-neighborhood onto its min — one groupBy-min + join "
+        "on the canonical (u<v) list. Edges localCheckpoint per round "
+        "with superseded blocks freed (the k-core lineage hygiene: a "
+        "lazy chain would grow the plan exponentially). The ORACLE is "
+        "the ground-truth min-reachable-id fixpoint (DuckDB recursive "
+        "CTE) — the hash match therefore proves the bounded rounds "
+        "actually CONVERGED to true components, not merely that two "
+        "engines replayed the same partial state; the convergence "
+        "margin (fixture converges by round 5 of 8) is pinned in "
+        "test_round9_faces.py. At 100 TB: rounds grow as log n, each "
+        "round two node-keyed shuffles on the (shrinking) edge list, "
+        "and the fact tables aggregate once into the graph up front",
+)
+def graph_wcc_star(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_linenumber").alias("lnum"),
+        F.col("l_partkey").alias("pk"))
+    b = li.select(F.col("ok").alias("ok2"), F.col("lnum").alias("lnum2"),
+                  F.col("pk").alias("pk2"))
+    chain = li.join(b, (F.col("ok") == F.col("ok2"))
+                    & (F.col("lnum2") == F.col("lnum") + 1))
+    u = F.least("pk", "pk2")
+    v = F.greatest("pk", "pk2")
+    edges = (chain.filter(F.col("pk") != F.col("pk2"))
+             .select(u.alias("u"), v.alias("v"))
+             .filter((F.col("u") * 31 + F.col("v")) % _WCC_MOD == 0)
+             .distinct()
+             .localCheckpoint())      # fact join runs once
+
+    def _chk_rdd(df):
+        try:
+            return df._jdf.queryExecution().analyzed().rdd()
+        except Exception:
+            return None
+
+    prev_rdd = None
+    for _ in range(_WCC_ROUNDS):
+        # LARGE-STAR on the doubled list: m(a) = min(min_nbr(a), a);
+        # emit (b, m) for neighbors b > a (m <= a < b, never a self-loop)
+        dbl = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+               .unionAll(edges.select(F.col("v").alias("a"),
+                                      F.col("u").alias("b"))))
+        mins = (dbl.groupBy("a")
+                .agg(F.least(F.min("b"), F.first("a")).alias("m")))
+        large = (dbl.join(mins, "a").filter(F.col("b") > F.col("a"))
+                 .select(F.least("b", "m").alias("u"),
+                         F.greatest("b", "m").alias("v"))
+                 .distinct())
+        # SMALL-STAR on the canonical list: hub v's strictly-smaller
+        # neighborhood N; m = min(N); emit (x, m) for x in N∪{v}, x != m
+        sm = large.groupBy("v").agg(F.min("u").alias("m"))
+        small = (large.join(sm, "v")
+                 .filter(F.col("u") != F.col("m"))
+                 .select(F.least("u", "m").alias("u"),
+                         F.greatest("u", "m").alias("v"))
+                 .unionAll(sm.select(F.col("m").alias("u"),
+                                     F.col("v").alias("v")))
+                 .distinct())
+        edges = small.localCheckpoint()
+        if prev_rdd is not None:
+            prev_rdd.unpersist(False)
+        prev_rdd = _chk_rdd(edges)
+
+    dbl = (edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionAll(edges.select(F.col("v").alias("a"),
+                                  F.col("u").alias("b"))))
+    from pyspark.sql import Window
+    lab = (dbl.groupBy("a")
+           .agg(F.least(F.min("b"), F.first("a")).alias("component"))
+           .select(F.col("a").cast("bigint").alias("node"),
+                   F.col("component").cast("bigint").alias("component")))
+    return lab.withColumn(
+        "component_size",
+        F.count("*").over(Window.partitionBy("component")).cast("bigint"))

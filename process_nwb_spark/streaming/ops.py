@@ -1143,3 +1143,49 @@ def scd2_upsert_sink(out_dir: str):
         out.write.mode("overwrite").parquet(out_dir)
 
     return write_batch
+
+
+def dedup_keeplist_sink(out_dir: str):
+    """foreachBatch EXACT-DEDUP keep-list maintenance — the streaming
+    form of relational/llm_ops.dedup_exact for a continuously-ingested
+    corpus: each micro-batch of documents (`doc_id` bigint, `text`
+    string) folds into a parquet keep-list at `out_dir` with one row
+    per normalized-text fingerprint: (fp, keep_doc_id).
+
+    The merge is a pure MIN-fold per fp — min is commutative,
+    associative and idempotent, so the sink is RETRY-IDEMPOTENT and
+    ORDER-FREE by algebra (no high-water mark, no point-set sidecar:
+    any batch arrival order, with any retries, converges to the batch
+    face's global min-doc_id keeper — pinned against dedup_exact in
+    test_streaming.py). Copy COUNTS are deliberately not maintained:
+    a count fold is not idempotent under retries and would need the
+    batch-id bookkeeping this sink exists to avoid; count consumers
+    run the batch face. The keep-list is fingerprint-sized; the
+    rewrite is O(distinct fps), localCheckpoint'ed so the target can
+    be source and sink of the same batch. At 100 TB the same shape
+    lands on MERGE INTO ... WHEN MATCHED AND s.doc_id < t.keep_doc_id
+    THEN UPDATE, keyed and bucketed by fp."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        import os
+
+        sp = batch_df.sparkSession
+        fp = F.md5(F.lower(F.trim(
+            F.regexp_replace("text", r"\s+", " "))))
+        new = (batch_df.select(fp.alias("fp"), "doc_id")
+               .groupBy("fp")
+               .agg(F.min("doc_id").alias("keep_doc_id")))
+        have = os.path.exists(out_dir) or "://" in out_dir
+        cur = None
+        if have:
+            try:
+                cur = sp.read.parquet(out_dir)
+            except Exception:
+                cur = None
+        merged = new if cur is None else (
+            cur.unionByName(new)
+            .groupBy("fp").agg(F.min("keep_doc_id").alias("keep_doc_id")))
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").parquet(out_dir)
+
+    return write_batch

@@ -842,3 +842,42 @@ def test_stream_scd2_splice_into_samestatus_run(spark, tmp_path):
             .toPandas().fillna({"valid_to": ""}))
     pd.testing.assert_frame_equal(got2, want, check_dtype=False,
                                   check_exact=True)
+
+
+def test_stream_dedup_keeplist_orderfree_and_idempotent(spark, tmp_path):
+    """The streaming keep-list sink must converge to the batch face's
+    global min-doc_id keeper per fingerprint under BOTH a scrambled
+    batch order and a verbatim retry — the min-fold is idempotent and
+    commutative, so no ordering contract is needed at all."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import dedup_keeplist_sink
+    from tests.conftest import SF_CORRECT
+
+    base = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .select("doc_id", "text"))
+    # the fixture corpus has no exact-dup texts; inject copies with
+    # HIGHER ids that land in a DIFFERENT (and earlier-applied) batch
+    # than their originals, so the min-fold must reach across batches
+    copies = (base.filter(F.col("doc_id") % 10 == 0)
+              .select((F.col("doc_id") + 10_000).alias("doc_id"), "text"))
+    docs = base.unionByName(copies)
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    out = str(tmp_path / "keep")
+    sink = dedup_keeplist_sink(out)
+    for i in (2, 0, 1):          # scrambled order
+        sink(thirds[i], i)
+    sink(thirds[0], 0)           # verbatim retry
+
+    got = (spark.read.parquet(out).toPandas()
+           .sort_values("fp").reset_index(drop=True))
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    want = (docs.select(fp.alias("fp"), "doc_id")
+            .groupBy("fp").agg(F.min("doc_id").alias("keep_doc_id"))
+            .toPandas().sort_values("fp").reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(got[["fp", "keep_doc_id"]],
+                                  want[["fp", "keep_doc_id"]],
+                                  check_dtype=False, check_exact=True)
+    # every injected copy collapsed onto its lower-id original
+    assert len(got) < docs.count()
+    assert not (got.keep_doc_id >= 10_000).any()
