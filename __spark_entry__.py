@@ -97,6 +97,11 @@ DRIVER_PRIORITY = (
     # dedup (lower-host/strip-port/drop-utm/sort-params/untrail —
     # the web-corpus collapse step between parse_url and host dedup)
     "graph_wcc_star", "fn_url_canonicalize",
+    # PSI drift monitor (exact baseline-decile buckets on integer cents,
+    # add-one smoothing — the bucketed companion to dq_ks_drift) and the
+    # deterministic seedless epoch shuffle (md5(epoch:doc) sort keys —
+    # training-data ordering that any worker can recompute)
+    "dq_psi_drift", "mix_epoch_shuffle",
     # ---- (d) backfill: plan-interesting proven faces, none from the
     # r8 window (re-verification diversity across the engine tiers) ----
     # flagship joins: broadcast star, fact-to-fact SMJ, as-of, salted

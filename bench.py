@@ -389,7 +389,15 @@ def main():
     # pressure) print to STDOUT and would corrupt the one-JSON-line
     # contract this harness has with its caller
     spark = get_spark("bench", **{
-        "spark.driver.extraJavaOptions": "-Xlog:disable"})
+        "spark.driver.extraJavaOptions": "-Xlog:disable",
+        # single-JVM local mode: driver heap IS executor memory. The
+        # session default (24g) OOMed mid-curve at n=128 once the
+        # headline loop grew to 5 interleaved passes (r9) — the curve's
+        # big DSP jobs ran against a heap already carrying the longer
+        # run's shuffle/codegen residue. The box has 125 GiB; give the
+        # bench JVM the headroom a real executor would have.
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_BENCH_DRIVER_MEM", "56g")})
     registry = all_queries()
 
     # warm the session (executor threads, codegen, parquet reader paths)

@@ -1344,3 +1344,164 @@ def scd2_apply_changeset(spark, sf_dir):
         F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
         F.date_format("vt", "yyyy-MM-dd").alias("valid_to"),
         F.when(F.col("vt").isNull(), 1).otherwise(0).alias("is_current"))
+
+
+_PSI_CUT = "2024-01-16"        # baseline period before, current after
+
+
+@query(
+    "dq_psi_drift",
+    f"""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+             CAST(ts AS DATE) < DATE '{_PSI_CUT}' AS is_base
+      FROM events
+    ),
+    edges AS (
+      SELECT event_type,
+             [QUANTILE_DISC(c, 0.1), QUANTILE_DISC(c, 0.2),
+              QUANTILE_DISC(c, 0.3), QUANTILE_DISC(c, 0.4),
+              QUANTILE_DISC(c, 0.5), QUANTILE_DISC(c, 0.6),
+              QUANTILE_DISC(c, 0.7), QUANTILE_DISC(c, 0.8),
+              QUANTILE_DISC(c, 0.9)] AS es
+      FROM cents WHERE is_base GROUP BY event_type
+    ),
+    bucketed AS (
+      SELECT x.event_type, x.is_base,
+             LEN(LIST_FILTER(e.es, b -> b <= x.c)) AS bkt
+      FROM cents x JOIN edges e ON e.event_type = x.event_type
+    ),
+    grid AS (
+      SELECT e.event_type, g.bkt
+      FROM edges e, (SELECT UNNEST(RANGE(0, 10)) AS bkt) g
+    ),
+    counts AS (
+      SELECT g.event_type, g.bkt,
+             COALESCE(SUM(CASE WHEN b.is_base THEN 1 ELSE 0 END), 0)
+               AS cb,
+             COALESCE(SUM(CASE WHEN NOT b.is_base THEN 1 ELSE 0 END), 0)
+               AS cc
+      FROM grid g LEFT JOIN bucketed b
+        ON b.event_type = g.event_type AND b.bkt = g.bkt
+      GROUP BY g.event_type, g.bkt
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(cb) AS BIGINT) AS nb, CAST(SUM(cc) AS BIGINT) AS nc
+      FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type, t.nb AS n_base, t.nc AS n_cur,
+           ROUND(SUM(
+             (CAST(c.cc + 1 AS DOUBLE) / (t.nc + 10)
+              - CAST(c.cb + 1 AS DOUBLE) / (t.nb + 10))
+             * LN((CAST(c.cc + 1 AS DOUBLE) / (t.nc + 10))
+                  / (CAST(c.cb + 1 AS DOUBLE) / (t.nb + 10)))), 6)
+             AS psi
+    FROM counts c JOIN tot t ON t.event_type = c.event_type
+    GROUP BY c.event_type, t.nb, t.nc
+    """,
+    doc=f"Population Stability Index drift monitor — the bucketed "
+        "production-standard companion to dq_ks_drift's KS distance "
+        "(KS = worst single point of ECDF divergence; PSI = "
+        "distribution-wide reweighting cost, the number risk/feature "
+        "platforms alert on at 0.1/0.25): per event type, the value "
+        "distribution BEFORE the period cut is the baseline, its nine "
+        "EXACT deciles (QUANTILE_DISC order statistics on integer "
+        "cents — no interpolation float, no knife edges) define ten "
+        "buckets, and both periods' populations land in those buckets "
+        "by integer comparison; PSI folds over the FIXED 10-bucket "
+        "grid with add-one smoothing (empty current buckets must not "
+        "produce ln(0)). Scale: the only fact-sized work is one "
+        "conditional-count pass per period; the decile table is "
+        "event-type-sized and broadcast; the PSI fold runs on "
+        "10 x n_types rows. The per-bucket sum is over a fixed tiny "
+        "grid, so the float ln-sum has one deterministic "
+        "evaluation order per group in both engines",
+)
+def dq_psi_drift(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
+        (F.col("ts").cast("date") < F.lit(_PSI_CUT).cast("date"))
+        .alias("is_base"))
+    qs = [F.expr(f"percentile_disc({q / 10}) WITHIN GROUP (ORDER BY c)")
+          .cast("bigint") for q in range(1, 10)]
+    edges = (cents.filter("is_base").groupBy("event_type")
+             .agg(F.array(*qs).alias("es")))
+    bucketed = (cents.join(F.broadcast(edges), "event_type")
+                .select("event_type", "is_base",
+                        F.size(F.filter(
+                            "es", lambda b: b <= F.col("c"))).alias("bkt")))
+    grid = (edges.select("event_type",
+                         F.explode(F.sequence(F.lit(0), F.lit(9)))
+                         .alias("bkt")))
+    counts = (grid.join(bucketed, ["event_type", "bkt"], "left")
+              .groupBy("event_type", "bkt")
+              .agg(F.coalesce(F.sum(F.when(F.col("is_base"), 1)
+                                    .otherwise(0)), F.lit(0)).alias("cb"),
+                   F.coalesce(F.sum(F.when(~F.col("is_base"), 1)
+                                    .otherwise(0)), F.lit(0)).alias("cc")))
+    tot = (counts.groupBy("event_type")
+           .agg(F.sum("cb").cast("bigint").alias("nb"),
+                F.sum("cc").cast("bigint").alias("nc")))
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + 10)
+    pc = (F.col("cc") + 1).cast("double") / (F.col("nc") + 10)
+    return (counts.join(F.broadcast(tot), "event_type")
+            .groupBy("event_type", F.col("nb").alias("n_base"),
+                     F.col("nc").alias("n_cur"))
+            .agg(F.round(F.sum((pc - pb) * F.log(pc / pb)), 6)
+                 .alias("psi")))
+
+
+_EPOCHS = 3
+
+
+@query(
+    "mix_epoch_shuffle",
+    f"""
+    WITH keyed AS (
+      SELECT g.epoch, d.doc_id,
+             MD5(CAST(g.epoch AS VARCHAR) || ':'
+                 || CAST(d.doc_id AS VARCHAR)) AS k
+      FROM documents d,
+           (SELECT UNNEST(RANGE(0, {_EPOCHS})) AS epoch) g
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                                   ORDER BY k, doc_id) AS BIGINT)
+             AS position,
+           doc_id
+    FROM keyed
+    """,
+    doc=f"deterministic EPOCH SHUFFLE for training-data ordering: each "
+        f"of {_EPOCHS} epochs orders the whole corpus by "
+        "md5(epoch:doc_id) — a different, reproducible, seedless "
+        "permutation per epoch, the standard way large training "
+        "pipelines shuffle without RNG state (reshuffling = changing "
+        "the epoch string; resuming mid-epoch = WHERE position > "
+        "checkpoint, both pure recomputation). The hash key is "
+        "engine-portable (md5 hex), the order total (tie-break "
+        "doc_id), and at 100 TB the ORDER BY compiles to a range "
+        "exchange on the hash key — one sort-shuffle per epoch, no "
+        "driver-side permutation array, and any worker can recompute "
+        "its shard's order independently (the property RNG shuffles "
+        "lose). Position is per-epoch dense rank 1..n, so downstream "
+        "packing (pack_sequences) can consume fixed-size position "
+        "ranges as deterministic micro-batches",
+)
+def mix_epoch_shuffle(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    epochs = spark.range(_EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = (d.crossJoin(F.broadcast(epochs))
+             .select("epoch", "doc_id",
+                     F.md5(F.concat(F.col("epoch").cast("string"),
+                                    F.lit(":"),
+                                    F.col("doc_id").cast("string")))
+                     .alias("k")))
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return keyed.select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.row_number().over(w).cast("bigint").alias("position"),
+        "doc_id")

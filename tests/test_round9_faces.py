@@ -54,3 +54,63 @@ def test_url_canonicalize_collapses_all_variants(spark):
         assert "#" not in u and "/?" not in u
         q = u.split("?", 1)[1].split("&")
         assert q == sorted(q)
+
+
+def test_psi_zero_on_identical_periods_and_positive_on_shift(spark,
+                                                             tmp_path):
+    """PSI is a sum of (pc-pb)·ln(pc/pb) terms, each >= 0; identical
+    period distributions must give EXACTLY 0.0 (equal smoothed
+    proportions per bucket), and a location shift must clear the 0.25
+    'significant drift' alerting bar with margin."""
+    import datetime
+
+    import pandas as pd
+
+    rows = []
+    base_day = datetime.datetime(2024, 1, 2)
+    cur_day = datetime.datetime(2024, 1, 20)
+    for i in range(500):
+        v = float(1 + (i % 100))
+        rows.append((i, base_day, 1, "same", v, "{}"))
+        rows.append((10_000 + i, cur_day, 1, "same", v, "{}"))
+        rows.append((20_000 + i, base_day, 1, "shifted", v, "{}"))
+        rows.append((30_000 + i, cur_day, 1, "shifted", v + 60.0, "{}"))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/events.parquet")
+
+    got = (all_queries()["dq_psi_drift"].fn(spark, sf_dir).toPandas()
+           .set_index("event_type"))
+    assert got.loc["same", "psi"] == 0.0
+    assert got.loc["shifted", "psi"] > 0.5          # 2x the 0.25 alert bar
+    assert (got.n_base == 500).all() and (got.n_cur == 500).all()
+
+
+def test_psi_nonnegative_on_fixture(spark):
+    pdf = all_queries()["dq_psi_drift"].fn(spark, SF).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.psi >= 0).all()
+
+
+def test_epoch_shuffle_is_distinct_permutations(spark):
+    pdf = all_queries()["mix_epoch_shuffle"].fn(spark, SF).toPandas()
+    n_docs = pdf.doc_id.nunique()
+    orders = {}
+    for ep, grp in pdf.groupby("epoch"):
+        grp = grp.sort_values("position")
+        # positions are a dense 1..n permutation of the whole corpus
+        assert list(grp.position) == list(range(1, n_docs + 1))
+        assert grp.doc_id.is_unique and len(grp) == n_docs
+        orders[ep] = tuple(grp.doc_id)
+    # every epoch is a DIFFERENT permutation...
+    assert len(set(orders.values())) == len(orders) == 3
+    # ...and none of them is the identity order
+    ident = tuple(sorted(orders[0]))
+    assert all(o != ident for o in orders.values())
+    # determinism: recompute equals first run
+    again = (all_queries()["mix_epoch_shuffle"].fn(spark, SF).toPandas()
+             .sort_values(["epoch", "position"]).reset_index(drop=True))
+    first = pdf.sort_values(["epoch", "position"]).reset_index(drop=True)
+    assert first.equals(again)
