@@ -394,10 +394,16 @@ def main():
         # session default (24g) OOMed mid-curve at n=128 once the
         # headline loop grew to 5 interleaved passes (r9) — the curve's
         # big DSP jobs ran against a heap already carrying the longer
-        # run's shuffle/codegen residue. The box has 125 GiB; give the
-        # bench JVM the headroom a real executor would have.
+        # run's residue. 32g clears it. NOT more: heap size changes the
+        # GC profile of the allocation-heavy faces — graph_triangles at
+        # sf1 measured 33 s warm @24g/@32g but 58 s @56g and 43 s @40g
+        # (bigger G1 young gen, longer mixed pauses under the wedge
+        # join's churn), and the first 56g window recorded a bogus 133 s
+        # in BENCH_SCALING. 32g is the smallest heap that survives the
+        # whole run, keeping the 24g-calibrated round-over-round series
+        # comparable.
         "spark.driver.memory": os.environ.get(
-            "SPARK_GRAFT_BENCH_DRIVER_MEM", "56g")})
+            "SPARK_GRAFT_BENCH_DRIVER_MEM", "32g")})
     registry = all_queries()
 
     # warm the session (executor threads, codegen, parquet reader paths)
