@@ -102,6 +102,9 @@ DRIVER_PRIORITY = (
     # deterministic seedless epoch shuffle (md5(epoch:doc) sort keys —
     # training-data ordering that any worker can recompute)
     "dq_psi_drift", "mix_epoch_shuffle",
+    # strength-of-trend/seasonality triage score (Hyndman FPP) from the
+    # decompose construction — every float sum an ordered fold
+    "ts_seasonal_strength",
     # ---- (d) backfill: plan-interesting proven faces, none from the
     # r8 window (re-verification diversity across the engine tiers) ----
     # flagship joins: broadcast star, fact-to-fact SMJ, as-of, salted

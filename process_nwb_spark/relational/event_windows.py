@@ -3337,3 +3337,118 @@ def win_ratio_to_report(spark, sf_dir):
                 / F.sum("cents").over(wr).cast("double"), 6)
         .alias("share_in_region"),
         F.rank().over(wk).cast("int").alias("rank_in_region"))
+
+
+@query(
+    "ts_seasonal_strength",
+    """
+    WITH hourly AS (
+        SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS h,
+               CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 100)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS v
+        FROM events GROUP BY 1
+    ),
+    trended AS (
+        SELECT h, v,
+               LIST_SUM(LIST(v) OVER w) / LEN(LIST(v) OVER w) AS trend
+        FROM hourly
+        WINDOW w AS (ORDER BY h
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    seasonal AS (
+        SELECT CAST(EXTRACT(hour FROM h) AS INT) AS hod,
+               LIST_SUM(LIST(v - trend ORDER BY h))
+                   / COUNT(*) AS s
+        FROM trended GROUP BY 1
+    ),
+    comp AS (
+        SELECT t.h, t.v - t.trend - s.s AS r,
+               t.v - s.s AS tr, t.v - t.trend AS sr
+        FROM trended t
+        JOIN seasonal s ON CAST(EXTRACT(hour FROM t.h) AS INT) = s.hod
+    ),
+    arrs AS (
+        SELECT LIST(r ORDER BY h) AS ra, LIST(tr ORDER BY h) AS ta,
+               LIST(sr ORDER BY h) AS sa,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM comp
+    ),
+    vars_ AS (
+        SELECT n,
+          LIST_SUM(LIST_TRANSFORM(ra, x -> (x - LIST_SUM(ra) / n)
+                                        * (x - LIST_SUM(ra) / n))) / n
+            AS vr,
+          LIST_SUM(LIST_TRANSFORM(ta, x -> (x - LIST_SUM(ta) / n)
+                                        * (x - LIST_SUM(ta) / n))) / n
+            AS vt,
+          LIST_SUM(LIST_TRANSFORM(sa, x -> (x - LIST_SUM(sa) / n)
+                                        * (x - LIST_SUM(sa) / n))) / n
+            AS vs
+        FROM arrs
+    )
+    SELECT CAST(n AS BIGINT) AS n_hours,
+           ROUND(GREATEST(0.0, 1.0 - vr / vt), 6) AS f_trend,
+           ROUND(GREATEST(0.0, 1.0 - vr / vs), 6) AS f_seasonal
+    FROM vars_
+    """,
+    doc="STRENGTH of trend and seasonality (Hyndman & Athanasopoulos "
+        "FPP: F_T = max(0, 1 - Var(R)/Var(T+R)), F_S = max(0, 1 - "
+        "Var(R)/Var(S+R))) — the one-number-per-series summary that "
+        "turns ts_seasonal_decompose's component table into a "
+        "triage score (feature stores compute exactly this to rank "
+        "thousands of series by 'is seasonality worth modeling'). "
+        "Reuses the decompose construction (exact integer-cent hourly "
+        "sums, 25-hour centered trend, hour-of-day seasonal means); "
+        "every float sum — components, means, squared-deviation "
+        "variances — is an ORDERED list fold (LIST(x ORDER BY h) / "
+        "array_sort(collect_list) + aggregate), so both engines "
+        "accumulate in the identical order and the strengths match "
+        "bitwise. The component table is time-span-sized (720 rows), "
+        "so the global folds are metadata-scale; at 100 TB only the "
+        "hourly rollup touches fact data",
+)
+def ts_seasonal_strength(spark, sf_dir):
+    e = T(spark, sf_dir, "events")
+    cents = F.round(F.col("value").cast("double") * 100).cast("bigint")
+    hourly = (e.groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg((F.sum(cents).cast("double") / F.lit(100.0)).alias("v"))
+              .select(F.col("w.start").alias("h"), "v"))
+    wt = Window.orderBy("h").rowsBetween(-12, 12)
+    frame = F.collect_list("v").over(wt)
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x)
+    trended = hourly.withColumn("trend", fold(frame) / F.size(frame))
+    dev_sorted = F.transform(
+        F.array_sort(F.collect_list(F.struct("h", "dev"))),
+        lambda t: t["dev"])
+    seasonal = (trended
+                .withColumn("dev", F.col("v") - F.col("trend"))
+                .groupBy(F.hour("h").alias("hod"))
+                .agg((fold(dev_sorted) / F.count("*")).alias("s")))
+    comp = (trended.withColumn("hod", F.hour("h"))
+            .join(F.broadcast(seasonal), "hod")
+            .select("h",
+                    (F.col("v") - F.col("trend") - F.col("s")).alias("r"),
+                    (F.col("v") - F.col("s")).alias("tr"),
+                    (F.col("v") - F.col("trend")).alias("sr")))
+
+    def arr(c):
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("h", c))), lambda t: t[c])
+
+    arrs = comp.agg(arr("r").alias("ra"), arr("tr").alias("ta"),
+                    arr("sr").alias("sa"),
+                    F.count("*").cast("double").alias("n"))
+
+    def var_(a):
+        mean = fold(F.col(a)) / F.col("n")
+        return fold(F.transform(F.col(a),
+                                lambda x: (x - mean) * (x - mean))) \
+            / F.col("n")
+
+    return arrs.select(
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - var_("ra") / var_("ta")), 6)
+        .alias("f_trend"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - var_("ra") / var_("sa")), 6)
+        .alias("f_seasonal"))

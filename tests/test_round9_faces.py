@@ -114,3 +114,33 @@ def test_epoch_shuffle_is_distinct_permutations(spark):
              .sort_values(["epoch", "position"]).reset_index(drop=True))
     first = pdf.sort_values(["epoch", "position"]).reset_index(drop=True)
     assert first.equals(again)
+
+
+def test_seasonal_strength_bounds_and_replay(spark):
+    """F_T / F_S land in [0,1] by construction (max(0, 1 - ratio) of
+    nonnegative variances), and a numpy replay of the variance ratios
+    from the same hourly rollup must agree to float tolerance (the
+    exact-gate proves bitwise vs DuckDB; this replays the MATH)."""
+    import numpy as np
+    import pandas as pd
+
+    row = all_queries()["ts_seasonal_strength"].fn(spark, SF).first()
+    assert 0.0 <= row.f_trend <= 1.0 and 0.0 <= row.f_seasonal <= 1.0
+    assert row.n_hours > 24 * 7          # the fixture spans weeks
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    cents = np.round(ev.value.astype(float) * 100).astype("int64")
+    hourly = (pd.DataFrame({"h": ev.ts.dt.floor("h"), "c": cents})
+              .groupby("h")["c"].sum().sort_index() / 100.0)
+    v = hourly.to_numpy()
+    n = len(v)
+    assert n == row.n_hours
+    trend = np.array([v[max(0, i - 12): i + 13].mean() for i in range(n)])
+    hod = hourly.index.hour.to_numpy()
+    dev = v - trend
+    s = np.array([dev[hod == k].mean() for k in range(24)])[hod]
+    r = v - trend - s
+    f_t = max(0.0, 1.0 - r.var() / (v - s).var())
+    f_s = max(0.0, 1.0 - r.var() / dev.var())
+    assert abs(row.f_trend - f_t) < 1e-6
+    assert abs(row.f_seasonal - f_s) < 1e-6
