@@ -105,6 +105,10 @@ DRIVER_PRIORITY = (
     # strength-of-trend/seasonality triage score (Hyndman FPP) from the
     # decompose construction — every float sum an ordered fold
     "ts_seasonal_strength",
+    # leakage-safe train/test split: near-dup clusters are the split
+    # unit, so no candidate pair can straddle (Lee et al. 2022's
+    # contamination mode, prevented structurally)
+    "split_leakage_safe",
     # ---- (d) backfill: plan-interesting proven faces, none from the
     # r8 window (re-verification diversity across the engine tiers) ----
     # flagship joins: broadcast star, fact-to-fact SMJ, as-of, salted

@@ -95,6 +95,14 @@ SF1_SUBSET = [
     # rollup; the claim is the window input scales with (keys x days),
     # and the untouched branch adds no window work at all
     "scd2_apply_changeset",
+    # r9: PSI drift (one conditional-count pass per period + a
+    # broadcast decile table — claims linear), the seedless epoch
+    # shuffle (3 sort-shuffles on md5 keys — claims sort-linear), and
+    # URL canonicalization (zero pre-agg shuffles — claims linear).
+    # graph_wcc_star and split_leakage_safe are deliberately absent:
+    # their localCheckpoint rounds run EAGERLY at plan construction,
+    # which _timed_noop cannot see (SCALE.md round-9 notes).
+    "dq_psi_drift", "mix_epoch_shuffle", "fn_url_canonicalize",
 ]
 
 

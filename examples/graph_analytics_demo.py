@@ -37,8 +37,8 @@ def main():
 
     print("== 2. BFS hops from nation 0 ==")
     hops = qs["graph_bfs_hops"].fn(spark, SF).toPandas()
-    print("   reachable:", (hops.dist >= 0).sum(),
-          "max dist:", int(hops.dist.max()))
+    print("   reachable:", hops.hops.notna().sum(),
+          "max hops:", int(hops.hops.max()))
 
     print("== 3. k-core coreness distribution ==")
     core = qs["graph_kcore_peel"].fn(spark, SF).toPandas()
@@ -59,7 +59,8 @@ def main():
     print("== 6. triangles + assortativity ==")
     tri = qs["graph_triangles"].fn(spark, SF).first()
     asst = qs["graph_assortativity"].fn(spark, SF).first()
-    print(f"   triangles: {tri[0]}, degree assortativity: "
+    print(f"   triangles: {tri.n_triangles} (from {tri.n_wedges} wedges "
+          f"over {tri.n_edges} edges), degree assortativity: "
           f"{asst.assortativity:.4f}")
 
     spark.stop()

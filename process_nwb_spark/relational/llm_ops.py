@@ -2869,3 +2869,59 @@ def text_ttr_profile(spark, sf_dir):
                             / F.col("n_types").cast("double"), 6)
                     .alias("hapax_share"))
             .orderBy("source"))
+
+
+@query(
+    "split_leakage_safe",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    {_BANDS_SQL_FRAG.format(sig_cols=_minhash_sig_cols_sql)},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN SUBSTRING(MD5(CAST(component AS VARCHAR)), 1, 1)
+                     <= 'c'
+                THEN 'train' ELSE 'test' END AS split
+    FROM assigned
+    """,
+    doc="LEAKAGE-SAFE train/test split: a random doc-level split leaks "
+        "whenever two near-duplicates land on opposite sides (the test "
+        "set 'novel' example was memorized from train — the "
+        "contamination mode Lee et al. 2022 measure). Here the split "
+        "unit is the near-dup CLUSTER: connected components over the "
+        "MinHash/LSH candidate graph (dedup_components' loop), "
+        "singleton components for candidate-free docs, and every doc "
+        "inherits its component's side — so NO candidate pair can "
+        "straddle the split, structurally (pinned in "
+        "test_round9_faces.py by joining the pair list against the "
+        "assignment). Assignment is seedless and engine-portable: "
+        "first hex digit of md5(component) <= 'c' -> train (13/16 = "
+        "81.25% expected), so re-runs, backfills and both engines "
+        "agree row-for-row. Scale: the only corpus-sized work beyond "
+        "the LSH pipeline is one left join against the "
+        "candidate-doc labels (a small fraction of the corpus — AQE "
+        "broadcasts when it fits) and a row-local hash",
+)
+def split_leakage_safe(spark, sf_dir):
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    assigned = (d.join(comp, "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce("component", "doc_id").alias("component")))
+    return assigned.select(
+        "doc_id", "component",
+        F.when(F.substring(F.md5(F.col("component").cast("string")), 1, 1)
+               <= "c", "train").otherwise("test").alias("split"))
