@@ -56,13 +56,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # (b) the 4 faces whose query text changed semantically in r8b
 # (de-vacuousized operands: their historical driver rows no longer
 # correspond to the shipped text, so they are treated like added faces),
-# then (c) faces ADDED this round (first sampling), then (d) a backfill of
+# then (c) the 6 faces ADDED in r9 (first sampling: graph_wcc_star,
+# fn_url_canonicalize, dq_psi_drift, mix_epoch_shuffle,
+# ts_seasonal_strength, split_leakage_safe), then (d) a backfill of
 # plan-interesting proven faces NOT in r8's window (re-verification
-# diversity). Green on (a)+(b) makes cumulative driver coverage 298/298 —
-# builder-claimed and driver-proven coincide for the whole registry. The
-# ENTIRE registry is green under the committed full-registry exact gate in
+# diversity). Green on (a)+(b) makes cumulative driver coverage 298/298
+# of the pre-r9 registry — builder-claimed and driver-proven coincide —
+# and (c) starts the r9 additions' driver history. The ENTIRE 304-face
+# registry is green under the committed full-registry exact gate in
 # BOTH default and ANSI modes plus the shuffle-partition hash-stability
-# probe (ORACLE_LOCAL/ANSI + HASHSTAB artifacts, latest round).
+# probe (ORACLE_LOCAL_r9.json / ORACLE_ANSI_r9.json: 304/304 each;
+# HASHSTAB_r9.json: 304/304 stable).
 DRIVER_PRIORITY = (
     # ---- (a) the 14 never-driver-sampled r8b faces ----
     # Count-Min frequency sketch (mergeable, contract booleans)
