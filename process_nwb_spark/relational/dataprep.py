@@ -1483,13 +1483,24 @@ _EPOCHS = 3
         "the epoch string; resuming mid-epoch = WHERE position > "
         "checkpoint, both pure recomputation). The hash key is "
         "engine-portable (md5 hex), the order total (tie-break "
-        "doc_id), and at 100 TB the ORDER BY compiles to a range "
-        "exchange on the hash key — one sort-shuffle per epoch, no "
-        "driver-side permutation array, and any worker can recompute "
-        "its shard's order independently (the property RNG shuffles "
+        "doc_id). PLAN (the global_row_index pattern — a naive "
+        "row_number over Window.partitionBy(epoch) would put each "
+        "epoch's ENTIRE corpus in ONE sort task, since there are only "
+        f"{_EPOCHS} epoch values; at 100 TB that is a single-task "
+        "global sort): the first 2 hex chars of the md5 key are a "
+        "256-way RANGE bucket that agrees with the sort order (the "
+        "bucket is a key prefix, so ordering by (bucket, key) IS "
+        "ordering by key, and md5 makes buckets uniform by "
+        "construction — no min/max scan needed). row_number runs "
+        "per-(epoch, bucket) — one hash exchange on 256*epochs keys, "
+        "all reducers busy — and per-bucket counts (map-side combined "
+        "to 256*epochs rows) cumsum into offsets on the driver-scale "
+        "side, broadcast back. Any worker still recomputes its "
+        "shard's order independently (the property RNG shuffles "
         "lose). Position is per-epoch dense rank 1..n, so downstream "
         "packing (pack_sequences) can consume fixed-size position "
-        "ranges as deterministic micro-batches",
+        "ranges as deterministic micro-batches. Plan-asserted: no "
+        "single-partition Sort/Window survives (test_plans.py)",
 )
 def mix_epoch_shuffle(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
@@ -1499,9 +1510,17 @@ def mix_epoch_shuffle(spark, sf_dir):
                      F.md5(F.concat(F.col("epoch").cast("string"),
                                     F.lit(":"),
                                     F.col("doc_id").cast("string")))
-                     .alias("k")))
-    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
-    return keyed.select(
-        F.col("epoch").cast("bigint").alias("epoch"),
-        F.row_number().over(w).cast("bigint").alias("position"),
-        "doc_id")
+                     .alias("k"))
+             .withColumn("_b", F.substring("k", 1, 2)))
+    counts = keyed.groupBy("epoch", "_b").agg(F.count("*").alias("_n"))
+    woff = (Window.partitionBy("epoch").orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "epoch", "_b",
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
+    local = F.row_number().over(
+        Window.partitionBy("epoch", "_b").orderBy("k", "doc_id"))
+    return (keyed.join(F.broadcast(offsets), ["epoch", "_b"])
+            .select(F.col("epoch").cast("bigint").alias("epoch"),
+                    (F.col("_off") + local).cast("bigint").alias("position"),
+                    "doc_id"))

@@ -812,3 +812,23 @@ def test_join_cardinality_count_tables_not_fact_rescan(spark, qs):
     df = qs["dq_join_cardinality"].fn(spark, SF)
     assert count_scans(df) <= 4, formatted_plan(df, "simple")
     assert has_partial_aggregation(df)
+
+
+def test_epoch_shuffle_never_single_task_per_epoch(spark, qs):
+    """mix_epoch_shuffle's scale contract (r10 fix): positions come from
+    a 256-way bucketed row_number + broadcast offsets, NEVER a
+    Window.partitionBy(epoch) whose 3 distinct values would sort each
+    epoch's entire corpus in one task. The full-data row_number Window
+    must partition on (epoch, bucket); the only epoch-only exchange
+    allowed is the 256*epochs-row counts side; no SinglePartition."""
+    import re
+
+    df = qs["mix_epoch_shuffle"].fn(spark, SF)
+    plan = formatted_plan(df, "formatted")
+    assert "SinglePartition" not in plan, plan
+    rn = [l for l in plan.splitlines()
+          if "row_number()" in l and "windowspecdefinition" in l]
+    assert rn, plan
+    # the row_number spec's partition clause must include the bucket col
+    assert all(re.search(r"\[epoch#\d+L?, _b#\d+\]", l) for l in rn), rn
+    assert has_broadcast_join(df), plan
