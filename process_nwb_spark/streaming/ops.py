@@ -1070,6 +1070,12 @@ def scd2_upsert_sink(out_dir: str):
     price of order-free backfill; sinks that can guarantee per-key
     monotone batch order (the high-water-mark contract
     stream_alert_hysteresis uses) can stay change-point-sized.
+    MIGRATION: if a history exists but the sidecar doesn't (a
+    pre-sidecar deployment, or a lost sidecar), the point set is
+    seeded from the history's own change-points, so upgrading never
+    discards stored history — backfill splices into pre-migration
+    same-status runs are change-point-grade until those keys
+    re-observe, full-grade thereafter.
 
     Two properties a CDC consumer needs, both pinned in
     test_streaming.py (including an adversarial same-status-run splice
@@ -1106,6 +1112,25 @@ def scd2_upsert_sink(out_dir: str):
         changed = new_ev.select("custkey").distinct()
         hist = _read_if_exists(sp, out_dir)
         old_pts = _read_if_exists(sp, pts_dir)
+
+        if old_pts is None and hist is not None:
+            # FORMAT MIGRATION (r10, was a history-corruption bug): a
+            # pre-sidecar deployment has an interval history but no
+            # `__points` sidecar (so does a lost/partially-migrated
+            # sidecar). Falling through to events = new_ev here would
+            # DISCARD the changed keys' stored change-points and rebuild
+            # their history from the batch alone. Seed the point set
+            # from the history's change-points instead — (custkey,
+            # valid_from, status) is exactly the information the
+            # interval table holds. Within-run no-change observations
+            # were already collapsed in that history, so the splice
+            # guarantee for days BEFORE the migration is only
+            # change-point-grade; it becomes full-grade for every point
+            # observed from this batch on (pinned in test_streaming.py).
+            old_pts = hist.select(
+                "custkey",
+                F.to_date("valid_from", "yyyy-MM-dd").alias("d"),
+                "status")
 
         if old_pts is not None:
             kept_pts = old_pts.join(changed, "custkey", "left_anti")

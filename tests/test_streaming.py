@@ -844,6 +844,62 @@ def test_stream_scd2_splice_into_samestatus_run(spark, tmp_path):
                                   check_exact=True)
 
 
+def test_stream_scd2_sidecar_migration_preserves_history(spark, tmp_path):
+    """Upgrade path (r10 fix): an interval history WITHOUT a `__points`
+    sidecar (any pre-sidecar deployment, or a lost sidecar) must not
+    lose touched keys' history on the first post-upgrade batch. The
+    sink seeds the point set from the history's change-points; the
+    pre-r10 fallback rebuilt changed keys from the batch alone —
+    here that would yield a single current-B row, silently dropping
+    the stored A interval."""
+    import os
+    import shutil
+
+    from process_nwb_spark.streaming.ops import scd2_upsert_sink
+
+    out = str(tmp_path / "hist")
+    sink = scd2_upsert_sink(out)
+    mk = lambda rows: spark.createDataFrame(
+        [(k, pd.Timestamp(d).date(), s) for k, d, s in rows],
+        "custkey long, d date, status string")
+    # build a two-interval history for key 7 and one for untouched key 8,
+    # then simulate a pre-sidecar deployment by deleting the sidecar
+    sink(mk([(7, "2024-01-01", "A"), (7, "2024-02-01", "B"),
+             (8, "2024-01-15", "X")]), 0)
+    pts_dir = out.rstrip("/") + "__points"
+    assert os.path.exists(pts_dir)
+    shutil.rmtree(pts_dir)
+
+    # first post-upgrade batch touches key 7 with a later status change
+    sink(mk([(7, "2024-03-01", "C")]), 1)
+
+    got = (spark.read.parquet(out)
+           .orderBy("custkey", "valid_from")
+           .select("custkey", "status", "valid_from", "valid_to",
+                   "is_current")
+           .toPandas().fillna({"valid_to": ""}))
+    want = pd.DataFrame(
+        [(7, "A", "2024-01-01", "2024-02-01", 0),
+         (7, "B", "2024-02-01", "2024-03-01", 0),
+         (7, "C", "2024-03-01", "", 1),
+         (8, "X", "2024-01-15", "", 1)],
+        columns=["custkey", "status", "valid_from", "valid_to",
+                 "is_current"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    # the sidecar was rebuilt from history ∪ batch: a later splice into
+    # the migrated keys now works point-set-grade again
+    assert os.path.exists(pts_dir)
+    sink(mk([(7, "2024-01-20", "B")]), 2)
+    got2 = (spark.read.parquet(out).filter("custkey = 7")
+            .orderBy("valid_from")
+            .select("status", "valid_from").toPandas())
+    # 01-20 B joins the 02-01 B into one run starting at the splice
+    assert list(got2.status) == ["A", "B", "C"]
+    assert list(got2.valid_from) == ["2024-01-01", "2024-01-20",
+                                     "2024-03-01"]
+
+
 def test_stream_dedup_keeplist_orderfree_and_idempotent(spark, tmp_path):
     """The streaming keep-list sink must converge to the batch face's
     global min-doc_id keeper per fingerprint under BOTH a scrambled
