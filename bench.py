@@ -97,13 +97,25 @@ SF1_SUBSET = [
     "scd2_apply_changeset",
     # r9: PSI drift (one conditional-count pass per period + a
     # broadcast decile table — claims linear), the seedless epoch
-    # shuffle (3 sort-shuffles on md5 keys — claims sort-linear), and
-    # URL canonicalization (zero pre-agg shuffles — claims linear).
-    # graph_wcc_star and split_leakage_safe are deliberately absent:
-    # their localCheckpoint rounds run EAGERLY at plan construction,
-    # which _timed_noop cannot see (SCALE.md round-9 notes).
+    # shuffle (r10: bucketed row_number + broadcast offsets — claims
+    # sort-linear with no single-task-per-epoch sort), and URL
+    # canonicalization (zero pre-agg shuffles — claims linear)
     "dq_psi_drift", "mix_epoch_shuffle", "fn_url_canonicalize",
+    # r10: the eager-checkpoint faces, measured WHOLE-CALLABLE (below)
+    "graph_wcc_star", "graph_kcore_peel", "split_leakage_safe",
 ]
+
+# Faces whose localCheckpoint rounds run EAGERLY at plan-construction
+# time: fn(spark, sf_dir) itself executes the iterative rounds and the
+# returned DataFrame is only the final labeling. _timed_noop would time
+# just that labeling — a fabricated number — so these are timed
+# WHOLE-CALLABLE: construction + action under one clock. The recorded
+# time therefore includes per-round job-scheduling latency (rounds are
+# O(log n) for WCC / O(peel iterations) for k-core — fixed count at
+# both SFs here, pinned in tests), so the sf1 ratio isolates the
+# DATA-driven growth on top of that fixed round overhead.
+WHOLE_CALLABLE = {"graph_wcc_star", "graph_kcore_peel",
+                  "split_leakage_safe"}
 
 
 def _signal_input(spark, n_series: int = 1):
@@ -232,10 +244,31 @@ def _timed_noop(df) -> float:
     return time.time() - t0
 
 
-def bench_sf1(spark, registry, sf_dir: str, sf01_timings: dict) -> dict:
+def _timed_face(registry, name, spark, data_dir) -> float:
+    """One timed pass of face `name`. Plan-lazy faces: construction is
+    untimed (it is milliseconds of plan building), the noop write is
+    the measurement — keeping round-over-round numbers comparable.
+    WHOLE_CALLABLE faces: construction + action under ONE clock,
+    because their iterative rounds execute eagerly inside fn()."""
+    if name in WHOLE_CALLABLE:
+        t0 = time.time()
+        registry[name].fn(spark, data_dir).write.format(
+            "noop").mode("overwrite").save()
+        return time.time() - t0
+    return _timed_noop(registry[name].fn(spark, data_dir))
+
+
+def bench_sf1(spark, registry, sf_dir: str, sf01_timings: dict,
+              sf01_medians: dict) -> dict:
     """Re-time SF1_SUBSET on a 10x scale-up of sf_dir; ratios vs the
-    main-loop sf0.1 mins. Generation is deterministic, key-consistent,
-    and cached across bench runs (benchdata.gen_scaled_dir)."""
+    main-loop sf0.1 numbers. Generation is deterministic,
+    key-consistent, and cached across bench runs
+    (benchdata.gen_scaled_dir). r10: >=3 interleaved passes with BOTH
+    median and min recorded per face (same noise discipline as the
+    headline — the r9 block's min-of-2 made cold-pass artifacts like
+    graph_triangles' 53-vs-33 s look like growth)."""
+    import statistics
+
     from process_nwb_spark.benchdata import gen_scaled_dir
 
     dest = os.path.join(tempfile.gettempdir(), "spark_graft_bench", "sf1x10")
@@ -243,32 +276,46 @@ def bench_sf1(spark, registry, sf_dir: str, sf01_timings: dict) -> dict:
     gen_scaled_dir(spark, sf_dir, 10, dest)
     gen_s = round(time.time() - t0, 3)
 
+    passes = max(3, int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in SF1_SUBSET}
-    # subset entries outside HEADLINE have no main-loop sf0.1 min; time
-    # their base here, interleaved with the sf1 passes so both sides of
-    # the ratio sample the same ambient-load windows
+    # subset entries outside HEADLINE (and the WHOLE_CALLABLE faces,
+    # whose main-loop numbers time only the final labeling) have no
+    # usable main-loop sf0.1 base; time it here, interleaved with the
+    # sf1 passes so both sides of the ratio sample the same
+    # ambient-load windows
     base_extra: dict[str, list[float]] = {
-        n: [] for n in SF1_SUBSET if n not in sf01_timings}
+        n: [] for n in SF1_SUBSET
+        if n not in sf01_timings or n in WHOLE_CALLABLE}
     from process_nwb_spark.relational.core import clear_persist_slots
 
-    for _ in range(2):
+    for _ in range(passes):
         for name in SF1_SUBSET:
-            samples[name].append(
-                _timed_noop(registry[name].fn(spark, dest)))
+            samples[name].append(_timed_face(registry, name, spark, dest))
             clear_persist_slots()   # sf1-sized caches must not linger
             if name in base_extra:
                 base_extra[name].append(
-                    _timed_noop(registry[name].fn(spark, sf_dir)))
+                    _timed_face(registry, name, spark, sf_dir))
                 clear_persist_slots()
     out = {}
     for name, s in samples.items():
-        t1 = round(min(s), 3)
-        base = sf01_timings.get(name)
-        if base is None and base_extra.get(name):
+        t1_min = round(min(s), 3)
+        t1_med = round(statistics.median(s), 3)
+        if name in base_extra:
             base = round(min(base_extra[name]), 3)
-        out[name] = {"sf0.1": base, "sf1": t1,
-                     "ratio": round(t1 / base, 2) if base else None}
-    return {"factor": 10, "gen_sec": gen_s, "queries": out}
+            base_med = round(statistics.median(base_extra[name]), 3)
+        else:
+            base = sf01_timings.get(name)
+            base_med = sf01_medians.get(name)
+        e = {"sf0.1": base, "sf1": t1_min,
+             "ratio": round(t1_min / base, 2) if base else None,
+             "sf0.1_median": base_med, "sf1_median": t1_med,
+             "ratio_median": (round(t1_med / base_med, 2)
+                              if base_med else None)}
+        if name in WHOLE_CALLABLE:
+            e["timing"] = "whole_callable"
+        out[name] = e
+    return {"factor": 10, "gen_sec": gen_s, "n_passes": passes,
+            "queries": out}
 
 
 def bench_skew(spark) -> dict:
@@ -493,6 +540,11 @@ def main():
     full = {
         "metric": "headline_queries_total",
         "value": total,            # sum of per-query MEDIANS (r9 onward)
+        # explicit basis marker (r10): `value` changed meaning in r9
+        # (sum of mins -> sum of medians) under the same metric name;
+        # consumers comparing round-over-round artifacts must not mix
+        # bases — pre-r9 artifacts carry no `basis` and are min-based
+        "basis": f"median_of_{runs}",
         "value_min": total_min,    # sum of per-query mins (pre-r9 headline)
         "unit": "sec",
         "queries": medians,        # primary per-query number: the median
@@ -511,7 +563,7 @@ def main():
     # ratios are defined against it) and not explicitly disabled
     scale_on = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
     if scale_on and abs(sf - 0.1) < 1e-9:
-        full["sf1"] = bench_sf1(spark, registry, sf_dir, timings)
+        full["sf1"] = bench_sf1(spark, registry, sf_dir, timings, medians)
         full["skew"] = bench_skew(spark)
         full["signal_multi_series_curve"] = bench_multi_series_curve(
             spark, {"n_series": N_SERIES_MANY, "spark_one_job": spark_many,
@@ -530,6 +582,7 @@ def main():
         f.write("\n")
 
     headline = {"metric": full["metric"], "value": total, "unit": "sec",
+                "basis": full["basis"],
                 "queries": medians, "min": timings, "value_min": total_min,
                 "sf": sf}
     line = json.dumps(headline, separators=(",", ":"))

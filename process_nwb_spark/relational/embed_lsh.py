@@ -414,15 +414,25 @@ def embed_ivf_topk(spark, sf_dir):
         "emit all their pairs; grid-1 tiles emit ONLY pairs whose "
         "members straddle a grid-0 boundary (a.t0 != b.t0 residual), "
         "so no pair's cosine is ever computed twice across grids "
-        "(~25% of candidate evaluations at sf1). The cosine + 0.35 "
-        "filter run INSIDE the pipelined join output — embeddings flow "
-        "through the SMJ but are never shuffled or materialized "
-        "post-join — and dropDuplicates (needed only for cross-BAND "
-        "repeats) runs on threshold survivors, i.e. result-sized data, "
-        "not the ~n*cap candidate set (the r8 plan shuffled 3.5M "
-        "candidate ids at sf1 for dedup, then re-attached embeddings "
-        "through two more joins; filter-before-dedup removes all "
-        "three shuffles)",
+        "(~25% of candidate evaluations at sf1). The BYTE TRADE, "
+        "stated plainly for the 100 TB record: the tiles table "
+        "carries the 64-float embedding + norm per (vec, band), so "
+        "the sort-merge self-join exchanges those embedding-carrying "
+        "rows on (band, bkey, tile) — BOTH sides, ~12x the bytes/row "
+        "of the r8 key-only tiles and a ~12x heavier cache (still "
+        "n*bands rows, MEMORY_AND_DISK). In return the cosine + 0.35 "
+        "filter run INSIDE the pipelined join output, so the "
+        "candidate set never materializes and dropDuplicates (needed "
+        "only for cross-BAND repeats) sees only threshold survivors, "
+        "i.e. result-sized data — the r8 plan shuffled 3.5M candidate "
+        "ids at sf1 for dedup, then re-attached embeddings through "
+        "two more hash-exchanged joins of the full embeddings table; "
+        "those three shuffles are gone. Net: one heavier exchange "
+        "replaces three lighter ones plus two extra scans — measured "
+        "a win at sf0.1 and sf1 (ratio 2.67 -> 2.37); at larger "
+        "dimensions d the trade reverses roughly when d*4 bytes "
+        "outweighs the saved candidate-id traffic per row, at which "
+        "point the key-only variant with re-attach is the right plan",
 )
 def dedup_embed_cosine(spark, sf_dir):
     from pyspark.sql.window import Window

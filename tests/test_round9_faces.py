@@ -29,6 +29,33 @@ def test_wcc_star_converges_with_margin(spark, monkeypatch):
     assert int(r8.component_size.max()) > 50    # with multi-hop structure
 
 
+def test_wcc_star_round_growth_law_sf01(spark, monkeypatch):
+    """GROWTH-LAW pin (r10): _WCC_ROUNDS=8 is calibrated on the sf0.01
+    fixture; star contraction's round count grows as log(n), so the
+    pin must hold where n is 10x bigger or the budget is fiction. At
+    sf0.1 (16,666 nodes vs 1,677) the graph must still be a fixed
+    point by round 5 — measured: round 4 differs, rounds 5 and 8 agree
+    — keeping the same 3-round margin the sf0.01 pin asserts. If graph
+    shape ever drifts this past round 5, the 8-round budget is the
+    first thing to re-derive (the wedge pin protects graph_triangles
+    the same way)."""
+    from process_nwb_spark.relational import graph_ops
+
+    spec = all_queries()["graph_wcc_star"]
+
+    def agg(rounds):
+        monkeypatch.setattr(graph_ops, "_WCC_ROUNDS", rounds)
+        df = spec.fn(spark, "/root/testdata/sf0.1")
+        return tuple(df.agg(
+            F.count("*"),
+            F.sum(F.xxhash64("node", "component",
+                             "component_size"))).first())
+
+    r5, r8 = agg(5), agg(8)
+    assert r5 == r8, "sf0.1 not converged by round 5 — margin eroded"
+    assert r5[0] == 16666
+
+
 def test_wcc_star_components_are_self_consistent(spark):
     """Component labels must be the component MIN and sizes must add up
     — internal consistency independent of the oracle."""
