@@ -48,96 +48,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: correctness harnesses that sample a prefix of
 # this dict should see a DIVERSE cross-section of the engine. The prefix is
-# ROTATED each round so cumulative driver coverage grows: rounds 1-8
-# driver-checked 284 distinct queries of the 298-face registry, 284 green, 0
-# red (CORRECTNESS_r0{1..8}.json). This round's prefix closes the last gap:
-# (a) the 14 registry faces that have NEVER had a driver CORRECTNESS row
-# (the r8b additions that landed after r8's 50-query window filled), then
-# (b) the 4 faces whose query text changed semantically in r8b
-# (de-vacuousized operands: their historical driver rows no longer
-# correspond to the shipped text, so they are treated like added faces),
-# then (c) the 6 faces ADDED in r9 (first sampling: graph_wcc_star,
-# fn_url_canonicalize, dq_psi_drift, mix_epoch_shuffle,
-# ts_seasonal_strength, split_leakage_safe), then (d) a backfill of
-# plan-interesting proven faces NOT in r8's window (re-verification
-# diversity). Green on (a)+(b) makes cumulative driver coverage 298/298
-# of the pre-r9 registry — builder-claimed and driver-proven coincide —
-# and (c) starts the r9 additions' driver history. The ENTIRE 304-face
-# registry is green under the committed full-registry exact gate in
-# BOTH default and ANSI modes plus the shuffle-partition hash-stability
-# probe (ORACLE_LOCAL_r9.json / ORACLE_ANSI_r9.json: 304/304 each;
-# HASHSTAB_r9.json: 304/304 stable).
+# ROTATED each round so cumulative driver coverage grows. STATE AFTER r9:
+# cumulative driver coverage is 304/304 of the 304-face registry, 0 red
+# (CORRECTNESS_r0{1..9}.json) — builder-claimed and driver-proven coincide.
+# With everything proven once, the r10 window's job flips to STALENESS-ORDERED
+# RE-VERIFICATION: (a) the 2 faces whose Spark implementation changed in r10
+# (mix_epoch_shuffle: bucketed row_number + broadcast offsets replacing the
+# single-task-per-epoch sort, hash-identical output; dq_psi_drift: refactored
+# onto shared psi_* helpers now also used by the streaming twin — identical
+# expressions, same results), then (b) oldest-driver-sample first — the r2
+# cohort (33 faces, 8 rounds stale) and the oldest r4 faces fill the window.
+# No registry faces were added or semantically changed in r10 besides (a).
+# Each face's last driver-sampled round is annotated inline. The ENTIRE
+# registry remains green under the committed full-registry exact gate in BOTH
+# default and ANSI modes plus the shuffle-partition hash-stability probe
+# (ORACLE_{LOCAL,ANSI}_r10.json: 304/304 each; HASHSTAB_r10.json: 304/304).
 DRIVER_PRIORITY = (
-    # ---- (a) the 14 never-driver-sampled r8b faces ----
-    # Count-Min frequency sketch (mergeable, contract booleans)
-    "agg_count_min_sketch",
-    # two-threshold Schmitt-trigger alert debounce (integer decisions)
-    "alert_hysteresis_state",
-    # pipeline observability: freshness SLA lag, pre-join cardinality
-    # estimation, join-key skew diagnostics
-    "dq_freshness_lag", "dq_join_cardinality", "dq_key_skew_profile",
-    # parse_url scalar surface (web-corpus ingest primitive)
-    "fn_url_parse",
-    # incremental SCD2 maintenance, oracled against the full rebuild
-    "scd2_apply_changeset",
-    # bag-semantics set ops (de-vacuumed operands)
-    "set_except_all", "set_intersect_all",
-    # GROUP BY ALL inference parity
-    "sql_group_by_all",
-    # RAG sliding-window chunking; substring k-gram dup profile
-    "text_chunk_overlap", "text_kgram_dup_profile",
-    # LTTB visualization downsampling (integer cross-multiplied argmax)
-    "ts_lttb_downsample",
-    # percent-of-total window
-    "win_ratio_to_report",
-    # ---- (b) the 4 r8b-modified faces (semantics changed in-place:
-    # de-vacuousized operands; historical driver rows are stale) ----
-    "sub_not_exists_customers", "sub_scalar_threshold",
-    "join_anti", "set_except",
-    # ---- (c) faces ADDED in r9 (first sampling) ----
-    # connected components via bounded large-star/small-star contraction
-    # (oracled against the ground-truth reachability fixpoint, so green
-    # == the O(log n) rounds actually converged); URL canonicalization
-    # dedup (lower-host/strip-port/drop-utm/sort-params/untrail —
-    # the web-corpus collapse step between parse_url and host dedup)
-    "graph_wcc_star", "fn_url_canonicalize",
-    # PSI drift monitor (exact baseline-decile buckets on integer cents,
-    # add-one smoothing — the bucketed companion to dq_ks_drift) and the
-    # deterministic seedless epoch shuffle (md5(epoch:doc) sort keys —
-    # training-data ordering that any worker can recompute)
-    "dq_psi_drift", "mix_epoch_shuffle",
-    # strength-of-trend/seasonality triage score (Hyndman FPP) from the
-    # decompose construction — every float sum an ordered fold
-    "ts_seasonal_strength",
-    # leakage-safe train/test split: near-dup clusters are the split
-    # unit, so no candidate pair can straddle (Lee et al. 2022's
-    # contamination mode, prevented structurally)
-    "split_leakage_safe",
-    # ---- (d) backfill: plan-interesting proven faces, none from the
-    # r8 window (re-verification diversity across the engine tiers) ----
-    # flagship joins: broadcast star, fact-to-fact SMJ, as-of, salted
-    "join_inner_broadcast", "join_sortmerge_large", "join_asof",
-    "join_salted_skew", "agg_salted_skew",
-    # TPC-H Q1 pricing summary; market-share star
-    "agg_pricing_summary", "star_market_share",
-    # dedup family: exact, MinHash/LSH + components, n-gram Jaccard,
-    # SimHash, embedding-cosine near-dup, SemDeDup, incremental + keep-list
-    "dedup_exact", "minhash_lsh_candidates", "dedup_components",
-    "ngram_jaccard_pairs", "simhash_near_pairs", "dedup_embed_cosine",
-    "semantic_dedup", "dedup_incremental", "dedup_keep_list",
-    # similarity search: brute cosine, IVF, PQ-ADC, MLlib BRP-LSH
-    "embed_cosine_topk", "embed_ivf_topk", "embed_pq_adc",
-    "embed_mllib_brp_lsh",
-    # text analysis: quality gates, langid, token counts, winnowing
-    # fingerprints, BM25, hybrid RRF retrieval
-    "text_quality", "text_langid", "text_token_counts",
-    "doc_fingerprint_winnow", "text_bm25_search", "hybrid_search_rrf",
-    # SQL surface: correlated scalar subquery, lateral top-k,
-    # recursive CTE; graph PageRank; funnel/cohort windows; DSIR;
-    # multimodal metadata plumbing
-    "sub_scalar_correlated", "lateral_topk_orders", "sql_recursive_months",
-    "graph_pagerank", "funnel_conversion", "retention_cohorts",
-    "dsir_importance", "multimodal_meta",
+    # ---- (a) r10 changed-implementation faces ----
+    "mix_epoch_shuffle",                     # impl changed r10; last driver r9
+    "dq_psi_drift",                     # impl changed r10; last driver r9
+    # ---- (b) staleness backfill, oldest driver sample first ----
+    "agg_collect_sorted",  # last driver r2
+    "agg_count_distinct",  # last driver r2
+    "agg_cube",  # last driver r2
+    "agg_grouping_sets",  # last driver r2
+    "agg_rollup",  # last driver r2
+    "agg_stats",  # last driver r2
+    "basket_lift_pairs",  # last driver r2
+    "fn_array",  # last driver r2
+    "fn_bitwise_conditional",  # last driver r2
+    "fn_date",  # last driver r2
+    "fn_json_map",  # last driver r2
+    "fn_math",  # last driver r2
+    "fn_string",  # last driver r2
+    "join_cross",  # last driver r2
+    "join_full_outer",  # last driver r2
+    "join_left_coalesce",  # last driver r2
+    "join_right",  # last driver r2
+    "join_semi",  # last driver r2
+    "pareto_abc_customers",  # last driver r2
+    "rfm_segments",  # last driver r2
+    "set_intersect",  # last driver r2
+    "set_union_all",  # last driver r2
+    "set_union_distinct",  # last driver r2
+    "sort_nulls_limit",  # last driver r2
+    "star_large_orders",  # last driver r2
+    "star_local_revenue",  # last driver r2
+    "star_topk_unshipped",  # last driver r2
+    "sub_late_sole_supplier",  # last driver r2
+    "sub_small_qty_revenue",  # last driver r2
+    "win_lag_lead",  # last driver r2
+    "win_range_frame",  # last driver r2
+    "win_rank_dense",  # last driver r2
+    "win_zscore",  # last driver r2
+    "agg_approx_count_distinct",  # last driver r4
+    "agg_approx_percentiles",  # last driver r4
+    "agg_histogram",  # last driver r4
+    "agg_mode_argmax",  # last driver r4
+    "agg_trimmed_mean",  # last driver r4
+    "attribution_last_touch",  # last driver r4
+    "dq_audit",  # last driver r4
+    "embed_ann_lsh",  # last driver r4
+    "event_sessionize",  # last driver r4
+    "graph_pagerank",  # last driver r4
+    "jaccard_prefix_filter",  # last driver r4
+    "join_null_safe",  # last driver r4
+    "join_range_bucket",  # last driver r4
+    "pack_sequences",  # last driver r4
+    "pivot_qty_by_flag",  # last driver r4
 )
 
 

@@ -1422,27 +1422,60 @@ _PSI_CUT = "2024-01-16"        # baseline period before, current after
 def dq_psi_drift(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     cents = ev.select(
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
+        "event_type", psi_cent_col("value"),
         (F.col("ts").cast("date") < F.lit(_PSI_CUT).cast("date"))
         .alias("is_base"))
-    qs = [F.expr(f"percentile_disc({q / 10}) WITHIN GROUP (ORDER BY c)")
-          .cast("bigint") for q in range(1, 10)]
-    edges = (cents.filter("is_base").groupBy("event_type")
-             .agg(F.array(*qs).alias("es")))
-    bucketed = (cents.join(F.broadcast(edges), "event_type")
-                .select("event_type", "is_base",
-                        F.size(F.filter(
-                            "es", lambda b: b <= F.col("c"))).alias("bkt")))
-    grid = (edges.select("event_type",
-                         F.explode(F.sequence(F.lit(0), F.lit(9)))
-                         .alias("bkt")))
-    counts = (grid.join(bucketed, ["event_type", "bkt"], "left")
+    edges = psi_edges(cents.filter("is_base"))
+    bucketed = psi_bucketize(cents, edges).select(
+        "event_type", "is_base", "bkt")
+    counts = (psi_grid(edges).join(bucketed, ["event_type", "bkt"], "left")
               .groupBy("event_type", "bkt")
               .agg(F.coalesce(F.sum(F.when(F.col("is_base"), 1)
                                     .otherwise(0)), F.lit(0)).alias("cb"),
                    F.coalesce(F.sum(F.when(~F.col("is_base"), 1)
                                     .otherwise(0)), F.lit(0)).alias("cc")))
+    return psi_fold(counts)
+
+
+# -- PSI building blocks, shared with the streaming twin -----------------
+# (streaming/ops.psi_drift_sink): the sink maintains current-period
+# bucket counts incrementally and re-folds; using the SAME expressions
+# guarantees its output is bit-identical to this batch face on the same
+# points (the parity contract test_streaming.py pins).
+
+def psi_cent_col(value_col: str):
+    """Integer-cent quantization — exact order statistics, no float
+    knife edges (the dq_psi_drift docstring's contract)."""
+    return F.floor(F.col(value_col) * 100 + 0.5).cast("bigint").alias("c")
+
+
+def psi_edges(cents):
+    """Nine exact per-type decile edges of the baseline cents."""
+    qs = [F.expr(f"percentile_disc({q / 10}) WITHIN GROUP (ORDER BY c)")
+          .cast("bigint") for q in range(1, 10)]
+    return cents.groupBy("event_type").agg(F.array(*qs).alias("es"))
+
+
+def psi_bucketize(cents, edges):
+    """Bucket id 0..9 by integer comparison against the broadcast decile
+    table. INNER join: rows of event types absent from the baseline have
+    no bucket grid and drop (both engines of the batch face agree)."""
+    return (cents.join(F.broadcast(edges), "event_type")
+            .withColumn("bkt", F.size(F.filter(
+                "es", lambda b: b <= F.col("c")))))
+
+
+def psi_grid(edges):
+    """The fixed 10-bucket fold grid per baseline event type."""
+    return edges.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bkt"))
+
+
+def psi_fold(counts):
+    """PSI with add-one smoothing from complete-grid counts
+    (event_type, bkt, cb, cc) — 10 rows per type, so the float ln-sum
+    has one deterministic evaluation order per group."""
     tot = (counts.groupBy("event_type")
            .agg(F.sum("cb").cast("bigint").alias("nb"),
                 F.sum("cc").cast("bigint").alias("nc")))

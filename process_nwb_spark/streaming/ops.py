@@ -1214,3 +1214,77 @@ def dedup_keeplist_sink(out_dir: str):
         merged.write.mode("overwrite").parquet(out_dir)
 
     return write_batch
+
+
+def psi_drift_sink(baseline: DataFrame, out_dir: str):
+    """foreachBatch PSI drift monitor — the streaming twin of
+    relational/dataprep.dq_psi_drift and the alerting deployment shape
+    the batch face's docstring describes: the BASELINE period is
+    static (its decile table and bucket counts are computed ONCE at
+    sink construction, metadata-sized, frozen with localCheckpoint),
+    while CURRENT-period events arrive as micro-batches. Each batch:
+
+      1. buckets its rows against the broadcast decile table and
+         reduces them to per-(event_type, bucket) counts — the only
+         fact-sized work, one pass over the batch;
+      2. appends those counts to `<out_dir>/cur_counts` PARTITIONED BY
+         batch_id with dynamic partition overwrite, so a RETRIED batch
+         replaces its own partition instead of double-counting (count
+         increments are not idempotent by algebra — the partition-per-
+         batch layout is what makes the fold retry-safe, the same
+         pattern as the repo's raw event sink); batch order is
+         irrelevant because integer counts commute — the sink is
+         ORDER-FREE as well;
+      3. re-folds PSI over the fixed 10-bucket grid from the frozen
+         baseline counts plus the summed current counts — grid-sized
+         work — and rewrites `<out_dir>/psi` (event_type, n_base,
+         n_cur, psi), the table an alerting job thresholds at 0.1/0.25.
+
+    Current rows of event types absent from the baseline drop, exactly
+    as in the batch face (no decile grid exists for them). The fold
+    reuses dq_psi_drift's own expressions (dataprep.psi_fold et al.),
+    so after any batch the psi table is BIT-IDENTICAL to the batch
+    face run on baseline + the points streamed so far — pinned in
+    test_streaming.py together with retry idempotence and order
+    freedom. At 100 TB: cur_counts is (types x 10 x batches) rows —
+    metadata-sized forever — and the per-batch cost is one scan of the
+    batch; compaction of old batch partitions is a cheap offline fold
+    because integer counts merge associatively."""
+    from process_nwb_spark.relational.dataprep import (
+        psi_bucketize, psi_cent_col, psi_edges, psi_fold, psi_grid)
+
+    cents_base = baseline.select("event_type", psi_cent_col("value"))
+    edges = psi_edges(cents_base).localCheckpoint()
+    base_counts = (
+        psi_grid(edges)
+        .join(psi_bucketize(cents_base, edges)
+              .groupBy("event_type", "bkt")
+              .agg(F.count("*").alias("n")),
+              ["event_type", "bkt"], "left")
+        .select("event_type", "bkt",
+                F.coalesce("n", F.lit(0)).alias("cb"))
+        .localCheckpoint())
+    cur_dir = out_dir.rstrip("/") + "/cur_counts"
+    psi_dir = out_dir.rstrip("/") + "/psi"
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        cnt = (psi_bucketize(
+                   batch_df.select("event_type", psi_cent_col("value")),
+                   edges)
+               .groupBy("event_type", "bkt")
+               .agg(F.count("*").alias("n"))
+               .withColumn("batch_id", F.lit(int(batch_id))))
+        (cnt.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(cur_dir))
+        cur = (sp.read.parquet(cur_dir)
+               .groupBy("event_type", "bkt")
+               .agg(F.sum("n").alias("cc")))
+        counts = (base_counts.join(cur, ["event_type", "bkt"], "left")
+                  .select("event_type", "bkt", "cb",
+                          F.coalesce("cc", F.lit(0)).alias("cc")))
+        psi = psi_fold(counts).localCheckpoint()
+        psi.write.mode("overwrite").parquet(psi_dir)
+
+    return write_batch

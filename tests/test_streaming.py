@@ -937,3 +937,65 @@ def test_stream_dedup_keeplist_orderfree_and_idempotent(spark, tmp_path):
     # every injected copy collapsed onto its lower-id original
     assert len(got) < docs.count()
     assert not (got.keep_doc_id >= 10_000).any()
+
+
+def test_stream_psi_drift_equals_batch_face(spark, tmp_path):
+    """psi_drift_sink parity contract: after streaming the CURRENT
+    period through the sink (static baseline frozen at construction),
+    the psi table must be BIT-IDENTICAL to the batch face run on the
+    same events — plus retry idempotence (a replayed batch overwrites
+    its own counts partition) and order freedom (scrambled batch order
+    converges to the same table; integer counts commute)."""
+    from process_nwb_spark.relational.dataprep import _PSI_CUT
+    from process_nwb_spark.streaming.ops import psi_drift_sink
+    from tests.conftest import SF_CORRECT
+
+    ev = (T(spark, SF_CORRECT, "events")
+          .select("event_type", "value",
+                  F.col("ts").cast("date").alias("d")))
+    base = ev.filter(F.col("d") < F.lit(_PSI_CUT).cast("date"))
+    cur = ev.filter(F.col("d") >= F.lit(_PSI_CUT).cast("date"))
+
+    # three date-cut micro-batches of the current period
+    cuts = ["2024-01-21", "2024-01-26"]
+    preds = [F.col("d") < cuts[0],
+             (F.col("d") >= cuts[0]) & (F.col("d") < cuts[1]),
+             F.col("d") >= cuts[1]]
+    in_dir = str(tmp_path / "psi_in")
+    for p in preds:
+        (cur.filter(p).select("event_type", "value")
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    out = str(tmp_path / "psi_out")
+    sdf = (spark.readStream.schema("event_type string, value double")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (sdf.writeStream.foreachBatch(psi_drift_sink(base, out))
+         .option("checkpointLocation", str(tmp_path / "psi_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    def norm(df):
+        return (df.toPandas()
+                .sort_values("event_type").reset_index(drop=True))
+
+    cols = ["event_type", "n_base", "n_cur", "psi"]
+    got = norm(spark.read.parquet(out + "/psi"))
+    want = norm(all_queries()["dq_psi_drift"].fn(spark, SF_CORRECT))
+    pd.testing.assert_frame_equal(got[cols], want[cols],
+                                  check_dtype=False, check_exact=True)
+
+    # retry idempotence: re-apply the final batch verbatim
+    sink = psi_drift_sink(base, out)
+    sink(cur.filter(preds[2]).select("event_type", "value"), 2)
+    pd.testing.assert_frame_equal(
+        norm(spark.read.parquet(out + "/psi"))[cols], want[cols],
+        check_dtype=False, check_exact=True)
+
+    # order freedom: scrambled batch order into a fresh sink
+    out2 = str(tmp_path / "psi_out2")
+    sink2 = psi_drift_sink(base, out2)
+    for i in (2, 0, 1):
+        sink2(cur.filter(preds[i]).select("event_type", "value"), i)
+    pd.testing.assert_frame_equal(
+        norm(spark.read.parquet(out2 + "/psi"))[cols], want[cols],
+        check_dtype=False, check_exact=True)
