@@ -52,7 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # cumulative driver coverage is 304/304 of the 304-face registry, 0 red
 # (CORRECTNESS_r0{1..9}.json) — builder-claimed and driver-proven coincide.
 # With everything proven once, the r10 window's job flips to STALENESS-ORDERED
-# RE-VERIFICATION: (a) the 2 faces whose Spark implementation changed in r10
+# RE-VERIFICATION: (a) the r10-ADDED face (mix_lang_temperature, XLM-R-style
+# temperature resampling across languages) and the 2 faces whose Spark
+# implementation changed in r10
 # (mix_epoch_shuffle: bucketed row_number + broadcast offsets replacing the
 # single-task-per-epoch sort, hash-identical output; dq_psi_drift: refactored
 # onto shared psi_* helpers now also used by the streaming twin — identical
@@ -62,11 +64,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Each face's last driver-sampled round is annotated inline. The ENTIRE
 # registry remains green under the committed full-registry exact gate in BOTH
 # default and ANSI modes plus the shuffle-partition hash-stability probe
-# (ORACLE_{LOCAL,ANSI}_r10.json: 304/304 each; HASHSTAB_r10.json: 304/304).
+# (ORACLE_{LOCAL,ANSI}_r10.json: 305/305 each; HASHSTAB_r10.json: 305/305).
 DRIVER_PRIORITY = (
-    # ---- (a) r10 changed-implementation faces ----
-    "mix_epoch_shuffle",                     # impl changed r10; last driver r9
-    "dq_psi_drift",                     # impl changed r10; last driver r9
+    # ---- (a) faces ADDED or implementation-CHANGED in r10 ----
+    "mix_lang_temperature",  # ADDED r10 (never driver-sampled)
+    "mix_epoch_shuffle",     # impl changed r10; last driver r9
+    "dq_psi_drift",          # impl changed r10; last driver r9
     # ---- (b) staleness backfill, oldest driver sample first ----
     "agg_collect_sorted",  # last driver r2
     "agg_count_distinct",  # last driver r2
@@ -115,7 +118,6 @@ DRIVER_PRIORITY = (
     "join_null_safe",  # last driver r4
     "join_range_bucket",  # last driver r4
     "pack_sequences",  # last driver r4
-    "pivot_qty_by_flag",  # last driver r4
 )
 
 

@@ -1437,6 +1437,91 @@ def dq_psi_drift(spark, sf_dir):
     return psi_fold(counts)
 
 
+@query(
+    "mix_lang_temperature",
+    """
+    WITH stats AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT LIST_SUM(LIST(SQRT(CAST(n AS DOUBLE)) ORDER BY lang))
+               AS w_all,
+             SUM(n) AS n_all
+      FROM stats
+    ),
+    targ AS (
+      SELECT s.lang, s.n,
+             CAST(FLOOR((CAST(t.n_all AS DOUBLE)
+                         * SQRT(CAST(s.n AS DOUBLE))) / t.w_all)
+                  AS BIGINT) AS target
+      FROM stats s, tot t
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY MD5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS r
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang,
+           CAST(t.target // t.n
+                + CASE WHEN r.r <= t.target % t.n THEN 1 ELSE 0 END
+                AS BIGINT) AS n_copies
+    FROM ranked r JOIN targ t ON t.lang = r.lang
+    """,
+    doc="TEMPERATURE-REWEIGHTED language mixing — the multilingual "
+        "rebalancing step every large multilingual pipeline runs "
+        "(XLM-R / mC4 alpha-sampling: p_l ∝ n_l^alpha with alpha < 1 "
+        "up-weights low-resource languages; alpha = 0.5 here because "
+        "IEEE sqrt is CORRECTLY ROUNDED, so both engines compute "
+        "bit-identical weights — a pow() exponent would risk last-ulp "
+        "divergence). Each doc gets an integer n_copies for the "
+        "training mix: target_l = floor(N * sqrt(n_l) / W) with W an "
+        "ORDERED fold over langs (LIST_SUM(LIST ... ORDER BY) / "
+        "aggregate over array_sort — the ts_seasonal_strength "
+        "determinism construction), then per-language deterministic "
+        "selection by md5(doc_id) rank: every doc gets target div n "
+        "copies and the target mod n smallest-hash docs one more — "
+        "majority languages DOWN-sample (here en: some docs get 0 "
+        "copies), low-resource languages UP-sample (copies of 2), "
+        "seedlessly and reproducibly (the mix_epoch_shuffle property: "
+        "any worker recomputes its shard's decision independently). "
+        "Scale: one count pass, a lang-sized broadcast target table, "
+        "and one hash-rank pass over the corpus via the SHARED "
+        "bucketed_hash_rank (md5-prefix 256-way buckets + broadcast "
+        "offsets, same as mix_epoch_shuffle) — NOT a per-lang window, "
+        "because one language (en ~ half the web) would otherwise "
+        "sort in a single task; plan-asserted in test_plans.py",
+)
+def mix_lang_temperature(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count("*").alias("n"))
+    w = F.sqrt(F.col("n").cast("double"))
+    tot = (stats
+           .agg(F.array_sort(F.collect_list(F.struct("lang",
+                                                     w.alias("w"))))
+                .alias("lw"),
+                F.sum("n").alias("n_all"))
+           .select(F.aggregate("lw", F.lit(0.0),
+                               lambda a, s: a + s["w"]).alias("w_all"),
+                   "n_all"))
+    targ = (stats.crossJoin(F.broadcast(tot))
+            .select("lang", "n",
+                    F.floor((F.col("n_all").cast("double") * w)
+                            / F.col("w_all")).cast("bigint")
+                    .alias("target")))
+    ranked = bucketed_hash_rank(
+        d.select("doc_id", "lang",
+                 F.md5(F.col("doc_id").cast("string")).alias("h")),
+        ["lang"], "h", "doc_id").drop("h")
+    return (ranked.join(F.broadcast(targ), "lang")
+            .select("doc_id", "lang",
+                    (F.expr("target div n")
+                     + F.when(F.col("r") <= F.col("target") % F.col("n"),
+                              1).otherwise(0)).cast("bigint")
+                    .alias("n_copies")))
+
+
 # -- PSI building blocks, shared with the streaming twin -----------------
 # (streaming/ops.psi_drift_sink): the sink maintains current-period
 # bucket counts incrementally and re-folds; using the SAME expressions
@@ -1543,17 +1628,37 @@ def mix_epoch_shuffle(spark, sf_dir):
                      F.md5(F.concat(F.col("epoch").cast("string"),
                                     F.lit(":"),
                                     F.col("doc_id").cast("string")))
-                     .alias("k"))
-             .withColumn("_b", F.substring("k", 1, 2)))
-    counts = keyed.groupBy("epoch", "_b").agg(F.count("*").alias("_n"))
-    woff = (Window.partitionBy("epoch").orderBy("_b")
+                     .alias("k")))
+    ranked = bucketed_hash_rank(keyed, ["epoch"], "k", "doc_id",
+                                out_col="position")
+    return ranked.select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.col("position").cast("bigint").alias("position"), "doc_id")
+
+
+def bucketed_hash_rank(df, group_cols: list, hash_col: str, tie_col: str,
+                       out_col: str = "r"):
+    """Per-group dense rank 1..n ordered by (hash_col, tie_col) WITHOUT
+    a single-task-per-group sort — the global_row_index pattern for
+    LOW-CARDINALITY groups (epochs, languages): the first 2 hex chars
+    of the md5-hex `hash_col` are a 256-way RANGE bucket that agrees
+    with the sort order (a key prefix, uniform by construction — no
+    min/max scan), so row_number runs per-(group, bucket) — one hash
+    exchange on 256 x |groups| keys, every reducer busy — and the
+    per-bucket counts (map-side combined, metadata-sized) cumsum into
+    offsets broadcast back. Shared by mix_epoch_shuffle (groups =
+    epochs) and mix_lang_temperature (groups = languages, where one
+    language can own half the corpus). Plan-asserted in test_plans.py:
+    no SinglePartition, rank windows partition on (group, bucket)."""
+    b = df.withColumn("_b", F.substring(hash_col, 1, 2))
+    counts = b.groupBy(*group_cols, "_b").agg(F.count("*").alias("_n"))
+    woff = (Window.partitionBy(*group_cols).orderBy("_b")
             .rowsBetween(Window.unboundedPreceding, -1))
     offsets = counts.select(
-        "epoch", "_b",
+        *group_cols, "_b",
         F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
     local = F.row_number().over(
-        Window.partitionBy("epoch", "_b").orderBy("k", "doc_id"))
-    return (keyed.join(F.broadcast(offsets), ["epoch", "_b"])
-            .select(F.col("epoch").cast("bigint").alias("epoch"),
-                    (F.col("_off") + local).cast("bigint").alias("position"),
-                    "doc_id"))
+        Window.partitionBy(*group_cols, "_b").orderBy(hash_col, tie_col))
+    return (b.join(F.broadcast(offsets), [*group_cols, "_b"])
+            .withColumn(out_col, F.col("_off") + local)
+            .drop("_b", "_off"))

@@ -33,19 +33,28 @@ def test_driver_priority_names_resolve_and_are_unique():
     assert not missing, f"DRIVER_PRIORITY names not in registry: {missing}"
 
 
-def test_r9_first_sampling_prefix_covers_the_driver_gap():
-    """The r9 window's head must contain every face the driver has never
-    sampled (the 14 r8b-late faces) plus the 4 faces whose semantics
-    changed in r8b — green rows on these take cumulative driver coverage
-    to 298/298."""
-    never_sampled = {
-        "agg_count_min_sketch", "alert_hysteresis_state", "dq_freshness_lag",
-        "dq_join_cardinality", "dq_key_skew_profile", "fn_url_parse",
-        "scd2_apply_changeset", "set_except_all", "set_intersect_all",
-        "sql_group_by_all", "text_chunk_overlap", "text_kgram_dup_profile",
-        "ts_lttb_downsample", "win_ratio_to_report"}
-    modified_r8b = {"sub_not_exists_customers", "sub_scalar_threshold",
-                    "join_anti", "set_except"}
-    head = set(entry.DRIVER_PRIORITY[:50])
-    assert never_sampled <= head
-    assert modified_r8b <= head
+def test_r10_window_is_staleness_ordered():
+    """With 304/304 driver-proven (r9), the r10 window re-verifies: the
+    faces whose Spark implementation changed in r10 lead, and the rest
+    of the window is the oldest-driver-sample cohort — every r2-sampled
+    face (none driver-checked in 8 rounds) must be in the 50-face head,
+    along with any r10-added faces."""
+    changed_r10 = ["mix_epoch_shuffle", "dq_psi_drift"]
+    added_r10 = {"mix_lang_temperature"}
+    r2_cohort = {
+        "agg_collect_sorted", "agg_count_distinct", "agg_cube",
+        "agg_grouping_sets", "agg_rollup", "agg_stats",
+        "basket_lift_pairs", "fn_array", "fn_bitwise_conditional",
+        "fn_date", "fn_json_map", "fn_math", "fn_string", "join_cross",
+        "join_full_outer", "join_left_coalesce", "join_right",
+        "join_semi", "pareto_abc_customers", "rfm_segments",
+        "set_intersect", "set_union_all", "set_union_distinct",
+        "sort_nulls_limit", "star_large_orders", "star_local_revenue",
+        "star_topk_unshipped", "sub_late_sole_supplier",
+        "sub_small_qty_revenue", "win_lag_lead", "win_range_frame",
+        "win_rank_dense", "win_zscore"}
+    head = list(entry.DRIVER_PRIORITY[:50])
+    assert head[:len(changed_r10) + len(added_r10)][:2] == changed_r10 or \
+        set(head[:3]) == set(changed_r10) | added_r10
+    assert added_r10 <= set(head)
+    assert r2_cohort <= set(head)

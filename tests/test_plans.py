@@ -832,3 +832,22 @@ def test_epoch_shuffle_never_single_task_per_epoch(spark, qs):
     # the row_number spec's partition clause must include the bucket col
     assert all(re.search(r"\[epoch#\d+L?, _b#\d+\]", l) for l in rn), rn
     assert has_broadcast_join(df), plan
+
+
+def test_lang_temperature_never_single_task_per_lang(spark, qs):
+    """mix_lang_temperature ranks docs by hash WITHIN language, and one
+    language can own half the corpus — the rank must come from the
+    shared bucketed_hash_rank (md5-prefix buckets + broadcast offsets),
+    never Window.partitionBy(lang) alone."""
+    import re
+
+    df = qs["mix_lang_temperature"].fn(spark, SF)
+    plan = formatted_plan(df, "formatted")
+    # the only SinglePartition allowed is the lang-count global weight
+    # fold (5 rows) — the global_row_index allowance
+    assert len(re.findall(r"SinglePartition", plan)) <= 1, plan
+    rn = [l for l in plan.splitlines()
+          if "row_number()" in l and "windowspecdefinition" in l]
+    assert rn, plan
+    assert all(re.search(r"\[lang#\d+, _b#\d+\]", l) for l in rn), rn
+    assert has_broadcast_join(df), plan
