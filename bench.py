@@ -244,6 +244,23 @@ def _timed_noop(df) -> float:
     return time.time() - t0
 
 
+def _drop_resident_rdds(spark) -> None:
+    """Bench hygiene BETWEEN timings: unpersist EVERY resident RDD —
+    including localCheckpoint blocks, which clear_persist_slots cannot
+    reach (they hide behind LogicalRDDs with truncated lineage; the
+    eager-checkpoint faces leave their final round's blocks resident
+    after every run). Safe at section boundaries because no timed face
+    ever reuses a previous face's data — each rebuilds from parquet.
+    Without this, the r10 sf1 block's 18 whole-callable runs plus the
+    3-pass extension left enough storage residue that the n=128 curve
+    OOMed the 32g heap (r9 had measured 32g as exactly sufficient)."""
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        try:
+            rdd.unpersist(False)
+        except Exception:
+            pass
+
+
 def _timed_face(registry, name, spark, data_dir) -> float:
     """One timed pass of face `name`. Plan-lazy faces: construction is
     untimed (it is milliseconds of plan building), the noop write is
@@ -292,10 +309,14 @@ def bench_sf1(spark, registry, sf_dir: str, sf01_timings: dict,
         for name in SF1_SUBSET:
             samples[name].append(_timed_face(registry, name, spark, dest))
             clear_persist_slots()   # sf1-sized caches must not linger
+            if name in WHOLE_CALLABLE:
+                _drop_resident_rdds(spark)  # free localCheckpoint blocks
             if name in base_extra:
                 base_extra[name].append(
                     _timed_face(registry, name, spark, sf_dir))
                 clear_persist_slots()
+                if name in WHOLE_CALLABLE:
+                    _drop_resident_rdds(spark)
     out = {}
     for name, s in samples.items():
         t1_min = round(min(s), 3)
@@ -408,6 +429,7 @@ def bench_multi_series_curve(spark, base_entry: dict) -> list:
 
     curve = [dict(base_entry, n_series=N_SERIES_MANY)]
     for n in (16, 32, 64, 128):
+        _drop_resident_rdds(spark)   # big-n jobs need the whole heap
         Xs = [generate_synthetic_data(10.0, 32, 3200.0, seed=s)
               for s in range(n)]
         _signal_input(spark, n)   # write parquet untimed
@@ -559,27 +581,39 @@ def main():
         "reference_single_node": {"signal_pipeline_numpy": ref_1node},
     }
 
+    # full dict -> committed artifact; stdout gets ONLY the compact
+    # headline line (round 5's full dict outgrew the driver's ~2 KB tail
+    # capture -> BENCH_r05.json parsed:null; never again). The artifact
+    # is FLUSHED after every section: the r10 first run OOMed in the
+    # final curve section and lost the whole already-measured sf1 block
+    # because the only write was at the end.
+    full_out = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SCALING.json"))
+
+    def flush_full():
+        with open(full_out, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+
+    flush_full()
+
     # scaling sections: only when benching the canonical sf0.1 input (the
     # ratios are defined against it) and not explicitly disabled
     scale_on = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
     if scale_on and abs(sf - 0.1) < 1e-9:
         full["sf1"] = bench_sf1(spark, registry, sf_dir, timings, medians)
+        _drop_resident_rdds(spark)   # sf1 residue must not shrink the heap
+        flush_full()
         full["skew"] = bench_skew(spark)
+        _drop_resident_rdds(spark)
+        flush_full()
         full["signal_multi_series_curve"] = bench_multi_series_curve(
             spark, {"n_series": N_SERIES_MANY, "spark_one_job": spark_many,
                     "numpy_serial": ref_many,
                     "ratio": multi["ratio"]})
-
-    # full dict -> committed artifact; stdout gets ONLY the compact
-    # headline line (round 5's full dict outgrew the driver's ~2 KB tail
-    # capture -> BENCH_r05.json parsed:null; never again)
-    full_out = os.environ.get(
-        "SPARK_GRAFT_BENCH_FULL_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_SCALING.json"))
-    with open(full_out, "w") as f:
-        json.dump(full, f, indent=1)
-        f.write("\n")
+        flush_full()
 
     headline = {"metric": full["metric"], "value": total, "unit": "sec",
                 "basis": full["basis"],
