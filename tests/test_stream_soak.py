@@ -176,3 +176,96 @@ def test_stateful_twins_soak_random_cuts(spark, tmp_path):
                         min_separation=50).toPandas()
     _eq(got, want, ["sample_idx", "island_size", "peak_value"],
         ["sample_idx"], ("peaks", cuts))
+
+
+def test_foreachbatch_sinks_soak_random_cuts(spark, tmp_path):
+    """Randomized-cut soak for the three foreachBatch SINKS (scd2
+    point-set, dedup keep-list, PSI drift) — the sink analog of the
+    stateful-twin soak above: each per-face test pins one hand-placed
+    cut pattern; this drives SEEDED random batch counts, cut points,
+    application ORDER, and a random RETRY through each sink, asserting
+    the converged table equals the batch face bit-exactly every time.
+    A failure prints the seed-derived draw, so any counterexample is
+    replayable verbatim."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.relational.dataprep import _PSI_CUT
+    from process_nwb_spark.streaming.ops import (dedup_keeplist_sink,
+                                                 psi_drift_sink,
+                                                 scd2_upsert_sink)
+
+    rng = np.random.default_rng(SEED + 1)
+    qs = all_queries()
+
+    def eq(got_df, want_df, keys, ctx, fill=None):
+        got, want = got_df.toPandas(), want_df.toPandas()
+        if fill:
+            got, want = got.fillna(fill), want.fillna(fill)
+        cols = sorted(want.columns)
+        _eq(got, want, cols, keys, ctx)
+
+    def drive(mk_sink, segments, rounds_ctx):
+        """Apply segments in a random order with one random verbatim
+        retry; return the sink's out_dir."""
+        out = str(tmp_path / f"out_{rounds_ctx}")
+        sink = mk_sink(out)
+        order = rng.permutation(len(segments))
+        retry_at = int(rng.integers(0, len(segments)))
+        for step, i in enumerate(order):
+            sink(segments[int(i)], int(i))
+            if step == retry_at:
+                sink(segments[int(i)], int(i))   # verbatim retry
+        return out, list(order), retry_at
+
+    # ---- scd2_upsert_sink vs scd2_apply_changeset ----
+    o = spark.read.parquet(f"{SF_CORRECT}/orders.parquet")
+    daily = (o.groupBy(F.col("o_custkey").alias("custkey"),
+                       F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.max_by("o_orderstatus", "o_orderkey").alias("status"))
+             .localCheckpoint())
+    dates = [r.d for r in
+             daily.select("d").distinct().orderBy("d").collect()]
+    want_scd2 = qs["scd2_apply_changeset"].fn(spark, SF_CORRECT)
+    for rnd in range(2):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, dates, n_segs)
+        segs = _segments(daily, "d", cuts)
+        out, order, retry = drive(scd2_upsert_sink, segs,
+                                  f"scd2_{rnd}")
+        eq(spark.read.parquet(out), want_scd2, ["custkey", "valid_from"],
+           ("scd2", rnd, cuts, order, retry), fill={"valid_to": ""})
+
+    # ---- dedup_keeplist_sink vs dedup_exact keepers ----
+    docs = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .select("doc_id", "text").localCheckpoint())
+    ids = [r.doc_id for r in
+           docs.select("doc_id").orderBy("doc_id").collect()]
+    want_keep = (qs["dedup_exact"].fn(spark, SF_CORRECT)
+                 .select("fp", "keep_doc_id"))
+    for rnd in range(2):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, ids, n_segs)
+        segs = _segments(docs, "doc_id", cuts)
+        out, order, retry = drive(dedup_keeplist_sink, segs,
+                                  f"keep_{rnd}")
+        eq(spark.read.parquet(out), want_keep, ["fp"],
+           ("keeplist", rnd, cuts, order, retry))
+
+    # ---- psi_drift_sink vs dq_psi_drift ----
+    ev = (spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+          .select("event_type", "value",
+                  F.col("ts").cast("date").alias("d")))
+    base = ev.filter(F.col("d") < F.lit(_PSI_CUT).cast("date"))
+    cur = (ev.filter(F.col("d") >= F.lit(_PSI_CUT).cast("date"))
+           .localCheckpoint())
+    cur_dates = [r.d for r in
+                 cur.select("d").distinct().orderBy("d").collect()]
+    want_psi = qs["dq_psi_drift"].fn(spark, SF_CORRECT)
+    for rnd in range(2):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, cur_dates, n_segs)
+        segs = [s.select("event_type", "value")
+                for s in _segments(cur, "d", cuts)]
+        out, order, retry = drive(
+            lambda o: psi_drift_sink(base, o), segs, f"psi_{rnd}")
+        eq(spark.read.parquet(out + "/psi"), want_psi, ["event_type"],
+           ("psi", rnd, cuts, order, retry))
