@@ -127,6 +127,32 @@ def minhash_signatures(spark, sf_dir):
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_band_keys(docs):
+    """(doc_id, band, bkey) for ANY (doc_id, text) frame — the exact
+    construction minhash_lsh_candidates uses (word-3-gram shingles ->
+    8 md5-salted min-hashes -> 4 band keys), factored over an arbitrary
+    input so the streaming lsh_candidates_sink bands micro-batches
+    IDENTICALLY to the batch face (the parity pin depends on it)."""
+    words = _words()
+    d = docs.filter(F.size(words) >= 3)
+    sh_arr = F.transform(F.sequence(F.lit(0), F.size(words) - 3),
+                         lambda i: F.array_join(F.slice(words, i + 1, 3),
+                                                " "))
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(sh_arr)).alias("sh"))
+    aggs = [F.min(F.md5(F.concat(F.col("sh"), F.lit(f":{s}"))))
+            .alias(f"sig{s}") for s in range(_N_SIGS)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat(F.col(f"sig{2*b}"),
+                                F.col(f"sig{2*b+1}"))).alias("bkey"))
+        for b in range(_N_SIGS // 2)])
+    return (sig.select("doc_id", F.explode(band_structs).alias("bb"))
+            .select("doc_id", F.col("bb.band").alias("band"),
+                    F.col("bb.bkey").alias("bkey")))
+
+
 @query(
     "minhash_lsh_candidates",
     f"""

@@ -1288,3 +1288,82 @@ def psi_drift_sink(baseline: DataFrame, out_dir: str):
         psi.write.mode("overwrite").parquet(psi_dir)
 
     return write_batch
+
+
+def lsh_candidates_sink(out_dir: str):
+    """foreachBatch INCREMENTAL NEAR-DUP candidate detection — the LSH
+    twin of dedup_keeplist_sink's exact dedup, for a continuously
+    ingested corpus: each micro-batch of documents (`doc_id` bigint,
+    `text` string) bands through the batch face's OWN construction
+    (relational/llm_ops.lsh_band_keys — word-3-gram shingles, 8
+    md5-salted min-hashes, 4 band keys), lands its band table at
+    `<out_dir>/bands` PARTITIONED BY batch_id (dynamic overwrite: a
+    retried batch replaces its own partition), probes the accumulated
+    index, and writes this batch's candidate pairs to
+    `<out_dir>/pairs`, also batch-partitioned.
+
+    ORDER-FREE BY SET ALGEBRA: pair (x, y) is emitted by exactly one
+    batch — the one where the LATER of x, y arrives (probe against the
+    existing index) or their shared batch (within-batch self-join) —
+    so under ANY application order the union of the pairs partitions
+    is the same set: precisely minhash_lsh_candidates' pairs over the
+    union corpus (pinned in test_streaming.py, with scrambled order
+    and a verbatim retry). The probe EXCLUDES the current batch_id's
+    own partition, which makes a retry recompute its pair partition
+    bit-identically instead of seeing its first attempt's rows as
+    'existing'. At 100 TB: bands is the persistent LSH index (there,
+    a table bucketed by (band, bkey) so the probe co-locates); the
+    per-batch cost is banding the batch plus one index equi-join —
+    nothing global re-derives, and the index grows by O(batch)."""
+    from process_nwb_spark.relational.llm_ops import lsh_band_keys
+
+    bands_dir = out_dir.rstrip("/") + "/bands"
+    pairs_dir = out_dir.rstrip("/") + "/pairs"
+
+    def _read_if_exists(sp, path):
+        import os
+
+        if os.path.exists(path) or "://" in path:
+            try:
+                return sp.read.parquet(path)
+            except Exception:
+                return None
+        return None
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        new = lsh_band_keys(
+            batch_df.select("doc_id", "text")).localCheckpoint()
+        old = _read_if_exists(sp, bands_dir)
+        if old is not None:
+            old = old.filter(F.col("batch_id") != int(batch_id))
+
+        n = new.alias("n")
+        m = new.alias("m")
+        within = (n.join(m, (F.col("n.band") == F.col("m.band"))
+                         & (F.col("n.bkey") == F.col("m.bkey"))
+                         & (F.col("n.doc_id") < F.col("m.doc_id")))
+                  .select(F.col("n.doc_id").alias("doc_a"),
+                          F.col("m.doc_id").alias("doc_b")))
+        if old is not None:
+            o = old.alias("o")
+            cross = (n.join(o, (F.col("n.band") == F.col("o.band"))
+                            & (F.col("n.bkey") == F.col("o.bkey"))
+                            & (F.col("n.doc_id") != F.col("o.doc_id")))
+                     .select(F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+                             F.greatest("n.doc_id",
+                                        "o.doc_id").alias("doc_b")))
+            within = within.unionByName(cross)
+        pairs = (within.distinct()
+                 .withColumn("batch_id", F.lit(int(batch_id)))
+                 .localCheckpoint())
+
+        (new.withColumn("batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(bands_dir))
+        (pairs.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(pairs_dir))
+
+    return write_batch

@@ -999,3 +999,62 @@ def test_stream_psi_drift_equals_batch_face(spark, tmp_path):
     pd.testing.assert_frame_equal(
         norm(spark.read.parquet(out2 + "/psi"))[cols], want[cols],
         check_dtype=False, check_exact=True)
+
+
+def test_stream_lsh_candidates_equals_batch_face(spark, tmp_path):
+    """lsh_candidates_sink contract: after streaming the corpus in
+    micro-batches, the UNION of the batch-partitioned pairs tables is
+    exactly minhash_lsh_candidates' candidate set on the full corpus —
+    each pair emitted by the unique batch where its later member
+    arrived. Plus retry idempotence (the probe excludes the current
+    batch's own bands partition, so a verbatim retry recomputes the
+    same pairs) and order freedom (scrambled batch order converges to
+    the same set)."""
+    from process_nwb_spark.streaming.ops import lsh_candidates_sink
+    from tests.conftest import SF_CORRECT
+
+    docs = (T(spark, SF_CORRECT, "documents")
+            .select("doc_id", "text").localCheckpoint())
+    cuts = [170, 340]
+    preds = [F.col("doc_id") < cuts[0],
+             (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1]),
+             F.col("doc_id") >= cuts[1]]
+    in_dir = str(tmp_path / "lsh_in")
+    for p in preds:
+        docs.filter(p).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out = str(tmp_path / "lsh_out")
+    sdf = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (sdf.writeStream.foreachBatch(lsh_candidates_sink(out))
+         .option("checkpointLocation", str(tmp_path / "lsh_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    def norm(df):
+        return (df.select("doc_a", "doc_b").distinct().toPandas()
+                .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+    want = norm(all_queries()["minhash_lsh_candidates"].fn(spark,
+                                                           SF_CORRECT))
+    got = norm(spark.read.parquet(out + "/pairs"))
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # no pair is emitted twice across batch partitions (set algebra:
+    # exactly the second-arrival batch owns it)
+    raw = spark.read.parquet(out + "/pairs").select("doc_a", "doc_b")
+    assert raw.count() == raw.distinct().count()
+
+    # retry idempotence: re-apply the final batch verbatim
+    sink = lsh_candidates_sink(out)
+    sink(docs.filter(preds[2]), 2)
+    pd.testing.assert_frame_equal(norm(spark.read.parquet(out + "/pairs")),
+                                  want, check_dtype=False)
+
+    # order freedom: scrambled application into a fresh sink
+    out2 = str(tmp_path / "lsh_out2")
+    sink2 = lsh_candidates_sink(out2)
+    for i in (1, 2, 0):
+        sink2(docs.filter(preds[i]), i)
+    pd.testing.assert_frame_equal(norm(spark.read.parquet(out2 + "/pairs")),
+                                  want, check_dtype=False)
