@@ -190,6 +190,7 @@ def test_foreachbatch_sinks_soak_random_cuts(spark, tmp_path):
     from process_nwb_spark.relational.core import all_queries
     from process_nwb_spark.relational.dataprep import _PSI_CUT
     from process_nwb_spark.streaming.ops import (dedup_keeplist_sink,
+                                                 lsh_candidates_sink,
                                                  psi_drift_sink,
                                                  scd2_upsert_sink)
 
@@ -269,3 +270,18 @@ def test_foreachbatch_sinks_soak_random_cuts(spark, tmp_path):
             lambda o: psi_drift_sink(base, o), segs, f"psi_{rnd}")
         eq(spark.read.parquet(out + "/psi"), want_psi, ["event_type"],
            ("psi", rnd, cuts, order, retry))
+
+    # ---- lsh_candidates_sink vs minhash_lsh_candidates ----
+    want_lsh = (qs["minhash_lsh_candidates"].fn(spark, SF_CORRECT)
+                .select("doc_a", "doc_b"))
+    for rnd in range(2):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, ids, n_segs)   # ids from the docs axis
+        segs = _segments(docs, "doc_id", cuts)
+        out, order, retry = drive(lsh_candidates_sink, segs,
+                                  f"lsh_{rnd}")
+        got = spark.read.parquet(out + "/pairs").select("doc_a", "doc_b")
+        assert got.count() == got.distinct().count(), \
+            ("lsh dup pair", rnd, cuts, order, retry)
+        eq(got.distinct(), want_lsh, ["doc_a", "doc_b"],
+           ("lsh", rnd, cuts, order, retry))
