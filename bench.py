@@ -23,6 +23,18 @@ to $SPARK_GRAFT_BENCH_FULL_OUT (default <repo>/BENCH_SCALING.json):
   "signal_multi_series_curve" — the amortized DSP ratio at
            n=8/16/32/64/128 series (min AND median of the interleaved
            passes), to locate the Spark-vs-serial-NumPy crossover.
+
+Driver-proofing (r11, after the r10 driver record was lost to an OOM in
+the curve's n=128 point): the stdout headline line prints IMMEDIATELY
+after the headline section, before any scaling section; each scaling
+section is fault-isolated (an error lands as {"err": ...} in the
+artifact and the run continues to rc 0); and the heap-marginal curve
+runs in a SUBPROCESS (`--curve-child`) with a fresh 32g heap of its
+own, the main session stopped first. End-to-end proof, including a
+forced failure in every section, in tests/test_bench_harness.py.
+Test hooks: SPARK_GRAFT_BENCH_QUERIES (headline subset),
+SPARK_GRAFT_BENCH_RATIO_RUNS, SPARK_GRAFT_BENCH_SCALE_FORCE,
+SPARK_GRAFT_BENCH_INJECT_FAIL=sf1,skew,curve.
 """
 from __future__ import annotations
 
@@ -428,7 +440,9 @@ def bench_multi_series_curve(spark, base_entry: dict) -> list:
     from process_nwb_spark.synth import generate_synthetic_data
 
     curve = [dict(base_entry, n_series=N_SERIES_MANY)]
-    for n in (16, 32, 64, 128):
+    ns = tuple(int(x) for x in os.environ.get(
+        "SPARK_GRAFT_BENCH_CURVE_NS", "16,32,64,128").split(","))
+    for n in ns:
         _drop_resident_rdds(spark)   # big-n jobs need the whole heap
         Xs = [generate_synthetic_data(10.0, 32, 3200.0, seed=s)
               for s in range(n)]
@@ -449,6 +463,64 @@ def bench_multi_series_curve(spark, base_entry: dict) -> list:
                                    / statistics.median(np_s), 3)}
         curve.append(e)
     return curve
+
+
+def _inject_fail(section: str) -> None:
+    """Test hook: SPARK_GRAFT_BENCH_INJECT_FAIL='sf1,skew,curve' forces a
+    failure in the named scaling sections, so the fault-isolation this
+    harness promises (a diagnostic crash may NEVER destroy the already-
+    printed driver headline — the r10 postmortem) is itself testable
+    end-to-end (tests/test_bench_harness.py)."""
+    names = os.environ.get("SPARK_GRAFT_BENCH_INJECT_FAIL", "")
+    if section in [s.strip() for s in names.split(",") if s.strip()]:
+        raise RuntimeError(f"injected failure: {section}")
+
+
+def _run_curve_child(args_file: str, out_file: str) -> None:
+    """`bench.py --curve-child <args.json> <out.json>` entrypoint: run
+    bench_multi_series_curve in THIS fresh process — its own 32g JVM
+    with no residue from the headline/sf1/skew sections. The n=128
+    point is measured heap-marginal at 32g after a full run's residue
+    (see the _drop_resident_rdds note): the builder's r10 run survived
+    it, the driver's r10 run OOMed on it and lost the round's bench
+    record. A subprocess makes the curve's heap its own, so the worst
+    a curve OOM can do is cost the curve."""
+    _inject_fail("curve")
+    with open(args_file) as f:
+        base_entry = json.load(f)
+    from process_nwb_spark.session import get_spark
+
+    spark = get_spark("bench-curve", **{
+        "spark.driver.extraJavaOptions": "-Xlog:disable",
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_BENCH_DRIVER_MEM", "32g")})
+    try:
+        curve = bench_multi_series_curve(spark, base_entry)
+    finally:
+        spark.stop()
+    with open(out_file, "w") as f:
+        json.dump(curve, f)
+
+
+def _run_curve_subprocess(base_entry: dict) -> list:
+    """Launch the curve child and return its result. The child's stdout
+    is discarded (its stderr inherits ours): after the driver headline
+    line prints, NOTHING may write to this process's stdout."""
+    import subprocess
+
+    d = tempfile.mkdtemp(prefix="bench_curve_")
+    args_file = os.path.join(d, "args.json")
+    out_file = os.path.join(d, "curve.json")
+    with open(args_file, "w") as f:
+        json.dump(base_entry, f)
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--curve-child",
+         args_file, out_file],
+        stdout=subprocess.DEVNULL)
+    if r.returncode != 0:
+        raise RuntimeError(f"curve child exited rc={r.returncode}")
+    with open(out_file) as f:
+        return json.load(f)
 
 
 def main():
@@ -483,6 +555,14 @@ def main():
             "SPARK_GRAFT_BENCH_DRIVER_MEM", "32g")})
     registry = all_queries()
 
+    # test/debug hook: time only the named faces (the harness test runs
+    # a 2-query headline at sf0.001 so its end-to-end proof of the
+    # fault-isolation below costs seconds, not the full suite)
+    headline_faces = HEADLINE
+    q_env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    if q_env.strip():
+        headline_faces = [q.strip() for q in q_env.split(",") if q.strip()]
+
     # warm the session (executor threads, codegen, parquet reader paths)
     # so the first timed query doesn't absorb one-time JVM startup cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -501,14 +581,14 @@ def main():
     # lands on.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
 
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in headline_faces}
     samples["signal_pipeline"] = []
     many_samples: list[float] = []
     ref_many_samples: list[float] = []
     from process_nwb_spark.relational.core import clear_persist_slots
 
     for _ in range(runs):
-        for name in HEADLINE:
+        for name in headline_faces:
             df = registry[name].fn(spark, sf_dir)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
@@ -525,8 +605,10 @@ def main():
     # The main-loop samples above feed only the spread diagnostics, NOT
     # the ratio: a min over extra non-interleaved Spark passes could land
     # in a quieter window than any NumPy pass saw and flatter the ratio.
+    ratio_runs = max(1, int(os.environ.get(
+        "SPARK_GRAFT_BENCH_RATIO_RUNS", "5")))
     ratio_spark_samples: list[float] = []
-    for _ in range(5):
+    for _ in range(ratio_runs):
         ref_many_samples.append(bench_signal_numpy_many_reference())
         ratio_spark_samples.append(bench_signal_pipeline_many(spark))
 
@@ -599,22 +681,16 @@ def main():
 
     flush_full()
 
-    # scaling sections: only when benching the canonical sf0.1 input (the
-    # ratios are defined against it) and not explicitly disabled
-    scale_on = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
-    if scale_on and abs(sf - 0.1) < 1e-9:
-        full["sf1"] = bench_sf1(spark, registry, sf_dir, timings, medians)
-        _drop_resident_rdds(spark)   # sf1 residue must not shrink the heap
-        flush_full()
-        full["skew"] = bench_skew(spark)
-        _drop_resident_rdds(spark)
-        flush_full()
-        full["signal_multi_series_curve"] = bench_multi_series_curve(
-            spark, {"n_series": N_SERIES_MANY, "spark_one_job": spark_many,
-                    "numpy_serial": ref_many,
-                    "ratio": multi["ratio"]})
-        flush_full()
-
+    # ---- DRIVER CONTRACT: the one stdout JSON line prints HERE, the
+    # moment the headline is measured, BEFORE any scaling section runs.
+    # r10 printed it last and lost the round's bench record: the driver's
+    # run OOMed inside the final (optional, heap-marginal) curve
+    # diagnostic AFTER headline+sf1+skew had completed, exiting rc 1 with
+    # no line — the primary deliverable was hostage to the riskiest
+    # diagnostic. From this point on NOTHING may write to stdout (JVM
+    # unified logging is disabled above, log4j goes to stderr, the curve
+    # child's stdout is discarded), and every scaling section below is
+    # fault-isolated into the artifact instead of the exit code.
     headline = {"metric": full["metric"], "value": total, "unit": "sec",
                 "basis": full["basis"],
                 "queries": medians, "min": timings, "value_min": total_min,
@@ -622,9 +698,52 @@ def main():
     line = json.dumps(headline, separators=(",", ":"))
     assert len(line) < 1900, (
         f"driver line {len(line)} B would outgrow the ~2 KB tail capture")
-    print(line)
-    spark.stop()
+    print(line, flush=True)
+
+    def _guarded(key: str, fn) -> None:
+        """One scaling section: an error becomes {'err': ...} in the
+        committed artifact and the run continues — a diagnostic may
+        cost itself, never the round's record."""
+        try:
+            _inject_fail(key)
+            full[key] = fn()
+        except Exception as e:   # JVM OOM arrives as a py4j Exception
+            full[key] = {"err": repr(e)[:500]}
+        try:
+            _drop_resident_rdds(spark)  # section residue must not stack
+        except Exception:
+            pass
+        flush_full()
+
+    # scaling sections: only when benching the canonical sf0.1 input (the
+    # ratios are defined against it) and not explicitly disabled.
+    # SPARK_GRAFT_BENCH_SCALE_FORCE=1 runs them at any sf (test hook).
+    scale_on = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
+    force = os.environ.get("SPARK_GRAFT_BENCH_SCALE_FORCE") == "1"
+    if scale_on and (abs(sf - 0.1) < 1e-9 or force):
+        _guarded("sf1",
+                 lambda: bench_sf1(spark, registry, sf_dir, timings,
+                                   medians))
+        _guarded("skew", lambda: bench_skew(spark))
+        # the curve runs in a SUBPROCESS with a fresh 32g heap of its
+        # own (_run_curve_child); stop this session first so two 32g
+        # JVMs never coexist on the box
+        base_entry = {"n_series": N_SERIES_MANY,
+                      "spark_one_job": spark_many,
+                      "numpy_serial": ref_many, "ratio": multi["ratio"]}
+        try:
+            spark.stop()
+            full["signal_multi_series_curve"] = _run_curve_subprocess(
+                base_entry)
+        except Exception as e:
+            full["signal_multi_series_curve"] = {"err": repr(e)[:500]}
+        flush_full()
+    else:
+        spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--curve-child":
+        _run_curve_child(sys.argv[2], sys.argv[3])
+    else:
+        main()
