@@ -942,6 +942,31 @@ def foreach_batch_parquet_idempotent(out_dir: str):
     return write_batch
 
 
+def _read_if_exists(sp: SparkSession, path: str) -> DataFrame | None:
+    """Shared first-batch probe for the foreachBatch sinks: read the
+    parquet table at `path` if it exists, else None. Existence is asked
+    of Hadoop's FileSystem FOR THE PATH'S OWN SCHEME (local, hdfs://,
+    s3a://, abfss://, ...), so the short-circuit behaves identically on
+    local disk and object storage — the r10 sinks used a driver-local
+    os.path.exists that was only authoritative for local paths and made
+    the try/except read the real branch on any remote FS. If the probe
+    itself fails (exotic scheme, missing connector), the read decides;
+    a failed read still means "no table yet" (e.g. a directory holding
+    only _SUCCESS from an all-empty write — no schema to infer)."""
+    try:
+        jvm = sp._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sp._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+    except Exception:
+        pass   # probe unavailable: fall through, the read decides
+    try:
+        return sp.read.parquet(path)
+    except Exception:
+        return None
+
+
 def mv_upsert_sink(out_dir: str, keys: list[str]):
     """Streaming materialized-view maintenance: an UPDATE-mode aggregated
     stream hands foreachBatch the keys whose running totals changed this
@@ -960,23 +985,10 @@ def mv_upsert_sink(out_dir: str, keys: list[str]):
     test_streaming.py)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int):
-        import os
-
         sp = batch_df.sparkSession
         new = batch_df
-        # cheap existence pre-check keeps the first batch from logging a
-        # JVM FileNotFound stack. The probe is driver-local, so it is
-        # only authoritative for local paths: for a remote target
-        # (s3://, hdfs://, abfss://) it would always be False and the
-        # sink would wrongly treat every batch as the first — there the
-        # try/except read below is the real detector.
-        have = os.path.exists(out_dir) or "://" in out_dir
-        if have:
-            try:
-                cur = sp.read.parquet(out_dir)
-            except Exception:
-                have = False
-        if have:
+        cur = _read_if_exists(sp, out_dir)
+        if cur is not None:
             merged = cur.join(new, keys, "left_anti").unionByName(new)
         else:
             merged = new
@@ -1092,18 +1104,6 @@ def scd2_upsert_sink(out_dir: str):
 
     pts_dir = out_dir.rstrip("/") + "__points"
 
-    def _read_if_exists(sp, path):
-        import os
-
-        # driver-local existence probe is only authoritative for local
-        # paths; for remote FSs (s3:// etc.) fall through to the read
-        if os.path.exists(path) or "://" in path:
-            try:
-                return sp.read.parquet(path)
-            except Exception:
-                return None
-        return None
-
     def write_batch(batch_df: DataFrame, batch_id: int):
         sp = batch_df.sparkSession
 
@@ -1192,21 +1192,13 @@ def dedup_keeplist_sink(out_dir: str):
     THEN UPDATE, keyed and bucketed by fp."""
 
     def write_batch(batch_df: DataFrame, batch_id: int):
-        import os
-
         sp = batch_df.sparkSession
         fp = F.md5(F.lower(F.trim(
             F.regexp_replace("text", r"\s+", " "))))
         new = (batch_df.select(fp.alias("fp"), "doc_id")
                .groupBy("fp")
                .agg(F.min("doc_id").alias("keep_doc_id")))
-        have = os.path.exists(out_dir) or "://" in out_dir
-        cur = None
-        if have:
-            try:
-                cur = sp.read.parquet(out_dir)
-            except Exception:
-                cur = None
+        cur = _read_if_exists(sp, out_dir)
         merged = new if cur is None else (
             cur.unionByName(new)
             .groupBy("fp").agg(F.min("keep_doc_id").alias("keep_doc_id")))
@@ -1278,12 +1270,21 @@ def psi_drift_sink(baseline: DataFrame, out_dir: str):
         (cnt.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id").parquet(cur_dir))
-        cur = (sp.read.parquet(cur_dir)
-               .groupBy("event_type", "bkt")
+        # guarded read-back: an all-empty first batch (no rows, or every
+        # event type absent from the baseline) writes NO partition under
+        # cur_dir, so a bare read would fail schema inference and crash
+        # the streaming query; with no counts yet, PSI folds over cc=0
+        raw = _read_if_exists(sp, cur_dir)
+        cur = (None if raw is None else
+               raw.groupBy("event_type", "bkt")
                .agg(F.sum("n").alias("cc")))
-        counts = (base_counts.join(cur, ["event_type", "bkt"], "left")
-                  .select("event_type", "bkt", "cb",
-                          F.coalesce("cc", F.lit(0)).alias("cc")))
+        if cur is None:
+            counts = base_counts.withColumn(
+                "cc", F.lit(0).cast("long"))
+        else:
+            counts = (base_counts.join(cur, ["event_type", "bkt"], "left")
+                      .select("event_type", "bkt", "cb",
+                              F.coalesce("cc", F.lit(0)).alias("cc")))
         psi = psi_fold(counts).localCheckpoint()
         psi.write.mode("overwrite").parquet(psi_dir)
 
@@ -1311,24 +1312,23 @@ def lsh_candidates_sink(out_dir: str):
     and a verbatim retry). The probe EXCLUDES the current batch_id's
     own partition, which makes a retry recompute its pair partition
     bit-identically instead of seeing its first attempt's rows as
-    'existing'. At 100 TB: bands is the persistent LSH index (there,
-    a table bucketed by (band, bkey) so the probe co-locates); the
-    per-batch cost is banding the batch plus one index equi-join —
-    nothing global re-derives, and the index grows by O(batch)."""
+    'existing'. Probe exclusion alone is NOT enough for a DELAYED
+    retry (batch i re-applied after a later batch j): the retried i
+    now sees j's bands and would re-emit a cross pair j's in-order
+    pass already owns — so candidates are also ANTI-JOINED against
+    the pairs already emitted by OTHER partitions before writing,
+    keeping every pair in exactly one partition (raw count ==
+    distinct count) under any order WITH any retries, immediate or
+    delayed (soak-pinned). At 100 TB: bands is the persistent LSH
+    index (there, a table bucketed by (band, bkey) so the probe
+    co-locates); pairs is pair-set-sized, so the anti-join is an
+    equi-join against output, not input; the per-batch cost is
+    banding the batch plus two index equi-joins — nothing global
+    re-derives, and the index grows by O(batch)."""
     from process_nwb_spark.relational.llm_ops import lsh_band_keys
 
     bands_dir = out_dir.rstrip("/") + "/bands"
     pairs_dir = out_dir.rstrip("/") + "/pairs"
-
-    def _read_if_exists(sp, path):
-        import os
-
-        if os.path.exists(path) or "://" in path:
-            try:
-                return sp.read.parquet(path)
-            except Exception:
-                return None
-        return None
 
     def write_batch(batch_df: DataFrame, batch_id: int):
         sp = batch_df.sparkSession
@@ -1354,8 +1354,18 @@ def lsh_candidates_sink(out_dir: str):
                              F.greatest("n.doc_id",
                                         "o.doc_id").alias("doc_b")))
             within = within.unionByName(cross)
-        pairs = (within.distinct()
-                 .withColumn("batch_id", F.lit(int(batch_id)))
+        cand = within.distinct()
+        # delayed-retry guard: drop candidates another partition already
+        # owns (a retried batch i applied after batch j would otherwise
+        # re-emit the cross pairs j's in-order pass claimed). Excluding
+        # the own partition keeps verbatim retries bit-identical.
+        prev = _read_if_exists(sp, pairs_dir)
+        if prev is not None:
+            cand = cand.join(
+                prev.filter(F.col("batch_id") != int(batch_id))
+                .select("doc_a", "doc_b"),
+                ["doc_a", "doc_b"], "left_anti")
+        pairs = (cand.withColumn("batch_id", F.lit(int(batch_id)))
                  .localCheckpoint())
 
         (new.withColumn("batch_id", F.lit(int(batch_id)))

@@ -1000,6 +1000,21 @@ def test_stream_psi_drift_equals_batch_face(spark, tmp_path):
         norm(spark.read.parquet(out2 + "/psi"))[cols], want[cols],
         check_dtype=False, check_exact=True)
 
+    # EMPTY FIRST BATCH (r11, was a crash): an all-empty batch writes no
+    # partition under cur_counts, so the read-back must fall back to
+    # cc=0 instead of failing schema inference and killing the query;
+    # subsequent real batches then converge to the same table
+    out3 = str(tmp_path / "psi_out3")
+    sink3 = psi_drift_sink(base, out3)
+    sink3(cur.filter(F.lit(False)).select("event_type", "value"), 0)
+    zero = norm(spark.read.parquet(out3 + "/psi"))
+    assert (zero["n_cur"] == 0).all()   # PSI folded over zero counts
+    for i in (0, 1, 2):
+        sink3(cur.filter(preds[i]).select("event_type", "value"), i + 1)
+    pd.testing.assert_frame_equal(
+        norm(spark.read.parquet(out3 + "/psi"))[cols], want[cols],
+        check_dtype=False, check_exact=True)
+
 
 def test_stream_lsh_candidates_equals_batch_face(spark, tmp_path):
     """lsh_candidates_sink contract: after streaming the corpus in
@@ -1058,3 +1073,17 @@ def test_stream_lsh_candidates_equals_batch_face(spark, tmp_path):
         sink2(docs.filter(preds[i]), i)
     pd.testing.assert_frame_equal(norm(spark.read.parquet(out2 + "/pairs")),
                                   want, check_dtype=False)
+
+    # DELAYED verbatim retry (r11, was a double-emit): re-applying batch
+    # 0 AFTER later batches ran, the probe now sees their bands and
+    # would re-emit cross pairs those batches already own — the
+    # anti-join against other partitions' pairs must keep every pair in
+    # exactly ONE partition and the union unchanged
+    for victim in (0, 1):
+        sink2(docs.filter(preds[victim]), victim)
+        raw2 = spark.read.parquet(out2 + "/pairs").select("doc_a", "doc_b")
+        assert raw2.count() == raw2.distinct().count(), (
+            f"delayed retry of batch {victim} double-emitted pairs")
+        pd.testing.assert_frame_equal(
+            norm(spark.read.parquet(out2 + "/pairs")), want,
+            check_dtype=False)
