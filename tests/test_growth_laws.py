@@ -93,3 +93,70 @@ def test_token_counts_plan_is_shuffle_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def _bucket_cells(keyed):
+    """Per-(group, md5-prefix-bucket) row counts — the reducer workloads
+    bucketed_hash_rank actually schedules."""
+    return (keyed.withColumn("_b", F.substring("h", 1, 2))
+            .groupBy("g", "_b").count()
+            .groupBy("g").agg(F.max("count").alias("mx"),
+                              F.sum("count").alias("n"))
+            .collect())
+
+
+def _mix_inputs(spark, sf_dir):
+    """The two keyed frames the mix faces hand bucketed_hash_rank:
+    languages (one language owns ~40% of the corpus) and epochs."""
+    from process_nwb_spark.relational.dataprep import _EPOCHS
+
+    d = T(spark, sf_dir, "documents")
+    lang = d.select(F.col("lang").alias("g"),
+                    F.md5(F.col("doc_id").cast("string")).alias("h"))
+    epochs = spark.range(_EPOCHS).select(F.col("id").alias("epoch"))
+    ep = (d.crossJoin(F.broadcast(epochs))
+          .select(F.col("epoch").cast("string").alias("g"),
+                  F.md5(F.concat(F.col("epoch").cast("string"),
+                                 F.lit(":"),
+                                 F.col("doc_id").cast("string")))
+                  .alias("h")))
+    return {"lang": lang, "epoch": ep}
+
+
+def test_bucketed_hash_rank_buckets_stay_uniform(spark):
+    """Pin the assumption BOTH mix faces' 100 TB story rests on: the
+    md5-prefix 256-way buckets are uniform BY CONSTRUCTION, so no
+    (group, bucket) reducer is a straggler even when one group owns
+    half the corpus. Two pins per use site (languages / epochs):
+
+    1. CONCENTRATION at both SFs: every group's hottest bucket stays
+       within the binomial tail bound m + 4*sqrt(m*ln 256) + 3 around
+       its own mean m = n_g/256 — the quantitative form of 'uniform by
+       construction'. A seeded or prefix-biased key (e.g. hashing a
+       value that shares a prefix across rows) blows straight past it.
+    2. CONVERGENCE on 10x rows: the largest group's normalized skew
+       (hottest bucket / mean) must not grow from sf0.01 to sf0.1 —
+       relative fluctuations shrink as n grows, so at 100 TB the
+       buckets are flat; a skew that GROWS with n is exactly the
+       straggler signature this helper exists to rule out.
+    """
+    import math
+
+    ln256 = math.log(256)
+    for name in ("lang", "epoch"):
+        skew_largest = {}
+        for sf in (SF_A, SF_B):
+            rows = _bucket_cells(_mix_inputs(spark, sf)[name])
+            for r in rows:
+                m = r["n"] / 256.0
+                bound = m + 4 * math.sqrt(max(m, 1.0) * ln256) + 3
+                assert r["mx"] <= bound, (
+                    f"{name}@{sf} group {r['g']}: hottest bucket "
+                    f"{r['mx']} exceeds concentration bound {bound:.1f} "
+                    f"(n={r['n']})")
+            big = max(rows, key=lambda r: r["n"])
+            skew_largest[sf] = big["mx"] / (big["n"] / 256.0)
+        assert skew_largest[SF_B] <= skew_largest[SF_A], (
+            f"{name}: normalized bucket skew GREW on 10x rows "
+            f"({skew_largest[SF_A]:.2f} -> {skew_largest[SF_B]:.2f}) — "
+            f"straggler signature")
