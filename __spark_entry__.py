@@ -48,76 +48,88 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: correctness harnesses that sample a prefix of
 # this dict should see a DIVERSE cross-section of the engine. The prefix is
-# ROTATED each round so cumulative driver coverage grows. STATE AFTER r9:
-# cumulative driver coverage is 304/304 of the 304-face registry, 0 red
-# (CORRECTNESS_r0{1..9}.json) — builder-claimed and driver-proven coincide.
-# With everything proven once, the r10 window's job flips to STALENESS-ORDERED
-# RE-VERIFICATION: (a) the r10-ADDED face (mix_lang_temperature, XLM-R-style
-# temperature resampling across languages) and the 2 faces whose Spark
-# implementation changed in r10
-# (mix_epoch_shuffle: bucketed row_number + broadcast offsets replacing the
-# single-task-per-epoch sort, hash-identical output; dq_psi_drift: refactored
-# onto shared psi_* helpers now also used by the streaming twin — identical
-# expressions, same results), then (b) oldest-driver-sample first — the r2
-# cohort (33 faces, 8 rounds stale) and the oldest r4 faces fill the window.
-# No registry faces were added or semantically changed in r10 besides (a).
-# Each face's last driver-sampled round is annotated inline. The ENTIRE
-# registry remains green under the committed full-registry exact gate in BOTH
-# default and ANSI modes plus the shuffle-partition hash-stability probe
-# (ORACLE_{LOCAL,ANSI}_r10.json: 305/305 each; HASHSTAB_r10.json: 305/305).
+# ROTATED each round so cumulative driver coverage grows. STATE AFTER r10:
+# cumulative driver coverage is 305/305 of the 305-face registry, 0 red
+# (CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json) — builder-claimed and
+# driver-proven coincide for the second consecutive round. With everything
+# proven, the r11 window continues STALENESS-ORDERED RE-VERIFICATION:
+# no registry face was added or semantically changed in r11 (the r11 diff is
+# bench-harness driver-proofing and streaming-sink fixes — foreachBatch sinks
+# have no registry face; their parity pins live in test_streaming/_soak), so
+# the window is pure staleness backfill: the 22 remaining r4 faces, then the
+# r5 cohort (41 faces, 6 rounds stale). Each face's last driver-sampled round
+# is annotated inline; per-face history derives from CORRECTNESS_r{1..10}.
+# The ENTIRE registry remains green under the committed full-registry exact
+# gate in BOTH default and ANSI modes plus the shuffle-partition
+# hash-stability probe (ORACLE_{LOCAL,ANSI}_r11.json, HASHSTAB_r11.json).
 DRIVER_PRIORITY = (
-    # ---- (a) faces ADDED or implementation-CHANGED in r10 ----
-    "mix_lang_temperature",  # ADDED r10 (never driver-sampled)
-    "mix_epoch_shuffle",     # impl changed r10; last driver r9
-    "dq_psi_drift",          # impl changed r10; last driver r9
+    # ---- (a) faces ADDED or implementation-CHANGED in r11 ----
+    # (none so far: r11 changes are bench-harness + streaming sinks,
+    #  which have no registry face of their own)
     # ---- (b) staleness backfill, oldest driver sample first ----
-    "agg_collect_sorted",  # last driver r2
-    "agg_count_distinct",  # last driver r2
-    "agg_cube",  # last driver r2
-    "agg_grouping_sets",  # last driver r2
-    "agg_rollup",  # last driver r2
-    "agg_stats",  # last driver r2
-    "basket_lift_pairs",  # last driver r2
-    "fn_array",  # last driver r2
-    "fn_bitwise_conditional",  # last driver r2
-    "fn_date",  # last driver r2
-    "fn_json_map",  # last driver r2
-    "fn_math",  # last driver r2
-    "fn_string",  # last driver r2
-    "join_cross",  # last driver r2
-    "join_full_outer",  # last driver r2
-    "join_left_coalesce",  # last driver r2
-    "join_right",  # last driver r2
-    "join_semi",  # last driver r2
-    "pareto_abc_customers",  # last driver r2
-    "rfm_segments",  # last driver r2
-    "set_intersect",  # last driver r2
-    "set_union_all",  # last driver r2
-    "set_union_distinct",  # last driver r2
-    "sort_nulls_limit",  # last driver r2
-    "star_large_orders",  # last driver r2
-    "star_local_revenue",  # last driver r2
-    "star_topk_unshipped",  # last driver r2
-    "sub_late_sole_supplier",  # last driver r2
-    "sub_small_qty_revenue",  # last driver r2
-    "win_lag_lead",  # last driver r2
-    "win_range_frame",  # last driver r2
-    "win_rank_dense",  # last driver r2
-    "win_zscore",  # last driver r2
-    "agg_approx_count_distinct",  # last driver r4
-    "agg_approx_percentiles",  # last driver r4
-    "agg_histogram",  # last driver r4
-    "agg_mode_argmax",  # last driver r4
-    "agg_trimmed_mean",  # last driver r4
-    "attribution_last_touch",  # last driver r4
-    "dq_audit",  # last driver r4
-    "embed_ann_lsh",  # last driver r4
-    "event_sessionize",  # last driver r4
-    "graph_pagerank",  # last driver r4
-    "jaccard_prefix_filter",  # last driver r4
-    "join_null_safe",  # last driver r4
-    "join_range_bucket",  # last driver r4
-    "pack_sequences",  # last driver r4
+    "pivot_qty_by_flag",  # last driver r4
+    "proj_filter_case",  # last driver r4
+    "retention_cohorts",  # last driver r4
+    "running_balance_clamped",  # last driver r4
+    "scan_range",  # last driver r4
+    "scd2_point_in_time",  # last driver r4
+    "session_funnel",  # last driver r4
+    "sig_car_subtract",  # last driver r4
+    "sig_zscore_baseline",  # last driver r4
+    "simhash_fingerprints",  # last driver r4
+    "split_train_test",  # last driver r4
+    "sql_recursive_months",  # last driver r4
+    "sub_scalar_correlated",  # last driver r4
+    "text_tfidf_topterms",  # last driver r4
+    "ts_linear_interp",  # last driver r4
+    "ts_time_weighted_avg",  # last driver r4
+    "udf_embed_norms",  # last driver r4
+    "udf_grouped_map_demean",  # last driver r4
+    "win_running_frames",  # last driver r4
+    "win_session",  # last driver r4
+    "win_topk_per_group",  # last driver r4
+    "win_tumbling",  # last driver r4
+    "agg_bitmap_distinct",  # last driver r5
+    "agg_hll_sketch",  # last driver r5
+    "agg_ordered_quantiles",  # last driver r5
+    "agg_percentiles",  # last driver r5
+    "agg_regression_stats",  # last driver r5
+    "agg_winsorized_mean",  # last driver r5
+    "anomaly_mad_flags",  # last driver r5
+    "dedup_chunk_exact",  # last driver r5
+    "dq_ks_drift",  # last driver r5
+    "dq_profile_columns",  # last driver r5
+    "embed_kmeans_lloyd",  # last driver r5
+    "embed_quantile_norm",  # last driver r5
+    "fn_interval_datetime",  # last driver r5
+    "fn_map_higher_order",  # last driver r5
+    "fn_try_arith",  # last driver r5
+    "fn_variant",  # last driver r5
+    "funnel_conversion",  # last driver r5
+    "lateral_topk_orders",  # last driver r5
+    "lsh_eval_pr",  # last driver r5
+    "merge_upsert_changeset",  # last driver r5
+    "minhash_signatures",  # last driver r5
+    "sample_stratified",  # last driver r5
+    "seq_transition_matrix",  # last driver r5
+    "sig_segmented_parity",  # last driver r5
+    "sink_partitioned_prune",  # last driver r5
+    "source_csv_roundtrip",  # last driver r5
+    "split_contamination",  # last driver r5
+    "sql_pipe_syntax",  # last driver r5
+    "stream_dedup_first",  # last driver r5
+    "stream_static_join",  # last driver r5
+    "stream_stream_join",  # last driver r5
+    "sub_exists_returned",  # last driver r5
+    "text_pii_redact",  # last driver r5
+    "text_repetition",  # last driver r5
+    "ts_ohlc_bars",  # last driver r5
+    "ts_rolling_median",  # last driver r5
+    "udf_arrow_grouped_scale",  # last driver r5
+    "udtf_word_positions",  # last driver r5
+    "win_gap_fill",  # last driver r5
+    "win_sliding",  # last driver r5
+    "win_trailing_range",  # last driver r5
 )
 
 
