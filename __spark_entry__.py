@@ -53,19 +53,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # (CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json) — builder-claimed and
 # driver-proven coincide for the second consecutive round. With everything
 # proven, the r11 window continues STALENESS-ORDERED RE-VERIFICATION:
-# no registry face was added or semantically changed in r11 (the r11 diff is
-# bench-harness driver-proofing and streaming-sink fixes — foreachBatch sinks
-# have no registry face; their parity pins live in test_streaming/_soak), so
-# the window is pure staleness backfill: the 22 remaining r4 faces, then the
-# r5 cohort (41 faces, 6 rounds stale). Each face's last driver-sampled round
-# is annotated inline; per-face history derives from CORRECTNESS_r{1..10}.
+# (a) the ONE face added in r11 (mix_pack_epoch_stream, registry now 306 —
+# the epoch shuffle packed in stream order, batch half of the new
+# epoch_pack_sink streaming twin; the rest of the r11 diff is bench-harness
+# driver-proofing and streaming-sink fixes, which have no registry face —
+# their parity pins live in test_streaming/_soak), then (b) pure staleness
+# backfill: the 22 remaining r4 faces, then the r5 cohort (41 faces, 6
+# rounds stale). Each face's last driver-sampled round is annotated inline;
+# per-face history derives from CORRECTNESS_r{1..10}.
 # The ENTIRE registry remains green under the committed full-registry exact
 # gate in BOTH default and ANSI modes plus the shuffle-partition
 # hash-stability probe (ORACLE_{LOCAL,ANSI}_r11.json, HASHSTAB_r11.json).
 DRIVER_PRIORITY = (
     # ---- (a) faces ADDED or implementation-CHANGED in r11 ----
-    # (none so far: r11 changes are bench-harness + streaming sinks,
-    #  which have no registry face of their own)
+    "mix_pack_epoch_stream",  # ADDED r11 (never driver-sampled): epoch
+    #   shuffle packed in stream order; batch half of epoch_pack_sink
     # ---- (b) staleness backfill, oldest driver sample first ----
     "pivot_qty_by_flag",  # last driver r4
     "proj_filter_case",  # last driver r4

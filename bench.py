@@ -113,6 +113,9 @@ SF1_SUBSET = [
     # sort-linear with no single-task-per-epoch sort), and URL
     # canonicalization (zero pre-agg shuffles — claims linear)
     "dq_psi_drift", "mix_epoch_shuffle", "fn_url_canonicalize",
+    # r11: shuffle + pack in one bucketed window — claims the same
+    # sort-linear no-single-task-per-epoch shape as mix_epoch_shuffle
+    "mix_pack_epoch_stream",
     # r10: the eager-checkpoint faces, measured WHOLE-CALLABLE (below)
     "graph_wcc_star", "graph_kcore_peel", "split_leakage_safe",
 ]

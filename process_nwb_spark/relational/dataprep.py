@@ -1636,29 +1636,116 @@ def mix_epoch_shuffle(spark, sf_dir):
         F.col("position").cast("bigint").alias("position"), "doc_id")
 
 
+@query(
+    "mix_pack_epoch_stream",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    keyed AS (
+      SELECT g.epoch, t.doc_id, t.n_tokens,
+             MD5(CAST(g.epoch AS VARCHAR) || ':'
+                 || CAST(t.doc_id AS VARCHAR)) AS k
+      FROM tok t,
+           (SELECT UNNEST(RANGE(0, {_EPOCHS})) AS epoch) g
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                                   ORDER BY k, doc_id) AS BIGINT)
+             AS position,
+           doc_id, n_tokens,
+           CAST((SUM(n_tokens) OVER (PARTITION BY epoch
+                                     ORDER BY k, doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                 - n_tokens) // {_PACK_CAPACITY} AS BIGINT) AS pack_id
+    FROM keyed
+    """,
+    doc=f"the TRAINING STREAM itself: each epoch's deterministic "
+        f"md5-shuffled order (mix_epoch_shuffle) packed into "
+        f"{_PACK_CAPACITY}-token context windows IN STREAM ORDER — "
+        "pack_id is the exclusive running token count at the doc's "
+        "position, integer-divided by capacity. PLAN: position AND the "
+        "running token sum both come from ONE bucketed_hash_rank call "
+        "(the md5-prefix 256-way bucket trick, extended with per-bucket "
+        "weight totals broadcast as offsets), so the per-epoch prefix "
+        "sum costs the same no-single-task-sort plan as the shuffle "
+        "itself — at 100 TB no epoch ever serializes through one "
+        "reducer. The streaming twin (streaming/ops.epoch_pack_sink) "
+        "consumes contiguous position ranges as micro-batches with "
+        "carry state and must reproduce these pack ids bit-exactly "
+        "(the mid-epoch-resume contract, pinned in test_streaming.py)",
+)
+def mix_pack_epoch_stream(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.regexp_count("text", F.lit(r"\w+")).cast("long")
+                   .alias("n_tokens"))
+    epochs = spark.range(_EPOCHS).select(F.col("id").alias("epoch"))
+    keyed = (tok.crossJoin(F.broadcast(epochs))
+             .select("epoch", "doc_id", "n_tokens",
+                     F.md5(F.concat(F.col("epoch").cast("string"),
+                                    F.lit(":"),
+                                    F.col("doc_id").cast("string")))
+                     .alias("k")))
+    ranked = bucketed_hash_rank(keyed, ["epoch"], "k", "doc_id",
+                                out_col="position",
+                                weight_col="n_tokens", cum_col="_cb")
+    return ranked.select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.col("position").cast("bigint").alias("position"),
+        "doc_id", "n_tokens",
+        F.floor(F.col("_cb") / _PACK_CAPACITY).cast("bigint")
+        .alias("pack_id"))
+
+
 def bucketed_hash_rank(df, group_cols: list, hash_col: str, tie_col: str,
-                       out_col: str = "r"):
+                       out_col: str = "r", weight_col: str | None = None,
+                       cum_col: str | None = None):
     """Per-group dense rank 1..n ordered by (hash_col, tie_col) WITHOUT
     a single-task-per-group sort — the global_row_index pattern for
     LOW-CARDINALITY groups (epochs, languages): the first 2 hex chars
     of the md5-hex `hash_col` are a 256-way RANGE bucket that agrees
     with the sort order (a key prefix, uniform by construction — no
-    min/max scan), so row_number runs per-(group, bucket) — one hash
-    exchange on 256 x |groups| keys, every reducer busy — and the
-    per-bucket counts (map-side combined, metadata-sized) cumsum into
-    offsets broadcast back. Shared by mix_epoch_shuffle (groups =
-    epochs) and mix_lang_temperature (groups = languages, where one
-    language can own half the corpus). Plan-asserted in test_plans.py:
-    no SinglePartition, rank windows partition on (group, bucket)."""
+    min/max scan; pinned statistically in test_growth_laws.py), so
+    row_number runs per-(group, bucket) — one hash exchange on 256 x
+    |groups| keys, every reducer busy — and the per-bucket counts
+    (map-side combined, metadata-sized) cumsum into offsets broadcast
+    back. Shared by mix_epoch_shuffle (groups = epochs) and
+    mix_lang_temperature (groups = languages, where one language can
+    own half the corpus). Plan-asserted in test_plans.py: no
+    SinglePartition, rank windows partition on (group, bucket).
+
+    With `weight_col`/`cum_col`, additionally emits the EXCLUSIVE
+    running sum of weight_col in the same (hash, tie) order through the
+    SAME bucket decomposition (per-bucket local prefix sum + broadcast
+    cumulative per-bucket weight totals) — the sequence-packing prefix
+    sum (mix_pack_epoch_stream) at the same no-global-sort cost; both
+    window expressions share one (group, bucket) window spec, so
+    Catalyst plans a single Window node. Default call is unchanged."""
     b = df.withColumn("_b", F.substring(hash_col, 1, 2))
-    counts = b.groupBy(*group_cols, "_b").agg(F.count("*").alias("_n"))
+    aggs = [F.count("*").alias("_n")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).alias("_wn"))
+    counts = b.groupBy(*group_cols, "_b").agg(*aggs)
     woff = (Window.partitionBy(*group_cols).orderBy("_b")
             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = counts.select(
-        *group_cols, "_b",
-        F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off"))
-    local = F.row_number().over(
-        Window.partitionBy(*group_cols, "_b").orderBy(hash_col, tie_col))
-    return (b.join(F.broadcast(offsets), [*group_cols, "_b"])
-            .withColumn(out_col, F.col("_off") + local)
-            .drop("_b", "_off"))
+    off_cols = [*group_cols, "_b",
+                F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")]
+    if weight_col is not None:
+        off_cols.append(F.coalesce(F.sum("_wn").over(woff), F.lit(0))
+                        .alias("_woff"))
+    offsets = counts.select(*off_cols)
+    wloc = Window.partitionBy(*group_cols, "_b").orderBy(hash_col, tie_col)
+    out = (b.join(F.broadcast(offsets), [*group_cols, "_b"])
+           .withColumn(out_col,
+                       F.col("_off") + F.row_number().over(wloc)))
+    if weight_col is not None:
+        local_cum = (F.sum(weight_col).over(
+            wloc.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col(weight_col))
+        out = (out.withColumn(cum_col, F.col("_woff") + local_cum)
+               .drop("_woff"))
+    return out.drop("_b", "_off")

@@ -1291,6 +1291,100 @@ def psi_drift_sink(baseline: DataFrame, out_dir: str):
     return write_batch
 
 
+def epoch_pack_sink(out_dir: str, capacity: int):
+    """foreachBatch TRAINING-STREAM PACKER — the streaming consumer of
+    mix_epoch_shuffle's deterministic order and the twin of the batch
+    face relational/dataprep.mix_pack_epoch_stream: micro-batches carry
+    contiguous per-epoch POSITION RANGES (`epoch` bigint, `position`
+    bigint — the shuffle's dense rank, consumed `WHERE position >
+    checkpoint` exactly as the shuffle face's resume contract sells —
+    `doc_id` bigint, `n_tokens` bigint), and the sink assigns each doc
+    its GLOBAL pack id (exclusive running token count within the epoch,
+    integer-divided by `capacity`) as if the whole epoch had been
+    packed in one pass — bit-identical to the batch face, pinned in
+    test_streaming.py.
+
+    State is two integers per epoch (position high-water mark +
+    cumulative token count), persisted as batch-id-PARTITIONED
+    snapshots under `<out_dir>/state`; packed rows land batch-id-
+    partitioned under `<out_dir>/packs` with dynamic overwrite. To
+    apply batch b the sink folds state from the LATEST snapshot with
+    batch_id < b per epoch, so a VERBATIM RETRY of any batch —
+    immediate or delayed after later batches ran — recomputes its
+    packs and snapshot bit-identically and overwrites its own
+    partitions (retry-idempotent by construction; later batches'
+    outputs were derived from the same snapshot chain and stay
+    valid). Contract, mirroring stream_alert_hysteresis: NEW batches
+    must arrive in increasing (batch_id, position) order per epoch —
+    a fresh batch at-or-below the high-water mark raises. The
+    per-batch window (cum-sum over position, partitioned by epoch)
+    sorts only the micro-batch — O(batch) like every stateful sink
+    here; the unbounded per-epoch prefix sum was already paid
+    scalably by the batch face's bucketed plan."""
+    from pyspark.sql.window import Window
+
+    packs_dir = out_dir.rstrip("/") + "/packs"
+    state_dir = out_dir.rstrip("/") + "/state"
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        bid = int(batch_id)
+        snaps = _read_if_exists(sp, state_dir)
+        st = None
+        if snaps is not None:
+            wlast = Window.partitionBy("epoch").orderBy(
+                F.desc("batch_id"))
+            st = (snaps.filter(F.col("batch_id") < bid)
+                  .withColumn("_rn", F.row_number().over(wlast))
+                  .filter(F.col("_rn") == 1)
+                  .select("epoch", "hwm", "cum")
+                  .localCheckpoint())
+            n_viol = (batch_df.join(st, "epoch")
+                      .filter(F.col("position") <= F.col("hwm")).count())
+            if n_viol:
+                raise ValueError(
+                    f"epoch_pack_sink: batch {bid} has {n_viol} rows at "
+                    "or below an epoch's position high-water mark — "
+                    "out-of-order landing (retries must reuse their "
+                    "original batch_id)")
+        w = (Window.partitionBy("epoch").orderBy("position")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        cum_loc = F.sum("n_tokens").over(w) - F.col("n_tokens")
+        base = batch_df if st is None else batch_df.join(st, "epoch",
+                                                         "left")
+        carry = (F.lit(0).cast("long") if st is None
+                 else F.coalesce(F.col("cum"), F.lit(0)))
+        packed = base.select(
+            "epoch", "position", "doc_id", "n_tokens",
+            F.floor((carry + cum_loc) / capacity).cast("long")
+            .alias("pack_id")).localCheckpoint()
+        new_state = (packed.groupBy("epoch")
+                     .agg(F.max("position").alias("hwm"),
+                          F.sum("n_tokens").alias("_w")))
+        if st is not None:
+            new_state = (new_state
+                         .join(st.select("epoch",
+                                         F.col("cum").alias("_c")),
+                               "epoch", "left")
+                         .select("epoch", "hwm",
+                                 (F.coalesce(F.col("_c"), F.lit(0))
+                                  + F.col("_w")).alias("cum")))
+        else:
+            new_state = new_state.select("epoch", "hwm",
+                                         F.col("_w").alias("cum"))
+        new_state = (new_state.withColumn("batch_id", F.lit(bid))
+                     .localCheckpoint())
+        (packed.withColumn("batch_id", F.lit(bid))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(packs_dir))
+        (new_state.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(state_dir))
+
+    return write_batch
+
+
 def lsh_candidates_sink(out_dir: str):
     """foreachBatch INCREMENTAL NEAR-DUP candidate detection — the LSH
     twin of dedup_keeplist_sink's exact dedup, for a continuously

@@ -851,3 +851,24 @@ def test_lang_temperature_never_single_task_per_lang(spark, qs):
     assert rn, plan
     assert all(re.search(r"\[lang#\d+, _b#\d+\]", l) for l in rn), rn
     assert has_broadcast_join(df), plan
+
+
+def test_pack_epoch_stream_single_window_no_single_task(spark, qs):
+    """mix_pack_epoch_stream computes position AND the running token
+    sum from one bucketed_hash_rank call: the full-data window must
+    partition on (epoch, bucket) — never epoch alone, whose 3 distinct
+    values would serialize each epoch through one sort task — and both
+    window expressions must share that ONE Window node (row_number and
+    the weight prefix-sum ride the same spec)."""
+    import re
+
+    df = qs["mix_pack_epoch_stream"].fn(spark, SF)
+    plan = formatted_plan(df, "formatted")
+    assert "SinglePartition" not in plan, plan
+    rn = [l for l in plan.splitlines()
+          if "row_number()" in l and "windowspecdefinition" in l]
+    assert rn, plan
+    assert all(re.search(r"\[epoch#\d+L?, _b#\d+\]", l) for l in rn), rn
+    # the running token sum shares the row_number's window spec line
+    assert all("sum(n_tokens" in l for l in rn), rn
+    assert has_broadcast_join(df), plan

@@ -285,3 +285,34 @@ def test_foreachbatch_sinks_soak_random_cuts(spark, tmp_path):
             ("lsh dup pair", rnd, cuts, order, retry)
         eq(got.distinct(), want_lsh, ["doc_a", "doc_b"],
            ("lsh", rnd, cuts, order, retry))
+
+    # ---- epoch_pack_sink vs mix_pack_epoch_stream (IN-ORDER sink) ----
+    # this sink's contract is increasing (batch_id, position) per epoch
+    # (hysteresis-style high-water mark), so the soak randomizes CUT
+    # POINTS plus one immediate and one delayed verbatim retry — not
+    # application order
+    from process_nwb_spark.relational.dataprep import _PACK_CAPACITY
+    from process_nwb_spark.streaming.ops import epoch_pack_sink
+
+    want_pack = (qs["mix_pack_epoch_stream"].fn(spark, SF_CORRECT)
+                 .localCheckpoint())
+    stream_in = want_pack.select("epoch", "position", "doc_id", "n_tokens")
+    n_pos = int(stream_in.agg(F.max("position")).first()[0])
+    positions = list(range(1, n_pos + 1))
+    for rnd in range(2):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, positions, n_segs)
+        segs = _segments(stream_in, "position", cuts)
+        out = str(tmp_path / f"out_pack_{rnd}")
+        sink = epoch_pack_sink(out, _PACK_CAPACITY)
+        retry_at = int(rng.integers(0, len(segs)))
+        for i, seg in enumerate(segs):
+            sink(seg, i)
+            if i == retry_at:
+                sink(seg, i)          # immediate verbatim retry
+        delayed = int(rng.integers(0, len(segs)))
+        sink(segs[delayed], delayed)  # delayed verbatim retry at the end
+        eq(spark.read.parquet(out + "/packs")
+           .select("epoch", "position", "doc_id", "n_tokens", "pack_id"),
+           want_pack, ["epoch", "position"],
+           ("pack", rnd, cuts, retry_at, delayed))

@@ -1087,3 +1087,70 @@ def test_stream_lsh_candidates_equals_batch_face(spark, tmp_path):
         pd.testing.assert_frame_equal(
             norm(spark.read.parquet(out2 + "/pairs")), want,
             check_dtype=False)
+
+
+def test_stream_epoch_pack_equals_batch_face(spark, tmp_path):
+    """epoch_pack_sink contract: consuming mix_epoch_shuffle's order as
+    contiguous position-range micro-batches (the `WHERE position >
+    checkpoint` resume story) and packing incrementally with carry
+    state must reproduce mix_pack_epoch_stream's global pack ids
+    BIT-IDENTICALLY — plus retry idempotence (immediate AND delayed:
+    state folds only from snapshots with batch_id < own), and the
+    high-water-mark contract (a NEW batch at-or-below an epoch's
+    watermark raises instead of silently mis-packing)."""
+    import pytest
+
+    from process_nwb_spark.relational.dataprep import _PACK_CAPACITY
+    from process_nwb_spark.streaming.ops import epoch_pack_sink
+    from tests.conftest import SF_CORRECT
+
+    want_df = all_queries()["mix_pack_epoch_stream"].fn(spark, SF_CORRECT)
+    stream_in = (want_df.select("epoch", "position", "doc_id", "n_tokens")
+                 .localCheckpoint())
+
+    n_pos = stream_in.agg(F.max("position")).first()[0]
+    cuts = [n_pos // 4, n_pos // 2, (3 * n_pos) // 4]
+    bounds = [0, *cuts, n_pos]
+    segs = [stream_in.filter((F.col("position") > lo)
+                             & (F.col("position") <= hi))
+            for lo, hi in zip(bounds[:-1], bounds[1:])]
+
+    in_dir = str(tmp_path / "pack_in")
+    for s in segs:
+        s.coalesce(1).write.mode("append").parquet(in_dir)
+    out = str(tmp_path / "pack_out")
+    sdf = (spark.readStream
+           .schema("epoch long, position long, doc_id long, n_tokens long")
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false").parquet(in_dir))
+    q = (sdf.writeStream
+         .foreachBatch(epoch_pack_sink(out, _PACK_CAPACITY))
+         .option("checkpointLocation", str(tmp_path / "pack_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    def norm(df):
+        return (df.select("epoch", "position", "doc_id", "n_tokens",
+                          "pack_id").toPandas()
+                .sort_values(["epoch", "position"]).reset_index(drop=True))
+
+    want = norm(want_df)
+    assert want["pack_id"].max() > 0   # capacity actually splits packs
+    got = norm(spark.read.parquet(out + "/packs"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+    # retry idempotence — immediate (last batch) and DELAYED (batch 0
+    # re-applied after all later batches): state reads only snapshots
+    # with batch_id < own, so both replay bit-identically
+    sink = epoch_pack_sink(out, _PACK_CAPACITY)
+    for victim in (len(segs) - 1, 0, 1):
+        sink(segs[victim], victim)
+        pd.testing.assert_frame_equal(
+            norm(spark.read.parquet(out + "/packs")), want,
+            check_dtype=False, check_exact=True)
+
+    # contract: a NEW batch (fresh id) at-or-below the high-water mark
+    # must raise, not silently double-pack
+    with pytest.raises(ValueError, match="high-water mark"):
+        sink(segs[0], len(segs) + 7)
