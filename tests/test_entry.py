@@ -33,27 +33,25 @@ def test_driver_priority_names_resolve_and_are_unique():
     assert not missing, f"DRIVER_PRIORITY names not in registry: {missing}"
 
 
-def test_r10_window_is_staleness_ordered():
-    """With 304/304 driver-proven (r9), the r10 window re-verifies: the
-    faces whose Spark implementation changed in r10 lead, and the rest
-    of the window is the oldest-driver-sample cohort — every r2-sampled
-    face (none driver-checked in 8 rounds) must be in the 50-face head,
-    along with any r10-added faces."""
-    changed_r10 = ["mix_epoch_shuffle", "dq_psi_drift"]
-    added_r10 = {"mix_lang_temperature"}
-    r2_cohort = {
-        "agg_collect_sorted", "agg_count_distinct", "agg_cube",
-        "agg_grouping_sets", "agg_rollup", "agg_stats",
-        "basket_lift_pairs", "fn_array", "fn_bitwise_conditional",
-        "fn_date", "fn_json_map", "fn_math", "fn_string", "join_cross",
-        "join_full_outer", "join_left_coalesce", "join_right",
-        "join_semi", "pareto_abc_customers", "rfm_segments",
-        "set_intersect", "set_union_all", "set_union_distinct",
-        "sort_nulls_limit", "star_large_orders", "star_local_revenue",
-        "star_topk_unshipped", "sub_late_sole_supplier",
-        "sub_small_qty_revenue", "win_lag_lead", "win_range_frame",
-        "win_rank_dense", "win_zscore"}
-    head = list(entry.DRIVER_PRIORITY[:50])
-    assert set(head[:3]) == set(changed_r10) | added_r10
-    assert added_r10 <= set(head)
-    assert r2_cohort <= set(head)
+def test_r11_window_is_staleness_ordered():
+    """With 305/305 driver-proven cumulatively (r10), the r11 window
+    re-verifies: the one face ADDED in r11 leads, then the staleness
+    backfill — every r4-sampled face (7 rounds stale) must be in the
+    23-face head, and the whole r5 cohort inside the priority list.
+    The cohort sets derive from CORRECTNESS_r{1..10}.json (the per-face
+    last-sampled-round fold)."""
+    added_r11 = "mix_pack_epoch_stream"
+    r4_cohort = {
+        "pivot_qty_by_flag", "proj_filter_case", "retention_cohorts",
+        "running_balance_clamped", "scan_range", "scd2_point_in_time",
+        "session_funnel", "sig_car_subtract", "sig_zscore_baseline",
+        "simhash_fingerprints", "split_train_test",
+        "sql_recursive_months", "sub_scalar_correlated",
+        "text_tfidf_topterms", "ts_linear_interp",
+        "ts_time_weighted_avg", "udf_embed_norms",
+        "udf_grouped_map_demean", "win_running_frames", "win_session",
+        "win_topk_per_group", "win_tumbling"}
+    head = list(entry.DRIVER_PRIORITY)
+    assert head[0] == added_r11
+    assert r4_cohort <= set(head[:1 + len(r4_cohort)])
+    assert len(head) == 1 + 22 + 41   # added + r4 cohort + r5 cohort
