@@ -53,14 +53,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # (CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json) — builder-claimed and
 # driver-proven coincide for the second consecutive round. With everything
 # proven, the r11 window continues STALENESS-ORDERED RE-VERIFICATION:
-# (a) the ONE face added in r11 (mix_pack_epoch_stream, registry now 306 —
-# the epoch shuffle packed in stream order, batch half of the new
-# epoch_pack_sink streaming twin; the rest of the r11 diff is bench-harness
-# driver-proofing and streaming-sink fixes, which have no registry face —
-# their parity pins live in test_streaming/_soak), then (b) pure staleness
-# backfill: the 22 remaining r4 faces, then the r5 cohort (41 faces, 6
-# rounds stale). Each face's last driver-sampled round is annotated inline;
-# per-face history derives from CORRECTNESS_r{1..10}.
+# (a) the THREE faces added in r11 (registry now 308): mix_pack_epoch_stream
+# (epoch shuffle packed in stream order, batch half of the new
+# epoch_pack_sink streaming twin), dedup_ngram_coverage (corpus-level
+# first-owner k-gram duplication, the distributed ExactSubstr shape), and
+# mix_token_budget (quality-ordered per-source token-budget selection via
+# the new bucketed_range_rank); the rest of the r11 diff is bench-harness
+# driver-proofing and streaming-sink fixes/additions, which have no
+# registry face — their parity pins live in test_streaming/_soak. Then (b)
+# pure staleness backfill: the 22 remaining r4 faces, then the r5 cohort
+# (41 faces, 6 rounds stale). Each face's last driver-sampled round is
+# annotated inline; per-face history derives from CORRECTNESS_r{1..10}.
 # The ENTIRE registry remains green under the committed full-registry exact
 # gate in BOTH default and ANSI modes plus the shuffle-partition
 # hash-stability probe (ORACLE_{LOCAL,ANSI}_r11.json, HASHSTAB_r11.json).
@@ -68,6 +71,10 @@ DRIVER_PRIORITY = (
     # ---- (a) faces ADDED or implementation-CHANGED in r11 ----
     "mix_pack_epoch_stream",  # ADDED r11 (never driver-sampled): epoch
     #   shuffle packed in stream order; batch half of epoch_pack_sink
+    "dedup_ngram_coverage",  # ADDED r11 (never driver-sampled):
+    #   first-owner k-gram duplication coverage (ExactSubstr shape)
+    "mix_token_budget",  # ADDED r11 (never driver-sampled): quality-
+    #   ordered token-budget selection via bucketed_range_rank
     # ---- (b) staleness backfill, oldest driver sample first ----
     "pivot_qty_by_flag",  # last driver r4
     "proj_filter_case",  # last driver r4

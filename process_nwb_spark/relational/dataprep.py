@@ -1701,6 +1701,82 @@ def mix_pack_epoch_stream(spark, sf_dir):
         .alias("pack_id"))
 
 
+# --------------------------------------------------------------------------
+# Quality-ordered token-budget selection (curriculum pruning)
+# --------------------------------------------------------------------------
+_TOKEN_BUDGET = 800  # tokens kept per source (spec constant, like capacity)
+
+
+@query(
+    "mix_token_budget",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text),
+                                                       '\\w+'))) AS BIGINT)
+               AS n_dist
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, n_tokens,
+             CAST((n_dist * 10000) // GREATEST(n_tokens, 1) AS BIGINT)
+               AS score_key
+      FROM tok
+    ),
+    ranked AS (
+      SELECT doc_id, source, score_key, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY score_key DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS tok_before
+      FROM scored
+    )
+    SELECT doc_id, source, score_key, n_tokens,
+           CAST(tok_before AS BIGINT) AS tok_before
+    FROM ranked
+    WHERE tok_before < {_TOKEN_BUDGET}
+    """,
+    doc=f"quality-pruned token budget (the FineWeb-style 'keep the best N "
+        f"tokens per domain' curriculum stage): rank each source's docs by "
+        "a lexical-diversity quality score (distinct-word ratio as an "
+        "exact integer key — (n_dist*10000) DIV n_tokens, so both engines "
+        "agree bit-for-bit with no float division), then keep docs in "
+        "score order while the source's EXCLUSIVE running token count is "
+        f"under {_TOKEN_BUDGET}. The doc that straddles the boundary is "
+        "kept (budget is a lower bound on selected tokens, the usual "
+        "convention so a giant first doc is never starved to zero). PLAN: "
+        "sources are low-cardinality, exactly the single-task-window trap "
+        "— the running sum routes through bucketed_range_rank (the "
+        "numeric-descending sibling of the mix faces' md5 trick: fixed "
+        "score-grid buckets + broadcast per-bucket weight offsets), so no "
+        "source ever serializes through one reducer. Plan-asserted in "
+        "test_plans.py",
+)
+def mix_token_budget(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source",
+        F.regexp_count("text", F.lit(r"\w+")).cast("bigint")
+        .alias("n_tokens"),
+        F.size(F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col("text")),
+                                 F.lit(r"\w+"), F.lit(0))))
+        .cast("bigint").alias("n_dist"))
+    scored = tok.select(
+        "doc_id", "source", "n_tokens",
+        F.expr("CAST((n_dist * 10000) DIV GREATEST(n_tokens, 1) AS BIGINT)")
+        .alias("score_key"))
+    ranked = bucketed_range_rank(scored, ["source"], "score_key", "doc_id",
+                                 key_max=10000, n_buckets=40,
+                                 out_col="_pos", weight_col="n_tokens",
+                                 cum_col="tok_before")
+    return (ranked.filter(F.col("tok_before") < _TOKEN_BUDGET)
+            .select("doc_id", "source", "score_key", "n_tokens",
+                    F.col("tok_before").cast("bigint").alias("tok_before")))
+
+
 def bucketed_hash_rank(df, group_cols: list, hash_col: str, tie_col: str,
                        out_col: str = "r", weight_col: str | None = None,
                        cum_col: str | None = None):
@@ -1726,11 +1802,55 @@ def bucketed_hash_rank(df, group_cols: list, hash_col: str, tie_col: str,
     window expressions share one (group, bucket) window spec, so
     Catalyst plans a single Window node. Default call is unchanged."""
     b = df.withColumn("_b", F.substring(hash_col, 1, 2))
+    return _bucketed_rank(
+        b, group_cols,
+        order_within=[F.col(hash_col).asc(), F.col(tie_col).asc()],
+        bucket_asc=True, out_col=out_col,
+        weight_col=weight_col, cum_col=cum_col)
+
+
+def bucketed_range_rank(df, group_cols: list, key_col: str, tie_col: str,
+                        *, key_max: int, n_buckets: int = 64,
+                        out_col: str = "r", weight_col: str | None = None,
+                        cum_col: str | None = None):
+    """bucketed_hash_rank's numeric sibling: per-group rank 1..n ordered
+    by (key_col DESC, tie_col ASC) without a single-task-per-group sort,
+    for an INTEGER key with a known range [0, key_max]. The bucket is a
+    fixed grid `key DIV ceil((key_max+1)/n_buckets)` — a key prefix in
+    the order's own units, so it agrees with the sort order exactly like
+    the md5 hex prefix does for hash order; buckets accumulate offsets
+    in DESCENDING bucket order to match. Unlike the hash variant the
+    grid is NOT uniform by construction (real score distributions
+    cluster), but a skewed bucket still bounds the per-task sort at
+    1/n_buckets-ish of the group instead of ALL of it, and n_buckets is
+    a knob — at 100 TB raise it or substitute approx-quantile cut
+    points for the fixed grid (same plan shape, one extra cheap pass).
+    Used by mix_token_budget (groups = sources, key = quality score)."""
+    step = max(1, (int(key_max) + n_buckets) // n_buckets)
+    # integer DIV, not float division + cast: exact for any bigint key
+    b = df.withColumn(
+        "_b", F.expr(f"CAST({key_col} AS BIGINT) DIV {step}"))
+    return _bucketed_rank(
+        b, group_cols,
+        order_within=[F.col(key_col).desc(), F.col(tie_col).asc()],
+        bucket_asc=False, out_col=out_col,
+        weight_col=weight_col, cum_col=cum_col)
+
+
+def _bucketed_rank(b, group_cols: list, *, order_within: list,
+                   bucket_asc: bool, out_col: str,
+                   weight_col: str | None, cum_col: str | None):
+    """Shared core of bucketed_hash_rank / bucketed_range_rank: `b`
+    already carries the `_b` bucket column whose order agrees with
+    `order_within`. One hash exchange on (group, _b), per-bucket counts
+    (and weight totals) map-side combined and broadcast back as
+    exclusive cumulative offsets taken over buckets in rank order."""
     aggs = [F.count("*").alias("_n")]
     if weight_col is not None:
         aggs.append(F.sum(weight_col).alias("_wn"))
     counts = b.groupBy(*group_cols, "_b").agg(*aggs)
-    woff = (Window.partitionBy(*group_cols).orderBy("_b")
+    border = F.col("_b").asc() if bucket_asc else F.col("_b").desc()
+    woff = (Window.partitionBy(*group_cols).orderBy(border)
             .rowsBetween(Window.unboundedPreceding, -1))
     off_cols = [*group_cols, "_b",
                 F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")]
@@ -1738,7 +1858,7 @@ def bucketed_hash_rank(df, group_cols: list, hash_col: str, tie_col: str,
         off_cols.append(F.coalesce(F.sum("_wn").over(woff), F.lit(0))
                         .alias("_woff"))
     offsets = counts.select(*off_cols)
-    wloc = Window.partitionBy(*group_cols, "_b").orderBy(hash_col, tie_col)
+    wloc = Window.partitionBy(*group_cols, "_b").orderBy(*order_within)
     out = (b.join(F.broadcast(offsets), [*group_cols, "_b"])
            .withColumn(out_col,
                        F.col("_off") + F.row_number().over(wloc)))

@@ -23,8 +23,11 @@ def _words(col="text"):
     return F.split(col, " ")
 
 
-def _shingles_df(spark, sf_dir, k: int = 3):
-    """Distinct word-k-gram shingles per doc: (doc_id, sh)."""
+def doc_shingles(docs, k: int = 3):
+    """Distinct word-k-gram shingles (doc_id, sh) for ANY (doc_id, text)
+    frame — the one shingle construction every dedup/contamination face
+    AND streaming twin shares, so twins cannot drift from their batch
+    faces (parity pins depend on it)."""
     words = _words()
     # filter BEFORE the shingle projection: a post-projection filter on a
     # frame that no longer carries `text` only resolves via missing-ref
@@ -33,11 +36,16 @@ def _shingles_df(spark, sf_dir, k: int = 3):
     # an optimizer implementation detail, not a contract (sequence(0,-1)
     # on a 2-word doc would otherwise hit 'array indices start at 1' at
     # runtime)
-    d = spread(T(spark, sf_dir, "documents")).filter(F.size(words) >= k)
+    d = docs.filter(F.size(words) >= k)
     # sequence(0, size-k) inclusive -> size-k+1 shingles
     sh = F.transform(F.sequence(F.lit(0), F.size(words) - k),
                      lambda i: F.array_join(F.slice(words, i + 1, k), " "))
     return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+
+
+def _shingles_df(spark, sf_dir, k: int = 3):
+    """doc_shingles over the documents table (spread across cores)."""
+    return doc_shingles(spread(T(spark, sf_dir, "documents")), k)
 
 
 _SHINGLE_SQL = """
@@ -133,13 +141,7 @@ def lsh_band_keys(docs):
     8 md5-salted min-hashes -> 4 band keys), factored over an arbitrary
     input so the streaming lsh_candidates_sink bands micro-batches
     IDENTICALLY to the batch face (the parity pin depends on it)."""
-    words = _words()
-    d = docs.filter(F.size(words) >= 3)
-    sh_arr = F.transform(F.sequence(F.lit(0), F.size(words) - 3),
-                         lambda i: F.array_join(F.slice(words, i + 1, 3),
-                                                " "))
-    sh = d.select("doc_id",
-                  F.explode(F.array_distinct(sh_arr)).alias("sh"))
+    sh = doc_shingles(docs, 3)
     aggs = [F.min(F.md5(F.concat(F.col("sh"), F.lit(f":{s}"))))
             .alias(f"sig{s}") for s in range(_N_SIGS)]
     sig = sh.groupBy("doc_id").agg(*aggs)
@@ -2951,3 +2953,48 @@ def split_leakage_safe(spark, sf_dir):
         "doc_id", "component",
         F.when(F.substring(F.md5(F.col("component").cast("string")), 1, 1)
                <= "c", "train").otherwise("test").alias("split"))
+
+
+@query(
+    "dedup_ngram_coverage",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    owners AS (SELECT sh, MIN(doc_id) AS owner FROM sh GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS INT) AS n_shingles,
+           CAST(SUM(CASE WHEN o.owner < s.doc_id THEN 1 ELSE 0 END) AS INT)
+             AS n_dup,
+           ROUND(SUM(CASE WHEN o.owner < s.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS dup_coverage
+    FROM sh s JOIN owners o ON s.sh = o.sh
+    GROUP BY s.doc_id
+    """,
+    doc="corpus-level duplication coverage (the distributed approximation "
+        "of Lee et al. 2022 ExactSubstr dedup): for every document, the "
+        "fraction of its distinct word-3-grams whose FIRST OWNER (global "
+        "min doc_id over the whole corpus) is an earlier document — i.e. "
+        "how much of this doc is already covered somewhere else. Unlike "
+        "the pairwise faces (ngram_jaccard_pairs, minhash_lsh_candidates) "
+        "this is linear in total shingle count with NO pair join: one "
+        "hash-agg to elect each shingle's owner, one equi-join of the "
+        "shingle table back to the owner table on the shingle key (both "
+        "sides pre-deduped per key, bounded fan-out = docs-per-shingle), "
+        "one hash-agg back to doc grain. A true suffix-array ExactSubstr "
+        "is inherently sequential; first-owner k-gram coverage is the "
+        "shape that survives 100 TB — every stage is a keyed shuffle on "
+        "uniformly-hashed text keys, no single-task stage, no quadratic "
+        "candidate set. Filter downstream on dup_coverage >= tau to drop "
+        "mostly-derivative docs while always keeping the earliest copy "
+        "(owner rule is the same deterministic min-doc_id keep rule as "
+        "dedup_exact/dedup_keep_list)",
+)
+def dedup_ngram_coverage(spark, sf_dir):
+    sh = _shingles_df(spark, sf_dir)
+    owners = sh.groupBy("sh").agg(F.min("doc_id").alias("owner"))
+    dup = (F.col("owner") < F.col("doc_id")).cast("int")
+    return (sh.join(owners, "sh")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_shingles"),
+                 F.sum(dup).cast("int").alias("n_dup"),
+                 F.round(F.sum(dup) / F.count("*").cast("double"), 4)
+                  .alias("dup_coverage")))

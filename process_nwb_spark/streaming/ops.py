@@ -1471,3 +1471,88 @@ def lsh_candidates_sink(out_dir: str):
          .partitionBy("batch_id").parquet(pairs_dir))
 
     return write_batch
+
+
+def contamination_sink(test_docs: DataFrame, out_dir: str):
+    """foreachBatch DECONTAMINATION AUDIT — the streaming twin of
+    relational/dataprep.split_contamination and the deployment shape a
+    continuously-crawled corpus needs: the HELD-OUT side is static (its
+    word-3-gram shingle table and per-doc totals are computed once at
+    sink construction and frozen with localCheckpoint), while TRAIN
+    documents arrive as micro-batches. Each batch:
+
+      1. shingles the batch with the SAME doc_shingles construction the
+         batch face uses (factored in relational/llm_ops so the twin
+         cannot drift), semi-joins the static test shingles against the
+         batch's distinct shingles — matched (doc_id, sh) pairs;
+      2. anti-joins those hits against the pairs already owned by OTHER
+         batch partitions, then writes its own partition of
+         `<out_dir>/matched` with dynamic partition overwrite: every
+         matched pair lives in exactly ONE partition (raw count ==
+         distinct count), a verbatim retry — immediate or delayed —
+         rewrites its partition bit-identically, and batch order is
+         irrelevant because the union is a set (the lsh_candidates_sink
+         algebra, reused);
+      3. refolds the audit: distinct matched pairs -> per-test-doc
+         n_shared, left-joined onto the frozen per-doc totals (docs with
+         no hit yet report 0), and rewrites `<out_dir>/contamination`
+         (doc_id, n_shingles, n_shared, contamination) — after any batch
+         this table is BIT-IDENTICAL to split_contamination run on the
+         test split plus every train doc streamed so far (pinned in
+         test_streaming.py with scrambled order + delayed retries).
+
+    An all-empty first batch writes no matched partition; the guarded
+    read-back (_read_if_exists) then reports all-zero contamination
+    instead of crashing on schema inference. At 100 TB: the test side is
+    the SMALL side by construction (a held-out benchmark set), so the
+    semi-join broadcasts it; `matched` is bounded by the test shingle
+    count FOREVER (set semantics — re-matched shingles are anti-joined
+    away); per-batch cost is shingling the batch plus two equi-joins
+    against test-sized tables. Nothing global ever re-derives."""
+    from process_nwb_spark.relational.llm_ops import doc_shingles
+
+    test_sh = (doc_shingles(test_docs.select("doc_id", "text"))
+               .localCheckpoint())
+    totals = (test_sh.groupBy("doc_id")
+              .agg(F.count("*").cast("int").alias("n_shingles"))
+              .localCheckpoint())
+    matched_dir = out_dir.rstrip("/") + "/matched"
+    contam_dir = out_dir.rstrip("/") + "/contamination"
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        batch_sh = (doc_shingles(batch_df.select("doc_id", "text"))
+                    .select("sh").distinct())
+        hits = (test_sh.join(batch_sh, "sh", "left_semi")
+                .select("doc_id", "sh"))
+        prev = _read_if_exists(sp, matched_dir)
+        if prev is not None:
+            hits = hits.join(
+                prev.filter(F.col("batch_id") != int(batch_id))
+                .select("doc_id", "sh"),
+                ["doc_id", "sh"], "left_anti")
+        hits = (hits.withColumn("batch_id", F.lit(int(batch_id)))
+                .localCheckpoint())
+        (hits.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(matched_dir))
+
+        cur = _read_if_exists(sp, matched_dir)
+        if cur is None:
+            rep = totals.select(
+                "doc_id", "n_shingles",
+                F.lit(0).cast("int").alias("n_shared"))
+        else:
+            shared = (cur.groupBy("doc_id")
+                      .agg(F.count("*").cast("int").alias("n_shared")))
+            rep = (totals.join(shared, "doc_id", "left")
+                   .select("doc_id", "n_shingles",
+                           F.coalesce("n_shared", F.lit(0)).cast("int")
+                           .alias("n_shared")))
+        rep = rep.withColumn(
+            "contamination",
+            F.round(F.col("n_shared") / F.col("n_shingles").cast("double"),
+                    4)).localCheckpoint()
+        rep.write.mode("overwrite").parquet(contam_dir)
+
+    return write_batch

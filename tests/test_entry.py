@@ -35,12 +35,13 @@ def test_driver_priority_names_resolve_and_are_unique():
 
 def test_r11_window_is_staleness_ordered():
     """With 305/305 driver-proven cumulatively (r10), the r11 window
-    re-verifies: the one face ADDED in r11 leads, then the staleness
+    re-verifies: the three faces ADDED in r11 lead, then the staleness
     backfill — every r4-sampled face (7 rounds stale) must be in the
-    23-face head, and the whole r5 cohort inside the priority list.
+    25-face head, and the whole r5 cohort inside the priority list.
     The cohort sets derive from CORRECTNESS_r{1..10}.json (the per-face
     last-sampled-round fold)."""
-    added_r11 = "mix_pack_epoch_stream"
+    added_r11 = ["mix_pack_epoch_stream", "dedup_ngram_coverage",
+                 "mix_token_budget"]
     r4_cohort = {
         "pivot_qty_by_flag", "proj_filter_case", "retention_cohorts",
         "running_balance_clamped", "scan_range", "scd2_point_in_time",
@@ -52,6 +53,6 @@ def test_r11_window_is_staleness_ordered():
         "udf_grouped_map_demean", "win_running_frames", "win_session",
         "win_topk_per_group", "win_tumbling"}
     head = list(entry.DRIVER_PRIORITY)
-    assert head[0] == added_r11
-    assert r4_cohort <= set(head[:1 + len(r4_cohort)])
-    assert len(head) == 1 + 22 + 41   # added + r4 cohort + r5 cohort
+    assert head[:len(added_r11)] == added_r11
+    assert r4_cohort <= set(head[:len(added_r11) + len(r4_cohort)])
+    assert len(head) == 3 + 22 + 41   # added + r4 cohort + r5 cohort

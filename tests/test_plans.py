@@ -872,3 +872,27 @@ def test_pack_epoch_stream_single_window_no_single_task(spark, qs):
     # the running token sum shares the row_number's window spec line
     assert all("sum(n_tokens" in l for l in rn), rn
     assert has_broadcast_join(df), plan
+
+
+def test_token_budget_never_single_task_per_source(spark, qs):
+    """mix_token_budget's running token sum is ordered by a NUMERIC key
+    (score DESC) within low-cardinality sources — the single-task-window
+    trap in its range-order form. The plan must route through
+    bucketed_range_rank: the full-data window partitions on
+    (source, score-grid bucket), never source alone; offsets arrive by
+    broadcast; no SinglePartition anywhere."""
+    import re
+
+    df = qs["mix_token_budget"].fn(spark, SF)
+    plan = formatted_plan(df, "formatted")
+    assert "SinglePartition" not in plan, plan
+    # the face never selects the rank column, so Catalyst prunes
+    # row_number out of the Window node entirely (asserted: the trap
+    # would be a full-data window WITHOUT the bucket column) — the
+    # running token sum is the one surviving window expression
+    wn = [l for l in plan.splitlines()
+          if "sum(n_tokens" in l and "windowspecdefinition" in l]
+    assert wn, plan
+    assert all(re.search(r"\[source#\d+, _b#\d+L?\]", l) for l in wn), wn
+    assert not any("row_number()" in l for l in wn), wn
+    assert has_broadcast_join(df), plan

@@ -316,3 +316,52 @@ def test_foreachbatch_sinks_soak_random_cuts(spark, tmp_path):
            .select("epoch", "position", "doc_id", "n_tokens", "pack_id"),
            want_pack, ["epoch", "position"],
            ("pack", rnd, cuts, retry_at, delayed))
+
+
+def test_contamination_sink_soak_random_cuts(spark, tmp_path):
+    """Randomized-cut soak for contamination_sink: seeded random batch
+    counts, cut points, application order, and one immediate plus one
+    delayed verbatim retry — the converged contamination table must
+    equal split_contamination bit-exactly and the matched partitions
+    must stay disjoint (raw == distinct) every round."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.relational.dataprep import _with_split
+    from process_nwb_spark.streaming.ops import contamination_sink
+
+    rng = np.random.default_rng(SEED + 2)
+    qs = all_queries()
+
+    docs = (_with_split(
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet"))
+        .select("doc_id", "text", "split").localCheckpoint())
+    test_docs = docs.filter(F.col("split") == "test")
+    train = (docs.filter(F.col("split") == "train")
+             .select("doc_id", "text").localCheckpoint())
+    ids = [r.doc_id for r in
+           train.select("doc_id").orderBy("doc_id").collect()]
+    want = (qs["split_contamination"].fn(spark, SF_CORRECT)
+            .localCheckpoint())
+
+    for rnd in range(2):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, ids, n_segs)
+        segs = _segments(train, "doc_id", cuts)
+        out = str(tmp_path / f"out_cont_{rnd}")
+        sink = contamination_sink(test_docs, out)
+        order = rng.permutation(len(segs))
+        retry_at = int(rng.integers(0, len(segs)))
+        for step, i in enumerate(order):
+            sink(segs[int(i)], int(i))
+            if step == retry_at:
+                sink(segs[int(i)], int(i))      # immediate verbatim retry
+        delayed = int(rng.integers(0, len(segs)))
+        sink(segs[delayed], delayed)            # delayed verbatim retry
+        raw = spark.read.parquet(out + "/matched").select("doc_id", "sh")
+        assert raw.count() == raw.distinct().count(), \
+            ("contamination dup pair", rnd, cuts, list(order), retry_at,
+             delayed)
+        got = spark.read.parquet(out + "/contamination")
+        g, w = got.toPandas(), want.toPandas()
+        cols = sorted(w.columns)
+        _eq(g, w, cols, ["doc_id"],
+            ("contamination", rnd, cuts, list(order), retry_at, delayed))

@@ -1154,3 +1154,79 @@ def test_stream_epoch_pack_equals_batch_face(spark, tmp_path):
     # must raise, not silently double-pack
     with pytest.raises(ValueError, match="high-water mark"):
         sink(segs[0], len(segs) + 7)
+
+
+def test_stream_contamination_equals_batch_face(spark, tmp_path):
+    """contamination_sink contract: after streaming the TRAIN split in
+    micro-batches, <out>/contamination is bit-identical to the batch
+    face split_contamination on the full corpus; matched pairs live in
+    exactly one batch partition (raw == distinct); verbatim retries —
+    immediate and DELAYED — and scrambled batch order all converge to
+    the same tables; and the before-any-match report is all-zero, not
+    a crash (the empty-partition read-back guard)."""
+    from process_nwb_spark.relational.dataprep import _with_split
+    from process_nwb_spark.streaming.ops import contamination_sink
+    from tests.conftest import SF_CORRECT
+
+    docs = (_with_split(T(spark, SF_CORRECT, "documents"))
+            .select("doc_id", "text", "split").localCheckpoint())
+    test_docs = docs.filter(F.col("split") == "test")
+    train = docs.filter(F.col("split") == "train")
+    cuts = train.approxQuantile("doc_id", [0.33, 0.66], 0.0)
+    preds = [F.col("doc_id") < cuts[0],
+             (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1]),
+             F.col("doc_id") >= cuts[1]]
+
+    in_dir = str(tmp_path / "cont_in")
+    for p in preds:
+        (train.filter(p).select("doc_id", "text")
+         .coalesce(1).write.mode("append").parquet(in_dir))
+
+    out = str(tmp_path / "cont_out")
+    sdf = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (sdf.writeStream.foreachBatch(contamination_sink(test_docs, out))
+         .option("checkpointLocation", str(tmp_path / "cont_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    def norm(df):
+        return (df.select("doc_id", "n_shingles", "n_shared",
+                          "contamination").toPandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    want_df = all_queries()["split_contamination"].fn(spark, SF_CORRECT)
+    want = norm(want_df)
+    assert want["n_shared"].sum() > 0   # the audit actually fires
+    got = norm(spark.read.parquet(out + "/contamination"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+    raw = spark.read.parquet(out + "/matched").select("doc_id", "sh")
+    assert raw.count() == raw.distinct().count()
+
+    # retry idempotence: immediate (last batch) and DELAYED (batch 0
+    # after all later batches) — partitions stay disjoint, report fixed
+    sink = contamination_sink(test_docs, out)
+    for victim in (2, 0):
+        sink(train.filter(preds[victim]).select("doc_id", "text"), victim)
+        raw = spark.read.parquet(out + "/matched").select("doc_id", "sh")
+        assert raw.count() == raw.distinct().count(), (
+            f"retry of batch {victim} double-emitted matched pairs")
+        pd.testing.assert_frame_equal(
+            norm(spark.read.parquet(out + "/contamination")), want,
+            check_dtype=False, check_exact=True)
+
+    # order freedom + empty-first-batch guard: a fresh sink fed an
+    # EMPTY batch first must report all zeros (not crash), then the
+    # scrambled order converges to the same tables
+    out2 = str(tmp_path / "cont_out2")
+    sink2 = contamination_sink(test_docs, out2)
+    sink2(train.filter(F.lit(False)).select("doc_id", "text"), 0)
+    zero = norm(spark.read.parquet(out2 + "/contamination"))
+    assert (zero["n_shared"] == 0).all()
+    assert (zero["contamination"] == 0.0).all()
+    for i in (2, 1, 0):
+        sink2(train.filter(preds[i]).select("doc_id", "text"), i + 1)
+    pd.testing.assert_frame_equal(
+        norm(spark.read.parquet(out2 + "/contamination")), want,
+        check_dtype=False, check_exact=True)
