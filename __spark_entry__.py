@@ -75,6 +75,12 @@ DRIVER_PRIORITY = (
     #   first-owner k-gram duplication coverage (ExactSubstr shape)
     "mix_token_budget",  # ADDED r11 (never driver-sampled): quality-
     #   ordered token-budget selection via bucketed_range_rank
+    "mix_doremi_weights",  # ADDED r11 (never driver-sampled): DoReMi
+    #   excess-loss domain reweighting, linearized MW update
+    "mix_curriculum_interleave",  # ADDED r11 (never driver-sampled):
+    #   easy-to-hard curriculum with arithmetic round-robin interleave
+    "rank_ndcg_eval",  # ADDED r11 (never driver-sampled): NDCG@10
+    #   ranking eval with shared-literal discount table
     # ---- (b) staleness backfill, oldest driver sample first ----
     "pivot_qty_by_flag",  # last driver r4
     "proj_filter_case",  # last driver r4

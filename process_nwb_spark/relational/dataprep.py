@@ -1869,3 +1869,205 @@ def _bucketed_rank(b, group_cols: list, *, order_within: list,
         out = (out.withColumn(cum_col, F.col("_woff") + local_cum)
                .drop("_woff"))
     return out.drop("_b", "_off")
+
+
+# --------------------------------------------------------------------------
+# DoReMi-style domain reweighting (multiplicative-weights update)
+# --------------------------------------------------------------------------
+_DOREMI_ETA = 10.0     # MW step size on the excess-loss proxy
+_DOREMI_SMOOTH = 0.01  # uniform smoothing mass (the paper's u term)
+
+
+@query(
+    "mix_doremi_weights",
+    f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '\\w+'))) AS BIGINT)
+               AS n_tokens,
+             CAST(SUM(LEN(LIST_DISTINCT(
+                 REGEXP_EXTRACT_ALL(LOWER(text), '\\w+')))) AS BIGINT)
+               AS n_dist
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT LIST({{'s': source, 't': n_tokens, 'd': n_dist}}
+                  ORDER BY source) AS arr,
+             SUM(n_tokens) AS all_t, SUM(n_dist) AS all_d,
+             COUNT(*) AS k
+      FROM tok
+    ),
+    den AS (
+      SELECT all_t, all_d, k,
+             LIST_SUM(LIST_TRANSFORM(arr, x ->
+               (CAST(x.t AS DOUBLE) / all_t)
+               * (1.0 + {_DOREMI_ETA} * GREATEST(
+                    CAST(all_d AS DOUBLE) / all_t
+                    - CAST(x.d AS DOUBLE) / x.t, 0.0)))) AS z
+      FROM tot
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / all_t, 6) AS token_share,
+           ROUND(GREATEST(CAST(all_d AS DOUBLE) / all_t
+                          - CAST(n_dist AS DOUBLE) / n_tokens, 0.0), 6)
+             AS excess_loss,
+           ROUND((1.0 - {_DOREMI_SMOOTH})
+                 * ((CAST(n_tokens AS DOUBLE) / all_t)
+                    * (1.0 + {_DOREMI_ETA} * GREATEST(
+                         CAST(all_d AS DOUBLE) / all_t
+                         - CAST(n_dist AS DOUBLE) / n_tokens, 0.0)) / z)
+                 + {_DOREMI_SMOOTH} / k, 6) AS doremi_weight
+    FROM tok CROSS JOIN den
+    """,
+    doc="DoReMi-style domain reweighting (Xie et al. 2023, 'DoReMi: "
+        "Optimizing Data Mixtures Speeds Up Language Model Pretraining') "
+        "with a deterministic one-step multiplicative-weights update: each "
+        "domain's proxy excess loss is how far its lexical diversity "
+        "(distinct-token / token ratio) falls BELOW the corpus ratio — "
+        "low-diversity domains are the hard-to-compress ones the MW step "
+        "upweights — clipped at 0 like the paper's excess loss; the update "
+        "is the LINEARIZED exponential w_i <- base_i * (1 + eta*excess_i) "
+        "(the classic Hedge approximation), normalized, then mixed with "
+        f"{_DOREMI_SMOOTH} uniform mass exactly as the paper smooths its "
+        "final weights. Hash-exactness: every corpus-sized aggregate is a "
+        "BIGINT sum (token and distinct-token counts — no float folds over "
+        "data order); the only float reduction is the normalizer z, an "
+        "ORDERED fold over the source-sorted domain list (domains-sized, "
+        "one row), the mix_temperature_weights discipline; everything else "
+        "is +,*,/ and GREATEST on IEEE doubles, which both engines round "
+        "identically (no libm transcendentals — the linearized update "
+        "exists precisely to avoid EXP's cross-engine last-ulp risk). "
+        "PLAN: one documents scan -> hash-agg to |domains| rows; the fold "
+        "and the weight arithmetic run on a broadcast domain table; zero "
+        "corpus-sized joins or windows — the 100 TB cost is the scan",
+)
+def mix_doremi_weights(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    tok = (d.groupBy("source")
+           .agg(F.count("*").cast("bigint").alias("n_docs"),
+                F.sum(F.regexp_count("text", F.lit(r"\w+")))
+                .cast("bigint").alias("n_tokens"),
+                F.sum(F.size(F.array_distinct(
+                    F.regexp_extract_all(F.lower(F.col("text")),
+                                         F.lit(r"\w+"), F.lit(0)))))
+                .cast("bigint").alias("n_dist"))
+           .cache())
+
+    def _excess(t, dd, all_t, all_d):
+        return F.greatest(
+            all_d.cast("double") / all_t - dd.cast("double") / t,
+            F.lit(0.0))
+
+    den = (tok
+           .agg(F.array_sort(F.collect_list(
+                    F.struct(F.col("source").alias("s"),
+                             F.col("n_tokens").alias("t"),
+                             F.col("n_dist").alias("d")))).alias("arr"),
+                F.sum("n_tokens").alias("all_t"),
+                F.sum("n_dist").alias("all_d"),
+                F.count("*").alias("k"))
+           .select("all_t", "all_d", "k",
+                   F.aggregate(
+                       F.col("arr"), F.lit(0.0),
+                       lambda acc, x: acc
+                       + (x["t"].cast("double") / F.col("all_t"))
+                       * (F.lit(1.0) + _DOREMI_ETA
+                          * _excess(x["t"], x["d"],
+                                    F.col("all_t"), F.col("all_d"))))
+                   .alias("z")))
+    base = F.col("n_tokens").cast("double") / F.col("all_t")
+    exc = _excess(F.col("n_tokens"), F.col("n_dist"),
+                  F.col("all_t"), F.col("all_d"))
+    u = base * (F.lit(1.0) + _DOREMI_ETA * exc)
+    return (tok.crossJoin(F.broadcast(den))
+            .select("source", "n_docs", "n_tokens",
+                    F.round(base, 6).alias("token_share"),
+                    F.round(exc, 6).alias("excess_loss"),
+                    F.round((1.0 - _DOREMI_SMOOTH) * (u / F.col("z"))
+                            + _DOREMI_SMOOTH / F.col("k"), 6)
+                    .alias("doremi_weight")))
+
+
+# --------------------------------------------------------------------------
+# Curriculum ordering with round-robin domain interleave
+# --------------------------------------------------------------------------
+@query(
+    "mix_curriculum_interleave",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')) AS BIGINT)
+               AS n_tokens,
+             CAST(LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text),
+                                                       '\\w+'))) AS BIGINT)
+               AS n_dist
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST((n_dist * 10000) // GREATEST(n_tokens, 1) AS BIGINT)
+               AS score_key
+      FROM tok
+    ),
+    ranked AS (
+      SELECT doc_id, source, score_key,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score_key DESC, doc_id)
+               AS rank_in_source
+      FROM scored
+    ),
+    srcidx AS (
+      SELECT source,
+             CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT) AS si
+      FROM (SELECT DISTINCT source FROM scored)
+    ),
+    sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM srcidx)
+    SELECT r.doc_id, r.source, r.score_key,
+           CAST(r.rank_in_source AS BIGINT) AS rank_in_source,
+           CAST((r.rank_in_source - 1) * sc.s + x.si AS BIGINT) AS slot
+    FROM ranked r JOIN srcidx x USING (source) CROSS JOIN sc
+    """,
+    doc="curriculum ordering with round-robin domain interleave (Bengio "
+        "et al. 2009 easy-to-hard scheduling, plus the interleaving that "
+        "keeps any window of the schedule domain-balanced so no domain "
+        "forms a contiguous run): docs rank within their source by the "
+        "same exact integer lexical-diversity key as mix_token_budget "
+        "(cleanest first), then slot = (rank-1)*|sources| + source_index "
+        "assigns a SPARSE global position arithmetically — reading ORDER "
+        "BY slot yields rank-1 of every domain, then rank-2, ... with "
+        "gaps where a smaller domain is exhausted, and no global sort or "
+        "row_number over the corpus ever runs. PLAN: the per-source rank "
+        "routes through bucketed_range_rank (fixed score-grid buckets + "
+        "broadcast offsets — no single-task-per-source window even if one "
+        "source owns half the corpus); source_index is a row_number over "
+        "the DISTINCT source table (|sources| rows, metadata-sized, the "
+        "same class as the helper's offset table) broadcast back; slot is "
+        "row-local arithmetic. All columns are exact integers — "
+        "hash-exact by construction. Plan-asserted in test_plans.py",
+)
+def mix_curriculum_interleave(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source",
+        F.expr("CAST((CAST(size(array_distinct(regexp_extract_all("
+               "lower(text), '\\\\w+', 0))) AS BIGINT) * 10000) DIV "
+               "GREATEST(CAST(regexp_count(text, '\\\\w+') AS BIGINT), 1) "
+               "AS BIGINT)").alias("score_key"))
+    ranked = bucketed_range_rank(scored, ["source"], "score_key", "doc_id",
+                                 key_max=10000, n_buckets=40,
+                                 out_col="rank_in_source")
+    # |sources| rows: a single-partition row_number here is the broadcast
+    # offset table idiom, not a corpus-sized window
+    srcidx = (scored.select("source").distinct()
+              .select("source",
+                      (F.row_number().over(Window.orderBy("source")) - 1)
+                      .cast("bigint").alias("si")))
+    sc = srcidx.agg(F.count("*").cast("bigint").alias("s"))
+    return (ranked.join(F.broadcast(srcidx), "source")
+            .crossJoin(F.broadcast(sc))
+            .select("doc_id", "source", "score_key",
+                    F.col("rank_in_source").cast("bigint")
+                    .alias("rank_in_source"),
+                    ((F.col("rank_in_source") - 1) * F.col("s")
+                     + F.col("si")).cast("bigint").alias("slot")))

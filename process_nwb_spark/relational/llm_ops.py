@@ -2998,3 +2998,156 @@ def dedup_ngram_coverage(spark, sf_dir):
                  F.sum(dup).cast("int").alias("n_dup"),
                  F.round(F.sum(dup) / F.count("*").cast("double"), 4)
                   .alias("dup_coverage")))
+
+
+# --------------------------------------------------------------------------
+# Retrieval ranking evaluation: NDCG@k
+# --------------------------------------------------------------------------
+_NDCG_K = 10
+_NDCG_TERMS = ("spark", "window", "hash", "join")
+# the standard DCG discount 1/log2(pos+1), materialized ONCE in Python and
+# injected into BOTH engines as identical double literals — LOG2 is a libm
+# transcendental whose last ulp is not guaranteed to agree between the JVM
+# and DuckDB, but a shared literal table is bit-identical by construction
+_NDCG_DISC = tuple(1.0 / __import__("math").log2(p + 1)
+                   for p in range(1, _NDCG_K + 1))
+_DISC_SQL = "[" + ", ".join(repr(v) for v in _NDCG_DISC) + "]"
+_TERMS_SQL = ", ".join(f"('{t}')" for t in _NDCG_TERMS)
+
+
+@query(
+    "rank_ndcg_eval",
+    f"""
+    WITH q(term) AS (VALUES {_TERMS_SQL}),
+    m AS (
+      SELECT q.term, d.doc_id,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(d.text, ' '),
+                                  w -> w = q.term)) AS BIGINT) AS tf,
+             CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents d CROSS JOIN q
+    ),
+    hits AS (
+      SELECT term, doc_id, LEAST(tf, 3) AS rel,
+             CAST((tf * 10000) // GREATEST(n_tokens, 1) AS BIGINT)
+               AS score_key
+      FROM m WHERE tf >= 1
+    ),
+    ranked AS (
+      SELECT term, doc_id, rel, score_key,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY score_key DESC, doc_id) AS pos
+      FROM hits
+    ),
+    per_q AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS n_matched,
+             SUM(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS c3,
+             SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS c2,
+             SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS c1
+      FROM ranked GROUP BY term
+    ),
+    dcg AS (
+      SELECT term,
+             LIST_SUM(LIST_TRANSFORM(
+               LIST({{'p': pos, 'g': CAST((1 << rel) - 1 AS BIGINT)}}
+                    ORDER BY pos),
+               x -> x.g * ({_DISC_SQL})[x.p])) AS dcg10
+      FROM ranked WHERE pos <= {_NDCG_K} GROUP BY term
+    ),
+    idcg AS (
+      SELECT term,
+             LIST_SUM(LIST_TRANSFORM(RANGE(1, {_NDCG_K} + 1), s ->
+               (CASE WHEN s <= c3 THEN 7
+                     WHEN s <= c3 + c2 THEN 3
+                     WHEN s <= c3 + c2 + c1 THEN 1
+                     ELSE 0 END) * ({_DISC_SQL})[s])) AS idcg10
+      FROM per_q
+    )
+    SELECT p.term, p.n_matched,
+           ROUND(d.dcg10, 6) AS dcg10,
+           ROUND(i.idcg10, 6) AS idcg10,
+           ROUND(CASE WHEN i.idcg10 > 0 THEN d.dcg10 / i.idcg10
+                      ELSE 0.0 END, 6) AS ndcg10
+    FROM per_q p JOIN dcg d USING (term) JOIN idcg i USING (term)
+    """,
+    doc=f"NDCG@{_NDCG_K} retrieval-ranking evaluation (Järvelin & "
+        "Kekäläinen 2002) — the eval that closes the search tier's loop: "
+        "lsh_eval_pr scores candidate RECALL, ann_recall_at_k scores ANN "
+        "fidelity, this scores RANKING quality with graded relevance. "
+        "Judged system: length-normalized term frequency (the bm25-ish "
+        "integer key (tf*10000) DIV n_tokens); graded truth: rel = "
+        "LEAST(tf, 3) with gain 2^rel - 1. IDCG needs no second sort: "
+        "with 4 relevance grades the ideal top-k is determined by the "
+        "per-grade COUNTS alone (fill slots greedily 7,3,1), so it is an "
+        "ordered fold over slot 1..k against the cumulative grade counts "
+        "— an aggregate, not a ranking. Hash-exactness: gains and counts "
+        "are integers; the discount table 1/log2(pos+1) is computed once "
+        "in Python and injected into both engines as identical double "
+        "literals (log2 is libm, shared literals are bit-identical by "
+        "construction); DCG/IDCG are ordered folds over pos-sorted, "
+        "slot-ordered lists. PLAN: the term 'join' is an explode of a "
+        f"{len(_NDCG_TERMS)}-literal array inside the scan (narrow), "
+        "tf >= 1 prunes to matching docs before any shuffle, the per-term "
+        "top-k routes through bucketed_range_rank (no single-task-per-"
+        "term window at 100 TB), and everything after pos <= k is "
+        "per-term-sized. Plan-asserted in test_plans.py",
+)
+def rank_ndcg_eval(spark, sf_dir):
+    from .dataprep import bucketed_range_rank
+
+    d = T(spark, sf_dir, "documents")
+    m = (d.select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(t) for t in _NDCG_TERMS]))
+            .alias("term"),
+            _words().alias("ws"))
+         .select(
+            "term", "doc_id",
+            F.size(F.filter("ws", lambda w: w == F.col("term")))
+            .cast("bigint").alias("tf"),
+            F.size("ws").cast("bigint").alias("n_tokens")))
+    hits = (m.filter(F.col("tf") >= 1)
+            .select("term", "doc_id",
+                    F.least(F.col("tf"), F.lit(3)).alias("rel"),
+                    F.expr("CAST((tf * 10000) DIV GREATEST(n_tokens, 1) "
+                           "AS BIGINT)").alias("score_key")))
+    ranked = bucketed_range_rank(hits, ["term"], "score_key", "doc_id",
+                                 key_max=10000, n_buckets=40,
+                                 out_col="pos").cache()
+    disc = F.array(*[F.lit(v) for v in _NDCG_DISC])
+    per_q = (ranked.groupBy("term")
+             .agg(F.count("*").cast("bigint").alias("n_matched"),
+                  F.sum((F.col("rel") == 3).cast("bigint")).alias("c3"),
+                  F.sum((F.col("rel") == 2).cast("bigint")).alias("c2"),
+                  F.sum((F.col("rel") == 1).cast("bigint")).alias("c1")))
+    dcg = (ranked.filter(F.col("pos") <= _NDCG_K)
+           .groupBy("term")
+           .agg(F.array_sort(F.collect_list(F.struct(
+                    F.col("pos").alias("p"),
+                    F.expr("CAST(shiftleft(1, CAST(rel AS INT)) - 1 "
+                           "AS BIGINT)").alias("g")))).alias("arr"))
+           .select("term",
+                   F.aggregate(
+                       F.col("arr"), F.lit(0.0),
+                       lambda acc, x: acc + x["g"]
+                       * F.element_at(disc, x["p"].cast("int")))
+                   .alias("dcg10")))
+    idcg = per_q.select(
+        "term",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(_NDCG_K)), F.lit(0.0),
+            lambda acc, s: acc
+            + F.when(s <= F.col("c3"), F.lit(7))
+               .when(s <= F.col("c3") + F.col("c2"), F.lit(3))
+               .when(s <= F.col("c3") + F.col("c2") + F.col("c1"),
+                     F.lit(1))
+               .otherwise(F.lit(0)).cast("bigint")
+            * F.element_at(disc, s.cast("int"))).alias("idcg10"))
+    return (per_q.select("term", "n_matched")
+            .join(dcg, "term").join(idcg, "term")
+            .select("term", "n_matched",
+                    F.round("dcg10", 6).alias("dcg10"),
+                    F.round("idcg10", 6).alias("idcg10"),
+                    F.round(F.when(F.col("idcg10") > 0,
+                                   F.col("dcg10") / F.col("idcg10"))
+                            .otherwise(F.lit(0.0)), 6).alias("ndcg10")))

@@ -41,7 +41,8 @@ def test_r11_window_is_staleness_ordered():
     The cohort sets derive from CORRECTNESS_r{1..10}.json (the per-face
     last-sampled-round fold)."""
     added_r11 = ["mix_pack_epoch_stream", "dedup_ngram_coverage",
-                 "mix_token_budget"]
+                 "mix_token_budget", "mix_doremi_weights",
+                 "mix_curriculum_interleave", "rank_ndcg_eval"]
     r4_cohort = {
         "pivot_qty_by_flag", "proj_filter_case", "retention_cohorts",
         "running_balance_clamped", "scan_range", "scd2_point_in_time",
@@ -55,4 +56,4 @@ def test_r11_window_is_staleness_ordered():
     head = list(entry.DRIVER_PRIORITY)
     assert head[:len(added_r11)] == added_r11
     assert r4_cohort <= set(head[:len(added_r11) + len(r4_cohort)])
-    assert len(head) == 3 + 22 + 41   # added + r4 cohort + r5 cohort
+    assert len(head) == 6 + 22 + 41   # added + r4 cohort + r5 cohort

