@@ -1944,15 +1944,31 @@ _DOREMI_SMOOTH = 0.01  # uniform smoothing mass (the paper's u term)
 )
 def mix_doremi_weights(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    tok = (d.groupBy("source")
-           .agg(F.count("*").cast("bigint").alias("n_docs"),
-                F.sum(F.regexp_count("text", F.lit(r"\w+")))
-                .cast("bigint").alias("n_tokens"),
-                F.sum(F.size(F.array_distinct(
-                    F.regexp_extract_all(F.lower(F.col("text")),
-                                         F.lit(r"\w+"), F.lit(0)))))
-                .cast("bigint").alias("n_dist"))
-           .cache())
+    tok = doremi_domain_counts(d).cache()
+    return doremi_fold(tok)
+
+
+def doremi_domain_counts(docs):
+    """Per-source BIGINT count rollup (n_docs, n_tokens, n_dist) for ANY
+    (source, text) frame — the one fact-sized reduction the DoReMi face
+    AND its streaming twin (streaming/ops.doremi_weights_sink) share.
+    n_dist is PER-DOC distinct tokens summed over docs, so it is
+    additive across micro-batches (a corpus-level distinct would not
+    be) — the property the incremental sink's count fold rests on."""
+    return (docs.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum(F.regexp_count("text", F.lit(r"\w+")))
+                 .cast("bigint").alias("n_tokens"),
+                 F.sum(F.size(F.array_distinct(
+                     F.regexp_extract_all(F.lower(F.col("text")),
+                                          F.lit(r"\w+"), F.lit(0)))))
+                 .cast("bigint").alias("n_dist")))
+
+
+def doremi_fold(tok):
+    """The linearized-MW weight fold over a (source, n_docs, n_tokens,
+    n_dist) domain table — domains-sized arithmetic, shared verbatim by
+    the batch face and the streaming twin so the twin cannot drift."""
 
     def _excess(t, dd, all_t, all_d):
         return F.greatest(

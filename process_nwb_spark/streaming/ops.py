@@ -1556,3 +1556,66 @@ def contamination_sink(test_docs: DataFrame, out_dir: str):
         rep.write.mode("overwrite").parquet(contam_dir)
 
     return write_batch
+
+
+def doremi_weights_sink(out_dir: str):
+    """foreachBatch INCREMENTAL DOMAIN REWEIGHTING — the streaming twin
+    of relational/dataprep.mix_doremi_weights: maintain the DoReMi
+    domain weights live as document micro-batches arrive, so a
+    continuously-ingesting corpus always carries a current mixture
+    prescription without re-scanning history.
+
+    Each batch (doc_id, source, text rows):
+      1. reduces to the per-source BIGINT rollup via the batch face's
+         own doremi_domain_counts (n_docs, n_tokens, and per-doc
+         distinct tokens summed — ADDITIVE across batches, which a
+         corpus-level distinct would not be; that additivity is the
+         whole design) — the only fact-sized work, one pass;
+      2. appends the rollup to `<out_dir>/src_counts` PARTITIONED BY
+         batch_id with dynamic partition overwrite — a RETRIED batch
+         replaces its own partition (idempotent), and batch ORDER is
+         irrelevant because integer sums commute;
+      3. re-folds the weights over the summed counts with the batch
+         face's own doremi_fold and rewrites `<out_dir>/weights`
+         (source, n_docs, n_tokens, token_share, excess_loss,
+         doremi_weight) — domains-sized work.
+
+    Sharing doremi_domain_counts + doremi_fold verbatim means the
+    weights table after any prefix of batches is BIT-IDENTICAL to the
+    batch face run on the documents streamed so far — pinned in
+    test_streaming.py with retry + scrambled-order + empty-first-batch
+    cases and in the test_stream_soak.py random-cut soak. At 100 TB:
+    src_counts grows one |domains|-row partition per batch (metadata-
+    sized forever), the per-batch cost is one scan of the batch, and
+    old partitions compact offline because the counts merge
+    associatively."""
+    from process_nwb_spark.relational.dataprep import (
+        doremi_domain_counts, doremi_fold)
+
+    cnt_dir = out_dir.rstrip("/") + "/src_counts"
+    w_dir = out_dir.rstrip("/") + "/weights"
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        cnt = (doremi_domain_counts(batch_df)
+               .withColumn("batch_id", F.lit(int(batch_id))))
+        (cnt.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(cnt_dir))
+        # guarded read-back: an all-empty first batch writes NO
+        # partition, so fall back to an empty rollup (weights table
+        # stays absent until data arrives — there is no meaningful
+        # 0-domain weight row to emit)
+        raw = _read_if_exists(sp, cnt_dir)
+        if raw is None:
+            return
+        tok = (raw.groupBy("source")
+               .agg(F.sum("n_docs").cast("bigint").alias("n_docs"),
+                    F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.sum("n_dist").cast("bigint").alias("n_dist")))
+        if not tok.head(1):
+            return
+        w = doremi_fold(tok).localCheckpoint()
+        w.write.mode("overwrite").parquet(w_dir)
+
+    return write_batch

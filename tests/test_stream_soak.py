@@ -365,3 +365,37 @@ def test_contamination_sink_soak_random_cuts(spark, tmp_path):
         cols = sorted(w.columns)
         _eq(g, w, cols, ["doc_id"],
             ("contamination", rnd, cuts, list(order), retry_at, delayed))
+
+
+def test_doremi_weights_sink_soak_random_cuts(spark, tmp_path):
+    """Randomized-cut soak for doremi_weights_sink: seeded random batch
+    counts, doc_id cut points, application ORDER, and a verbatim retry
+    — the converged weights table must equal mix_doremi_weights
+    bit-exactly every time (integer count sums commute, the retried
+    batch overwrites its own partition)."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import doremi_weights_sink
+
+    rng = np.random.default_rng(SEED + 2)
+    docs = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .select("doc_id", "source", "text").localCheckpoint())
+    ids = [r.doc_id for r in
+           docs.select("doc_id").orderBy("doc_id").collect()]
+    want = (all_queries()["mix_doremi_weights"].fn(spark, SF_CORRECT)
+            .toPandas())
+    cols = sorted(want.columns)
+    for rnd in range(3):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, ids, n_segs)
+        segs = _segments(docs, "doc_id", cuts)
+        out = str(tmp_path / f"out_doremi_{rnd}")
+        sink = doremi_weights_sink(out)
+        order = rng.permutation(len(segs))
+        retry_at = int(rng.integers(0, len(segs)))
+        for step, i in enumerate(order):
+            sink(segs[int(i)], int(i))
+            if step == retry_at:
+                sink(segs[int(i)], int(i))   # verbatim retry
+        got = spark.read.parquet(out + "/weights").toPandas()
+        _eq(got, want, cols, ["source"],
+            ("doremi", rnd, cuts, list(order), retry_at))

@@ -1230,3 +1230,75 @@ def test_stream_contamination_equals_batch_face(spark, tmp_path):
     pd.testing.assert_frame_equal(
         norm(spark.read.parquet(out2 + "/contamination")), want,
         check_dtype=False, check_exact=True)
+
+
+def test_stream_doremi_weights_equals_batch_face(spark, tmp_path):
+    """doremi_weights_sink parity contract: after streaming the corpus
+    through the sink, the weights table must be BIT-IDENTICAL to
+    mix_doremi_weights run on the same documents — the twin shares
+    doremi_domain_counts + doremi_fold verbatim, and this pin is what
+    makes that sharing a contract. Plus retry idempotence (a replayed
+    batch overwrites its own counts partition), order freedom (integer
+    count sums commute), and the empty-first-batch guard."""
+    from process_nwb_spark.streaming.ops import doremi_weights_sink
+    from tests.conftest import SF_CORRECT
+
+    docs = T(spark, SF_CORRECT, "documents").select(
+        "doc_id", "source", "text")
+    preds = [F.col("doc_id") % 3 == i for i in range(3)]
+
+    in_dir = str(tmp_path / "dw_in")
+    for p in preds:
+        docs.filter(p).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out = str(tmp_path / "dw_out")
+    sdf = (spark.readStream
+           .schema("doc_id bigint, source string, text string")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (sdf.writeStream.foreachBatch(doremi_weights_sink(out))
+         .option("checkpointLocation", str(tmp_path / "dw_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    def norm(df):
+        return df.toPandas().sort_values("source").reset_index(drop=True)
+
+    cols = ["source", "n_docs", "n_tokens", "token_share",
+            "excess_loss", "doremi_weight"]
+    got = norm(spark.read.parquet(out + "/weights"))
+    want = norm(all_queries()["mix_doremi_weights"].fn(spark, SF_CORRECT))
+    pd.testing.assert_frame_equal(got[cols], want[cols],
+                                  check_dtype=False, check_exact=True)
+
+    # retry idempotence: re-apply a middle batch verbatim
+    sink = doremi_weights_sink(out)
+    sink(docs.filter(preds[1]), 1)
+    pd.testing.assert_frame_equal(
+        norm(spark.read.parquet(out + "/weights"))[cols], want[cols],
+        check_dtype=False, check_exact=True)
+
+    # order freedom + empty first batch into a fresh sink
+    out2 = str(tmp_path / "dw_out2")
+    sink2 = doremi_weights_sink(out2)
+    sink2(docs.filter(F.lit(False)), 0)   # all-empty: no weights yet
+    import os
+    assert not os.path.exists(out2 + "/weights")
+    for i in (2, 0, 1):
+        sink2(docs.filter(preds[i]), i + 1)
+    pd.testing.assert_frame_equal(
+        norm(spark.read.parquet(out2 + "/weights"))[cols], want[cols],
+        check_dtype=False, check_exact=True)
+
+    # mid-stream state is itself the batch face of the streamed prefix:
+    # after only batches {2, 0}, weights == batch face on those docs
+    out3 = str(tmp_path / "dw_out3")
+    sink3 = doremi_weights_sink(out3)
+    sink3(docs.filter(preds[2]), 0)
+    sink3(docs.filter(preds[0]), 1)
+    from process_nwb_spark.relational.dataprep import (
+        doremi_domain_counts, doremi_fold)
+    part = doremi_fold(doremi_domain_counts(
+        docs.filter(preds[2] | preds[0])).cache())
+    pd.testing.assert_frame_equal(
+        norm(spark.read.parquet(out3 + "/weights"))[cols],
+        norm(part)[cols], check_dtype=False, check_exact=True)
