@@ -81,6 +81,8 @@ DRIVER_PRIORITY = (
     #   easy-to-hard curriculum with arithmetic round-robin interleave
     "rank_ndcg_eval",  # ADDED r11 (never driver-sampled): NDCG@10
     #   ranking eval with shared-literal discount table
+    "quality_survival_curve",  # ADDED r11 (never driver-sampled):
+    #   tokens/docs surviving each quality cut from one scan
     # ---- (b) staleness backfill, oldest driver sample first ----
     "pivot_qty_by_flag",  # last driver r4
     "proj_filter_case",  # last driver r4

@@ -3151,3 +3151,83 @@ def rank_ndcg_eval(spark, sf_dir):
                     F.round(F.when(F.col("idcg10") > 0,
                                    F.col("dcg10") / F.col("idcg10"))
                             .otherwise(F.lit(0.0)), 6).alias("ndcg10")))
+
+
+# --------------------------------------------------------------------------
+# Quality-gate survival curve
+# --------------------------------------------------------------------------
+@query(
+    "quality_survival_curve",
+    """
+    WITH scored AS (
+      SELECT CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')) AS BIGINT)
+               AS n_tokens,
+             CAST((CAST(LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text),
+                        '\\w+'))) AS BIGINT) * 10000)
+                  // GREATEST(CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+'))
+                              AS BIGINT), 1) AS BIGINT) AS score_key
+      FROM documents
+    ),
+    bkt AS (
+      SELECT LEAST(score_key // 1000, 10) AS b,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(n_tokens) AS BIGINT) AS nt
+      FROM scored GROUP BY 1
+    ),
+    tot AS (SELECT SUM(nd) AS all_d, SUM(nt) AS all_t FROM bkt),
+    grid AS (SELECT UNNEST(RANGE(0, 10)) AS g),
+    surv AS (
+      SELECT g.g * 1000 AS threshold,
+             CAST(COALESCE(SUM(bkt.nd), 0) AS BIGINT) AS n_docs_kept,
+             CAST(COALESCE(SUM(bkt.nt), 0) AS BIGINT) AS n_tokens_kept
+      FROM grid g LEFT JOIN bkt ON bkt.b >= g.g
+      GROUP BY g.g
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold, n_docs_kept,
+           n_tokens_kept,
+           ROUND(CAST(n_tokens_kept AS DOUBLE) / all_t, 6)
+             AS token_survival
+    FROM surv CROSS JOIN tot
+    """,
+    doc="quality-gate survival curve — the planning query run BEFORE "
+        "committing to a corpus filter threshold: for each candidate "
+        "cut on the mix tier's exact integer lexical-diversity score "
+        "((n_dist*10000) DIV n_tokens, the same key mix_token_budget and "
+        "mix_curriculum_interleave rank by), how many documents and "
+        "tokens survive score >= cut, and the surviving token share. "
+        "One corpus scan reduces to an 11-row score-bucket rollup "
+        "(score DIV 1000, partial-agg'd map-side); the suffix sums over "
+        "buckets are grid x bucket work on that metadata-sized table — "
+        "the curve NEVER rescans the corpus per threshold, which is the "
+        "difference between one pass and ten at 100 TB. All counts "
+        "BIGINT; the only float is the final share division. "
+        "Plan-asserted single scan in test_plans.py",
+)
+def quality_survival_curve(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        F.regexp_count("text", F.lit(r"\w+")).cast("bigint")
+        .alias("n_tokens"),
+        F.expr("CAST((CAST(size(array_distinct(regexp_extract_all("
+               "lower(text), '\\\\w+', 0))) AS BIGINT) * 10000) DIV "
+               "GREATEST(CAST(regexp_count(text, '\\\\w+') AS BIGINT), 1) "
+               "AS BIGINT)").alias("score_key"))
+    bkt = (scored
+           .groupBy(F.expr("LEAST(score_key DIV 1000, 10)").cast("bigint")
+                    .alias("b"))
+           .agg(F.count("*").cast("bigint").alias("nd"),
+                F.sum("n_tokens").cast("bigint").alias("nt"))
+           .cache())
+    tot = bkt.agg(F.sum("nd").alias("all_d"), F.sum("nt").alias("all_t"))
+    grid = spark.range(0, 10).select(F.col("id").alias("g"))
+    surv = (grid.join(F.broadcast(bkt), F.col("b") >= F.col("g"), "left")
+            .groupBy("g")
+            .agg(F.coalesce(F.sum("nd"), F.lit(0)).cast("bigint")
+                 .alias("n_docs_kept"),
+                 F.coalesce(F.sum("nt"), F.lit(0)).cast("bigint")
+                 .alias("n_tokens_kept")))
+    return (surv.crossJoin(F.broadcast(tot))
+            .select((F.col("g") * 1000).cast("bigint").alias("threshold"),
+                    "n_docs_kept", "n_tokens_kept",
+                    F.round(F.col("n_tokens_kept").cast("double")
+                            / F.col("all_t"), 6).alias("token_survival")))

@@ -947,3 +947,15 @@ def test_ndcg_topk_never_single_task_per_term(spark, qs):
     assert rn, plan
     assert all(re.search(r"\[term#\d+, _b#\d+L?\]", l) for l in rn), rn
     assert has_broadcast_join(df), plan
+
+
+def test_survival_curve_single_scan(spark, qs):
+    """quality_survival_curve must derive all 10 thresholds from ONE
+    corpus scan reduced to the 11-row score-bucket rollup (cached) —
+    never a rescan per threshold; the grid x bucket suffix sums join
+    broadcast against that metadata-sized table."""
+    df = qs["quality_survival_curve"].fn(spark, SF)
+    plan = formatted_plan(df, "formatted")
+    assert plan.count("documents.parquet") <= 1, plan
+    assert has_partial_aggregation(df), plan
+    assert has_broadcast_join(df), plan

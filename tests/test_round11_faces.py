@@ -137,3 +137,41 @@ def test_ndcg_bounds_and_perfect_ranking_scores_one(spark):
     assert len(pdf) == 4
     assert ((pdf.ndcg10 > 0) & (pdf.ndcg10 <= 1)).all()
     assert (pdf.idcg10 >= pdf.dcg10).all()
+
+
+# ---------------------------------------------------------------------------
+# quality_survival_curve
+# ---------------------------------------------------------------------------
+def test_survival_curve_monotone_and_anchored(spark):
+    pdf = (all_queries()["quality_survival_curve"].fn(spark, SF)
+           .toPandas().sort_values("threshold").reset_index(drop=True))
+    assert list(pdf.threshold) == [i * 1000 for i in range(10)]
+    # survival is non-increasing in the threshold
+    assert (np.diff(pdf.n_docs_kept.to_numpy()) <= 0).all()
+    assert (np.diff(pdf.n_tokens_kept.to_numpy()) <= 0).all()
+    assert (np.diff(pdf.token_survival.to_numpy()) <= 0).all()
+    # threshold 0 keeps everything
+    assert pdf.n_docs_kept.iloc[0] == 500
+    assert pdf.token_survival.iloc[0] == 1.0
+    # the curve is non-vacuous on the fixture: some gate bites
+    assert pdf.n_docs_kept.iloc[-1] < 500
+
+
+def test_survival_curve_pandas_replay(spark):
+    """Exact replay: per-threshold doc/token survival from raw text."""
+    import re
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("text").toPandas())
+    docs["t"] = docs.text.map(lambda s: len(re.findall(r"\w+", s)))
+    docs["dd"] = docs.text.map(
+        lambda s: len(set(re.findall(r"\w+", s.lower()))))
+    docs["score"] = (docs.dd * 10000) // docs.t.clip(lower=1)
+    all_t = int(docs.t.sum())
+    pdf = (all_queries()["quality_survival_curve"].fn(spark, SF)
+           .toPandas().sort_values("threshold").reset_index(drop=True))
+    for r in pdf.itertuples():
+        kept = docs[docs.score >= r.threshold]
+        assert r.n_docs_kept == len(kept), r.threshold
+        assert r.n_tokens_kept == int(kept.t.sum()), r.threshold
+        assert r.token_survival == round(int(kept.t.sum()) / all_t, 6)
