@@ -83,6 +83,8 @@ DRIVER_PRIORITY = (
     #   ranking eval with shared-literal discount table
     "quality_survival_curve",  # ADDED r11 (never driver-sampled):
     #   tokens/docs surviving each quality cut from one scan
+    "mix_anneal_schedule",  # ADDED r11 (never driver-sampled): two-
+    #   phase main->anneal stream, one bucketed rank over both phases
     # ---- (b) staleness backfill, oldest driver sample first ----
     "pivot_qty_by_flag",  # last driver r4
     "proj_filter_case",  # last driver r4

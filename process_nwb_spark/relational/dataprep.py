@@ -2087,3 +2087,95 @@ def mix_curriculum_interleave(spark, sf_dir):
                     .alias("rank_in_source"),
                     ((F.col("rank_in_source") - 1) * F.col("s")
                      + F.col("si")).cast("bigint").alias("slot")))
+
+
+# --------------------------------------------------------------------------
+# Two-phase main -> anneal training schedule
+# --------------------------------------------------------------------------
+_ANNEAL_CUT = 7000  # score_key >= cut defines the high-quality anneal set
+
+
+@query(
+    "mix_anneal_schedule",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')) AS BIGINT)
+               AS n_tokens,
+             CAST((CAST(LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text),
+                        '\\w+'))) AS BIGINT) * 10000)
+                  // GREATEST(CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+'))
+                              AS BIGINT), 1) AS BIGINT) AS score_key
+      FROM documents
+    ),
+    ph AS (
+      SELECT 0 AS phase, doc_id, n_tokens, score_key FROM scored
+      UNION ALL
+      SELECT 1, doc_id, n_tokens, score_key FROM scored
+      WHERE score_key >= {_ANNEAL_CUT}
+    ),
+    keyed AS (
+      SELECT phase, doc_id, n_tokens, score_key,
+             MD5((CASE WHEN phase = 0 THEN 'main:' ELSE 'anneal:' END)
+                 || CAST(doc_id AS VARCHAR)) AS k
+      FROM ph
+    ),
+    n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM keyed WHERE phase = 0)
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(ROW_NUMBER() OVER (PARTITION BY phase ORDER BY k, doc_id)
+                + CASE WHEN phase = 1 THEN n0.c ELSE 0 END AS BIGINT)
+             AS position,
+           doc_id, n_tokens, score_key
+    FROM keyed CROSS JOIN n0
+    """,
+    doc="two-phase main -> anneal training schedule (the midtraining "
+        "recipe: a final phase re-showing only high-quality data — "
+        "MiniCPM's WSD annealing data, Llama 3's quality-upsampled "
+        "final phase, OLMo 2 midtraining): phase 0 streams the WHOLE "
+        "corpus in md5('main:'||doc_id) order; phase 1 re-streams the "
+        f"docs whose lexical-diversity score >= {_ANNEAL_CUT} (the mix "
+        "tier's shared integer key) in a DIFFERENT md5('anneal:'||...) "
+        "order; position is the global stream index (phase-1 offsets by "
+        "the phase-0 count), so ORDER BY position is the entire "
+        "training run and resume is WHERE position > checkpoint, pure "
+        "recomputation — the same seedless-RNG contract as "
+        "mix_epoch_shuffle, with the phase label replacing the epoch "
+        "number in the hash. PLAN: the phase fan-out is a narrow "
+        "union inside the scan; both phases rank through ONE "
+        "bucketed_hash_rank call on (phase, md5-prefix bucket) — no "
+        "single-task-per-phase sort (phases are the 2-value worst "
+        "case); the phase-0 count joins back as a broadcast 1-row "
+        "scalar. All-integer output, hash-exact. Plan-asserted in "
+        "test_plans.py",
+)
+def mix_anneal_schedule(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\w+")).cast("bigint")
+        .alias("n_tokens"),
+        F.expr("CAST((CAST(size(array_distinct(regexp_extract_all("
+               "lower(text), '\\\\w+', 0))) AS BIGINT) * 10000) DIV "
+               "GREATEST(CAST(regexp_count(text, '\\\\w+') AS BIGINT), 1) "
+               "AS BIGINT)").alias("score_key"))
+    ph = (scored.select(F.lit(0).alias("phase"), "doc_id", "n_tokens",
+                        "score_key")
+          .unionAll(scored.filter(F.col("score_key") >= _ANNEAL_CUT)
+                    .select(F.lit(1).alias("phase"), "doc_id", "n_tokens",
+                            "score_key")))
+    keyed = ph.withColumn(
+        "k", F.md5(F.concat(
+            F.when(F.col("phase") == 0, F.lit("main:"))
+            .otherwise(F.lit("anneal:")),
+            F.col("doc_id").cast("string"))))
+    ranked = bucketed_hash_rank(keyed, ["phase"], "k", "doc_id",
+                                out_col="_r")
+    n0 = (keyed.filter(F.col("phase") == 0)
+          .agg(F.count("*").cast("bigint").alias("c")))
+    return (ranked.crossJoin(F.broadcast(n0))
+            .select(F.col("phase").cast("bigint").alias("phase"),
+                    (F.col("_r")
+                     + F.when(F.col("phase") == 1, F.col("c"))
+                     .otherwise(F.lit(0))).cast("bigint")
+                    .alias("position"),
+                    "doc_id", "n_tokens", "score_key"))

@@ -43,7 +43,7 @@ def test_r11_window_is_staleness_ordered():
     added_r11 = ["mix_pack_epoch_stream", "dedup_ngram_coverage",
                  "mix_token_budget", "mix_doremi_weights",
                  "mix_curriculum_interleave", "rank_ndcg_eval",
-                 "quality_survival_curve"]
+                 "quality_survival_curve", "mix_anneal_schedule"]
     r4_cohort = {
         "pivot_qty_by_flag", "proj_filter_case", "retention_cohorts",
         "running_balance_clamped", "scan_range", "scd2_point_in_time",
@@ -57,4 +57,4 @@ def test_r11_window_is_staleness_ordered():
     head = list(entry.DRIVER_PRIORITY)
     assert head[:len(added_r11)] == added_r11
     assert r4_cohort <= set(head[:len(added_r11) + len(r4_cohort)])
-    assert len(head) == 7 + 22 + 41   # added + r4 cohort + r5 cohort
+    assert len(head) == 8 + 22 + 41   # added + r4 cohort + r5 cohort

@@ -959,3 +959,20 @@ def test_survival_curve_single_scan(spark, qs):
     assert plan.count("documents.parquet") <= 1, plan
     assert has_partial_aggregation(df), plan
     assert has_broadcast_join(df), plan
+
+
+def test_anneal_schedule_never_single_task_per_phase(spark, qs):
+    """mix_anneal_schedule ranks both phases (a 2-value group — the
+    worst single-task-window case) through ONE bucketed_hash_rank on
+    (phase, md5-prefix bucket); the phase-0 count attaches as a
+    broadcast scalar. No SinglePartition beyond that 1-row count."""
+    import re
+
+    df = qs["mix_anneal_schedule"].fn(spark, SF)
+    plan = formatted_plan(df, "formatted")
+    assert len(re.findall(r"SinglePartition", plan)) <= 1, plan
+    rn = [l for l in plan.splitlines()
+          if "row_number()" in l and "windowspecdefinition" in l]
+    assert rn, plan
+    assert all(re.search(r"\[phase#\d+, _b#\d+\]", l) for l in rn), rn
+    assert has_broadcast_join(df), plan

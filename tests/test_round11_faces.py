@@ -175,3 +175,41 @@ def test_survival_curve_pandas_replay(spark):
         assert r.n_docs_kept == len(kept), r.threshold
         assert r.n_tokens_kept == int(kept.t.sum()), r.threshold
         assert r.token_survival == round(int(kept.t.sum()) / all_t, 6)
+
+
+# ---------------------------------------------------------------------------
+# mix_anneal_schedule
+# ---------------------------------------------------------------------------
+def test_anneal_schedule_structure(spark):
+    pdf = all_queries()["mix_anneal_schedule"].fn(spark, SF).toPandas()
+    p0 = pdf[pdf.phase == 0].sort_values("position")
+    p1 = pdf[pdf.phase == 1].sort_values("position")
+    # phase 0 is the whole corpus once; phase 1 a strict high-quality subset
+    assert len(p0) == 500 and p0.doc_id.is_unique
+    assert 0 < len(p1) < 500 and p1.doc_id.is_unique
+    assert (p1.score_key >= 7000).all()
+    assert set(p1.doc_id) <= set(p0.doc_id)
+    # position is one dense global stream: phase 0 then phase 1
+    assert list(p0.position) == list(range(1, len(p0) + 1))
+    assert list(p1.position) == list(
+        range(len(p0) + 1, len(p0) + len(p1) + 1))
+
+
+def test_anneal_schedule_orders_are_md5_and_distinct(spark):
+    """Both phases follow their own md5 order (seedless, worker-
+    recomputable), and the anneal permutation differs from main's
+    restriction — the phase label genuinely reshuffles."""
+    import hashlib
+
+    pdf = all_queries()["mix_anneal_schedule"].fn(spark, SF).toPandas()
+    for phase, pref in ((0, "main:"), (1, "anneal:")):
+        grp = pdf[pdf.phase == phase].sort_values("position")
+        want = sorted(grp.doc_id,
+                      key=lambda d: (hashlib.md5(
+                          f"{pref}{d}".encode()).hexdigest(), d))
+        assert list(grp.doc_id) == want, phase
+    p1 = pdf[pdf.phase == 1].sort_values("position").doc_id.tolist()
+    p0_restricted = [d for d in
+                     pdf[pdf.phase == 0].sort_values("position").doc_id
+                     if d in set(p1)]
+    assert p1 != p0_restricted
