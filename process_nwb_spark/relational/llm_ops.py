@@ -3205,19 +3205,34 @@ def rank_ndcg_eval(spark, sf_dir):
 )
 def quality_survival_curve(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    scored = d.select(
+    return survival_fold(survival_bucket_rollup(d).cache())
+
+
+def survival_bucket_rollup(docs):
+    """The 11-row score-bucket rollup (b, nd, nt) for ANY (text) frame
+    — the one fact-sized reduction quality_survival_curve AND its
+    streaming twin (streaming/ops.survival_curve_sink) share. Bucket
+    counts are BIGINT and ADDITIVE across micro-batches, the property
+    the incremental sink's fold rests on."""
+    scored = docs.select(
         F.regexp_count("text", F.lit(r"\w+")).cast("bigint")
         .alias("n_tokens"),
         F.expr("CAST((CAST(size(array_distinct(regexp_extract_all("
                "lower(text), '\\\\w+', 0))) AS BIGINT) * 10000) DIV "
                "GREATEST(CAST(regexp_count(text, '\\\\w+') AS BIGINT), 1) "
                "AS BIGINT)").alias("score_key"))
-    bkt = (scored
-           .groupBy(F.expr("LEAST(score_key DIV 1000, 10)").cast("bigint")
-                    .alias("b"))
-           .agg(F.count("*").cast("bigint").alias("nd"),
-                F.sum("n_tokens").cast("bigint").alias("nt"))
-           .cache())
+    return (scored
+            .groupBy(F.expr("LEAST(score_key DIV 1000, 10)").cast("bigint")
+                     .alias("b"))
+            .agg(F.count("*").cast("bigint").alias("nd"),
+                 F.sum("n_tokens").cast("bigint").alias("nt")))
+
+
+def survival_fold(bkt):
+    """Threshold sweep over a (b, nd, nt) bucket rollup — grid x bucket
+    work on the metadata-sized table, shared verbatim by the batch face
+    and the streaming twin so the twin cannot drift."""
+    spark = bkt.sparkSession
     tot = bkt.agg(F.sum("nd").alias("all_d"), F.sum("nt").alias("all_t"))
     grid = spark.range(0, 10).select(F.col("id").alias("g"))
     surv = (grid.join(F.broadcast(bkt), F.col("b") >= F.col("g"), "left")

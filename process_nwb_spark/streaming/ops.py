@@ -1619,3 +1619,53 @@ def doremi_weights_sink(out_dir: str):
         w.write.mode("overwrite").parquet(w_dir)
 
     return write_batch
+
+
+def survival_curve_sink(out_dir: str):
+    """foreachBatch INCREMENTAL QUALITY-SURVIVAL CURVE — the streaming
+    twin of relational/llm_ops.quality_survival_curve: keep the
+    gate-planning sweep (docs/tokens surviving each quality cut) live
+    as document micro-batches arrive, so the decision table a corpus
+    owner thresholds on is always current without rescanning history.
+
+    Same incremental-count design as doremi_weights_sink (the two
+    sinks and their batch faces share one additivity argument):
+      1. each batch reduces to the 11-row score-bucket rollup via the
+         batch face's own survival_bucket_rollup — BIGINT counts,
+         additive across batches; the only fact-sized work;
+      2. the rollup appends to `<out_dir>/bkt_counts` PARTITIONED BY
+         batch_id (retried batch overwrites its own partition; order
+         irrelevant, integer sums commute);
+      3. the threshold sweep re-folds over the summed buckets with the
+         batch face's own survival_fold and rewrites
+         `<out_dir>/curve` — grid x bucket work.
+
+    Bit-identical to quality_survival_curve on any streamed prefix
+    (pinned in test_streaming.py; random-cut soak in
+    test_stream_soak.py). At 100 TB: bkt_counts grows <= 11 rows per
+    batch, per-batch cost is one scan of the batch."""
+    from process_nwb_spark.relational.llm_ops import (
+        survival_bucket_rollup, survival_fold)
+
+    cnt_dir = out_dir.rstrip("/") + "/bkt_counts"
+    curve_dir = out_dir.rstrip("/") + "/curve"
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        cnt = (survival_bucket_rollup(batch_df)
+               .withColumn("batch_id", F.lit(int(batch_id))))
+        (cnt.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(cnt_dir))
+        raw = _read_if_exists(sp, cnt_dir)
+        if raw is None:
+            return
+        bkt = (raw.groupBy("b")
+               .agg(F.sum("nd").cast("bigint").alias("nd"),
+                    F.sum("nt").cast("bigint").alias("nt")))
+        if not bkt.head(1):
+            return
+        curve = survival_fold(bkt).localCheckpoint()
+        curve.write.mode("overwrite").parquet(curve_dir)
+
+    return write_batch

@@ -399,3 +399,35 @@ def test_doremi_weights_sink_soak_random_cuts(spark, tmp_path):
         got = spark.read.parquet(out + "/weights").toPandas()
         _eq(got, want, cols, ["source"],
             ("doremi", rnd, cuts, list(order), retry_at))
+
+
+def test_survival_curve_sink_soak_random_cuts(spark, tmp_path):
+    """Randomized-cut soak for survival_curve_sink: seeded random batch
+    counts, cut points, order, and a verbatim retry — converged curve
+    equals quality_survival_curve bit-exactly every time."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import survival_curve_sink
+
+    rng = np.random.default_rng(SEED + 3)
+    docs = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .select("doc_id", "text").localCheckpoint())
+    ids = [r.doc_id for r in
+           docs.select("doc_id").orderBy("doc_id").collect()]
+    want = (all_queries()["quality_survival_curve"].fn(spark, SF_CORRECT)
+            .toPandas())
+    cols = sorted(want.columns)
+    for rnd in range(3):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, ids, n_segs)
+        segs = _segments(docs, "doc_id", cuts)
+        out = str(tmp_path / f"out_surv_{rnd}")
+        sink = survival_curve_sink(out)
+        order = rng.permutation(len(segs))
+        retry_at = int(rng.integers(0, len(segs)))
+        for step, i in enumerate(order):
+            sink(segs[int(i)], int(i))
+            if step == retry_at:
+                sink(segs[int(i)], int(i))
+        got = spark.read.parquet(out + "/curve").toPandas()
+        _eq(got, want, cols, ["threshold"],
+            ("survival", rnd, cuts, list(order), retry_at))

@@ -1302,3 +1302,52 @@ def test_stream_doremi_weights_equals_batch_face(spark, tmp_path):
     pd.testing.assert_frame_equal(
         norm(spark.read.parquet(out3 + "/weights"))[cols],
         norm(part)[cols], check_dtype=False, check_exact=True)
+
+
+def test_stream_survival_curve_equals_batch_face(spark, tmp_path):
+    """survival_curve_sink parity: after streaming the corpus, the
+    curve table must be BIT-IDENTICAL to quality_survival_curve on the
+    same documents (shared survival_bucket_rollup + survival_fold),
+    including under a verbatim retry and scrambled order."""
+    from process_nwb_spark.streaming.ops import survival_curve_sink
+    from tests.conftest import SF_CORRECT
+
+    docs = T(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    preds = [F.col("doc_id") % 3 == i for i in range(3)]
+
+    in_dir = str(tmp_path / "sc_in")
+    for p in preds:
+        docs.filter(p).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out = str(tmp_path / "sc_out")
+    sdf = (spark.readStream.schema("doc_id bigint, text string")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    q = (sdf.writeStream.foreachBatch(survival_curve_sink(out))
+         .option("checkpointLocation", str(tmp_path / "sc_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    def norm(df):
+        return (df.toPandas().sort_values("threshold")
+                .reset_index(drop=True))
+
+    cols = ["threshold", "n_docs_kept", "n_tokens_kept", "token_survival"]
+    got = norm(spark.read.parquet(out + "/curve"))
+    want = norm(all_queries()["quality_survival_curve"]
+                .fn(spark, SF_CORRECT))
+    pd.testing.assert_frame_equal(got[cols], want[cols],
+                                  check_dtype=False, check_exact=True)
+
+    # verbatim retry then scrambled order into a fresh sink
+    sink = survival_curve_sink(out)
+    sink(docs.filter(preds[0]), 0)
+    pd.testing.assert_frame_equal(
+        norm(spark.read.parquet(out + "/curve"))[cols], want[cols],
+        check_dtype=False, check_exact=True)
+    out2 = str(tmp_path / "sc_out2")
+    sink2 = survival_curve_sink(out2)
+    for i in (1, 2, 0):
+        sink2(docs.filter(preds[i]), i)
+    pd.testing.assert_frame_equal(
+        norm(spark.read.parquet(out2 + "/curve"))[cols], want[cols],
+        check_dtype=False, check_exact=True)
