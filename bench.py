@@ -116,6 +116,17 @@ SF1_SUBSET = [
     # r11: shuffle + pack in one bucketed window — claims the same
     # sort-linear no-single-task-per-epoch shape as mix_epoch_shuffle
     "mix_pack_epoch_stream",
+    # r11 second batch — each claims a scan-bounded shape the sf1
+    # ratio is the measured check of: first-owner k-gram coverage
+    # (one owner hash-agg + one equi-join, linear, no pair join),
+    # DoReMi rollup (one scan to |domains| rows, arithmetic after),
+    # curriculum interleave + token budget (bucketed range rank, no
+    # single-task-per-source window), NDCG top-k (bucketed rank over
+    # term-matching docs only), survival sweep (one scan to 11
+    # buckets), anneal schedule (one bucketed rank over both phases)
+    "dedup_ngram_coverage", "mix_doremi_weights",
+    "mix_curriculum_interleave", "mix_token_budget", "rank_ndcg_eval",
+    "quality_survival_curve", "mix_anneal_schedule",
     # r10: the eager-checkpoint faces, measured WHOLE-CALLABLE (below)
     "graph_wcc_star", "graph_kcore_peel", "split_leakage_safe",
 ]
