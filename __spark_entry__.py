@@ -85,6 +85,8 @@ DRIVER_PRIORITY = (
     #   tokens/docs surviving each quality cut from one scan
     "mix_anneal_schedule",  # ADDED r11 (never driver-sampled): two-
     #   phase main->anneal stream, one bucketed rank over both phases
+    "dedup_cluster_stats",  # ADDED r11 (never driver-sampled): exact-
+    #   dup cluster size histogram, NDV-sized second agg
     # ---- (b) staleness backfill, oldest driver sample first ----
     "pivot_qty_by_flag",  # last driver r4
     "proj_filter_case",  # last driver r4

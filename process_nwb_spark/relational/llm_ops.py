@@ -3246,3 +3246,54 @@ def survival_fold(bkt):
                     "n_docs_kept", "n_tokens_kept",
                     F.round(F.col("n_tokens_kept").cast("double")
                             / F.col("all_t"), 6).alias("token_survival")))
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster size profile
+# --------------------------------------------------------------------------
+@query(
+    "dedup_cluster_stats",
+    """
+    WITH fp AS (
+      SELECT MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    cl AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS k FROM fp GROUP BY fp),
+    tot AS (SELECT SUM(k) AS n FROM cl)
+    SELECT k AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * k AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * (k - 1) AS BIGINT) AS n_redundant,
+           ROUND(CAST(COUNT(*) * k AS DOUBLE) / MAX(tot.n), 6) AS doc_share
+    FROM cl CROSS JOIN tot
+    GROUP BY k
+    """,
+    doc="exact-duplicate CLUSTER SIZE PROFILE — the corpus-health "
+        "histogram a dedup run is judged by (how much redundancy, in "
+        "what shape: many pairs vs few giant mirror clusters drive "
+        "different dedup strategies): same normalize->md5 fingerprint as "
+        "dedup_exact, clusters sized by one hash-agg, then the "
+        "histogram is a second agg over the CLUSTER table (NDV-sized, "
+        "not corpus-sized). n_redundant = (k-1) per cluster is exactly "
+        "the doc count dedup_exact's keep-min rule would drop — "
+        "sum(n_redundant) reconciles against it. All counts BIGINT; the "
+        "only float is the final share. Scale: two keyed hash-aggs, "
+        "both map-side combined; the second input is |distinct "
+        "fingerprints| rows; no joins beyond the 1-row total attach",
+)
+def dedup_cluster_stats(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    cl = (d.select(fp.alias("fp"))
+          .groupBy("fp").agg(F.count("*").cast("bigint").alias("k"))
+          .cache())
+    tot = cl.agg(F.sum("k").alias("n"))
+    return (cl.crossJoin(F.broadcast(tot))
+            .groupBy(F.col("k").alias("cluster_size"))
+            .agg(F.count("*").cast("bigint").alias("n_clusters"),
+                 (F.count("*") * F.first("k")).cast("bigint")
+                 .alias("n_docs"),
+                 (F.count("*") * (F.first("k") - 1)).cast("bigint")
+                 .alias("n_redundant"),
+                 F.round((F.count("*") * F.first("k")).cast("double")
+                         / F.max("n"), 6).alias("doc_share")))

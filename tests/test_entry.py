@@ -43,7 +43,8 @@ def test_r11_window_is_staleness_ordered():
     added_r11 = ["mix_pack_epoch_stream", "dedup_ngram_coverage",
                  "mix_token_budget", "mix_doremi_weights",
                  "mix_curriculum_interleave", "rank_ndcg_eval",
-                 "quality_survival_curve", "mix_anneal_schedule"]
+                 "quality_survival_curve", "mix_anneal_schedule",
+                 "dedup_cluster_stats"]
     r4_cohort = {
         "pivot_qty_by_flag", "proj_filter_case", "retention_cohorts",
         "running_balance_clamped", "scan_range", "scd2_point_in_time",
@@ -57,4 +58,4 @@ def test_r11_window_is_staleness_ordered():
     head = list(entry.DRIVER_PRIORITY)
     assert head[:len(added_r11)] == added_r11
     assert r4_cohort <= set(head[:len(added_r11) + len(r4_cohort)])
-    assert len(head) == 8 + 22 + 41   # added + r4 cohort + r5 cohort
+    assert len(head) == 9 + 22 + 41   # added + r4 cohort + r5 cohort

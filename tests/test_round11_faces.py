@@ -213,3 +213,53 @@ def test_anneal_schedule_orders_are_md5_and_distinct(spark):
                      pdf[pdf.phase == 0].sort_values("position").doc_id
                      if d in set(p1)]
     assert p1 != p0_restricted
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_stats
+# ---------------------------------------------------------------------------
+def test_cluster_stats_clean_corpus_is_all_singletons(spark):
+    """The sf0.01 fixture has no exact duplicates: the histogram must be
+    exactly one row {cluster_size 1, 500 clusters, 0 redundant} — and
+    that emptiness must RECONCILE against dedup_exact (0 docs dropped)."""
+    pdf = all_queries()["dedup_cluster_stats"].fn(spark, SF).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert (r.cluster_size, r.n_clusters, r.n_docs, r.n_redundant,
+            r.doc_share) == (1, 500, 500, 0, 1.0)
+    keep = all_queries()["dedup_exact"].fn(spark, SF)
+    assert keep.count() == 500
+
+
+def test_cluster_stats_histogram_on_injected_duplicates(spark, tmp_path):
+    """Inject known duplicate clusters (3 copies of one doc, 2 of
+    another) into a scratch corpus dir and pin the exact histogram plus
+    the dedup_exact reconciliation sum(n_redundant) == docs_dropped."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    base = docs.limit(10)
+    copies = (docs.filter(F.col("doc_id") == 0)
+              .select((F.col("doc_id") + 10_000).alias("doc_id"), "text",
+                      "lang", "source", "n_chars")
+              .unionAll(docs.filter(F.col("doc_id") == 0)
+                        .select((F.col("doc_id") + 10_001).alias("doc_id"),
+                                "text", "lang", "source", "n_chars"))
+              .unionAll(docs.filter(F.col("doc_id") == 1)
+                        .select((F.col("doc_id") + 10_002).alias("doc_id"),
+                                "text", "lang", "source", "n_chars")))
+    d = str(tmp_path / "dup_corpus")
+    base.select("doc_id", "text", "lang", "source", "n_chars") \
+        .unionAll(copies).write.parquet(f"{d}/documents.parquet")
+
+    pdf = (all_queries()["dedup_cluster_stats"].fn(spark, d)
+           .toPandas().set_index("cluster_size").sort_index())
+    # 13 docs: 8 singletons, one pair (doc 1 + copy), one triple (doc 0
+    # + 2 copies)
+    assert list(pdf.index) == [1, 2, 3]
+    assert pdf.loc[1].n_clusters == 8 and pdf.loc[1].n_redundant == 0
+    assert pdf.loc[2].n_clusters == 1 and pdf.loc[2].n_redundant == 1
+    assert pdf.loc[3].n_clusters == 1 and pdf.loc[3].n_redundant == 2
+    assert pdf.n_docs.sum() == 13
+    keep = all_queries()["dedup_exact"].fn(spark, d)
+    assert int(pdf.n_redundant.sum()) == 13 - keep.count()
