@@ -72,6 +72,21 @@ def main():
         print(f"  {r.slot:>3}: {r.source} rank={r.rank_in_source} "
               f"score={r.score_key}")
 
+    # 5. anneal schedule: where the final high-quality phase begins
+    ann = qs["mix_anneal_schedule"].fn(spark, SF).cache()
+    phases = {int(r.phase): (r.docs, r.toks) for r in
+              ann.groupBy("phase")
+              .agg(F.count("*").alias("docs"),
+                   F.sum("n_tokens").alias("toks")).collect()}
+    print("\nanneal schedule (phase -> docs, tokens):")
+    for ph in sorted(phases):
+        d_, t_ = phases[ph]
+        name = "main" if ph == 0 else "anneal"
+        print(f"  phase {ph} ({name}): {d_} docs / {t_} tokens")
+    boundary = (ann.filter(F.col("phase") == 1)
+                .agg(F.min("position")).first()[0])
+    print(f"  anneal phase starts at stream position {boundary}")
+
     spark.stop()
 
 
