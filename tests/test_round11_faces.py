@@ -263,3 +263,62 @@ def test_cluster_stats_histogram_on_injected_duplicates(spark, tmp_path):
     assert pdf.n_docs.sum() == 13
     keep = all_queries()["dedup_exact"].fn(spark, d)
     assert int(pdf.n_redundant.sum()) == 13 - keep.count()
+
+
+# ---------------------------------------------------------------------------
+# bucketed rank helpers: equivalence with the naive single-task window
+# ---------------------------------------------------------------------------
+def test_bucketed_ranks_equal_naive_window_on_random_inputs(spark):
+    """The whole mix tier rests on bucketed_{hash,range}_rank producing
+    EXACTLY the rank (and exclusive running weight sum) a naive
+    Window.partitionBy(group).orderBy(...) would — the bucketing is a
+    scheduling rewrite, not a semantics change. Prove it on seeded
+    random frames with skewed groups, duplicate keys, and weights."""
+    import hashlib
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from process_nwb_spark.relational.dataprep import (
+        bucketed_hash_rank, bucketed_range_rank)
+
+    rng = np.random.default_rng(20260816)
+    for draw in range(3):
+        n = int(rng.integers(200, 600))
+        groups = rng.choice(["a", "b", "c"], size=n,
+                            p=[0.7, 0.2, 0.1])       # skewed on purpose
+        ids = rng.permutation(n)
+        keys = rng.integers(0, 10001, size=n)
+        wts = rng.integers(1, 50, size=n)
+        rows = [(str(groups[i]), int(ids[i]), int(keys[i]), int(wts[i]),
+                 hashlib.md5(str(int(ids[i])).encode()).hexdigest())
+                for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "g string, tid long, k long, w long, h string")
+
+        # range variant: rank + exclusive running sum, (k DESC, tid)
+        got = (bucketed_range_rank(df, ["g"], "k", "tid", key_max=10000,
+                                   n_buckets=40, out_col="r",
+                                   weight_col="w", cum_col="cw")
+               .select("g", "tid", "r", "cw").toPandas()
+               .sort_values(["g", "tid"]).reset_index(drop=True))
+        wspec = Window.partitionBy("g").orderBy(F.desc("k"), F.asc("tid"))
+        want = (df.withColumn("r", F.row_number().over(wspec))
+                .withColumn("cw", F.coalesce(
+                    F.sum("w").over(wspec.rowsBetween(
+                        Window.unboundedPreceding, -1)), F.lit(0)))
+                .select("g", "tid", "r", "cw").toPandas()
+                .sort_values(["g", "tid"]).reset_index(drop=True))
+        import pandas as pd
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      obj=f"range draw {draw}")
+
+        # hash variant: rank by (md5, tid)
+        got_h = (bucketed_hash_rank(df, ["g"], "h", "tid", out_col="r")
+                 .select("g", "tid", "r").toPandas()
+                 .sort_values(["g", "tid"]).reset_index(drop=True))
+        hspec = Window.partitionBy("g").orderBy(F.asc("h"), F.asc("tid"))
+        want_h = (df.withColumn("r", F.row_number().over(hspec))
+                  .select("g", "tid", "r").toPandas()
+                  .sort_values(["g", "tid"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got_h, want_h, check_dtype=False,
+                                        obj=f"hash draw {draw}")
