@@ -1,0 +1,33 @@
+"""Smoke the shipped example compositions: each demo must run end-to-end
+on sf0.001 against the CURRENT registry — a demo that drifts from a
+renamed face or changed schema fails here, not in front of a user."""
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_demo(name):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", name)],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert p.returncode == 0, p.stderr[-2000:]
+    return p.stdout
+
+
+def test_training_mix_demo_runs():
+    out = _run_demo("training_mix_demo.py")
+    assert "leakage-safe split" in out
+    assert "epoch-0 stream head" in out
+    assert "resume after position" in out
+
+
+def test_mix_decision_demo_runs():
+    out = _run_demo("mix_decision_demo.py")
+    assert "quality-gate survival" in out
+    assert "DoReMi weights" in out
+    assert "curriculum head" in out
+    assert "anneal phase starts at stream position" in out
