@@ -3287,6 +3287,13 @@ def dedup_cluster_stats(spark, sf_dir):
     cl = (d.select(fp.alias("fp"))
           .groupBy("fp").agg(F.count("*").cast("bigint").alias("k"))
           .cache())
+    return cluster_histogram(cl)
+
+
+def cluster_histogram(cl):
+    """Histogram fold over a (fp, k) cluster-size table — NDV-sized
+    work, shared verbatim by dedup_cluster_stats and its streaming twin
+    (streaming/ops.cluster_stats_sink) so the twin cannot drift."""
     tot = cl.agg(F.sum("k").alias("n"))
     return (cl.crossJoin(F.broadcast(tot))
             .groupBy(F.col("k").alias("cluster_size"))

@@ -1669,3 +1669,54 @@ def survival_curve_sink(out_dir: str):
         curve.write.mode("overwrite").parquet(curve_dir)
 
     return write_batch
+
+
+def cluster_stats_sink(out_dir: str):
+    """foreachBatch DUPLICATE-CLUSTER HISTOGRAM — the incremental twin
+    of relational/llm_ops.dedup_cluster_stats, and the counted
+    complement of dedup_keeplist_sink (whose docstring deliberately
+    excludes counts because a bare count fold is not retry-idempotent):
+    counts ARE maintainable retry-safely with the batch-id-partition
+    pattern the PSI/DoReMi/survival sinks share —
+      1. each batch reduces to per-fingerprint BIGINT copy counts (the
+         dedup_exact normalize->md5 fingerprint) — additive across
+         batches since each doc is counted once in its own batch;
+      2. counts append to `<out_dir>/fp_counts` PARTITIONED BY
+         batch_id (retried batch overwrites its own partition; order
+         irrelevant, sums commute);
+      3. cluster sizes re-fold as SUM per fp, and the histogram
+         (cluster_size, n_clusters, n_docs, n_redundant, doc_share)
+         rewrites `<out_dir>/stats` — the second agg runs on the
+         NDV-sized fingerprint table, exactly like the batch face.
+    Bit-identical to dedup_cluster_stats on any streamed prefix
+    (pinned in test_streaming.py). State is per-batch DISTINCT
+    fingerprints — the same storage class as the keep-list itself; at
+    100 TB old partitions compact offline because counts merge
+    associatively."""
+    cnt_dir = out_dir.rstrip("/") + "/fp_counts"
+    stats_dir = out_dir.rstrip("/") + "/stats"
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        fp = F.md5(F.lower(F.trim(
+            F.regexp_replace("text", r"\s+", " "))))
+        cnt = (batch_df.select(fp.alias("fp"))
+               .groupBy("fp").agg(F.count("*").cast("bigint").alias("k"))
+               .withColumn("batch_id", F.lit(int(batch_id))))
+        (cnt.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(cnt_dir))
+        raw = _read_if_exists(sp, cnt_dir)
+        if raw is None:
+            return
+        from process_nwb_spark.relational.llm_ops import (
+            cluster_histogram)
+
+        cl = (raw.groupBy("fp")
+              .agg(F.sum("k").cast("bigint").alias("k")))
+        if not cl.head(1):
+            return
+        stats = cluster_histogram(cl).localCheckpoint()
+        stats.write.mode("overwrite").parquet(stats_dir)
+
+    return write_batch

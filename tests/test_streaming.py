@@ -1351,3 +1351,52 @@ def test_stream_survival_curve_equals_batch_face(spark, tmp_path):
     pd.testing.assert_frame_equal(
         norm(spark.read.parquet(out2 + "/curve"))[cols], want[cols],
         check_dtype=False, check_exact=True)
+
+
+def test_stream_cluster_stats_equals_batch_face(spark, tmp_path):
+    """cluster_stats_sink parity: the histogram after streaming a
+    corpus WITH duplicates that straddle batch boundaries must be
+    bit-identical to dedup_cluster_stats on the same docs — the
+    cross-batch fingerprint SUM is the whole point (a per-batch
+    histogram would undercount straddling clusters). Plus retry and
+    scrambled order."""
+    from process_nwb_spark.streaming.ops import cluster_stats_sink
+    from tests.conftest import SF_CORRECT
+
+    base = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .select("doc_id", "text"))
+    # inject copies of doc 0 (x2) and doc 1 (x1) with HIGH ids so the
+    # %3 batch split separates originals from copies
+    copies = (base.filter(F.col("doc_id") == 0)
+              .select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+              .unionAll(base.filter(F.col("doc_id") == 0)
+                        .select((F.col("doc_id") + 10_001).alias("doc_id"),
+                                "text"))
+              .unionAll(base.filter(F.col("doc_id") == 1)
+                        .select((F.col("doc_id") + 10_002).alias("doc_id"),
+                                "text")))
+    docs = base.unionAll(copies).localCheckpoint()
+    d = str(tmp_path / "cs_corpus")
+    docs.write.parquet(f"{d}/documents.parquet")
+    want = (all_queries()["dedup_cluster_stats"].fn(spark, d)
+            .toPandas().sort_values("cluster_size")
+            .reset_index(drop=True))
+    assert set(want.cluster_size) == {1, 2, 3}   # straddling clusters real
+
+    preds = [F.col("doc_id") % 3 == i for i in range(3)]
+    cols = ["cluster_size", "n_clusters", "n_docs", "n_redundant",
+            "doc_share"]
+
+    def norm(df):
+        return (df.toPandas().sort_values("cluster_size")
+                .reset_index(drop=True))
+
+    out = str(tmp_path / "cs_out")
+    sink = cluster_stats_sink(out)
+    for i in (1, 2, 0):                      # scrambled order
+        sink(docs.filter(preds[i]), i)
+        if i == 2:
+            sink(docs.filter(preds[i]), i)   # verbatim retry mid-stream
+    got = norm(spark.read.parquet(out + "/stats"))
+    pd.testing.assert_frame_equal(got[cols], want[cols],
+                                  check_dtype=False, check_exact=True)
