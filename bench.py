@@ -24,17 +24,24 @@ to $SPARK_GRAFT_BENCH_FULL_OUT (default <repo>/BENCH_SCALING.json):
            n=8/16/32/64/128 series (min AND median of the interleaved
            passes), to locate the Spark-vs-serial-NumPy crossover.
 
-Driver-proofing (r11, after the r10 driver record was lost to an OOM in
-the curve's n=128 point): the stdout headline line prints IMMEDIATELY
-after the headline section, before any scaling section; each scaling
-section is fault-isolated (an error lands as {"err": ...} in the
-artifact and the run continues to rc 0); and the heap-marginal curve
-runs in a SUBPROCESS (`--curve-child`) with a fresh 32g heap of its
-own, the main session stopped first. End-to-end proof, including a
-forced failure in every section, in tests/test_bench_harness.py.
-Test hooks: SPARK_GRAFT_BENCH_QUERIES (headline subset),
-SPARK_GRAFT_BENCH_RATIO_RUNS, SPARK_GRAFT_BENCH_SCALE_FORCE,
-SPARK_GRAFT_BENCH_INJECT_FAIL=sf1,skew,curve.
+Driver-proofing (r12 — the driver parses the trailing JSON of a ~2 KB
+COMBINED stdout+stderr tail; r10 lost the record to an OOM before the
+line printed, r11 to curve-child stderr spam after it): the headline
+line prints IMMEDIATELY after the headline section AND again as the
+very last act of main() (finally:, after spark.stop()) so the combined
+tail always ends with it; log4j is set to OFF once the headline is
+measured; each scaling section is fault-isolated (an error lands as
+{"err": ...} in the artifact and the run continues to rc 0); the
+heap-marginal curve runs in a SUBPROCESS (`--curve-child`) with a
+fresh 32g heap of its own, stdout discarded, stderr to
+BENCH_CURVE_STDERR.log, Python-worker faulthandler on, per-point fault
+isolation, and the curve result flushed after every point so a hard
+crash yields the completed prefix. End-to-end proof, including a
+forced failure in every section and a SIGKILLed child mid-spam, in
+tests/test_bench_harness.py. Test hooks: SPARK_GRAFT_BENCH_QUERIES
+(headline subset), SPARK_GRAFT_BENCH_RATIO_RUNS,
+SPARK_GRAFT_BENCH_SCALE_FORCE, SPARK_GRAFT_BENCH_CURVE_LOG,
+SPARK_GRAFT_BENCH_INJECT_FAIL=sf1,skew,curve,curve-kill.
 """
 from __future__ import annotations
 
@@ -436,7 +443,41 @@ def bench_skew(spark) -> dict:
     }
 
 
-def bench_multi_series_curve(spark, base_entry: dict) -> list:
+def _curve_point(spark, n: int) -> dict:
+    """One n-series point of the multi-series curve: 4 interleaved
+    NumPy/Spark passes. The n synthetic series are REGENERATED per pass
+    (untimed, ~ms each) and freed before the Spark half runs: holding
+    all n dense arrays in the driver's Python heap while the 32 Arrow
+    workers execute doubled the child's peak footprint, and the r11
+    driver run's n=128 point died with 'Python worker exited
+    unexpectedly' where the builder's box survived — the point must be
+    heap-marginal on one side's working set, not both."""
+    import statistics
+
+    from process_nwb_spark.synth import generate_synthetic_data
+
+    _drop_resident_rdds(spark)   # big-n jobs need the whole heap
+    _signal_input(spark, n)      # write parquet untimed
+    np_s, sp_s = [], []
+    for _ in range(4):
+        Xs = [generate_synthetic_data(10.0, 32, 3200.0, seed=s)
+              for s in range(n)]
+        t0 = time.time()
+        for X in Xs:
+            _numpy_one_series(X)
+        np_s.append(time.time() - t0)
+        del Xs   # free the dense series before the Spark half allocates
+        sp_s.append(_bench_signal(spark, n))
+    return {"n_series": n, "spark_one_job": round(min(sp_s), 3),
+            "numpy_serial": round(min(np_s), 3),
+            "ratio": round(min(sp_s) / min(np_s), 3),
+            "spark_median": round(statistics.median(sp_s), 3),
+            "numpy_median": round(statistics.median(np_s), 3),
+            "ratio_median": round(statistics.median(sp_s)
+                                  / statistics.median(np_s), 3)}
+
+
+def bench_multi_series_curve(spark, base_entry: dict, flush=None) -> list:
     """Extend the n=8 amortized headline to n=16/32/64/128: at each n,
     the serial NumPy replay and the one-job Spark run are interleaved
     (both sides sample the same ambient-load windows). Records where the
@@ -448,34 +489,26 @@ def bench_multi_series_curve(spark, base_entry: dict) -> list:
     dramatically across its first executions in a session (measured
     42 -> 31 -> 16 -> 9 s at n=64: JVM heap growth + tiered JIT +
     shuffle-file page cache) — with only 2 passes the recorded 'min' is
-    still a cold run and the curve's tail is noise."""
-    import statistics
+    still a cold run and the curve's tail is noise.
 
-    from process_nwb_spark.synth import generate_synthetic_data
-
+    Each point is fault-isolated (a failed n records {'n_series': n,
+    'err': ...} and the next n still runs) and `flush` is called after
+    every point — the r10/r11 driver runs both died inside the n=128
+    point, and a crash there must cost that point, not the whole
+    curve."""
     curve = [dict(base_entry, n_series=N_SERIES_MANY)]
+    if flush:
+        flush(curve)
     ns = tuple(int(x) for x in os.environ.get(
         "SPARK_GRAFT_BENCH_CURVE_NS", "16,32,64,128").split(","))
     for n in ns:
-        _drop_resident_rdds(spark)   # big-n jobs need the whole heap
-        Xs = [generate_synthetic_data(10.0, 32, 3200.0, seed=s)
-              for s in range(n)]
-        _signal_input(spark, n)   # write parquet untimed
-        np_s, sp_s = [], []
-        for _ in range(4):
-            t0 = time.time()
-            for X in Xs:
-                _numpy_one_series(X)
-            np_s.append(time.time() - t0)
-            sp_s.append(_bench_signal(spark, n))
-        e = {"n_series": n, "spark_one_job": round(min(sp_s), 3),
-             "numpy_serial": round(min(np_s), 3),
-             "ratio": round(min(sp_s) / min(np_s), 3),
-             "spark_median": round(statistics.median(sp_s), 3),
-             "numpy_median": round(statistics.median(np_s), 3),
-             "ratio_median": round(statistics.median(sp_s)
-                                   / statistics.median(np_s), 3)}
+        try:
+            e = _curve_point(spark, n)
+        except Exception as ex:   # JVM OOM arrives as a py4j Exception
+            e = {"n_series": n, "err": repr(ex)[:500]}
         curve.append(e)
+        if flush:
+            flush(curve)
     return curve
 
 
@@ -498,28 +531,64 @@ def _run_curve_child(args_file: str, out_file: str) -> None:
     (see the _drop_resident_rdds note): the builder's r10 run survived
     it, the driver's r10 run OOMed on it and lost the round's bench
     record. A subprocess makes the curve's heap its own, so the worst
-    a curve OOM can do is cost the curve."""
+    a curve OOM can do is cost the curve.
+
+    The result file is rewritten ATOMICALLY after every curve point: if
+    this process dies mid-point (r10: JVM OOM; r11: Python workers
+    killed at n=128), the parent still recovers every completed point.
+    Python-worker faulthandler is ON so a worker crash leaves an
+    attributable traceback in the child's stderr log instead of the
+    bare 'Python worker exited unexpectedly' the r11 postmortem had to
+    guess from."""
     _inject_fail("curve")
+    if "curve-kill" in os.environ.get("SPARK_GRAFT_BENCH_INJECT_FAIL", ""):
+        # test hook: reproduce the r11 failure mode — spam stderr like a
+        # crashing executor, then die uncleanly mid-run (SIGKILL: no
+        # cleanup, no rc-0 exit, worst case the parent can face)
+        import signal
+
+        sys.stderr.write(
+            "org.apache.spark.SparkException: Python worker exited "
+            "unexpectedly (crashed)\n" * 500)
+        sys.stderr.flush()
+        os.kill(os.getpid(), signal.SIGKILL)
     with open(args_file) as f:
         base_entry = json.load(f)
     from process_nwb_spark.session import get_spark
 
     spark = get_spark("bench-curve", **{
         "spark.driver.extraJavaOptions": "-Xlog:disable",
+        # attribute any worker death: dump the worker's Python stack to
+        # stderr (-> the child's log file) instead of dying silently
+        "spark.python.worker.faulthandler.enabled": "true",
+        "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
         "spark.driver.memory": os.environ.get(
             "SPARK_GRAFT_BENCH_DRIVER_MEM", "32g")})
+
+    def flush_curve(curve: list) -> None:
+        tmp = out_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(curve, f)
+        os.replace(tmp, out_file)
+
     try:
-        curve = bench_multi_series_curve(spark, base_entry)
+        bench_multi_series_curve(spark, base_entry, flush=flush_curve)
     finally:
         spark.stop()
-    with open(out_file, "w") as f:
-        json.dump(curve, f)
 
 
 def _run_curve_subprocess(base_entry: dict) -> list:
     """Launch the curve child and return its result. The child's stdout
-    is discarded (its stderr inherits ours): after the driver headline
-    line prints, NOTHING may write to this process's stdout."""
+    is discarded and its stderr goes to a LOG FILE next to the bench
+    artifact — NOT inherited: the r11 driver record was lost because
+    the child's n=128 crash spam landed on this process's stderr after
+    the headline line had printed, and the driver parses the trailing
+    JSON of a combined stdout+stderr tail. After the headline prints,
+    NOTHING may reach either of this process's output streams.
+
+    The child flushes its result file after every completed point, so
+    even a SIGKILL mid-curve yields the completed prefix here (recorded
+    with a trailing {'err': ...} entry carrying the exit code)."""
     import subprocess
 
     d = tempfile.mkdtemp(prefix="bench_curve_")
@@ -527,14 +596,31 @@ def _run_curve_subprocess(base_entry: dict) -> list:
     out_file = os.path.join(d, "curve.json")
     with open(args_file, "w") as f:
         json.dump(base_entry, f)
-    r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--curve-child",
-         args_file, out_file],
-        stdout=subprocess.DEVNULL)
+    log_file = os.environ.get(
+        "SPARK_GRAFT_BENCH_CURVE_LOG",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_CURVE_STDERR.log"))
+    with open(log_file, "w") as lf:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--curve-child",
+             args_file, out_file],
+            stdout=subprocess.DEVNULL, stderr=lf)
+    curve = None
+    if os.path.exists(out_file):
+        try:
+            with open(out_file) as f:
+                curve = json.load(f)
+        except Exception:
+            curve = None
     if r.returncode != 0:
-        raise RuntimeError(f"curve child exited rc={r.returncode}")
-    with open(out_file) as f:
-        return json.load(f)
+        err = (f"curve child exited rc={r.returncode}; "
+               f"stderr in {os.path.basename(log_file)}")
+        if curve:
+            # partial recovery: completed points + the failure marker
+            curve.append({"err": err})
+            return curve
+        raise RuntimeError(err)
+    return curve if curve is not None else []
 
 
 def main():
@@ -695,15 +781,21 @@ def main():
 
     flush_full()
 
-    # ---- DRIVER CONTRACT: the one stdout JSON line prints HERE, the
-    # moment the headline is measured, BEFORE any scaling section runs.
-    # r10 printed it last and lost the round's bench record: the driver's
-    # run OOMed inside the final (optional, heap-marginal) curve
-    # diagnostic AFTER headline+sf1+skew had completed, exiting rc 1 with
-    # no line — the primary deliverable was hostage to the riskiest
-    # diagnostic. From this point on NOTHING may write to stdout (JVM
-    # unified logging is disabled above, log4j goes to stderr, the curve
-    # child's stdout is discarded), and every scaling section below is
+    # ---- DRIVER CONTRACT: the driver parses the trailing JSON out of a
+    # ~2 KB COMBINED stdout+stderr tail. Three rounds were lost to three
+    # mechanisms: r5 (full dict outgrew the tail), r10 (OOM in the final
+    # curve diagnostic before the line printed at all), r11 (the line
+    # printed early, then the curve child's INHERITED stderr buried it
+    # with executor crash spam). The contract is therefore enforced on
+    # both ends: the line prints HERE, the moment the headline is
+    # measured (a later crash can't erase it) — AND a second, identical
+    # copy prints as the very last act of main() inside the finally
+    # below, after spark.stop(), so the combined tail always ENDS with
+    # it whatever any scaling section spewed in between. In between:
+    # log4j is silenced (setLogLevel OFF — the r11 spam was executor
+    # ERROR logs relayed to this process's stderr), JVM unified logging
+    # is disabled above, the curve child's stdout is discarded and its
+    # stderr goes to a log file, and every scaling section is
     # fault-isolated into the artifact instead of the exit code.
     headline = {"metric": full["metric"], "value": total, "unit": "sec",
                 "basis": full["basis"],
@@ -712,6 +804,10 @@ def main():
     line = json.dumps(headline, separators=(",", ":"))
     assert len(line) < 1900, (
         f"driver line {len(line)} B would outgrow the ~2 KB tail capture")
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+    except Exception:
+        pass
     print(line, flush=True)
 
     def _guarded(key: str, fn) -> None:
@@ -729,31 +825,42 @@ def main():
             pass
         flush_full()
 
-    # scaling sections: only when benching the canonical sf0.1 input (the
-    # ratios are defined against it) and not explicitly disabled.
-    # SPARK_GRAFT_BENCH_SCALE_FORCE=1 runs them at any sf (test hook).
-    scale_on = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
-    force = os.environ.get("SPARK_GRAFT_BENCH_SCALE_FORCE") == "1"
-    if scale_on and (abs(sf - 0.1) < 1e-9 or force):
-        _guarded("sf1",
-                 lambda: bench_sf1(spark, registry, sf_dir, timings,
-                                   medians))
-        _guarded("skew", lambda: bench_skew(spark))
-        # the curve runs in a SUBPROCESS with a fresh 32g heap of its
-        # own (_run_curve_child); stop this session first so two 32g
-        # JVMs never coexist on the box
-        base_entry = {"n_series": N_SERIES_MANY,
-                      "spark_one_job": spark_many,
-                      "numpy_serial": ref_many, "ratio": multi["ratio"]}
+    try:
+        # scaling sections: only when benching the canonical sf0.1 input
+        # (the ratios are defined against it) and not explicitly disabled.
+        # SPARK_GRAFT_BENCH_SCALE_FORCE=1 runs them at any sf (test hook).
+        scale_on = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") != "0"
+        force = os.environ.get("SPARK_GRAFT_BENCH_SCALE_FORCE") == "1"
+        if scale_on and (abs(sf - 0.1) < 1e-9 or force):
+            _guarded("sf1",
+                     lambda: bench_sf1(spark, registry, sf_dir, timings,
+                                       medians))
+            _guarded("skew", lambda: bench_skew(spark))
+            # the curve runs in a SUBPROCESS with a fresh 32g heap of its
+            # own (_run_curve_child); stop this session first so two 32g
+            # JVMs never coexist on the box
+            base_entry = {"n_series": N_SERIES_MANY,
+                          "spark_one_job": spark_many,
+                          "numpy_serial": ref_many, "ratio": multi["ratio"]}
+            try:
+                spark.stop()
+                full["signal_multi_series_curve"] = _run_curve_subprocess(
+                    base_entry)
+            except Exception as e:
+                full["signal_multi_series_curve"] = {"err": repr(e)[:500]}
+            flush_full()
+    except Exception:
+        # a scaling-phase bug may never turn the round's record into an
+        # rc!=0 + traceback-after-the-line; the artifact has whatever
+        # sections flushed before the failure
+        pass
+    finally:
         try:
             spark.stop()
-            full["signal_multi_series_curve"] = _run_curve_subprocess(
-                base_entry)
-        except Exception as e:
-            full["signal_multi_series_curve"] = {"err": repr(e)[:500]}
-        flush_full()
-    else:
-        spark.stop()
+        except Exception:
+            pass
+        # the LAST bytes of combined output are the headline line
+        print(line, flush=True)
 
 
 if __name__ == "__main__":
