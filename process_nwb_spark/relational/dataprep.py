@@ -1809,27 +1809,56 @@ def bucketed_hash_rank(df, group_cols: list, hash_col: str, tie_col: str,
         weight_col=weight_col, cum_col=cum_col)
 
 
+def range_rank_step(key_max: int, n_buckets: int) -> int:
+    """The fixed score-grid step bucketed_range_rank schedules:
+    `key DIV step` with step = ceil-ish (key_max + n_buckets) DIV
+    n_buckets. Exported so the growth-law pin (test_growth_laws.py)
+    measures the grid the helper ACTUALLY plans — a tuned formula here
+    retunes the pin automatically instead of silently diverging."""
+    return max(1, (int(key_max) + n_buckets) // n_buckets)
+
+
 def bucketed_range_rank(df, group_cols: list, key_col: str, tie_col: str,
                         *, key_max: int, n_buckets: int = 64,
                         out_col: str = "r", weight_col: str | None = None,
-                        cum_col: str | None = None):
+                        cum_col: str | None = None, cuts: str = "grid"):
     """bucketed_hash_rank's numeric sibling: per-group rank 1..n ordered
     by (key_col DESC, tie_col ASC) without a single-task-per-group sort,
     for an INTEGER key with a known range [0, key_max]. The bucket is a
-    fixed grid `key DIV ceil((key_max+1)/n_buckets)` — a key prefix in
-    the order's own units, so it agrees with the sort order exactly like
-    the md5 hex prefix does for hash order; buckets accumulate offsets
-    in DESCENDING bucket order to match. Unlike the hash variant the
-    grid is NOT uniform by construction (real score distributions
-    cluster), but a skewed bucket still bounds the per-task sort at
-    1/n_buckets-ish of the group instead of ALL of it, and n_buckets is
-    a knob — at 100 TB raise it or substitute approx-quantile cut
-    points for the fixed grid (same plan shape, one extra cheap pass).
+    fixed grid `key DIV range_rank_step(key_max, n_buckets)` — a key
+    prefix in the order's own units, so it agrees with the sort order
+    exactly like the md5 hex prefix does for hash order; buckets
+    accumulate offsets in DESCENDING bucket order to match. Unlike the
+    hash variant the grid is NOT uniform by construction (real score
+    distributions cluster), but a skewed bucket still bounds the
+    per-task sort at 1/n_buckets-ish of the group instead of ALL of it,
+    and n_buckets is a knob.
+
+    `cuts='approx'` is the 100 TB answer to CLUSTERED score
+    distributions: one cheap approxQuantile pass (eager, at
+    plan-construction time) computes up to n_buckets-1 global cut
+    points and the bucket becomes `#cuts <= key` (a monotone function
+    of the key, so order still agrees); buckets are then ~equal-count
+    by construction no matter how the scores cluster, at the cost of
+    that extra pass. Identical rank/cumsum output either way (pinned in
+    test_round11_faces.py) — only the task decomposition changes.
     Used by mix_token_budget (groups = sources, key = quality score)."""
-    step = max(1, (int(key_max) + n_buckets) // n_buckets)
-    # integer DIV, not float division + cast: exact for any bigint key
-    b = df.withColumn(
-        "_b", F.expr(f"CAST({key_col} AS BIGINT) DIV {step}"))
+    if cuts == "approx":
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted({int(q) for q in
+                         df.approxQuantile(key_col, probs, 0.001)})
+        if bounds:
+            arr = ", ".join(f"{v}L" for v in bounds)
+            bexpr = (f"CAST(size(filter(array({arr}), "
+                     f"b -> CAST({key_col} AS BIGINT) >= b)) AS BIGINT)")
+        else:   # empty input or a single constant key: one bucket
+            bexpr = "CAST(0 AS BIGINT)"
+        b = df.withColumn("_b", F.expr(bexpr))
+    else:
+        step = range_rank_step(key_max, n_buckets)
+        # integer DIV, not float division + cast: exact for any bigint key
+        b = df.withColumn(
+            "_b", F.expr(f"CAST({key_col} AS BIGINT) DIV {step}"))
     return _bucketed_rank(
         b, group_cols,
         order_within=[F.col(key_col).desc(), F.col(tie_col).asc()],
@@ -1901,22 +1930,25 @@ _DOREMI_SMOOTH = 0.01  # uniform smoothing mass (the paper's u term)
     den AS (
       SELECT all_t, all_d, k,
              LIST_SUM(LIST_TRANSFORM(arr, x ->
-               (CAST(x.t AS DOUBLE) / all_t)
+               (CAST(x.t AS DOUBLE) / GREATEST(all_t, 1))
                * (1.0 + {_DOREMI_ETA} * GREATEST(
-                    CAST(all_d AS DOUBLE) / all_t
-                    - CAST(x.d AS DOUBLE) / x.t, 0.0)))) AS z
+                    CAST(all_d AS DOUBLE) / GREATEST(all_t, 1)
+                    - CAST(x.d AS DOUBLE) / GREATEST(x.t, 1), 0.0)))) AS z
       FROM tot
     )
     SELECT source, n_docs, n_tokens,
-           ROUND(CAST(n_tokens AS DOUBLE) / all_t, 6) AS token_share,
-           ROUND(GREATEST(CAST(all_d AS DOUBLE) / all_t
-                          - CAST(n_dist AS DOUBLE) / n_tokens, 0.0), 6)
+           ROUND(CAST(n_tokens AS DOUBLE) / GREATEST(all_t, 1), 6)
+             AS token_share,
+           ROUND(GREATEST(CAST(all_d AS DOUBLE) / GREATEST(all_t, 1)
+                          - CAST(n_dist AS DOUBLE) / GREATEST(n_tokens, 1),
+                          0.0), 6)
              AS excess_loss,
            ROUND((1.0 - {_DOREMI_SMOOTH})
-                 * ((CAST(n_tokens AS DOUBLE) / all_t)
+                 * ((CAST(n_tokens AS DOUBLE) / GREATEST(all_t, 1))
                     * (1.0 + {_DOREMI_ETA} * GREATEST(
-                         CAST(all_d AS DOUBLE) / all_t
-                         - CAST(n_dist AS DOUBLE) / n_tokens, 0.0)) / z)
+                         CAST(all_d AS DOUBLE) / GREATEST(all_t, 1)
+                         - CAST(n_dist AS DOUBLE) / GREATEST(n_tokens, 1),
+                         0.0)) / z)
                  + {_DOREMI_SMOOTH} / k, 6) AS doremi_weight
     FROM tok CROSS JOIN den
     """,
@@ -1968,11 +2000,22 @@ def doremi_domain_counts(docs):
 def doremi_fold(tok):
     """The linearized-MW weight fold over a (source, n_docs, n_tokens,
     n_dist) domain table — domains-sized arithmetic, shared verbatim by
-    the batch face and the streaming twin so the twin cannot drift."""
+    the batch face and the streaming twin so the twin cannot drift.
+
+    Every token-count denominator is GREATEST(·, 1)-guarded (same
+    discipline as the score-key faces): a source whose documents
+    contain zero \\w tokens must yield excess 0 / weight = smoothed
+    share, not an ANSI division error (or a NULL-vs-inf cross-engine
+    split in non-ANSI mode). Hash-neutral whenever the corpus has any
+    token at all — the guard only ever changes a 0 denominator."""
+
+    def _g1(c):
+        return F.greatest(c, F.lit(1))
 
     def _excess(t, dd, all_t, all_d):
         return F.greatest(
-            all_d.cast("double") / all_t - dd.cast("double") / t,
+            all_d.cast("double") / _g1(all_t)
+            - dd.cast("double") / _g1(t),
             F.lit(0.0))
 
     den = (tok
@@ -1987,12 +2030,12 @@ def doremi_fold(tok):
                    F.aggregate(
                        F.col("arr"), F.lit(0.0),
                        lambda acc, x: acc
-                       + (x["t"].cast("double") / F.col("all_t"))
+                       + (x["t"].cast("double") / _g1(F.col("all_t")))
                        * (F.lit(1.0) + _DOREMI_ETA
                           * _excess(x["t"], x["d"],
                                     F.col("all_t"), F.col("all_d"))))
                    .alias("z")))
-    base = F.col("n_tokens").cast("double") / F.col("all_t")
+    base = F.col("n_tokens").cast("double") / _g1(F.col("all_t"))
     exc = _excess(F.col("n_tokens"), F.col("n_dist"),
                   F.col("all_t"), F.col("all_d"))
     u = base * (F.lit(1.0) + _DOREMI_ETA * exc)

@@ -167,8 +167,13 @@ def _range_bucket_cells(spark, sf_dir):
     actually schedules for the ranked mix faces (token budget /
     curriculum / the score half of anneal): same integer score key,
     same fixed 40-bucket grid over [0, 10000]."""
+    from process_nwb_spark.relational.dataprep import range_rank_step
+
     d = T(spark, sf_dir, "documents")
-    step = (10000 + 40) // 40
+    # the SAME step the helper schedules (mix_token_budget's call:
+    # key_max=10000, n_buckets=40) — derived, not duplicated, so a
+    # tuned grid formula retunes this pin automatically
+    step = range_rank_step(10000, 40)
     scored = d.select(
         F.col("source").alias("g"),
         F.expr("CAST((CAST(size(array_distinct(regexp_extract_all("

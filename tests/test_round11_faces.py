@@ -59,6 +59,47 @@ def test_doremi_weights_python_replay(spark):
     assert got == want
 
 
+def test_doremi_zero_token_source_yields_finite_smoothed_weight(spark,
+                                                                tmp_path):
+    """A source whose documents contain zero \\w tokens must not divide
+    by zero (ANSI error / NULL-vs-inf cross-engine split): with the
+    GREATEST(t, 1) guard its excess is clipped to the corpus ratio, its
+    base share is 0, and its weight collapses to the smoothing term —
+    finite, positive, and IDENTICAL between the Spark face and the
+    DuckDB oracle SQL on the same corpus."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(0, "alpha beta gamma delta", "en", "web", 22),
+            (1, "alpha alpha beta beta", "en", "web", 21),
+            (2, "?!... --- !!!", "en", "noise", 13),   # zero \w tokens
+            (3, "epsilon zeta eta theta iota", "en", "books", 27)]
+    pdf_in = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path / "zero_tok_corpus")
+    spark.createDataFrame(pdf_in).write.parquet(f"{d}/documents.parquet")
+
+    spec = all_queries()["mix_doremi_weights"]
+    got = (spec.fn(spark, d).toPandas()
+           .sort_values("source").reset_index(drop=True))
+    assert got.doremi_weight.notna().all()
+    assert np.isfinite(got.doremi_weight).all()
+    assert abs(got.doremi_weight.sum() - 1.0) < 2e-5
+    noise = got[got.source == "noise"].iloc[0]
+    assert noise.n_tokens == 0
+    # base share 0 -> the weight is the pure smoothing term u/k, k=3
+    # distinct sources (web owns two docs)
+    assert noise.doremi_weight == round(0.01 / 3, 6)
+
+    con = duckdb.connect()
+    con.register("documents", pdf_in)
+    want = (con.execute(spec.oracle).df()
+            .sort_values("source").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
+
+
 # ---------------------------------------------------------------------------
 # mix_curriculum_interleave
 # ---------------------------------------------------------------------------
@@ -311,6 +352,18 @@ def test_bucketed_ranks_equal_naive_window_on_random_inputs(spark):
         import pandas as pd
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       obj=f"range draw {draw}")
+
+        # approx-quantile cuts: same rank/cumsum output as the fixed
+        # grid — only the task decomposition differs (the docstring's
+        # 100 TB escape hatch for clustered score distributions)
+        got_q = (bucketed_range_rank(df, ["g"], "k", "tid", key_max=10000,
+                                     n_buckets=40, out_col="r",
+                                     weight_col="w", cum_col="cw",
+                                     cuts="approx")
+                 .select("g", "tid", "r", "cw").toPandas()
+                 .sort_values(["g", "tid"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got_q, want, check_dtype=False,
+                                      obj=f"approx-cuts draw {draw}")
 
         # hash variant: rank by (md5, tid)
         got_h = (bucketed_hash_rank(df, ["g"], "h", "tid", out_col="r")
