@@ -862,16 +862,24 @@ def test_pack_epoch_stream_single_window_no_single_task(spark, qs):
     the weight prefix-sum ride the same spec)."""
     import re
 
-    df = qs["mix_pack_epoch_stream"].fn(spark, SF)
-    plan = formatted_plan(df, "formatted")
-    assert "SinglePartition" not in plan, plan
-    rn = [l for l in plan.splitlines()
-          if "row_number()" in l and "windowspecdefinition" in l]
-    assert rn, plan
-    assert all(re.search(r"\[epoch#\d+L?, _b#\d+\]", l) for l in rn), rn
-    # the running token sum shares the row_number's window spec line
-    assert all("sum(n_tokens" in l for l in rn), rn
-    assert has_broadcast_join(df), plan
+    for sf in (SF, "/root/testdata/sf0.1"):
+        df = qs["mix_pack_epoch_stream"].fn(spark, sf)
+        plan = formatted_plan(df, "formatted")
+        assert "SinglePartition" not in plan, plan
+        rn = [l for l in plan.splitlines()
+              if "row_number()" in l and "windowspecdefinition" in l]
+        assert rn, plan
+        assert all(re.search(r"\[epoch#\d+L?, _b#\d+\]", l)
+                   for l in rn), rn
+        # the running token sum shares the row_number's window spec line
+        assert all("sum(n_tokens" in l for l in rn), rn
+        # EXACTLY two Window nodes: the full-data (epoch, bucket) window
+        # carrying both expressions, plus the metadata-sized per-bucket
+        # offsets window. A silent regression to separate rank and
+        # prefix-sum windows would add a third node — a second full-data
+        # sort, doubling the face's shuffle-adjacent cost at 100 TB.
+        assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+        assert has_broadcast_join(df), plan
 
 
 def test_token_budget_never_single_task_per_source(spark, qs):
@@ -883,19 +891,25 @@ def test_token_budget_never_single_task_per_source(spark, qs):
     broadcast; no SinglePartition anywhere."""
     import re
 
-    df = qs["mix_token_budget"].fn(spark, SF)
-    plan = formatted_plan(df, "formatted")
-    assert "SinglePartition" not in plan, plan
-    # the face never selects the rank column, so Catalyst prunes
-    # row_number out of the Window node entirely (asserted: the trap
-    # would be a full-data window WITHOUT the bucket column) — the
-    # running token sum is the one surviving window expression
-    wn = [l for l in plan.splitlines()
-          if "sum(n_tokens" in l and "windowspecdefinition" in l]
-    assert wn, plan
-    assert all(re.search(r"\[source#\d+, _b#\d+L?\]", l) for l in wn), wn
-    assert not any("row_number()" in l for l in wn), wn
-    assert has_broadcast_join(df), plan
+    for sf in (SF, "/root/testdata/sf0.1"):
+        df = qs["mix_token_budget"].fn(spark, sf)
+        plan = formatted_plan(df, "formatted")
+        assert "SinglePartition" not in plan, plan
+        # the face never selects the rank column, so Catalyst prunes
+        # row_number out of the Window node entirely (asserted: the trap
+        # would be a full-data window WITHOUT the bucket column) — the
+        # running token sum is the one surviving window expression
+        wn = [l for l in plan.splitlines()
+              if "sum(n_tokens" in l and "windowspecdefinition" in l]
+        assert wn, plan
+        assert all(re.search(r"\[source#\d+, _b#\d+L?\]", l)
+                   for l in wn), wn
+        assert not any("row_number()" in l for l in wn), wn
+        # EXACTLY two Window nodes: the full-data (source, bucket)
+        # window and the metadata-sized offsets window — a regression to
+        # a second full-data sort would surface here as a third node
+        assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+        assert has_broadcast_join(df), plan
 
 
 def test_doremi_weights_single_scan_shape(spark, qs):

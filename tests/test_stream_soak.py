@@ -369,10 +369,11 @@ def test_contamination_sink_soak_random_cuts(spark, tmp_path):
 
 def test_doremi_weights_sink_soak_random_cuts(spark, tmp_path):
     """Randomized-cut soak for doremi_weights_sink: seeded random batch
-    counts, doc_id cut points, application ORDER, and a verbatim retry
-    — the converged weights table must equal mix_doremi_weights
-    bit-exactly every time (integer count sums commute, the retried
-    batch overwrites its own partition)."""
+    counts, doc_id cut points, application ORDER, one immediate AND one
+    DELAYED verbatim retry (a late redelivery after other batches have
+    landed — the r10 double-emit class) — the converged weights table
+    must equal mix_doremi_weights bit-exactly every time (integer count
+    sums commute, the retried batch overwrites its own partition)."""
     from process_nwb_spark.relational.core import all_queries
     from process_nwb_spark.streaming.ops import doremi_weights_sink
 
@@ -395,16 +396,19 @@ def test_doremi_weights_sink_soak_random_cuts(spark, tmp_path):
         for step, i in enumerate(order):
             sink(segs[int(i)], int(i))
             if step == retry_at:
-                sink(segs[int(i)], int(i))   # verbatim retry
+                sink(segs[int(i)], int(i))   # immediate verbatim retry
+        delayed = int(rng.integers(0, len(segs)))
+        sink(segs[delayed], delayed)         # delayed verbatim retry
         got = spark.read.parquet(out + "/weights").toPandas()
         _eq(got, want, cols, ["source"],
-            ("doremi", rnd, cuts, list(order), retry_at))
+            ("doremi", rnd, cuts, list(order), retry_at, delayed))
 
 
 def test_survival_curve_sink_soak_random_cuts(spark, tmp_path):
     """Randomized-cut soak for survival_curve_sink: seeded random batch
-    counts, cut points, order, and a verbatim retry — converged curve
-    equals quality_survival_curve bit-exactly every time."""
+    counts, cut points, order, one immediate and one DELAYED verbatim
+    retry — converged curve equals quality_survival_curve bit-exactly
+    every time."""
     from process_nwb_spark.relational.core import all_queries
     from process_nwb_spark.streaming.ops import survival_curve_sink
 
@@ -427,7 +431,60 @@ def test_survival_curve_sink_soak_random_cuts(spark, tmp_path):
         for step, i in enumerate(order):
             sink(segs[int(i)], int(i))
             if step == retry_at:
-                sink(segs[int(i)], int(i))
+                sink(segs[int(i)], int(i))   # immediate verbatim retry
+        delayed = int(rng.integers(0, len(segs)))
+        sink(segs[delayed], delayed)         # delayed verbatim retry
         got = spark.read.parquet(out + "/curve").toPandas()
         _eq(got, want, cols, ["threshold"],
-            ("survival", rnd, cuts, list(order), retry_at))
+            ("survival", rnd, cuts, list(order), retry_at, delayed))
+
+
+def test_cluster_stats_sink_soak_random_cuts(spark, tmp_path):
+    """Randomized-cut soak for cluster_stats_sink: seeded random batch
+    counts, cut points, application order, one immediate and one
+    DELAYED verbatim retry — the converged histogram must equal
+    dedup_cluster_stats bit-exactly every time (per-batch fingerprint
+    counts are additive and the retried batch overwrites its own
+    partition). The sf0.01 corpus is all singletons, so duplicate
+    clusters are INJECTED with far-apart doc_ids — the doc_id cuts then
+    split clusters ACROSS batches, exercising the cross-batch count
+    merge the sink's additivity claim rests on."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import cluster_stats_sink
+
+    rng = np.random.default_rng(SEED + 4)
+    base = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    copies = (base.filter(F.col("doc_id") < 5)
+              .select((F.col("doc_id") + 100_000).alias("doc_id"), "text",
+                      "lang", "source", "n_chars")
+              .unionAll(base.filter(F.col("doc_id") < 2)
+                        .select((F.col("doc_id") + 200_000).alias("doc_id"),
+                                "text", "lang", "source", "n_chars")))
+    corpus_dir = str(tmp_path / "clst_corpus")
+    (base.select("doc_id", "text", "lang", "source", "n_chars")
+     .unionAll(copies).write.parquet(f"{corpus_dir}/documents.parquet"))
+    docs = (spark.read.parquet(f"{corpus_dir}/documents.parquet")
+            .select("doc_id", "text").localCheckpoint())
+    ids = [r.doc_id for r in
+           docs.select("doc_id").orderBy("doc_id").collect()]
+    want = (all_queries()["dedup_cluster_stats"].fn(spark, corpus_dir)
+            .toPandas())
+    assert want.cluster_size.max() >= 3   # the injection took
+    cols = sorted(want.columns)
+    for rnd in range(3):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, ids, n_segs)
+        segs = _segments(docs, "doc_id", cuts)
+        out = str(tmp_path / f"out_clst_{rnd}")
+        sink = cluster_stats_sink(out)
+        order = rng.permutation(len(segs))
+        retry_at = int(rng.integers(0, len(segs)))
+        for step, i in enumerate(order):
+            sink(segs[int(i)], int(i))
+            if step == retry_at:
+                sink(segs[int(i)], int(i))   # immediate verbatim retry
+        delayed = int(rng.integers(0, len(segs)))
+        sink(segs[delayed], delayed)         # delayed verbatim retry
+        got = spark.read.parquet(out + "/stats").toPandas()
+        _eq(got, want, cols, ["cluster_size"],
+            ("cluster_stats", rnd, cuts, list(order), retry_at, delayed))
