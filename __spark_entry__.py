@@ -51,9 +51,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ROTATED each round so cumulative driver coverage grows. STATE AFTER r11:
 # cumulative driver coverage is 314/314 of the 314-face registry, 0 red
 # (CORRECTNESS_r0{1..9,10,11}.json) — builder-claimed and driver-proven
-# coincide for the third consecutive round. The r12 window continues
-# STALENESS-ORDERED RE-VERIFICATION:
-# (a) the faces whose implementation the r12 diff touched:
+# coincide for the third consecutive round. The r12 window:
+# (a0) the FIVE faces ADDED in r12 (registry now 319, never
+# driver-sampled): the corpus-QA tier (Gopher rule gate, repeat
+# collapse, source overlap, quality-priority dedup, length-bucket
+# batching). Then (a) the faces whose implementation the r12 diff
+# touched:
 # mix_doremi_weights (GREATEST(t,1) zero-token denominator guard in both
 # the SQL and the shared doremi_fold — hash-neutral on any corpus with a
 # token, re-proven here), then the four faces routed through
@@ -69,6 +72,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # the shuffle-partition hash-stability probe (ORACLE_{LOCAL,ANSI}_r12,
 # HASHSTAB_r12).
 DRIVER_PRIORITY = (
+    # ---- (a0) faces ADDED in r12 (never driver-sampled) ----
+    "quality_gopher_rules",  # ADDED r12: Gopher-style 5-rule quality
+    #   gate with per-rule attribution (zero-exchange scan)
+    "text_collapse_repeats",  # ADDED r12: token-level immediate-repeat
+    #   collapse with cleaned-text fingerprint (index lambdas)
+    "corpus_source_overlap",  # ADDED r12: exact pairwise source
+    #   shingle-set Jaccard (|sources|-bounded join fan-out)
+    "dedup_best_of_cluster",  # ADDED r12: quality-priority exact dedup
+    #   (argmax-by-score keep as ONE hash-agg, no window)
+    "mix_length_buckets",  # ADDED r12: padding-efficient length-bucket
+    #   batching via bucketed_hash_rank on the ~8-value cap key
     # ---- (a) faces implementation-TOUCHED in r12 ----
     "mix_doremi_weights",  # r12: zero-token GREATEST guard (SQL + fold)
     "mix_token_budget",  # r12: bucketed_range_rank refactor (step

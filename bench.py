@@ -134,6 +134,12 @@ SF1_SUBSET = [
     "dedup_ngram_coverage", "mix_doremi_weights",
     "mix_curriculum_interleave", "mix_token_budget", "rank_ndcg_eval",
     "quality_survival_curve", "mix_anneal_schedule",
+    # r12 corpus-QA tier: the cross-source shingle overlap claims a
+    # join whose per-key fan-out is |sources|-bounded (the sf1 ratio is
+    # the measured check), and the length-bucketed batcher claims the
+    # same no-single-task-per-group bucketed-rank shape as the mix
+    # faces on its ~8-value cap key
+    "corpus_source_overlap", "mix_length_buckets",
     # r10: the eager-checkpoint faces, measured WHOLE-CALLABLE (below)
     "graph_wcc_star", "graph_kcore_peel", "split_leakage_safe",
 ]

@@ -2222,3 +2222,78 @@ def mix_anneal_schedule(spark, sf_dir):
                      .otherwise(F.lit(0))).cast("bigint")
                     .alias("position"),
                     "doc_id", "n_tokens", "score_key"))
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching for padding-efficient training (r12)
+# --------------------------------------------------------------------------
+_LENBATCH_SIZE = 8          # docs per batch within a length bucket
+_LENBUCKET_CAPS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+_CAPS_CASE_SQL = ("CASE "
+                  + " ".join(f"WHEN n_tokens <= {c} THEN {c}"
+                             for c in _LENBUCKET_CAPS[:-1])
+                  + f" ELSE {_LENBUCKET_CAPS[-1]} END")
+
+
+@query(
+    "mix_length_buckets",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    capped AS (
+      SELECT doc_id, n_tokens,
+             CAST({_CAPS_CASE_SQL} AS BIGINT) AS bucket_cap
+      FROM tok
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, bucket_cap,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket_cap
+               ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM capped
+    )
+    SELECT doc_id, n_tokens, bucket_cap,
+           CAST((rn - 1) // {_LENBATCH_SIZE} AS BIGINT) AS batch_no,
+           CAST(GREATEST(bucket_cap - n_tokens, 0) AS BIGINT) AS pad_waste
+    FROM ranked
+    """,
+    doc="length-bucketed batching: assign every doc a power-of-two "
+        "padding cap (explicit CASE grid — no LOG2, whose libm rounding "
+        "could split engines at exact powers of two) and a batch number "
+        "within its bucket, so fixed-shape training batches pad each doc "
+        "only to its bucket cap instead of the corpus max — the standard "
+        "padding-efficiency trick in sequence-training input pipelines "
+        "(pad_waste is the per-doc cost the bucketing leaves on the "
+        "table). Batch membership inside a bucket is the seedless md5 "
+        "order the mix tier shares, so batches are reproducible from "
+        "doc_ids alone. Scale: ~8 caps make the bucket a LOW-cardinality "
+        "group — the single-task-window trap — so the rank routes "
+        "through bucketed_hash_rank ((cap, md5-prefix) windows + "
+        "broadcast offsets), never Window.partitionBy(cap) alone; "
+        "plan-asserted in test_plans.py",
+)
+def mix_length_buckets(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    caps_col = F.lit(_LENBUCKET_CAPS[-1])
+    for c in reversed(_LENBUCKET_CAPS[:-1]):
+        caps_col = F.when(F.col("n_tokens") <= c, F.lit(c)) \
+            .otherwise(caps_col)
+    tok = d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\w+")).cast("bigint")
+        .alias("n_tokens"))
+    capped = tok.withColumn("bucket_cap", caps_col.cast("bigint"))
+    keyed = capped.withColumn("h", F.md5(F.col("doc_id").cast("string")))
+    ranked = bucketed_hash_rank(keyed, ["bucket_cap"], "h", "doc_id",
+                                out_col="_r")
+    return ranked.select(
+        "doc_id", "n_tokens", "bucket_cap",
+        F.expr(f"CAST((_r - 1) DIV {_LENBATCH_SIZE} AS BIGINT)")
+        .alias("batch_no"),
+        F.greatest(F.col("bucket_cap") - F.col("n_tokens"), F.lit(0))
+        .cast("bigint").alias("pad_waste"))

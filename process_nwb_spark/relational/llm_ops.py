@@ -3304,3 +3304,278 @@ def cluster_histogram(cl):
                  .alias("n_redundant"),
                  F.round((F.count("*") * F.first("k")).cast("double")
                          / F.max("n"), 6).alias("doc_share")))
+
+
+# --------------------------------------------------------------------------
+# Corpus-QA tier (r12): rule-based quality gating, token-level cleanup,
+# cross-source overlap, quality-priority dedup
+# --------------------------------------------------------------------------
+@query(
+    "quality_gopher_rules",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\\w\\s]')) AS BIGINT)
+               AS n_sym,
+             CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                  '\\b(the|a|an|and|or|of|to|in)\\b')) AS BIGINT)
+               AS n_stop,
+             CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS BIGINT)
+               AS n_dist
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, n_words, n_stop,
+             ROUND(CAST(LIST_SUM(LIST_TRANSFORM(ws, x -> LENGTH(x)))
+                        AS DOUBLE) / GREATEST(n_words, 1), 4)
+               AS mean_word_len,
+             ROUND(CAST(n_sym AS DOUBLE) / GREATEST(n_words, 1), 4)
+               AS symbol_ratio,
+             ROUND(1.0 - CAST(n_dist AS DOUBLE) / GREATEST(n_words, 1), 4)
+               AS dup_word_ratio
+      FROM w
+    ),
+    r AS (
+      SELECT *,
+             CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_word_count,
+             CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT)
+               AS r_mean_word_len,
+             CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol_ratio,
+             CAST(n_stop >= 2 AS INT) AS r_stopwords,
+             CAST(dup_word_ratio <= 0.6 AS INT) AS r_dup_words
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop,
+           dup_word_ratio, r_word_count, r_mean_word_len, r_symbol_ratio,
+           r_stopwords, r_dup_words,
+           CAST(5 - (r_word_count + r_mean_word_len + r_symbol_ratio
+                     + r_stopwords + r_dup_words) AS INT) AS n_rules_failed,
+           CAST((r_word_count + r_mean_word_len + r_symbol_ratio
+                 + r_stopwords + r_dup_words) = 5 AS INT) AS passes
+    FROM r
+    """,
+    doc="Gopher-style rule-based quality gate (Rae et al. 2021, "
+        "'Scaling Language Models: ... Gopher', Table A1, adapted to "
+        "word granularity): five explicit 0/1 rule flags — word count "
+        "in [50, 100k], mean word length in [3, 10], symbol-to-word "
+        "ratio <= 0.1, >= 2 stopwords, duplicate-word ratio <= 0.6 — "
+        "plus n_rules_failed and the overall pass bit, so a pipeline "
+        "can both filter AND attribute every removal to a rule. "
+        "Hash-exactness: word/symbol/stopword/distinct counts are "
+        "BIGINT; every ratio is a single guarded division ROUNDed to 4 "
+        "and rules compare the ROUNDED value, so both engines gate on "
+        "identical doubles. Scale: pure per-row projection — one scan, "
+        "ZERO exchanges (same class as text_token_counts); at 100 TB "
+        "the cost is the scan itself",
+)
+def quality_gopher_rules(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    ws = _words()
+    n = F.size(ws).cast("bigint")
+    g1 = F.greatest(n, F.lit(1))
+    mwl = F.round(
+        F.aggregate(ws, F.lit(0), lambda a, x: a + F.length(x))
+        .cast("double") / g1, 4)
+    sym = F.round(
+        F.regexp_count("text", F.lit(r"[^\w\s]")).cast("double") / g1, 4)
+    stop = F.regexp_count(
+        F.lower("text"), F.lit(r"\b(the|a|an|and|or|of|to|in)\b"))\
+        .cast("bigint")
+    dup = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(ws)).cast("double") / g1, 4)
+    m = d.select(
+        "doc_id", n.alias("n_words"), mwl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"), stop.alias("n_stop"),
+        dup.alias("dup_word_ratio"))
+    rules = [
+        ("r_word_count", F.col("n_words").between(50, 100000)),
+        ("r_mean_word_len", F.col("mean_word_len").between(3.0, 10.0)),
+        ("r_symbol_ratio", F.col("symbol_ratio") <= 0.1),
+        ("r_stopwords", F.col("n_stop") >= 2),
+        ("r_dup_words", F.col("dup_word_ratio") <= 0.6),
+    ]
+    r = m.select("*", *[c.cast("int").alias(a) for a, c in rules])
+    tot = sum((F.col(a) for a, _ in rules[1:]), F.col(rules[0][0]))
+    return r.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "n_stop",
+        "dup_word_ratio", *[a for a, _ in rules],
+        (F.lit(5) - tot).cast("int").alias("n_rules_failed"),
+        (tot == 5).cast("int").alias("passes"))
+
+
+@query(
+    "text_collapse_repeats",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    c AS (
+      SELECT doc_id, ws,
+             LIST_FILTER(ws, (x, i) -> i = 1 OR x != ws[i - 1]) AS cl
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(LEN(ws) AS BIGINT) AS n_words,
+           CAST(LEN(cl) AS BIGINT) AS n_clean,
+           CAST(LEN(ws) - LEN(cl) AS BIGINT) AS n_collapsed,
+           MD5(ARRAY_TO_STRING(cl, ' ')) AS clean_fp
+    FROM c
+    """,
+    doc="token-level repetition cleanup (the C4/RefinedWeb 'remove "
+        "duplicated content' step at word granularity, Raffel et al. "
+        "2020 §2.2 / Penedo et al. 2023 — the fixture corpus is "
+        "single-line, so the line-level rule degenerates and the "
+        "word-level one is the honest analog): collapse IMMEDIATE "
+        "word repeats with an index lambda (keep position i iff i==0 "
+        "or w != prev), emit per-doc kept/collapsed counts and the md5 "
+        "of the cleaned text so downstream exact-dedup can run on "
+        "cleaned fingerprints. Index lambdas are 0-based in Spark and "
+        "1-based in DuckDB; both sides express 'compare with previous "
+        "element' in their own indexing, and Spark's element_at "
+        "index is GREATEST(i,1)-guarded because OR does not "
+        "short-circuit element_at(_, 0)'s runtime error. Scale: pure "
+        "per-row projection, zero exchanges",
+)
+def text_collapse_repeats(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    ws = _words()
+    cl = F.filter(
+        ws, lambda x, i: (i == F.lit(0))
+        | (x != F.element_at(ws, F.greatest(i, F.lit(1)))))
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.size(cl).cast("bigint").alias("n_clean"),
+        (F.size(ws) - F.size(cl)).cast("bigint").alias("n_collapsed"),
+        F.md5(F.array_join(cl, " ")).alias("clean_fp"))
+
+
+@query(
+    "corpus_source_overlap",
+    """
+    WITH svoc AS (
+      SELECT DISTINCT source,
+             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 1)),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               AS sh
+      FROM (SELECT source, STRING_SPLIT(text, ' ') AS words
+            FROM documents) t
+      WHERE LEN(words) >= 3
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM svoc
+      GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM svoc a JOIN svoc b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b,
+           sa.vocab AS vocab_a, sb.vocab AS vocab_b, p.n_common,
+           ROUND(CAST(p.n_common AS DOUBLE)
+                 / (sa.vocab + sb.vocab - p.n_common), 6) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.source_a = sa.source
+    JOIN sizes sb ON p.source_b = sb.source
+    """,
+    doc="cross-source corpus overlap: exact Jaccard between each source "
+        "pair's distinct word-3-gram shingle sets (same shingle "
+        "construction as the dedup family) — the corpus-level duplication "
+        "map a mixture owner reads before weighting sources (two sources "
+        "with high overlap should not both be upweighted; high "
+        "containment of a small source flags it as a subset mirror). "
+        "Pairs with zero common shingles do not appear (sparse join "
+        "semantics). Scale: distinct (source, shingle) is one hash-agg "
+        "over the shingle stream; the pair counts come from a "
+        "shingle-keyed equi-join whose per-key fan-out is bounded by "
+        "|sources| (not corpus size), and the aggregated output is at "
+        "most |sources|^2 rows; sizes attach by broadcast. At 100 TB add "
+        "the dedup family's document-frequency stop-shingle cut before "
+        "the join — same plan shape",
+)
+def corpus_source_overlap(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    words = _words()
+    k = 3
+    sh = F.transform(F.sequence(F.lit(0), F.size(words) - k),
+                     lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    svoc = (d.filter(F.size(words) >= k)
+            .select("source", F.explode(F.array_distinct(sh)).alias("sh"))
+            .distinct())
+    sizes = (svoc.groupBy("source")
+             .agg(F.count("*").cast("bigint").alias("vocab")))
+    b = svoc.select(F.col("source").alias("source_b"),
+                    F.col("sh").alias("sh_b"))
+    pairs = (svoc.join(b, (F.col("sh") == F.col("sh_b"))
+                       & (F.col("source") < F.col("source_b")))
+             .groupBy(F.col("source").alias("source_a"), "source_b")
+             .agg(F.count("*").cast("bigint").alias("n_common")))
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("vocab").alias("vocab_b"))
+    return (pairs.join(F.broadcast(sa), "source_a")
+            .join(F.broadcast(sb), "source_b")
+            .select("source_a", "source_b", "vocab_a", "vocab_b",
+                    "n_common",
+                    F.round(F.col("n_common").cast("double")
+                            / (F.col("vocab_a") + F.col("vocab_b")
+                               - F.col("n_common")), 6).alias("jaccard")))
+
+
+@query(
+    "dedup_best_of_cluster",
+    """
+    WITH scored AS (
+      SELECT MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp,
+             doc_id,
+             CAST((LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text),
+                       '\\w+'))) * 10000)
+                  // GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '\\w+')), 1)
+                  AS BIGINT) AS score_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT fp, doc_id, score_key,
+             ROW_NUMBER() OVER (PARTITION BY fp
+                                ORDER BY score_key DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY fp) AS n_copies
+      FROM scored
+    )
+    SELECT fp, doc_id AS keep_doc_id, score_key,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1
+    """,
+    doc="quality-priority exact dedup: keep the HIGHEST-scoring doc per "
+        "exact-dup cluster (lexical-diversity score key, ties to min "
+        "doc_id) instead of dedup_exact's min-doc_id rule — what "
+        "production dedup actually does when copies differ in trailing "
+        "boilerplate after normalization-insensitive fingerprinting "
+        "(keep the cleanest copy, not the first-crawled one). The score "
+        "is the integer score_key the mix tier shares (no float "
+        "division). Spark side is ONE hash-agg: max(struct(score_key, "
+        "-doc_id)) per fingerprint — no window, no join; the oracle "
+        "spells the same argmax as a window for clarity. Scale: "
+        "map-side-combined agg on the fingerprint key, linear",
+)
+def dedup_best_of_cluster(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    score = F.expr(
+        "CAST((CAST(size(array_distinct(regexp_extract_all(lower(text), "
+        "'\\\\w+', 0))) AS BIGINT) * 10000) DIV "
+        "GREATEST(CAST(regexp_count(text, '\\\\w+') AS BIGINT), 1) "
+        "AS BIGINT)")
+    scored = d.select(fp.alias("fp"), "doc_id", score.alias("score_key"))
+    return (scored
+            .groupBy("fp")
+            .agg(F.max(F.struct(F.col("score_key"),
+                                (-F.col("doc_id")).alias("nd"))).alias("b"),
+                 F.count("*").cast("bigint").alias("n_copies"))
+            .select("fp",
+                    (-F.col("b.nd")).cast("bigint").alias("keep_doc_id"),
+                    F.col("b.score_key").alias("score_key"), "n_copies"))

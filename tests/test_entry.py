@@ -33,29 +33,31 @@ def test_driver_priority_names_resolve_and_are_unique():
     assert not missing, f"DRIVER_PRIORITY names not in registry: {missing}"
 
 
-def test_r11_window_is_staleness_ordered():
-    """With 305/305 driver-proven cumulatively (r10), the r11 window
-    re-verifies: the three faces ADDED in r11 lead, then the staleness
-    backfill — every r4-sampled face (7 rounds stale) must be in the
-    25-face head, and the whole r5 cohort inside the priority list.
-    The cohort sets derive from CORRECTNESS_r{1..10}.json (the per-face
-    last-sampled-round fold)."""
-    added_r11 = ["mix_pack_epoch_stream", "dedup_ngram_coverage",
-                 "mix_token_budget", "mix_doremi_weights",
-                 "mix_curriculum_interleave", "rank_ndcg_eval",
-                 "quality_survival_curve", "mix_anneal_schedule",
-                 "dedup_cluster_stats"]
-    r4_cohort = {
-        "pivot_qty_by_flag", "proj_filter_case", "retention_cohorts",
-        "running_balance_clamped", "scan_range", "scd2_point_in_time",
-        "session_funnel", "sig_car_subtract", "sig_zscore_baseline",
-        "simhash_fingerprints", "split_train_test",
-        "sql_recursive_months", "sub_scalar_correlated",
-        "text_tfidf_topterms", "ts_linear_interp",
-        "ts_time_weighted_avg", "udf_embed_norms",
-        "udf_grouped_map_demean", "win_running_frames", "win_session",
-        "win_topk_per_group", "win_tumbling"}
+def test_r12_window_is_staleness_ordered():
+    """With 314/314 driver-proven cumulatively (r11), the r12 window
+    re-verifies: the faces whose implementation the r12 diff touched
+    lead (DoReMi guard + bucketed_range_rank refactor callers), then
+    staleness backfill — the whole r5 cohort (7 rounds stale) must sit
+    in the head right after them, and the r6 cohort inside the list.
+    The cohort sets derive from CORRECTNESS_r{01..11}.json (the
+    per-face last-sampled-round fold)."""
+    touched_r12 = ["quality_gopher_rules", "text_collapse_repeats",
+                   "corpus_source_overlap", "dedup_best_of_cluster",
+                   "mix_length_buckets",   # ADDED r12, never sampled
+                   "mix_doremi_weights", "mix_token_budget",
+                   "mix_curriculum_interleave", "rank_ndcg_eval",
+                   "mix_anneal_schedule"]
+    r5_cohort = {
+        "merge_upsert_changeset", "minhash_signatures",
+        "sample_stratified", "seq_transition_matrix",
+        "sig_segmented_parity", "sink_partitioned_prune",
+        "source_csv_roundtrip", "split_contamination", "sql_pipe_syntax",
+        "stream_dedup_first", "stream_static_join", "stream_stream_join",
+        "sub_exists_returned", "text_pii_redact", "text_repetition",
+        "ts_ohlc_bars", "ts_rolling_median", "udf_arrow_grouped_scale",
+        "udtf_word_positions", "win_gap_fill", "win_sliding",
+        "win_trailing_range"}
     head = list(entry.DRIVER_PRIORITY)
-    assert head[:len(added_r11)] == added_r11
-    assert r4_cohort <= set(head[:len(added_r11) + len(r4_cohort)])
-    assert len(head) == 9 + 22 + 41   # added + r4 cohort + r5 cohort
+    assert head[:len(touched_r12)] == touched_r12
+    assert r5_cohort <= set(head[:len(touched_r12) + len(r5_cohort)])
+    assert len(head) == 10 + 22 + 46  # added+touched, r5 + r6 cohorts
