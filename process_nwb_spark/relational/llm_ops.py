@@ -3370,7 +3370,9 @@ def cluster_histogram(cl):
         "the cost is the scan itself",
 )
 def quality_gopher_rules(spark, sf_dir):
-    d = spread(T(spark, sf_dir, "documents"))
+    # no spread(): the zero-exchange scan IS the claim (plan-pinned);
+    # at 100 TB the input arrives in many splits already
+    d = T(spark, sf_dir, "documents")
     ws = _words()
     n = F.size(ws).cast("bigint")
     g1 = F.greatest(n, F.lit(1))
@@ -3439,7 +3441,8 @@ def quality_gopher_rules(spark, sf_dir):
         "per-row projection, zero exchanges",
 )
 def text_collapse_repeats(spark, sf_dir):
-    d = spread(T(spark, sf_dir, "documents"))
+    # no spread(): zero-exchange scan is the plan-pinned claim
+    d = T(spark, sf_dir, "documents")
     ws = _words()
     cl = F.filter(
         ws, lambda x, i: (i == F.lit(0))

@@ -190,6 +190,18 @@ def test_length_buckets_never_single_task_per_bucket(spark):
     assert has_broadcast_join(df), plan
 
 
+def test_gopher_and_collapse_plans_are_shuffle_free(spark):
+    """Both faces claim pure per-row projection: ZERO exchanges, zero
+    joins — at 100 TB their cost is the scan itself."""
+    from process_nwb_spark.plans.inspect import formatted_plan
+
+    for name in ("quality_gopher_rules", "text_collapse_repeats"):
+        df = all_queries()[name].fn(spark, SF)
+        plan = formatted_plan(df, "simple")
+        assert "Exchange" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)
+
+
 def test_source_overlap_plan_is_aggregated_join(spark):
     """The pair counts must come from a shingle-keyed equi-join feeding
     a hash-agg (per-key fan-out bounded by |sources|) with the sizes
