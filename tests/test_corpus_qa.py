@@ -202,6 +202,57 @@ def test_gopher_and_collapse_plans_are_shuffle_free(spark):
         assert "Join" not in plan, (name, plan)
 
 
+def test_assemble_v3_composes_the_qa_faces(spark):
+    """The v3 corpus program must agree with the oracled faces it
+    composes: its survivors are exactly the docs that (a) pass the
+    Gopher gate on COLLAPSED text with <= 1 failure and (b) win their
+    clean-fingerprint cluster's argmax; its batch arithmetic matches
+    mix_length_buckets' shape on the surviving set."""
+    from process_nwb_spark.llm.curation import assemble_v3
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = assemble_v3(docs).toPandas()
+    assert len(out) > 0
+    # survivors obey the gate they were filtered by
+    assert (out.n_rules_failed <= 1).all()
+    # clean_text carries no immediate repeats (idempotent cleanup)
+    for t in out.clean_text.head(25):
+        ws = t.split(" ")
+        assert all(a != b for a, b in zip(ws, ws[1:])), t
+    # clean fingerprints are unique post-dedup
+    import hashlib
+    fps = out.clean_text.map(
+        lambda s: hashlib.md5(" ".join(s.split()).strip().lower()
+                              .encode()).hexdigest())
+    assert fps.nunique() == len(out)
+    # batch arithmetic: dense 0..k batches per cap, full batches of 8
+    assert (out.n_tokens <= out.bucket_cap).all()
+    assert (out.pad_waste == out.bucket_cap - out.n_tokens).all()
+    for cap, grp in out.groupby("bucket_cap"):
+        counts = grp.groupby("batch_no").size().sort_index()
+        nb = -(-len(grp) // 8)
+        assert list(counts.index) == list(range(nb)), cap
+        assert (counts.iloc[:-1] == 8).all(), cap
+    # cross-check the gate against quality_gopher_rules run on the
+    # COLLAPSED corpus: survivors' doc_ids must be a subset of docs
+    # with <= 1 rule failures there (dedup removes some of those)
+    qs = all_queries()
+    collapsed = (docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.array_join(F.filter(
+            F.split("text", " "),
+            lambda x, i: (i == F.lit(0))
+            | (x != F.element_at(F.split("text", " "),
+                                 F.greatest(i, F.lit(1))))), " ")
+        .alias("text")))
+    import tempfile
+    d = tempfile.mkdtemp(prefix="v3_corpus_")
+    collapsed.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    gate = qs["quality_gopher_rules"].fn(spark, d).toPandas()
+    ok_ids = set(gate[gate.n_rules_failed <= 1].doc_id)
+    assert set(out.doc_id) <= ok_ids
+
+
 def test_source_overlap_plan_is_aggregated_join(spark):
     """The pair counts must come from a shingle-keyed equi-join feeding
     a hash-agg (per-key fan-out bounded by |sources|) with the sizes
