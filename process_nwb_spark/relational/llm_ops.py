@@ -3372,7 +3372,25 @@ def cluster_histogram(cl):
 def quality_gopher_rules(spark, sf_dir):
     # no spread(): the zero-exchange scan IS the claim (plan-pinned);
     # at 100 TB the input arrives in many splits already
-    d = T(spark, sf_dir, "documents")
+    r = gopher_doc_flags(T(spark, sf_dir, "documents"))
+    tot = sum((F.col(a) for a in GOPHER_RULES[1:]),
+              F.col(GOPHER_RULES[0]))
+    return r.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "n_stop",
+        "dup_word_ratio", *GOPHER_RULES,
+        (F.lit(5) - tot).cast("int").alias("n_rules_failed"),
+        (tot == 5).cast("int").alias("passes"))
+
+
+GOPHER_RULES = ("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+                "r_stopwords", "r_dup_words")
+
+
+def gopher_doc_flags(docs):
+    """Per-doc Gopher metrics + 0/1 rule flags for ANY (doc_id, text)
+    frame — the one rule construction quality_gopher_rules,
+    quality_rule_stats AND the streaming gopher_stats_sink share, so
+    the twins cannot drift from the gate they attribute."""
     ws = _words()
     n = F.size(ws).cast("bigint")
     g1 = F.greatest(n, F.lit(1))
@@ -3387,7 +3405,7 @@ def quality_gopher_rules(spark, sf_dir):
     dup = F.round(
         F.lit(1.0)
         - F.size(F.array_distinct(ws)).cast("double") / g1, 4)
-    m = d.select(
+    m = docs.select(
         "doc_id", n.alias("n_words"), mwl.alias("mean_word_len"),
         sym.alias("symbol_ratio"), stop.alias("n_stop"),
         dup.alias("dup_word_ratio"))
@@ -3398,13 +3416,117 @@ def quality_gopher_rules(spark, sf_dir):
         ("r_stopwords", F.col("n_stop") >= 2),
         ("r_dup_words", F.col("dup_word_ratio") <= 0.6),
     ]
-    r = m.select("*", *[c.cast("int").alias(a) for a, c in rules])
-    tot = sum((F.col(a) for a, _ in rules[1:]), F.col(rules[0][0]))
-    return r.select(
-        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "n_stop",
-        "dup_word_ratio", *[a for a, _ in rules],
-        (F.lit(5) - tot).cast("int").alias("n_rules_failed"),
-        (tot == 5).cast("int").alias("passes"))
+    assert tuple(a for a, _ in rules) == GOPHER_RULES
+    return m.select("*", *[c.cast("int").alias(a) for a, c in rules])
+
+
+def gopher_rule_counts(docs):
+    """1-row BIGINT failure-count rollup over ANY (doc_id, text) frame
+    — ADDITIVE across micro-batches (each doc counted once in its own
+    batch), the property gopher_stats_sink's incremental fold rests
+    on. Columns: n_docs, fail_<rule> x5, n_pass."""
+    r = gopher_doc_flags(docs)
+    tot = sum((F.col(a) for a in GOPHER_RULES[1:]),
+              F.col(GOPHER_RULES[0]))
+    # coalesce: an EMPTY batch aggregates to one row of NULL sums,
+    # which would poison the sink's cross-batch SUM — zeros are the
+    # additive identity the fold needs
+    aggs = [F.count("*").cast("bigint").alias("n_docs")]
+    aggs += [F.coalesce(F.sum(F.lit(1) - F.col(a)), F.lit(0))
+             .cast("bigint").alias(a.replace("r_", "fail_", 1))
+             for a in GOPHER_RULES]
+    aggs.append(F.coalesce(F.sum((tot == 5).cast("int")), F.lit(0))
+                .cast("bigint").alias("n_pass"))
+    return r.agg(*aggs)
+
+
+def gopher_stats_fold(cnt):
+    """Share arithmetic over a summed rule-count rollup — 1-row work,
+    shared verbatim by quality_rule_stats and gopher_stats_sink."""
+    fails = [a.replace("r_", "fail_", 1) for a in GOPHER_RULES]
+    g1 = F.greatest(F.col("n_docs"), F.lit(1))
+    return cnt.select(
+        "n_docs", *fails, "n_pass",
+        *[F.round(F.col(f).cast("double") / g1, 6)
+          .alias(f.replace("fail_", "share_fail_", 1)) for f in fails],
+        F.round(F.col("n_pass").cast("double") / g1, 6)
+        .alias("pass_rate"))
+
+
+@query(
+    "quality_rule_stats",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\\w\\s]')) AS BIGINT)
+               AS n_sym,
+             CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                  '\\b(the|a|an|and|or|of|to|in)\\b')) AS BIGINT)
+               AS n_stop,
+             CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS BIGINT)
+               AS n_dist
+      FROM documents
+    ),
+    r AS (
+      SELECT CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r1,
+             CAST(ROUND(CAST(LIST_SUM(LIST_TRANSFORM(ws,
+                    x -> LENGTH(x))) AS DOUBLE)
+                    / GREATEST(n_words, 1), 4)
+                  BETWEEN 3.0 AND 10.0 AS INT) AS r2,
+             CAST(ROUND(CAST(n_sym AS DOUBLE) / GREATEST(n_words, 1), 4)
+                  <= 0.1 AS INT) AS r3,
+             CAST(n_stop >= 2 AS INT) AS r4,
+             CAST(ROUND(1.0 - CAST(n_dist AS DOUBLE)
+                        / GREATEST(n_words, 1), 4) <= 0.6 AS INT) AS r5
+      FROM w
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(1 - r1), 0) AS BIGINT) AS fail_word_count,
+             CAST(COALESCE(SUM(1 - r2), 0) AS BIGINT)
+               AS fail_mean_word_len,
+             CAST(COALESCE(SUM(1 - r3), 0) AS BIGINT)
+               AS fail_symbol_ratio,
+             CAST(COALESCE(SUM(1 - r4), 0) AS BIGINT) AS fail_stopwords,
+             CAST(COALESCE(SUM(1 - r5), 0) AS BIGINT) AS fail_dup_words,
+             CAST(COALESCE(SUM(CASE WHEN r1 + r2 + r3 + r4 + r5 = 5
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_pass
+      FROM r
+    )
+    SELECT n_docs, fail_word_count, fail_mean_word_len,
+           fail_symbol_ratio, fail_stopwords, fail_dup_words, n_pass,
+           ROUND(CAST(fail_word_count AS DOUBLE)
+                 / GREATEST(n_docs, 1), 6) AS share_fail_word_count,
+           ROUND(CAST(fail_mean_word_len AS DOUBLE)
+                 / GREATEST(n_docs, 1), 6) AS share_fail_mean_word_len,
+           ROUND(CAST(fail_symbol_ratio AS DOUBLE)
+                 / GREATEST(n_docs, 1), 6) AS share_fail_symbol_ratio,
+           ROUND(CAST(fail_stopwords AS DOUBLE)
+                 / GREATEST(n_docs, 1), 6) AS share_fail_stopwords,
+           ROUND(CAST(fail_dup_words AS DOUBLE)
+                 / GREATEST(n_docs, 1), 6) AS share_fail_dup_words,
+           ROUND(CAST(n_pass AS DOUBLE) / GREATEST(n_docs, 1), 6)
+             AS pass_rate
+    FROM c
+    """,
+    doc="corpus-level Gopher-gate attribution report: how many docs "
+        "fail EACH of the five rules, how many pass all, and the "
+        "per-rule failure shares — the one-row summary a corpus owner "
+        "reads to see which rule is doing the filtering before "
+        "committing to the gate (a rule failing 90% of a source is "
+        "usually a rule bug, not a source problem). Same rule "
+        "construction as quality_gopher_rules (shared "
+        "gopher_doc_flags, so the report can never disagree with the "
+        "per-doc gate); counts are BIGINT and additive across batches "
+        "— the property the incremental gopher_stats_sink twin rests "
+        "on. Scale: one scan -> one map-side-combined 1-row rollup; "
+        "share arithmetic on that row",
+)
+def quality_rule_stats(spark, sf_dir):
+    return gopher_stats_fold(
+        gopher_rule_counts(T(spark, sf_dir, "documents")))
 
 
 @query(

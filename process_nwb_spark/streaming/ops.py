@@ -1720,3 +1720,57 @@ def cluster_stats_sink(out_dir: str):
         stats.write.mode("overwrite").parquet(stats_dir)
 
     return write_batch
+
+
+def gopher_stats_sink(out_dir: str):
+    """foreachBatch INCREMENTAL GOPHER-GATE ATTRIBUTION — the streaming
+    twin of relational/llm_ops.quality_rule_stats: keep the per-rule
+    failure-share report live as document micro-batches arrive, so a
+    continuously-ingesting corpus always shows which rule is doing the
+    filtering without rescanning history.
+
+    Same incremental-count design as the DoReMi/survival/cluster
+    sinks (one shared additivity argument):
+      1. each batch reduces to the 1-row BIGINT failure-count rollup
+         via the batch face's own gopher_rule_counts (empty batches
+         coalesce to all-zero rows — the additive identity) — the only
+         fact-sized work, one scan of the batch;
+      2. the rollup appends to `<out_dir>/rule_counts` PARTITIONED BY
+         batch_id with dynamic overwrite (a retried batch replaces its
+         own partition; order irrelevant, integer sums commute);
+      3. the shares re-fold over the summed counts with the batch
+         face's own gopher_stats_fold and rewrite `<out_dir>/stats` —
+         1-row work.
+
+    Sharing gopher_doc_flags -> gopher_rule_counts -> gopher_stats_fold
+    verbatim makes the stats table after any prefix of batches
+    BIT-IDENTICAL to quality_rule_stats run on the documents streamed
+    so far (random-cut + retry soak in test_stream_soak.py). At
+    100 TB: rule_counts grows ONE row per batch, forever
+    metadata-sized; old partitions compact offline because the counts
+    merge associatively."""
+    from process_nwb_spark.relational.llm_ops import (
+        gopher_rule_counts, gopher_stats_fold)
+
+    cnt_dir = out_dir.rstrip("/") + "/rule_counts"
+    stats_dir = out_dir.rstrip("/") + "/stats"
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        cnt = (gopher_rule_counts(batch_df)
+               .withColumn("batch_id", F.lit(int(batch_id))))
+        (cnt.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(cnt_dir))
+        raw = _read_if_exists(sp, cnt_dir)
+        if raw is None:
+            return
+        summed = raw.agg(
+            *[F.coalesce(F.sum(c), F.lit(0)).cast("bigint").alias(c)
+              for c in ("n_docs", "fail_word_count", "fail_mean_word_len",
+                        "fail_symbol_ratio", "fail_stopwords",
+                        "fail_dup_words", "n_pass")])
+        stats = gopher_stats_fold(summed).localCheckpoint()
+        stats.write.mode("overwrite").parquet(stats_dir)
+
+    return write_batch

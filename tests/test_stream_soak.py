@@ -439,6 +439,65 @@ def test_survival_curve_sink_soak_random_cuts(spark, tmp_path):
             ("survival", rnd, cuts, list(order), retry_at, delayed))
 
 
+def test_gopher_stats_sink_soak_random_cuts(spark, tmp_path):
+    """Randomized-cut soak for gopher_stats_sink: seeded random batch
+    counts, cut points, application order, one immediate and one
+    DELAYED verbatim retry — the converged attribution report must
+    equal quality_rule_stats bit-exactly every time (1-row BIGINT
+    rollups are additive; the retried batch overwrites its own
+    partition)."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import gopher_stats_sink
+
+    rng = np.random.default_rng(SEED + 5)
+    docs = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .select("doc_id", "text").localCheckpoint())
+    ids = [r.doc_id for r in
+           docs.select("doc_id").orderBy("doc_id").collect()]
+    want = (all_queries()["quality_rule_stats"].fn(spark, SF_CORRECT)
+            .toPandas())
+    assert int(want.n_docs.iloc[0]) == len(ids)
+    cols = sorted(want.columns)
+    for rnd in range(3):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, ids, n_segs)
+        segs = _segments(docs, "doc_id", cuts)
+        out = str(tmp_path / f"out_goph_{rnd}")
+        sink = gopher_stats_sink(out)
+        order = rng.permutation(len(segs))
+        retry_at = int(rng.integers(0, len(segs)))
+        for step, i in enumerate(order):
+            sink(segs[int(i)], int(i))
+            if step == retry_at:
+                sink(segs[int(i)], int(i))   # immediate verbatim retry
+        delayed = int(rng.integers(0, len(segs)))
+        sink(segs[delayed], delayed)         # delayed verbatim retry
+        got = spark.read.parquet(out + "/stats").toPandas()
+        _eq(got, want, cols, ["n_docs"],
+            ("gopher", rnd, cuts, list(order), retry_at, delayed))
+
+
+def test_gopher_stats_sink_survives_empty_batch(spark, tmp_path):
+    """An all-empty micro-batch writes the all-zero additive identity
+    (not NULLs) and the report converges unchanged."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import gopher_stats_sink
+
+    docs = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .select("doc_id", "text").localCheckpoint())
+    empty = docs.filter(F.lit(False))
+    out = str(tmp_path / "out_goph_empty")
+    sink = gopher_stats_sink(out)
+    sink(empty, 0)                        # leading empty batch
+    sink(docs, 1)
+    sink(empty, 2)                        # trailing empty batch
+    got = spark.read.parquet(out + "/stats").toPandas()
+    want = (all_queries()["quality_rule_stats"].fn(spark, SF_CORRECT)
+            .toPandas())
+    cols = sorted(want.columns)
+    _eq(got, want, cols, ["n_docs"], "gopher-empty")
+
+
 def test_cluster_stats_sink_soak_random_cuts(spark, tmp_path):
     """Randomized-cut soak for cluster_stats_sink: seeded random batch
     counts, cut points, application order, one immediate and one
