@@ -31,3 +31,11 @@ def test_mix_decision_demo_runs():
     assert "DoReMi weights" in out
     assert "curriculum head" in out
     assert "anneal phase starts at stream position" in out
+
+
+def test_corpus_qa_demo_runs():
+    out = _run_demo("corpus_qa_demo.py")
+    assert "gate attribution over" in out
+    assert "worst offenders" in out
+    assert "most-overlapping source pairs" in out
+    assert "assemble_v3 kept" in out
