@@ -52,7 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # cumulative driver coverage is 314/314 of the 314-face registry, 0 red
 # (CORRECTNESS_r0{1..9,10,11}.json) — builder-claimed and driver-proven
 # coincide for the third consecutive round. The r12 window:
-# (a0) the SIX faces ADDED in r12 (registry now 320, never
+# (a0) the NINE faces ADDED in r12 (registry now 323, never
 # driver-sampled): the corpus-QA tier (Gopher rule gate, repeat
 # collapse, source overlap, quality-priority dedup, length-bucket
 # batching). Then (a) the faces whose implementation the r12 diff
@@ -85,6 +85,12 @@ DRIVER_PRIORITY = (
     #   batching via bucketed_hash_rank on the ~8-value cap key
     "quality_rule_stats",  # ADDED r12: one-row Gopher-gate attribution
     #   report (per-rule failure counts/shares; sink twin gopher_stats)
+    "vocab_growth_curve",  # ADDED r12: Heaps'-law cumulative vocabulary
+    #   per doc_id decile via the first-seen fold (one vocab-keyed agg)
+    "tokenizer_fertility",  # ADDED r12: per-source BPE-ish tokens per
+    #   whitespace word + chars/token (one hash-agg)
+    "embed_matryoshka_recall",  # ADDED r12: truncated-prefix top-1
+    #   agreement vs full dim (rounded-cosine argmax, broadcast queries)
     # ---- (a) faces implementation-TOUCHED in r12 ----
     "mix_doremi_weights",  # r12: zero-token GREATEST guard (SQL + fold)
     "mix_token_budget",  # r12: bucketed_range_rank refactor (step

@@ -3704,3 +3704,258 @@ def dedup_best_of_cluster(spark, sf_dir):
             .select("fp",
                     (-F.col("b.nd")).cast("bigint").alias("keep_doc_id"),
                     F.col("b.score_key").alias("score_key"), "n_copies"))
+
+
+# --------------------------------------------------------------------------
+# Corpus statistics + embedding-truncation eval (r12, second batch)
+# --------------------------------------------------------------------------
+@query(
+    "vocab_growth_curve",
+    """
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    fs AS (
+      SELECT w, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id,
+                   UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS w
+            FROM documents) t
+      GROUP BY w
+    ),
+    vb AS (
+      SELECT CAST((first_doc * 10) // m AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS nw
+      FROM fs CROSS JOIN mx GROUP BY 1
+    ),
+    db AS (
+      SELECT CAST((doc_id * 10) // m AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS nd
+      FROM documents CROSS JOIN mx GROUP BY 1
+    )
+    SELECT CAST(b + 1 AS BIGINT) AS prefix_decile,
+           CAST(SUM(nd) OVER (ORDER BY b) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(nw, 0)) OVER (ORDER BY b) AS BIGINT)
+             AS vocab
+    FROM (SELECT db.b, db.nd, vb.nw FROM db LEFT JOIN vb USING (b)) g
+    """,
+    doc="Heaps'-law vocabulary growth curve: cumulative distinct-word "
+        "vocabulary after each doc_id decile of the corpus — the "
+        "sub-linear growth profile (V ~ n^beta) a corpus owner reads to "
+        "estimate tokenizer vocabulary pressure and dedup headroom "
+        "(a linear curve means the corpus keeps introducing novel text; "
+        "a flat tail means it's repeating itself). The trick that makes "
+        "it one aggregation instead of ten prefix scans: a word's "
+        "contribution to every prefix is determined by its FIRST-SEEN "
+        "doc_id, so vocab(prefix) = count of words with first_doc in "
+        "the prefix — word -> min(doc_id) is one vocabulary-sized "
+        "hash-agg, the decile rollup is 10 rows, and the running sums "
+        "ride a 10-row window. All counts BIGINT; bucket arithmetic is "
+        "integer DIV. Scale: one scan + one vocab-keyed agg; the "
+        "10-row tail is free",
+)
+def vocab_growth_curve(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    words = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"),
+                                       F.lit(r"[a-z]+"), F.lit(0)))
+        .alias("w"))
+    fs = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    vb = (fs.crossJoin(F.broadcast(mx))
+          .groupBy(F.expr("CAST((first_doc * 10) DIV m AS BIGINT)")
+                   .alias("b"))
+          .agg(F.count("*").cast("bigint").alias("nw")))
+    db = (d.crossJoin(F.broadcast(mx))
+          .groupBy(F.expr("CAST((doc_id * 10) DIV m AS BIGINT)")
+                   .alias("b"))
+          .agg(F.count("*").cast("bigint").alias("nd")))
+    g = db.join(vb, "b", "left")
+    w10 = Window.orderBy("b")   # 10-row frame: metadata-sized
+    return g.select(
+        (F.col("b") + 1).cast("bigint").alias("prefix_decile"),
+        F.sum("nd").over(w10).cast("bigint").alias("n_docs"),
+        F.sum(F.coalesce("nw", F.lit(0))).over(w10).cast("bigint")
+        .alias("vocab"))
+
+
+@query(
+    "tokenizer_fertility",
+    r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')))
+                AS BIGINT) AS n_words,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+             AS n_bpe_tokens,
+           ROUND(CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+                 / GREATEST(SUM(LEN(STRING_SPLIT_REGEX(TRIM(text),
+                                                       '\s+'))), 1), 4)
+             AS fertility,
+           ROUND(CAST(SUM(LENGTH(text)) AS DOUBLE)
+                 / GREATEST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 1), 4)
+             AS chars_per_token
+    FROM documents GROUP BY source
+    """,
+    doc="per-source tokenizer fertility report: BPE-ish tokens per "
+        "whitespace word (the fertility metric multilingual-tokenizer "
+        "teams track — fertility >> 1 on a source means the tokenizer "
+        "fragments it and the source trains inefficiently) and chars "
+        "per token, from the same GPT-2-shape pre-tokenizer regex as "
+        "text_token_counts so the two faces can never disagree on what "
+        "a token is. All corpus-sized quantities are BIGINT sums in "
+        "one map-side-combined hash-agg; the two ratios are guarded "
+        "single divisions on the |sources|-row result. Scale: one scan",
+)
+def tokenizer_fertility(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    bpe = F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    wsw = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    agg = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(wsw).cast("bigint").alias("n_words"),
+        F.sum(bpe).cast("bigint").alias("n_bpe_tokens"))
+    return agg.select(
+        "source", "n_docs", "n_chars", "n_words", "n_bpe_tokens",
+        F.round(F.col("n_bpe_tokens").cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1)), 4)
+        .alias("fertility"),
+        F.round(F.col("n_chars").cast("double")
+                / F.greatest(F.col("n_bpe_tokens"), F.lit(1)), 4)
+        .alias("chars_per_token"))
+
+
+_MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def _cos_sql(k: str) -> str:
+    """DuckDB cosine over the first `k` dims (index-ordered fold)."""
+    return (f"ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {k} + 1), i -> "
+            f"CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+            f" / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, {k} + 1), i -> "
+            f"CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+            f" * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, {k} + 1), i -> "
+            f"CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+            f"), 6)")
+
+
+@query(
+    "embed_matryoshka_recall",
+    f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS qid, e.vec_id,
+             {_cos_sql('64')} AS cos64,
+             {_cos_sql('8')} AS cos8,
+             {_cos_sql('16')} AS cos16,
+             {_cos_sql('32')} AS cos32
+      FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+      WHERE q.vec_id % 10 = 0
+    ),
+    ranked AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos64 DESC, vec_id) AS r64,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos8 DESC, vec_id) AS r8,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos16 DESC, vec_id) AS r16,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos32 DESC, vec_id) AS r32
+      FROM pairs
+    ),
+    top AS (
+      SELECT qid,
+             MAX(CASE WHEN r64 = 1 THEN vec_id END) AS t64,
+             MAX(CASE WHEN r8  = 1 THEN vec_id END) AS t8,
+             MAX(CASE WHEN r16 = 1 THEN vec_id END) AS t16,
+             MAX(CASE WHEN r32 = 1 THEN vec_id END) AS t32
+      FROM ranked GROUP BY qid
+    )
+    SELECT * FROM (
+      SELECT CAST(8 AS BIGINT) AS prefix_dim,
+             CAST(COUNT(*) AS BIGINT) AS n_queries,
+             CAST(SUM(CASE WHEN t8 = t64 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+             ROUND(CAST(SUM(CASE WHEN t8 = t64 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / GREATEST(COUNT(*), 1), 6)
+               AS agree_rate
+      FROM top
+      UNION ALL
+      SELECT CAST(16 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN t16 = t64 THEN 1 ELSE 0 END) AS BIGINT),
+             ROUND(CAST(SUM(CASE WHEN t16 = t64 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / GREATEST(COUNT(*), 1), 6)
+      FROM top
+      UNION ALL
+      SELECT CAST(32 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN t32 = t64 THEN 1 ELSE 0 END) AS BIGINT),
+             ROUND(CAST(SUM(CASE WHEN t32 = t64 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / GREATEST(COUNT(*), 1), 6)
+      FROM top
+    ) u
+    """,
+    doc="matryoshka-truncation retrieval eval (Kusupati et al. 2022, "
+        "'Matryoshka Representation Learning'): for a deterministic "
+        "10% query subset, does the top-1 cosine neighbor computed on "
+        "the first 8/16/32 dims agree with the full-64-dim top-1? The "
+        "agreement-rate-per-prefix table is the measurement behind the "
+        "standard 'search on a prefix, rerank on the full vector' "
+        "cost/recall trade. Determinism: every cosine is ROUNDed to 6 "
+        "before the argmax and ties break on min vec_id, so both "
+        "engines pick identical winners; all four prefix cosines come "
+        "from the SAME index-ordered folds over one pair frame. Spark "
+        "argmax is max(struct(cos, -vec_id)) in ONE hash-agg per "
+        "query — no window. Scale: the pair frame is |queries| x N "
+        "with queries broadcast (the brute eval baseline, like "
+        "embed_cosine_topk); at corpus scale the eval itself "
+        "subsamples queries — the aggregate shape is unchanged",
+)
+def embed_matryoshka_recall(spark, sf_dir):
+    e = spread(T(spark, sf_dir, "embeddings"))
+    q = (e.filter(F.col("vec_id") % 10 == 0)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+
+    def cos(k):
+        dot = F.aggregate(
+            F.zip_with(F.slice("embedding", 1, k), F.slice("qv", 1, k),
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+        nrm = lambda c: F.sqrt(F.aggregate(   # noqa: E731
+            F.transform(F.slice(c, 1, k),
+                        lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+        return F.round(dot / (nrm("embedding") * nrm("qv")), 6)
+
+    pairs = (e.crossJoin(F.broadcast(q))
+             .filter(F.col("vec_id") != F.col("qid"))
+             .select("qid", "vec_id",
+                     cos(64).alias("cos64"),
+                     *[cos(k).alias(f"cos{k}")
+                       for k in _MATRYOSHKA_DIMS]))
+
+    def argmax(c):
+        return (-F.max(F.struct(F.col(c),
+                                (-F.col("vec_id")).alias("nd")))["nd"])
+
+    top = pairs.groupBy("qid").agg(
+        argmax("cos64").alias("t64"),
+        *[argmax(f"cos{k}").alias(f"t{k}") for k in _MATRYOSHKA_DIMS])
+    rows = []
+    for k in _MATRYOSHKA_DIMS:
+        rows.append(top.agg(
+            F.lit(k).cast("bigint").alias("prefix_dim"),
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum((F.col(f"t{k}") == F.col("t64")).cast("int"))
+            .cast("bigint").alias("n_agree"),
+            F.round(F.sum((F.col(f"t{k}") == F.col("t64")).cast("int"))
+                    .cast("double")
+                    / F.greatest(F.count("*"), F.lit(1)), 6)
+            .alias("agree_rate")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -267,3 +267,98 @@ def test_source_overlap_plan_is_aggregated_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert has_partial_aggregation(df), plan
     assert has_broadcast_join(df), plan
+
+
+# ---------------------------------------------------------------------------
+# r12 second batch: corpus statistics + embedding-truncation eval
+# ---------------------------------------------------------------------------
+def test_vocab_growth_curve_python_replay(spark):
+    """Exact replay of the first-seen fold from the raw corpus, plus
+    the structural claims: both columns monotone, the final row is the
+    whole corpus and its full vocabulary."""
+    pdf = (all_queries()["vocab_growth_curve"].fn(spark, SF)
+           .toPandas().sort_values("prefix_decile").reset_index(drop=True))
+    assert list(pdf.prefix_decile) == list(range(1, 11))
+    assert pdf.n_docs.is_monotonic_increasing
+    assert pdf.vocab.is_monotonic_increasing
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").toPandas())
+    m = int(docs.doc_id.max()) + 1
+    first = {}
+    for _, r in docs.iterrows():
+        for w in re.findall(r"[a-z]+", r.text.lower()):
+            if w not in first or r.doc_id < first[w]:
+                first[w] = r.doc_id
+    for _, row in pdf.iterrows():
+        b = int(row.prefix_decile) - 1
+        nd = int((docs.doc_id * 10 // m <= b).sum())
+        nv = sum(1 for d in first.values() if d * 10 // m <= b)
+        assert row.n_docs == nd and row.vocab == nv, row
+
+
+def test_tokenizer_fertility_replay_and_bounds(spark):
+    pdf = all_queries()["tokenizer_fertility"].fn(spark, SF).toPandas()
+    # every whitespace word yields >= 1 BPE-ish token
+    assert (pdf.n_bpe_tokens >= pdf.n_words).all()
+    assert (pdf.fertility >= 1.0).all()
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("source", "text").toPandas())
+    src = pdf.source.iloc[0]
+    grp = docs[docs.source == src]
+    words = sum(len(re.findall(r"\S+", t.strip())) for t in grp.text)
+    bpe = sum(len(re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", t))
+              for t in grp.text)
+    chars = sum(len(t) for t in grp.text)
+    row = pdf[pdf.source == src].iloc[0]
+    assert row.n_words == words and row.n_bpe_tokens == bpe
+    assert row.fertility == round(bpe / max(words, 1), 4)
+    assert row.chars_per_token == round(chars / max(bpe, 1), 4)
+
+
+def test_matryoshka_recall_python_replay(spark):
+    """Exact replay of the truncated-cosine argmax with the SAME
+    left-to-right fold order both engines use (numpy's pairwise sum
+    would differ at the last ulp; the fold is the contract)."""
+    pdf = (all_queries()["embed_matryoshka_recall"].fn(spark, SF)
+           .toPandas().sort_values("prefix_dim").reset_index(drop=True))
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .orderBy("vec_id").toPandas())
+    V = [np.array(e, dtype=np.float64) for e in emb.embedding]
+    ids = emb.vec_id.to_numpy()
+
+    def fold_cos(a, b, k):
+        dot = 0.0
+        for x, y in zip(a[:k], b[:k]):
+            dot += float(x) * float(y)
+        na = 0.0
+        for x in a[:k]:
+            na += float(x) * float(x)
+        nb = 0.0
+        for y in b[:k]:
+            nb += float(y) * float(y)
+        return round(dot / (na ** 0.5 * nb ** 0.5), 6)
+
+    def top1(k):
+        out = {}
+        for qi, qid in enumerate(ids):
+            if qid % 10:
+                continue
+            best = None
+            for ei, vid in enumerate(ids):
+                if vid == qid:
+                    continue
+                key = (fold_cos(V[ei], V[qi], k), -vid)
+                if best is None or key > best[0]:
+                    best = (key, vid)
+            out[qid] = best[1]
+        return out
+
+    t64 = top1(64)
+    for _, row in pdf.iterrows():
+        tk = top1(int(row.prefix_dim))
+        agree = sum(1 for q in t64 if tk[q] == t64[q])
+        assert row.n_queries == len(t64)
+        assert row.n_agree == agree, (row.prefix_dim, agree)
+        assert row.agree_rate == round(agree / len(t64), 6)
+    # longer prefixes agree at least as often on this fixture
+    assert pdf.n_agree.is_monotonic_increasing

@@ -44,6 +44,8 @@ def test_r12_window_is_staleness_ordered():
     touched_r12 = ["quality_gopher_rules", "text_collapse_repeats",
                    "corpus_source_overlap", "dedup_best_of_cluster",
                    "mix_length_buckets", "quality_rule_stats",
+                   "vocab_growth_curve", "tokenizer_fertility",
+                   "embed_matryoshka_recall",
                    "mix_doremi_weights", "mix_token_budget",
                    "mix_curriculum_interleave", "rank_ndcg_eval",
                    "mix_anneal_schedule"]
@@ -60,4 +62,4 @@ def test_r12_window_is_staleness_ordered():
     head = list(entry.DRIVER_PRIORITY)
     assert head[:len(touched_r12)] == touched_r12
     assert r5_cohort <= set(head[:len(touched_r12) + len(r5_cohort)])
-    assert len(head) == 11 + 22 + 46  # added+touched, r5 + r6 cohorts
+    assert len(head) == 14 + 22 + 46  # added+touched, r5 + r6 cohorts
