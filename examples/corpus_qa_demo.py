@@ -77,7 +77,22 @@ def main():
     print(f"\ncleanup: {c.c} of {c.w} words are immediate repeats "
           f"({c.d} docs affected)")
 
-    # 5. the program acting on all of it
+    # 5. corpus statistics: is the corpus still introducing novel text,
+    # and how efficiently does the tokenizer cover each source?
+    growth = (qs["vocab_growth_curve"].fn(spark, SF)
+              .orderBy("prefix_decile").collect())
+    first, last = growth[0], growth[-1]
+    print(f"\nvocabulary growth (Heaps): decile 1 -> {first.vocab} words, "
+          f"decile 10 -> {last.vocab} "
+          f"(novelty tail {(last.vocab - growth[-2].vocab)} new words "
+          f"in the last decile)")
+    fert = (qs["tokenizer_fertility"].fn(spark, SF)
+            .orderBy(F.desc("fertility")).limit(2).collect())
+    for r in fert:
+        print(f"  tokenizer fertility {r.source}: {r.fertility:.3f} "
+              f"tokens/word, {r.chars_per_token:.2f} chars/token")
+
+    # 6. the program acting on all of it
     from process_nwb_spark.llm.curation import assemble_v3
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
