@@ -626,7 +626,12 @@ def _run_curve_subprocess(base_entry: dict) -> list:
             curve.append({"err": err})
             return curve
         raise RuntimeError(err)
-    return curve if curve is not None else []
+    if curve is None:
+        # rc 0 but no readable result: never record a silently empty
+        # curve (the r5/r10/r11 silent-loss class) — leave a marker
+        raise RuntimeError(
+            "curve child exited rc=0 but wrote no readable result file")
+    return curve
 
 
 def main():

@@ -82,9 +82,10 @@ def main():
     growth = (qs["vocab_growth_curve"].fn(spark, SF)
               .orderBy("prefix_decile").collect())
     first, last = growth[0], growth[-1]
+    prev = growth[-2] if len(growth) > 1 else first
     print(f"\nvocabulary growth (Heaps): decile 1 -> {first.vocab} words, "
-          f"decile 10 -> {last.vocab} "
-          f"(novelty tail {(last.vocab - growth[-2].vocab)} new words "
+          f"decile {last.prefix_decile} -> {last.vocab} "
+          f"(novelty tail {(last.vocab - prev.vocab)} new words "
           f"in the last decile)")
     fert = (qs["tokenizer_fertility"].fn(spark, SF)
             .orderBy(F.desc("fertility")).limit(2).collect())
@@ -98,6 +99,11 @@ def main():
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = assemble_v3(docs).cache()
     n = out.count()
+    if n == 0:
+        print("\nassemble_v3 kept 0 docs — every doc failed the gate; "
+              "read the attribution table above for which rule")
+        spark.stop()
+        return
     waste = (out.agg(F.sum("pad_waste").alias("p"),
                      F.sum("bucket_cap").alias("cap")).first())
     by_cap = (out.groupBy("bucket_cap")

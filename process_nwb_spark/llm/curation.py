@@ -219,65 +219,46 @@ def assemble_v3(documents: DataFrame, batch_size: int = 8,
     (cap, md5-prefix bucket) window (1) — every gate is a narrow
     projection fused into the scan. Returns (doc_id, lang, source,
     n_tokens, n_collapsed, n_rules_failed, bucket_cap, batch_no,
-    pad_waste, clean_text).
+    pad_waste, truncated, clean_text).
 
-    The stage expressions mirror the oracled registry faces
-    (text_collapse_repeats / quality_gopher_rules /
-    dedup_best_of_cluster / mix_length_buckets) — the faces prove the
-    semantics against DuckDB; this program is their composition."""
-    from ..relational.dataprep import _LENBUCKET_CAPS, bucketed_hash_rank
+    Every stage expression comes from the SHARED builder its oracled
+    registry face uses (collapse_repeats_col / with_gopher_metrics /
+    norm_fp_col + diversity_score_col / length_bucket_cap_col +
+    bucketed_hash_rank) — the faces prove the semantics against
+    DuckDB; this program composes the proven builders, so a threshold
+    or regex fix in any face propagates here by construction."""
+    from ..relational.dataprep import (bucketed_hash_rank,
+                                       length_bucket_cap_col)
+    from ..relational.llm_ops import (GOPHER_RULES, collapse_repeats_col,
+                                      diversity_score_col, norm_fp_col,
+                                      with_gopher_metrics)
 
     ws = F.split("text", " ")
-    cl = F.filter(
-        ws, lambda x, i: (i == F.lit(0))
-        | (x != F.element_at(ws, F.greatest(i, F.lit(1)))))
+    cl = collapse_repeats_col("text")
     d = (documents
          .withColumn("clean_text", F.array_join(cl, " "))
          .withColumn("n_collapsed",
                      (F.size(ws) - F.size(cl)).cast("bigint")))
 
-    cw = F.split("clean_text", " ")
-    n = F.size(cw).cast("bigint")
-    g1 = F.greatest(n, F.lit(1))
-    mwl = F.round(
-        F.aggregate(cw, F.lit(0), lambda a, x: a + F.length(x))
-        .cast("double") / g1, 4)
-    sym = F.round(F.regexp_count("clean_text", F.lit(r"[^\w\s]"))
-                  .cast("double") / g1, 4)
-    stop = F.regexp_count(
-        F.lower("clean_text"), F.lit(r"\b(the|a|an|and|or|of|to|in)\b"))
-    dup = F.round(
-        F.lit(1.0) - F.size(F.array_distinct(cw)).cast("double") / g1, 4)
-    flags = [n.between(50, 100000), mwl.between(3.0, 10.0),
-             sym <= 0.1, stop >= 2, dup <= 0.6]
-    n_failed = sum((f.cast("int") for f in flags[1:]),
-                   flags[0].cast("int"))
+    d = with_gopher_metrics(d, "clean_text")
+    n_passed = sum((F.col(a) for a in GOPHER_RULES[1:]),
+                   F.col(GOPHER_RULES[0]))
     d = (d.withColumn("n_rules_failed",
-                      (F.lit(5) - n_failed).cast("int"))
+                      (F.lit(5) - n_passed).cast("int"))
          .filter(F.col("n_rules_failed") <= max_rules_failed))
 
-    n_tok = F.regexp_count("clean_text", F.lit(r"\w+")).cast("bigint")
-    score = F.expr(
-        "CAST((CAST(size(array_distinct(regexp_extract_all("
-        "lower(clean_text), '\\\\w+', 0))) AS BIGINT) * 10000) DIV "
-        "GREATEST(CAST(regexp_count(clean_text, '\\\\w+') AS BIGINT), 1) "
-        "AS BIGINT)")
-    d = (d.withColumn("n_tokens", n_tok)
-         .withColumn(
-             "fp", F.md5(F.lower(F.trim(
-                 F.regexp_replace("clean_text", r"\s+", " ")))))
-         .withColumn("score_key", score))
+    d = (d.withColumn(
+            "n_tokens",
+            F.regexp_count("clean_text", F.lit(r"\w+")).cast("bigint"))
+         .withColumn("fp", norm_fp_col("clean_text"))
+         .withColumn("score_key", diversity_score_col("clean_text")))
     keep = (d.groupBy("fp")
             .agg(F.max(F.struct(F.col("score_key"),
                                 (-F.col("doc_id")).alias("nd"))).alias("b"))
             .select("fp", (-F.col("b.nd")).alias("doc_id")))
     d = d.join(keep, ["fp", "doc_id"])   # keep only each cluster's best
 
-    caps_col = F.lit(_LENBUCKET_CAPS[-1])
-    for c in reversed(_LENBUCKET_CAPS[:-1]):
-        caps_col = F.when(F.col("n_tokens") <= c, F.lit(c)) \
-            .otherwise(caps_col)
-    d = (d.withColumn("bucket_cap", caps_col.cast("bigint"))
+    d = (d.withColumn("bucket_cap", length_bucket_cap_col("n_tokens"))
          .withColumn("h", F.md5(F.col("doc_id").cast("string"))))
     ranked = bucketed_hash_rank(d, ["bucket_cap"], "h", "doc_id",
                                 out_col="_r")
@@ -288,4 +269,6 @@ def assemble_v3(documents: DataFrame, batch_size: int = 8,
         .alias("batch_no"),
         F.greatest(F.col("bucket_cap") - F.col("n_tokens"), F.lit(0))
         .cast("bigint").alias("pad_waste"),
+        (F.col("n_tokens") > F.col("bucket_cap")).cast("int")
+        .alias("truncated"),
         "clean_text")

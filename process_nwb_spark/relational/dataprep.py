@@ -1948,7 +1948,8 @@ _DOREMI_SMOOTH = 0.01  # uniform smoothing mass (the paper's u term)
                     * (1.0 + {_DOREMI_ETA} * GREATEST(
                          CAST(all_d AS DOUBLE) / GREATEST(all_t, 1)
                          - CAST(n_dist AS DOUBLE) / GREATEST(n_tokens, 1),
-                         0.0)) / z)
+                         0.0))
+                    / (CASE WHEN z = 0.0 THEN 1.0 ELSE z END))
                  + {_DOREMI_SMOOTH} / k, 6) AS doremi_weight
     FROM tok CROSS JOIN den
     """,
@@ -2039,11 +2040,16 @@ def doremi_fold(tok):
     exc = _excess(F.col("n_tokens"), F.col("n_dist"),
                   F.col("all_t"), F.col("all_d"))
     u = base * (F.lit(1.0) + _DOREMI_ETA * exc)
+    # z == 0 only when EVERY source has zero tokens (all bases 0): the
+    # guard avoids 0/0 = NaN weights — the degenerate corpus then gets
+    # only the smoothing mass, a visible no-evidence signature instead
+    # of a NaN table the streaming twin would persist
+    z = F.when(F.col("z") == 0.0, F.lit(1.0)).otherwise(F.col("z"))
     return (tok.crossJoin(F.broadcast(den))
             .select("source", "n_docs", "n_tokens",
                     F.round(base, 6).alias("token_share"),
                     F.round(exc, 6).alias("excess_loss"),
-                    F.round((1.0 - _DOREMI_SMOOTH) * (u / F.col("z"))
+                    F.round((1.0 - _DOREMI_SMOOTH) * (u / z)
                             + _DOREMI_SMOOTH / F.col("k"), 6)
                     .alias("doremi_weight")))
 
@@ -2236,6 +2242,20 @@ _CAPS_CASE_SQL = ("CASE "
                   + f" ELSE {_LENBUCKET_CAPS[-1]} END")
 
 
+def length_bucket_cap_col(n_col: str = "n_tokens"):
+    """Power-of-two padding-cap column over an integer length column —
+    the explicit CASE grid mix_length_buckets schedules (no LOG2: libm
+    rounding at exact powers of two could split engines). Exported so
+    compositions (llm/curation.assemble_v3) reuse the grid instead of
+    copying it; lengths beyond the largest cap land in that cap's
+    bucket (the context limit) and carry a `truncated` flag at the
+    call sites."""
+    caps_col = F.lit(_LENBUCKET_CAPS[-1])
+    for c in reversed(_LENBUCKET_CAPS[:-1]):
+        caps_col = F.when(F.col(n_col) <= c, F.lit(c)).otherwise(caps_col)
+    return caps_col.cast("bigint")
+
+
 @query(
     "mix_length_buckets",
     f"""
@@ -2259,7 +2279,8 @@ _CAPS_CASE_SQL = ("CASE "
     )
     SELECT doc_id, n_tokens, bucket_cap,
            CAST((rn - 1) // {_LENBATCH_SIZE} AS BIGINT) AS batch_no,
-           CAST(GREATEST(bucket_cap - n_tokens, 0) AS BIGINT) AS pad_waste
+           CAST(GREATEST(bucket_cap - n_tokens, 0) AS BIGINT) AS pad_waste,
+           CAST(n_tokens > bucket_cap AS INT) AS truncated
     FROM ranked
     """,
     doc="length-bucketed batching: assign every doc a power-of-two "
@@ -2269,25 +2290,25 @@ _CAPS_CASE_SQL = ("CASE "
         "only to its bucket cap instead of the corpus max — the standard "
         "padding-efficiency trick in sequence-training input pipelines "
         "(pad_waste is the per-doc cost the bucketing leaves on the "
-        "table). Batch membership inside a bucket is the seedless md5 "
-        "order the mix tier shares, so batches are reproducible from "
-        "doc_ids alone. Scale: ~8 caps make the bucket a LOW-cardinality "
-        "group — the single-task-window trap — so the rank routes "
-        "through bucketed_hash_rank ((cap, md5-prefix) windows + "
-        "broadcast offsets), never Window.partitionBy(cap) alone; "
-        "plan-asserted in test_plans.py",
+        "table). The largest cap is also the context limit: a doc LONGER "
+        "than it lands in that bucket with `truncated` = 1 (pad_waste 0) "
+        "— the batch shape stays cap-exact and the consumer decides "
+        "truncate-vs-split, explicitly, instead of discovering an "
+        "oversized row at collate time. Batch membership inside a "
+        "bucket is the seedless md5 order the mix tier shares, so "
+        "batches are reproducible from doc_ids alone. Scale: ~8 caps "
+        "make the bucket a LOW-cardinality group — the single-task-"
+        "window trap — so the rank routes through bucketed_hash_rank "
+        "((cap, md5-prefix) windows + broadcast offsets), never "
+        "Window.partitionBy(cap) alone; plan-asserted in test_plans.py",
 )
 def mix_length_buckets(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    caps_col = F.lit(_LENBUCKET_CAPS[-1])
-    for c in reversed(_LENBUCKET_CAPS[:-1]):
-        caps_col = F.when(F.col("n_tokens") <= c, F.lit(c)) \
-            .otherwise(caps_col)
     tok = d.select(
         "doc_id",
         F.regexp_count("text", F.lit(r"\w+")).cast("bigint")
         .alias("n_tokens"))
-    capped = tok.withColumn("bucket_cap", caps_col.cast("bigint"))
+    capped = tok.withColumn("bucket_cap", length_bucket_cap_col())
     keyed = capped.withColumn("h", F.md5(F.col("doc_id").cast("string")))
     ranked = bucketed_hash_rank(keyed, ["bucket_cap"], "h", "doc_id",
                                 out_col="_r")
@@ -2296,4 +2317,6 @@ def mix_length_buckets(spark, sf_dir):
         F.expr(f"CAST((_r - 1) DIV {_LENBATCH_SIZE} AS BIGINT)")
         .alias("batch_no"),
         F.greatest(F.col("bucket_cap") - F.col("n_tokens"), F.lit(0))
-        .cast("bigint").alias("pad_waste"))
+        .cast("bigint").alias("pad_waste"),
+        (F.col("n_tokens") > F.col("bucket_cap")).cast("int")
+        .alias("truncated"))

@@ -23,11 +23,13 @@ def _words(col="text"):
     return F.split(col, " ")
 
 
-def doc_shingles(docs, k: int = 3):
-    """Distinct word-k-gram shingles (doc_id, sh) for ANY (doc_id, text)
+def doc_shingles(docs, k: int = 3, id_col: str = "doc_id"):
+    """Distinct word-k-gram shingles (id_col, sh) for ANY (id_col, text)
     frame — the one shingle construction every dedup/contamination face
     AND streaming twin shares, so twins cannot drift from their batch
-    faces (parity pins depend on it)."""
+    faces (parity pins depend on it). `id_col` generalizes the key:
+    doc_id for the dedup family, source for corpus_source_overlap —
+    the same construction either way."""
     words = _words()
     # filter BEFORE the shingle projection: a post-projection filter on a
     # frame that no longer carries `text` only resolves via missing-ref
@@ -40,7 +42,7 @@ def doc_shingles(docs, k: int = 3):
     # sequence(0, size-k) inclusive -> size-k+1 shingles
     sh = F.transform(F.sequence(F.lit(0), F.size(words) - k),
                      lambda i: F.array_join(F.slice(words, i + 1, k), " "))
-    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    return d.select(id_col, F.explode(F.array_distinct(sh)).alias("sh"))
 
 
 def _shingles_df(spark, sf_dir, k: int = 3):
@@ -48,13 +50,19 @@ def _shingles_df(spark, sf_dir, k: int = 3):
     return doc_shingles(spread(T(spark, sf_dir, "documents")), k)
 
 
-_SHINGLE_SQL = """
-      SELECT DISTINCT doc_id,
+def _shingle_sql(id_col: str = "doc_id") -> str:
+    """DuckDB mirror of doc_shingles for any key column — one fragment
+    so the oracles share the construction exactly like the Spark side."""
+    return f"""
+      SELECT DISTINCT {id_col},
              UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 1)),
                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
-      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents) t
+      FROM (SELECT {id_col}, STRING_SPLIT(text, ' ') AS words FROM documents) t
       WHERE LEN(words) >= 3
 """
+
+
+_SHINGLE_SQL = _shingle_sql()
 
 
 # --------------------------------------------------------------------------
@@ -3310,6 +3318,35 @@ def cluster_histogram(cl):
 # Corpus-QA tier (r12): rule-based quality gating, token-level cleanup,
 # cross-source overlap, quality-priority dedup
 # --------------------------------------------------------------------------
+def norm_fp_col(text_col: str = "text"):
+    """Whitespace-normalized md5 fingerprint — the exact-dedup key
+    every dedup face/sink spells; exported so compositions
+    (llm/curation.assemble_v3) reuse it instead of copying it."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))))
+
+
+def diversity_score_col(text_col: str = "text"):
+    """Integer lexical-diversity score key (distinct tokens x 10000 DIV
+    tokens) — the quality ordering the mix tier and
+    dedup_best_of_cluster share."""
+    return F.expr(
+        f"CAST((CAST(size(array_distinct(regexp_extract_all("
+        f"lower({text_col}), '\\\\w+', 0))) AS BIGINT) * 10000) DIV "
+        f"GREATEST(CAST(regexp_count({text_col}, '\\\\w+') AS BIGINT), 1) "
+        f"AS BIGINT)")
+
+
+def collapse_repeats_col(text_col: str = "text"):
+    """Cleaned word ARRAY with immediate repeats collapsed — the
+    text_collapse_repeats construction, exported for compositions.
+    Index lambdas: 0-based in Spark; element_at is 1-based and its
+    index is GREATEST(i,1)-guarded because OR does not short-circuit
+    element_at(_, 0)'s runtime error."""
+    ws = F.split(text_col, " ")
+    return F.filter(
+        ws, lambda x, i: (i == F.lit(0))
+        | (x != F.element_at(ws, F.greatest(i, F.lit(1)))))
+
 @query(
     "quality_gopher_rules",
     """
@@ -3386,38 +3423,46 @@ GOPHER_RULES = ("r_word_count", "r_mean_word_len", "r_symbol_ratio",
                 "r_stopwords", "r_dup_words")
 
 
-def gopher_doc_flags(docs):
-    """Per-doc Gopher metrics + 0/1 rule flags for ANY (doc_id, text)
-    frame — the one rule construction quality_gopher_rules,
-    quality_rule_stats AND the streaming gopher_stats_sink share, so
-    the twins cannot drift from the gate they attribute."""
-    ws = _words()
+def with_gopher_metrics(df, text_col: str = "text"):
+    """APPEND the five Gopher metrics + 0/1 rule flags computed from
+    `text_col` to any frame — the one rule construction
+    quality_gopher_rules, quality_rule_stats, the streaming
+    gopher_stats_sink AND llm/curation.assemble_v3 share, so none of
+    them can drift from the gate they attribute. The flags compare the
+    ROUNDED metric expressions, exactly like the oracles."""
+    ws = F.split(text_col, " ")
     n = F.size(ws).cast("bigint")
     g1 = F.greatest(n, F.lit(1))
     mwl = F.round(
         F.aggregate(ws, F.lit(0), lambda a, x: a + F.length(x))
         .cast("double") / g1, 4)
     sym = F.round(
-        F.regexp_count("text", F.lit(r"[^\w\s]")).cast("double") / g1, 4)
+        F.regexp_count(text_col, F.lit(r"[^\w\s]")).cast("double") / g1, 4)
     stop = F.regexp_count(
-        F.lower("text"), F.lit(r"\b(the|a|an|and|or|of|to|in)\b"))\
+        F.lower(text_col), F.lit(r"\b(the|a|an|and|or|of|to|in)\b"))\
         .cast("bigint")
     dup = F.round(
         F.lit(1.0)
         - F.size(F.array_distinct(ws)).cast("double") / g1, 4)
-    m = docs.select(
-        "doc_id", n.alias("n_words"), mwl.alias("mean_word_len"),
-        sym.alias("symbol_ratio"), stop.alias("n_stop"),
-        dup.alias("dup_word_ratio"))
     rules = [
-        ("r_word_count", F.col("n_words").between(50, 100000)),
-        ("r_mean_word_len", F.col("mean_word_len").between(3.0, 10.0)),
-        ("r_symbol_ratio", F.col("symbol_ratio") <= 0.1),
-        ("r_stopwords", F.col("n_stop") >= 2),
-        ("r_dup_words", F.col("dup_word_ratio") <= 0.6),
+        ("r_word_count", (n >= 50) & (n <= 100000)),
+        ("r_mean_word_len", (mwl >= 3.0) & (mwl <= 10.0)),
+        ("r_symbol_ratio", sym <= 0.1),
+        ("r_stopwords", stop >= 2),
+        ("r_dup_words", dup <= 0.6),
     ]
     assert tuple(a for a, _ in rules) == GOPHER_RULES
-    return m.select("*", *[c.cast("int").alias(a) for a, c in rules])
+    return df.select(
+        "*", n.alias("n_words"), mwl.alias("mean_word_len"),
+        sym.alias("symbol_ratio"), stop.alias("n_stop"),
+        dup.alias("dup_word_ratio"),
+        *[c.cast("int").alias(a) for a, c in rules])
+
+
+def gopher_doc_flags(docs):
+    """(doc_id, metrics, flags) view of with_gopher_metrics over a
+    (doc_id, text) frame — the shape the gate and rollup consume."""
+    return with_gopher_metrics(docs.select("doc_id", "text")).drop("text")
 
 
 def gopher_rule_counts(docs):
@@ -3566,9 +3611,7 @@ def text_collapse_repeats(spark, sf_dir):
     # no spread(): zero-exchange scan is the plan-pinned claim
     d = T(spark, sf_dir, "documents")
     ws = _words()
-    cl = F.filter(
-        ws, lambda x, i: (i == F.lit(0))
-        | (x != F.element_at(ws, F.greatest(i, F.lit(1)))))
+    cl = collapse_repeats_col()
     return d.select(
         "doc_id",
         F.size(ws).cast("bigint").alias("n_words"),
@@ -3579,16 +3622,8 @@ def text_collapse_repeats(spark, sf_dir):
 
 @query(
     "corpus_source_overlap",
-    """
-    WITH svoc AS (
-      SELECT DISTINCT source,
-             UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(words) - 1, 1)),
-                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
-               AS sh
-      FROM (SELECT source, STRING_SPLIT(text, ' ') AS words
-            FROM documents) t
-      WHERE LEN(words) >= 3
-    ),
+    f"""
+    WITH svoc AS ({_shingle_sql("source")}),
     sizes AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM svoc
       GROUP BY source
@@ -3624,13 +3659,11 @@ def text_collapse_repeats(spark, sf_dir):
 )
 def corpus_source_overlap(spark, sf_dir):
     d = spread(T(spark, sf_dir, "documents"))
-    words = _words()
-    k = 3
-    sh = F.transform(F.sequence(F.lit(0), F.size(words) - k),
-                     lambda i: F.array_join(F.slice(words, i + 1, k), " "))
-    svoc = (d.filter(F.size(words) >= k)
-            .select("source", F.explode(F.array_distinct(sh)).alias("sh"))
-            .distinct())
+    # the dedup family's own shingle construction, keyed by source;
+    # doc_shingles dedupes within a doc, the distinct() dedupes across
+    # a source's docs (matching the SQL fragment's DISTINCT)
+    svoc = doc_shingles(d.select("source", "text"),
+                        id_col="source").distinct()
     sizes = (svoc.groupBy("source")
              .agg(F.count("*").cast("bigint").alias("vocab")))
     b = svoc.select(F.col("source").alias("source_b"),
@@ -3689,13 +3722,8 @@ def corpus_source_overlap(spark, sf_dir):
 )
 def dedup_best_of_cluster(spark, sf_dir):
     d = spread(T(spark, sf_dir, "documents"))
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
-    score = F.expr(
-        "CAST((CAST(size(array_distinct(regexp_extract_all(lower(text), "
-        "'\\\\w+', 0))) AS BIGINT) * 10000) DIV "
-        "GREATEST(CAST(regexp_count(text, '\\\\w+') AS BIGINT), 1) "
-        "AS BIGINT)")
-    scored = d.select(fp.alias("fp"), "doc_id", score.alias("score_key"))
+    scored = d.select(norm_fp_col().alias("fp"), "doc_id",
+                      diversity_score_col().alias("score_key"))
     return (scored
             .groupBy("fp")
             .agg(F.max(F.struct(F.col("score_key"),
@@ -3944,18 +3972,22 @@ def embed_matryoshka_recall(spark, sf_dir):
     top = pairs.groupBy("qid").agg(
         argmax("cos64").alias("t64"),
         *[argmax(f"cos{k}").alias(f"t{k}") for k in _MATRYOSHKA_DIMS])
-    rows = []
-    for k in _MATRYOSHKA_DIMS:
-        rows.append(top.agg(
+    # ONE aggregation over `top` computing every prefix's agreement —
+    # a union of three separate top.agg(...) branches would carry the
+    # full pair frame in each branch and lean on exchange reuse to
+    # avoid executing it three times; the single pass needs no reuse.
+    # The 1-row result then explodes into the 3 output rows.
+    agg = top.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        *[F.sum((F.col(f"t{k}") == F.col("t64")).cast("int"))
+          .cast("bigint").alias(f"agree{k}") for k in _MATRYOSHKA_DIMS])
+    rows = F.array(*[
+        F.struct(
             F.lit(k).cast("bigint").alias("prefix_dim"),
-            F.count("*").cast("bigint").alias("n_queries"),
-            F.sum((F.col(f"t{k}") == F.col("t64")).cast("int"))
-            .cast("bigint").alias("n_agree"),
-            F.round(F.sum((F.col(f"t{k}") == F.col("t64")).cast("int"))
-                    .cast("double")
-                    / F.greatest(F.count("*"), F.lit(1)), 6)
-            .alias("agree_rate")))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+            F.col("n_queries"),
+            F.col(f"agree{k}").alias("n_agree"),
+            F.round(F.col(f"agree{k}").cast("double")
+                    / F.greatest(F.col("n_queries"), F.lit(1)), 6)
+            .alias("agree_rate"))
+        for k in _MATRYOSHKA_DIMS])
+    return agg.select(F.explode(rows).alias("r")).select("r.*")

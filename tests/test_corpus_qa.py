@@ -158,8 +158,14 @@ def test_best_of_cluster_prefers_higher_score_on_forced_tie_break(
 def test_length_buckets_shape_and_batch_arithmetic(spark):
     pdf = all_queries()["mix_length_buckets"].fn(spark, SF).toPandas()
     assert set(pdf.bucket_cap) <= {16, 32, 64, 128, 256, 512, 1024, 2048}
-    assert (pdf.n_tokens <= pdf.bucket_cap).all()
-    assert (pdf.pad_waste == pdf.bucket_cap - pdf.n_tokens).all()
+    # within-grid docs fit their cap; over-limit docs are FLAGGED, never
+    # silently assigned an impossible cap
+    fits = pdf.truncated == 0
+    assert ((pdf.n_tokens <= pdf.bucket_cap) == fits).all()
+    assert (pdf[fits].pad_waste
+            == pdf[fits].bucket_cap - pdf[fits].n_tokens).all()
+    assert (pdf[~fits].pad_waste == 0).all()
+    assert fits.all()   # the fixture has no over-limit docs
     # within each bucket, batch numbers are dense 0..ceil(n/8)-1 and
     # every batch except the last holds exactly 8 docs
     for cap, grp in pdf.groupby("bucket_cap"):
@@ -169,6 +175,28 @@ def test_length_buckets_shape_and_batch_arithmetic(spark):
         assert (counts.iloc[:-1] == 8).all(), cap
         assert counts.iloc[-1] == len(grp) - 8 * (n_batches - 1), cap
     assert pdf.bucket_cap.nunique() >= 3   # fixture spans several caps
+
+
+def test_length_buckets_flags_over_limit_docs(spark, tmp_path):
+    """A doc longer than the largest cap lands in that bucket with
+    truncated=1 (pad_waste 0) — the invariant a downstream collator
+    relies on is 'cap-exact shape OR an explicit flag', never a
+    silently oversized row."""
+    long_text = " ".join(f"w{i}" for i in range(3000))
+    rows = [(0, "alpha beta gamma"), (1, long_text)]
+    pdf_in = pd.DataFrame(rows, columns=["doc_id", "text"])
+    d = str(tmp_path / "oversize_corpus")
+    spark.createDataFrame(pdf_in).withColumn("lang", F.lit("en")) \
+        .withColumn("source", F.lit("s")) \
+        .withColumn("n_chars", F.length("text")) \
+        .write.parquet(f"{d}/documents.parquet")
+    got = (all_queries()["mix_length_buckets"].fn(spark, d)
+           .toPandas().set_index("doc_id").sort_index())
+    assert got.loc[0].truncated == 0
+    assert got.loc[1].n_tokens == 3000
+    assert got.loc[1].bucket_cap == 2048
+    assert got.loc[1].truncated == 1
+    assert got.loc[1].pad_waste == 0
 
 
 def test_length_buckets_never_single_task_per_bucket(spark):

@@ -100,6 +100,36 @@ def test_doremi_zero_token_source_yields_finite_smoothed_weight(spark,
         check_dtype=False)
 
 
+def test_doremi_all_zero_token_corpus_yields_finite_weights(spark,
+                                                            tmp_path):
+    """The degenerate extreme: EVERY source has zero tokens, so the
+    normalizer z is 0 and an unguarded u/z would be NaN — the exact
+    table doremi_weights_sink would then persist until a token-bearing
+    batch arrived. With the z guard each source gets exactly the
+    smoothing mass, finite and identical across engines."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(0, "?!...", "en", "a", 5), (1, "--- !!!", "en", "b", 7)]
+    pdf_in = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path / "all_zero_corpus")
+    spark.createDataFrame(pdf_in).write.parquet(f"{d}/documents.parquet")
+    spec = all_queries()["mix_doremi_weights"]
+    got = (spec.fn(spark, d).toPandas()
+           .sort_values("source").reset_index(drop=True))
+    assert got.doremi_weight.notna().all()
+    assert np.isfinite(got.doremi_weight).all()
+    assert (got.doremi_weight == round(0.01 / 2, 6)).all()
+    con = duckdb.connect()
+    con.register("documents", pdf_in)
+    want = (con.execute(spec.oracle).df()
+            .sort_values("source").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False)
+
+
 # ---------------------------------------------------------------------------
 # mix_curriculum_interleave
 # ---------------------------------------------------------------------------
