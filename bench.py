@@ -547,6 +547,10 @@ def _run_curve_child(args_file: str, out_file: str) -> None:
     bare 'Python worker exited unexpectedly' the r11 postmortem had to
     guess from."""
     _inject_fail("curve")
+    if "curve-silent" in os.environ.get("SPARK_GRAFT_BENCH_INJECT_FAIL", ""):
+        # test hook: exit rc 0 WITHOUT writing the result file — the
+        # silent-empty-record mode the parent must refuse to accept
+        return
     if "curve-kill" in os.environ.get("SPARK_GRAFT_BENCH_INJECT_FAIL", ""):
         # test hook: reproduce the r11 failure mode — spam stderr like a
         # crashing executor, then die uncleanly mid-run (SIGKILL: no

@@ -92,6 +92,17 @@ def test_bench_headline_survives_scaling_failures(tmp_path):
             and "rc=" in full[section]["err"])
 
 
+def test_bench_refuses_silently_empty_curve(tmp_path):
+    """A curve child that exits rc 0 WITHOUT writing its result file
+    must yield an err marker in the artifact, never an empty curve
+    recorded as success (the r5/r10/r11 silent-loss class)."""
+    r, full_out, _ = _run_bench(tmp_path, inject="sf1,skew,curve-silent")
+    _check_merged_contract(r)
+    full = json.loads(full_out.read_text())
+    curve = full["signal_multi_series_curve"]
+    assert "err" in curve and "no readable result" in curve["err"], curve
+
+
 def test_bench_headline_survives_curve_child_sigkill(tmp_path):
     """The exact r11 failure: the curve child floods stderr with
     executor crash spam and dies uncleanly. The spam must land in the
