@@ -390,3 +390,17 @@ def test_matryoshka_recall_python_replay(spark):
         assert row.agree_rate == round(agree / len(t64), 6)
     # longer prefixes agree at least as often on this fixture
     assert pdf.n_agree.is_monotonic_increasing
+
+
+def test_matryoshka_pair_frame_is_broadcast(spark):
+    """The |queries| x N pair frame must come from BROADCASTING the
+    deterministic query subset — never a shuffle cartesian whose both
+    sides repartition; and the eval output is the 3-row explode of ONE
+    aggregation (no unioned re-scans of the pair frame)."""
+    from process_nwb_spark.plans.inspect import formatted_plan
+
+    df = all_queries()["embed_matryoshka_recall"].fn(spark, SF)
+    plan = formatted_plan(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Union" not in plan, plan
