@@ -38,10 +38,23 @@ BENCH_CURVE_STDERR.log, Python-worker faulthandler on, per-point fault
 isolation, and the curve result flushed after every point so a hard
 crash yields the completed prefix. End-to-end proof, including a
 forced failure in every section and a SIGKILLed child mid-spam, in
-tests/test_bench_harness.py. Test hooks: SPARK_GRAFT_BENCH_QUERIES
-(headline subset), SPARK_GRAFT_BENCH_RATIO_RUNS,
-SPARK_GRAFT_BENCH_SCALE_FORCE, SPARK_GRAFT_BENCH_CURVE_LOG,
-SPARK_GRAFT_BENCH_INJECT_FAIL=sf1,skew,curve,curve-kill.
+tests/test_bench_harness.py.
+
+The curve's n=128 point is additionally memory-ceiling-adaptive (r13):
+a failed point triggers ONE retry on a reduced-parallelism session
+(fewer concurrent Arrow workers -> smaller Python-side resident set;
+the r10-r12 driver-box failures were cgroup kills of Python workers,
+not JVM OOMs), a second failure records an explicit
+{'skipped': 'env memory ceiling'} marker, and
+SPARK_GRAFT_BENCH_CURVE_MAX_N caps the curve up front — see
+bench_multi_series_curve.
+
+Test hooks: SPARK_GRAFT_BENCH_QUERIES (headline subset),
+SPARK_GRAFT_BENCH_RATIO_RUNS, SPARK_GRAFT_BENCH_SCALE_FORCE,
+SPARK_GRAFT_BENCH_CURVE_LOG, SPARK_GRAFT_BENCH_SIG_SECS,
+SPARK_GRAFT_BENCH_CURVE_MAX_N, SPARK_GRAFT_BENCH_CURVE_LOWMEM_CORES,
+SPARK_GRAFT_BENCH_INJECT_FAIL=sf1,skew,assemble_v3,curve,curve-kill,
+curve-point-once,curve-point-always.
 """
 from __future__ import annotations
 
@@ -73,6 +86,11 @@ HEADLINE = [
 
 _SIGNAL_PARQUETS: dict[int, str] = {}
 N_SERIES_MANY = 8
+
+# test hook ONLY: shrink the synthetic recording so harness tests can
+# exercise the curve-child machinery (restart, retry, cap) in seconds.
+# Real bench runs never set it — 10 s is the reference tutorial's shape.
+_SIG_SECS = float(os.environ.get("SPARK_GRAFT_BENCH_SIG_SECS", "10.0"))
 
 # sf1 scaling subset: one representative per cost class — scans/aggs,
 # sort-merge + as-of joins, windows (tumbling/session/top-k), exact and
@@ -140,6 +158,13 @@ SF1_SUBSET = [
     # same no-single-task-per-group bucketed-rank shape as the mix
     # faces on its ~8-value cap key
     "corpus_source_overlap", "mix_length_buckets",
+    # r12 second batch (growth-measured r13): the Heaps'-law curve
+    # claims ONE vocab-keyed agg (never ten prefix scans), fertility
+    # claims one hash-agg, matryoshka claims a broadcast pair frame
+    # with a single aggregation pass, and the rule-stats report claims
+    # a zero-exchange scan into a 1-row rollup
+    "vocab_growth_curve", "tokenizer_fertility",
+    "embed_matryoshka_recall", "quality_rule_stats",
     # r10: the eager-checkpoint faces, measured WHOLE-CALLABLE (below)
     "graph_wcc_star", "graph_kcore_peel", "split_leakage_safe",
 ]
@@ -170,7 +195,7 @@ def _signal_input(spark, n_series: int = 1):
         from process_nwb_spark.synth import generate_synthetic_data, to_long_df
 
         dfs = [to_long_df(spark,
-                          generate_synthetic_data(10.0, 32, 3200.0, seed=s),
+                          generate_synthetic_data(_SIG_SECS, 32, 3200.0, seed=s),
                           f"rec_{s}")
                for s in range(n_series)]
         u = dfs[0]
@@ -251,7 +276,7 @@ def bench_signal_numpy_many_reference() -> float:
     reference's preprocess_folder script does on one machine."""
     from process_nwb_spark.synth import generate_synthetic_data
 
-    Xs = [generate_synthetic_data(10.0, 32, 3200.0, seed=s)
+    Xs = [generate_synthetic_data(_SIG_SECS, 32, 3200.0, seed=s)
           for s in range(N_SERIES_MANY)]
     t0 = time.time()
     for X in Xs:
@@ -271,7 +296,7 @@ def bench_signal_numpy_reference() -> float:
     path's default."""
     from process_nwb_spark.synth import generate_synthetic_data
 
-    X = generate_synthetic_data(10.0, 32, 3200.0, seed=0)
+    X = generate_synthetic_data(_SIG_SECS, 32, 3200.0, seed=0)
     t0 = time.time()
     _numpy_one_series(X)
     return time.time() - t0
@@ -449,6 +474,47 @@ def bench_skew(spark) -> dict:
     }
 
 
+def bench_assemble_v3(spark, sf_dir: str) -> dict:
+    """End-to-end wall time of the composed corpus-QA program
+    (llm/curation.assemble_v3: collapse -> Gopher gate -> best-of-
+    cluster dedup on the clean fingerprint -> length-bucketed batching)
+    at sf0.1 AND the 10x scale-up — the composition's 2-big-table-
+    exchange budget is plan-asserted in tests; this records what that
+    budget buys in wall time and whether the whole program grows
+    ~linearly. The big-table exchange count of the sf0.1 plan is
+    recorded alongside so the artifact carries the claim AND the
+    measurement together."""
+    import statistics
+
+    from process_nwb_spark.benchdata import gen_scaled_dir
+    from process_nwb_spark.llm.curation import assemble_v3
+    from process_nwb_spark.plans.inspect import count_exchanges
+    from process_nwb_spark.relational.core import T, clear_persist_slots
+
+    dest = os.path.join(tempfile.gettempdir(), "spark_graft_bench", "sf1x10")
+    gen_scaled_dir(spark, sf_dir, 10, dest)   # cached after bench_sf1
+
+    out = {}
+    for label, d in (("sf0.1", sf_dir), ("sf1", dest)):
+        ts = []
+        for _ in range(3):
+            ts.append(_timed_noop(assemble_v3(T(spark, d, "documents"))))
+            clear_persist_slots()
+        out[label] = {"min": round(min(ts), 3),
+                      "median": round(statistics.median(ts), 3)}
+    out["ratio"] = round(out["sf1"]["min"] / out["sf0.1"]["min"], 2)
+    out["exchanges_sf0.1"] = count_exchanges(
+        assemble_v3(T(spark, sf_dir, "documents")))
+    return out
+
+
+# once-only per-point injection state for the retry-path tests
+# (SPARK_GRAFT_BENCH_INJECT_FAIL=curve-point-once): the FIRST attempt of
+# every point raises, the retry succeeds. `curve-point-always` raises on
+# every attempt — the explicit-skip path.
+_POINT_FAILS_FIRED: set = set()
+
+
 def _curve_point(spark, n: int) -> dict:
     """One n-series point of the multi-series curve: 4 interleaved
     NumPy/Spark passes. The n synthetic series are REGENERATED per pass
@@ -462,11 +528,18 @@ def _curve_point(spark, n: int) -> dict:
 
     from process_nwb_spark.synth import generate_synthetic_data
 
+    inject = os.environ.get("SPARK_GRAFT_BENCH_INJECT_FAIL", "")
+    if "curve-point-always" in inject:
+        raise RuntimeError(f"injected failure: curve-point-always n={n}")
+    if "curve-point-once" in inject and n not in _POINT_FAILS_FIRED:
+        _POINT_FAILS_FIRED.add(n)
+        raise RuntimeError(f"injected failure: curve-point-once n={n}")
+
     _drop_resident_rdds(spark)   # big-n jobs need the whole heap
     _signal_input(spark, n)      # write parquet untimed
     np_s, sp_s = [], []
     for _ in range(4):
-        Xs = [generate_synthetic_data(10.0, 32, 3200.0, seed=s)
+        Xs = [generate_synthetic_data(_SIG_SECS, 32, 3200.0, seed=s)
               for s in range(n)]
         t0 = time.time()
         for X in Xs:
@@ -483,7 +556,8 @@ def _curve_point(spark, n: int) -> dict:
                                   / statistics.median(np_s), 3)}
 
 
-def bench_multi_series_curve(spark, base_entry: dict, flush=None) -> list:
+def bench_multi_series_curve(spark, base_entry: dict, flush=None,
+                             respawn=None) -> list:
     """Extend the n=8 amortized headline to n=16/32/64/128: at each n,
     the serial NumPy replay and the one-job Spark run are interleaved
     (both sides sample the same ambient-load windows). Records where the
@@ -497,21 +571,62 @@ def bench_multi_series_curve(spark, base_entry: dict, flush=None) -> list:
     shuffle-file page cache) — with only 2 passes the recorded 'min' is
     still a cold run and the curve's tail is noise.
 
-    Each point is fault-isolated (a failed n records {'n_series': n,
-    'err': ...} and the next n still runs) and `flush` is called after
-    every point — the r10/r11 driver runs both died inside the n=128
-    point, and a crash there must cost that point, not the whole
-    curve."""
+    Each point is fault-isolated and `flush` is called after every
+    point — the r10/r11 driver runs both died inside the n=128 point,
+    and a crash there must cost that point, not the whole curve.
+
+    Memory-ceiling adaptation (r13 — the n=128 point failed on the
+    driver's box four rounds running, with SIGKILL-shaped silent
+    Python-worker deaths in BENCH_CURVE_STDERR.log: 32 concurrent Arrow
+    workers x one-series working set beside the 32g JVM exceeds that
+    box's memory cgroup): when `respawn` is given, a failed point stops
+    the session, relaunches at reduced parallelism (fewer concurrent
+    tasks = fewer live Python workers = a smaller Python-side resident
+    set; same math, same one-job shape), and retries ONCE — the
+    completed entry carries {'retry': {'cores': k, 'after': <first
+    error>}} so the artifact says what was measured under what
+    condition. If the retry also fails the point records an EXPLICIT
+    {'skipped': 'env memory ceiling', ...} marker instead of a bare
+    'err'. Once downshifted, later points stay on the reduced session
+    (annotated with 'cores'). SPARK_GRAFT_BENCH_CURVE_MAX_N caps the
+    curve outright: points above it record {'skipped': 'capped by
+    ...'} without running — the env-var escape hatch for a box whose
+    ceiling is known up front. Without `respawn` a failure records
+    {'n_series': n, 'err': ...} as before."""
     curve = [dict(base_entry, n_series=N_SERIES_MANY)]
     if flush:
         flush(curve)
     ns = tuple(int(x) for x in os.environ.get(
         "SPARK_GRAFT_BENCH_CURVE_NS", "16,32,64,128").split(","))
+    max_n = int(os.environ.get("SPARK_GRAFT_BENCH_CURVE_MAX_N", "0"))
+    cores = None   # parallelism after a downshift (None = full session)
     for n in ns:
+        if max_n and n > max_n:
+            curve.append({
+                "n_series": n,
+                "skipped": f"capped by SPARK_GRAFT_BENCH_CURVE_MAX_N"
+                           f"={max_n} (env memory ceiling)"})
+            if flush:
+                flush(curve)
+            continue
         try:
             e = _curve_point(spark, n)
+            if cores is not None:
+                e["cores"] = cores
         except Exception as ex:   # JVM OOM arrives as a py4j Exception
-            e = {"n_series": n, "err": repr(ex)[:500]}
+            if respawn is None:
+                e = {"n_series": n, "err": repr(ex)[:500]}
+            else:
+                try:
+                    spark, cores = respawn(spark)
+                    e = _curve_point(spark, n)
+                    e["retry"] = {"cores": cores,
+                                  "after": repr(ex)[:300]}
+                except Exception as ex2:
+                    e = {"n_series": n,
+                         "skipped": "env memory ceiling",
+                         "first_attempt": repr(ex)[:300],
+                         "retry_attempt": repr(ex2)[:300]}
         curve.append(e)
         if flush:
             flush(curve)
@@ -527,6 +642,38 @@ def _inject_fail(section: str) -> None:
     names = os.environ.get("SPARK_GRAFT_BENCH_INJECT_FAIL", "")
     if section in [s.strip() for s in names.split(",") if s.strip()]:
         raise RuntimeError(f"injected failure: {section}")
+
+
+def _respawn_lowmem(old_spark):
+    """The curve child's memory-ceiling downshift: stop the session and
+    relaunch at SPARK_GRAFT_BENCH_CURVE_LOWMEM_CORES (default 12)
+    concurrent tasks instead of the full local[32]. In local mode each
+    concurrent task owns one Python Arrow worker, so capping cores caps
+    the Python-side resident set (the part a memory cgroup kills
+    silently — r10..r12's n=128 failure) while the 32g JVM heap stays
+    untouched. Worker reuse is also disabled (a fresh worker per task
+    returns its allocator pages to the OS between tasks) and the Arrow
+    batch size halved. Same kernels, same one-job plan — only the task
+    concurrency changes, and the entry records it."""
+    try:
+        old_spark.stop()
+    except Exception:
+        pass
+    cores = int(os.environ.get("SPARK_GRAFT_BENCH_CURVE_LOWMEM_CORES",
+                               "12"))
+    from process_nwb_spark.session import get_spark
+
+    s = get_spark(
+        "bench-curve-lowmem", master=f"local[{cores}]",
+        shuffle_partitions=cores, **{
+            "spark.driver.extraJavaOptions": "-Xlog:disable",
+            "spark.python.worker.faulthandler.enabled": "true",
+            "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
+            "spark.python.worker.reuse": "false",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "32768",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_BENCH_DRIVER_MEM", "32g")})
+    return s, cores
 
 
 def _run_curve_child(args_file: str, out_file: str) -> None:
@@ -582,9 +729,17 @@ def _run_curve_child(args_file: str, out_file: str) -> None:
         os.replace(tmp, out_file)
 
     try:
-        bench_multi_series_curve(spark, base_entry, flush=flush_curve)
+        bench_multi_series_curve(spark, base_entry, flush=flush_curve,
+                                 respawn=_respawn_lowmem)
     finally:
-        spark.stop()
+        try:
+            # respawn may have swapped sessions; stop whatever is active
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            (active or spark).stop()
+        except Exception:
+            pass
 
 
 def _run_curve_subprocess(base_entry: dict) -> list:
@@ -851,6 +1006,8 @@ def main():
                      lambda: bench_sf1(spark, registry, sf_dir, timings,
                                        medians))
             _guarded("skew", lambda: bench_skew(spark))
+            _guarded("assemble_v3",
+                     lambda: bench_assemble_v3(spark, sf_dir))
             # the curve runs in a SUBPROCESS with a fresh 32g heap of its
             # own (_run_curve_child); stop this session first so two 32g
             # JVMs never coexist on the box

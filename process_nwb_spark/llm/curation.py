@@ -227,6 +227,11 @@ def assemble_v3(documents: DataFrame, batch_size: int = 8,
     bucketed_hash_rank) — the faces prove the semantics against
     DuckDB; this program composes the proven builders, so a threshold
     or regex fix in any face propagates here by construction."""
+    if int(batch_size) < 1:
+        # batch_size is interpolated into the batch_no DIV expression:
+        # 0 would divide by zero (ANSI error / silent NULL batch_no),
+        # negatives would emit nonsense batch numbers silently
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     from ..relational.dataprep import (bucketed_hash_rank,
                                        length_bucket_cap_col)
     from ..relational.llm_ops import (GOPHER_RULES, collapse_repeats_col,

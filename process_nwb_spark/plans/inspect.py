@@ -89,6 +89,53 @@ def has_partial_aggregation(df: DataFrame) -> bool:
         r"HashAggregate", formatted_plan(df, "simple"))) >= 2
 
 
+def _jplan_children(node):
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+def _unwrap_adaptive(node):
+    """AdaptiveSparkPlanExec is a LEAF wrapper around the real tree —
+    traversals must step into its inputPlan (pre-execution) instead of
+    stopping at it."""
+    if "AdaptiveSparkPlan" in node.getClass().getSimpleName():
+        return node.inputPlan()
+    return node
+
+
+def windows_sit_above_aggregates(df: DataFrame) -> bool:
+    """True when EVERY Window node's input subtree is aggregated on
+    every leaf-to-window path — i.e. each Window consumes a
+    post-aggregation (metadata-sized) frame, never raw scan rows. The
+    pin for faces whose only unpartitioned window is a bounded rollup
+    table (e.g. vocab_growth_curve's 10-row decile window): a refactor
+    that moves the window below the aggregation would silently turn it
+    into a full-data single-partition sort — this returns False there.
+    Returns False too when the plan has no Window at all (the pin is
+    about a window that must exist and sit high)."""
+    def aggregated_on_all_paths(node):
+        node = _unwrap_adaptive(node)
+        if "Aggregate" in node.nodeName():
+            return True
+        kids = _jplan_children(node)
+        if not kids:
+            return False   # reached a leaf without passing an Aggregate
+        return all(aggregated_on_all_paths(c) for c in kids)
+
+    verdicts: list[bool] = []
+
+    def walk(node):
+        node = _unwrap_adaptive(node)
+        if "Window" in node.nodeName():
+            verdicts.append(all(aggregated_on_all_paths(c)
+                                for c in _jplan_children(node)))
+        for c in _jplan_children(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return bool(verdicts) and all(verdicts)
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     plan = formatted_plan(df, "simple")
     ids = re.findall(r"\*\((\d+)\)", plan)

@@ -1843,6 +1843,11 @@ def bucketed_range_rank(df, group_cols: list, key_col: str, tie_col: str,
     that extra pass. Identical rank/cumsum output either way (pinned in
     test_round11_faces.py) — only the task decomposition changes.
     Used by mix_token_budget (groups = sources, key = quality score)."""
+    if cuts not in ("grid", "approx"):
+        # a typo like cuts='quantile' must fail loudly, not silently
+        # fall back to the grid path the caller meant to opt out of
+        raise ValueError(
+            f"cuts must be 'grid' or 'approx', got {cuts!r}")
     if cuts == "approx":
         probs = [i / n_buckets for i in range(1, n_buckets)]
         bounds = sorted({int(q) for q in

@@ -3653,17 +3653,32 @@ def text_collapse_repeats(spark, sf_dir):
         "over the shingle stream; the pair counts come from a "
         "shingle-keyed equi-join whose per-key fan-out is bounded by "
         "|sources| (not corpus size), and the aggregated output is at "
-        "most |sources|^2 rows; sizes attach by broadcast. At 100 TB add "
-        "the dedup family's document-frequency stop-shingle cut before "
-        "the join — same plan shape",
+        "most |sources|^2 rows; sizes attach by broadcast. The 100 TB "
+        "hatch is real code: max_df=<threshold> applies the dedup "
+        "family's document-frequency stop-shingle cut (the "
+        "text_ngram_containment df<=50 pattern) to the WHOLE shingle "
+        "space before the join — vocab sizes and pair counts then both "
+        "describe the non-ubiquitous shingle space, so jaccard stays a "
+        "well-defined Jaccard. max_df=None (the oracled face) is "
+        "byte-identical to the uncut plan; max_df >= |sources| is "
+        "output-identical by construction (pinned in test_corpus_qa)",
 )
-def corpus_source_overlap(spark, sf_dir):
+def corpus_source_overlap(spark, sf_dir, max_df: int | None = None):
     d = spread(T(spark, sf_dir, "documents"))
     # the dedup family's own shingle construction, keyed by source;
     # doc_shingles dedupes within a doc, the distinct() dedupes across
     # a source's docs (matching the SQL fragment's DISTINCT)
     svoc = doc_shingles(d.select("source", "text"),
                         id_col="source").distinct()
+    if max_df is not None:
+        # stop-shingle cut: drop shingles present in more than max_df
+        # sources (boilerplate that appears everywhere) BEFORE the pair
+        # join — one extra shingle-keyed agg, same join plan shape; at
+        # corpus scale this is what keeps the hot shingles (per-key
+        # fan-out |sources|, but EVERY such key hot) out of the shuffle
+        df_cut = (svoc.groupBy("sh").agg(F.count("*").alias("_d"))
+                  .filter(F.col("_d") <= int(max_df)))
+        svoc = svoc.join(df_cut.select("sh"), "sh")
     sizes = (svoc.groupBy("source")
              .agg(F.count("*").cast("bigint").alias("vocab")))
     b = svoc.select(F.col("source").alias("source_b"),
@@ -3860,14 +3875,20 @@ _MATRYOSHKA_DIMS = (8, 16, 32)
 
 
 def _cos_sql(k: str) -> str:
-    """DuckDB cosine over the first `k` dims (index-ordered fold)."""
+    """DuckDB cosine over the first `k` dims (index-ordered fold). The
+    norm product is NULLIF-guarded: a zero-norm prefix (e.g. a vector
+    whose first k dims are all zero) yields a NULL cosine on BOTH
+    engines instead of DuckDB-NULL-vs-Spark-ANSI-DIVIDE_BY_ZERO — and
+    a NULL cosine can never win the argmax (struct-max skips the NULL
+    field on the Spark side; DESC ordering puts NULLs last in the
+    oracle's window)."""
     return (f"ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {k} + 1), i -> "
             f"CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
-            f" / (SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, {k} + 1), i -> "
+            f" / NULLIF(SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, {k} + 1), i -> "
             f"CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
             f" * SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, {k} + 1), i -> "
             f"CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
-            f"), 6)")
+            f", 0), 6)")
 
 
 @query(
@@ -3956,7 +3977,13 @@ def embed_matryoshka_recall(spark, sf_dir):
             F.transform(F.slice(c, 1, k),
                         lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0), lambda acc, x: acc + x))
-        return F.round(dot / (nrm("embedding") * nrm("qv")), 6)
+        # NULL-guard the norm product (mirrors the oracle's NULLIF): a
+        # zero-norm prefix must yield a NULL cosine on both engines, not
+        # an ANSI DIVIDE_BY_ZERO here vs NULL there. NULL cosines lose
+        # every argmax: max(struct) ranks a NULL field below any value,
+        # and the oracle's DESC window puts NULLs last.
+        prod = nrm("embedding") * nrm("qv")
+        return F.round(dot / F.when(prod != 0.0, prod), 6)
 
     pairs = (e.crossJoin(F.broadcast(q))
              .filter(F.col("vec_id") != F.col("qid"))

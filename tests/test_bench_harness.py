@@ -80,10 +80,12 @@ def _check_merged_contract(r):
 
 
 def test_bench_headline_survives_scaling_failures(tmp_path):
-    r, full_out, _ = _run_bench(tmp_path, inject="sf1,skew,curve")
+    r, full_out, _ = _run_bench(tmp_path,
+                                inject="sf1,skew,assemble_v3,curve")
     _check_merged_contract(r)
     full = json.loads(full_out.read_text())
-    for section in ("sf1", "skew", "signal_multi_series_curve"):
+    for section in ("sf1", "skew", "assemble_v3",
+                    "signal_multi_series_curve"):
         assert "err" in full[section], (
             f"section {section} should have recorded its injected "
             f"failure, got {full[section]!r}")
@@ -96,7 +98,8 @@ def test_bench_refuses_silently_empty_curve(tmp_path):
     """A curve child that exits rc 0 WITHOUT writing its result file
     must yield an err marker in the artifact, never an empty curve
     recorded as success (the r5/r10/r11 silent-loss class)."""
-    r, full_out, _ = _run_bench(tmp_path, inject="sf1,skew,curve-silent")
+    r, full_out, _ = _run_bench(
+        tmp_path, inject="sf1,skew,assemble_v3,curve-silent")
     _check_merged_contract(r)
     full = json.loads(full_out.read_text())
     curve = full["signal_multi_series_curve"]
@@ -108,7 +111,8 @@ def test_bench_headline_survives_curve_child_sigkill(tmp_path):
     executor crash spam and dies uncleanly. The spam must land in the
     child's log file — the parent's merged output still ends with the
     headline line, and the artifact records the child's exit."""
-    r, full_out, curve_log = _run_bench(tmp_path, inject="sf1,skew,curve-kill")
+    r, full_out, curve_log = _run_bench(
+        tmp_path, inject="sf1,skew,assemble_v3,curve-kill")
     _check_merged_contract(r)
     assert "Python worker exited unexpectedly" not in r.stdout, (
         "child crash spam leaked into the parent's captured streams")
@@ -117,3 +121,115 @@ def test_bench_headline_survives_curve_child_sigkill(tmp_path):
     full = json.loads(full_out.read_text())
     curve = full["signal_multi_series_curve"]
     assert "err" in curve and "rc=" in curve["err"], curve
+
+
+# ---------------------------------------------------------------------------
+# r13: memory-ceiling adaptation of the multi-series curve (the n=128
+# point died on the driver's box four rounds running — SIGKILL-shaped
+# Python-worker deaths under a memory cgroup). The contract: a failed
+# point retries ONCE on a reduced-parallelism session and records the
+# condition; a second failure records an EXPLICIT skip marker (never a
+# bare 'err'); SPARK_GRAFT_BENCH_CURVE_MAX_N caps points up front.
+# ---------------------------------------------------------------------------
+def _fake_curve(monkeypatch, ns, fail_on=None, fail_always=False):
+    """Drive bench_multi_series_curve with a stubbed point function:
+    `fail_on` fails (once, or always) when run on the 'full' session."""
+    import bench
+
+    calls = []
+
+    def fake_point(spark, n):
+        calls.append((spark, n))
+        if n in (fail_on or ()) and (fail_always or spark == "full"):
+            raise RuntimeError(f"worker crashed n={n}")
+        return {"n_series": n, "session": spark}
+
+    monkeypatch.setattr(bench, "_curve_point", fake_point)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_CURVE_NS",
+                       ",".join(str(n) for n in ns))
+    return bench, calls
+
+
+def test_curve_point_retry_downshifts_and_annotates(monkeypatch):
+    bench, calls = _fake_curve(monkeypatch, (16, 32, 64), fail_on={32})
+    respawned = []
+
+    def respawn(old):
+        respawned.append(old)
+        return "lowmem", 12
+
+    curve = bench.bench_multi_series_curve(
+        "full", {"base": 1}, respawn=respawn)
+    assert curve[1] == {"n_series": 16, "session": "full"}
+    # the failed point retried on the downshifted session and says so
+    assert curve[2]["session"] == "lowmem"
+    assert curve[2]["retry"]["cores"] == 12
+    assert "worker crashed" in curve[2]["retry"]["after"]
+    # later points STAY downshifted and are annotated
+    assert curve[3]["session"] == "lowmem" and curve[3]["cores"] == 12
+    assert len(respawned) == 1 and respawned[0] == "full"
+    assert not any("err" in e for e in curve)
+
+
+def test_curve_point_double_failure_is_explicit_skip(monkeypatch):
+    bench, _ = _fake_curve(monkeypatch, (16, 32), fail_on={32},
+                           fail_always=True)
+    curve = bench.bench_multi_series_curve(
+        "full", {"base": 1}, respawn=lambda old: ("lowmem", 12))
+    e = curve[2]
+    assert e["n_series"] == 32
+    assert e["skipped"] == "env memory ceiling"
+    assert "worker crashed" in e["first_attempt"]
+    assert "worker crashed" in e["retry_attempt"]
+    assert "err" not in e   # explicit skip, never a bare err
+
+
+def test_curve_without_respawn_keeps_legacy_err(monkeypatch):
+    bench, _ = _fake_curve(monkeypatch, (16,), fail_on={16},
+                           fail_always=True)
+    curve = bench.bench_multi_series_curve("full", {"base": 1})
+    assert "worker crashed" in curve[1]["err"]
+
+
+def test_curve_max_n_cap_records_explicit_skip(monkeypatch):
+    bench, calls = _fake_curve(monkeypatch, (16, 32, 64))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_CURVE_MAX_N", "32")
+    curve = bench.bench_multi_series_curve("full", {"base": 1})
+    assert curve[1]["n_series"] == 16 and curve[2]["n_series"] == 32
+    assert curve[3]["skipped"].startswith("capped by")
+    # the capped point never ran
+    assert all(n <= 32 for _, n in calls)
+
+
+def test_curve_child_respawn_end_to_end(tmp_path):
+    """The REAL downshift path: run the curve child with a forced
+    first-attempt failure at every point (curve-point-once). The child
+    must stop its session, relaunch at the reduced core count in the
+    SAME process, re-run the point successfully, and record the retry
+    condition — proving a local-mode session restart with a different
+    master actually works where the driver's box needs it."""
+    args = tmp_path / "args.json"
+    out = tmp_path / "curve.json"
+    args.write_text(json.dumps({"n_series": 8, "ratio": 1.0}))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_CURVE_NS="2",
+        SPARK_GRAFT_BENCH_SIG_SECS="0.5",
+        SPARK_GRAFT_BENCH_INJECT_FAIL="curve-point-once",
+        SPARK_GRAFT_BENCH_CURVE_LOWMEM_CORES="4",
+        SPARK_GRAFT_BENCH_DRIVER_MEM="4g",
+    )
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--curve-child",
+         str(args), str(out)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
+        env=env, cwd=REPO, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    curve = json.loads(out.read_text())
+    assert curve[0]["n_series"] == 8   # base entry passed through
+    point = curve[1]
+    assert point["n_series"] == 2, point
+    assert point["retry"]["cores"] == 4, point
+    assert "curve-point-once" in point["retry"]["after"]
+    assert point["spark_one_job"] > 0 and point["numpy_serial"] > 0
+    assert "err" not in point and "skipped" not in point

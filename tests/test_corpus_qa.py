@@ -404,3 +404,160 @@ def test_matryoshka_pair_frame_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Union" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# r13: the max_df stop-shingle hatch, the zero-norm cosine guard, the
+# metadata-sized-window plan pin, and the ADVICE input-validation guards
+# ---------------------------------------------------------------------------
+def test_source_overlap_max_df_cut(spark, tmp_path):
+    """The 100 TB hatch as real code: a shingle present in more than
+    max_df sources (injected boilerplate shared by ALL four sources) is
+    dropped from the WHOLE shingle space before the pair join, so
+    vocab, n_common and jaccard all describe the non-ubiquitous space;
+    max_df >= |sources| is output-identical to the uncut face."""
+    from process_nwb_spark.relational.llm_ops import corpus_source_overlap
+
+    hot = "xqj wvk zpt"   # one hot shingle shared by EVERY source
+    uniq = ["alpha beta gamma", "delta epsilon zeta",
+            "etaw thetaw iotaw", "kappaw lambdaw muw"]
+    rows = []
+    for s in range(4):
+        rows.append((s * 2, f"{hot} {uniq[s]}", "en", f"src{s}", 0))
+        rows.append((s * 2 + 1, f"{hot} {uniq[(s + 1) % 4]}", "en",
+                     f"src{s}", 0))
+    d = str(tmp_path / "hot_corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(f"{d}/documents.parquet")
+
+    def rows_of(df):
+        return sorted(map(tuple, df.toPandas().itertuples(index=False)))
+
+    uncut = rows_of(corpus_source_overlap(spark, d))
+    # hot shingle common to every pair: all 6 pairs present uncut
+    assert len(uncut) == 6
+    # max_df >= |sources| cannot cut anything: byte-identical output
+    assert rows_of(corpus_source_overlap(spark, d, max_df=4)) == uncut
+
+    cut = corpus_source_overlap(spark, d, max_df=3).toPandas()
+    # pairs that only shared the boilerplate shingle vanish; each
+    # source shares its bridging+unique shingles with exactly its two
+    # ring neighbours (3 common shingles each)
+    got = {(r.source_a, r.source_b): r for _, r in cut.iterrows()}
+    assert set(got) == {("src0", "src1"), ("src0", "src3"),
+                        ("src1", "src2"), ("src2", "src3")}
+    for r in got.values():
+        assert r.n_common == 3
+        # uncut vocab 7 per source (hot + 2x3); cut drops exactly hot
+        assert r.vocab_a == 6 and r.vocab_b == 6
+        assert r.jaccard == round(3 / (6 + 6 - 3), 6)
+
+
+def test_source_overlap_max_df_keeps_plan_shape(spark):
+    """The cut adds ONE shingle-keyed agg + semi-join-shaped filter in
+    front of the pair join — still an aggregated equi-join, never a
+    cartesian."""
+    from process_nwb_spark.plans.inspect import (formatted_plan,
+                                                 has_partial_aggregation)
+    from process_nwb_spark.relational.llm_ops import corpus_source_overlap
+
+    df = corpus_source_overlap(spark, SF, max_df=10)
+    plan = formatted_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert has_partial_aggregation(df), plan
+
+
+def test_matryoshka_zero_norm_prefix_is_null_not_error(spark, tmp_path):
+    """A vector whose first-k dims are all zero has an undefined
+    truncated cosine: both engines must yield NULL (never ANSI
+    DIVIDE_BY_ZERO) and the NULL must lose every argmax. Proven by
+    running the Spark face under ANSI mode AND the DuckDB oracle on the
+    same degenerate fixture and comparing values."""
+    import duckdb
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for vid in range(12):
+        v = rng.randn(64).astype("float64")
+        if vid == 3:
+            v[:32] = 0.0   # zero 8/16/32-dim prefixes; 64-dim tail fine
+        rows.append((vid, [float(x) for x in v], 0))
+    d = str(tmp_path / "zero_norm")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int") \
+        .write.parquet(f"{d}/embeddings.parquet")
+
+    spec = all_queries()["embed_matryoshka_recall"]
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        pdf = (spec.fn(spark, d).toPandas()
+               .sort_values("prefix_dim").reset_index(drop=True))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert list(pdf.prefix_dim) == [8, 16, 32]
+    assert (pdf.n_queries == 2).all()   # vec_ids 0 and 10
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{d}/embeddings.parquet/*.parquet'")
+    ora = (con.execute(spec.oracle).df()
+           .sort_values("prefix_dim").reset_index(drop=True))
+    for c in ("prefix_dim", "n_queries", "n_agree"):
+        assert list(pdf[c]) == list(ora[c].astype(int)), c
+    assert list(pdf.agree_rate) == list(ora.agree_rate), "rate mismatch"
+
+
+def test_vocab_growth_window_sits_above_aggregate(spark):
+    """vocab_growth_curve's only window is unpartitioned — acceptable
+    ONLY because its input is the post-aggregation 10-row decile table.
+    Pin that in the plan at both SFs: every leaf-to-Window path passes
+    an Aggregate, so a refactor can never silently move a full-data
+    sort under the single-partition window."""
+    from process_nwb_spark.plans.inspect import windows_sit_above_aggregates
+
+    fn = all_queries()["vocab_growth_curve"].fn
+    for sf in (SF, "/root/testdata/sf0.001"):
+        assert windows_sit_above_aggregates(fn(spark, sf)), sf
+
+
+def test_bucketed_range_rank_rejects_unknown_cuts(spark):
+    from process_nwb_spark.relational.dataprep import bucketed_range_rank
+
+    df = spark.range(10).select(
+        F.lit("g").alias("g"), F.col("id").alias("k"),
+        F.col("id").alias("tid"))
+    with pytest.raises(ValueError, match="cuts"):
+        bucketed_range_rank(df, ["g"], "k", "tid", key_max=10,
+                            cuts="quantile")
+
+
+def test_assemble_v3_rejects_bad_batch_size(spark):
+    from process_nwb_spark.llm.curation import assemble_v3
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="batch_size"):
+            assemble_v3(docs, batch_size=bad)
+
+
+def test_assemble_v3_exchange_budget_holds_at_sf01(spark):
+    """The composed program's big-table shuffle budget, asserted on the
+    sf0.1-sized plan too (the bench artifact records the same count):
+    the dedup hash-agg + keep-join pair and the bucketed-rank window —
+    gates and projections stay narrow, and nothing funnels to a single
+    partition."""
+    from process_nwb_spark.llm.curation import assemble_v3
+    from process_nwb_spark.plans.inspect import (
+        count_exchanges, count_single_partition_exchanges)
+    from process_nwb_spark.relational.core import T
+
+    for sf in (SF, "/root/testdata/sf0.1"):
+        df = assemble_v3(T(spark, sf, "documents"))
+        assert count_single_partition_exchanges(df) == 0, sf
+        # 5 total: dedup agg + both keep-join sides (big table), the
+        # bucketed rank's metadata-sized counts agg + offsets window
+        n = count_exchanges(df)
+        assert n == 5, f"{sf}: {n} exchanges"
