@@ -48,93 +48,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: correctness harnesses that sample a prefix of
 # this dict should see a DIVERSE cross-section of the engine. The prefix is
-# ROTATED each round so cumulative driver coverage grows. STATE AFTER r11:
-# cumulative driver coverage is 314/314 of the 314-face registry, 0 red
-# (CORRECTNESS_r0{1..9,10,11}.json) — builder-claimed and driver-proven
-# coincide for the third consecutive round. The r12 window:
-# (a0) the NINE faces ADDED in r12 (registry now 323, never
-# driver-sampled): the corpus-QA tier (Gopher rule gate, repeat
-# collapse, source overlap, quality-priority dedup, length-bucket
-# batching). Then (a) the faces whose implementation the r12 diff
-# touched:
-# mix_doremi_weights (GREATEST(t,1) zero-token denominator guard in both
-# the SQL and the shared doremi_fold — hash-neutral on any corpus with a
-# token, re-proven here), then the four faces routed through
-# bucketed_range_rank, whose step computation was extracted into
-# range_rank_step and which grew the cuts='approx' option (default grid
-# path byte-identical; re-proven anyway).
-# (b) pure staleness backfill, oldest last-sample first: the 22 remaining
-# r5 faces (7 rounds stale), then the r6 cohort (46 faces: the sig_*
-# contract tier, sources, UDF surface, windows). Last-sampled rounds are
-# derived from CORRECTNESS_r{01..11}.json (see git history for the
-# per-face derivation). The ENTIRE registry remains green under the
-# committed full-registry exact gate in BOTH default and ANSI modes plus
-# the shuffle-partition hash-stability probe (ORACLE_{LOCAL,ANSI}_r12,
-# HASHSTAB_r12).
+# ROTATED each round so cumulative driver coverage grows. STATE AFTER r12:
+# cumulative driver coverage is 323/323 of the 323-face registry, 0 red
+# (CORRECTNESS_r{01..12}.json) — builder-claimed and driver-proven coincide
+# for the fourth consecutive round. The r13 window:
+# (a) the SIX faces whose implementation the r13 diff touched:
+# embed_matryoshka_recall (the cosine norm product is now NULLIF/
+# when-guarded on both engines — hash-neutral on any corpus without a
+# zero-norm prefix, re-proven here), corpus_source_overlap (grew the
+# max_df stop-shingle option; the default path is byte-identical,
+# re-proven anyway), and the four faces routed through
+# bucketed_range_rank, which now REJECTS unknown cuts values (valid
+# calls unchanged).
+# (b) pure staleness backfill, oldest last-sample first: the 32
+# remaining r6 faces (7 rounds stale), then the r7 cohort (48 faces:
+# the sig_* analysis tier, TPC-H completion shapes). Last-sampled
+# rounds are recomputed from CORRECTNESS_r{01..12}.json each round.
+# The ENTIRE registry remains green under the committed full-registry
+# exact gate in BOTH default and ANSI modes plus the shuffle-partition
+# hash-stability probe (ORACLE_{LOCAL,ANSI}_r13, HASHSTAB_r13).
 DRIVER_PRIORITY = (
-    # ---- (a0) faces ADDED in r12 (never driver-sampled) ----
-    "quality_gopher_rules",  # ADDED r12: Gopher-style 5-rule quality
-    #   gate with per-rule attribution (zero-exchange scan)
-    "text_collapse_repeats",  # ADDED r12: token-level immediate-repeat
-    #   collapse with cleaned-text fingerprint (index lambdas)
-    "corpus_source_overlap",  # ADDED r12: exact pairwise source
-    #   shingle-set Jaccard (|sources|-bounded join fan-out)
-    "dedup_best_of_cluster",  # ADDED r12: quality-priority exact dedup
-    #   (argmax-by-score keep as ONE hash-agg, no window)
-    "mix_length_buckets",  # ADDED r12: padding-efficient length-bucket
-    #   batching via bucketed_hash_rank on the ~8-value cap key
-    "quality_rule_stats",  # ADDED r12: one-row Gopher-gate attribution
-    #   report (per-rule failure counts/shares; sink twin gopher_stats)
-    "vocab_growth_curve",  # ADDED r12: Heaps'-law cumulative vocabulary
-    #   per doc_id decile via the first-seen fold (one vocab-keyed agg)
-    "tokenizer_fertility",  # ADDED r12: per-source BPE-ish tokens per
-    #   whitespace word + chars/token (one hash-agg)
-    "embed_matryoshka_recall",  # ADDED r12: truncated-prefix top-1
-    #   agreement vs full dim (rounded-cosine argmax, broadcast queries)
-    # ---- (a) faces implementation-TOUCHED in r12 ----
-    "mix_doremi_weights",  # r12: zero-token GREATEST guard (SQL + fold)
-    "mix_token_budget",  # r12: bucketed_range_rank refactor (step
-    #   extraction + cuts option; grid path unchanged)
-    "mix_curriculum_interleave",  # r12: same helper refactor
-    "rank_ndcg_eval",  # r12: same helper refactor (per-term top-k)
-    "mix_anneal_schedule",  # r12: same helper refactor (score half)
-    # ---- (b) staleness backfill, oldest driver sample first ----
-    "merge_upsert_changeset",  # last driver r5
-    "minhash_signatures",  # last driver r5
-    "sample_stratified",  # last driver r5
-    "seq_transition_matrix",  # last driver r5
-    "sig_segmented_parity",  # last driver r5
-    "sink_partitioned_prune",  # last driver r5
-    "source_csv_roundtrip",  # last driver r5
-    "split_contamination",  # last driver r5
-    "sql_pipe_syntax",  # last driver r5
-    "stream_dedup_first",  # last driver r5
-    "stream_static_join",  # last driver r5
-    "stream_stream_join",  # last driver r5
-    "sub_exists_returned",  # last driver r5
-    "text_pii_redact",  # last driver r5
-    "text_repetition",  # last driver r5
-    "ts_ohlc_bars",  # last driver r5
-    "ts_rolling_median",  # last driver r5
-    "udf_arrow_grouped_scale",  # last driver r5
-    "udtf_word_positions",  # last driver r5
-    "win_gap_fill",  # last driver r5
-    "win_sliding",  # last driver r5
-    "win_trailing_range",  # last driver r5
-    "abtest_conversion_z",  # last driver r6
-    "agg_chi2_independence",  # last driver r6
-    "agg_entropy_mix",  # last driver r6
-    "alert_error_rate",  # last driver r6
-    "dq_benford_digits",  # last driver r6
-    "dsir_importance",  # last driver r6
-    "embed_centroids",  # last driver r6
-    "embed_ivf_probe2",  # last driver r6
-    "embed_knn_per_label",  # last driver r6
-    "embed_pca_power",  # last driver r6
-    "fn_array_predicates",  # last driver r6
-    "fn_collation",  # last driver r6
-    "fn_string_extra",  # last driver r6
-    "funnel_latency",  # last driver r6
+    # ---- (a) faces implementation-TOUCHED in r13 ----
+    "embed_matryoshka_recall",  # r13: zero-norm cosine guard (SQL+Spark)
+    "corpus_source_overlap",  # r13: max_df stop-shingle hatch (default
+    #   path unchanged)
+    "mix_token_budget",  # r13: bucketed_range_rank cuts validation
+    "mix_curriculum_interleave",  # r13: same helper validation
+    "rank_ndcg_eval",  # r13: same helper validation
+    "mix_anneal_schedule",  # r13: same helper validation
+    # ---- (b) staleness backfill: the 32 remaining r6 faces ----
     "fuzzy_match_blocked",  # last driver r6
     "global_row_index",  # last driver r6
     "langid_confusion",  # last driver r6
@@ -167,6 +109,55 @@ DRIVER_PRIORITY = (
     "win_distribution",  # last driver r6
     "win_mom_growth",  # last driver r6
     "win_streaks",  # last driver r6
+    # ---- then the r7 cohort (48 faces) ----
+    "agg_listagg_nations",  # last driver r7
+    "agg_shape_stats",  # last driver r7
+    "cust_order_count_dist",  # last driver r7
+    "disjunctive_revenue",  # last driver r7
+    "fn_explode_pos",  # last driver r7
+    "forecast_revenue_delta",  # last driver r7
+    "idle_customers_balance",  # last driver r7
+    "important_part_value",  # last driver r7
+    "line_priority_counts",  # last driver r7
+    "min_cost_supplier",  # last driver r7
+    "minhash_jaccard_est",  # last driver r7
+    "ngram_novelty",  # last driver r7
+    "orders_priority_exists",  # last driver r7
+    "pareto_frontier_parts",  # last driver r7
+    "product_type_profit",  # last driver r7
+    "promo_revenue_share",  # last driver r7
+    "quality_calibration",  # last driver r7
+    "returned_top_customers",  # last driver r7
+    "sig_band_power",  # last driver r7
+    "sig_burst_detect",  # last driver r7
+    "sig_csd_laplacian",  # last driver r7
+    "sig_delay_estimate",  # last driver r7
+    "sig_electrode_region",  # last driver r7
+    "sig_envelope_corr",  # last driver r7
+    "sig_erp_trialavg",  # last driver r7
+    "sig_granger_dir",  # last driver r7
+    "sig_hjorth",  # last driver r7
+    "sig_itc_phase_reset",  # last driver r7
+    "sig_line_noise_snr",  # last driver r7
+    "sig_multitaper_psd",  # last driver r7
+    "sig_pac_mi",  # last driver r7
+    "sig_peak_detect",  # last driver r7
+    "sig_plv_pairs",  # last driver r7
+    "sig_ppc_nm",  # last driver r7
+    "sig_psi_direction",  # last driver r7
+    "sig_recording_qc",  # last driver r7
+    "sig_spectral_features",  # last driver r7
+    "sig_wpli_contract",  # last driver r7
+    "sig_xcorr_lags",  # last driver r7
+    "sql_scripting_loop",  # last driver r7
+    "star_nation_volume",  # last driver r7
+    "sub_in_region_suppliers",  # last driver r7
+    "supplier_cnt_by_part",  # last driver r7
+    "surge_part_suppliers",  # last driver r7
+    "survival_km_churn",  # last driver r7
+    "top_revenue_suppliers",  # last driver r7
+    "ts_seasonal_decompose",  # last driver r7
+    "unpivot_part_measures",  # last driver r7
 )
 
 

@@ -33,33 +33,34 @@ def test_driver_priority_names_resolve_and_are_unique():
     assert not missing, f"DRIVER_PRIORITY names not in registry: {missing}"
 
 
-def test_r12_window_is_staleness_ordered():
-    """With 314/314 driver-proven cumulatively (r11), the r12 window
-    re-verifies: the faces whose implementation the r12 diff touched
-    lead (DoReMi guard + bucketed_range_rank refactor callers), then
-    staleness backfill — the whole r5 cohort (7 rounds stale) must sit
-    in the head right after them, and the r6 cohort inside the list.
-    The cohort sets derive from CORRECTNESS_r{01..11}.json (the
-    per-face last-sampled-round fold)."""
-    touched_r12 = ["quality_gopher_rules", "text_collapse_repeats",
-                   "corpus_source_overlap", "dedup_best_of_cluster",
-                   "mix_length_buckets", "quality_rule_stats",
-                   "vocab_growth_curve", "tokenizer_fertility",
-                   "embed_matryoshka_recall",
-                   "mix_doremi_weights", "mix_token_budget",
-                   "mix_curriculum_interleave", "rank_ndcg_eval",
-                   "mix_anneal_schedule"]
-    r5_cohort = {
-        "merge_upsert_changeset", "minhash_signatures",
-        "sample_stratified", "seq_transition_matrix",
-        "sig_segmented_parity", "sink_partitioned_prune",
-        "source_csv_roundtrip", "split_contamination", "sql_pipe_syntax",
-        "stream_dedup_first", "stream_static_join", "stream_stream_join",
-        "sub_exists_returned", "text_pii_redact", "text_repetition",
-        "ts_ohlc_bars", "ts_rolling_median", "udf_arrow_grouped_scale",
-        "udtf_word_positions", "win_gap_fill", "win_sliding",
-        "win_trailing_range"}
+def test_r13_window_is_staleness_ordered():
+    """With 323/323 driver-proven cumulatively (r12), the r13 window
+    re-verifies: the faces whose implementation the r13 diff touched
+    lead (matryoshka zero-norm guard, corpus_source_overlap max_df
+    hatch, bucketed_range_rank cuts-validation callers), then staleness
+    backfill — the 32 remaining r6 faces (7 rounds stale) must sit in
+    the head right after them, then the r7 cohort. The cohort sets
+    derive from CORRECTNESS_r{01..12}.json (the per-face
+    last-sampled-round fold)."""
+    touched_r13 = ["embed_matryoshka_recall", "corpus_source_overlap",
+                   "mix_token_budget", "mix_curriculum_interleave",
+                   "rank_ndcg_eval", "mix_anneal_schedule"]
+    r6_cohort = {
+        "fuzzy_match_blocked", "global_row_index", "langid_confusion",
+        "mix_to_target_weights", "mix_upsample_repeat",
+        "multimodal_meta", "orders_gap_stats", "scd2_status_history",
+        "sig_bad_channels", "sig_band_dim", "sig_coherence_contract",
+        "sig_resample_lengths", "sig_stft_energy", "sig_welch_psd",
+        "snapshot_diff", "source_json_roundtrip",
+        "source_orc_roundtrip", "source_xml_roundtrip",
+        "sql_parameterized", "text_lm_score", "text_source_stats",
+        "text_vocab_topk", "ts_ewma_daily", "udf_arrow_map_stats",
+        "udf_grouped_covar", "udf_python_fallback",
+        "user_journey_paths", "vocab_zipf_slope",
+        "win_cumulative_users", "win_distribution", "win_mom_growth",
+        "win_streaks"}
     head = list(entry.DRIVER_PRIORITY)
-    assert head[:len(touched_r12)] == touched_r12
-    assert r5_cohort <= set(head[:len(touched_r12) + len(r5_cohort)])
-    assert len(head) == 14 + 22 + 46  # added+touched, r5 + r6 cohorts
+    assert head[:len(touched_r13)] == touched_r13
+    assert r6_cohort == set(head[len(touched_r13):
+                                 len(touched_r13) + len(r6_cohort)])
+    assert len(head) == 6 + 32 + 48  # touched, r6 + r7 cohorts
