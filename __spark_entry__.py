@@ -52,7 +52,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # cumulative driver coverage is 323/323 of the 323-face registry, 0 red
 # (CORRECTNESS_r{01..12}.json) — builder-claimed and driver-proven coincide
 # for the fourth consecutive round. The r13 window:
-# (a) the SIX faces whose implementation the r13 diff touched:
+# (a0) the FOUR faces ADDED in r13 (registry now 327, never
+# driver-sampled): the corpus-quality/domain-similarity tier (unigram
+# entropy, cross-entropy matrix, perplexity terciles, waterfilling
+# budget allocation). Then (a) the six faces whose implementation the
+# r13 diff touched:
 # embed_matryoshka_recall (the cosine norm product is now NULLIF/
 # when-guarded on both engines — hash-neutral on any corpus without a
 # zero-norm prefix, re-proven here), corpus_source_overlap (grew the
@@ -68,6 +72,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact gate in BOTH default and ANSI modes plus the shuffle-partition
 # hash-stability probe (ORACLE_{LOCAL,ANSI}_r13, HASHSTAB_r13).
 DRIVER_PRIORITY = (
+    # ---- (a0) faces ADDED in r13 (never driver-sampled) ----
+    "text_unigram_entropy",  # ADDED r13: per-doc unigram entropy +
+    #   type/token ratio (two hash-aggs, graded repetition signal)
+    "corpus_crossentropy_matrix",  # ADDED r13: cross-source bigram
+    #   cross-entropy matrix (Laplace-smoothed, models broadcast)
+    "mix_perplexity_buckets",  # ADDED r13: CCNet head/middle/tail
+    #   terciles per source (integer surprisal, bucketed_range_rank)
+    "mix_source_caps",  # ADDED r13: waterfilling token-budget
+    #   allocation (closed-form level on the |sources|-row table)
     # ---- (a) faces implementation-TOUCHED in r13 ----
     "embed_matryoshka_recall",  # r13: zero-norm cosine guard (SQL+Spark)
     "corpus_source_overlap",  # r13: max_df stop-shingle hatch (default

@@ -165,6 +165,11 @@ SF1_SUBSET = [
     # a zero-exchange scan into a 1-row rollup
     "vocab_growth_curve", "tokenizer_fertility",
     "embed_matryoshka_recall", "quality_rule_stats",
+    # r13 corpus-quality tier: the perplexity terciles claim LM-fit on
+    # the bigram vocab + broadcast scoring + bucketed rank (all
+    # corpus-linear); the cross-entropy matrix claims broadcast model
+    # tables with the eval stream x |sources| as the only growing term
+    "mix_perplexity_buckets", "corpus_crossentropy_matrix",
     # r10: the eager-checkpoint faces, measured WHOLE-CALLABLE (below)
     "graph_wcc_star", "graph_kcore_peel", "split_leakage_safe",
 ]

@@ -2325,3 +2325,211 @@ def mix_length_buckets(spark, sf_dir):
         .cast("bigint").alias("pad_waste"),
         (F.col("n_tokens") > F.col("bucket_cap")).cast("int")
         .alias("truncated"))
+
+
+# --------------------------------------------------------------------------
+# r13: CCNet-style perplexity terciles + waterfilling budget allocation
+# --------------------------------------------------------------------------
+@query(
+    "mix_perplexity_buckets",
+    """
+    WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                   FROM documents),
+    bg AS (
+      SELECT doc_id, source, UNNEST(w[1:-2]) AS w1, UNNEST(w[2:]) AS w2
+      FROM words
+    ),
+    pair_c AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    head_c AS (SELECT w1, SUM(c2) AS c1 FROM pair_c GROUP BY 1),
+    scored AS (
+      SELECT b.doc_id, b.source,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(64 + CAST(FLOOR(LOG2(p.c2)) AS BIGINT)
+                         - CAST(FLOOR(LOG2(h.c1)) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM bg b
+      JOIN pair_c p ON b.w1 = p.w1 AND b.w2 = p.w2
+      JOIN head_c h ON b.w1 = h.w1
+      GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT doc_id, source, n_bigrams,
+             CAST((s * 10000) // n_bigrams AS BIGINT) AS score_key
+      FROM scored
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score_key DESC, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM keyed
+    )
+    SELECT doc_id, source, n_bigrams, score_key,
+           CAST(r AS BIGINT) AS src_rank,
+           CASE WHEN (r - 1) * 3 < n_src THEN 'head'
+                WHEN (r - 1) * 3 < 2 * n_src THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    """,
+    doc="CCNet-style head/middle/tail perplexity bucketing: score every "
+        "document under the corpus's self-trained word-bigram LM "
+        "(text_lm_score's model), then split EACH SOURCE into fluency "
+        "terciles — the standard pre-LLM corpus partition (keep head, "
+        "sample middle, drop tail) that filters per-domain instead of "
+        "penalizing whole domains for their register. Cross-engine "
+        "determinism: the score is an INTEGER surprisal proxy — per "
+        "bigram 64 + floor(log2 c2) - floor(log2 c1) (within 1 bit of "
+        "the true log-prob, and floor(log2) of an exact integer count "
+        "agrees bit-for-bit across engines), per doc (sum*10000) DIV "
+        "n_bigrams — so ranks never hinge on a float ulp; both operands "
+        "of the DIV are non-negative, where Spark's truncate and "
+        "DuckDB's floor semantics coincide. The tercile is rank "
+        "arithmetic: (r-1)*3 DIV n_src. Docs need >= 1 bigram (single-"
+        "word docs carry no LM evidence and are excluded, like "
+        "text_lm_score). Spark ranks through bucketed_range_rank on "
+        "the integer key (key_max 640000) — per-source terciles WITHOUT "
+        "a single-task-per-source window; the |sources|-row doc counts "
+        "attach by broadcast. Scale: LM fit is the bigram-vocab "
+        "shuffle; scoring is broadcast joins + one doc-keyed agg; "
+        "ranking is the bucketed-rank shape every mix face shares",
+)
+def mix_perplexity_buckets(spark, sf_dir):
+    d = (spread(T(spark, sf_dir, "documents"))
+         .withColumn("w", F.split("text", " ")))
+    bg = (d.select(
+        "doc_id", "source",
+        F.explode(F.expr(
+            "transform(slice(w, 1, size(w) - 1), "
+            "(x, i) -> struct(x AS w1, w[i + 1] AS w2))")).alias("b"))
+        .select("doc_id", "source",
+                F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
+    pair_c = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    head_c = pair_c.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    sb = (F.lit(64)
+          + F.floor(F.log2(F.col("c2").cast("double"))).cast("bigint")
+          - F.floor(F.log2(F.col("c1").cast("double"))).cast("bigint"))
+    scored = (bg.join(F.broadcast(pair_c), ["w1", "w2"])
+              .join(F.broadcast(head_c), "w1")
+              .groupBy("doc_id", "source")
+              .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                   F.sum(sb).cast("bigint").alias("s")))
+    keyed = scored.select(
+        "doc_id", "source", "n_bigrams",
+        F.expr("CAST((s * 10000) DIV n_bigrams AS BIGINT)")
+        .alias("score_key"))
+    ranked = bucketed_range_rank(keyed, ["source"], "score_key",
+                                 "doc_id", key_max=640000,
+                                 out_col="src_rank")
+    nsrc = keyed.groupBy("source").agg(F.count("*").alias("n_src"))
+    return (ranked.join(F.broadcast(nsrc), "source")
+            .select("doc_id", "source", "n_bigrams", "score_key",
+                    F.col("src_rank").cast("bigint").alias("src_rank"),
+                    F.when((F.col("src_rank") - 1) * 3 < F.col("n_src"),
+                           "head")
+                    .when((F.col("src_rank") - 1) * 3 < 2 * F.col("n_src"),
+                          "middle")
+                    .otherwise("tail").alias("ppl_bucket")))
+
+
+_WATERFILL_FRAC = 0.5   # budget = this fraction of the corpus's tokens
+
+
+@query(
+    "mix_source_caps",
+    r"""
+    WITH caps AS (
+      SELECT source,
+             CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+               AS cap_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(cap_tokens) AS total, COUNT(*) AS m FROM caps),
+    b AS (SELECT GREATEST(CAST(FLOOR(total * 0.5) AS BIGINT), 1)
+                   AS budget, m FROM tot),
+    ordered AS (
+      SELECT source, cap_tokens,
+             ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS k,
+             SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
+                                   ROWS UNBOUNDED PRECEDING) AS s,
+             LAG(cap_tokens) OVER (ORDER BY cap_tokens, source)
+               AS prev_cap
+      FROM caps
+    ),
+    cand AS (
+      SELECT o.*, b.budget,
+             CAST(b.budget - (o.s - o.cap_tokens) AS DOUBLE)
+               / (b.m - o.k + 1) AS t_cand
+      FROM ordered o CROSS JOIN b
+    ),
+    lvl AS (SELECT MIN(t_cand) AS t FROM cand
+            WHERE t_cand < cap_tokens
+              AND (prev_cap IS NULL OR prev_cap <= t_cand)),
+    mx AS (SELECT MAX(cap_tokens) AS mc FROM caps)
+    SELECT c.source, c.cap_tokens, c.budget,
+           ROUND(COALESCE(l.t, CAST(mx.mc AS DOUBLE)), 4)
+             AS water_level,
+           ROUND(LEAST(CAST(c.cap_tokens AS DOUBLE),
+                       COALESCE(l.t, CAST(mx.mc AS DOUBLE))), 4)
+             AS alloc_tokens,
+           CAST(CASE WHEN CAST(c.cap_tokens AS DOUBLE)
+                          <= COALESCE(l.t, CAST(mx.mc AS DOUBLE))
+                     THEN 1 ELSE 0 END AS INT) AS capped
+    FROM cand c CROSS JOIN lvl l CROSS JOIN mx
+    """,
+    doc="waterfilling token-budget allocation across sources: given a "
+        "budget (half the corpus's BPE-ish tokens, tokenizer_fertility's "
+        "regex), allocate each source min(capacity, t) where the water "
+        "level t solves sum(min(cap_i, t)) = budget — the max-min fair "
+        "split a mixture owner uses to spend a token budget WITHOUT "
+        "letting one giant source absorb it (the closed-form sibling of "
+        "mix_to_target_weights' fixed targets: here the targets EMERGE "
+        "from capacities). Closed form, no iteration: sort sources by "
+        "capacity, prefix-sum, per row k the candidate level t_k = "
+        "(budget - S_{k-1}) / (m - k + 1) is valid iff t_k < cap_k and "
+        "prev_cap <= t_k — exactly one row is valid for budget < total "
+        "(the min() is a guard, not a chooser); budget >= total "
+        "degenerates to alloc = cap via the max-capacity fallback. "
+        "Integer prefix sums are exact; t is ONE double division. "
+        "Scale: ONE map-side-combined hash-agg to |sources| rows, then "
+        "every window (row_number / running sum / lag) runs on that "
+        "metadata-sized table — plan-pinned post-aggregation in "
+        "test_r13_faces",
+)
+def mix_source_caps(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    tok = F.regexp_count("text",
+                         F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    caps = (d.groupBy("source")
+            .agg(F.sum(tok).cast("bigint").alias("cap_tokens")))
+    tot = caps.agg(F.sum("cap_tokens").alias("total"),
+                   F.count("*").alias("m"))
+    b = tot.select(
+        F.greatest(F.floor(F.col("total") * _WATERFILL_FRAC)
+                   .cast("bigint"), F.lit(1)).alias("budget"), "m")
+    w = Window.orderBy("cap_tokens", "source")   # |sources| rows
+    ordered = (caps
+               .withColumn("k", F.row_number().over(w))
+               .withColumn("s", F.sum("cap_tokens").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0)))
+               .withColumn("prev_cap", F.lag("cap_tokens").over(w)))
+    cand = (ordered.crossJoin(F.broadcast(b))
+            .withColumn(
+                "t_cand",
+                (F.col("budget") - (F.col("s") - F.col("cap_tokens")))
+                .cast("double") / (F.col("m") - F.col("k") + 1)))
+    lvl = (cand.filter(
+        (F.col("t_cand") < F.col("cap_tokens"))
+        & (F.col("prev_cap").isNull()
+           | (F.col("prev_cap") <= F.col("t_cand"))))
+        .agg(F.min("t_cand").alias("t")))
+    mx = caps.agg(F.max("cap_tokens").alias("mc"))
+    level = F.coalesce(F.col("t"), F.col("mc").cast("double"))
+    return (cand.crossJoin(F.broadcast(lvl)).crossJoin(F.broadcast(mx))
+            .select(
+                "source", "cap_tokens", "budget",
+                F.round(level, 4).alias("water_level"),
+                F.round(F.least(F.col("cap_tokens").cast("double"),
+                                level), 4).alias("alloc_tokens"),
+                (F.col("cap_tokens").cast("double") <= level)
+                .cast("int").alias("capped")))

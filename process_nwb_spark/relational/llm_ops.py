@@ -4018,3 +4018,138 @@ def embed_matryoshka_recall(spark, sf_dir):
             .alias("agree_rate"))
         for k in _MATRYOSHKA_DIMS])
     return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# --------------------------------------------------------------------------
+# Corpus quality + domain-similarity decision tier (r13)
+# --------------------------------------------------------------------------
+@query(
+    "text_unigram_entropy",
+    """
+    WITH wc AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents) t
+      GROUP BY doc_id, w
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             SUM(c * LOG2(CAST(c AS DOUBLE))) AS s
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_types,
+           ROUND(CAST(n_types AS DOUBLE) / n_words, 4) AS type_token_ratio,
+           ROUND(LOG2(CAST(n_words AS DOUBLE)) - s / n_words, 4)
+             AS unigram_entropy
+    FROM agg
+    """,
+    doc="per-document unigram word entropy + type/token ratio: the GRADED "
+        "repetition signal beside quality_gopher_rules' binary dup-word "
+        "flag (entropy near log2(n_words) = every word novel; near 0 = "
+        "one word repeated — the C4/Gopher-adjacent compressibility "
+        "proxy without running a compressor). H = log2(n) - sum(c*log2(c))/n "
+        "needs only per-(doc,word) counts, so the whole face is two "
+        "hash-aggs (doc+word, then doc) — no window, no join; the float "
+        "fold is ROUNDed to 4 (the established last-ulp guard; counts "
+        "and the log2 inputs are exact integers on both engines). "
+        "Scale: linear, map-side combined, shuffle keys are (doc, word) "
+        "then doc",
+)
+def text_unigram_entropy(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    wc = (d.select("doc_id", F.explode(_words()).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count("*").alias("c")))
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * F.log2(F.col("c").cast("double"))).alias("s"))
+    return agg.select(
+        "doc_id", "n_words", "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_words"), 4)
+        .alias("type_token_ratio"),
+        F.round(F.log2(F.col("n_words").cast("double"))
+                - F.col("s") / F.col("n_words"), 4)
+        .alias("unigram_entropy"))
+
+
+@query(
+    "corpus_crossentropy_matrix",
+    """
+    WITH words AS (SELECT source, string_split(text, ' ') AS w
+                   FROM documents),
+    bg AS (
+      SELECT source, UNNEST(w[1:-2]) AS w1, UNNEST(w[2:]) AS w2
+      FROM words
+    ),
+    pair_c AS (SELECT source, w1, w2, COUNT(*) AS c2
+               FROM bg GROUP BY 1, 2, 3),
+    head_c AS (SELECT source, w1, SUM(c2) AS c1
+               FROM pair_c GROUP BY 1, 2),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
+    srcs AS (SELECT DISTINCT source AS source_model FROM bg),
+    crossed AS (
+      SELECT b.source AS source_eval, s.source_model,
+             LOG2((COALESCE(p.c2, 0) + 1.0)
+                  / (COALESCE(h.c1, 0) + v.v)) AS logp
+      FROM bg b
+      CROSS JOIN srcs s
+      CROSS JOIN v
+      LEFT JOIN pair_c p ON p.source = s.source_model
+                        AND p.w1 = b.w1 AND p.w2 = b.w2
+      LEFT JOIN head_c h ON h.source = s.source_model AND h.w1 = b.w1
+    )
+    SELECT source_eval, source_model,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-AVG(logp), 4) AS cross_entropy_bits
+    FROM crossed GROUP BY 1, 2
+    """,
+    doc="cross-source bigram cross-entropy matrix (the CCNet/DSIR-style "
+        "domain-similarity map): fit a Laplace-smoothed word-bigram LM "
+        "per source — P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), V = corpus "
+        "distinct-next-word vocabulary — and score every source's bigram "
+        "stream under every source's model; H(eval|model) in bits per "
+        "bigram. The diagonal is each source's self-entropy; a "
+        "low off-diagonal pair means near-duplicate domains a mixture "
+        "owner should not upweight twice (corpus_source_overlap's "
+        "MODEL-level sibling: overlap sees shared strings, this sees "
+        "shared conditional distributions). Both engines compute "
+        "identical rationals (exact integer counts, one division, one "
+        "LOG2) and the per-pair fold is ROUNDed to 4. Scale: the model "
+        "tables are vocabulary-sized (broadcast; the shuffle key is the "
+        "bigram vocab, never the token stream); the eval side is the "
+        "bigram stream x |sources| — at 100 TB you subsample the eval "
+        "stream (the aggregate's shape is unchanged), exactly like "
+        "embed_matryoshka_recall's query subsample",
+)
+def corpus_crossentropy_matrix(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents")).withColumn("w", _words())
+    bg = (d.select(
+        "source",
+        F.explode(F.expr(
+            "transform(slice(w, 1, size(w) - 1), "
+            "(x, i) -> struct(x AS w1, w[i + 1] AS w2))")).alias("b"))
+        .select("source", F.col("b.w1").alias("w1"),
+                F.col("b.w2").alias("w2")))
+    pair_c = (bg.groupBy("source", "w1", "w2")
+              .agg(F.count("*").alias("c2")))
+    head_c = (pair_c.groupBy("source", "w1")
+              .agg(F.sum("c2").alias("c1")))
+    v = bg.agg(F.countDistinct("w2").alias("v"))
+    srcs = bg.select(F.col("source").alias("source_model")).distinct()
+    pm = pair_c.select(F.col("source").alias("source_model"),
+                       "w1", "w2", "c2")
+    hm = head_c.select(F.col("source").alias("source_model"),
+                       "w1", "c1")
+    logp = F.log2((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                  / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")))
+    crossed = (bg.select(F.col("source").alias("source_eval"), "w1", "w2")
+               .crossJoin(F.broadcast(srcs))
+               .join(F.broadcast(pm), ["source_model", "w1", "w2"],
+                     "left")
+               .join(F.broadcast(hm), ["source_model", "w1"], "left")
+               .crossJoin(F.broadcast(v)))
+    return (crossed.groupBy("source_eval", "source_model")
+            .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                 F.round(-F.avg(logp), 4).alias("cross_entropy_bits")))
