@@ -4087,22 +4087,22 @@ def text_unigram_entropy(spark, sf_dir):
                FROM bg GROUP BY 1, 2, 3),
     head_c AS (SELECT source, w1, SUM(c2) AS c1
                FROM pair_c GROUP BY 1, 2),
-    v AS (SELECT COUNT(DISTINCT w2) AS v FROM bg),
-    srcs AS (SELECT DISTINCT source AS source_model FROM bg),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM pair_c),
+    srcs AS (SELECT DISTINCT source AS source_model FROM pair_c),
     crossed AS (
-      SELECT b.source AS source_eval, s.source_model,
+      SELECT e.source AS source_eval, s.source_model, e.c2 AS ce,
              LOG2((COALESCE(p.c2, 0) + 1.0)
                   / (COALESCE(h.c1, 0) + v.v)) AS logp
-      FROM bg b
+      FROM pair_c e
       CROSS JOIN srcs s
       CROSS JOIN v
       LEFT JOIN pair_c p ON p.source = s.source_model
-                        AND p.w1 = b.w1 AND p.w2 = b.w2
-      LEFT JOIN head_c h ON h.source = s.source_model AND h.w1 = b.w1
+                        AND p.w1 = e.w1 AND p.w2 = e.w2
+      LEFT JOIN head_c h ON h.source = s.source_model AND h.w1 = e.w1
     )
     SELECT source_eval, source_model,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(-AVG(logp), 4) AS cross_entropy_bits
+           CAST(SUM(ce) AS BIGINT) AS n_bigrams,
+           ROUND(-SUM(ce * logp) / SUM(ce), 4) AS cross_entropy_bits
     FROM crossed GROUP BY 1, 2
     """,
     doc="cross-source bigram cross-entropy matrix (the CCNet/DSIR-style "
@@ -4116,15 +4116,27 @@ def text_unigram_entropy(spark, sf_dir):
         "MODEL-level sibling: overlap sees shared strings, this sees "
         "shared conditional distributions). Both engines compute "
         "identical rationals (exact integer counts, one division, one "
-        "LOG2) and the per-pair fold is ROUNDed to 4. Scale: the model "
-        "tables are vocabulary-sized (broadcast; the shuffle key is the "
-        "bigram vocab, never the token stream); the eval side is the "
-        "bigram stream x |sources| — at 100 TB you subsample the eval "
-        "stream (the aggregate's shape is unchanged), exactly like "
-        "embed_matryoshka_recall's query subsample",
+        "LOG2) and the count-weighted fold is ROUNDed to 4. Scale: the "
+        "whole face runs on the VOCABULARY-sized per-source pair-count "
+        "table — the token stream collapses to counts in one map-side-"
+        "combined agg first, so the |sources| fan-out multiplies "
+        "distinct pairs, never corpus rows; model tables broadcast. "
+        "The counts table is additive, which is exactly what the "
+        "incremental streaming twin (streaming/ops.lm_model_sink) "
+        "maintains",
 )
 def corpus_crossentropy_matrix(spark, sf_dir):
-    d = spread(T(spark, sf_dir, "documents")).withColumn("w", _words())
+    d = spread(T(spark, sf_dir, "documents"))
+    return crossentropy_matrix_fold(source_bigram_counts(d))
+
+
+def source_bigram_counts(docs):
+    """Shared builder: the per-source word-bigram count table
+    (source, w1, w2, c2) — the sufficient statistic for the whole
+    cross-entropy matrix (and additive across document batches, so the
+    streaming twin maintains THIS table). One explode + one map-side-
+    combined hash-agg on the bigram vocabulary."""
+    d = docs.withColumn("w", _words())
     bg = (d.select(
         "source",
         F.explode(F.expr(
@@ -4132,24 +4144,34 @@ def corpus_crossentropy_matrix(spark, sf_dir):
             "(x, i) -> struct(x AS w1, w[i + 1] AS w2))")).alias("b"))
         .select("source", F.col("b.w1").alias("w1"),
                 F.col("b.w2").alias("w2")))
-    pair_c = (bg.groupBy("source", "w1", "w2")
-              .agg(F.count("*").alias("c2")))
+    return (bg.groupBy("source", "w1", "w2")
+            .agg(F.count("*").cast("bigint").alias("c2")))
+
+
+def crossentropy_matrix_fold(pair_c):
+    """The matrix from the count table alone: H(eval|model) =
+    -(1/N_e) * sum over eval pairs of c_e * log2((c_m+1)/(c1_m+V)).
+    Everything derives from pair_c — head counts, the smoothing
+    vocabulary V (distinct next-words), the source list — so the batch
+    face and the incremental sink can never disagree on the model."""
     head_c = (pair_c.groupBy("source", "w1")
               .agg(F.sum("c2").alias("c1")))
-    v = bg.agg(F.countDistinct("w2").alias("v"))
-    srcs = bg.select(F.col("source").alias("source_model")).distinct()
+    v = pair_c.agg(F.countDistinct("w2").alias("v"))
+    srcs = pair_c.select(F.col("source").alias("source_model")).distinct()
     pm = pair_c.select(F.col("source").alias("source_model"),
-                       "w1", "w2", "c2")
+                       "w1", "w2", F.col("c2").alias("cm"))
     hm = head_c.select(F.col("source").alias("source_model"),
                        "w1", "c1")
-    logp = F.log2((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+    logp = F.log2((F.coalesce(F.col("cm"), F.lit(0)) + F.lit(1.0))
                   / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")))
-    crossed = (bg.select(F.col("source").alias("source_eval"), "w1", "w2")
+    crossed = (pair_c.select(F.col("source").alias("source_eval"),
+                             "w1", "w2", F.col("c2").alias("ce"))
                .crossJoin(F.broadcast(srcs))
                .join(F.broadcast(pm), ["source_model", "w1", "w2"],
                      "left")
                .join(F.broadcast(hm), ["source_model", "w1"], "left")
                .crossJoin(F.broadcast(v)))
     return (crossed.groupBy("source_eval", "source_model")
-            .agg(F.count("*").cast("bigint").alias("n_bigrams"),
-                 F.round(-F.avg(logp), 4).alias("cross_entropy_bits")))
+            .agg(F.sum("ce").cast("bigint").alias("n_bigrams"),
+                 F.round(-F.sum(F.col("ce") * logp) / F.sum("ce"), 4)
+                 .alias("cross_entropy_bits")))

@@ -1774,3 +1774,70 @@ def gopher_stats_sink(out_dir: str):
         stats.write.mode("overwrite").parquet(stats_dir)
 
     return write_batch
+
+
+def lm_model_sink(out_dir: str):
+    """foreachBatch INCREMENTAL BIGRAM-LM MAINTENANCE — the streaming
+    twin of relational/llm_ops.corpus_crossentropy_matrix: keep the
+    per-source bigram language models AND the cross-source
+    cross-entropy matrix live as document micro-batches arrive, so a
+    continuously-ingesting corpus always shows its domain-similarity
+    map without rescanning history.
+
+    The additivity argument is the count table's: (source, w1, w2)
+    bigram counts are integer sums, and the batch face's ENTIRE output
+    derives from that one table (crossentropy_matrix_fold computes the
+    head counts, the smoothing vocabulary V and the source list from
+    it) — so maintaining the counts maintains the matrix:
+
+      1. each batch reduces to its own count table via the batch
+         face's source_bigram_counts (one scan of the batch; the only
+         fact-sized work); an empty batch contributes no rows — the
+         additive identity — and is skipped without writing;
+      2. the batch counts append to `<out_dir>/pair_counts`
+         PARTITIONED BY batch_id with dynamic overwrite (a retried
+         batch replaces its own partition; order irrelevant, integer
+         sums commute);
+      3. the model re-sums to `<out_dir>/model` (vocabulary-sized) and
+         the matrix re-folds through crossentropy_matrix_fold to
+         `<out_dir>/matrix` (|sources|^2 rows).
+
+    Sharing source_bigram_counts -> crossentropy_matrix_fold verbatim
+    makes the matrix after any prefix of batches equal to
+    corpus_crossentropy_matrix run on the documents streamed so far
+    (random-cut + retry soak in test_stream_soak.py). At 100 TB:
+    pair_counts grows with each batch's NOVEL bigram vocabulary, not
+    its token count, and old partitions compact offline because the
+    counts merge associatively; the per-batch refold cost is the
+    vocabulary-sized fold, never a history rescan."""
+    from process_nwb_spark.relational.llm_ops import (
+        crossentropy_matrix_fold, source_bigram_counts)
+
+    cnt_dir = out_dir.rstrip("/") + "/pair_counts"
+    model_dir = out_dir.rstrip("/") + "/model"
+    matrix_dir = out_dir.rstrip("/") + "/matrix"
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        cnt = (source_bigram_counts(batch_df)
+               .withColumn("batch_id", F.lit(int(batch_id))))
+        if cnt.isEmpty():
+            # empty batch = the additive identity; nothing to replace
+            # even on retry (a non-empty original can't replay empty —
+            # foreachBatch retries are verbatim)
+            return
+        (cnt.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(cnt_dir))
+        raw = _read_if_exists(sp, cnt_dir)
+        if raw is None:
+            return
+        model = (raw.groupBy("source", "w1", "w2")
+                 .agg(F.sum("c2").cast("bigint").alias("c2"))
+                 .localCheckpoint())
+        model.write.mode("overwrite").parquet(model_dir)
+        matrix = crossentropy_matrix_fold(
+            sp.read.parquet(model_dir)).localCheckpoint()
+        matrix.write.mode("overwrite").parquet(matrix_dir)
+
+    return write_batch

@@ -547,3 +547,71 @@ def test_cluster_stats_sink_soak_random_cuts(spark, tmp_path):
         got = spark.read.parquet(out + "/stats").toPandas()
         _eq(got, want, cols, ["cluster_size"],
             ("cluster_stats", rnd, cuts, list(order), retry_at, delayed))
+
+
+def test_lm_model_sink_soak_random_cuts(spark, tmp_path):
+    """Randomized-cut soak for lm_model_sink: seeded random batch
+    counts, cut points, application order, one immediate and one
+    DELAYED verbatim retry — the converged cross-entropy matrix must
+    equal corpus_crossentropy_matrix every time (the per-source bigram
+    count table is additive; a retried batch overwrites its own
+    partition; the matrix derives from the counts alone)."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import lm_model_sink
+
+    rng = np.random.default_rng(SEED + 7)
+    docs = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .select("doc_id", "source", "text").localCheckpoint())
+    ids = [r.doc_id for r in
+           docs.select("doc_id").orderBy("doc_id").collect()]
+    want = (all_queries()["corpus_crossentropy_matrix"]
+            .fn(spark, SF_CORRECT).toPandas())
+    cols = sorted(want.columns)
+    for rnd in range(2):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, ids, n_segs)
+        segs = _segments(docs, "doc_id", cuts)
+        out = str(tmp_path / f"out_lm_{rnd}")
+        sink = lm_model_sink(out)
+        order = rng.permutation(len(segs))
+        retry_at = int(rng.integers(0, len(segs)))
+        for step, i in enumerate(order):
+            sink(segs[int(i)], int(i))
+            if step == retry_at:
+                sink(segs[int(i)], int(i))   # immediate verbatim retry
+        delayed = int(rng.integers(0, len(segs)))
+        sink(segs[delayed], delayed)         # delayed verbatim retry
+        got = spark.read.parquet(out + "/matrix").toPandas()
+        _eq(got, want, cols, ["source_eval", "source_model"],
+            ("lm_model", rnd, cuts, list(order), retry_at, delayed))
+        # the maintained model equals the batch count table exactly
+        from process_nwb_spark.relational.llm_ops import (
+            source_bigram_counts)
+        gm = (spark.read.parquet(out + "/model").toPandas()
+              .sort_values(["source", "w1", "w2"])
+              .reset_index(drop=True))
+        wm = (source_bigram_counts(docs).toPandas()
+              .sort_values(["source", "w1", "w2"])
+              .reset_index(drop=True))
+        assert gm.equals(wm), ("lm_model counts diverged", rnd)
+
+
+def test_lm_model_sink_survives_empty_batch(spark, tmp_path):
+    """Empty micro-batches are the additive identity: leading and
+    trailing empties leave the converged matrix unchanged."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import lm_model_sink
+
+    docs = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .select("doc_id", "source", "text").localCheckpoint())
+    empty = docs.filter(F.lit(False))
+    out = str(tmp_path / "out_lm_empty")
+    sink = lm_model_sink(out)
+    sink(empty, 0)                        # leading empty batch
+    sink(docs, 1)
+    sink(empty, 2)                        # trailing empty batch
+    got = spark.read.parquet(out + "/matrix").toPandas()
+    want = (all_queries()["corpus_crossentropy_matrix"]
+            .fn(spark, SF_CORRECT).toPandas())
+    cols = sorted(want.columns)
+    _eq(got, want, cols, ["source_eval", "source_model"], "lm-empty")
