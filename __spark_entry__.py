@@ -52,11 +52,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # cumulative driver coverage is 323/323 of the 323-face registry, 0 red
 # (CORRECTNESS_r{01..12}.json) — builder-claimed and driver-proven coincide
 # for the fourth consecutive round. The r13 window:
-# (a0) the FOUR faces ADDED in r13 (registry now 327, never
+# (a0) the FIVE faces ADDED in r13 (registry now 328, never
 # driver-sampled): the corpus-quality/domain-similarity tier (unigram
 # entropy, cross-entropy matrix, perplexity terciles, waterfilling
-# budget allocation). Then (a) the six faces whose implementation the
-# r13 diff touched:
+# budget allocation, fixed-budget matryoshka eval). Then (a) the six
+# faces whose implementation the r13 diff touched:
 # embed_matryoshka_recall (the cosine norm product is now NULLIF/
 # when-guarded on both engines — hash-neutral on any corpus without a
 # zero-norm prefix, re-proven here), corpus_source_overlap (grew the
@@ -81,6 +81,8 @@ DRIVER_PRIORITY = (
     #   terciles per source (integer surprisal, bucketed_range_rank)
     "mix_source_caps",  # ADDED r13: waterfilling token-budget
     #   allocation (closed-form level on the |sources|-row table)
+    "embed_matryoshka_budget",  # ADDED r13: fixed-query-budget
+    #   matryoshka eval (linear pair frame; in-plan stride)
     # ---- (a) faces implementation-TOUCHED in r13 ----
     "embed_matryoshka_recall",  # r13: zero-norm cosine guard (SQL+Spark)
     "corpus_source_overlap",  # r13: max_df stop-shingle hatch (default

@@ -164,7 +164,11 @@ SF1_SUBSET = [
     # with a single aggregation pass, and the rule-stats report claims
     # a zero-exchange scan into a 1-row rollup
     "vocab_growth_curve", "tokenizer_fertility",
-    "embed_matryoshka_recall", "quality_rule_stats",
+    # matryoshka eval rides its FIXED-QUERY-BUDGET face: the percent-
+    # subsample face is quadratic BY DESIGN (|N/10| x N pairs — the r13
+    # run measured ratio ~94 on 10x rows, the documented motivation),
+    # while the budget face's pair frame grows linearly with the corpus
+    "embed_matryoshka_budget", "quality_rule_stats",
     # r13 corpus-quality tier: the perplexity terciles claim LM-fit on
     # the bigram vocab + broadcast scoring + bucketed rank (all
     # corpus-linear); the cross-entropy matrix claims broadcast model
@@ -747,6 +751,40 @@ def _run_curve_child(args_file: str, out_file: str) -> None:
             pass
 
 
+def _shutdown_gateway_jvm() -> None:
+    """`spark.stop()` stops the SparkContext but the py4j gateway JVM —
+    and its whole driver heap — lives until THIS Python process exits.
+    The r13 postmortem: during the curve child's run, the parent's
+    'stopped' 32g JVM was still resident (and spinning at ~700% CPU on
+    the bench box), so two 32g heaps coexisted after all — exactly the
+    pressure that killed the n=128 point's Python workers four rounds
+    running. Kill the gateway JVM for real before the child launches:
+    shutdown the py4j gateway, terminate its process, and clear the
+    class-level handles so a later accidental Spark call fails loudly
+    instead of resurrecting a half-dead gateway."""
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    if gw is None:
+        return
+    proc = getattr(gw, "proc", None)
+    try:
+        gw.shutdown()
+    except Exception:
+        pass
+    if proc is not None:
+        try:
+            proc.terminate()
+            proc.wait(timeout=30)
+        except Exception:
+            try:
+                proc.kill()
+            except Exception:
+                pass
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+
+
 def _run_curve_subprocess(base_entry: dict) -> list:
     """Launch the curve child and return its result. The child's stdout
     is discarded and its stderr goes to a LOG FILE next to the bench
@@ -770,11 +808,23 @@ def _run_curve_subprocess(base_entry: dict) -> list:
         "SPARK_GRAFT_BENCH_CURVE_LOG",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_CURVE_STDERR.log"))
+    # watchdog: the r13 run's n=128 first attempt WEDGED (the executor
+    # looped discarding insta-killed Python workers without ever failing
+    # the job), which no per-point fault isolation can catch — a hung
+    # py4j call never raises. The child gets a hard wall-clock budget;
+    # a kill still yields the completed prefix via the per-point flush.
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_CURVE_TIMEOUT", "2400"))
+    timed_out = False
     with open(log_file, "w") as lf:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--curve-child",
-             args_file, out_file],
-            stdout=subprocess.DEVNULL, stderr=lf)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--curve-child", args_file, out_file],
+                stdout=subprocess.DEVNULL, stderr=lf, timeout=budget)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            rc = -9
     curve = None
     if os.path.exists(out_file):
         try:
@@ -782,8 +832,15 @@ def _run_curve_subprocess(base_entry: dict) -> list:
                 curve = json.load(f)
         except Exception:
             curve = None
-    if r.returncode != 0:
-        err = (f"curve child exited rc={r.returncode}; "
+    if timed_out:
+        err = (f"curve child killed by {budget}s watchdog; "
+               f"stderr in {os.path.basename(log_file)}")
+        if curve:
+            curve.append({"err": err})
+            return curve
+        raise RuntimeError(err)
+    if rc != 0:
+        err = (f"curve child exited rc={rc}; "
                f"stderr in {os.path.basename(log_file)}")
         if curve:
             # partial recovery: completed points + the failure marker
@@ -1014,13 +1071,17 @@ def main():
             _guarded("assemble_v3",
                      lambda: bench_assemble_v3(spark, sf_dir))
             # the curve runs in a SUBPROCESS with a fresh 32g heap of its
-            # own (_run_curve_child); stop this session first so two 32g
-            # JVMs never coexist on the box
+            # own (_run_curve_child); stop this session AND kill the
+            # gateway JVM first — spark.stop() alone leaves the 32g JVM
+            # resident until this process exits, and two 32g heaps on
+            # one box is what killed the n=128 point four rounds running
+            # (_shutdown_gateway_jvm docstring)
             base_entry = {"n_series": N_SERIES_MANY,
                           "spark_one_job": spark_many,
                           "numpy_serial": ref_many, "ratio": multi["ratio"]}
             try:
                 spark.stop()
+                _shutdown_gateway_jvm()
                 full["signal_multi_series_curve"] = _run_curve_subprocess(
                     base_entry)
             except Exception as e:

@@ -3967,6 +3967,15 @@ def embed_matryoshka_recall(spark, sf_dir):
     q = (e.filter(F.col("vec_id") % 10 == 0)
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
+    return _matryoshka_agreement(e, q)
+
+
+def _matryoshka_agreement(e, q):
+    """Shared matryoshka-agreement body: broadcast query frame `q`
+    (qid, qv) against corpus `e`, rounded-cosine argmax per prefix dim,
+    ONE aggregation pass, 3-row explode. embed_matryoshka_recall (the
+    10% subsample eval) and embed_matryoshka_budget (the fixed-budget
+    100 TB path) differ ONLY in how `q` is built."""
 
     def cos(k):
         dot = F.aggregate(
@@ -4175,3 +4184,92 @@ def crossentropy_matrix_fold(pair_c):
             .agg(F.sum("ce").cast("bigint").alias("n_bigrams"),
                  F.round(-F.sum(F.col("ce") * logp) / F.sum("ce"), 4)
                  .alias("cross_entropy_bits")))
+
+
+_MATRYOSHKA_QUERY_BUDGET = 64
+
+
+@query(
+    "embed_matryoshka_budget",
+    f"""
+    WITH n AS (SELECT GREATEST(1, COUNT(*) // {_MATRYOSHKA_QUERY_BUDGET})
+                 AS k FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS qid, e.vec_id,
+             {_cos_sql('64')} AS cos64,
+             {_cos_sql('8')} AS cos8,
+             {_cos_sql('16')} AS cos16,
+             {_cos_sql('32')} AS cos32
+      FROM embeddings q CROSS JOIN n
+      JOIN embeddings e ON q.vec_id <> e.vec_id
+      WHERE q.vec_id % n.k = 0
+    ),
+    ranked AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos64 DESC, vec_id) AS r64,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos8 DESC, vec_id) AS r8,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos16 DESC, vec_id) AS r16,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos32 DESC, vec_id) AS r32
+      FROM pairs
+    ),
+    top AS (
+      SELECT qid,
+             MAX(CASE WHEN r64 = 1 THEN vec_id END) AS t64,
+             MAX(CASE WHEN r8  = 1 THEN vec_id END) AS t8,
+             MAX(CASE WHEN r16 = 1 THEN vec_id END) AS t16,
+             MAX(CASE WHEN r32 = 1 THEN vec_id END) AS t32
+      FROM ranked GROUP BY qid
+    )
+    SELECT * FROM (
+      SELECT CAST(8 AS BIGINT) AS prefix_dim,
+             CAST(COUNT(*) AS BIGINT) AS n_queries,
+             CAST(SUM(CASE WHEN t8 = t64 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+             ROUND(CAST(SUM(CASE WHEN t8 = t64 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / GREATEST(COUNT(*), 1), 6)
+               AS agree_rate
+      FROM top
+      UNION ALL
+      SELECT CAST(16 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN t16 = t64 THEN 1 ELSE 0 END) AS BIGINT),
+             ROUND(CAST(SUM(CASE WHEN t16 = t64 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / GREATEST(COUNT(*), 1), 6)
+      FROM top
+      UNION ALL
+      SELECT CAST(32 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN t32 = t64 THEN 1 ELSE 0 END) AS BIGINT),
+             ROUND(CAST(SUM(CASE WHEN t32 = t64 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / GREATEST(COUNT(*), 1), 6)
+      FROM top
+    ) u
+    """,
+    doc="embed_matryoshka_recall's SCALE-BOUNDED twin — the 100 TB "
+        "hatch as real code: the query subset is a FIXED BUDGET "
+        f"(~{_MATRYOSHKA_QUERY_BUDGET} queries via the deterministic "
+        "stride k = GREATEST(1, N DIV budget), computed IN-PLAN from a "
+        "broadcast 1-row count, no driver-side action), so the pair "
+        "frame grows LINEARLY with the corpus instead of the percent-"
+        "subsample's quadratic |N/10| x N. The r13 committed bench "
+        "measured that quadratic honestly (ratio ~94 on 10x rows) — "
+        "this face is the answer, and it rides the sf1 block in its "
+        "place. Same rounded-cosine argmax, same min-vec_id ties, same "
+        "NULLIF zero-norm guard; with budget set to N DIV 10 the "
+        "output is byte-identical to embed_matryoshka_recall (pinned "
+        "in test_r13_faces)",
+)
+def embed_matryoshka_budget(spark, sf_dir,
+                            budget: int = _MATRYOSHKA_QUERY_BUDGET):
+    e = spread(T(spark, sf_dir, "embeddings"))
+    k = e.agg(F.greatest(
+        F.lit(1),
+        F.expr(f"CAST(COUNT(*) DIV {int(budget)} AS BIGINT)"))
+        .alias("k"))
+    q = (e.crossJoin(F.broadcast(k))
+         .filter(F.col("vec_id") % F.col("k") == 0)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    return _matryoshka_agreement(e, q)

@@ -44,6 +44,7 @@ def test_r13_window_is_staleness_ordered():
     last-sampled-round fold)."""
     touched_r13 = ["text_unigram_entropy", "corpus_crossentropy_matrix",
                    "mix_perplexity_buckets", "mix_source_caps",
+                   "embed_matryoshka_budget",
                    "embed_matryoshka_recall", "corpus_source_overlap",
                    "mix_token_budget", "mix_curriculum_interleave",
                    "rank_ndcg_eval", "mix_anneal_schedule"]
@@ -65,4 +66,4 @@ def test_r13_window_is_staleness_ordered():
     assert head[:len(touched_r13)] == touched_r13
     assert r6_cohort == set(head[len(touched_r13):
                                  len(touched_r13) + len(r6_cohort)])
-    assert len(head) == 4 + 6 + 32 + 48  # added+touched, r6+r7 cohorts
+    assert len(head) == 5 + 6 + 32 + 48  # added+touched, r6+r7 cohorts

@@ -207,3 +207,30 @@ def test_r13_plan_shapes(spark):
     ent = qs["text_unigram_entropy"].fn(spark, SF)
     assert has_partial_aggregation(ent)
     assert "Join" not in formatted_plan(ent, "simple")
+
+
+def test_matryoshka_budget_equals_recall_at_matching_stride(spark):
+    """The fixed-budget twin with budget = N DIV 10 plans stride k=10 —
+    exactly embed_matryoshka_recall's query set — and must reproduce
+    its output byte-for-byte; at the default budget the query count is
+    bounded by ~budget regardless of corpus size (the linear-growth
+    claim the sf1 block measures)."""
+    from process_nwb_spark.relational.llm_ops import (
+        _MATRYOSHKA_QUERY_BUDGET, embed_matryoshka_budget)
+
+    qs = all_queries()
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert n // (n // 10) == 10   # stride sanity for this fixture
+    want = (qs["embed_matryoshka_recall"].fn(spark, SF).toPandas()
+            .sort_values("prefix_dim").reset_index(drop=True))
+    got = (embed_matryoshka_budget(spark, SF, budget=n // 10).toPandas()
+           .sort_values("prefix_dim").reset_index(drop=True))
+    assert got.equals(want), (got, want)
+    # default budget: ~budget queries (stride floor can overshoot by
+    # <2x, never grows with N), computed in-plan (no driver action)
+    deflt = qs["embed_matryoshka_budget"].fn(spark, SF).toPandas()
+    k = max(1, n // _MATRYOSHKA_QUERY_BUDGET)
+    exp_q = len([v for v in range(n) if v % k == 0])
+    # vec_ids are 0..n-1 in the fixture, so the count is exact
+    assert (deflt.n_queries == exp_q).all()
+    assert exp_q <= 2 * _MATRYOSHKA_QUERY_BUDGET
