@@ -658,16 +658,30 @@ def _respawn_lowmem(old_spark):
     relaunch at SPARK_GRAFT_BENCH_CURVE_LOWMEM_CORES (default 12)
     concurrent tasks instead of the full local[32]. In local mode each
     concurrent task owns one Python Arrow worker, so capping cores caps
-    the Python-side resident set (the part a memory cgroup kills
-    silently — r10..r12's n=128 failure) while the 32g JVM heap stays
-    untouched. Worker reuse is also disabled (a fresh worker per task
-    returns its allocator pages to the OS between tasks) and the Arrow
-    batch size halved. Same kernels, same one-job plan — only the task
-    concurrency changes, and the entry records it."""
+    the Python-side resident set AND the JVM-side concurrent Arrow
+    buffering. The r13 stderr finally named the killer precisely:
+    `java.lang.OutOfMemoryError: Java heap space` — by the time n=128
+    runs, the session-long JVM's heap carries the 16/32/64 points'
+    residue (a fresh 32g heap completes the same point standalone,
+    measured) — so the retry's fresh JVM IS the fix and the reduced
+    concurrency is the safety margin. Worker reuse is also disabled
+    (a fresh worker per task returns its allocator pages to the OS
+    between tasks) and the Arrow batch size halved. Same kernels, same
+    one-job plan — only concurrency and heap change, and the entry
+    records the condition.
+
+    The retry runs on a FRESH JVM: the r13 run showed the first
+    attempt can take the child's whole JVM down with it, after which
+    pyspark's cached gateway is a dead socket and a plain getOrCreate
+    dies with 'None.org.apache...JavaSparkContext'. Stopping the
+    session, killing the gateway process, and clearing the class-level
+    handles forces get_spark to launch a brand-new JVM at the reduced
+    heap — a retry that also starts from zero residue."""
     try:
         old_spark.stop()
     except Exception:
         pass
+    _shutdown_gateway_jvm()   # dead or alive, the old JVM goes away
     cores = int(os.environ.get("SPARK_GRAFT_BENCH_CURVE_LOWMEM_CORES",
                                "12"))
     from process_nwb_spark.session import get_spark
@@ -680,8 +694,12 @@ def _respawn_lowmem(old_spark):
             "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
             "spark.python.worker.reuse": "false",
             "spark.sql.execution.arrow.maxRecordsPerBatch": "32768",
+            # FULL 32g, fresh: the failure class is heap residue, not
+            # heap size — a fresh 32g completes n=128 standalone, and
+            # 12 workers need LESS concurrent JVM-side Arrow buffering
             "spark.driver.memory": os.environ.get(
-                "SPARK_GRAFT_BENCH_DRIVER_MEM", "32g")})
+                "SPARK_GRAFT_BENCH_CURVE_LOWMEM_MEM",
+                os.environ.get("SPARK_GRAFT_BENCH_DRIVER_MEM", "32g"))})
     return s, cores
 
 
