@@ -40,14 +40,21 @@ crash yields the completed prefix. End-to-end proof, including a
 forced failure in every section and a SIGKILLed child mid-spam, in
 tests/test_bench_harness.py.
 
-The curve's n=128 point is additionally memory-ceiling-adaptive (r13):
-a failed point triggers ONE retry on a reduced-parallelism session
-(fewer concurrent Arrow workers -> smaller Python-side resident set;
-the r10-r12 driver-box failures were cgroup kills of Python workers,
-not JVM OOMs), a second failure records an explicit
-{'skipped': 'env memory ceiling'} marker, and
-SPARK_GRAFT_BENCH_CURVE_MAX_N caps the curve up front — see
-bench_multi_series_curve.
+The curve's n=128 point is additionally memory-adaptive (r13). The
+postmortem chain, each link fixed: (1) spark.stop() leaves the py4j
+gateway JVM — a whole resident driver heap — alive until the parent
+Python process exits, so the curve child NEVER actually had the box
+to itself (fixed: _shutdown_gateway_jvm before the child launches;
+with it, the four-round-red n=128 point completes at full width);
+(2) the child JVM's heap carries earlier points' residue and n=128
+can die with a plain Java-heap OOM (fixed: a failed point retries
+ONCE on a FRESH reduced-parallelism JVM; a second failure records an
+explicit {'skipped': 'env memory ceiling'} marker, and
+SPARK_GRAFT_BENCH_CURVE_MAX_N caps the curve up front); (3) the
+failure can WEDGE instead of raise — workers die, the save never
+returns (fixed: the child runs under the parent's wall-clock
+watchdog, SPARK_GRAFT_BENCH_CURVE_TIMEOUT). See
+bench_multi_series_curve / _respawn_lowmem / _shutdown_gateway_jvm.
 
 Test hooks: SPARK_GRAFT_BENCH_QUERIES (headline subset),
 SPARK_GRAFT_BENCH_RATIO_RUNS, SPARK_GRAFT_BENCH_SCALE_FORCE,
