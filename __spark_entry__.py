@@ -48,90 +48,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: correctness harnesses that sample a prefix of
 # this dict should see a DIVERSE cross-section of the engine. The prefix is
-# ROTATED each round so cumulative driver coverage grows. STATE AFTER r12:
-# cumulative driver coverage is 323/323 of the 323-face registry, 0 red
-# (CORRECTNESS_r{01..12}.json) — builder-claimed and driver-proven coincide
-# for the fourth consecutive round. The r13 window:
-# (a0) the FIVE faces ADDED in r13 (registry now 328, never
-# driver-sampled): the corpus-quality/domain-similarity tier (unigram
-# entropy, cross-entropy matrix, perplexity terciles, waterfilling
-# budget allocation, fixed-budget matryoshka eval). Then (a) the six
-# faces whose implementation the r13 diff touched:
-# embed_matryoshka_recall (the cosine norm product is now NULLIF/
-# when-guarded on both engines — hash-neutral on any corpus without a
-# zero-norm prefix, re-proven here), corpus_source_overlap (grew the
-# max_df stop-shingle option; the default path is byte-identical,
-# re-proven anyway), and the four faces routed through
-# bucketed_range_rank, which now REJECTS unknown cuts values (valid
-# calls unchanged).
-# (b) pure staleness backfill, oldest last-sample first: the 32
-# remaining r6 faces (7 rounds stale), then the r7 cohort (48 faces:
-# the sig_* analysis tier, TPC-H completion shapes). Last-sampled
-# rounds are recomputed from CORRECTNESS_r{01..12}.json each round.
+# ROTATED each round so cumulative driver coverage grows. STATE AFTER r13:
+# cumulative driver coverage is 328/328 of the 328-face registry, 0 red
+# (CORRECTNESS_r{01..13}.json) — builder-claimed and driver-proven coincide
+# for the fifth consecutive round. The r14 window:
+# (a) faces whose implementation the r14 diff TOUCHED — the two LM
+# faces that dropped their forced vocabulary-sized broadcast hints
+# (the r13 verdict's one scale defect: a 100 TB corpus's distinct-
+# bigram table blows Spark's 8 GB broadcast cap; the joins are now
+# size-adaptive and the outputs pinned hash-identical), plus
+# mix_source_caps, whose oracle SQL now interpolates _WATERFILL_FRAC
+# instead of hardcoding 0.5 (value-identical, re-sampled anyway).
+# (b) pure staleness backfill, oldest last-sample first: the 41
+# remaining r7 faces (7 rounds stale — the sig_* analysis tier and the
+# TPC-H completion shapes; r13's window already re-proved
+# agg_listagg_nations … idle_customers_balance). Last-sampled rounds
+# are recomputed from CORRECTNESS_r{01..13}.json each round.
 # The ENTIRE registry remains green under the committed full-registry
 # exact gate in BOTH default and ANSI modes plus the shuffle-partition
-# hash-stability probe (ORACLE_{LOCAL,ANSI}_r13, HASHSTAB_r13).
+# hash-stability probe (ORACLE_{LOCAL,ANSI}_r14, HASHSTAB_r14).
 DRIVER_PRIORITY = (
-    # ---- (a0) faces ADDED in r13 (never driver-sampled) ----
-    "text_unigram_entropy",  # ADDED r13: per-doc unigram entropy +
-    #   type/token ratio (two hash-aggs, graded repetition signal)
-    "corpus_crossentropy_matrix",  # ADDED r13: cross-source bigram
-    #   cross-entropy matrix (Laplace-smoothed, models broadcast)
-    "mix_perplexity_buckets",  # ADDED r13: CCNet head/middle/tail
-    #   terciles per source (integer surprisal, bucketed_range_rank)
-    "mix_source_caps",  # ADDED r13: waterfilling token-budget
-    #   allocation (closed-form level on the |sources|-row table)
-    "embed_matryoshka_budget",  # ADDED r13: fixed-query-budget
-    #   matryoshka eval (linear pair frame; in-plan stride)
-    # ---- (a) faces implementation-TOUCHED in r13 ----
-    "embed_matryoshka_recall",  # r13: zero-norm cosine guard (SQL+Spark)
-    "corpus_source_overlap",  # r13: max_df stop-shingle hatch (default
-    #   path unchanged)
-    "mix_token_budget",  # r13: bucketed_range_rank cuts validation
-    "mix_curriculum_interleave",  # r13: same helper validation
-    "rank_ndcg_eval",  # r13: same helper validation
-    "mix_anneal_schedule",  # r13: same helper validation
-    # ---- (b) staleness backfill: the 32 remaining r6 faces ----
-    "fuzzy_match_blocked",  # last driver r6
-    "global_row_index",  # last driver r6
-    "langid_confusion",  # last driver r6
-    "mix_to_target_weights",  # last driver r6
-    "mix_upsample_repeat",  # last driver r6
-    "multimodal_meta",  # last driver r6
-    "orders_gap_stats",  # last driver r6
-    "scd2_status_history",  # last driver r6
-    "sig_bad_channels",  # last driver r6
-    "sig_band_dim",  # last driver r6
-    "sig_coherence_contract",  # last driver r6
-    "sig_resample_lengths",  # last driver r6
-    "sig_stft_energy",  # last driver r6
-    "sig_welch_psd",  # last driver r6
-    "snapshot_diff",  # last driver r6
-    "source_json_roundtrip",  # last driver r6
-    "source_orc_roundtrip",  # last driver r6
-    "source_xml_roundtrip",  # last driver r6
-    "sql_parameterized",  # last driver r6
-    "text_lm_score",  # last driver r6
-    "text_source_stats",  # last driver r6
-    "text_vocab_topk",  # last driver r6
-    "ts_ewma_daily",  # last driver r6
-    "udf_arrow_map_stats",  # last driver r6
-    "udf_grouped_covar",  # last driver r6
-    "udf_python_fallback",  # last driver r6
-    "user_journey_paths",  # last driver r6
-    "vocab_zipf_slope",  # last driver r6
-    "win_cumulative_users",  # last driver r6
-    "win_distribution",  # last driver r6
-    "win_mom_growth",  # last driver r6
-    "win_streaks",  # last driver r6
-    # ---- then the r7 cohort (48 faces) ----
-    "agg_listagg_nations",  # last driver r7
-    "agg_shape_stats",  # last driver r7
-    "cust_order_count_dist",  # last driver r7
-    "disjunctive_revenue",  # last driver r7
-    "fn_explode_pos",  # last driver r7
-    "forecast_revenue_delta",  # last driver r7
-    "idle_customers_balance",  # last driver r7
+    # ---- (a) faces implementation-TOUCHED in r14 ----
+    "corpus_crossentropy_matrix",  # r14: dropped F.broadcast(pm)/(hm)
+    #   — model joins size-adaptive; output hash-identical
+    "mix_perplexity_buckets",  # r14: dropped F.broadcast(pair_c)/
+    #   (head_c) on the scoring joins; output hash-identical
+    "mix_source_caps",  # r14: oracle SQL interpolates _WATERFILL_FRAC
+    #   (was a hardcoded 0.5 twin) — value-identical
+    # ---- (b) staleness backfill: the 41 remaining r7 faces ----
     "important_part_value",  # last driver r7
     "line_priority_counts",  # last driver r7
     "min_cost_supplier",  # last driver r7

@@ -177,10 +177,19 @@ SF1_SUBSET = [
     # while the budget face's pair frame grows linearly with the corpus
     "embed_matryoshka_budget", "quality_rule_stats",
     # r13 corpus-quality tier: the perplexity terciles claim LM-fit on
-    # the bigram vocab + broadcast scoring + bucketed rank (all
-    # corpus-linear); the cross-entropy matrix claims broadcast model
-    # tables with the eval stream x |sources| as the only growing term
+    # the bigram vocab + size-adaptive scoring joins + bucketed rank
+    # (all corpus-linear); the cross-entropy matrix claims size-
+    # adaptive model joins with the eval stream x |sources| as the
+    # only growing term (r14 dropped both faces' forced vocabulary-
+    # table broadcasts — the ratio now also proves the planner-picked
+    # strategy holds under growth)
     "mix_perplexity_buckets", "corpus_crossentropy_matrix",
+    # r14: the two r13 faces the judge asked to growth-measure —
+    # unigram entropy claims two map-side hash-aggs (corpus-linear, no
+    # join); waterfilling claims ONE hash-agg to |sources| rows with
+    # everything after metadata-sized (ratio should sit near the
+    # scan-cost line, ~1x at these SFs)
+    "text_unigram_entropy", "mix_source_caps",
     # r10: the eager-checkpoint faces, measured WHOLE-CALLABLE (below)
     "graph_wcc_star", "graph_kcore_peel", "split_leakage_safe",
 ]
@@ -732,6 +741,25 @@ def _run_curve_child(args_file: str, out_file: str) -> None:
         # test hook: exit rc 0 WITHOUT writing the result file — the
         # silent-empty-record mode the parent must refuse to accept
         return
+    if "curve-hang" in os.environ.get("SPARK_GRAFT_BENCH_INJECT_FAIL", ""):
+        # test hook: reproduce the r13-ADVICE failure mode — the child
+        # WEDGES after spawning a long-lived grandchild (standing in
+        # for the pyspark gateway JVM). The parent's watchdog must kill
+        # the whole PROCESS GROUP: a child-only kill reparents the
+        # grandchild to init with its heap alive (the two-resident-JVM
+        # pressure the watchdog exists to reclaim). The grandchild's
+        # pid is recorded beside the result file so the harness test
+        # can assert it died with the group.
+        import subprocess as _sp
+
+        g = _sp.Popen([sys.executable, "-c",
+                       "import time; time.sleep(600)"])
+        pidfile = os.environ.get("SPARK_GRAFT_BENCH_HANG_PIDFILE",
+                                 out_file + ".gwpid")
+        with open(pidfile, "w") as f:
+            f.write(str(g.pid))
+        time.sleep(600)
+        return
     if "curve-kill" in os.environ.get("SPARK_GRAFT_BENCH_INJECT_FAIL", ""):
         # test hook: reproduce the r11 failure mode — spam stderr like a
         # crashing executor, then die uncleanly mid-run (SIGKILL: no
@@ -840,16 +868,36 @@ def _run_curve_subprocess(base_entry: dict) -> list:
     # a kill still yields the completed prefix via the per-point flush.
     budget = int(os.environ.get("SPARK_GRAFT_BENCH_CURVE_TIMEOUT", "2400"))
     timed_out = False
+    # start_new_session=True puts the child at the head of its OWN
+    # process group, and the timeout path kills that WHOLE GROUP
+    # (os.killpg): a plain child-kill would orphan the pyspark gateway
+    # JVM the child spawned — the wedged, CPU-spinning process the
+    # watchdog exists to reclaim — reparenting it to init with its
+    # up-to-32g heap alive for the rest of the run (exactly the
+    # two-resident-JVM pressure the r13 postmortem fixed).
+    import signal as _signal
     with open(log_file, "w") as lf:
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--curve-child", args_file, out_file],
+            stdout=subprocess.DEVNULL, stderr=lf,
+            start_new_session=True)
         try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--curve-child", args_file, out_file],
-                stdout=subprocess.DEVNULL, stderr=lf, timeout=budget)
-            rc = r.returncode
+            rc = p.wait(timeout=budget)
         except subprocess.TimeoutExpired:
             timed_out = True
             rc = -9
+            try:
+                os.killpg(p.pid, _signal.SIGKILL)
+            except Exception:
+                try:
+                    p.kill()
+                except Exception:
+                    pass
+            try:
+                p.wait(timeout=30)
+            except Exception:
+                pass
     curve = None
     if os.path.exists(out_file):
         try:
@@ -1000,6 +1048,21 @@ def main():
     }
     full = {
         "metric": "headline_queries_total",
+        # which JVM measured which section (r13 postmortem: JVM state —
+        # gateway residue, heap history — moves measured times ~1.2×).
+        # The headline IS fresh-JVM: it is the FIRST section of a
+        # brand-new process/JVM every run (warm-up excepted by design —
+        # it exists to absorb one-time startup cost, not residue).
+        # sf1/skew/assemble_v3 share that same JVM afterwards, so their
+        # numbers carry headline residue and are labeled as such; the
+        # curve gets its own child JVM, and the parent gateway is shut
+        # down before it starts AND before the final tail print.
+        "jvm": {"headline": "fresh (first section of a new JVM)",
+                "sf1": "shared with headline",
+                "skew": "shared with headline",
+                "assemble_v3": "shared with headline",
+                "signal_multi_series_curve":
+                    "fresh child JVM (parent gateway stopped first)"},
         "value": total,            # sum of per-query MEDIANS (r9 onward)
         # explicit basis marker (r10): `value` changed meaning in r9
         # (sum of mins -> sum of medians) under the same metric name;
@@ -1120,6 +1183,17 @@ def main():
     finally:
         try:
             spark.stop()
+        except Exception:
+            pass
+        # kill the gateway JVM before the final print: the r13 driver
+        # tail caught a stray `read-ahead` JVM OOM line BETWEEN the two
+        # headline prints — spark.stop() leaves the JVM (and its
+        # read-ahead/shutdown threads) resident, and any line it emits
+        # after this point would land behind the final headline line.
+        # With the gateway gone, the last bytes of combined output are
+        # produced by pure Python.
+        try:
+            _shutdown_gateway_jvm()
         except Exception:
             pass
         # the LAST bytes of combined output are the headline line

@@ -97,10 +97,28 @@ def _jplan_children(node):
 def _unwrap_adaptive(node):
     """AdaptiveSparkPlanExec is a LEAF wrapper around the real tree —
     traversals must step into its inputPlan (pre-execution) instead of
-    stopping at it."""
-    if "AdaptiveSparkPlan" in node.getClass().getSimpleName():
-        return node.inputPlan()
+    stopping at it. ReusedExchange / ReusedSubquery are likewise
+    childless WRAPPERS around an already-planned subtree (exchange and
+    subquery reuse resolve them at physical planning): treating them
+    as opaque leaves would read a reused post-aggregation exchange as
+    an un-aggregated scan path and flip pins spuriously — resolve to
+    the referenced child instead."""
+    cls = node.getClass().getSimpleName()
+    if "AdaptiveSparkPlan" in cls:
+        return _unwrap_adaptive(node.inputPlan())
+    name = node.nodeName()
+    if name.startswith("ReusedExchange") or name.startswith("ReusedSubquery"):
+        return _unwrap_adaptive(node.child())
     return node
+
+
+# Exact exec-node names of TRUE window operators (full partition
+# materialization + sort semantics). Substring matching would also
+# catch WindowGroupLimit — a pre-filter Spark INSERTS below a ranked
+# window to drop rows early; it is an optimization node, not a window,
+# and counting it as one breaks the "every Window sits above an
+# aggregate" pin whenever the optimizer adds it.
+_WINDOW_EXEC_NAMES = frozenset({"Window", "WindowInPandas"})
 
 
 def windows_sit_above_aggregates(df: DataFrame) -> bool:
@@ -112,7 +130,11 @@ def windows_sit_above_aggregates(df: DataFrame) -> bool:
     that moves the window below the aggregation would silently turn it
     into a full-data single-partition sort — this returns False there.
     Returns False too when the plan has no Window at all (the pin is
-    about a window that must exist and sit high)."""
+    about a window that must exist and sit high). Only exact Window
+    exec nodes count (_WINDOW_EXEC_NAMES — not WindowGroupLimit), and
+    ReusedExchange/ReusedSubquery wrappers are transparent, so the pin
+    is stable under AQE exchange reuse and window-group-limit
+    insertion."""
     def aggregated_on_all_paths(node):
         node = _unwrap_adaptive(node)
         if "Aggregate" in node.nodeName():
@@ -126,7 +148,7 @@ def windows_sit_above_aggregates(df: DataFrame) -> bool:
 
     def walk(node):
         node = _unwrap_adaptive(node)
-        if "Window" in node.nodeName():
+        if node.nodeName() in _WINDOW_EXEC_NAMES:
             verdicts.append(all(aggregated_on_all_paths(c)
                                 for c in _jplan_children(node)))
         for c in _jplan_children(node):

@@ -2390,8 +2390,12 @@ def mix_length_buckets(spark, sf_dir):
         "the integer key (key_max 640000) — per-source terciles WITHOUT "
         "a single-task-per-source window; the |sources|-row doc counts "
         "attach by broadcast. Scale: LM fit is the bigram-vocab "
-        "shuffle; scoring is broadcast joins + one doc-keyed agg; "
-        "ranking is the bucketed-rank shape every mix face shares",
+        "shuffle; scoring joins carry NO broadcast hint — the model "
+        "tables grow with the vocabulary, so AQE broadcasts them while "
+        "small and falls back to (w1, w2)/(w1)-shuffled hash joins past "
+        "the threshold instead of hitting the 8 GB broadcast cap; then "
+        "one doc-keyed agg; ranking is the bucketed-rank shape every "
+        "mix face shares",
 )
 def mix_perplexity_buckets(spark, sf_dir):
     d = (spread(T(spark, sf_dir, "documents"))
@@ -2408,8 +2412,14 @@ def mix_perplexity_buckets(spark, sf_dir):
     sb = (F.lit(64)
           + F.floor(F.log2(F.col("c2").cast("double"))).cast("bigint")
           - F.floor(F.log2(F.col("c1").cast("double"))).cast("bigint"))
-    scored = (bg.join(F.broadcast(pair_c), ["w1", "w2"])
-              .join(F.broadcast(head_c), "w1")
+    # no broadcast hints on the model tables: pair_c/head_c grow with
+    # the corpus's bigram VOCABULARY, and F.broadcast ignores size
+    # thresholds — at 100 TB a multi-GB vocabulary would be a
+    # guaranteed 8 GB-cap failure rather than a planner-degradable
+    # choice. AQE broadcasts them while small; the scale-safe plan is
+    # the scoring join shuffled on (w1, w2) / (w1).
+    scored = (bg.join(pair_c, ["w1", "w2"])
+              .join(head_c, "w1")
               .groupBy("doc_id", "source")
               .agg(F.count("*").cast("bigint").alias("n_bigrams"),
                    F.sum(sb).cast("bigint").alias("s")))
@@ -2436,7 +2446,11 @@ _WATERFILL_FRAC = 0.5   # budget = this fraction of the corpus's tokens
 
 @query(
     "mix_source_caps",
-    r"""
+    # rf-string: the ONE budget constant (_WATERFILL_FRAC) is
+    # interpolated so the Spark path and the DuckDB oracle can never
+    # silently diverge when it is edited (same pattern as
+    # embed_matryoshka_budget's _MATRYOSHKA_QUERY_BUDGET)
+    rf"""
     WITH caps AS (
       SELECT source,
              CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
@@ -2445,7 +2459,7 @@ _WATERFILL_FRAC = 0.5   # budget = this fraction of the corpus's tokens
       FROM documents GROUP BY source
     ),
     tot AS (SELECT SUM(cap_tokens) AS total, COUNT(*) AS m FROM caps),
-    b AS (SELECT GREATEST(CAST(FLOOR(total * 0.5) AS BIGINT), 1)
+    b AS (SELECT GREATEST(CAST(FLOOR(total * {_WATERFILL_FRAC}) AS BIGINT), 1)
                    AS budget, m FROM tot),
     ordered AS (
       SELECT source, cap_tokens,

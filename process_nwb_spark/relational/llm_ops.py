@@ -3957,10 +3957,15 @@ def _cos_sql(k: str) -> str:
         "engines pick identical winners; all four prefix cosines come "
         "from the SAME index-ordered folds over one pair frame. Spark "
         "argmax is max(struct(cos, -vec_id)) in ONE hash-agg per "
-        "query — no window. Scale: the pair frame is |queries| x N "
-        "with queries broadcast (the brute eval baseline, like "
-        "embed_cosine_topk); at corpus scale the eval itself "
-        "subsamples queries — the aggregate shape is unchanged",
+        "query — no window. Scale: this PERCENT-subsample face is "
+        "QUADRATIC BY DESIGN — |N/10| queries x N corpus pairs "
+        "(measured ~94x on 10x rows in the r13 sf1 block) — so it is "
+        "the EXACT TWIN FOR SMALL CORPORA only; the recommended "
+        "default eval is embed_matryoshka_budget, whose in-plan "
+        "GREATEST(1, N DIV 64) query stride caps the query count at a "
+        "fixed budget and keeps the pair frame linear (byte-identical "
+        "to this face at budget = N DIV 10, pinned in "
+        "test_r13_faces.py)",
 )
 def embed_matryoshka_recall(spark, sf_dir):
     e = spread(T(spark, sf_dir, "embeddings"))
@@ -4129,7 +4134,12 @@ def text_unigram_entropy(spark, sf_dir):
         "whole face runs on the VOCABULARY-sized per-source pair-count "
         "table — the token stream collapses to counts in one map-side-"
         "combined agg first, so the |sources| fan-out multiplies "
-        "distinct pairs, never corpus rows; model tables broadcast. "
+        "distinct pairs, never corpus rows. Only the |sources| list and "
+        "the 1-row V scalar carry broadcast hints; the vocabulary-sized "
+        "model joins are size-adaptive (AQE broadcasts while under the "
+        "threshold, shuffles on the composite key past it — a forced "
+        "broadcast would hard-fail at Spark's 8 GB cap on a real "
+        "corpus's billions of distinct bigrams). "
         "The counts table is additive, which is exactly what the "
         "incremental streaming twin (streaming/ops.lm_model_sink) "
         "maintains",
@@ -4173,12 +4183,19 @@ def crossentropy_matrix_fold(pair_c):
                        "w1", "c1")
     logp = F.log2((F.coalesce(F.col("cm"), F.lit(0)) + F.lit(1.0))
                   / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")))
+    # Broadcast ONLY the truly metadata-sized frames: srcs (|sources|
+    # rows) and v (1 row). pm/hm are the full per-source bigram-count
+    # table relabeled — "vocabulary-sized" is NOT "broadcastable": a
+    # 100 TB corpus has billions of distinct bigrams and Spark
+    # hard-fails broadcasts above 8 GB. The pair/head joins are plain
+    # composite-key equi-joins; AQE broadcasts them on its own while
+    # the vocabulary is small and degrades to a shuffled hash join
+    # (partitioned on (source_model, w1[, w2])) when it is not.
     crossed = (pair_c.select(F.col("source").alias("source_eval"),
                              "w1", "w2", F.col("c2").alias("ce"))
                .crossJoin(F.broadcast(srcs))
-               .join(F.broadcast(pm), ["source_model", "w1", "w2"],
-                     "left")
-               .join(F.broadcast(hm), ["source_model", "w1"], "left")
+               .join(pm, ["source_model", "w1", "w2"], "left")
+               .join(hm, ["source_model", "w1"], "left")
                .crossJoin(F.broadcast(v)))
     return (crossed.groupBy("source_eval", "source_model")
             .agg(F.sum("ce").cast("bigint").alias("n_bigrams"),

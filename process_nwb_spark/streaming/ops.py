@@ -1819,8 +1819,13 @@ def lm_model_sink(out_dir: str):
 
     def write_batch(batch_df: DataFrame, batch_id: int):
         sp = batch_df.sparkSession
+        # materialize ONCE (eager localCheckpoint, like the sink's other
+        # materializations): the isEmpty probe below is a separate
+        # action, and without this it would recompute the batch's full
+        # scan + bigram shuffle a second time for the write
         cnt = (source_bigram_counts(batch_df)
-               .withColumn("batch_id", F.lit(int(batch_id))))
+               .withColumn("batch_id", F.lit(int(batch_id)))
+               .localCheckpoint())
         if cnt.isEmpty():
             # empty batch = the additive identity; nothing to replace
             # even on retry (a non-empty original can't replay empty —

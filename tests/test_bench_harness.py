@@ -32,11 +32,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_bench(tmp_path, inject: str):
+def _run_bench(tmp_path, inject: str, extra_env: dict | None = None):
     full_out = tmp_path / "full.json"
     curve_log = tmp_path / "curve_stderr.log"
     env = dict(
         os.environ,
+        **(extra_env or {}),
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_RUNS="1",
         SPARK_GRAFT_BENCH_RATIO_RUNS="1",
@@ -121,6 +122,48 @@ def test_bench_headline_survives_curve_child_sigkill(tmp_path):
     full = json.loads(full_out.read_text())
     curve = full["signal_multi_series_curve"]
     assert "err" in curve and "rc=" in curve["err"], curve
+
+
+def test_bench_curve_watchdog_kills_whole_process_group(tmp_path):
+    """The r13-ADVICE gap: the watchdog used to SIGKILL only the Python
+    curve child, orphaning the gateway JVM it spawned — the wedged,
+    CPU-spinning process the watchdog exists to reclaim — with its
+    up-to-32g heap alive for the rest of the run. The child now runs
+    in its own session/process group and the timeout kills the GROUP:
+    inject a child that hangs after spawning a long-lived grandchild
+    (the stand-in gateway JVM), run with a tiny watchdog budget, and
+    assert the headline survives, the artifact records the watchdog
+    kill, and the GRANDCHILD is dead."""
+    import errno
+    import time
+
+    pidfile = tmp_path / "gateway.pid"
+    r, full_out, curve_log = _run_bench(
+        tmp_path, inject="sf1,skew,assemble_v3,curve-hang",
+        extra_env={"SPARK_GRAFT_BENCH_CURVE_TIMEOUT": "10",
+                   "SPARK_GRAFT_BENCH_HANG_PIDFILE": str(pidfile)})
+    _check_merged_contract(r)
+    full = json.loads(full_out.read_text())
+    curve = full["signal_multi_series_curve"]
+    assert "err" in curve and "watchdog" in curve["err"], curve
+    assert pidfile.exists(), "hang hook never spawned its grandchild"
+    gwpid = int(pidfile.read_text())
+    # SIGKILL delivery to the group is synchronous; reaping by init is
+    # not instantaneous — poll briefly before declaring a leak
+    deadline = time.time() + 10
+    alive = True
+    while time.time() < deadline:
+        try:
+            os.kill(gwpid, 0)
+        except OSError as e:
+            if e.errno == errno.ESRCH:
+                alive = False
+                break
+            raise
+        time.sleep(0.2)
+    assert not alive, (
+        f"grandchild (stand-in gateway JVM) pid {gwpid} survived the "
+        f"watchdog — process-group kill did not propagate")
 
 
 # ---------------------------------------------------------------------------

@@ -33,37 +33,38 @@ def test_driver_priority_names_resolve_and_are_unique():
     assert not missing, f"DRIVER_PRIORITY names not in registry: {missing}"
 
 
-def test_r13_window_is_staleness_ordered():
-    """With 323/323 driver-proven cumulatively (r12), the r13 window
-    re-verifies: the faces whose implementation the r13 diff touched
-    lead (matryoshka zero-norm guard, corpus_source_overlap max_df
-    hatch, bucketed_range_rank cuts-validation callers), then staleness
-    backfill — the 32 remaining r6 faces (7 rounds stale) must sit in
-    the head right after them, then the r7 cohort. The cohort sets
-    derive from CORRECTNESS_r{01..12}.json (the per-face
-    last-sampled-round fold)."""
-    touched_r13 = ["text_unigram_entropy", "corpus_crossentropy_matrix",
-                   "mix_perplexity_buckets", "mix_source_caps",
-                   "embed_matryoshka_budget",
-                   "embed_matryoshka_recall", "corpus_source_overlap",
-                   "mix_token_budget", "mix_curriculum_interleave",
-                   "rank_ndcg_eval", "mix_anneal_schedule"]
-    r6_cohort = {
-        "fuzzy_match_blocked", "global_row_index", "langid_confusion",
-        "mix_to_target_weights", "mix_upsample_repeat",
-        "multimodal_meta", "orders_gap_stats", "scd2_status_history",
-        "sig_bad_channels", "sig_band_dim", "sig_coherence_contract",
-        "sig_resample_lengths", "sig_stft_energy", "sig_welch_psd",
-        "snapshot_diff", "source_json_roundtrip",
-        "source_orc_roundtrip", "source_xml_roundtrip",
-        "sql_parameterized", "text_lm_score", "text_source_stats",
-        "text_vocab_topk", "ts_ewma_daily", "udf_arrow_map_stats",
-        "udf_grouped_covar", "udf_python_fallback",
-        "user_journey_paths", "vocab_zipf_slope",
-        "win_cumulative_users", "win_distribution", "win_mom_growth",
-        "win_streaks"}
+def test_r14_window_is_staleness_ordered():
+    """With 328/328 driver-proven cumulatively (r13), the r14 window
+    re-verifies: the faces whose implementation the r14 diff touched
+    lead (the two LM faces that dropped their forced vocabulary-table
+    broadcasts, plus mix_source_caps' oracle-SQL constant
+    interpolation), then staleness backfill — the 41 remaining r7
+    faces (7 rounds stale; r13's window already re-proved the first 7
+    of the r7 cohort). The cohort sets derive from
+    CORRECTNESS_r{01..13}.json (the per-face last-sampled-round
+    fold)."""
+    touched_r14 = ["corpus_crossentropy_matrix", "mix_perplexity_buckets",
+                   "mix_source_caps"]
+    r7_remaining = {
+        "important_part_value", "line_priority_counts",
+        "min_cost_supplier", "minhash_jaccard_est", "ngram_novelty",
+        "orders_priority_exists", "pareto_frontier_parts",
+        "product_type_profit", "promo_revenue_share",
+        "quality_calibration", "returned_top_customers",
+        "sig_band_power", "sig_burst_detect", "sig_csd_laplacian",
+        "sig_delay_estimate", "sig_electrode_region",
+        "sig_envelope_corr", "sig_erp_trialavg", "sig_granger_dir",
+        "sig_hjorth", "sig_itc_phase_reset", "sig_line_noise_snr",
+        "sig_multitaper_psd", "sig_pac_mi", "sig_peak_detect",
+        "sig_plv_pairs", "sig_ppc_nm", "sig_psi_direction",
+        "sig_recording_qc", "sig_spectral_features",
+        "sig_wpli_contract", "sig_xcorr_lags", "sql_scripting_loop",
+        "star_nation_volume", "sub_in_region_suppliers",
+        "supplier_cnt_by_part", "surge_part_suppliers",
+        "survival_km_churn", "top_revenue_suppliers",
+        "ts_seasonal_decompose", "unpivot_part_measures"}
     head = list(entry.DRIVER_PRIORITY)
-    assert head[:len(touched_r13)] == touched_r13
-    assert r6_cohort == set(head[len(touched_r13):
-                                 len(touched_r13) + len(r6_cohort)])
-    assert len(head) == 5 + 6 + 32 + 48  # added+touched, r6+r7 cohorts
+    assert head[:len(touched_r14)] == touched_r14
+    assert r7_remaining == set(head[len(touched_r14):
+                                    len(touched_r14) + len(r7_remaining)])
+    assert len(head) == 3 + 41  # touched + the stale r7 cohort

@@ -990,3 +990,77 @@ def test_anneal_schedule_never_single_task_per_phase(spark, qs):
     assert rn, plan
     assert all(re.search(r"\[phase#\d+, _b#\d+\]", l) for l in rn), rn
     assert has_broadcast_join(df), plan
+
+
+def test_windows_pin_ignores_window_group_limit(spark):
+    """windows_sit_above_aggregates must match exact Window exec nodes:
+    WindowGroupLimit (the rank-prefilter Spark inserts below a
+    top-k-filtered window) is an optimization node, not a window, and
+    counting it would make the pin's verdict depend on whether the
+    optimizer fired. Pin: a ranked filter over an aggregated frame
+    stays True WITH the group-limit node present in the plan."""
+    from pyspark.sql import Window, functions as F
+
+    from process_nwb_spark.plans.inspect import (
+        formatted_plan, windows_sit_above_aggregates)
+
+    base = spark.range(1000).select(
+        (F.col("id") % 50).alias("g"), (F.col("id") % 7).alias("k"),
+        F.col("id").alias("v"))
+    agg = base.groupBy("g", "k").agg(F.sum("v").alias("s"))
+    w = Window.partitionBy("k").orderBy(F.desc("s"), "g")
+    ranked = (agg.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 2))
+    plan = formatted_plan(ranked, "simple")
+    assert "WindowGroupLimit" in plan, plan   # precondition: node present
+    assert windows_sit_above_aggregates(ranked), plan
+
+
+def test_windows_pin_resolves_reused_exchange(spark):
+    """ReusedExchange is a CHILDLESS wrapper around an already-planned
+    exchange; treating it as an un-aggregated leaf flips the pin to a
+    spurious False whenever exchange reuse fires. Pin the unwrap
+    directly: a self-join of one aggregate (AQE off so ReuseExchange
+    resolves statically) contains a ReusedExchange node, the resolver
+    steps through it to the real exchange subtree, and the pin still
+    holds for a window above the joined aggregates."""
+    from pyspark.sql import Window, functions as F
+
+    from process_nwb_spark.plans.inspect import (
+        _unwrap_adaptive, formatted_plan, windows_sit_above_aggregates)
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = spark.range(1000).select(
+            (F.col("id") % 50).alias("g"), F.col("id").alias("v"))
+        agg = base.groupBy("g").agg(F.sum("v").alias("s"))
+        agg2 = agg.select("g", F.col("s").alias("s2"))
+        j = agg.join(agg2, "g")
+        ranked = j.withColumn(
+            "rn", F.row_number().over(Window.orderBy("g")))
+        plan = formatted_plan(ranked, "simple")
+        assert "ReusedExchange" in plan, plan   # precondition
+        assert windows_sit_above_aggregates(ranked), plan
+
+        # unit: the resolver steps THROUGH the wrapper to a real node
+        def find_reused(node):
+            if node.nodeName().startswith("ReusedExchange"):
+                return node
+            cs = node.children()
+            for i in range(cs.size()):
+                r = find_reused(cs.apply(i))
+                if r is not None:
+                    return r
+            return None
+
+        root = ranked._jdf.queryExecution().executedPlan()
+        reused = find_reused(_unwrap_adaptive(root))
+        assert reused is not None, plan
+        resolved = _unwrap_adaptive(reused)
+        assert not resolved.nodeName().startswith("ReusedExchange")
+        assert resolved.children().size() > 0 or \
+            "Exchange" in resolved.nodeName()
+    finally:
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -615,3 +615,80 @@ def test_lm_model_sink_survives_empty_batch(spark, tmp_path):
             .fn(spark, SF_CORRECT).toPandas())
     cols = sorted(want.columns)
     _eq(got, want, cols, ["source_eval", "source_model"], "lm-empty")
+
+
+def test_lm_model_sink_growing_vocabulary(spark, tmp_path):
+    """The 100 TB regime the sink's docstring argues about: later
+    batches introduce MOSTLY-NOVEL bigrams (disjoint synthetic
+    vocabularies per batch), so pair_counts grows with each batch's
+    novel vocabulary — and the per-batch refold cost must stay
+    vocabulary-sized. Pins, on exactly the plans the sink builds:
+
+      * history touched ONCE: the model re-sum scans pair_counts
+        exactly one time (one parquet scan over all batch_id
+        partitions, one hash-agg);
+      * the matrix refold NEVER rescans pair_counts history — its
+        input is the re-summed model table only, and batch_id (the
+        partition axis) does not appear anywhere in the fold's plan;
+      * correctness under growth: the converged matrix equals the
+        batch face on the union corpus, and pair_counts' row count is
+        the SUM of per-batch novel-bigram counts (disjoint vocabs:
+        nothing merged, nothing rescanned-and-duplicated)."""
+    from process_nwb_spark.plans.inspect import count_scans, formatted_plan
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.relational.llm_ops import (
+        crossentropy_matrix_fold)
+    from process_nwb_spark.streaming.ops import lm_model_sink
+
+    # 4 batches, 2 sources, batch k's tokens all carry a k-prefix so
+    # every batch's bigram vocabulary is disjoint from every other's
+    batches, all_rows = [], []
+    for k in range(4):
+        rows = []
+        for d in range(6):
+            toks = [f"b{k}w{(d * 7 + j) % 11}" for j in range(12)]
+            rows.append((k * 100 + d, f"s{d % 2}", " ".join(toks)))
+        all_rows.extend(rows)
+        batches.append(spark.createDataFrame(
+            rows, "doc_id long, source string, text string"))
+    out = str(tmp_path / "out_lm_growth")
+    sink = lm_model_sink(out)
+    per_batch_vocab = []
+    for k, b in enumerate(batches):
+        sink(b, k)
+        per_batch_vocab.append(
+            spark.read.parquet(out + "/pair_counts")
+            .filter(F.col("batch_id") == k).count())
+
+    # pair_counts grew by each batch's NOVEL vocabulary (disjoint by
+    # construction → total rows = sum of per-batch distinct bigrams)
+    total = spark.read.parquet(out + "/pair_counts").count()
+    assert total == sum(per_batch_vocab) and total > 0
+
+    # (1) the model re-sum — the ONLY history reader — scans
+    # pair_counts exactly once, whatever the batch_id partition count
+    raw = spark.read.parquet(out + "/pair_counts")
+    resum = (raw.groupBy("source", "w1", "w2")
+             .agg(F.sum("c2").cast("bigint").alias("c2")))
+    assert count_scans(resum, "parquet") == 1, formatted_plan(resum)
+
+    # (2) the refold reads the re-summed MODEL only: pair_counts (and
+    # its batch_id partition axis) never enter the fold's plan
+    fold = crossentropy_matrix_fold(spark.read.parquet(out + "/model"))
+    fold_plan = formatted_plan(fold)
+    assert "pair_counts" not in fold_plan, fold_plan
+    assert "batch_id" not in fold_plan, fold_plan
+
+    # (3) converged matrix == batch face on the union corpus
+    union = spark.createDataFrame(
+        all_rows, "doc_id long, source string, text string")
+    d = str(tmp_path / "union_corpus")
+    union.write.parquet(f"{d}/documents.parquet")
+    want = (all_queries()["corpus_crossentropy_matrix"].fn(spark, d)
+            .toPandas().sort_values(["source_eval", "source_model"])
+            .reset_index(drop=True))
+    got = (spark.read.parquet(out + "/matrix").toPandas()
+           .sort_values(["source_eval", "source_model"])
+           .reset_index(drop=True))
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)]), (
+        got, want)
