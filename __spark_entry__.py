@@ -52,6 +52,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # cumulative driver coverage is 328/328 of the 328-face registry, 0 red
 # (CORRECTNESS_r{01..13}.json) — builder-claimed and driver-proven coincide
 # for the fifth consecutive round. The r14 window:
+# (a0) the FOUR faces ADDED in r14 (registry now 332, never
+# driver-sampled): margin-based bitext mining (IVF-cell-bounded ratio
+# margin), IVF cell-balance index health, per-source OOV rate against
+# a top-N vocabulary proxy, per-rule ablation of the Gopher gate.
 # (a) faces whose implementation the r14 diff TOUCHED — the two LM
 # faces that dropped their forced vocabulary-sized broadcast hints
 # (the r13 verdict's one scale defect: a 100 TB corpus's distinct-
@@ -68,6 +72,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact gate in BOTH default and ANSI modes plus the shuffle-partition
 # hash-stability probe (ORACLE_{LOCAL,ANSI}_r14, HASHSTAB_r14).
 DRIVER_PRIORITY = (
+    # ---- (a0) faces ADDED in r14 (registry 332, never driver-sampled) --
+    "embed_margin_bitext",  # ADDED r14: margin-based bitext mining
+    #   (Artetxe & Schwenk ratio margin, IVF-cell-bounded candidates)
+    "embed_cell_balance",  # ADDED r14: IVF per-cell occupancy /
+    #   scaled-load index-health report
+    "tokenizer_oov_rate",  # ADDED r14: per-source OOV rate against the
+    #   global top-N vocabulary proxy
+    "quality_rule_ablation",  # ADDED r14: per-rule n_fail + sole-fail
+    #   attribution of the Gopher gate
     # ---- (a) faces implementation-TOUCHED in r14 ----
     "corpus_crossentropy_matrix",  # r14: dropped F.broadcast(pm)/(hm)
     #   — model joins size-adaptive; output hash-identical

@@ -302,10 +302,11 @@ def _ivf_lists(spark, sf_dir):
     return e, cents, lists
 
 
-@query(
-    "embed_ivf_topk",
-    f"""
-    WITH cents AS (
+# the IVF train/assign CTE chain (cents -> assigned -> lists), shared by
+# every oracle that consumes the cell layout (embed_ivf_topk,
+# embed_cell_balance, embed_margin_bitext) so none of them can drift
+# from the assignment rule the Spark side (_ivf_lists) implements
+_IVF_LISTS_CTE = f"""cents AS (
       SELECT label AS cid, LIST(cx ORDER BY dim) AS cvec
       FROM (SELECT label, dim, AVG(CAST(x AS DOUBLE)) AS cx
             FROM (SELECT label, UNNEST(RANGE(1, LEN(embedding) + 1)) AS dim,
@@ -320,7 +321,13 @@ def _ivf_lists(spark, sf_dir):
                         cid) AS rnk
       FROM embeddings CROSS JOIN cents
     ),
-    lists AS (SELECT vec_id, label, embedding, cid FROM assigned WHERE rnk = 1),
+    lists AS (SELECT vec_id, label, embedding, cid FROM assigned WHERE rnk = 1)"""
+
+
+@query(
+    "embed_ivf_topk",
+    f"""
+    WITH {_IVF_LISTS_CTE},
     q AS (SELECT cid AS qcid, embedding AS qv FROM lists WHERE vec_id = 0)
     SELECT l.vec_id, l.label,
            ROUND({_cos_sql('l.embedding', 'q.qv')}, 6) AS cosine
@@ -1137,3 +1144,206 @@ def embed_dim_variance(spark, sf_dir):
                              / (nd * F.lit(1e9)), 6).alias("mean_val"),
                      F.round(var, 6).alias("var_val"))
             .orderBy("dim"))
+
+
+# --------------------------------------------------------------------------
+# r14: IVF index health + margin-based bitext mining
+# --------------------------------------------------------------------------
+def _cos_guarded_sql(a: str, b: str) -> str:
+    """_cos_sql with the zero-norm guard (NULLIF on the norm product):
+    a zero vector yields NULL on BOTH engines instead of IEEE inf in
+    DuckDB vs ANSI-divide-error in Spark (same discipline llm_ops'
+    matryoshka oracle adopted in r13)."""
+    return (f"(LIST_SUM(LIST_TRANSFORM(RANGE(1, {_DIM} + 1), i -> "
+            f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
+            f"/ NULLIF("
+            f"SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> CAST(x AS DOUBLE) * x)))"
+            f" * "
+            f"SQRT(LIST_SUM(LIST_TRANSFORM({b}, x -> CAST(x AS DOUBLE) * x)))"
+            f", 0))")
+
+
+def _cosine_guarded_spark(a_col: str, b_col: str):
+    """Zero-norm-guarded cosine: NULL when either norm is zero (ANSI-safe
+    — the division never executes on a zero denominator)."""
+    den = _norm_spark(a_col) * _norm_spark(b_col)
+    return F.when(den != 0, _dot_spark(a_col, b_col) / den)
+
+
+@query(
+    "embed_cell_balance",
+    f"""
+    WITH {_IVF_LISTS_CTE},
+    c AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+          FROM lists GROUP BY cid),
+    t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS k FROM c)
+    SELECT c.cid, c.n_vecs,
+           ROUND(CAST(c.n_vecs AS DOUBLE) / t.total, 6) AS share,
+           ROUND(CAST(c.n_vecs * t.k AS DOUBLE) / t.total, 4)
+             AS scaled_load
+    FROM c CROSS JOIN t
+    """,
+    doc="IVF index-health report: per-cell occupancy after nearest-"
+        "centroid assignment — n_vecs, corpus share, and scaled_load = "
+        "n_vecs * k / total (1.0 = perfectly balanced; the per-cell "
+        "view of FAISS's imbalance factor). The operational knob behind "
+        "every IVF probe-cost promise: a cell with scaled_load 5 makes "
+        "nprobe=1 touch 5x the advertised 1/k of the corpus, so index "
+        "builders watch this table before trusting recall/latency "
+        "curves (embed_ivf_topk, embed_ivf_probe2, ann_recall_at_k). "
+        "Determinism: counts are integers; share and scaled_load are "
+        "one guarded integer division each, ROUNDed. Scale: assignment "
+        "is the broadcast-centroids argmin pass every IVF face shares "
+        "(_ivf_lists, persisted once); the rollup is a map-side-"
+        "combined hash-agg to k rows and the totals attach as a 1-row "
+        "broadcast — nothing here grows faster than the corpus scan",
+)
+def embed_cell_balance(spark, sf_dir):
+    _, _, lists = _ivf_lists(spark, sf_dir)
+    c = lists.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vecs"))
+    t = c.agg(F.sum("n_vecs").cast("bigint").alias("total"),
+              F.count("*").cast("bigint").alias("k"))
+    return (c.crossJoin(F.broadcast(t))
+            .select("cid", "n_vecs",
+                    F.round(F.col("n_vecs").cast("double")
+                            / F.col("total"), 6).alias("share"),
+                    F.round((F.col("n_vecs") * F.col("k")).cast("double")
+                            / F.col("total"), 4).alias("scaled_load")))
+
+
+_MARGIN_TOPK = 4       # neighborhood size for the margin denominator
+_MARGIN_ACCEPT = 1.05  # ratio-margin acceptance threshold
+
+
+@query(
+    "embed_margin_bitext",
+    f"""
+    WITH {_IVF_LISTS_CTE},
+    x AS (SELECT cid, vec_id AS xid, embedding AS xv FROM lists
+          WHERE vec_id % 2 = 0),
+    y AS (SELECT cid, vec_id AS yid, embedding AS yv FROM lists
+          WHERE vec_id % 2 = 1),
+    pairs AS (
+      SELECT x.xid, y.yid,
+             CAST(ROUND({_cos_guarded_sql('x.xv', 'y.yv')} * 1000000)
+                  AS BIGINT) AS cos_micro
+      FROM x JOIN y ON x.cid = y.cid
+    ),
+    p AS (SELECT * FROM pairs WHERE cos_micro IS NOT NULL),
+    pf AS (SELECT xid, yid, cos_micro,
+                  ROW_NUMBER() OVER (PARTITION BY xid
+                                     ORDER BY cos_micro DESC, yid) AS rn
+           FROM p),
+    fwd AS (SELECT xid, CAST(SUM(cos_micro) AS BIGINT) AS sx,
+                   CAST(COUNT(*) AS BIGINT) AS cx
+            FROM pf WHERE rn <= {_MARGIN_TOPK} GROUP BY xid),
+    pb AS (SELECT xid, yid, cos_micro,
+                  ROW_NUMBER() OVER (PARTITION BY yid
+                                     ORDER BY cos_micro DESC, xid) AS rn
+           FROM p),
+    bwd AS (SELECT yid, CAST(SUM(cos_micro) AS BIGINT) AS sy,
+                   CAST(COUNT(*) AS BIGINT) AS cy
+            FROM pb WHERE rn <= {_MARGIN_TOPK} GROUP BY yid),
+    m AS (
+      SELECT p.xid, p.yid, p.cos_micro,
+             ROUND(CAST(p.cos_micro * 2 * f.cx * b.cy AS DOUBLE)
+                   / NULLIF(f.sx * b.cy + b.sy * f.cx, 0), 6) AS margin
+      FROM p JOIN fwd f ON p.xid = f.xid
+             JOIN bwd b ON p.yid = b.yid
+    ),
+    best AS (
+      SELECT xid, yid, cos_micro, margin,
+             ROW_NUMBER() OVER (PARTITION BY xid
+                                ORDER BY margin DESC, yid) AS rn
+      FROM m WHERE margin IS NOT NULL
+    )
+    SELECT xid AS qid, yid AS match_id, cos_micro, margin,
+           CAST(margin >= {_MARGIN_ACCEPT} AS INT) AS accepted
+    FROM best WHERE rn = 1
+    """,
+    doc="margin-based candidate mining (Artetxe & Schwenk 2019, "
+        "'Margin-based Parallel Corpus Mining with Multilingual "
+        "Sentence Embeddings' — the LASER/CCMatrix bitext shape): "
+        "split the corpus into two sides (even/odd vec_id standing in "
+        "for the two languages), and for every x-side vector score "
+        "each candidate y by RATIO margin = cos(x,y) / ((rx + ry)/2), "
+        "where rx/ry are the mean top-4 cosines of each endpoint's own "
+        "neighborhood — the normalization that suppresses hubness "
+        "(vectors globally close to everything) that raw-cosine "
+        "thresholds can't. Output: each x's best candidate with its "
+        "margin and the accept bit (margin >= 1.05). Candidates are "
+        "CELL-BOUNDED: pairs form only inside a shared IVF cell "
+        "(the same coarse quantizer every IVF face shares), exactly "
+        "how production mining replaces the quadratic all-pairs frame "
+        "with ANN candidates. Determinism: cosines are index-ordered "
+        "folds rounded to integer MICRO-cosines, so the top-4 sums "
+        "are exact integers, the margin is ONE division of exact "
+        "integer products ROUNDed to 6, and every rank/argmax breaks "
+        "ties on the id. Scale: per-cell pair frames with "
+        "vec-id-partitioned top-k windows (WindowGroupLimit prunes "
+        "map-side), neighborhood tables join back size-adaptively "
+        "(no broadcast hint — they grow with the x/y side counts). "
+        "Candidate volume is governed by the quantizer's k: "
+        "production mining scales k ~ sqrt(N) so per-cell frames stay "
+        "bounded; this fixture's k is pinned at the 10 labels, so the "
+        "face is NOT in the sf1 growth block — at fixed k the pair "
+        "frame grows quadratically, a property of the coarse "
+        "quantizer, not of the margin fold",
+)
+def embed_margin_bitext(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from .core import fresh_persist
+
+    _, _, lists = _ivf_lists(spark, sf_dir)
+    x = (lists.filter(F.col("vec_id") % 2 == 0)
+         .select("cid", F.col("vec_id").alias("xid"),
+                 F.col("embedding").alias("xv")))
+    y = (lists.filter(F.col("vec_id") % 2 == 1)
+         .select("cid", F.col("vec_id").alias("yid"),
+                 F.col("embedding").alias("yv")))
+    micro = (F.round(_cosine_guarded_spark("xv", "yv") * 1000000, 0)
+             .cast("bigint"))
+    # the pair frame feeds three consumers (fwd ranks, bwd ranks, the
+    # margin join) — persist once, same single-slot discipline as
+    # _ivf_lists' cents/lists
+    pairs = fresh_persist(
+        "margin_pairs",
+        x.join(y, "cid")
+        .select("xid", "yid", micro.alias("cos_micro"))
+        .filter(F.col("cos_micro").isNotNull()))
+    wf = Window.partitionBy("xid").orderBy(F.desc("cos_micro"),
+                                           F.asc("yid"))
+    fwd = (pairs.withColumn("rn", F.row_number().over(wf))
+           .filter(F.col("rn") <= _MARGIN_TOPK)
+           .groupBy("xid")
+           .agg(F.sum("cos_micro").cast("bigint").alias("sx"),
+                F.count("*").cast("bigint").alias("cx")))
+    wb = Window.partitionBy("yid").orderBy(F.desc("cos_micro"),
+                                           F.asc("xid"))
+    bwd = (pairs.withColumn("rn", F.row_number().over(wb))
+           .filter(F.col("rn") <= _MARGIN_TOPK)
+           .groupBy("yid")
+           .agg(F.sum("cos_micro").cast("bigint").alias("sy"),
+                F.count("*").cast("bigint").alias("cy")))
+    den = (F.col("sx") * F.col("cy") + F.col("sy") * F.col("cx"))
+    m = (pairs.join(fwd, "xid").join(bwd, "yid")
+         .select("xid", "yid", "cos_micro",
+                 F.round(F.when(
+                     den != 0,
+                     (F.col("cos_micro") * 2 * F.col("cx") * F.col("cy"))
+                     .cast("double") / den), 6).alias("margin")))
+    return (m.filter(F.col("margin").isNotNull())
+            .groupBy("xid")
+            .agg(F.max(F.struct(
+                F.col("margin").alias("margin"),
+                (-F.col("yid")).alias("nyid"),
+                F.col("cos_micro").alias("cos_micro"))).alias("_b"))
+            .select(F.col("xid").alias("qid"),
+                    (-F.col("_b.nyid")).cast("bigint").alias("match_id"),
+                    F.col("_b.cos_micro").alias("cos_micro"),
+                    F.col("_b.margin").alias("margin"),
+                    (F.col("_b.margin") >= _MARGIN_ACCEPT)
+                    .cast("int").alias("accepted")))

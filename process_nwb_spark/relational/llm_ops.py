@@ -4290,3 +4290,172 @@ def embed_matryoshka_budget(spark, sf_dir,
          .select(F.col("vec_id").alias("qid"),
                  F.col("embedding").alias("qv")))
     return _matryoshka_agreement(e, q)
+
+
+# --------------------------------------------------------------------------
+# r14: tokenizer-vocabulary coverage + quality-rule ablation
+# --------------------------------------------------------------------------
+_OOV_VOCAB_TOPN = 16   # tokenizer-vocabulary proxy: top-N corpus words
+
+
+@query(
+    "tokenizer_oov_rate",
+    f"""
+    WITH tok AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS n FROM tok GROUP BY w
+        ORDER BY n DESC, w ASC LIMIT {_OOV_VOCAB_TOPN}) v
+    ),
+    j AS (
+      SELECT t.source, t.w,
+             CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(COUNT(DISTINCT CASE WHEN oov = 1 THEN w END) AS BIGINT)
+             AS n_oov_types,
+           ROUND(CAST(SUM(oov) AS DOUBLE) / GREATEST(COUNT(*), 1), 6)
+             AS oov_rate
+    FROM j GROUP BY source
+    """,
+    doc="tokenizer-vocabulary coverage per source: fix the vocabulary "
+        "to the global top-N words (the trained-tokenizer proxy, ties "
+        "broken lexicographically) and report each source's "
+        "out-of-vocabulary token rate and distinct OOV type count — "
+        "the fit metric a tokenizer owner checks before committing a "
+        "vocab to a new corpus mix (a source with high OOV rate "
+        "fragments into bytes/unknowns and trains poorly; the "
+        "per-source view says WHICH domain the vocabulary is failing). "
+        "Sibling of tokenizer_fertility (tokens-per-word cost) and "
+        "vocab_growth_curve (vocabulary saturation): fertility says "
+        "how expensive encoding is, this says who falls off the vocab. "
+        "Determinism: all counts integers, the rate is one guarded "
+        "division ROUNDed; the top-N boundary ties on (count DESC, "
+        "word ASC) in both engines. Scale: the vocab build is one "
+        "map-side-combined word count + TakeOrdered top-N (never a "
+        "global sort); the vocab table is FIXED-SIZE by construction "
+        "(N rows) so its broadcast is size-safe — unlike a "
+        "data-derived model table — and the coverage pass is one "
+        "scan + one per-source hash-agg",
+)
+def tokenizer_oov_rate(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    tok = d.select("source", F.explode(_words()).alias("w"))
+    vocab = (tok.groupBy("w").agg(F.count("*").alias("n"))
+             .orderBy(F.desc("n"), F.asc("w")).limit(_OOV_VOCAB_TOPN)
+             .select("w", F.lit(1).alias("in_vocab")))
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (tok.join(F.broadcast(vocab), "w", "left")
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                 F.sum(oov).cast("bigint").alias("n_oov"),
+                 F.countDistinct(
+                     F.when(F.col("in_vocab").isNull(), F.col("w")))
+                 .cast("bigint").alias("n_oov_types"))
+            .select("source", "n_tokens", "n_oov", "n_oov_types",
+                    F.round(F.col("n_oov").cast("double")
+                            / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+                    .alias("oov_rate")))
+
+
+@query(
+    "quality_rule_ablation",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws,
+             CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\\w\\s]')) AS BIGINT)
+               AS n_sym,
+             CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+                  '\\b(the|a|an|and|or|of|to|in)\\b')) AS BIGINT)
+               AS n_stop,
+             CAST(LEN(LIST_DISTINCT(string_split(text, ' '))) AS BIGINT)
+               AS n_dist
+      FROM documents
+    ),
+    r AS (
+      SELECT CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r1,
+             CAST(ROUND(CAST(LIST_SUM(LIST_TRANSFORM(ws,
+                    x -> LENGTH(x))) AS DOUBLE)
+                    / GREATEST(n_words, 1), 4)
+                  BETWEEN 3.0 AND 10.0 AS INT) AS r2,
+             CAST(ROUND(CAST(n_sym AS DOUBLE) / GREATEST(n_words, 1), 4)
+                  <= 0.1 AS INT) AS r3,
+             CAST(n_stop >= 2 AS INT) AS r4,
+             CAST(ROUND(1.0 - CAST(n_dist AS DOUBLE)
+                        / GREATEST(n_words, 1), 4) <= 0.6 AS INT) AS r5
+      FROM w
+    ),
+    f AS (SELECT r1, r2, r3, r4, r5,
+                 5 - (r1 + r2 + r3 + r4 + r5) AS nf FROM r),
+    u AS (
+      SELECT 'r_word_count' AS rule, (1 - r1) AS fail,
+             CASE WHEN r1 = 0 AND nf = 1 THEN 1 ELSE 0 END AS sole
+      FROM f
+      UNION ALL
+      SELECT 'r_mean_word_len', (1 - r2),
+             CASE WHEN r2 = 0 AND nf = 1 THEN 1 ELSE 0 END FROM f
+      UNION ALL
+      SELECT 'r_symbol_ratio', (1 - r3),
+             CASE WHEN r3 = 0 AND nf = 1 THEN 1 ELSE 0 END FROM f
+      UNION ALL
+      SELECT 'r_stopwords', (1 - r4),
+             CASE WHEN r4 = 0 AND nf = 1 THEN 1 ELSE 0 END FROM f
+      UNION ALL
+      SELECT 'r_dup_words', (1 - r5),
+             CASE WHEN r5 = 0 AND nf = 1 THEN 1 ELSE 0 END FROM f
+    )
+    SELECT rule,
+           CAST(SUM(fail) AS BIGINT) AS n_fail,
+           CAST(SUM(sole) AS BIGINT) AS n_sole_fail,
+           ROUND(CAST(SUM(fail) AS DOUBLE)
+                 / GREATEST(COUNT(*), 1), 6) AS fail_share,
+           ROUND(CAST(SUM(sole) AS DOUBLE)
+                 / GREATEST(COUNT(*), 1), 6) AS sole_share
+    FROM u GROUP BY rule
+    """,
+    doc="per-rule ablation of the Gopher quality gate: for each of the "
+        "five rules, how many docs fail it (n_fail) and how many fail "
+        "ONLY it (n_sole_fail — exactly the docs the corpus gets back "
+        "if that one rule is dropped). quality_rule_stats reports the "
+        "marginal failure counts; this face adds the ATTRIBUTION a "
+        "gate owner tunes with: a rule with large n_fail but near-zero "
+        "n_sole_fail is redundant (its rejections are co-flagged), "
+        "while a large n_sole_fail rule is the binding constraint and "
+        "deserves threshold scrutiny before it deletes data "
+        "single-handedly. Rule construction shared verbatim with the "
+        "gate (with_gopher_metrics), so the ablation can never drift "
+        "from what the gate enforces. Determinism: flags and counts "
+        "are integers; shares are guarded divisions ROUNDed. Scale: "
+        "one zero-exchange scan computes the per-doc flags, a 5-way "
+        "in-row explode (narrow) stacks (rule, fail, sole), and ONE "
+        "map-side-combined hash-agg lands on 5 rows",
+)
+def quality_rule_ablation(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    flags = with_gopher_metrics(d.select("doc_id", "text"))
+    tot = sum((F.col(a) for a in GOPHER_RULES[1:]),
+              F.col(GOPHER_RULES[0]))
+    stacked = (flags
+               .withColumn("nf", (F.lit(5) - tot).cast("int"))
+               .select(F.explode(F.array(*[
+                   F.struct(F.lit(r).alias("rule"),
+                            (1 - F.col(r)).alias("fail"),
+                            F.when((F.col(r) == 0) & (F.col("nf") == 1), 1)
+                            .otherwise(0).alias("sole"))
+                   for r in GOPHER_RULES])).alias("p"))
+               .select("p.rule", "p.fail", "p.sole"))
+    return (stacked.groupBy("rule")
+            .agg(F.sum("fail").cast("bigint").alias("n_fail"),
+                 F.sum("sole").cast("bigint").alias("n_sole_fail"),
+                 F.round(F.sum("fail").cast("double")
+                         / F.greatest(F.count("*"), F.lit(1)), 6)
+                 .alias("fail_share"),
+                 F.round(F.sum("sole").cast("double")
+                         / F.greatest(F.count("*"), F.lit(1)), 6)
+                 .alias("sole_share")))

@@ -43,7 +43,9 @@ def test_r14_window_is_staleness_ordered():
     of the r7 cohort). The cohort sets derive from
     CORRECTNESS_r{01..13}.json (the per-face last-sampled-round
     fold)."""
-    touched_r14 = ["corpus_crossentropy_matrix", "mix_perplexity_buckets",
+    touched_r14 = ["embed_margin_bitext", "embed_cell_balance",
+                   "tokenizer_oov_rate", "quality_rule_ablation",
+                   "corpus_crossentropy_matrix", "mix_perplexity_buckets",
                    "mix_source_caps"]
     r7_remaining = {
         "important_part_value", "line_priority_counts",
@@ -67,4 +69,4 @@ def test_r14_window_is_staleness_ordered():
     assert head[:len(touched_r14)] == touched_r14
     assert r7_remaining == set(head[len(touched_r14):
                                     len(touched_r14) + len(r7_remaining)])
-    assert len(head) == 3 + 41  # touched + the stale r7 cohort
+    assert len(head) == 4 + 3 + 41  # added + touched + stale r7 cohort
