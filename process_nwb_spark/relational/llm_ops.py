@@ -4336,27 +4336,53 @@ _OOV_VOCAB_TOPN = 16   # tokenizer-vocabulary proxy: top-N corpus words
         "how expensive encoding is, this says who falls off the vocab. "
         "Determinism: all counts integers, the rate is one guarded "
         "division ROUNDed; the top-N boundary ties on (count DESC, "
-        "word ASC) in both engines. Scale: the vocab build is one "
-        "map-side-combined word count + TakeOrdered top-N (never a "
-        "global sort); the vocab table is FIXED-SIZE by construction "
-        "(N rows) so its broadcast is size-safe — unlike a "
-        "data-derived model table — and the coverage pass is one "
-        "scan + one per-source hash-agg",
+        "word ASC) in both engines. Scale: ONE scan collapses the "
+        "token stream to the additive (source, word) count table "
+        "(source_word_counts — the table the streaming twin "
+        "oov_rate_sink maintains); the vocab is a TakeOrdered top-N "
+        "over its word rollup (never a global sort) and is FIXED-SIZE "
+        "by construction (N rows), so its broadcast is size-safe — "
+        "unlike a data-derived model table — and the scoring join + "
+        "per-source fold run on |sources| x |vocabulary| count rows, "
+        "never the token stream (oov_rate_fold)",
 )
 def tokenizer_oov_rate(spark, sf_dir):
-    d = spread(T(spark, sf_dir, "documents"))
-    tok = d.select("source", F.explode(_words()).alias("w"))
-    vocab = (tok.groupBy("w").agg(F.count("*").alias("n"))
+    return oov_rate_fold(
+        source_word_counts(spread(T(spark, sf_dir, "documents"))))
+
+
+def source_word_counts(docs):
+    """Shared builder: the per-source word-count table (source, w, c)
+    — the sufficient statistic for the whole OOV report (the vocabulary
+    AND every per-source rate derive from it), and ADDITIVE across
+    document batches, so the streaming twin (streaming/ops.
+    oov_rate_sink) maintains THIS table. One explode + one
+    map-side-combined hash-agg on (source, word)."""
+    return (docs.select("source", F.explode(_words()).alias("w"))
+            .groupBy("source", "w")
+            .agg(F.count("*").cast("bigint").alias("c")))
+
+
+def oov_rate_fold(swc):
+    """The OOV report from the count table alone: the top-N vocabulary
+    is re-derived from the summed counts (the vocabulary itself is NOT
+    additive — a word can enter or leave the top-N as batches arrive —
+    but the counts it is computed from are), then every per-source
+    number folds from the same table: n_tokens = SUM(c), n_oov = SUM(c)
+    over non-vocab words, n_oov_types = COUNT of non-vocab (source, w)
+    rows (already distinct by construction). The scoring join touches
+    |sources| x |vocabulary| count rows — never the token stream."""
+    vocab = (swc.groupBy("w").agg(F.sum("c").alias("n"))
              .orderBy(F.desc("n"), F.asc("w")).limit(_OOV_VOCAB_TOPN)
              .select("w", F.lit(1).alias("in_vocab")))
-    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
-    return (tok.join(F.broadcast(vocab), "w", "left")
+    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")) \
+        .otherwise(F.lit(0))
+    oov_t = F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+    return (swc.join(F.broadcast(vocab), "w", "left")
             .groupBy("source")
-            .agg(F.count("*").cast("bigint").alias("n_tokens"),
-                 F.sum(oov).cast("bigint").alias("n_oov"),
-                 F.countDistinct(
-                     F.when(F.col("in_vocab").isNull(), F.col("w")))
-                 .cast("bigint").alias("n_oov_types"))
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.sum(oov_c).cast("bigint").alias("n_oov"),
+                 F.sum(oov_t).cast("bigint").alias("n_oov_types"))
             .select("source", "n_tokens", "n_oov", "n_oov_types",
                     F.round(F.col("n_oov").cast("double")
                             / F.greatest(F.col("n_tokens"), F.lit(1)), 6)

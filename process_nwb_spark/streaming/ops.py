@@ -1846,3 +1846,64 @@ def lm_model_sink(out_dir: str):
         matrix.write.mode("overwrite").parquet(matrix_dir)
 
     return write_batch
+
+
+def oov_rate_sink(out_dir: str):
+    """foreachBatch INCREMENTAL OOV-RATE MAINTENANCE — the streaming
+    twin of relational/llm_ops.tokenizer_oov_rate: keep the per-source
+    out-of-vocabulary report live as document micro-batches arrive,
+    without rescanning history. Same design as lm_model_sink, same
+    additivity argument one level down: the (source, word) count table
+    is integer sums (source_word_counts), and the batch face's ENTIRE
+    output — including the top-N vocabulary, which is NOT itself
+    additive (a word can enter or leave the top-N as batches arrive) —
+    derives from that one table through oov_rate_fold. So maintaining
+    the counts maintains the report:
+
+      1. each batch reduces to its own count table (one scan of the
+         batch — the only fact-sized work), materialized ONCE (eager
+         localCheckpoint) so the empty-batch probe does not recompute
+         it; an empty batch is the additive identity and is skipped;
+      2. batch counts append to `<out_dir>/word_counts` PARTITIONED BY
+         batch_id with dynamic overwrite (a retried batch replaces its
+         own partition; integer sums commute);
+      3. the counts re-sum to `<out_dir>/counts` (vocabulary-sized per
+         source) and the report re-folds through oov_rate_fold to
+         `<out_dir>/oov` (|sources| rows).
+
+    Sharing source_word_counts -> oov_rate_fold verbatim makes the
+    report after any prefix of batches equal to tokenizer_oov_rate on
+    the documents streamed so far (random-cut + retry soak in
+    test_stream_soak.py). At 100 TB: word_counts grows with each
+    batch's NOVEL vocabulary, not its token count; the per-batch refold
+    cost is vocabulary-sized (the fold reads the re-summed counts, not
+    the batch_id-partitioned history — same plan contract the lm sink
+    pins)."""
+    from process_nwb_spark.relational.llm_ops import (
+        oov_rate_fold, source_word_counts)
+
+    wc_dir = out_dir.rstrip("/") + "/word_counts"
+    counts_dir = out_dir.rstrip("/") + "/counts"
+    oov_dir = out_dir.rstrip("/") + "/oov"
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        cnt = (source_word_counts(batch_df)
+               .withColumn("batch_id", F.lit(int(batch_id)))
+               .localCheckpoint())
+        if cnt.isEmpty():
+            return
+        (cnt.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(wc_dir))
+        raw = _read_if_exists(sp, wc_dir)
+        if raw is None:
+            return
+        summed = (raw.groupBy("source", "w")
+                  .agg(F.sum("c").cast("bigint").alias("c"))
+                  .localCheckpoint())
+        summed.write.mode("overwrite").parquet(counts_dir)
+        oov = oov_rate_fold(sp.read.parquet(counts_dir)).localCheckpoint()
+        oov.write.mode("overwrite").parquet(oov_dir)
+
+    return write_batch

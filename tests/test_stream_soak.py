@@ -692,3 +692,95 @@ def test_lm_model_sink_growing_vocabulary(spark, tmp_path):
            .reset_index(drop=True))
     assert got[sorted(got.columns)].equals(want[sorted(want.columns)]), (
         got, want)
+
+
+def test_oov_rate_sink_soak_random_cuts(spark, tmp_path):
+    """Randomized-cut soak for oov_rate_sink: seeded random cut points,
+    shuffled application order, one immediate and one DELAYED verbatim
+    retry — the converged OOV report must equal tokenizer_oov_rate
+    every time. The pin covers the non-additive part explicitly: the
+    top-N vocabulary is re-derived from the summed counts each batch,
+    so a word that entered the top-N only after later batches arrived
+    still yields the batch face's exact report."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import oov_rate_sink
+
+    rng = np.random.default_rng(SEED + 8)
+    docs = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .select("doc_id", "source", "text").localCheckpoint())
+    ids = [r.doc_id for r in
+           docs.select("doc_id").orderBy("doc_id").collect()]
+    want = (all_queries()["tokenizer_oov_rate"]
+            .fn(spark, SF_CORRECT).toPandas())
+    cols = sorted(want.columns)
+    for rnd in range(2):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, ids, n_segs)
+        segs = _segments(docs, "doc_id", cuts)
+        out = str(tmp_path / f"out_oov_{rnd}")
+        sink = oov_rate_sink(out)
+        order = rng.permutation(len(segs))
+        retry_at = int(rng.integers(0, len(segs)))
+        for step, i in enumerate(order):
+            sink(segs[int(i)], int(i))
+            if step == retry_at:
+                sink(segs[int(i)], int(i))   # immediate verbatim retry
+        delayed = int(rng.integers(0, len(segs)))
+        sink(segs[delayed], delayed)         # delayed verbatim retry
+        got = spark.read.parquet(out + "/oov").toPandas()
+        _eq(got, want, cols, ["source"],
+            ("oov", rnd, cuts, list(order), retry_at, delayed))
+        # the maintained counts equal the batch builder's exactly
+        from process_nwb_spark.relational.llm_ops import source_word_counts
+        gm = (spark.read.parquet(out + "/counts").toPandas()
+              .sort_values(["source", "w"]).reset_index(drop=True))
+        wm = (source_word_counts(docs).toPandas()
+              .sort_values(["source", "w"]).reset_index(drop=True))
+        assert gm.equals(wm), ("oov counts diverged", rnd)
+
+
+def test_oov_rate_sink_vocab_shift_and_empty_batch(spark, tmp_path):
+    """The vocabulary-shift case stated as data: batch 0's corpus makes
+    'aaa' the top word; batch 1 floods 'zzz' so the converged top-1
+    vocab is {zzz} and batch-0 tokens become RETROACTIVELY oov — the
+    refold must report against the final vocabulary, not the one each
+    batch saw (plus leading/trailing empty batches = the additive
+    identity). Verified against the batch face on the union corpus,
+    with the vocab size monkeypatched to 1 so the shift is forced."""
+    import process_nwb_spark.relational.llm_ops as llm
+    from process_nwb_spark.streaming.ops import oov_rate_sink
+
+    old = llm._OOV_VOCAB_TOPN
+    llm._OOV_VOCAB_TOPN = 1
+    try:
+        b0 = spark.createDataFrame(
+            [(0, "s0", "aaa aaa aaa bbb")],
+            "doc_id long, source string, text string")
+        b1 = spark.createDataFrame(
+            [(1, "s1", "zzz zzz zzz zzz zzz bbb")],
+            "doc_id long, source string, text string")
+        empty = b0.filter(F.lit(False))
+        out = str(tmp_path / "out_oov_shift")
+        sink = oov_rate_sink(out)
+        sink(empty, 0)
+        sink(b0, 1)
+        sink(b1, 2)
+        sink(empty, 3)
+        got = (spark.read.parquet(out + "/oov").toPandas()
+               .set_index("source").sort_index())
+        # converged vocab = {zzz} (5 > 3): ALL of batch 0 is now oov
+        assert got.loc["s0"].n_oov == 4 and got.loc["s0"].n_tokens == 4
+        assert got.loc["s0"].n_oov_types == 2          # aaa, bbb
+        assert got.loc["s1"].n_oov == 1                # bbb only
+        assert got.loc["s1"].n_oov_types == 1
+        # equals the batch face on the union corpus
+        d = str(tmp_path / "union_oov")
+        b0.unionByName(b1).write.parquet(f"{d}/documents.parquet")
+        from process_nwb_spark.relational.llm_ops import (
+            oov_rate_fold, source_word_counts)
+        want = (oov_rate_fold(source_word_counts(
+            spark.read.parquet(f"{d}/documents.parquet")))
+            .toPandas().set_index("source").sort_index())
+        assert got.equals(want), (got, want)
+    finally:
+        llm._OOV_VOCAB_TOPN = old
