@@ -190,6 +190,14 @@ SF1_SUBSET = [
     # everything after metadata-sized (ratio should sit near the
     # scan-cost line, ~1x at these SFs)
     "text_unigram_entropy", "mix_source_caps",
+    # r14 new faces with linear-growth claims: OOV folds on the
+    # (source, word) count table (scoring never touches the token
+    # stream), rule ablation is a zero-join scan into a 5-row agg,
+    # cell balance is the shared broadcast-centroid assignment + a
+    # k-row rollup. embed_margin_bitext is deliberately NOT here: its
+    # candidate volume is the quantizer's k, pinned at 10 labels in
+    # this fixture (docstring states the fixed-k quadratic honestly)
+    "tokenizer_oov_rate", "quality_rule_ablation", "embed_cell_balance",
     # r10: the eager-checkpoint faces, measured WHOLE-CALLABLE (below)
     "graph_wcc_star", "graph_kcore_peel", "split_leakage_safe",
 ]
