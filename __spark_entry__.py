@@ -52,10 +52,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # cumulative driver coverage is 328/328 of the 328-face registry, 0 red
 # (CORRECTNESS_r{01..13}.json) — builder-claimed and driver-proven coincide
 # for the fifth consecutive round. The r14 window:
-# (a0) the FOUR faces ADDED in r14 (registry now 332, never
+# (a0) the SIX faces ADDED in r14 (registry now 334, never
 # driver-sampled): margin-based bitext mining (IVF-cell-bounded ratio
 # margin), IVF cell-balance index health, per-source OOV rate against
-# a top-N vocabulary proxy, per-rule ablation of the Gopher gate.
+# a top-N vocabulary proxy, per-rule ablation of the Gopher gate,
+# bounded-duplication keep policy (keep up to K copies per exact
+# cluster), and the Church-Gale word-burstiness profile.
 # (a) faces whose implementation the r14 diff TOUCHED — the two LM
 # faces that dropped their forced vocabulary-sized broadcast hints
 # (the r13 verdict's one scale defect: a 100 TB corpus's distinct-
@@ -81,6 +83,10 @@ DRIVER_PRIORITY = (
     #   global top-N vocabulary proxy
     "quality_rule_ablation",  # ADDED r14: per-rule n_fail + sole-fail
     #   attribution of the Gopher gate
+    "dedup_cluster_cap",  # ADDED r14: keep-up-to-K-copies policy on
+    #   dedup_exact's normalized fingerprint clusters
+    "corpus_word_burstiness",  # ADDED r14: per-word df/tf/mean/Fano
+    #   burstiness profile (DECIMAL(38,0) moment sums)
     # ---- (a) faces implementation-TOUCHED in r14 ----
     "corpus_crossentropy_matrix",  # r14: dropped F.broadcast(pm)/(hm)
     #   — model joins size-adaptive; output hash-identical

@@ -198,6 +198,11 @@ SF1_SUBSET = [
     # candidate volume is the quantizer's k, pinned at 10 labels in
     # this fixture (docstring states the fixed-k quadratic honestly)
     "tokenizer_oov_rate", "quality_rule_ablation", "embed_cell_balance",
+    # r14 second batch: cluster cap claims ONE fp shuffle with per-task
+    # work bounded by the duplication factor; burstiness claims two
+    # map-side-combined hash-aggs with shuffle volume bounded by the
+    # per-doc distinct vocabulary
+    "dedup_cluster_cap", "corpus_word_burstiness",
     # r10: the eager-checkpoint faces, measured WHOLE-CALLABLE (below)
     "graph_wcc_star", "graph_kcore_peel", "split_leakage_safe",
 ]

@@ -4485,3 +4485,128 @@ def quality_rule_ablation(spark, sf_dir):
                  F.round(F.sum("sole").cast("double")
                          / F.greatest(F.count("*"), F.lit(1)), 6)
                  .alias("sole_share")))
+
+
+# --------------------------------------------------------------------------
+# r14 second batch: bounded-duplication keep policy + word burstiness
+# --------------------------------------------------------------------------
+_CLUSTER_CAP = 2   # copies of an exact-duplicate cluster a mix may keep
+
+
+@query(
+    "dedup_cluster_cap",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, fp,
+             CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT)
+               AS cluster_size,
+             CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+               AS BIGINT) AS copy_rank
+      FROM f
+    )
+    SELECT doc_id, fp, cluster_size, copy_rank,
+           CAST(copy_rank <= {_CLUSTER_CAP} AS INT) AS kept
+    FROM r
+    """,
+    doc="bounded-duplication keep policy (the data-constrained-scaling "
+        "regime, Muennighoff et al. 2023, 'Scaling Data-Constrained "
+        "Language Models': when fresh data is the bottleneck, a few "
+        "EPOCHS of repetition are nearly as good as new data — so the "
+        "right dedup is often 'keep up to K copies', not 'keep 1'): "
+        "every document gets its exact-duplicate cluster id (the SAME "
+        "normalized md5 fingerprint dedup_exact groups on, so the two "
+        "faces see identical clusters), the cluster size, its "
+        "deterministic copy rank (doc_id order), and kept = rank <= K. "
+        "K=1 degenerates to dedup_exact's canonical-only policy; the "
+        "K=2 default keeps bounded repetition while still cutting "
+        "heavy-tail cluster mass (dedup_cluster_stats shows the mass). "
+        "Determinism: md5 is identical hex in both engines; ranks tie "
+        "on doc_id. Scale: ONE shuffle on the fingerprint; the window "
+        "partitions on the HIGH-cardinality fp key (per-task work = "
+        "cluster size, bounded by the duplication factor, never a "
+        "single-task-per-group sort)",
+)
+def dedup_cluster_cap(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    f = d.select("doc_id", fp.alias("fp"))
+    w = Window.partitionBy("fp")
+    wr = w.orderBy("doc_id")
+    return (f.select(
+        "doc_id", "fp",
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+        F.row_number().over(wr).cast("bigint").alias("copy_rank"))
+        .withColumn("kept",
+                    (F.col("copy_rank") <= _CLUSTER_CAP).cast("int")))
+
+
+@query(
+    "corpus_word_burstiness",
+    """
+    WITH dc AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+            FROM documents) t
+      GROUP BY doc_id, w
+    ),
+    s AS (
+      SELECT w,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS tf,
+             CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS sc2
+      FROM dc GROUP BY w
+    )
+    SELECT w, df, tf,
+           ROUND(CAST(tf AS DOUBLE) / df, 6) AS mean_tf,
+           ROUND(CAST(CAST(df AS DECIMAL(38,0)) * sc2
+                      - CAST(tf AS DECIMAL(38,0)) * CAST(tf AS DECIMAL(38,0))
+                      AS DOUBLE)
+                 / NULLIF((CAST(df AS DOUBLE) - 1.0) * CAST(tf AS DOUBLE),
+                          0), 6) AS fano
+    FROM s
+    """,
+    doc="per-word burstiness profile (Church & Gale 1995: content words "
+        "are BURSTY — they recur within the documents that use them — "
+        "while function words spread uniformly): for every vocabulary "
+        "word, document frequency, total frequency, mean in-document "
+        "rate tf/df, and the Fano factor var/mean over the documents "
+        "that CONTAIN the word ((df*sum(c^2) - tf^2) / ((df-1)*tf), "
+        "NULL for df=1 where variance is undefined). Fano ~ 1 = "
+        "Poisson/function word; >> 1 = topical/bursty — the "
+        "distribution-level signal behind stopword derivation, "
+        "df-cut tuning for the shingle faces, and TF-IDF sanity, "
+        "beside vocab_zipf_slope's rank-frequency law. Determinism: "
+        "per-doc counts are integers, both moment sums run in "
+        "DECIMAL(38,0) (the embed_dim_variance idiom — order-free "
+        "exact integer arithmetic, overflow-safe at corpus scale), "
+        "and each output is ONE guarded division ROUNDed to 6. "
+        "Scale: one explode + two map-side-combined hash-aggs — "
+        "(doc, word) then word — shuffle volume bounded by the "
+        "per-doc distinct vocabulary, output vocabulary-sized",
+)
+def corpus_word_burstiness(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    dc = (d.select("doc_id", F.explode(_words()).alias("w"))
+          .groupBy("doc_id", "w")
+          .agg(F.count("*").cast("bigint").alias("c")))
+    cd = F.col("c").cast("decimal(38,0)")
+    s = (dc.groupBy("w")
+         .agg(F.count("*").cast("bigint").alias("df"),
+              F.sum("c").cast("bigint").alias("tf"),
+              F.sum(cd * cd).cast("decimal(38,0)").alias("sc2")))
+    num = (F.col("df").cast("decimal(38,0)") * F.col("sc2")
+           - F.col("tf").cast("decimal(38,0)")
+           * F.col("tf").cast("decimal(38,0)")).cast("double")
+    den = (F.col("df").cast("double") - F.lit(1.0)) \
+        * F.col("tf").cast("double")
+    return s.select(
+        "w", "df", "tf",
+        F.round(F.col("tf").cast("double") / F.col("df"), 6)
+        .alias("mean_tf"),
+        F.round(F.when(den != 0, num / den), 6).alias("fano"))

@@ -253,3 +253,116 @@ def test_r14_plan_shapes(spark):
           if "row_number()" in ln and "windowspecdefinition" in ln]
     assert rn, plan
     assert all(("xid#" in ln) or ("yid#" in ln) for ln in rn), rn
+
+
+# ---------------------------------------------------------------------------
+# r14 second batch: bounded-duplication keep policy + word burstiness
+# ---------------------------------------------------------------------------
+def test_cluster_cap_on_injected_duplicates(spark, tmp_path):
+    """Known cluster sizes 1/2/5: cluster_size and copy_rank are exact,
+    kept = rank <= 2, and whitespace/case variants land in the SAME
+    cluster (the dedup_exact-normalized fingerprint)."""
+    rows = [(0, "solo doc")]
+    rows += [(i, "twin doc") for i in (1, 2)]
+    rows += [(10, "five doc"), (11, "FIVE  DOC "), (12, "five doc"),
+             (13, " five DOC"), (14, "five doc")]
+    d = str(tmp_path / "dup_corpus")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{d}/documents.parquet")
+    pdf = (all_queries()["dedup_cluster_cap"].fn(spark, d)
+           .toPandas().set_index("doc_id").sort_index())
+    assert pdf.loc[0].cluster_size == 1 and pdf.loc[0].kept == 1
+    assert (pdf.loc[[1, 2]].cluster_size == 2).all()
+    assert (pdf.loc[[1, 2]].kept == 1).all()
+    five = pdf.loc[10:14]
+    assert (five.cluster_size == 5).all()
+    assert five.fp.nunique() == 1       # normalization unifies variants
+    assert list(five.sort_index().copy_rank) == [1, 2, 3, 4, 5]
+    assert list(five.sort_index().kept) == [1, 1, 0, 0, 0]
+
+
+def test_cluster_cap_consistent_with_dedup_exact(spark):
+    """Cross-face: rank-1 members ARE dedup_exact's keep list (same
+    normalized fingerprint, same min-doc_id canonical rule), and
+    per-cluster kept counts are min(K, size)."""
+    qs = all_queries()
+    cap = qs["dedup_cluster_cap"].fn(spark, SF).toPandas()
+    exact = qs["dedup_exact"].fn(spark, SF).toPandas()
+    rank1 = cap[cap.copy_rank == 1]
+    assert set(rank1.doc_id) == set(exact.keep_doc_id)
+    sizes = cap.groupby("fp").agg(size=("cluster_size", "first"),
+                                  kept=("kept", "sum"))
+    assert (sizes.kept == np.minimum(sizes["size"], 2)).all()
+    exact_sizes = exact.set_index("fp").n_copies
+    assert sizes["size"].sort_index().equals(
+        exact_sizes.sort_index().astype(sizes["size"].dtype))
+
+
+def test_burstiness_pandas_replay_and_edge_cases(spark, tmp_path):
+    """Exact pandas replay at sf0.01, plus the degenerate cases stated
+    as data: a uniform word (one occurrence per containing doc) has
+    fano 0; a df=1 word has fano NULL; a bursty word's fano matches
+    the closed form."""
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").toPandas())
+    tok = (docs.assign(w=docs.text.str.split(" ")).explode("w")
+           .groupby(["doc_id", "w"]).size().reset_index(name="c"))
+    g = tok.groupby("w").agg(df=("c", "size"), tf=("c", "sum"),
+                             sc2=("c", lambda s: int((s.astype(object)
+                                                      ** 2).sum())))
+    want_mean = np.round(g.tf / g.df, 6)
+    num = g.df.astype(object) * g.sc2 - g.tf.astype(object) ** 2
+    den = (g.df - 1.0) * g.tf
+    want_fano = pd.Series(
+        [round(int(n) / d, 6) if d != 0 else None
+         for n, d in zip(num, den)], index=g.index)
+
+    pdf = (all_queries()["corpus_word_burstiness"].fn(spark, SF)
+           .toPandas().set_index("w").sort_index())
+    g = g.sort_index()
+    assert list(pdf.df) == list(g.df)
+    assert list(pdf.tf) == list(g.tf)
+    assert np.allclose(pdf.mean_tf, want_mean.sort_index())
+    wf = want_fano.sort_index()
+    both = pd.concat([pdf.fano, wf], axis=1)
+    assert ((both.iloc[:, 0].isna() & both.iloc[:, 1].isna())
+            | (np.abs(both.iloc[:, 0] - both.iloc[:, 1]) < 1e-12)).all()
+
+    # handcrafted: uniform / singleton / bursty
+    rows = [(0, "uni burst"), (1, "uni burst burst burst burst"),
+            (2, "uni solo")]
+    d = str(tmp_path / "burst_corpus")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(f"{d}/documents.parquet")
+    got = (all_queries()["corpus_word_burstiness"].fn(spark, d)
+           .toPandas().set_index("w"))
+    assert got.loc["uni"].fano == 0.0            # c = (1,1,1): var 0
+    assert pd.isna(got.loc["solo"].fano)         # df = 1: undefined
+    # burst: c = (1, 4), df 2, tf 5, sc2 17 -> (2*17-25)/(1*5) = 1.8
+    assert got.loc["burst"].fano == 1.8
+
+
+def test_r14_second_batch_plan_shapes(spark):
+    """cluster_cap: ONE shuffle, window partitioned on the
+    high-cardinality fingerprint (never SinglePartition); burstiness:
+    zero joins, two map-side-combined hash-aggs."""
+    from process_nwb_spark.plans.inspect import (
+        count_exchanges, formatted_plan, has_partial_aggregation)
+
+    qs = all_queries()
+    cc = qs["dedup_cluster_cap"].fn(spark, SF)
+    plan = formatted_plan(cc, "formatted")
+    assert "SinglePartition" not in plan, plan
+    # exactly ONE hash shuffle (on fp) — both windows ride it; the
+    # second exchange in the raw count is spread()'s test-scale
+    # round-robin repartition of the single-file scan, not a plan cost
+    simple = formatted_plan(cc, "simple")
+    assert simple.count("Exchange hashpartitioning") == 1, simple
+    rn = [ln for ln in plan.splitlines()
+          if "row_number()" in ln and "windowspecdefinition" in ln]
+    assert rn and all("fp#" in ln for ln in rn), rn
+
+    wb = qs["corpus_word_burstiness"].fn(spark, SF)
+    plan = formatted_plan(wb, "simple")
+    assert "Join" not in plan, plan
+    assert has_partial_aggregation(wb), plan
