@@ -39,3 +39,13 @@ def test_corpus_qa_demo_runs():
     assert "worst offenders" in out
     assert "most-overlapping source pairs" in out
     assert "assemble_v3 kept" in out
+
+
+def test_tokenizer_dedup_policy_demo_runs():
+    out = _run_demo("tokenizer_dedup_policy_demo.py")
+    assert "word burstiness" in out
+    assert "OOV rate per source" in out
+    assert "gate-rule ablation" in out
+    assert "duplication budget" in out
+    assert "IVF cell balance" in out
+    assert "margin mining" in out
