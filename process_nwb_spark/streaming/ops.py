@@ -1907,3 +1907,82 @@ def oov_rate_sink(out_dir: str):
         oov.write.mode("overwrite").parquet(oov_dir)
 
     return write_batch
+
+
+def cluster_cap_sink(out_dir: str):
+    """foreachBatch BOUNDED-DUPLICATION keep maintenance — the
+    streaming twin of relational/llm_ops.dedup_cluster_cap: keep the
+    up-to-K-copies-per-exact-cluster decision live as document
+    micro-batches arrive. Two state tables, each with the right
+    retry algebra for its fold:
+
+      * `<out_dir>/keep_set` — at most K (doc_id) per fingerprint,
+        maintained by a BOUNDED TOP-K-MIN fold: union the stored set
+        with the batch's per-fp K smallest doc_ids, DISTINCT (so a
+        verbatim retry re-adds the same pairs and changes nothing),
+        re-rank, keep K. min-K-set union is commutative, associative
+        and idempotent — dedup_keeplist_sink's semilattice argument
+        generalized from K=1 — so ANY batch order with ANY retries
+        converges; a later batch carrying a smaller doc_id DEMOTES an
+        earlier keeper (rank shifts are re-derived each fold, pinned
+        by the adversarial-order soak case). State is fingerprint-
+        sized x K, never corpus-sized.
+      * `<out_dir>/fp_counts` — per-batch (fp, n) copy counts
+        PARTITIONED BY batch_id with dynamic overwrite (counts are not
+        idempotent by algebra; the partition-per-batch layout makes
+        the fold retry-safe — cluster_stats_sink's pattern); cluster
+        sizes re-sum from it.
+
+    `<out_dir>/kept` is the converged decision: keep_set joined with
+    the summed sizes — row-for-row equal to dedup_cluster_cap's
+    kept == 1 rows on the documents streamed so far (soak-pinned).
+    Non-kept rows are deliberately not materialized: a doc's kept bit
+    can flip as smaller doc_ids arrive, so only the (bounded) keep
+    set is stable state; full-corpus rank consumers run the batch
+    face."""
+    from pyspark.sql.window import Window
+
+    from process_nwb_spark.relational.llm_ops import _CLUSTER_CAP
+
+    keep_dir = out_dir.rstrip("/") + "/keep_set"
+    counts_dir = out_dir.rstrip("/") + "/fp_counts"
+    kept_dir = out_dir.rstrip("/") + "/kept"
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        fp = F.md5(F.lower(F.trim(
+            F.regexp_replace("text", r"\s+", " "))))
+        b = batch_df.select(fp.alias("fp"), "doc_id").localCheckpoint()
+        if b.isEmpty():
+            return
+        cnt = (b.groupBy("fp")
+               .agg(F.count("*").cast("bigint").alias("n"))
+               .withColumn("batch_id", F.lit(int(batch_id))))
+        (cnt.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(counts_dir))
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        cand = (b.withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") <= _CLUSTER_CAP)
+                .select("fp", "doc_id"))
+        cur = _read_if_exists(sp, keep_dir)
+        pool = cand if cur is None else \
+            cur.select("fp", "doc_id").unionByName(cand)
+        merged = (pool.distinct()
+                  .withColumn("copy_rank",
+                              F.row_number().over(w).cast("bigint"))
+                  .filter(F.col("copy_rank") <= _CLUSTER_CAP)
+                  .localCheckpoint())
+        merged.write.mode("overwrite").parquet(keep_dir)
+        raw = _read_if_exists(sp, counts_dir)
+        if raw is None:
+            return
+        sizes = (raw.groupBy("fp")
+                 .agg(F.sum("n").cast("bigint").alias("cluster_size")))
+        kept = (merged.join(sizes, "fp")
+                .select("doc_id", "fp", "cluster_size", "copy_rank",
+                        F.lit(1).cast("int").alias("kept"))
+                .localCheckpoint())
+        kept.write.mode("overwrite").parquet(kept_dir)
+
+    return write_batch

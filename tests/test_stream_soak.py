@@ -784,3 +784,69 @@ def test_oov_rate_sink_vocab_shift_and_empty_batch(spark, tmp_path):
         assert got.equals(want), (got, want)
     finally:
         llm._OOV_VOCAB_TOPN = old
+
+
+def test_cluster_cap_sink_soak_random_cuts(spark, tmp_path):
+    """Randomized-cut soak for cluster_cap_sink: seeded cuts, shuffled
+    order, immediate + delayed verbatim retries — the converged kept
+    table must equal dedup_cluster_cap's kept==1 rows every time (the
+    bounded top-K-min fold is idempotent/commutative; sizes re-sum
+    from batch-partitioned counts)."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import cluster_cap_sink
+
+    rng = np.random.default_rng(SEED + 9)
+    docs = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .select("doc_id", "source", "text").localCheckpoint())
+    ids = [r.doc_id for r in
+           docs.select("doc_id").orderBy("doc_id").collect()]
+    want = (all_queries()["dedup_cluster_cap"].fn(spark, SF_CORRECT)
+            .toPandas())
+    want = want[want.kept == 1]
+    cols = sorted(want.columns)
+    for rnd in range(2):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, ids, n_segs)
+        segs = _segments(docs, "doc_id", cuts)
+        out = str(tmp_path / f"out_cap_{rnd}")
+        sink = cluster_cap_sink(out)
+        order = rng.permutation(len(segs))
+        retry_at = int(rng.integers(0, len(segs)))
+        for step, i in enumerate(order):
+            sink(segs[int(i)], int(i))
+            if step == retry_at:
+                sink(segs[int(i)], int(i))   # immediate verbatim retry
+        delayed = int(rng.integers(0, len(segs)))
+        sink(segs[delayed], delayed)         # delayed verbatim retry
+        got = spark.read.parquet(out + "/kept").toPandas()
+        _eq(got, want, cols, ["doc_id"],
+            ("cap", rnd, cuts, list(order), retry_at, delayed))
+
+
+def test_cluster_cap_sink_demotes_late_smaller_doc(spark, tmp_path):
+    """The adversarial order the fold must survive: the cluster's
+    SMALLEST doc_ids arrive LAST. After batch 0 the keepers of the
+    5-doc cluster are (10, 11); batch 1 delivers 3 and 4, which demote
+    both — converged keepers are (3, 4), exactly the batch face on the
+    union (plus an empty-batch identity check)."""
+    from process_nwb_spark.streaming.ops import cluster_cap_sink
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string")
+    b0 = mk([(10, "dup text"), (11, "dup text"), (12, "dup text")])
+    b1 = mk([(3, "dup text"), (4, "dup text"), (20, "solo")])
+    out = str(tmp_path / "out_cap_late")
+    sink = cluster_cap_sink(out)
+    sink(b0, 0)
+    first = (spark.read.parquet(out + "/kept").toPandas()
+             .sort_values("doc_id"))
+    assert list(first[first.cluster_size >= 3].doc_id) == [10, 11]
+    sink(b0.filter(F.lit(False)), 1)     # empty batch: identity
+    sink(b1, 2)
+    got = (spark.read.parquet(out + "/kept").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    dup = got[got.cluster_size == 5]
+    assert list(dup.doc_id) == [3, 4], got
+    assert list(dup.copy_rank) == [1, 2]
+    solo = got[got.cluster_size == 1]
+    assert list(solo.doc_id) == [20] and solo.iloc[0].copy_rank == 1
