@@ -52,12 +52,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # cumulative driver coverage is 328/328 of the 328-face registry, 0 red
 # (CORRECTNESS_r{01..13}.json) — builder-claimed and driver-proven coincide
 # for the fifth consecutive round. The r14 window:
-# (a0) the SIX faces ADDED in r14 (registry now 334, never
+# (a0) the SEVEN faces ADDED in r14 (registry now 335, never
 # driver-sampled): margin-based bitext mining (IVF-cell-bounded ratio
 # margin), IVF cell-balance index health, per-source OOV rate against
 # a top-N vocabulary proxy, per-rule ablation of the Gopher gate,
 # bounded-duplication keep policy (keep up to K copies per exact
-# cluster), and the Church-Gale word-burstiness profile.
+# cluster), the Church-Gale word-burstiness profile, and MRR@10
+# (sharing rank_ndcg_eval's judged frame verbatim).
 # (a) faces whose implementation the r14 diff TOUCHED — the two LM
 # faces that dropped their forced vocabulary-sized broadcast hints
 # (the r13 verdict's one scale defect: a 100 TB corpus's distinct-
@@ -87,6 +88,8 @@ DRIVER_PRIORITY = (
     #   dedup_exact's normalized fingerprint clusters
     "corpus_word_burstiness",  # ADDED r14: per-word df/tf/mean/Fano
     #   burstiness profile (DECIMAL(38,0) moment sums)
+    "rank_mrr_eval",  # ADDED r14: MRR@10 first-relevant-hit eval on
+    #   the shared _term_ranked frame
     # ---- (a) faces implementation-TOUCHED in r14 ----
     "corpus_crossentropy_matrix",  # r14: dropped F.broadcast(pm)/(hm)
     #   — model joins size-adaptive; output hash-identical

@@ -203,6 +203,8 @@ SF1_SUBSET = [
     # map-side-combined hash-aggs with shuffle volume bounded by the
     # per-doc distinct vocabulary
     "dedup_cluster_cap", "corpus_word_burstiness",
+    # r14 third batch: MRR rides the same shared ranked frame as NDCG
+    "rank_mrr_eval",
     # r10: the eager-checkpoint faces, measured WHOLE-CALLABLE (below)
     "graph_wcc_star", "graph_kcore_peel", "split_leakage_safe",
 ]

@@ -3013,6 +3013,37 @@ def dedup_ngram_coverage(spark, sf_dir):
 # --------------------------------------------------------------------------
 _NDCG_K = 10
 _NDCG_TERMS = ("spark", "window", "hash", "join")
+
+
+def _term_ranked(d):
+    """The judged retrieval frame BOTH ranking evals share (so NDCG and
+    MRR can never disagree on system, truth, or rank rule): per
+    (term, matching doc) the graded relevance rel = LEAST(tf, 3), the
+    length-normalized integer score key (tf*10000) DIV n_tokens, and
+    the per-term position from bucketed_range_rank (score DESC, doc_id
+    ASC — no single-task-per-term window). Term 'join' is a literal
+    array explode inside the scan (narrow); tf >= 1 prunes to matching
+    docs before any shuffle."""
+    from .dataprep import bucketed_range_rank
+
+    m = (d.select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(t) for t in _NDCG_TERMS]))
+            .alias("term"),
+            _words().alias("ws"))
+         .select(
+            "term", "doc_id",
+            F.size(F.filter("ws", lambda w: w == F.col("term")))
+            .cast("bigint").alias("tf"),
+            F.size("ws").cast("bigint").alias("n_tokens")))
+    hits = (m.filter(F.col("tf") >= 1)
+            .select("term", "doc_id",
+                    F.least(F.col("tf"), F.lit(3)).alias("rel"),
+                    F.expr("CAST((tf * 10000) DIV GREATEST(n_tokens, 1) "
+                           "AS BIGINT)").alias("score_key")))
+    return bucketed_range_rank(hits, ["term"], "score_key", "doc_id",
+                               key_max=10000, n_buckets=40,
+                               out_col="pos").cache()
 # the standard DCG discount 1/log2(pos+1), materialized ONCE in Python and
 # injected into BOTH engines as identical double literals — LOG2 is a libm
 # transcendental whose last ulp is not guaranteed to agree between the JVM
@@ -3101,27 +3132,7 @@ _TERMS_SQL = ", ".join(f"('{t}')" for t in _NDCG_TERMS)
         "per-term-sized. Plan-asserted in test_plans.py",
 )
 def rank_ndcg_eval(spark, sf_dir):
-    from .dataprep import bucketed_range_rank
-
-    d = T(spark, sf_dir, "documents")
-    m = (d.select(
-            "doc_id",
-            F.explode(F.array(*[F.lit(t) for t in _NDCG_TERMS]))
-            .alias("term"),
-            _words().alias("ws"))
-         .select(
-            "term", "doc_id",
-            F.size(F.filter("ws", lambda w: w == F.col("term")))
-            .cast("bigint").alias("tf"),
-            F.size("ws").cast("bigint").alias("n_tokens")))
-    hits = (m.filter(F.col("tf") >= 1)
-            .select("term", "doc_id",
-                    F.least(F.col("tf"), F.lit(3)).alias("rel"),
-                    F.expr("CAST((tf * 10000) DIV GREATEST(n_tokens, 1) "
-                           "AS BIGINT)").alias("score_key")))
-    ranked = bucketed_range_rank(hits, ["term"], "score_key", "doc_id",
-                                 key_max=10000, n_buckets=40,
-                                 out_col="pos").cache()
+    ranked = _term_ranked(T(spark, sf_dir, "documents"))
     disc = F.array(*[F.lit(v) for v in _NDCG_DISC])
     per_q = (ranked.groupBy("term")
              .agg(F.count("*").cast("bigint").alias("n_matched"),
@@ -4610,3 +4621,77 @@ def corpus_word_burstiness(spark, sf_dir):
         F.round(F.col("tf").cast("double") / F.col("df"), 6)
         .alias("mean_tf"),
         F.round(F.when(den != 0, num / den), 6).alias("fano"))
+
+
+# --------------------------------------------------------------------------
+# r14 third batch: MRR@10 ranking eval
+# --------------------------------------------------------------------------
+_MRR_K = 10
+_MRR_REL_MIN = 2   # "relevant" = graded rel >= 2 (i.e. tf >= 2)
+
+
+@query(
+    "rank_mrr_eval",
+    f"""
+    WITH q(term) AS (VALUES {_TERMS_SQL}),
+    m AS (
+      SELECT q.term, d.doc_id,
+             CAST(LEN(LIST_FILTER(STRING_SPLIT(d.text, ' '),
+                                  w -> w = q.term)) AS BIGINT) AS tf,
+             CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents d CROSS JOIN q
+    ),
+    hits AS (
+      SELECT term, doc_id, LEAST(tf, 3) AS rel,
+             CAST((tf * 10000) // GREATEST(n_tokens, 1) AS BIGINT)
+               AS score_key
+      FROM m WHERE tf >= 1
+    ),
+    ranked AS (
+      SELECT term, doc_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY score_key DESC, doc_id) AS pos
+      FROM hits
+    ),
+    fr AS (
+      SELECT term, CAST(MIN(pos) AS BIGINT) AS first_rel_pos
+      FROM ranked
+      WHERE rel >= {_MRR_REL_MIN} AND pos <= {_MRR_K}
+      GROUP BY term
+    )
+    SELECT r.term,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           MAX(f.first_rel_pos) AS first_rel_pos,
+           ROUND(COALESCE(1.0 / MAX(f.first_rel_pos), 0.0), 6) AS rr10
+    FROM ranked r LEFT JOIN fr f ON r.term = f.term
+    GROUP BY r.term
+    """,
+    doc=f"MRR@{_MRR_K} (mean reciprocal rank) retrieval eval — the "
+        "first-relevant-hit metric beside rank_ndcg_eval's graded-gain "
+        "one (MRR is the standard number for known-item / navigational "
+        "search where ONE right answer exists; NDCG for graded result "
+        "lists — a ranking tier reports both). Judged system, graded "
+        "truth, and rank rule are SHARED VERBATIM with rank_ndcg_eval "
+        "(_term_ranked: length-normalized integer tf score, "
+        "bucketed_range_rank positions), so the two evals can never "
+        f"disagree; 'relevant' = grade >= {_MRR_REL_MIN}. Per term: "
+        "match count, the first relevant position within the top-"
+        f"{_MRR_K} (NULL when none), and rr = 1/first_rel_pos (0.0 "
+        "when none). Determinism: positions are integers, rr is ONE "
+        "division, ROUNDed. Scale: everything downstream of the shared "
+        "ranked frame is |terms|-sized; the first-relevant fold is a "
+        "MIN over a pos-filtered slice, never a second sort",
+)
+def rank_mrr_eval(spark, sf_dir):
+    ranked = _term_ranked(T(spark, sf_dir, "documents"))
+    fr = (ranked.filter((F.col("rel") >= _MRR_REL_MIN)
+                        & (F.col("pos") <= _MRR_K))
+          .groupBy("term")
+          .agg(F.min("pos").cast("bigint").alias("first_rel_pos")))
+    per = ranked.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("n_matched"))
+    return (per.join(fr, "term", "left")
+            .select("term", "n_matched", "first_rel_pos",
+                    F.round(F.coalesce(F.lit(1.0)
+                                       / F.col("first_rel_pos"),
+                                       F.lit(0.0)), 6).alias("rr10")))

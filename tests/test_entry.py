@@ -46,6 +46,7 @@ def test_r14_window_is_staleness_ordered():
     touched_r14 = ["embed_margin_bitext", "embed_cell_balance",
                    "tokenizer_oov_rate", "quality_rule_ablation",
                    "dedup_cluster_cap", "corpus_word_burstiness",
+                   "rank_mrr_eval",
                    "corpus_crossentropy_matrix", "mix_perplexity_buckets",
                    "mix_source_caps"]
     r7_remaining = {
@@ -70,4 +71,4 @@ def test_r14_window_is_staleness_ordered():
     assert head[:len(touched_r14)] == touched_r14
     assert r7_remaining == set(head[len(touched_r14):
                                     len(touched_r14) + len(r7_remaining)])
-    assert len(head) == 6 + 3 + 41  # added + touched + stale r7 cohort
+    assert len(head) == 7 + 3 + 41  # added + touched + stale r7 cohort

@@ -366,3 +366,40 @@ def test_r14_second_batch_plan_shapes(spark):
     plan = formatted_plan(wb, "simple")
     assert "Join" not in plan, plan
     assert has_partial_aggregation(wb), plan
+
+
+def test_mrr_pandas_replay_and_ndcg_consistency(spark):
+    """Exact pandas replay of MRR@10 from the raw corpus (same scoring
+    rule), plus cross-eval consistency: n_matched per term must equal
+    rank_ndcg_eval's (shared _term_ranked frame), and any term with
+    rr10 > 0 must have a relevant doc inside the replayed top-10."""
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").toPandas())
+    terms = ("spark", "window", "hash", "join")
+    want = {}
+    for t in terms:
+        rows = []
+        for _, r in docs.iterrows():
+            ws = r.text.split(" ")
+            tf = ws.count(t)
+            if tf >= 1:
+                rows.append((r.doc_id, min(tf, 3),
+                             (tf * 10000) // max(len(ws), 1)))
+        rows.sort(key=lambda x: (-x[2], x[0]))
+        first = next((i + 1 for i, x in enumerate(rows[:10])
+                      if x[1] >= 2), None)
+        want[t] = (len(rows), first,
+                   round(1.0 / first, 6) if first else 0.0)
+
+    pdf = (all_queries()["rank_mrr_eval"].fn(spark, SF)
+           .toPandas().set_index("term"))
+    ndcg = (all_queries()["rank_ndcg_eval"].fn(spark, SF)
+            .toPandas().set_index("term"))
+    assert set(pdf.index) == set(terms)
+    for t in terms:
+        n, first, rr = want[t]
+        assert pdf.loc[t].n_matched == n == ndcg.loc[t].n_matched
+        got_first = pdf.loc[t].first_rel_pos
+        assert (pd.isna(got_first) and first is None) \
+            or got_first == first, (t, got_first, first)
+        assert pdf.loc[t].rr10 == rr
