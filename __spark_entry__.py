@@ -75,7 +75,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # exact gate in BOTH default and ANSI modes plus the shuffle-partition
 # hash-stability probe (ORACLE_{LOCAL,ANSI}_r14, HASHSTAB_r14).
 DRIVER_PRIORITY = (
-    # ---- (a0) faces ADDED in r14 (registry 332, never driver-sampled) --
+    # ---- (a0) faces ADDED in r14 (never driver-sampled) ----
+    "mix_dedup_budget",  # ADDED r14 third batch: waterfilling on
+    #   UNIQUE-token capacities after exact dedup
+    "quality_gate_tradeoff",  # ADDED r14 third batch: Gopher-gate
+    #   strictness sweep (docs/tokens kept at k = 0..5 failed rules)
+    "tokenizer_vocab_sweep",  # ADDED r14 third batch: coverage vs
+    #   vocabulary-size curve (top-N token mass, N in 4..64)
+    "dedup_threshold_sweep",  # ADDED r14 third batch: cosine-threshold
+    #   calibration curve over dedup_embed_cosine's candidate pairs
     "embed_margin_bitext",  # ADDED r14: margin-based bitext mining
     #   (Artetxe & Schwenk ratio margin, IVF-cell-bounded candidates)
     "embed_cell_balance",  # ADDED r14: IVF per-cell occupancy /
@@ -96,7 +104,16 @@ DRIVER_PRIORITY = (
     "mix_perplexity_buckets",  # r14: dropped F.broadcast(pair_c)/
     #   (head_c) on the scoring joins; output hash-identical
     "mix_source_caps",  # r14: oracle SQL interpolates _WATERFILL_FRAC
-    #   (was a hardcoded 0.5 twin) — value-identical
+    #   (was a hardcoded 0.5 twin) — value-identical; third batch:
+    #   waterfill fold extracted into waterfill_alloc/_WATERFILL_SQL_TAIL
+    #   (shared with mix_dedup_budget) — value-identical again
+    "split_contamination",  # r14 third batch: fold extracted into
+    #   contamination_fold (shared with contamination_sink) — identical
+    #   (quality_rule_ablation, also recomposed over _GOPHER_FLAGS_SQL
+    #   value-identically, already rides the (a0) added list above)
+    "dedup_embed_cosine",  # r14 third batch: pair generator extracted
+    #   into _tile_cos_pairs/_TILE_PAIRS_COS_SQL (shared with
+    #   dedup_threshold_sweep) — value-identical
     # ---- (b) staleness backfill: the 41 remaining r7 faces ----
     "important_part_value",  # last driver r7
     "line_priority_counts",  # last driver r7

@@ -189,7 +189,19 @@ def split_contamination(spark, sf_dir):
     sh = _with_split(_shingles_df(spark, sf_dir))
     train_sh = sh.filter(F.col("split") == "train").select("sh").distinct()
     test_sh = sh.filter(F.col("split") == "test").select("doc_id", "sh")
-    joined = test_sh.join(train_sh.withColumn("in_train", F.lit(1)),
+    return contamination_fold(test_sh, train_sh)
+
+
+def contamination_fold(test_sh, train_sh):
+    """Per-test-doc contamination report from the two shingle SETS:
+    `test_sh` = distinct (doc_id, sh) pairs of test documents,
+    `train_sh` = distinct train shingle values. LEFT equi-join on the
+    pre-deduped shingle key (key-to-key, bounded fan-out), then one
+    hash-agg per test doc. SHARED VERBATIM by split_contamination and
+    the streaming contamination_sink, so the live report cannot drift
+    from the batch audit's definition."""
+    joined = test_sh.join(train_sh.select("sh")
+                          .withColumn("in_train", F.lit(1)),
                           "sh", "left")
     return joined.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_shingles"),
@@ -2443,26 +2455,20 @@ def mix_perplexity_buckets(spark, sf_dir):
 
 _WATERFILL_FRAC = 0.5   # budget = this fraction of the corpus's tokens
 
-
-@query(
-    "mix_source_caps",
-    # rf-string: the ONE budget constant (_WATERFILL_FRAC) is
-    # interpolated so the Spark path and the DuckDB oracle can never
-    # silently diverge when it is edited (same pattern as
-    # embed_matryoshka_budget's _MATRYOSHKA_QUERY_BUDGET)
-    rf"""
-    WITH caps AS (
-      SELECT source,
-             CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
-                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
-               AS cap_tokens
-      FROM documents GROUP BY source
-    ),
-    tot AS (SELECT SUM(cap_tokens) AS total, COUNT(*) AS m FROM caps),
+# Closed-form waterfilling tail over a `caps` CTE carrying
+# (source, cap_tokens [, extra columns — they ride through to the
+# output untouched]) — SHARED VERBATIM by mix_source_caps (raw
+# capacities) and mix_dedup_budget (unique capacities after exact
+# dedup), so the two allocations can never drift in the fold itself.
+# Ends in an `alloc` CTE the caller SELECTs from. rf-string: the ONE
+# budget constant (_WATERFILL_FRAC) is interpolated so the Spark path
+# and the DuckDB oracle can never silently diverge when it is edited
+# (same pattern as embed_matryoshka_budget's _MATRYOSHKA_QUERY_BUDGET).
+_WATERFILL_SQL_TAIL = rf"""tot AS (SELECT SUM(cap_tokens) AS total, COUNT(*) AS m FROM caps),
     b AS (SELECT GREATEST(CAST(FLOOR(total * {_WATERFILL_FRAC}) AS BIGINT), 1)
                    AS budget, m FROM tot),
     ordered AS (
-      SELECT source, cap_tokens,
+      SELECT caps.*,
              ROW_NUMBER() OVER (ORDER BY cap_tokens, source) AS k,
              SUM(cap_tokens) OVER (ORDER BY cap_tokens, source
                                    ROWS UNBOUNDED PRECEDING) AS s,
@@ -2479,43 +2485,32 @@ _WATERFILL_FRAC = 0.5   # budget = this fraction of the corpus's tokens
     lvl AS (SELECT MIN(t_cand) AS t FROM cand
             WHERE t_cand < cap_tokens
               AND (prev_cap IS NULL OR prev_cap <= t_cand)),
-    mx AS (SELECT MAX(cap_tokens) AS mc FROM caps)
-    SELECT c.source, c.cap_tokens, c.budget,
-           ROUND(COALESCE(l.t, CAST(mx.mc AS DOUBLE)), 4)
-             AS water_level,
-           ROUND(LEAST(CAST(c.cap_tokens AS DOUBLE),
-                       COALESCE(l.t, CAST(mx.mc AS DOUBLE))), 4)
-             AS alloc_tokens,
-           CAST(CASE WHEN CAST(c.cap_tokens AS DOUBLE)
-                          <= COALESCE(l.t, CAST(mx.mc AS DOUBLE))
-                     THEN 1 ELSE 0 END AS INT) AS capped
-    FROM cand c CROSS JOIN lvl l CROSS JOIN mx
-    """,
-    doc="waterfilling token-budget allocation across sources: given a "
-        "budget (half the corpus's BPE-ish tokens, tokenizer_fertility's "
-        "regex), allocate each source min(capacity, t) where the water "
-        "level t solves sum(min(cap_i, t)) = budget — the max-min fair "
-        "split a mixture owner uses to spend a token budget WITHOUT "
-        "letting one giant source absorb it (the closed-form sibling of "
-        "mix_to_target_weights' fixed targets: here the targets EMERGE "
-        "from capacities). Closed form, no iteration: sort sources by "
-        "capacity, prefix-sum, per row k the candidate level t_k = "
-        "(budget - S_{k-1}) / (m - k + 1) is valid iff t_k < cap_k and "
-        "prev_cap <= t_k — exactly one row is valid for budget < total "
-        "(the min() is a guard, not a chooser); budget >= total "
-        "degenerates to alloc = cap via the max-capacity fallback. "
-        "Integer prefix sums are exact; t is ONE double division. "
-        "Scale: ONE map-side-combined hash-agg to |sources| rows, then "
-        "every window (row_number / running sum / lag) runs on that "
-        "metadata-sized table — plan-pinned post-aggregation in "
-        "test_r13_faces",
-)
-def mix_source_caps(spark, sf_dir):
-    d = spread(T(spark, sf_dir, "documents"))
-    tok = F.regexp_count("text",
-                         F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
-    caps = (d.groupBy("source")
-            .agg(F.sum(tok).cast("bigint").alias("cap_tokens")))
+    mx AS (SELECT MAX(cap_tokens) AS mc FROM caps),
+    alloc AS (
+      SELECT c.* EXCLUDE (k, s, prev_cap, t_cand),
+             ROUND(COALESCE(l.t, CAST(mx.mc AS DOUBLE)), 4)
+               AS water_level,
+             ROUND(LEAST(CAST(c.cap_tokens AS DOUBLE),
+                         COALESCE(l.t, CAST(mx.mc AS DOUBLE))), 4)
+               AS alloc_tokens,
+             CAST(CASE WHEN CAST(c.cap_tokens AS DOUBLE)
+                            <= COALESCE(l.t, CAST(mx.mc AS DOUBLE))
+                       THEN 1 ELSE 0 END AS INT) AS capped
+      FROM cand c CROSS JOIN lvl l CROSS JOIN mx
+    )"""
+
+
+def waterfill_alloc(caps):
+    """Closed-form waterfilling allocation over a capacity frame
+    (source, cap_tokens [, extra columns ride through to the output]):
+    allocate each source min(cap, t) where the water level t solves
+    sum(min(cap_i, t)) = budget (_WATERFILL_FRAC of total capacity).
+    The Spark twin of _WATERFILL_SQL_TAIL, shared verbatim by
+    mix_source_caps and mix_dedup_budget so the fold cannot drift
+    between them. All windows run on the |sources|-row caps table
+    (metadata-sized, plan-gated post-aggregation by the callers'
+    tests); integer prefix sums are exact and t is ONE double
+    division."""
     tot = caps.agg(F.sum("cap_tokens").alias("total"),
                    F.count("*").alias("m"))
     b = tot.select(
@@ -2541,9 +2536,127 @@ def mix_source_caps(spark, sf_dir):
     level = F.coalesce(F.col("t"), F.col("mc").cast("double"))
     return (cand.crossJoin(F.broadcast(lvl)).crossJoin(F.broadcast(mx))
             .select(
-                "source", "cap_tokens", "budget",
+                *caps.columns, "budget",
                 F.round(level, 4).alias("water_level"),
                 F.round(F.least(F.col("cap_tokens").cast("double"),
                                 level), 4).alias("alloc_tokens"),
                 (F.col("cap_tokens").cast("double") <= level)
                 .cast("int").alias("capped")))
+
+
+@query(
+    "mix_source_caps",
+    rf"""
+    WITH caps AS (
+      SELECT source,
+             CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+               AS cap_tokens
+      FROM documents GROUP BY source
+    ),
+    {_WATERFILL_SQL_TAIL}
+    SELECT * FROM alloc
+    """,
+    doc="waterfilling token-budget allocation across sources: given a "
+        "budget (half the corpus's BPE-ish tokens, tokenizer_fertility's "
+        "regex), allocate each source min(capacity, t) where the water "
+        "level t solves sum(min(cap_i, t)) = budget — the max-min fair "
+        "split a mixture owner uses to spend a token budget WITHOUT "
+        "letting one giant source absorb it (the closed-form sibling of "
+        "mix_to_target_weights' fixed targets: here the targets EMERGE "
+        "from capacities). Closed form, no iteration: sort sources by "
+        "capacity, prefix-sum, per row k the candidate level t_k = "
+        "(budget - S_{k-1}) / (m - k + 1) is valid iff t_k < cap_k and "
+        "prev_cap <= t_k — exactly one row is valid for budget < total "
+        "(the min() is a guard, not a chooser); budget >= total "
+        "degenerates to alloc = cap via the max-capacity fallback. "
+        "Integer prefix sums are exact; t is ONE double division. "
+        "Scale: ONE map-side-combined hash-agg to |sources| rows, then "
+        "every window (row_number / running sum / lag) runs on that "
+        "metadata-sized table — plan-pinned post-aggregation in "
+        "test_r13_faces. The fold itself (waterfill_alloc / "
+        "_WATERFILL_SQL_TAIL) is shared verbatim with mix_dedup_budget, "
+        "which waterfills UNIQUE-token capacities instead",
+)
+def mix_source_caps(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    tok = F.regexp_count("text",
+                         F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    caps = (d.groupBy("source")
+            .agg(F.sum(tok).cast("bigint").alias("cap_tokens")))
+    return waterfill_alloc(caps)
+
+
+@query(
+    "mix_dedup_budget",
+    rf"""
+    WITH f AS (
+      SELECT doc_id, source,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks,
+             MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    r AS (
+      SELECT source, toks,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+               AS copy_rank
+      FROM f
+    ),
+    caps0 AS (
+      SELECT source,
+             CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+             CAST(SUM(CASE WHEN copy_rank = 1 THEN toks ELSE 0 END)
+               AS BIGINT) AS cap_tokens
+      FROM r GROUP BY source
+    ),
+    caps AS (
+      SELECT source, raw_tokens, cap_tokens,
+             ROUND(CAST(raw_tokens - cap_tokens AS DOUBLE)
+                   / GREATEST(raw_tokens, 1), 6) AS dup_token_share
+      FROM caps0
+    ),
+    {_WATERFILL_SQL_TAIL}
+    SELECT * FROM alloc
+    """,
+    doc="dedup-aware token-budget waterfilling: the allocation a mix "
+        "owner actually spends AFTER dedup — each source's capacity is "
+        "its UNIQUE token mass (tokens of its exact-duplicate cluster "
+        "CANONICALS only: the min-doc_id copy under dedup_exact's "
+        "normalize->md5 fingerprint, so a mirror source whose every doc "
+        "duplicates another source's canonical contributes ZERO "
+        "capacity), and the waterfill fold (waterfill_alloc / "
+        "_WATERFILL_SQL_TAIL, shared verbatim with mix_source_caps) "
+        "levels the budget across those unique capacities. "
+        "raw_tokens vs cap_tokens plus dup_token_share make the dup "
+        "tax visible per source: allocating on RAW capacity (what "
+        "mix_source_caps does) overweights heavily-duplicated sources "
+        "by exactly that share. Determinism: token counts and prefix "
+        "sums are integers; dup_token_share and the level are single "
+        "guarded divisions ROUNDed; cluster canonicals tie on doc_id. "
+        "Scale: one scan computes (toks, fp) per doc, ONE shuffle on "
+        "the high-cardinality fingerprint (per-task work = cluster "
+        "size, the dedup_cluster_cap bound — never a single-task "
+        "window), then ONE hash-agg to |sources| rows and the "
+        "metadata-sized waterfill windows",
+)
+def mix_dedup_budget(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    tok = F.regexp_count("text",
+                         F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    f = d.select("doc_id", "source", tok.cast("bigint").alias("toks"),
+                 fp.alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    r = f.withColumn("copy_rank", F.row_number().over(w))
+    keep_toks = (F.when(F.col("copy_rank") == 1, F.col("toks"))
+                 .otherwise(F.lit(0)))
+    caps = (r.groupBy("source")
+            .agg(F.sum("toks").cast("bigint").alias("raw_tokens"),
+                 F.sum(keep_toks).cast("bigint").alias("cap_tokens"))
+            .withColumn(
+                "dup_token_share",
+                F.round((F.col("raw_tokens") - F.col("cap_tokens"))
+                        .cast("double")
+                        / F.greatest(F.col("raw_tokens"), F.lit(1)), 6)))
+    return waterfill_alloc(caps)

@@ -359,10 +359,11 @@ def embed_ivf_topk(spark, sf_dir):
 
 
 
-@query(
-    "dedup_embed_cosine",
-    f"""
-    WITH bands AS ({_bands_sql()}),
+# tile-bounded candidate-pair CTEs + the 0.35-filtered exact-cosine pair
+# list (vec_a, vec_b, cos unrounded) — SHARED by dedup_embed_cosine and
+# dedup_threshold_sweep, so the sweep calibrates exactly the candidate
+# generator the dedup face runs.
+_TILE_PAIRS_COS_SQL = f"""bands AS ({_bands_sql()}),
     ranked AS (
       SELECT vec_id, band, bkey,
              ROW_NUMBER() OVER (
@@ -384,13 +385,22 @@ def embed_ivf_topk(spark, sf_dir):
       FROM tiles a JOIN tiles b
         ON a.band = b.band AND a.bkey = b.bkey AND a.grid = b.grid
        AND a.tile = b.tile AND a.vec_id < b.vec_id
-    )
-    SELECT p.vec_a, p.vec_b,
-           ROUND({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS cosine
-    FROM pairs p
-    JOIN embeddings ea ON ea.vec_id = p.vec_a
-    JOIN embeddings eb ON eb.vec_id = p.vec_b
-    WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= 0.35
+    ),
+    pc AS (
+      SELECT p.vec_a, p.vec_b,
+             {_cos_sql('ea.embedding', 'eb.embedding')} AS cos
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.vec_a
+      JOIN embeddings eb ON eb.vec_id = p.vec_b
+      WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= 0.35
+    )"""
+
+
+@query(
+    "dedup_embed_cosine",
+    f"""
+    WITH {_TILE_PAIRS_COS_SQL}
+    SELECT vec_a, vec_b, ROUND(cos, 6) AS cosine FROM pc
     """,
     doc=f"embedding-cosine near-dup: banded sign-LSH candidate pairs, exact "
         f"cosine filter at 0.35 inside buckets only. Self-join is on "
@@ -442,6 +452,17 @@ def embed_ivf_topk(spark, sf_dir):
         "point the key-only variant with re-attach is the right plan",
 )
 def dedup_embed_cosine(spark, sf_dir):
+    return (_tile_cos_pairs(spark, sf_dir)
+            .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine")))
+
+
+def _tile_cos_pairs(spark, sf_dir):
+    """The fused two-grid tile candidate generator + exact-cosine filter
+    at 0.35, deduped across bands: (vec_a, vec_b, _c unrounded). SHARED
+    by dedup_embed_cosine (rounds and returns) and dedup_threshold_sweep
+    (buckets the same pairs by threshold), so the sweep calibrates
+    exactly the generator the dedup face runs. Spark twin of
+    _TILE_PAIRS_COS_SQL."""
     from pyspark.sql.window import Window
 
     e = spread(T(spark, sf_dir, "embeddings"))
@@ -490,8 +511,83 @@ def dedup_embed_cosine(spark, sf_dir):
 
     both = _half("t0", None).unionAll(
         _half("t1", F.col("a.t0") != F.col("b.t0")))
-    return (both.dropDuplicates(["vec_a", "vec_b"])
-            .select("vec_a", "vec_b", F.round("_c", 6).alias("cosine")))
+    return both.dropDuplicates(["vec_a", "vec_b"])
+
+
+# threshold grid for dedup_threshold_sweep, in exact integer
+# micro-cosine units (cos * 1e6): 0.35 (the candidate floor) .. 0.90
+# by 0.05
+_SWEEP_MICROS = tuple(range(350000, 950000, 50000))
+
+
+@query(
+    "dedup_threshold_sweep",
+    f"""
+    WITH {_TILE_PAIRS_COS_SQL},
+    pm AS (SELECT vec_a, vec_b,
+                  CAST(ROUND(cos * 1000000) AS BIGINT) AS micro
+           FROM pc),
+    st AS (
+      SELECT t.thr_micro, pm.vec_a, pm.vec_b
+      FROM pm JOIN (SELECT UNNEST([{', '.join(str(t) for t in _SWEEP_MICROS)}])
+                      AS thr_micro) t
+        ON pm.micro >= t.thr_micro
+    ),
+    np AS (SELECT thr_micro, CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM st GROUP BY thr_micro),
+    nd AS (SELECT thr_micro, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM (SELECT thr_micro, vec_a AS v FROM st
+                 UNION
+                 SELECT thr_micro, vec_b FROM st) u
+           GROUP BY thr_micro)
+    SELECT np.thr_micro / 1000000.0 AS threshold, np.n_pairs, nd.n_docs
+    FROM np JOIN nd ON np.thr_micro = nd.thr_micro
+    """,
+    doc="near-dup THRESHOLD calibration curve: for every candidate "
+        "cosine cut 0.35..0.90 (step 0.05), how many candidate pairs "
+        "survive and how many distinct documents those pairs touch — "
+        "the sweep a dedup owner reads to place the semantic-dedup "
+        "threshold BEFORE committing a deletion pass (too low deletes "
+        "topical neighbors, too high leaves mirrors; the elbow in "
+        "n_docs is the operating point). Candidate generator shared "
+        "verbatim with dedup_embed_cosine (_tile_cos_pairs / "
+        "_TILE_PAIRS_COS_SQL), so the curve prices exactly the pairs "
+        "that face emits — a sweep over a DIFFERENT generator would "
+        "calibrate nothing. Determinism: cosines collapse to exact "
+        "integer micro-units (CAST(ROUND(cos*1e6) AS BIGINT), the "
+        "embed_margin_bitext idiom) before any threshold compare, so "
+        "both engines bucket identical integers; the output threshold "
+        "is one exact division of that integer grid. Scale: the pair "
+        "frame is the tile-bounded LINEAR candidate set (<= 2*n*cap "
+        "per band), persisted once (both the pair-count and "
+        "distinct-doc folds read it); each pair explodes to its <= "
+        f"{len(_SWEEP_MICROS)} qualifying thresholds in-row and both "
+        f"folds land on <= {len(_SWEEP_MICROS)} rows",
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    from .core import fresh_persist
+
+    pm = (_tile_cos_pairs(spark, sf_dir)
+          .select("vec_a", "vec_b",
+                  F.round(F.col("_c") * 1000000, 0).cast("bigint")
+                  .alias("micro")))
+    pm = fresh_persist("threshold_sweep_pairs", pm)
+    thr = F.array(*[F.lit(t) for t in _SWEEP_MICROS])
+    st = pm.select(
+        "vec_a", "vec_b",
+        F.explode(F.filter(thr, lambda t: F.col("micro") >= t))
+        .alias("thr_micro"))
+    np_ = (st.groupBy("thr_micro")
+           .agg(F.count("*").cast("bigint").alias("n_pairs")))
+    nd = (st.select("thr_micro", F.explode(
+              F.array("vec_a", "vec_b")).alias("v"))
+          .distinct()
+          .groupBy("thr_micro")
+          .agg(F.count("*").cast("bigint").alias("n_docs")))
+    return (np_.join(nd, "thr_micro")
+            .select((F.col("thr_micro") / F.lit(1000000.0))
+                    .alias("threshold"),
+                    "n_pairs", "n_docs"))
 
 
 _IVF_LISTS_SQL = f"""

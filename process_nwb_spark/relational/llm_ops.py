@@ -4400,10 +4400,11 @@ def oov_rate_fold(swc):
                     .alias("oov_rate")))
 
 
-@query(
-    "quality_rule_ablation",
-    """
-    WITH w AS (
+# DuckDB twin of with_gopher_metrics' five rule flags (r1..r5 in
+# GOPHER_RULES order, plus n_words for token accounting) — SHARED by
+# quality_rule_ablation and quality_gate_tradeoff so the two tuning
+# views can never disagree with each other about what the gate flags.
+_GOPHER_FLAGS_SQL = """w AS (
       SELECT doc_id, string_split(text, ' ') AS ws,
              CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_words,
              CAST(LEN(REGEXP_EXTRACT_ALL(text, '[^\\w\\s]')) AS BIGINT)
@@ -4416,7 +4417,8 @@ def oov_rate_fold(swc):
       FROM documents
     ),
     r AS (
-      SELECT CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r1,
+      SELECT n_words,
+             CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r1,
              CAST(ROUND(CAST(LIST_SUM(LIST_TRANSFORM(ws,
                     x -> LENGTH(x))) AS DOUBLE)
                     / GREATEST(n_words, 1), 4)
@@ -4427,7 +4429,13 @@ def oov_rate_fold(swc):
              CAST(ROUND(1.0 - CAST(n_dist AS DOUBLE)
                         / GREATEST(n_words, 1), 4) <= 0.6 AS INT) AS r5
       FROM w
-    ),
+    )"""
+
+
+@query(
+    "quality_rule_ablation",
+    f"""
+    WITH {_GOPHER_FLAGS_SQL},
     f AS (SELECT r1, r2, r3, r4, r5,
                  5 - (r1 + r2 + r3 + r4 + r5) AS nf FROM r),
     u AS (
@@ -4695,3 +4703,149 @@ def rank_mrr_eval(spark, sf_dir):
                     F.round(F.coalesce(F.lit(1.0)
                                        / F.col("first_rel_pos"),
                                        F.lit(0.0)), 6).alias("rr10")))
+
+
+# --------------------------------------------------------------------------
+# r14 third batch: gate-strictness tradeoff + vocabulary-size sweep
+# --------------------------------------------------------------------------
+@query(
+    "quality_gate_tradeoff",
+    f"""
+    WITH {_GOPHER_FLAGS_SQL},
+    f AS (SELECT n_words, 5 - (r1 + r2 + r3 + r4 + r5) AS nf FROM r),
+    st AS (SELECT n_words,
+                  CAST(UNNEST(RANGE(nf, 6)) AS INT) AS max_fail
+           FROM f),
+    g AS (SELECT max_fail,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                 CAST(SUM(n_words) AS BIGINT) AS n_tokens_kept
+          FROM st GROUP BY max_fail)
+    SELECT max_fail, n_docs_kept, n_tokens_kept,
+           ROUND(CAST(n_docs_kept AS DOUBLE)
+                 / GREATEST(MAX(n_docs_kept) OVER (), 1), 6)
+             AS doc_share,
+           ROUND(CAST(n_tokens_kept AS DOUBLE)
+                 / GREATEST(MAX(n_tokens_kept) OVER (), 1), 6)
+             AS token_share
+    FROM g
+    """,
+    doc="Gopher-gate STRICTNESS tradeoff curve: for every admission "
+        "threshold k = 0..5 ('keep docs failing at most k rules'), how "
+        "many documents and word-tokens survive, and their share of "
+        "the corpus — the planning view a gate owner reads BEFORE "
+        "committing to strict (k=0, quality_gopher_rules' passes bit) "
+        "vs lenient filtering, the rule-count sibling of "
+        "quality_survival_curve's score-cut sweep (that face sweeps a "
+        "lexical-diversity score; this one sweeps the gate's own "
+        "failure count). Rule construction shared verbatim with the "
+        "gate (with_gopher_metrics / _GOPHER_FLAGS_SQL, like "
+        "quality_rule_ablation), so the curve prices exactly the gate "
+        "that will run. Determinism: counts and token sums are "
+        "integers; shares are guarded divisions by the k=5 totals "
+        "(the MAX over the monotone 6-row curve) ROUNDed. Scale: one "
+        "zero-exchange scan computes per-doc flags, each doc explodes "
+        "to its <= 6 qualifying thresholds IN-ROW (narrow — no grid "
+        "join, no completion pass), ONE map-side-combined hash-agg "
+        "lands on <= 6 rows, and the share windows run on that "
+        "metadata-sized table",
+)
+def quality_gate_tradeoff(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    flags = with_gopher_metrics(d.select("doc_id", "text"))
+    tot = sum((F.col(a) for a in GOPHER_RULES[1:]),
+              F.col(GOPHER_RULES[0]))
+    per = flags.select(F.col("n_words"),
+                       (F.lit(5) - tot).cast("int").alias("nf"))
+    st = per.select(
+        "n_words",
+        F.explode(F.sequence(F.col("nf"), F.lit(5))).alias("max_fail"))
+    g = (st.groupBy("max_fail")
+         .agg(F.count("*").cast("bigint").alias("n_docs_kept"),
+              F.sum("n_words").cast("bigint").alias("n_tokens_kept")))
+    wall = (Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))   # <= 6 rows
+    return g.select(
+        "max_fail", "n_docs_kept", "n_tokens_kept",
+        F.round(F.col("n_docs_kept").cast("double")
+                / F.greatest(F.max("n_docs_kept").over(wall), F.lit(1)),
+                6).alias("doc_share"),
+        F.round(F.col("n_tokens_kept").cast("double")
+                / F.greatest(F.max("n_tokens_kept").over(wall), F.lit(1)),
+                6).alias("token_share"))
+
+
+_VOCAB_SWEEP_CUTS = (4, 8, 16, 32, 64)   # candidate vocabulary sizes
+
+
+@query(
+    "tokenizer_vocab_sweep",
+    f"""
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY w),
+    rk AS (SELECT w, tf,
+                  ROW_NUMBER() OVER (ORDER BY tf DESC, w ASC) AS rnk
+           FROM wc),
+    tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total_tf FROM wc),
+    cuts AS (SELECT UNNEST([{', '.join(str(n) for n in _VOCAB_SWEEP_CUTS)}])
+               AS vocab_n),
+    st AS (SELECT c.vocab_n, r.tf
+           FROM rk r JOIN cuts c ON r.rnk <= c.vocab_n)
+    SELECT CAST(st.vocab_n AS INT) AS vocab_n,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(st.tf) AS BIGINT) AS covered_tf,
+           t.total_tf,
+           ROUND(CAST(SUM(st.tf) AS DOUBLE) / GREATEST(t.total_tf, 1), 6)
+             AS coverage
+    FROM st CROSS JOIN tot t
+    GROUP BY st.vocab_n, t.total_tf
+    """,
+    doc=f"vocabulary-SIZE sweep: token-mass coverage of the global "
+        f"top-N word vocabulary for N in {_VOCAB_SWEEP_CUTS} — the "
+        "sizing curve a tokenizer owner reads to pick the vocab size "
+        "BEFORE training it (coverage(N) climbs steeply then "
+        "saturates; the knee prices each extra vocab entry in OOV "
+        "reduction). Completes the tokenizer tier: tokenizer_oov_rate "
+        "fixes ONE N and attributes OOV per source, this face sweeps N "
+        "globally; same (count DESC, word ASC) vocabulary rule, so "
+        "sweep point N=16 reproduces the oov face's vocabulary "
+        "exactly. Determinism: counts integers, rank ties on the word, "
+        "coverage is one guarded division ROUNDed. Scale: the token "
+        "stream collapses to the vocabulary-sized word-count table "
+        "(persisted — BOTH the rank pass and the total-mass fold read "
+        "it, and Spark plans no ReusedExchange across that split), "
+        "ranks come from bucketed_range_rank with cuts='approx' "
+        "(approx-quantile buckets, because Zipf counts CLUSTER at "
+        "tf=1 — a fixed grid would put the whole tail in one task; "
+        "ranks are cut-invariant), each word explodes to its <= "
+        f"{len(_VOCAB_SWEEP_CUTS)} qualifying cutoffs in-row, and ONE "
+        f"hash-agg lands on {len(_VOCAB_SWEEP_CUTS)} rows",
+)
+def tokenizer_vocab_sweep(spark, sf_dir):
+    from .core import fresh_persist
+    from .dataprep import bucketed_range_rank
+
+    d = spread(T(spark, sf_dir, "documents"))
+    wc = (d.select(F.explode(_words()).alias("w"))
+          .groupBy("w").agg(F.count("*").cast("bigint").alias("tf")))
+    wc = fresh_persist("vocab_sweep_wc", wc)
+    # key_max is unused under cuts='approx' (grid-path knob only)
+    ranked = bucketed_range_rank(wc, [], "tf", "w", key_max=1,
+                                 cuts="approx", out_col="rnk")
+    cut_arr = F.array(*[F.lit(n) for n in _VOCAB_SWEEP_CUTS])
+    st = ranked.select(
+        "tf",
+        F.explode(F.filter(cut_arr,
+                           lambda n: n >= F.col("rnk"))).alias("vocab_n"))
+    g = (st.groupBy("vocab_n")
+         .agg(F.count("*").cast("bigint").alias("n_types"),
+              F.sum("tf").cast("bigint").alias("covered_tf")))
+    tot = wc.agg(F.sum("tf").cast("bigint").alias("total_tf"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select(F.col("vocab_n").cast("int").alias("vocab_n"),
+                    "n_types", "covered_tf", "total_tf",
+                    F.round(F.col("covered_tf").cast("double")
+                            / F.greatest(F.col("total_tf"), F.lit(1)), 6)
+                    .alias("coverage")))

@@ -1986,3 +1986,70 @@ def cluster_cap_sink(out_dir: str):
         kept.write.mode("overwrite").parquet(kept_dir)
 
     return write_batch
+
+
+def contamination_sink(out_dir: str):
+    """foreachBatch INCREMENTAL DECONTAMINATION AUDIT — the streaming
+    twin of relational/dataprep.split_contamination: keep the
+    per-test-doc contamination report live as document micro-batches
+    arrive (the benchmark-protection loop a training-data pipeline runs
+    continuously: every ingested batch both extends the train shingle
+    set AND may surface new test documents to audit). Two state tables,
+    both SETS maintained by union + DISTINCT — idempotent, commutative,
+    associative (cluster_cap_sink's semilattice argument), so ANY batch
+    order with ANY verbatim retries converges:
+
+      * `<out_dir>/train_sh` — distinct TRAIN shingle values seen so
+        far (split derived purely from doc_id via _with_split, exactly
+        like the batch face — no split-assignment join);
+      * `<out_dir>/test_sh` — distinct (doc_id, sh) pairs of TEST
+        documents seen so far.
+
+    `<out_dir>/report` refolds through contamination_fold (shared
+    verbatim with the batch face), so after any prefix of batches the
+    report equals split_contamination on the documents streamed so far
+    (random-cut + retry soak in test_stream_soak.py). Matched pairs are
+    deliberately NOT kept as additive state: a test doc's contamination
+    RISES retroactively when a later train batch first contains one of
+    its shingles (pinned as data in the soak file), so only the two
+    monotone shingle sets are stable state and the join is re-derived
+    each fold. At 100 TB: the refold joins the full test set (the
+    benchmark-sized side — small by construction) against the train
+    shingle set on the pre-deduped shingle key; the train-set rewrite
+    is shingle-set-sized per batch — the oov sink's counts-rewrite
+    class — and a production layout would partition it by shingle
+    prefix so a batch rewrites only touched partitions."""
+    from process_nwb_spark.relational.dataprep import (
+        _with_split, contamination_fold)
+    from process_nwb_spark.relational.llm_ops import doc_shingles
+
+    train_dir = out_dir.rstrip("/") + "/train_sh"
+    test_dir = out_dir.rstrip("/") + "/test_sh"
+    rep_dir = out_dir.rstrip("/") + "/report"
+
+    def write_batch(batch_df: DataFrame, batch_id: int):
+        sp = batch_df.sparkSession
+        sh = (_with_split(
+            doc_shingles(batch_df.select("doc_id", "text")))
+            .localCheckpoint())
+        if sh.isEmpty():
+            return   # no shingles (empty batch / all-short docs) =
+            # the identity of both set folds
+        btr = (sh.filter(F.col("split") == "train")
+               .select("sh").distinct())
+        bte = (sh.filter(F.col("split") == "test")
+               .select("doc_id", "sh"))
+        cur_tr = _read_if_exists(sp, train_dir)
+        tr = btr if cur_tr is None else \
+            cur_tr.select("sh").unionByName(btr).distinct()
+        tr = tr.localCheckpoint()
+        tr.write.mode("overwrite").parquet(train_dir)
+        cur_te = _read_if_exists(sp, test_dir)
+        te = bte if cur_te is None else \
+            cur_te.select("doc_id", "sh").unionByName(bte).distinct()
+        te = te.localCheckpoint()
+        te.write.mode("overwrite").parquet(test_dir)
+        rep = contamination_fold(te, tr).localCheckpoint()
+        rep.write.mode("overwrite").parquet(rep_dir)
+
+    return write_batch

@@ -43,12 +43,15 @@ def test_r14_window_is_staleness_ordered():
     of the r7 cohort). The cohort sets derive from
     CORRECTNESS_r{01..13}.json (the per-face last-sampled-round
     fold)."""
-    touched_r14 = ["embed_margin_bitext", "embed_cell_balance",
+    touched_r14 = ["mix_dedup_budget", "quality_gate_tradeoff",
+                   "tokenizer_vocab_sweep", "dedup_threshold_sweep",
+                   "embed_margin_bitext", "embed_cell_balance",
                    "tokenizer_oov_rate", "quality_rule_ablation",
                    "dedup_cluster_cap", "corpus_word_burstiness",
                    "rank_mrr_eval",
                    "corpus_crossentropy_matrix", "mix_perplexity_buckets",
-                   "mix_source_caps"]
+                   "mix_source_caps", "split_contamination",
+                   "dedup_embed_cosine"]
     r7_remaining = {
         "important_part_value", "line_priority_counts",
         "min_cost_supplier", "minhash_jaccard_est", "ngram_novelty",
@@ -71,4 +74,5 @@ def test_r14_window_is_staleness_ordered():
     assert head[:len(touched_r14)] == touched_r14
     assert r7_remaining == set(head[len(touched_r14):
                                     len(touched_r14) + len(r7_remaining)])
-    assert len(head) == 7 + 3 + 41  # added + touched + stale r7 cohort
+    # 11 added (7 + 4 third-batch) + 5 touched + stale r7 cohort
+    assert len(head) == 11 + 5 + 41

@@ -850,3 +850,76 @@ def test_cluster_cap_sink_demotes_late_smaller_doc(spark, tmp_path):
     assert list(dup.copy_rank) == [1, 2]
     solo = got[got.cluster_size == 1]
     assert list(solo.doc_id) == [20] and solo.iloc[0].copy_rank == 1
+
+
+def test_contamination_sink_soak_random_cuts(spark, tmp_path):
+    """Randomized-cut soak for contamination_sink: seeded cuts,
+    SHUFFLED batch order (both state tables are set-union semilattices,
+    so order must not matter), immediate + delayed verbatim retries —
+    the converged report must equal split_contamination every time."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.streaming.ops import contamination_sink
+
+    rng = np.random.default_rng(SEED + 10)
+    docs = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+            .select("doc_id", "text").localCheckpoint())
+    ids = [r.doc_id for r in
+           docs.select("doc_id").orderBy("doc_id").collect()]
+    want = (all_queries()["split_contamination"]
+            .fn(spark, SF_CORRECT).toPandas())
+    cols = sorted(want.columns)
+    for rnd in range(2):
+        n_segs = int(rng.integers(2, 6))
+        cuts = _random_cuts(rng, ids, n_segs)
+        segs = _segments(docs, "doc_id", cuts)
+        out = str(tmp_path / f"out_cont_{rnd}")
+        sink = contamination_sink(out)
+        order = rng.permutation(len(segs))
+        retry_at = int(rng.integers(0, len(segs)))
+        for step, i in enumerate(order):
+            sink(segs[int(i)], int(i))
+            if step == retry_at:
+                sink(segs[int(i)], int(i))   # immediate verbatim retry
+        delayed = int(rng.integers(0, len(segs)))
+        sink(segs[delayed], delayed)         # delayed verbatim retry
+        got = spark.read.parquet(out + "/report").toPandas()
+        _eq(got, want, cols, ["doc_id"],
+            ("cont", rnd, cuts, list(order), retry_at, delayed))
+
+
+def test_contamination_sink_retroactive_rise(spark, tmp_path):
+    """The non-additive part stated as data: a TEST doc's contamination
+    RISES retroactively when a LATER train batch first contains one of
+    its shingles — the refold must re-derive matches against the grown
+    train set, not accumulate match counts (plus empty-batch identity
+    and a verbatim retry after the rise)."""
+    import hashlib
+
+    from process_nwb_spark.streaming.ops import contamination_sink
+
+    def bucket(i):
+        return int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:2],
+                   16)
+
+    test_id = next(i for i in range(10000) if bucket(i) >= 243)
+    train_id = next(i for i in range(10000) if bucket(i) < 230)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string")
+    # test doc: shingles {"alpha beta gamma", "beta gamma delta"}
+    b0 = mk([(test_id, "alpha beta gamma delta")])
+    # later train doc contains ONE of them
+    b1 = mk([(train_id, "alpha beta gamma")])
+    out = str(tmp_path / "out_cont_rise")
+    sink = contamination_sink(out)
+    sink(b0, 0)
+    first = spark.read.parquet(out + "/report").toPandas()
+    assert len(first) == 1
+    assert first.iloc[0].n_shingles == 2 and first.iloc[0].n_shared == 0
+    assert first.iloc[0].contamination == 0.0
+    sink(b0.filter(F.lit(False)), 1)     # empty batch: identity
+    sink(b1, 2)
+    sink(b1, 2)                          # verbatim retry after the rise
+    got = spark.read.parquet(out + "/report").toPandas()
+    assert len(got) == 1
+    assert got.iloc[0].n_shingles == 2 and got.iloc[0].n_shared == 1
+    assert got.iloc[0].contamination == 0.5
