@@ -84,6 +84,10 @@ DRIVER_PRIORITY = (
     #   vocabulary-size curve (top-N token mass, N in 4..64)
     "dedup_threshold_sweep",  # ADDED r14 third batch: cosine-threshold
     #   calibration curve over dedup_embed_cosine's candidate pairs
+    "quality_lm_agreement",  # ADDED r14 third batch: Gopher-gate vs
+    #   bigram-LM-surprisal agreement (exact-moment Pearson r)
+    "mix_repeat_budget",  # ADDED r14 third batch: data-constrained
+    #   repetition plan (4-epoch-ceiling waterfill, epochs per source)
     "embed_margin_bitext",  # ADDED r14: margin-based bitext mining
     #   (Artetxe & Schwenk ratio margin, IVF-cell-bounded candidates)
     "embed_cell_balance",  # ADDED r14: IVF per-cell occupancy /

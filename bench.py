@@ -205,6 +205,20 @@ SF1_SUBSET = [
     "dedup_cluster_cap", "corpus_word_burstiness",
     # r14 third batch: MRR rides the same shared ranked frame as NDCG
     "rank_mrr_eval",
+    # r14 fourth batch (dedup-policy economics): dedup-aware
+    # waterfilling claims ONE fp shuffle + a |sources|-row fold; the
+    # gate-strictness sweep claims a zero-join scan into a <=6-row
+    # agg; the vocab-size sweep claims ONE vocab-keyed agg + bucketed
+    # rank (approx cuts — the Zipf-tail decomposition); the threshold
+    # sweep claims the same tile-bounded LINEAR pair frame as
+    # dedup_embed_cosine plus <=12-row folds — each ratio is the
+    # measured check of those claims
+    "mix_dedup_budget", "quality_gate_tradeoff",
+    "tokenizer_vocab_sweep", "dedup_threshold_sweep",
+    # ... the gate-vs-LM agreement claims the LM fit's vocab shuffle
+    # plus one doc-keyed join/agg (the perplexity face's growth class);
+    # the repetition plan claims mix_dedup_budget's exact shape
+    "quality_lm_agreement", "mix_repeat_budget",
     # r10: the eager-checkpoint faces, measured WHOLE-CALLABLE (below)
     "graph_wcc_star", "graph_kcore_peel", "split_leakage_safe",
 ]

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .core import T, query, spread
-from .llm_ops import _SHINGLE_SQL, _shingles_df
+from .llm_ops import _GOPHER_FLAGS_SQL, _SHINGLE_SQL, _shingles_df
 
 # --- md5-derived bucket in [0, 256): first two hex nibbles of md5(key) ----
 _HEX = "0123456789abcdef"
@@ -2342,10 +2342,12 @@ def mix_length_buckets(spark, sf_dir):
 # --------------------------------------------------------------------------
 # r13: CCNet-style perplexity terciles + waterfilling budget allocation
 # --------------------------------------------------------------------------
-@query(
-    "mix_perplexity_buckets",
-    """
-    WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w
+# words -> bigrams -> self-trained bigram LM -> per-doc INTEGER
+# surprisal key ((s * 10000) DIV n_bigrams) — the `keyed` CTE SHARED
+# VERBATIM by mix_perplexity_buckets (ranks it into terciles) and
+# quality_lm_agreement (correlates it with the Gopher gate), so the
+# two views score fluency identically. Docs need >= 1 bigram.
+_SURPRISAL_KEYED_SQL = """words AS (SELECT doc_id, source, string_split(text, ' ') AS w
                    FROM documents),
     bg AS (
       SELECT doc_id, source, UNNEST(w[1:-2]) AS w1, UNNEST(w[2:]) AS w2
@@ -2368,7 +2370,48 @@ def mix_length_buckets(spark, sf_dir):
       SELECT doc_id, source, n_bigrams,
              CAST((s * 10000) // n_bigrams AS BIGINT) AS score_key
       FROM scored
-    ),
+    )"""
+
+
+def doc_surprisal_keys(docs):
+    """(doc_id, source, n_bigrams, score_key) under the corpus's
+    self-trained word-bigram LM — the integer surprisal proxy (per
+    bigram 64 + floor(log2 c2) - floor(log2 c1), per doc
+    (sum * 10000) DIV n_bigrams; see mix_perplexity_buckets' docstring
+    for the determinism argument). Spark twin of _SURPRISAL_KEYED_SQL,
+    shared verbatim by mix_perplexity_buckets and quality_lm_agreement.
+    Scale: LM fit is the bigram-vocab shuffle; the scoring joins carry
+    NO broadcast hint (the model tables grow with the vocabulary —
+    AQE broadcasts them while small, shuffles past the threshold);
+    then one doc-keyed agg."""
+    d = docs.withColumn("w", F.split("text", " "))
+    bg = (d.select(
+        "doc_id", "source",
+        F.explode(F.expr(
+            "transform(slice(w, 1, size(w) - 1), "
+            "(x, i) -> struct(x AS w1, w[i + 1] AS w2))")).alias("b"))
+        .select("doc_id", "source",
+                F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
+    pair_c = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    head_c = pair_c.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    sb = (F.lit(64)
+          + F.floor(F.log2(F.col("c2").cast("double"))).cast("bigint")
+          - F.floor(F.log2(F.col("c1").cast("double"))).cast("bigint"))
+    scored = (bg.join(pair_c, ["w1", "w2"])
+              .join(head_c, "w1")
+              .groupBy("doc_id", "source")
+              .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                   F.sum(sb).cast("bigint").alias("s")))
+    return scored.select(
+        "doc_id", "source", "n_bigrams",
+        F.expr("CAST((s * 10000) DIV n_bigrams AS BIGINT)")
+        .alias("score_key"))
+
+
+@query(
+    "mix_perplexity_buckets",
+    f"""
+    WITH {_SURPRISAL_KEYED_SQL},
     ranked AS (
       SELECT *,
              ROW_NUMBER() OVER (PARTITION BY source
@@ -2410,35 +2453,7 @@ def mix_length_buckets(spark, sf_dir):
         "mix face shares",
 )
 def mix_perplexity_buckets(spark, sf_dir):
-    d = (spread(T(spark, sf_dir, "documents"))
-         .withColumn("w", F.split("text", " ")))
-    bg = (d.select(
-        "doc_id", "source",
-        F.explode(F.expr(
-            "transform(slice(w, 1, size(w) - 1), "
-            "(x, i) -> struct(x AS w1, w[i + 1] AS w2))")).alias("b"))
-        .select("doc_id", "source",
-                F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
-    pair_c = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    head_c = pair_c.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    sb = (F.lit(64)
-          + F.floor(F.log2(F.col("c2").cast("double"))).cast("bigint")
-          - F.floor(F.log2(F.col("c1").cast("double"))).cast("bigint"))
-    # no broadcast hints on the model tables: pair_c/head_c grow with
-    # the corpus's bigram VOCABULARY, and F.broadcast ignores size
-    # thresholds — at 100 TB a multi-GB vocabulary would be a
-    # guaranteed 8 GB-cap failure rather than a planner-degradable
-    # choice. AQE broadcasts them while small; the scale-safe plan is
-    # the scoring join shuffled on (w1, w2) / (w1).
-    scored = (bg.join(pair_c, ["w1", "w2"])
-              .join(head_c, "w1")
-              .groupBy("doc_id", "source")
-              .agg(F.count("*").cast("bigint").alias("n_bigrams"),
-                   F.sum(sb).cast("bigint").alias("s")))
-    keyed = scored.select(
-        "doc_id", "source", "n_bigrams",
-        F.expr("CAST((s * 10000) DIV n_bigrams AS BIGINT)")
-        .alias("score_key"))
+    keyed = doc_surprisal_keys(spread(T(spark, sf_dir, "documents")))
     ranked = bucketed_range_rank(keyed, ["source"], "score_key",
                                  "doc_id", key_max=640000,
                                  out_col="src_rank")
@@ -2660,3 +2675,192 @@ def mix_dedup_budget(spark, sf_dir):
                         .cast("double")
                         / F.greatest(F.col("raw_tokens"), F.lit(1)), 6)))
     return waterfill_alloc(caps)
+
+
+# --------------------------------------------------------------------------
+# r14: rule-gate vs LM-fluency agreement
+# --------------------------------------------------------------------------
+@query(
+    "quality_lm_agreement",
+    f"""
+    WITH {_GOPHER_FLAGS_SQL},
+    p AS (SELECT doc_id,
+                 CAST((r1 + r2 + r3 + r4 + r5) = 5 AS INT) AS pass
+          FROM r),
+    {_SURPRISAL_KEYED_SQL},
+    j AS (
+      SELECT k.source, p.pass, k.score_key
+      FROM keyed k JOIN p ON k.doc_id = p.doc_id
+    ),
+    m AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(pass) AS BIGINT) AS n_pass,
+             CAST(SUM(CAST(pass AS DECIMAL(38,0))
+                      * CAST(score_key AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(score_key AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(score_key AS DECIMAL(38,0))
+                      * CAST(score_key AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS syy
+      FROM j GROUP BY source
+    )
+    SELECT source, n_docs, n_pass,
+           ROUND(CAST(sxy AS DOUBLE) / NULLIF(n_pass, 0), 4)
+             AS mean_score_pass,
+           ROUND(CAST(sy - sxy AS DOUBLE)
+                 / NULLIF(n_docs - n_pass, 0), 4) AS mean_score_fail,
+           ROUND(CAST(CAST(n_docs AS DECIMAL(38,0)) * sxy
+                      - CAST(n_pass AS DECIMAL(38,0)) * sy AS DOUBLE)
+                 / NULLIF(SQRT(
+                     CAST(CAST(n_docs AS DECIMAL(38,0))
+                          * CAST(n_pass AS DECIMAL(38,0))
+                          - CAST(n_pass AS DECIMAL(38,0))
+                          * CAST(n_pass AS DECIMAL(38,0)) AS DOUBLE)
+                     * CAST(CAST(n_docs AS DECIMAL(38,0)) * syy
+                            - sy * sy AS DOUBLE)), 0), 6) AS pearson_r
+    FROM m
+    """,
+    doc="rule-gate vs LM-fluency AGREEMENT: per source, does the Gopher "
+        "gate's pass bit correlate with the bigram-LM surprisal the "
+        "perplexity faces rank by? (The DataComp/CCNet filter-design "
+        "question: two filters that agree are redundant — run the "
+        "cheaper scan-only gate; two that disagree each earn their "
+        "cost.) Reports docs with LM evidence, gate passes, mean "
+        "surprisal key among passes vs fails, and the exact-moment "
+        "Pearson r between the 0/1 pass bit and the integer surprisal "
+        "key (negative r = the gate keeps fluent docs — lower surprisal "
+        "— i.e. the filters agree). Both inputs shared VERBATIM with "
+        "their owning faces: the pass bit is with_gopher_metrics / "
+        "_GOPHER_FLAGS_SQL (the gate), the score is doc_surprisal_keys "
+        "/ _SURPRISAL_KEYED_SQL (the terciles), so the agreement is "
+        "measured on exactly what those faces enforce. Determinism: "
+        "x is 0/1 and y is an integer key, so every moment (sxy, sy, "
+        "syy) is an exact DECIMAL(38,0) integer sum (the burstiness "
+        "idiom — order-free, overflow-safe at corpus scale); r is ONE "
+        "double expression over those exact integers (SQRT is "
+        "correctly-rounded IEEE in both engines), NULL when a source "
+        "is all-pass/all-fail or constant-score (zero variance). "
+        "Docs need >= 1 bigram (no LM evidence otherwise — same "
+        "exclusion as the tercile face). Scale: the LM fit is the "
+        "bigram-vocab shuffle (size-adaptive joins, no broadcast "
+        "hints); the gate is a zero-exchange scan; ONE doc_id equi-join "
+        "ties them; ONE hash-agg lands on |sources| rows",
+)
+def quality_lm_agreement(spark, sf_dir):
+    from .llm_ops import GOPHER_RULES, with_gopher_metrics
+
+    d = spread(T(spark, sf_dir, "documents"))
+    flags = with_gopher_metrics(d.select("doc_id", "text"))
+    tot = sum((F.col(a) for a in GOPHER_RULES[1:]),
+              F.col(GOPHER_RULES[0]))
+    p = flags.select("doc_id", (tot == 5).cast("int").alias("pass"))
+    keyed = doc_surprisal_keys(d)
+    j = keyed.join(p, "doc_id").select("source", "pass", "score_key")
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    m = j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("pass").cast("bigint").alias("n_pass"),
+        F.sum(dec(F.col("pass")) * dec(F.col("score_key")))
+        .cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec(F.col("score_key")))
+        .cast("decimal(38,0)").alias("sy"),
+        F.sum(dec(F.col("score_key")) * dec(F.col("score_key")))
+        .cast("decimal(38,0)").alias("syy"))
+    nd, np_ = F.col("n_docs"), F.col("n_pass")
+    sxy, sy, syy = F.col("sxy"), F.col("sy"), F.col("syy")
+    num = (dec(nd) * sxy - dec(np_) * sy).cast("double")
+    varx = (dec(nd) * dec(np_) - dec(np_) * dec(np_)).cast("double")
+    vary = (dec(nd) * syy - sy * sy).cast("double")
+    den = F.sqrt(varx * vary)
+    return m.select(
+        "source", "n_docs", "n_pass",
+        F.round(F.when(np_ != 0, sxy.cast("double") / np_), 4)
+        .alias("mean_score_pass"),
+        F.round(F.when(nd - np_ != 0,
+                       (sy - sxy).cast("double") / (nd - np_)), 4)
+        .alias("mean_score_fail"),
+        F.round(F.when(den != 0, num / den), 6).alias("pearson_r"))
+
+
+_REPEAT_EPOCH_CAP = 4   # max useful epochs of repetition (Muennighoff
+# et al. 2023: past ~4 epochs the return on repeating data collapses)
+
+
+@query(
+    "mix_repeat_budget",
+    rf"""
+    WITH f AS (
+      SELECT doc_id, source,
+             CAST(LEN(REGEXP_EXTRACT_ALL(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks,
+             MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ),
+    r AS (
+      SELECT source, toks,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+               AS copy_rank
+      FROM f
+    ),
+    caps AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN copy_rank = 1 THEN toks ELSE 0 END)
+               AS BIGINT) AS unique_tokens,
+             CAST({_REPEAT_EPOCH_CAP}
+                  * SUM(CASE WHEN copy_rank = 1 THEN toks ELSE 0 END)
+               AS BIGINT) AS cap_tokens
+      FROM r GROUP BY source
+    ),
+    {_WATERFILL_SQL_TAIL}
+    SELECT *,
+           ROUND(alloc_tokens / NULLIF(unique_tokens, 0), 4) AS epochs
+    FROM alloc
+    """,
+    doc="data-constrained REPETITION plan (Muennighoff et al. 2023, "
+        "'Scaling Data-Constrained Language Models'): when the token "
+        "budget exceeds the deduped corpus, repetition fills the gap — "
+        "but only up to ~4 epochs pays. Each source's capacity is its "
+        f"unique token mass x {_REPEAT_EPOCH_CAP} (the epoch ceiling), "
+        "the budget is _WATERFILL_FRAC of that trainable mass (> the "
+        "unique total — the data-constrained regime by construction), "
+        "and the SAME closed-form fold as mix_source_caps / "
+        "mix_dedup_budget (waterfill_alloc / _WATERFILL_SQL_TAIL, "
+        "shared verbatim) levels it: epochs = alloc / unique is the "
+        "per-source repetition count the plan actually schedules, "
+        f"<= {_REPEAT_EPOCH_CAP} by the ceiling, NULL for a "
+        "zero-unique mirror source. Unique capacity uses dedup_exact's "
+        "canonical rule (min-doc_id per normalized-md5 cluster), "
+        "identical to mix_dedup_budget so the two plans price the same "
+        "dedup. Determinism: capacities and prefix sums are integers; "
+        "the level and epochs are single guarded divisions ROUNDed. "
+        "Scale: ONE fingerprint shuffle + ONE hash-agg to |sources| "
+        "rows + metadata-sized waterfill windows — mix_dedup_budget's "
+        "exact shape",
+)
+def mix_repeat_budget(spark, sf_dir):
+    d = spread(T(spark, sf_dir, "documents"))
+    tok = F.regexp_count("text",
+                         F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    f = d.select("doc_id", "source", tok.cast("bigint").alias("toks"),
+                 fp.alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    r = f.withColumn("copy_rank", F.row_number().over(w))
+    keep_toks = (F.when(F.col("copy_rank") == 1, F.col("toks"))
+                 .otherwise(F.lit(0)))
+    caps = (r.groupBy("source")
+            .agg(F.sum(keep_toks).cast("bigint").alias("unique_tokens"))
+            .select("source", "unique_tokens",
+                    (F.lit(_REPEAT_EPOCH_CAP) * F.col("unique_tokens"))
+                    .cast("bigint").alias("cap_tokens")))
+    alloc = waterfill_alloc(caps)
+    return alloc.select(
+        "*",
+        F.round(F.col("alloc_tokens")
+                / F.when(F.col("unique_tokens") != 0,
+                         F.col("unique_tokens")), 4).alias("epochs"))

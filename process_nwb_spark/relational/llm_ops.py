@@ -4417,7 +4417,7 @@ _GOPHER_FLAGS_SQL = """w AS (
       FROM documents
     ),
     r AS (
-      SELECT n_words,
+      SELECT doc_id, n_words,
              CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r1,
              CAST(ROUND(CAST(LIST_SUM(LIST_TRANSFORM(ws,
                     x -> LENGTH(x))) AS DOUBLE)

@@ -45,6 +45,7 @@ def test_r14_window_is_staleness_ordered():
     fold)."""
     touched_r14 = ["mix_dedup_budget", "quality_gate_tradeoff",
                    "tokenizer_vocab_sweep", "dedup_threshold_sweep",
+                   "quality_lm_agreement", "mix_repeat_budget",
                    "embed_margin_bitext", "embed_cell_balance",
                    "tokenizer_oov_rate", "quality_rule_ablation",
                    "dedup_cluster_cap", "corpus_word_burstiness",
@@ -74,5 +75,5 @@ def test_r14_window_is_staleness_ordered():
     assert head[:len(touched_r14)] == touched_r14
     assert r7_remaining == set(head[len(touched_r14):
                                     len(touched_r14) + len(r7_remaining)])
-    # 11 added (7 + 4 third-batch) + 5 touched + stale r7 cohort
-    assert len(head) == 11 + 5 + 41
+    # 13 added (7 + 6 third-batch) + 5 touched + stale r7 cohort
+    assert len(head) == 13 + 5 + 41

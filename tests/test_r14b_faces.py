@@ -1,5 +1,6 @@
 """Behavioral pins for the r14 third-batch faces (mix_dedup_budget,
-quality_gate_tradeoff, tokenizer_vocab_sweep, dedup_threshold_sweep)
+quality_gate_tradeoff, tokenizer_vocab_sweep, dedup_threshold_sweep,
+quality_lm_agreement, mix_repeat_budget)
 beyond the exact-oracle gate: pandas/numpy replays of each face's math,
 cross-face consistency against the faces they calibrate or share folds
 with, injected-corpus edge cases, and plan-shape contracts."""
@@ -236,3 +237,73 @@ def test_r14_third_batch_plan_shapes(spark):
 
     ts = qs["dedup_threshold_sweep"].fn(spark, SF)
     assert "InMemoryTableScan" in formatted_plan(ts, "simple")
+
+
+def test_lm_agreement_cross_face_replay(spark):
+    """quality_lm_agreement must be computable from its two owning
+    faces' outputs alone (shared-builder contract): pass bits from
+    quality_gopher_rules, surprisal keys from mix_perplexity_buckets,
+    exact integer moments, one sqrt."""
+    import math
+
+    gate = (all_queries()["quality_gopher_rules"].fn(spark, SF)
+            .toPandas().set_index("doc_id"))
+    ppl = all_queries()["mix_perplexity_buckets"].fn(spark, SF).toPandas()
+    got = (all_queries()["quality_lm_agreement"].fn(spark, SF)
+           .toPandas().set_index("source").sort_index())
+    for src, g in ppl.groupby("source"):
+        xs = [int(gate.loc[d].passes) for d in g.doc_id]
+        ys = [int(s) for s in g.score_key]
+        n, npass = len(xs), sum(xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sy, syy = sum(ys), sum(y * y for y in ys)
+        row = got.loc[src]
+        assert row.n_docs == n and row.n_pass == npass
+        if npass:
+            assert row.mean_score_pass == round(sxy / npass, 4)
+        if n - npass:
+            assert row.mean_score_fail == round((sy - sxy) / (n - npass),
+                                                4)
+        den = math.sqrt(float(n * npass - npass * npass)
+                        * float(n * syy - sy * sy))
+        if den == 0:
+            assert pd.isna(row.pearson_r)
+        else:
+            assert row.pearson_r == round((n * sxy - npass * sy) / den, 6)
+
+
+def test_repeat_budget_epochs_and_mirror(spark, tmp_path):
+    """mix_repeat_budget prices the SAME dedup as mix_dedup_budget
+    (unique capacities equal), ceilings are 4x unique, epochs =
+    alloc/unique <= 4; on the mirror corpus the zero-unique source
+    gets NULL epochs and the unique source trains exactly the
+    data-constrained 2 epochs (budget = half the 4-epoch ceiling)."""
+    ded = (all_queries()["mix_dedup_budget"].fn(spark, SF).toPandas()
+           .set_index("source").sort_index())
+    got = (all_queries()["mix_repeat_budget"].fn(spark, SF).toPandas()
+           .set_index("source").sort_index())
+    assert (got.unique_tokens == ded.cap_tokens).all()
+    assert (got.cap_tokens == 4 * got.unique_tokens).all()
+    nz = got[got.unique_tokens > 0]
+    assert (nz.epochs <= 4.0 + 1e-9).all()
+    assert all(nz.epochs == np.round(nz.alloc_tokens / nz.unique_tokens,
+                                     4))
+
+    big = " ".join(["tok"] * 50)
+    rows = [(0, big + " uniq0", "en", "orig", 0),
+            (1, big + " uniq1", "en", "orig", 0),
+            (2, big + " uniq0", "en", "mirror", 0),
+            (3, big + " uniq1", "en", "mirror", 0)]
+    d = str(tmp_path / "mirror_rb")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long").write.parquet(f"{d}/documents.parquet")
+    from process_nwb_spark.relational.dataprep import mix_repeat_budget
+
+    pdf = mix_repeat_budget(spark, d).toPandas().set_index("source")
+    assert pd.isna(pdf.loc["mirror"].epochs)
+    assert pdf.loc["mirror"].alloc_tokens == 0.0
+    # unique 104, ceiling 416, budget 208 -> orig trains 2.0 epochs
+    assert pdf.budget.iloc[0] == 208
+    assert pdf.loc["orig"].alloc_tokens == 208.0
+    assert pdf.loc["orig"].epochs == 2.0
