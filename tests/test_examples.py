@@ -49,3 +49,11 @@ def test_tokenizer_dedup_policy_demo_runs():
     assert "duplication budget" in out
     assert "IVF cell balance" in out
     assert "margin mining" in out
+
+
+def test_curation_economics_demo_runs():
+    out = _run_demo("curation_economics_demo.py")
+    assert "near-dup threshold sweep" in out
+    assert "Gopher-gate strictness tradeoff" in out
+    assert "vocabulary-size coverage curve" in out
+    assert "max-min fair" in out
