@@ -20,7 +20,7 @@ the plan and the execution cannot disagree.
    corpus: the per-source repetition schedule under the 4-epoch
    ceiling (Muennighoff's data-constrained regime).
 
-The streaming twin `contamination_sink` keeps the benchmark-protection
+The streaming twin `split_contamination_sink` keeps the benchmark-protection
 audit (split_contamination) live beside this batch decision path.
 """
 import os

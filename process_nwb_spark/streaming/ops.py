@@ -1988,14 +1988,17 @@ def cluster_cap_sink(out_dir: str):
     return write_batch
 
 
-def contamination_sink(out_dir: str):
-    """foreachBatch INCREMENTAL DECONTAMINATION AUDIT — the streaming
-    twin of relational/dataprep.split_contamination: keep the
-    per-test-doc contamination report live as document micro-batches
-    arrive (the benchmark-protection loop a training-data pipeline runs
-    continuously: every ingested batch both extends the train shingle
-    set AND may surface new test documents to audit). Two state tables,
-    both SETS maintained by union + DISTINCT — idempotent, commutative,
+def split_contamination_sink(out_dir: str):
+    """foreachBatch INCREMENTAL DECONTAMINATION AUDIT with BOTH sides
+    streamed — the second streaming twin of relational/dataprep.
+    split_contamination, for the deployment contamination_sink (above)
+    cannot serve: there, the held-out set is STATIC and frozen at sink
+    construction; here every micro-batch may carry train AND test
+    documents (the split recomputed inline from doc_id via _with_split,
+    exactly like the batch face), so a test document that arrives
+    AFTER train batches already contained its shingles still gets its
+    report, retroactively correct. Two state tables, both SETS
+    maintained by union + DISTINCT — idempotent, commutative,
     associative (cluster_cap_sink's semilattice argument), so ANY batch
     order with ANY verbatim retries converges:
 

@@ -852,13 +852,13 @@ def test_cluster_cap_sink_demotes_late_smaller_doc(spark, tmp_path):
     assert list(solo.doc_id) == [20] and solo.iloc[0].copy_rank == 1
 
 
-def test_contamination_sink_soak_random_cuts(spark, tmp_path):
-    """Randomized-cut soak for contamination_sink: seeded cuts,
+def test_split_contamination_sink_soak_random_cuts(spark, tmp_path):
+    """Randomized-cut soak for split_contamination_sink: seeded cuts,
     SHUFFLED batch order (both state tables are set-union semilattices,
     so order must not matter), immediate + delayed verbatim retries —
     the converged report must equal split_contamination every time."""
     from process_nwb_spark.relational.core import all_queries
-    from process_nwb_spark.streaming.ops import contamination_sink
+    from process_nwb_spark.streaming.ops import split_contamination_sink
 
     rng = np.random.default_rng(SEED + 10)
     docs = (spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
@@ -873,7 +873,7 @@ def test_contamination_sink_soak_random_cuts(spark, tmp_path):
         cuts = _random_cuts(rng, ids, n_segs)
         segs = _segments(docs, "doc_id", cuts)
         out = str(tmp_path / f"out_cont_{rnd}")
-        sink = contamination_sink(out)
+        sink = split_contamination_sink(out)
         order = rng.permutation(len(segs))
         retry_at = int(rng.integers(0, len(segs)))
         for step, i in enumerate(order):
@@ -887,7 +887,7 @@ def test_contamination_sink_soak_random_cuts(spark, tmp_path):
             ("cont", rnd, cuts, list(order), retry_at, delayed))
 
 
-def test_contamination_sink_retroactive_rise(spark, tmp_path):
+def test_split_contamination_sink_retroactive_rise(spark, tmp_path):
     """The non-additive part stated as data: a TEST doc's contamination
     RISES retroactively when a LATER train batch first contains one of
     its shingles — the refold must re-derive matches against the grown
@@ -895,7 +895,7 @@ def test_contamination_sink_retroactive_rise(spark, tmp_path):
     and a verbatim retry after the rise)."""
     import hashlib
 
-    from process_nwb_spark.streaming.ops import contamination_sink
+    from process_nwb_spark.streaming.ops import split_contamination_sink
 
     def bucket(i):
         return int(hashlib.md5(f"{i}:split".encode()).hexdigest()[:2],
@@ -910,7 +910,7 @@ def test_contamination_sink_retroactive_rise(spark, tmp_path):
     # later train doc contains ONE of them
     b1 = mk([(train_id, "alpha beta gamma")])
     out = str(tmp_path / "out_cont_rise")
-    sink = contamination_sink(out)
+    sink = split_contamination_sink(out)
     sink(b0, 0)
     first = spark.read.parquet(out + "/report").toPandas()
     assert len(first) == 1
