@@ -88,6 +88,8 @@ DRIVER_PRIORITY = (
     #   bigram-LM-surprisal agreement (exact-moment Pearson r)
     "mix_repeat_budget",  # ADDED r14 third batch: data-constrained
     #   repetition plan (4-epoch-ceiling waterfill, epochs per source)
+    "jaccard_threshold_sweep",  # ADDED r14 third batch: integer
+    #   Jaccard-threshold calibration over ngram_jaccard_pairs' pairs
     "embed_margin_bitext",  # ADDED r14: margin-based bitext mining
     #   (Artetxe & Schwenk ratio margin, IVF-cell-bounded candidates)
     "embed_cell_balance",  # ADDED r14: IVF per-cell occupancy /
@@ -118,6 +120,9 @@ DRIVER_PRIORITY = (
     "dedup_embed_cosine",  # r14 third batch: pair generator extracted
     #   into _tile_cos_pairs/_TILE_PAIRS_COS_SQL (shared with
     #   dedup_threshold_sweep) — value-identical
+    "ngram_jaccard_pairs",  # r14 third batch: candidate generator
+    #   extracted into _jaccard_candidate_pairs/_JACCARD_CAND_SQL
+    #   (shared with jaccard_threshold_sweep) — value-identical
     # ---- (b) staleness backfill: the 41 remaining r7 faces ----
     "important_part_value",  # last driver r7
     "line_priority_counts",  # last driver r7

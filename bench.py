@@ -219,6 +219,9 @@ SF1_SUBSET = [
     # plus one doc-keyed join/agg (the perplexity face's growth class);
     # the repetition plan claims mix_dedup_budget's exact shape
     "quality_lm_agreement", "mix_repeat_budget",
+    # ... the Jaccard sweep claims the pair face's df<=100-bounded
+    # candidate frame + <=9-row folds (integer bucketing)
+    "jaccard_threshold_sweep",
     # r10: the eager-checkpoint faces, measured WHOLE-CALLABLE (below)
     "graph_wcc_star", "graph_kcore_peel", "split_leakage_safe",
 ]

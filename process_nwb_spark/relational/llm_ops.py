@@ -216,10 +216,11 @@ def minhash_lsh_candidates(spark, sf_dir):
 # --------------------------------------------------------------------------
 # n-gram Jaccard near-dup (exact pair similarity)
 # --------------------------------------------------------------------------
-@query(
-    "ngram_jaccard_pairs",
-    f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+# df<=100-bounded shingle self-join down to the 0.1-floored candidate
+# pair list (doc_a, doc_b, shared, union_sz) — SHARED by
+# ngram_jaccard_pairs and jaccard_threshold_sweep, so the sweep
+# calibrates exactly the candidate generator the pair face runs.
+_JACCARD_CAND_SQL = f"""sh AS ({_SHINGLE_SQL}),
     df AS (SELECT sh, COUNT(*) AS n_docs FROM sh GROUP BY sh),
     filtered AS (SELECT s.doc_id, s.sh FROM sh s JOIN df ON s.sh = df.sh
                  WHERE df.n_docs <= 100),
@@ -229,20 +230,43 @@ def minhash_lsh_candidates(spark, sf_dir):
       FROM filtered a JOIN filtered b
         ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT p.doc_a, p.doc_b,
-           ROUND(CAST(p.shared AS DOUBLE) /
-                 (sa.n_sh + sb.n_sh - p.shared), 4) AS jaccard
-    FROM pairs p
-    JOIN sizes sa ON p.doc_a = sa.doc_id
-    JOIN sizes sb ON p.doc_b = sb.doc_id
-    WHERE CAST(p.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.shared) >= 0.1
+    ),
+    cand AS (
+      SELECT p.doc_a, p.doc_b, p.shared,
+             sa.n_sh + sb.n_sh - p.shared AS union_sz
+      FROM pairs p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE CAST(p.shared AS DOUBLE)
+            / (sa.n_sh + sb.n_sh - p.shared) >= 0.1
+    )"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_JACCARD_CAND_SQL}
+    SELECT doc_a, doc_b,
+           ROUND(CAST(shared AS DOUBLE) / union_sz, 4) AS jaccard
+    FROM cand
     """,
     doc="exact n-gram Jaccard similarity via shingle equi-join; "
         "document-frequency stop-shingle filter (df<=100) bounds join skew "
         "at scale",
 )
 def ngram_jaccard_pairs(spark, sf_dir):
+    jac = (F.col("shared").cast("double")
+           / F.col("union_sz").cast("double"))
+    return (_jaccard_candidate_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
+def _jaccard_candidate_pairs(spark, sf_dir):
+    """The df<=100-bounded shingle self-join down to the 0.1-floored
+    candidate pairs (doc_a, doc_b, shared, union_sz) — SHARED by
+    ngram_jaccard_pairs (divides and returns) and
+    jaccard_threshold_sweep (buckets the same pairs by threshold).
+    Spark twin of _JACCARD_CAND_SQL."""
     sh = _shingles_df(spark, sf_dir)
     # document frequency as a window count over the same shuffle the
     # self-join needs anyway — one pass over the shingles instead of the
@@ -276,11 +300,75 @@ def ngram_jaccard_pairs(spark, sf_dir):
              F.min("a.n_sh").alias("n_a"),   # constant per doc
              F.min("b.n_sh").alias("n_b"))
     )
-    jac = F.col("shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    union_sz = F.col("n_a") + F.col("n_b") - F.col("shared")
+    jac = F.col("shared").cast("double") / union_sz
     return (
         pairs.filter(jac >= 0.1)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", "shared",
+                union_sz.cast("bigint").alias("union_sz"))
     )
+
+
+@query(
+    "jaccard_threshold_sweep",
+    f"""
+    WITH {_JACCARD_CAND_SQL},
+    st AS (
+      SELECT t.t10, c.doc_a, c.doc_b
+      FROM cand c
+      JOIN (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS t10) t
+        ON c.shared * 10 >= t.t10 * c.union_sz
+    ),
+    np AS (SELECT t10, CAST(COUNT(*) AS BIGINT) AS n_pairs
+           FROM st GROUP BY t10),
+    nd AS (SELECT t10, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM (SELECT t10, doc_a AS d FROM st
+                 UNION
+                 SELECT t10, doc_b FROM st) u
+           GROUP BY t10)
+    SELECT np.t10 / 10.0 AS threshold, np.n_pairs, nd.n_docs
+    FROM np JOIN nd ON np.t10 = nd.t10
+    """,
+    doc="n-gram Jaccard THRESHOLD calibration curve — the lexical "
+        "sibling of dedup_threshold_sweep: for every cut 0.1..0.9 "
+        "(step 0.1), how many candidate pairs survive and how many "
+        "distinct documents they touch, over EXACTLY the pairs "
+        "ngram_jaccard_pairs emits (candidate generator shared "
+        "verbatim via _jaccard_candidate_pairs / _JACCARD_CAND_SQL). "
+        "Together the two sweeps price both dedup routes — embedding "
+        "cosine and lexical Jaccard — before a deletion pass. "
+        "Determinism: the threshold compare is a pure INTEGER "
+        "cross-multiplication (shared * 10 >= t10 * union_sz — no "
+        "division, no float anywhere in the bucketing), and the "
+        "reported threshold is one exact division of the integer "
+        "grid. Scale: the candidate set is the df<=100-bounded "
+        "self-join output (per-shingle fan-out capped), persisted "
+        "once for the pair-count and distinct-doc folds; each pair "
+        "explodes to its <= 9 qualifying thresholds in-row and both "
+        "folds land on <= 9 rows",
+)
+def jaccard_threshold_sweep(spark, sf_dir):
+    from .core import fresh_persist
+
+    cand = fresh_persist("jaccard_sweep_pairs",
+                         _jaccard_candidate_pairs(spark, sf_dir))
+    thr = F.array(*[F.lit(t) for t in range(1, 10)])
+    st = cand.select(
+        "doc_a", "doc_b",
+        F.explode(F.filter(
+            thr,
+            lambda t: F.col("shared") * 10 >= t * F.col("union_sz")))
+        .alias("t10"))
+    np_ = (st.groupBy("t10")
+           .agg(F.count("*").cast("bigint").alias("n_pairs")))
+    nd = (st.select("t10", F.explode(
+              F.array("doc_a", "doc_b")).alias("d"))
+          .distinct()
+          .groupBy("t10")
+          .agg(F.count("*").cast("bigint").alias("n_docs")))
+    return (np_.join(nd, "t10")
+            .select((F.col("t10") / F.lit(10.0)).alias("threshold"),
+                    "n_pairs", "n_docs"))
 
 
 # --------------------------------------------------------------------------

@@ -46,13 +46,14 @@ def test_r14_window_is_staleness_ordered():
     touched_r14 = ["mix_dedup_budget", "quality_gate_tradeoff",
                    "tokenizer_vocab_sweep", "dedup_threshold_sweep",
                    "quality_lm_agreement", "mix_repeat_budget",
+                   "jaccard_threshold_sweep",
                    "embed_margin_bitext", "embed_cell_balance",
                    "tokenizer_oov_rate", "quality_rule_ablation",
                    "dedup_cluster_cap", "corpus_word_burstiness",
                    "rank_mrr_eval",
                    "corpus_crossentropy_matrix", "mix_perplexity_buckets",
                    "mix_source_caps", "split_contamination",
-                   "dedup_embed_cosine"]
+                   "dedup_embed_cosine", "ngram_jaccard_pairs"]
     r7_remaining = {
         "important_part_value", "line_priority_counts",
         "min_cost_supplier", "minhash_jaccard_est", "ngram_novelty",
@@ -75,5 +76,5 @@ def test_r14_window_is_staleness_ordered():
     assert head[:len(touched_r14)] == touched_r14
     assert r7_remaining == set(head[len(touched_r14):
                                     len(touched_r14) + len(r7_remaining)])
-    # 13 added (7 + 6 third-batch) + 5 touched + stale r7 cohort
-    assert len(head) == 13 + 5 + 41
+    # 14 added (7 + 7 third-batch) + 6 touched + stale r7 cohort
+    assert len(head) == 14 + 6 + 41

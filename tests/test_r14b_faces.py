@@ -307,3 +307,50 @@ def test_repeat_budget_epochs_and_mirror(spark, tmp_path):
     assert pdf.budget.iloc[0] == 208
     assert pdf.loc["orig"].alloc_tokens == 208.0
     assert pdf.loc["orig"].epochs == 2.0
+
+
+def test_jaccard_sweep_consistency_and_replay(spark):
+    """jaccard_threshold_sweep calibrates exactly ngram_jaccard_pairs'
+    candidates: the 0.1 row counts all of that face's pairs/docs,
+    counts are monotone non-increasing, and every point replays from a
+    pure-python shingle-set reconstruction through the same integer
+    cross-multiplication rule (no float anywhere)."""
+    pairs = (all_queries()["ngram_jaccard_pairs"].fn(spark, SF)
+             .toPandas())
+    got = (all_queries()["jaccard_threshold_sweep"].fn(spark, SF)
+           .toPandas().sort_values("threshold").reset_index(drop=True))
+    assert got.threshold.iloc[0] == 0.1
+    assert got.n_pairs.iloc[0] == len(pairs)
+    assert got.n_docs.iloc[0] == len(set(pairs.doc_a) | set(pairs.doc_b))
+    assert got.n_pairs.is_monotonic_decreasing
+    assert got.n_docs.is_monotonic_decreasing
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").toPandas())
+    sh = {}
+    for _, r in docs.iterrows():
+        ws = r.text.split(" ")
+        if len(ws) >= 3:
+            sh[int(r.doc_id)] = {" ".join(ws[i:i + 3])
+                                 for i in range(len(ws) - 2)}
+    from collections import Counter
+    dfreq = Counter(g for s in sh.values() for g in s)
+    sh = {d: {g for g in s if dfreq[g] <= 100} for d, s in sh.items()}
+    inv = {}
+    for d, s in sh.items():
+        for g in s:
+            inv.setdefault(g, []).append(d)
+    cand = {}
+    for g, ds in inv.items():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand[(ds[i], ds[j])] = cand.get((ds[i], ds[j]), 0) + 1
+    floored = {p: (s, len(sh[p[0]]) + len(sh[p[1]]) - s)
+               for p, s in cand.items()
+               if s / (len(sh[p[0]]) + len(sh[p[1]]) - s) >= 0.1}
+    for _, r in got.iterrows():
+        t10 = int(round(r.threshold * 10))
+        keep = {p for p, (s, u) in floored.items() if s * 10 >= t10 * u}
+        assert r.n_pairs == len(keep), (t10, r.n_pairs, len(keep))
+        assert r.n_docs == len({d for p in keep for d in p})
