@@ -270,40 +270,51 @@ def _jaccard_candidate_pairs(spark, sf_dir):
     sh = _shingles_df(spark, sf_dir)
     # document frequency as a window count over the same shuffle the
     # self-join needs anyway — one pass over the shingles instead of the
-    # groupBy+join-back formulation (which recomputes the explosion)
-    # carry each doc's shingle count ON the shingle rows (second window
-    # count over the same exploded set) — the set sizes then ride through
-    # the self-join for free, with no per-doc sizes table to join back
-    # (let alone broadcast: one-row-per-document is unbounded at corpus
-    # scale and would OOM executors)
+    # groupBy+join-back formulation (which recomputes the explosion).
+    # r14 optimization: the cached frame now ENDS at this window, so its
+    # output partitioning is hashpartitioning(sh) and output ordering
+    # [sh ASC] — exactly what the sort-merge self-join below requires —
+    # and BOTH join sides read the cache with NO Exchange and NO Sort
+    # (plan: 4 Exchanges + 4 Sorts of the exploded table -> 2 Exchanges,
+    # join-side re-shuffles gone). The previous shape carried each doc's
+    # shingle count as a SECOND window over doc_id, which repartitioned
+    # the cache by doc_id and forced the join to re-exchange both sides
+    # by sh; the per-doc sizes are instead aggregated below (map-side
+    # combined, so the doc_id shuffle moves ~1 row per (doc, partition),
+    # not the full exploded table) and joined onto the CANDIDATE frame —
+    # pair-bounded, not corpus-row-bounded, and a plain equi-join AQE
+    # sizes (broadcast locally, shuffle at 100 TB).
     filtered = (sh.withColumn(
         "n_docs", F.count("*").over(Window.partitionBy("sh")))
         .filter(F.col("n_docs") <= 100)
-        .withColumn("n_sh", F.count("*").over(Window.partitionBy("doc_id")))
-        .select("doc_id", "sh", "n_sh"))
+        .select("doc_id", "sh"))
     # MERGE hint: the self-join input is an exploded shingle table — at
     # corpus scale it can never broadcast, and locally the size-estimated
     # broadcast pick re-executes the whole window sub-plan for the build
     # side (no exchange reuse) — measured 4.3s -> 1.3s at sf0.1 with SMJ.
-    # The single-slot persist then makes the explode+windows stage itself
+    # The single-slot persist then makes the explode+window stage itself
     # single-pass across the two join sides (no ReusedExchange either).
     from .core import fresh_persist
 
     filtered = fresh_persist("ngram_filtered_shingles", filtered)
+    sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = filtered.hint("merge").alias("a")
     b = filtered.hint("merge").alias("b")
     pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"),
-             F.min("a.n_sh").alias("n_a"),   # constant per doc
-             F.min("b.n_sh").alias("n_b"))
+        .agg(F.count("*").alias("shared"))
     )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    cand = pairs.join(sa, "doc_a").join(sb, "doc_b")
     union_sz = F.col("n_a") + F.col("n_b") - F.col("shared")
     jac = F.col("shared").cast("double") / union_sz
     return (
-        pairs.filter(jac >= 0.1)
+        cand.filter(jac >= 0.1)
         .select("doc_a", "doc_b", "shared",
                 union_sz.cast("bigint").alias("union_sz"))
     )

@@ -561,20 +561,43 @@ def agg_approx_count_distinct(spark, sf_dir):
         "bounds + a filtered avg, trading exactness for a scan",
 )
 def agg_trimmed_mean(spark, sf_dir):
+    # Value-HISTOGRAM selection (r14 optimization; the
+    # agg_exact_median_selection idiom): l_quantity is a bounded integer
+    # domain (1..50 at every SF — TPC-H spec), so the rank-trim collapses
+    # onto the (flag, quantity) count table. The oracle's row_number trim
+    # drops the ceil(n*0.025) extreme ROWS per side, but rows tied on
+    # l_quantity are interchangeable for AVG(l_quantity) — the kept
+    # MULTISET of quantities is exactly the clamped-overlap of each
+    # value's rank run [cum-cnt, cum) with the kept band [n_excl, n-n_excl)
+    # — so summing kept_k * q is value-identical to averaging the kept
+    # rows. Exactness: q is an integral double, kept counts are integers,
+    # so every partial sum is an exact integer < 2^53 in EITHER
+    # formulation — same dividend, same divisor, same double division,
+    # same ROUND. The window form this replaces shuffled the full table
+    # into |flags|=3 single-task sort partitions (the 100 TB straggler
+    # shape); this plan is one map-side-combined hash-agg to <=150 rows,
+    # then metadata-sized windows above the aggregate (house rule).
     li = T(spark, sf_dir, "lineitem")
-    w = (Window.partitionBy("l_returnflag")
-         .orderBy("l_quantity", "l_orderkey", "l_linenumber"))
-    wc = Window.partitionBy("l_returnflag")
-    ranked = li.select(
-        "l_returnflag", F.col("l_quantity").cast("double").alias("q"),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wc).alias("n"))
+    hist = (li.groupBy("l_returnflag",
+                       F.col("l_quantity").cast("double").alias("q"))
+            .agg(F.count("*").alias("cnt")))
+    wf = Window.partitionBy("l_returnflag")
+    wo = wf.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    h = (hist.withColumn("n", F.sum("cnt").over(wf))
+         .withColumn("cum", F.sum("cnt").over(wo)))
     n_excl = F.ceil(F.col("n") * F.lit(0.025)).cast("bigint")
-    return (ranked
-            .filter((F.col("rn") > n_excl)
-                    & (F.col("rn") <= F.col("n") - n_excl))
-            .groupBy("l_returnflag")
-            .agg(F.round(F.avg("q"), 4).alias("trimmed_mean_qty")))
+    lo = F.greatest(F.col("cum") - F.col("cnt"), n_excl)
+    hi = F.least(F.col("cum"), F.col("n") - n_excl)
+    kept = F.greatest(hi - lo, F.lit(0).cast("bigint"))
+    return (h.groupBy("l_returnflag")
+            .agg(F.sum(kept.cast("double") * F.col("q")).alias("_s"),
+                 F.sum(kept).alias("_k"))
+            # a fully-trimmed group (2*n_excl >= n, only possible at n<=1)
+            # emits NO row in the rank formulation; match it exactly
+            .filter(F.col("_k") > 0)
+            .select("l_returnflag",
+                    F.round(F.col("_s") / F.col("_k").cast("double"), 4)
+                    .alias("trimmed_mean_qty")))
 
 
 @query(
