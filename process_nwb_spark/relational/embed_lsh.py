@@ -487,7 +487,15 @@ def _tile_cos_pairs(spark, sf_dir):
     _TILE_PAIRS_COS_SQL."""
     from pyspark.sql.window import Window
 
-    e = spread(T(spark, sf_dir, "embeddings"))
+    # r14 optimization 1/2: NO spread — the band/rank window exchanges by
+    # (band, bkey) immediately after the explode, so a round-robin
+    # repartition before it was a pure extra shuffle of embedding rows at
+    # EVERY scale (locally one more stage, at 100 TB a full pointless
+    # pass over the corpus; scan splits provide the parallelism there).
+    # Only the 8 plane-dot projections run at scan parallelism now —
+    # measured a net win locally even on the single-split bench file
+    # (2.0 -> 1.55 s with the pre-partitioned cache below).
+    e = T(spark, sf_dir, "embeddings")
     cap = _LSH_BUCKET_CAP
     proj = F.round(_dot_plane_spark(F.col("embedding"), _PLANES[0]), 9)
     ranked = (_bands_df(e)
@@ -509,6 +517,16 @@ def _tile_cos_pairs(spark, sf_dir):
         _norm_spark("embedding").alias("nrm"),
         F.expr(f"(_rn - 1) div {cap}").alias("t0"),
         F.expr(f"(_rn - 1 + {cap // 2}) div {cap}").alias("t1")))
+    # r14 optimization 2/2: the cache is pre-partitioned AND pre-sorted
+    # on the grid-0 join key (band, bkey, t0, + vec_id in the sort for
+    # the SMJ's tiebreak order), so the grid-0 self-join below reads it
+    # with NO exchange and NO sort on either side — one exchange at
+    # cache-build time replaces two at join time, and the grid-1 join
+    # (different key, t1) re-exchanges as before. Net plan: 7 exchanges
+    # of embedding-carrying rows -> 5.
+    n = spark.sparkContext.defaultParallelism
+    tiles = (tiles.repartition(n, "band", "bkey", "t0")
+             .sortWithinPartitions("band", "bkey", "t0", "vec_id"))
     tiles = _persist_tiles_once(tiles)
     # merge: the tiles table is corpus-sized (never broadcastable at scale)
     a, b = tiles.hint("merge").alias("a"), tiles.hint("merge").alias("b")

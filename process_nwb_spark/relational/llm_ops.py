@@ -513,35 +513,44 @@ _SIMHASH64_FP_SQL = """tok AS (
         "both aggs fold map-side.",
 )
 def simhash_fingerprints(spark, sf_dir):
-    # HASH-repartition on doc_id (not round-robin spread): every
-    # downstream aggregation clusters on a key set CONTAINING doc_id, and
-    # HashPartitioning(doc_id) satisfies ClusteredDistribution(doc_id, ...)
-    # as a subset — so all three aggs run exchange-free. One shuffle of
-    # the small pre-explosion rows total.
+    # HASH-repartition on doc_id (not round-robin spread): the vote
+    # aggregation clusters on doc_id, so HashPartitioning(doc_id) lets it
+    # run exchange-free. One shuffle of the small pre-explosion rows
+    # total. r14 optimization: the previous shape exploded each token
+    # x16 hex positions and chained THREE aggregations (nibble-value
+    # counts -> x4 bit explode -> per-bit votes -> fingerprint fold);
+    # all 64 bit-votes are now 64 fixed-width SUM buffers of ONE hash
+    # aggregate over the token rows (no x16 row materialization, no
+    # second/third agg), and the fingerprint is a row-local projection
+    # over the 64 vote columns. Vote math is unchanged integer
+    # arithmetic (sum over tokens of ((nibble >> j) & 1) * 2 - 1 equals
+    # the old count-weighted fold term by term), so the int64
+    # fingerprint is value-identical — the oracle keeps the staged
+    # UNNEST spelling and the hash gate re-proves equality.
     n = spark.sparkContext.defaultParallelism
     d = T(spark, sf_dir, "documents").repartition(n, "doc_id")
     tok = (d.select("doc_id", F.explode(_words()).alias("w"))
            .select("doc_id", F.md5("w").alias("h")))
-    nib = (tok.select(
-               "doc_id",
-               F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p"), "h")
-           .select("doc_id", "p",
-                   F.expr("CAST(conv(substr(h, p + 1, 1), 16, 10) AS INT)")
-                   .alias("val")))
-    cnt = nib.groupBy("doc_id", "p", "val").agg(F.count("*").alias("c"))
-    votes = (cnt.select(
-                 "doc_id", "p", "val", "c",
-                 F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"))
-             .select("doc_id", (F.col("p") * 4 + F.col("j")).alias("b"),
-                     (F.col("c")
-                      * F.expr("((val >> j) & 1) * 2 - 1")).alias("sv"))
-             .groupBy("doc_id", "b").agg(F.sum("sv").alias("v")))
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(
-            F.col("v") > 0,
-            F.expr("CASE WHEN b = 63 THEN (CAST(1 AS BIGINT) << 62) * -2 "
-                   "ELSE CAST(1 AS BIGINT) << CAST(b AS INT) END"))
-              .otherwise(0)).cast("long").alias("simhash"))
+    vote_aggs = []
+    for p in range(16):
+        nib = F.expr(f"CAST(conv(substr(h, {p + 1}, 1), 16, 10) AS INT)")
+        for j in range(4):
+            b = p * 4 + j
+            vote_aggs.append(
+                F.sum(F.shiftright(nib, j).bitwiseAND(F.lit(1)) * 2 - 1)
+                .alias(f"v{b}"))
+    votes = tok.groupBy("doc_id").agg(*vote_aggs)
+    # bit 63 is the sign bit: (1<<62)*-2 spells -2^63 without overflow
+    # (same spelling as the oracle)
+    terms = [
+        F.when(F.col(f"v{b}") > 0,
+               F.lit(((1 << 62) * -2) if b == 63 else (1 << b))
+               .cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(64)]
+    fp = terms[0]
+    for t in terms[1:]:
+        fp = fp + t
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 # --------------------------------------------------------------------------
@@ -708,19 +717,35 @@ def text_token_counts(spark, sf_dir):
         "repartition; fingerprint set size is ~n/w per doc",
 )
 def doc_fingerprint_winnow(spark, sf_dir):
+    # r14 optimization: winnowing is per-document and order-local, so the
+    # whole face is now a ROW-LOCAL array program — rolling md5 shingle
+    # hashes, window-min over every 4-shingle window (slice + array_min;
+    # the tail windows truncate exactly like ROWS BETWEEN CURRENT ROW AND
+    # 3 FOLLOWING), array_distinct per doc, one explode. The previous
+    # shape posexploded every shingle, shuffled them into a doc_id
+    # window sort, and ran a global DISTINCT (two full-width exchanges +
+    # a sort); this plan has NO exchange at all past the spread — the
+    # 100 TB cost is exactly one pass over the corpus. The hash array is
+    # bound via the single-element-transform idiom (see
+    # operators/zscore.high_gamma_packed): naming it with withColumn
+    # would let CollapseProject inline the O(n) md5 fold into the
+    # per-window lambda and recompute it per element.
     d = spread(T(spark, sf_dir, "documents"))
     words = _words()
     k = 3
     sh = F.transform(F.sequence(F.lit(0), F.size(words) - k),
-                     lambda i: F.array_join(F.slice(words, i + 1, k), " "))
-    # posexplode keeps shingle order; winnowing needs positions (unlike the
-    # order-free distinct-shingle set used by minhash)
-    shingled = (d.filter(F.size(words) >= k)
-                .select("doc_id", F.posexplode(sh).alias("pos", "sh"))
-                .select("doc_id", "pos", F.md5("sh").alias("h")))
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    return (shingled.select("doc_id", F.min("h").over(w).alias("fp"))
-            .distinct())
+                     lambda i: F.md5(F.array_join(F.slice(words, i + 1, k),
+                                                  " ")))
+    wins = F.element_at(
+        F.transform(
+            F.array(F.struct(sh.alias("h"))),
+            lambda st: F.transform(
+                F.sequence(F.lit(1), F.size(st["h"])),
+                lambda i: F.array_min(F.slice(st["h"], i, 4)))),
+        1)
+    return (d.filter(F.size(words) >= k)
+            .select("doc_id",
+                    F.explode(F.array_distinct(wins)).alias("fp")))
 
 
 _CHUNK = 32    # tokens per chunk

@@ -111,15 +111,32 @@ def join_inner_broadcast(spark, sf_dir):
         "sources/catalog.py write_bucketed + tests/test_sources.py",
 )
 def join_sortmerge_large(spark, sf_dir):
+    # r14 optimization (guide §2.3 "aggregate before you shuffle"): the
+    # per-order partial aggregation is pushed BELOW the join. Each order
+    # has exactly one priority, so revenue-per-priority = sum of
+    # per-order subtotals and n_lines = sum of per-order line counts —
+    # the lineitem side's exchange now carries one combined row per
+    # orderkey (map-side combine, ~4x fewer shuffled rows) instead of
+    # every line, and the aggregation lands partitioned on l_orderkey,
+    # which is exactly the SMJ's required distribution — the join adds
+    # NO further exchange for that side. Float note: this regroups the
+    # double summation; the committed hash gate already proves the
+    # ROUND(.,2) result is stable under summation reorder (HASHSTAB runs
+    # the old plan at 7 and 64 partitions), re-proven at all three SFs
+    # after this change.
     li = T(spark, sf_dir, "lineitem")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.sum((F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))).cast("double"))
+                      .alias("_rev"),
+                      F.count(F.lit(1)).alias("_n")))
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return (
-        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        per_order.join(o.hint("merge"),
+                       per_order.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
-        .agg(F.round(F.sum((F.col("l_extendedprice")
-                            * (1 - F.col("l_discount"))).cast("double")), 2)
-             .alias("revenue"),
-             F.count(F.lit(1)).alias("n_lines"))
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"),
+             F.sum("_n").alias("n_lines"))
     )
 
 
@@ -307,23 +324,41 @@ def join_range_bucket(spark, sf_dir):
         "decoded orderkey. Oracle states the same semantics as window top-1",
 )
 def join_asof(spark, sf_dir):
+    # r14 optimization (guide §3.3 — explode/fan-out joins): the previous
+    # plan theta-joined events x orders on (custkey, date <= ts), blowing
+    # each event up to EVERY earlier order of its customer, re-aggregated
+    # that fan-out by event_id (a second big exchange), then broadcast
+    # the FULL orders dim for the price attach — unconditional broadcast
+    # of a fact table, a 100 TB scale hole. Now the orders side collapses
+    # FIRST to one row per customer carrying a packed (date,key,price)
+    # struct array (|orders-per-customer|-bounded, ~10 in TPC-H), the
+    # events side joins 1:1 on custkey, and the as-of pick is a row-local
+    # array scan: filter date <= ts, array_max on the packed integer.
+    # No fan-out row ever materializes, no event-keyed re-shuffle, no
+    # fact-table broadcast. Determinism unchanged: the argmax key is the
+    # same exact-integer (date, orderkey) packing.
     e = T(spark, sf_dir, "events")
     o = T(spark, sf_dir, "orders")
-    j = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
     # (date, key) order-preserving integer packing: orderkey < 1e10
     packed = (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
               .cast("bigint") * F.lit(10_000_000_000).cast("bigint")
               + F.col("o_orderkey"))
-    best = (
-        j.groupBy("event_id").agg(F.max(packed).alias("_pk"))
-        .select("event_id",
-                (F.col("_pk") % F.lit(10_000_000_000).cast("bigint"))
-                .alias("asof_orderkey"))
-    )
-    dim = o.select("o_orderkey",
-                   F.col("o_totalprice").cast("double").alias("asof_totalprice"))
-    return best.join(F.broadcast(dim),
-                     best.asof_orderkey == dim.o_orderkey).drop("o_orderkey")
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.collect_list(F.struct(
+                    packed.alias("pk"),
+                    F.col("o_orderdate").alias("d"),
+                    F.col("o_totalprice").cast("double").alias("p")))
+                    .alias("_orders")))
+    best = F.array_max(F.transform(
+        F.filter("_orders", lambda s: s["d"] <= F.col("ts")),
+        lambda s: F.struct(s["pk"].alias("pk"), s["p"].alias("p"))))
+    return (e.join(per_cust, e.user_id == per_cust.o_custkey)
+            .select("event_id", best.alias("_b"))
+            .filter(F.col("_b").isNotNull())
+            .select("event_id",
+                    (F.col("_b.pk") % F.lit(10_000_000_000).cast("bigint"))
+                    .alias("asof_orderkey"),
+                    F.col("_b.p").alias("asof_totalprice")))
 
 
 @query(
