@@ -28,6 +28,10 @@ def _configure(spark: SparkSession) -> SparkSession:
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        # cached self-join intermediates keep their partitioning (see
+        # session.py) — without it every cached frame re-exchanges
+        ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+         "true"),
         # engine semantics are non-ANSI (session.py); Spark 4 defaults ANSI on
         ("spark.sql.ansi.enabled", "false"),
     ]:

@@ -517,16 +517,13 @@ def _tile_cos_pairs(spark, sf_dir):
         _norm_spark("embedding").alias("nrm"),
         F.expr(f"(_rn - 1) div {cap}").alias("t0"),
         F.expr(f"(_rn - 1 + {cap // 2}) div {cap}").alias("t1")))
-    # r14 optimization 2/2: the cache is pre-partitioned AND pre-sorted
-    # on the grid-0 join key (band, bkey, t0, + vec_id in the sort for
-    # the SMJ's tiebreak order), so the grid-0 self-join below reads it
-    # with NO exchange and NO sort on either side — one exchange at
-    # cache-build time replaces two at join time, and the grid-1 join
-    # (different key, t1) re-exchanges as before. Net plan: 7 exchanges
-    # of embedding-carrying rows -> 5.
-    n = spark.sparkContext.defaultParallelism
-    tiles = (tiles.repartition(n, "band", "bkey", "t0")
-             .sortWithinPartitions("band", "bkey", "t0", "vec_id"))
+    # (A cache pre-partitioned on the grid-0 join key was tried here and
+    # measured ~0.1 s faster locally — but the committed AQE-final plan
+    # showed the join-side ENSURE_REQUIREMENTS exchanges are NOT elided
+    # above an InMemoryTableScan even with cached-plan partitioning
+    # retention on, so the repartition is a pure EXTRA full exchange of
+    # the tiles table at 100 TB. Rejected; the local gain was shuffle
+    # locality, not structure.)
     tiles = _persist_tiles_once(tiles)
     # merge: the tiles table is corpus-sized (never broadcastable at scale)
     a, b = tiles.hint("merge").alias("a"), tiles.hint("merge").alias("b")

@@ -675,14 +675,23 @@ def text_source_stats(spark, sf_dir):
 )
 def text_token_counts(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
-    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    # r14 optimization: the three BPE-ish token classes (alpha runs,
+    # digit runs, single symbols) are DISJOINT character classes, so the
+    # alternation's match set is exactly the union of the three class
+    # match sets and n_bpe_tokens = n_alpha + n_num + n_sym — one fewer
+    # full regex pass over every document (the oracle keeps the
+    # alternation spelling; equality is structural, re-proven by the
+    # exact gate).
+    n_alpha = F.regexp_count("text", F.lit(r"[A-Za-z]+"))
+    n_num = F.regexp_count("text", F.lit(r"[0-9]+"))
+    n_sym = F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]"))
     return d.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
-        F.regexp_count("text", F.lit(bpe)).alias("n_bpe_tokens"),
-        F.regexp_count("text", F.lit(r"[A-Za-z]+")).alias("n_alpha"),
-        F.regexp_count("text", F.lit(r"[0-9]+")).alias("n_num"),
-        F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]")).alias("n_sym"),
+        (n_alpha + n_num + n_sym).alias("n_bpe_tokens"),
+        n_alpha.alias("n_alpha"),
+        n_num.alias("n_num"),
+        n_sym.alias("n_sym"),
         F.size(F.array_distinct(
             F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")))
         .alias("n_distinct_words"),

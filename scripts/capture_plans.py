@@ -38,6 +38,7 @@ def main() -> None:
         names = list(bench.HEADLINE)
     out_dir = os.path.join(REPO, "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
+    exec_final = os.environ.get("CAPTURE_EXEC") == "1"
     for name in names:
         df = registry[name].fn(spark, sf_dir)
         buf = io.StringIO()
@@ -46,6 +47,15 @@ def main() -> None:
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(buf.getvalue())
+            if exec_final:
+                # run the query, then append the AQE-FINAL plan: runtime
+                # decisions (cached-plan partitioning reuse, coalesced /
+                # elided exchanges, join-strategy rewrites) are invisible
+                # in the static plan above
+                df.write.format("noop").mode("overwrite").save()
+                f.write("\n\n== AQE-final executed plan "
+                        "(isFinalPlan=true) ==\n")
+                f.write(df._jdf.queryExecution().executedPlan().toString())
         clear_persist_slots()
         print(f"wrote {path}")
     spark.stop()
