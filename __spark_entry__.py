@@ -78,7 +78,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # The ENTIRE registry remains green under the committed full-registry
 # exact gate in BOTH default and ANSI modes plus the shuffle-partition
 # hash-stability probe (ORACLE_{LOCAL,ANSI}_r14, HASHSTAB_r14).
+# r14 OPTIMIZATION phase: a new (a-opt) tier leads the window — the
+# faces whose physical plans were rewritten for 100 TB shape (see
+# OPTIMIZATION_r14.md); every one was re-proven hash-identical against
+# the DuckDB oracle at sf0.001/0.01/0.1 before commit, and the three
+# full-registry gates were re-run at 342 faces after the last change.
 DRIVER_PRIORITY = (
+    # ---- (a-opt) faces whose PLAN was rewritten in the r14
+    # OPTIMIZATION phase (outputs pinned hash-identical at
+    # sf0.001/0.01/0.1 before commit; re-sample first): ----
+    "agg_trimmed_mean",        # value-histogram trim (was 3-task window)
+    "join_sortmerge_large",    # per-order partial agg below the join
+    "join_asof",               # packed per-customer arrays, no fan-out
+    "simhash_fingerprints",    # one-agg 64-vote fold
+    "simhash_near_pairs",      # consumes the rewritten fingerprints
+    "doc_fingerprint_winnow",  # row-local window-min, zero exchanges
+    "text_token_counts",       # bpe count = sum of disjoint classes
+    "jaccard_threshold_sweep",  # rides the restructured candidate frame
+    "embed_ivf_topk",          # row-local centroid argmin (array_min)
+    "embed_ivf_probe2",        # same _ivf_lists rewrite
+    "embed_cell_balance",      # same _ivf_lists rewrite
+    "embed_margin_bitext",     # same _ivf_lists rewrite
+    "semantic_dedup",          # same _ivf_lists rewrite
+    "dedup_threshold_sweep",   # rides the de-spread tile generator
     # ---- (a0) faces ADDED in r14 (never driver-sampled) ----
     "mix_dedup_budget",  # ADDED r14 third batch: waterfilling on
     #   UNIQUE-token capacities after exact dedup
