@@ -29,7 +29,7 @@ def _nan_skipping_mean(arr: Column) -> Column:
     matching np.nanmean of an empty slice (dsp.kernels.car), NOT NULL:
     the packed kernel path and this relational face must hand downstream
     consumers the same missing-value representation."""
-    s = F.aggregate(
+    folded = F.aggregate(
         arr,
         F.struct(F.lit(0.0).alias("s"), F.lit(0).cast("long").alias("c")),
         lambda acc, x: F.when(
@@ -37,7 +37,14 @@ def _nan_skipping_mean(arr: Column) -> Column:
         ).otherwise(F.struct((acc["s"] + x).alias("s"),
                              (acc["c"] + F.lit(1).cast("long")).alias("c"))),
     )
-    return F.when(s["c"] > 0, s["s"] / s["c"]).otherwise(F.lit(float("nan")))
+    # single-evaluation wrap: the result struct is referenced 3x below;
+    # without it Catalyst inlines (and re-runs) the whole fold per
+    # reference (see _trimmed_mean_of_collected's note).
+    return F.transform(
+        F.array(folded),
+        lambda s: F.when(s["c"] > 0, s["s"] / s["c"])
+        .otherwise(F.lit(float("nan"))),
+    )[0]
 
 
 def _trimmed_mean_of_collected(collected: Column, mean_frac: float) -> Column:
@@ -45,12 +52,24 @@ def _trimmed_mean_of_collected(collected: Column, mean_frac: float) -> Column:
     Catalyst spelling of the CAR math, shared by the window form
     (car_column) and the groupBy form (car_df) so the two oracled faces
     cannot drift apart. `collected` is collect_list(...) over either a
-    window or a group."""
-    arr = F.array_sort(collected)
-    n = F.size(arr)
-    n_excl = F.ceil(n * (1.0 - mean_frac) / 2.0).cast("int")
-    mid = F.slice(arr, n_excl + 1, F.greatest(n - 2 * n_excl, F.lit(0)))
-    return _nan_skipping_mean(mid)
+    window or a group.
+
+    The body is wrapped in transform(array(array_sort(x)), s -> ...)[0]
+    so `collected` and its sort each appear ONCE in the expression tree.
+    Catalyst inlines every reference of a Column alias: the direct
+    spelling referenced the window expression 12x, and because
+    ExtractWindowExpressions dedups nothing, the Window node buffered 12
+    identical collect_lists and the projection re-sorted the same array
+    12x per row (plans/r14/sig_car_subtract_before.txt). A lambda
+    variable is a bound value, so references to `s` are free."""
+    def tm(arr: Column) -> Column:
+        n = F.size(arr)
+        n_excl = F.ceil(n * (1.0 - mean_frac) / 2.0).cast("int")
+        mid = F.slice(arr, n_excl + 1,
+                      F.greatest(n - 2 * n_excl, F.lit(0)))
+        return _nan_skipping_mean(mid)
+
+    return F.transform(F.array(F.array_sort(collected)), tm)[0]
 
 
 def _nan_safe_value(value_col: str) -> Column:

@@ -172,16 +172,24 @@ def embed_ann_lsh(spark, sf_dir):
     bands = _bands_df(e)
     qb = (bands.filter(F.col("vec_id") == 0)
           .select("band", "bkey", F.col("embedding").alias("qv")))
+    # Cosine is projected BEFORE the dedup: a vector colliding with the
+    # query in k bands yields k byte-identical (vec_id, label, cosine)
+    # rows (same deterministic row-local computation on the same
+    # embedding/qv), so dropDuplicates over all three columns keeps the
+    # same one row per vec_id as the old dedup-then-score order. The
+    # dedup exchange now carries 3 scalars instead of two 64-float
+    # arrays (~24 B vs ~550 B/row), and with no array in the grouping
+    # buffer the planner uses HashAggregate instead of the
+    # Sort+SortAggregate chain (guide §2.2/§2.5).
     cand = (
         bands.filter(F.col("vec_id") != 0)
         .join(F.broadcast(qb), ["band", "bkey"])
-        .select("vec_id", "label", "embedding", "qv")
-        .dropDuplicates(["vec_id"])
+        .select("vec_id", "label",
+                F.round(_cosine_spark("embedding", "qv"), 6).alias("cosine"))
+        .dropDuplicates(["vec_id", "label", "cosine"])
     )
     return (
-        cand.select("vec_id", "label",
-                    F.round(_cosine_spark("embedding", "qv"), 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        cand.orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
 
