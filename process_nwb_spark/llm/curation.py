@@ -166,8 +166,10 @@ def assemble_v2(documents: DataFrame, capacity: int = 2048,
         .alias("b")).select("doc_id", "b.w1", "b.w2")
     pair_c = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     head_c = pair_c.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    scores = (bg.join(F.broadcast(pair_c), ["w1", "w2"])
-              .join(F.broadcast(head_c), "w1")
+    # no broadcast hints: the model tables are vocabulary-sized (see
+    # text_lm_score) — AQE picks broadcast while they fit
+    scores = (bg.join(pair_c, ["w1", "w2"])
+              .join(head_c, "w1")
               .groupBy("doc_id")
               .agg(F.avg(F.log2(F.col("c2").cast("double") / F.col("c1")))
                    .alias("lm_score")))

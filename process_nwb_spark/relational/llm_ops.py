@@ -1400,8 +1400,9 @@ def text_vocab_topk(spark, sf_dir):
         "self-trained): a word-bigram model is fit on the corpus itself "
         "in one aggregation pass — P(w2|w1) = c(w1,w2)/c(w1) — and each "
         "document scores avg log2 P over its bigrams. The model is "
-        "vocabulary-sized (broadcast both count tables), so scoring is "
-        "scan + broadcast joins + one doc-keyed aggregation; at 100 TB "
+        "vocabulary-sized (size-adaptive joins — AQE broadcasts the "
+        "count tables while they fit), so scoring is scan + model joins "
+        "+ one doc-keyed aggregation; at 100 TB "
         "the model phase is a partially-aggregated count whose shuffle "
         "is the bigram vocabulary, never the token stream. Low scores "
         "flag incoherent/repetitive docs — the quality gate after "
@@ -1418,8 +1419,15 @@ def text_lm_score(spark, sf_dir):
     pair_c = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     head_c = pair_c.groupBy("w1").agg(F.sum("c2").alias("c1"))
     logp = F.log2(F.col("c2").cast("double") / F.col("c1"))
-    return (bg.join(F.broadcast(pair_c), ["w1", "w2"])
-            .join(F.broadcast(head_c), "w1")
+    # NO broadcast hints on the model tables: both grow with the corpus
+    # vocabulary, and F.broadcast ignores size — past Spark's 8 GB
+    # broadcast cap the face would throw rather than degrade (the r13
+    # defect class fixed in crossentropy_matrix_fold /
+    # mix_perplexity_buckets). The scoring joins shuffled on
+    # (w1, w2)/(w1) are the scale-safe plan; AQE broadcasts them on its
+    # own while they are small.
+    return (bg.join(pair_c, ["w1", "w2"])
+            .join(head_c, "w1")
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("n_bigrams"),
                  F.round(F.avg(logp), 4).alias("avg_log2_prob")))
@@ -1473,7 +1481,12 @@ def text_tfidf_topterms(spark, sf_dir):
     tfidf = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
     w_rank = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("w"))
-    return (tf.join(F.broadcast(df), "w")
+    # no hint on df: every term is scored, so the document-frequency
+    # table is the full corpus vocabulary — unboundedly growing, the r13
+    # forced-broadcast defect class. Shuffled join on w is the
+    # scale-safe plan; AQE broadcasts it while it fits. nd stays hinted
+    # (1 row at any scale).
+    return (tf.join(df, "w")
             .crossJoin(F.broadcast(nd))
             .withColumn("tfidf", tfidf)
             .withColumn("rn", F.row_number().over(w_rank))
@@ -1538,16 +1551,24 @@ def text_bm25_search(spark, sf_dir):
     dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dlen.agg(F.count("*").alias("n_docs"),
                      F.avg("dl").alias("avgdl"))
-    df = tf.groupBy("w").agg(F.count("*").alias("df"))
     q = spark.createDataFrame([(t,) for t in _BM25_QUERY], "w STRING")
+    # tf is pruned to the query terms FIRST, and df (document frequency)
+    # is computed from the pruned rows: df(w) = COUNT of (doc, w) rows,
+    # so restricting to w IN q before the groupBy yields byte-identical
+    # counts for every term the inner join can use. The old spelling
+    # aggregated the FULL vocabulary and force-broadcast it — a table
+    # that grows with the corpus and hard-fails past Spark's 8 GB
+    # broadcast cap; df_q is <= |query| rows at any corpus size.
+    tf_q = tf.join(F.broadcast(q), "w")
+    df_q = tf_q.groupBy("w").agg(F.count("*").alias("df"))
     idf = F.log((F.col("n_docs").cast("double") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
     denom = (F.col("tf") + _BM25_K1
              * (1.0 - _BM25_B
                 + _BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))))
     term_score = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom
-    return (tf.join(F.broadcast(q), "w")
-            .join(F.broadcast(df), "w")
+    return (tf_q
+            .join(F.broadcast(df_q), "w")
             .join(dlen, "doc_id")
             .crossJoin(F.broadcast(stats))
             .groupBy("doc_id")
@@ -1634,14 +1655,18 @@ def hybrid_search_rrf(spark, sf_dir):
           .groupBy("doc_id", "w").agg(F.count("*").alias("tf")))
     dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dlen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     q = spark.createDataFrame([(t,) for t in _BM25_QUERY], "w STRING")
+    # query-pruned df, identical counts for the joined terms — see
+    # text_bm25_search: the full-vocabulary dfreq broadcast was the r13
+    # unbounded-broadcast defect class
+    tf_q = tf.join(F.broadcast(q), "w")
+    dfreq_q = tf_q.groupBy("w").agg(F.count("*").alias("df"))
     idf = F.log((F.col("n_docs").cast("double") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
     denom = (F.col("tf") + _BM25_K1
              * (1.0 - _BM25_B
                 + _BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))))
-    bm = (tf.join(F.broadcast(q), "w").join(F.broadcast(dfreq), "w")
+    bm = (tf_q.join(F.broadcast(dfreq_q), "w")
           .join(dlen, "doc_id").crossJoin(F.broadcast(stats))
           .groupBy("doc_id").agg(F.sum(idf * (F.col("tf") * (_BM25_K1 + 1.0))
                                        / denom).alias("score"))
