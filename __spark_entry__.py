@@ -107,6 +107,8 @@ DRIVER_PRIORITY = (
     "text_tfidf_topterms",     # size-adaptive df join (no hint)
     "text_bm25_search",        # df from query-pruned tf (bounded bcast)
     "hybrid_search_rrf",       # same query-pruned df rewrite
+    "graph_triangles",         # adjacency-intersect closure (no wedge
+    #   table: the sum-d+^2-row exchange + 41M-row sort are gone)
     # ---- (a0) faces ADDED in r14 (never driver-sampled) ----
     "mix_dedup_budget",  # ADDED r14 third batch: waterfilling on
     #   UNIQUE-token capacities after exact dedup

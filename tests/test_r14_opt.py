@@ -213,3 +213,68 @@ def test_bpe_token_count_is_sum_of_disjoint_classes(spark):
              + F.regexp_count("text", F.lit(r"[^A-Za-z0-9\s]"))))
         .alias("ok"))
     assert all(r["ok"] for r in chk.collect())
+
+
+def test_triangles_adjacency_closure_on_known_graph(spark, tmp_path):
+    """graph_triangles' r14 closure (per-edge array_intersect of oriented
+    adjacency arrays, no wedge table) on a hand-computable basket graph:
+    K4 on parts 1-4 (one order holds all four, so every sub-pair edge
+    exists) plus the isolated edge {5,6}, with duplicate co-purchases
+    across orders to exercise the DISTINCT edge set. Expected:
+    n_nodes=6, n_edges=7, n_wedges=sum d(d-1)/2=12, n_triangles=C(4,3)=4.
+    Also pins value-equality against the pre-r14 wedge+semi-join
+    formulation on the same fixture, and that the face's plan closes via
+    array_intersect with no LeftSemi wedge join."""
+    from process_nwb_spark.plans.inspect import formatted_plan
+    from process_nwb_spark.relational.core import all_queries
+
+    rows = [(1, 1), (1, 2), (1, 3),          # triangle {1,2,3}
+            (3, 1), (3, 3),                  # duplicate edge {1,3}
+            (4, 5), (4, 6),                  # isolated edge {5,6}
+            (5, 1), (5, 2), (5, 3), (5, 4),  # K4 on {1,2,3,4}
+            (5, 4)]                          # duplicate row entirely
+    d = str(tmp_path / "tri")
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long") \
+        .write.parquet(f"{d}/lineitem.parquet")
+
+    got = all_queries()["graph_triangles"].fn(spark, d)
+    row = got.collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_wedges"],
+            row["n_triangles"]) == (6, 7, 12, 4)
+
+    # pre-r14 reference closure: enumerate oriented wedges, semi-join
+    # back to the canonical edge set (the oracle SQL's shape)
+    lines = (spark.read.parquet(f"{d}/lineitem.parquet")
+             .select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("pk")).distinct())
+    b = lines.select(F.col("ok").alias("ok2"), F.col("pk").alias("pk2"))
+    edges = (lines.join(b, (F.col("ok") == F.col("ok2"))
+                        & (F.col("pk") < F.col("pk2")))
+             .select(F.col("pk").alias("u"), F.col("pk2").alias("v"))
+             .distinct())
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionAll(edges.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    du = deg.select(F.col("node").alias("un"), F.col("d").alias("ud"))
+    dv = deg.select(F.col("node").alias("vn"), F.col("d").alias("vd"))
+    u_first = ((F.col("ud") < F.col("vd"))
+               | ((F.col("ud") == F.col("vd")) & (F.col("u") < F.col("v"))))
+    oriented = (edges.join(du, F.col("u") == F.col("un"))
+                .join(dv, F.col("v") == F.col("vn"))
+                .select(F.when(u_first, F.col("u")).otherwise(F.col("v"))
+                        .alias("src"),
+                        F.when(u_first, F.col("v")).otherwise(F.col("u"))
+                        .alias("dst")))
+    o2 = oriented.select(F.col("src").alias("src2"),
+                         F.col("dst").alias("dst2"))
+    wedges = (oriented.join(o2, (F.col("src") == F.col("src2"))
+                            & (F.col("dst") < F.col("dst2")))
+              .select(F.col("dst").alias("wu"), F.col("dst2").alias("wv")))
+    ref = (wedges.join(edges, (F.col("wu") == F.col("u"))
+                       & (F.col("wv") == F.col("v")), "left_semi")
+           .agg(F.count("*").alias("n")).collect()[0]["n"])
+    assert ref == row["n_triangles"] == 4
+
+    plan = formatted_plan(got, "simple")
+    assert "array_intersect" in plan, plan
+    assert "LeftSemi" not in plan, plan
