@@ -109,6 +109,8 @@ DRIVER_PRIORITY = (
     "hybrid_search_rrf",       # same query-pruned df rewrite
     "graph_triangles",         # adjacency-intersect closure (no wedge
     #   table: the sum-d+^2-row exchange + 41M-row sort are gone)
+    "text_ngram_containment",  # df-cut shingle table persisted once
+    #   (fed 3 consumers; was recomputed from the scan for each)
     # ---- (a0) faces ADDED in r14 (never driver-sampled) ----
     "mix_dedup_budget",  # ADDED r14 third batch: waterfilling on
     #   UNIQUE-token capacities after exact dedup

@@ -53,7 +53,7 @@ def test_r14_window_is_staleness_ordered():
                      "sig_car_subtract", "embed_ann_lsh",
                      "text_lm_score", "text_tfidf_topterms",
                      "text_bm25_search", "hybrid_search_rrf",
-                     "graph_triangles"]
+                     "graph_triangles", "text_ngram_containment"]
     touched_r14 = ["mix_dedup_budget", "quality_gate_tradeoff",
                    "tokenizer_vocab_sweep",
                    "quality_lm_agreement", "mix_repeat_budget",
@@ -87,6 +87,6 @@ def test_r14_window_is_staleness_ordered():
     assert head[n0:n0 + len(touched_r14)] == touched_r14
     n1 = n0 + len(touched_r14)
     assert r7_remaining == set(head[n1:n1 + len(r7_remaining)])
-    # 21 plan-rewritten + 16 added/touched (4 third-batch adds are in
+    # 22 plan-rewritten + 16 added/touched (4 third-batch adds are in
     # the rewritten block) + stale r7 cohort
-    assert len(head) == 21 + 16 + 41
+    assert len(head) == 22 + 16 + 41

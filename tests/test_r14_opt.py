@@ -278,3 +278,17 @@ def test_triangles_adjacency_closure_on_known_graph(spark, tmp_path):
     plan = formatted_plan(got, "simple")
     assert "array_intersect" in plan, plan
     assert "LeftSemi" not in plan, plan
+
+
+def test_containment_shingle_table_is_persisted_once(spark):
+    """text_ngram_containment's df-cut shingle table feeds three
+    consumers (sizes + both self-join sides); the r14 persist pins the
+    plan so each consumer reads the one cached table instead of
+    recomputing the explode+df-cut join from the documents scan."""
+    from process_nwb_spark.plans.inspect import formatted_plan
+    from process_nwb_spark.relational.core import all_queries
+
+    df = all_queries()["text_ngram_containment"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df, "simple")
+    assert "InMemoryTableScan" in plan, plan
