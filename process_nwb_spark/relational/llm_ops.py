@@ -3824,43 +3824,60 @@ def text_collapse_repeats(spark, sf_dir):
         "with high overlap should not both be upweighted; high "
         "containment of a small source flags it as a subset mirror). "
         "Pairs with zero common shingles do not appear (sparse join "
-        "semantics). Scale: distinct (source, shingle) is one hash-agg "
-        "over the shingle stream; the pair counts come from a "
-        "shingle-keyed equi-join whose per-key fan-out is bounded by "
-        "|sources| (not corpus size), and the aggregated output is at "
-        "most |sources|^2 rows; sizes attach by broadcast. The 100 TB "
-        "hatch is real code: max_df=<threshold> applies the dedup "
-        "family's document-frequency stop-shingle cut (the "
+        "semantics). Scale: ONE shingle-keyed fold — collect_set(source) "
+        "per shingle (set size bounded by |sources|, a categorical "
+        "column, so the agg buffer is metadata-sized) — replaces both "
+        "the distinct and the shingle-keyed self-join; vocab sizes and "
+        "pair counts are row-local explodes of the per-shingle source "
+        "set (fan-out <= |sources|^2 per shingle, never corpus-sized) "
+        "aggregated to <= |sources|^2 rows; sizes attach by broadcast. "
+        "The 100 TB hatch is real code: max_df=<threshold> applies the "
+        "dedup family's document-frequency stop-shingle cut (the "
         "text_ngram_containment df<=50 pattern) to the WHOLE shingle "
-        "space before the join — vocab sizes and pair counts then both "
-        "describe the non-ubiquitous shingle space, so jaccard stays a "
-        "well-defined Jaccard. max_df=None (the oracled face) is "
-        "byte-identical to the uncut plan; max_df >= |sources| is "
-        "output-identical by construction (pinned in test_corpus_qa)",
+        "space — now a row-local size(set) filter — so vocab sizes and "
+        "pair counts both describe the non-ubiquitous shingle space and "
+        "jaccard stays a well-defined Jaccard. max_df=None (the oracled "
+        "face) is byte-identical to the uncut plan; max_df >= |sources| "
+        "is output-identical by construction (pinned in test_corpus_qa)",
 )
 def corpus_source_overlap(spark, sf_dir, max_df: int | None = None):
+    from .core import fresh_persist
     d = spread(T(spark, sf_dir, "documents"))
     # the dedup family's own shingle construction, keyed by source;
-    # doc_shingles dedupes within a doc, the distinct() dedupes across
-    # a source's docs (matching the SQL fragment's DISTINCT)
-    svoc = doc_shingles(d.select("source", "text"),
-                        id_col="source").distinct()
+    # doc_shingles dedupes within a doc, collect_set below dedupes
+    # across a source's docs (matching the SQL fragment's DISTINCT —
+    # the old explicit .distinct() pass is subsumed by the set agg)
+    svoc = doc_shingles(d.select("source", "text"), id_col="source")
+    # ONE shingle-keyed fold: the per-shingle distinct source set,
+    # sorted so pair emission below is canonically ordered (array_sort
+    # and `<` share Spark's binary UTF8 string ordering). Set size is
+    # bounded by |sources| (categorical), so the agg buffer is
+    # metadata-sized regardless of corpus size. Persisted because both
+    # the sizes and the pairs branch consume it (DeduplicateRelations
+    # re-executes unpersisted subtrees per reference — the old plan
+    # ran the scan+shingle+distinct stack 4x).
+    sets = (svoc.groupBy("sh")
+            .agg(F.array_sort(F.collect_set("source")).alias("ss")))
     if max_df is not None:
         # stop-shingle cut: drop shingles present in more than max_df
-        # sources (boilerplate that appears everywhere) BEFORE the pair
-        # join — one extra shingle-keyed agg, same join plan shape; at
-        # corpus scale this is what keeps the hot shingles (per-key
-        # fan-out |sources|, but EVERY such key hot) out of the shuffle
-        df_cut = (svoc.groupBy("sh").agg(F.count("*").alias("_d"))
-                  .filter(F.col("_d") <= int(max_df)))
-        svoc = svoc.join(df_cut.select("sh"), "sh")
-    sizes = (svoc.groupBy("source")
+        # sources (boilerplate that appears everywhere) — now a
+        # row-local size filter on the folded set, no extra agg/join
+        sets = sets.filter(F.size("ss") <= int(max_df))
+    sets = fresh_persist("source_overlap_sets", sets)
+    sizes = (sets.select(F.explode("ss").alias("source"))
+             .groupBy("source")
              .agg(F.count("*").cast("bigint").alias("vocab")))
-    b = svoc.select(F.col("source").alias("source_b"),
-                    F.col("sh").alias("sh_b"))
-    pairs = (svoc.join(b, (F.col("sh") == F.col("sh_b"))
-                       & (F.col("source") < F.col("source_b")))
-             .groupBy(F.col("source").alias("source_a"), "source_b")
+    # all (a < b) source pairs of each shingle's set, emitted row-locally
+    # (fan-out <= |sources|^2 per shingle) and counted per pair — the
+    # exact multiset the old shingle-keyed self-join produced
+    combos = F.expr(
+        "flatten(transform(sequence(0, size(ss) - 2),"
+        " i -> transform(sequence(i + 1, size(ss) - 1),"
+        " j -> struct(ss[i] AS a, ss[j] AS b))))")
+    pairs = (sets.filter(F.size("ss") >= 2)
+             .select(F.explode(combos).alias("p"))
+             .groupBy(F.col("p.a").alias("source_a"),
+                      F.col("p.b").alias("source_b"))
              .agg(F.count("*").cast("bigint").alias("n_common")))
     sa = sizes.select(F.col("source").alias("source_a"),
                       F.col("vocab").alias("vocab_a"))

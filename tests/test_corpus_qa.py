@@ -282,9 +282,10 @@ def test_assemble_v3_composes_the_qa_faces(spark):
 
 
 def test_source_overlap_plan_is_aggregated_join(spark):
-    """The pair counts must come from a shingle-keyed equi-join feeding
-    a hash-agg (per-key fan-out bounded by |sources|) with the sizes
-    attached by broadcast — never a corpus-sized nested-loop."""
+    """The pair counts must come from ONE shingle-keyed partial-agg fold
+    (collect_set of the bounded source column) whose per-shingle pair
+    explode is row-local, with the sizes attached by broadcast — never
+    a corpus-sized nested-loop or self-join."""
     from process_nwb_spark.plans.inspect import (formatted_plan,
                                                  has_broadcast_join,
                                                  has_partial_aggregation)
