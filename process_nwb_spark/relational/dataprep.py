@@ -1438,15 +1438,28 @@ def dq_psi_drift(spark, sf_dir):
         (F.col("ts").cast("date") < F.lit(_PSI_CUT).cast("date"))
         .alias("is_base"))
     edges = psi_edges(cents.filter("is_base"))
-    bucketed = psi_bucketize(cents, edges).select(
-        "event_type", "is_base", "bkt")
-    counts = (psi_grid(edges).join(bucketed, ["event_type", "bkt"], "left")
-              .groupBy("event_type", "bkt")
-              .agg(F.coalesce(F.sum(F.when(F.col("is_base"), 1)
-                                    .otherwise(0)), F.lit(0)).alias("cb"),
-                   F.coalesce(F.sum(F.when(~F.col("is_base"), 1)
-                                    .otherwise(0)), F.lit(0)).alias("cc")))
-    return psi_fold(counts)
+    # aggregate BEFORE the grid join (the streaming twin's shape,
+    # guide §2.3): the conditional counts fold map-side to <= types x 10
+    # rows, so the fact table is never join-shuffled on the ~50-value
+    # (event_type, bkt) key — the old grid-LEFT-JOIN-facts plan either
+    # broadcast the FACT side (local size estimate) or, at scale, would
+    # shuffle the whole table onto 50 keys. The grid join then runs on
+    # two grid-sized frames and only back-fills empty buckets with 0s.
+    bc = (psi_bucketize(cents, edges)
+          .groupBy("event_type", "bkt")
+          .agg(F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("b"),
+               F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("n")))
+    counts = (psi_grid(edges).join(bc, ["event_type", "bkt"], "left")
+              .select("event_type", "bkt",
+                      F.coalesce("b", F.lit(0)).alias("cb"),
+                      F.coalesce("n", F.lit(0)).alias("cc")))
+    # psi_fold references counts twice (totals + the PSI fold) and the
+    # old plan re-executed the whole fact subtree per reference — 12
+    # parquet scans / 8 percentile_disc passes in the before-plan. The
+    # grid-sized persist makes it one bucketize pass + one decile pass.
+    from .core import fresh_persist
+
+    return psi_fold(fresh_persist("psi_counts", counts))
 
 
 @query(

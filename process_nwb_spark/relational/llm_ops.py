@@ -850,19 +850,37 @@ def text_kgram_dup_profile(spark, sf_dir):
     sh = F.transform(
         F.sequence(F.lit(0), F.size(words) - _KG),
         lambda i: F.md5(F.array_join(F.slice(words, i + 1, _KG), " ")))
-    g = (d.filter(F.size(words) >= _KG)
-         .select("doc_id", F.explode(sh).alias("h")))
+    docs = d.filter(F.size(words) >= _KG)
+    g = docs.select("doc_id", F.explode(sh).alias("h"))
     from .core import fresh_persist
     g = fresh_persist("kgram_g", g)
-    stats = (g.groupBy("h")
-             .agg(F.countDistinct("doc_id").alias("ndocs")))
-    dup = F.when(F.col("ndocs") >= 2, 1).otherwise(0)
-    return (g.join(stats, "h")
+    # "gram occurs in >= 2 docs" needs only whether the doc ids differ,
+    # not their count: min != max is the same predicate as
+    # COUNT(DISTINCT doc_id) >= 2 with ONE map-side-combined exchange
+    # instead of the two-phase distinct agg (guide §2.3). Only the
+    # DUPLICATED grams come back — a left-semi probe of the position
+    # table — so the per-doc fold's exchange carries dup positions
+    # only, map-side combined to |docs| rows.
+    duph = (g.groupBy("h")
+            .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+            .filter(F.col("mn") != F.col("mx")).select("h"))
+    ndup = (g.join(duph, "h", "left_semi")
             .groupBy("doc_id")
-            .agg(F.count("*").cast("bigint").alias("n_grams"),
-                 F.sum(dup).cast("bigint").alias("n_dup_grams"),
-                 F.round(F.sum(dup).cast("double") / F.count("*"), 4)
-                 .alias("dup_ratio")))
+            .agg(F.count("*").cast("bigint").alias("n_dup_grams")))
+    # n_grams needs no join at all: the explode emits exactly
+    # size(words) - _KG + 1 positions per document row, so the total is
+    # a row-local expression on the narrow documents scan (guide §2.4 —
+    # the old plan shipped every gram position through the stats join
+    # and a full-width doc_id exchange just to count them).
+    base = (docs.groupBy("doc_id")
+            .agg(F.sum(F.size(words) - F.lit(_KG - 1))
+                 .cast("bigint").alias("n_grams")))
+    nd = F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("bigint"))
+    return (base.join(ndup, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    nd.alias("n_dup_grams"),
+                    F.round(nd.cast("double") / F.col("n_grams"), 4)
+                    .alias("dup_ratio")))
 
 
 _CMS_D = 4     # sketch rows (independent hashes)
@@ -935,27 +953,31 @@ def _cms_oracle() -> str:
 )
 def agg_count_min_sketch(spark, sf_dir):
     # the token explode is NOT persisted: caching a corpus-sized explode
-    # is the one move that wouldn't survive 100 TB. The two consumers
-    # (sketch build, exact counts) each re-derive it from the scan — a
-    # narrow pass — and the VOCAB-sized exact table is what persists,
-    # feeding both the top-10 probe and the total (Σ exact counts), so
-    # nothing corpus-sized is ever materialized.
+    # is the one move that wouldn't survive 100 TB. Its ONLY consumer is
+    # the VOCAB-sized exact count table, which persists and feeds
+    # everything else — including the sketch build: cms[r][idx] counts
+    # token INSTANCES, and summing exact_cnt over the words hashing to a
+    # cell is the same integer, so the x4 row explode and the 4 md5
+    # calls per token instance collapse to 4 md5 calls per DISTINCT
+    # word (guide §2.3, aggregate before you fan out). Nothing
+    # corpus-sized is ever materialized or re-hashed.
     d = spread(T(spark, sf_dir, "documents"))
     tok = d.select(F.explode(_words()).alias("w"))
 
     rows = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
     bucket = F.expr("CAST(conv(substr(md5(concat(w, ':', CAST(r AS STRING)))"
                     ", 1, 2), 16, 10) AS INT)")
-    cms = (tok.select("w", rows)
-           .select("r", bucket.alias("idx"))
-           .groupBy("r", "idx")
-           .agg(F.count("*").cast("bigint").alias("c")))
 
     from .core import fresh_persist
     exact = fresh_persist(
         "cms_exact",
         tok.groupBy("w").agg(F.count("*").cast("bigint")
                              .alias("exact_cnt")))
+
+    cms = (exact.select("w", "exact_cnt", rows)
+           .select("r", bucket.alias("idx"), "exact_cnt")
+           .groupBy("r", "idx")
+           .agg(F.sum("exact_cnt").cast("bigint").alias("c")))
     topk = (exact.orderBy(F.desc("exact_cnt"), F.asc("w")).limit(10))
     total = exact.agg(F.sum("exact_cnt").cast("bigint").alias("total"))
 
@@ -4174,29 +4196,42 @@ def _matryoshka_agreement(e, q):
     10% subsample eval) and embed_matryoshka_budget (the fixed-budget
     100 TB path) differ ONLY in how `q` is built."""
 
+    # the four prefix cosines share their elementwise terms: compute the
+    # product/square arrays ONCE per pair and fold prefixes of them
+    # (guide §1.2 step 2 — per-task work). Each fold still adds the same
+    # values left-to-right from 0.0 (aggregate over a slice of the
+    # products array == aggregate over zip_with of the slices), so every
+    # float sum is bit-identical to the per-k recomputation; only the
+    # 8+16+32(+64) redundant multiplies per element go away.
+    w = (e.crossJoin(F.broadcast(q))
+         .filter(F.col("vec_id") != F.col("qid"))
+         .select("qid", "vec_id",
+                 F.zip_with("embedding", "qv",
+                            lambda x, y: x.cast("double") * y.cast("double"))
+                 .alias("_p"),
+                 F.transform("embedding",
+                             lambda x: x.cast("double") * x.cast("double"))
+                 .alias("_e"),
+                 F.transform("qv",
+                             lambda x: x.cast("double") * x.cast("double"))
+                 .alias("_q")))
+
     def cos(k):
-        dot = F.aggregate(
-            F.zip_with(F.slice("embedding", 1, k), F.slice("qv", 1, k),
-                       lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x)
-        nrm = lambda c: F.sqrt(F.aggregate(   # noqa: E731
-            F.transform(F.slice(c, 1, k),
-                        lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda acc, x: acc + x))
+        fold = lambda c: F.aggregate(   # noqa: E731
+            F.slice(c, 1, k), F.lit(0.0), lambda acc, x: acc + x)
+        dot = fold("_p")
         # NULL-guard the norm product (mirrors the oracle's NULLIF): a
         # zero-norm prefix must yield a NULL cosine on both engines, not
         # an ANSI DIVIDE_BY_ZERO here vs NULL there. NULL cosines lose
         # every argmax: max(struct) ranks a NULL field below any value,
         # and the oracle's DESC window puts NULLs last.
-        prod = nrm("embedding") * nrm("qv")
+        prod = F.sqrt(fold("_e")) * F.sqrt(fold("_q"))
         return F.round(dot / F.when(prod != 0.0, prod), 6)
 
-    pairs = (e.crossJoin(F.broadcast(q))
-             .filter(F.col("vec_id") != F.col("qid"))
-             .select("qid", "vec_id",
+    pairs = w.select("qid", "vec_id",
                      cos(64).alias("cos64"),
                      *[cos(k).alias(f"cos{k}")
-                       for k in _MATRYOSHKA_DIMS]))
+                       for k in _MATRYOSHKA_DIMS])
 
     def argmax(c):
         return (-F.max(F.struct(F.col(c),

@@ -15,6 +15,15 @@ Covered rewrites:
   nibble-count fold on a tiny corpus (exact int64 fingerprints).
 - text_token_counts: n_bpe_tokens == n_alpha + n_num + n_sym on
   mixed-alphabet text (disjoint-class structural identity).
+- text_kgram_dup_profile: min!=max dup test + left-semi dup-position count
+  + row-local n_grams vs the countDistinct+stats-join formulation, with a
+  doc repeating its own gram (must not count as duplicated).
+- agg_count_min_sketch: sketch folded from the vocab-count table vs the
+  token-instance explode (cell-for-cell integer equality).
+- dq_psi_drift: conditional counts aggregated BEFORE the grid join vs the
+  grid-LEFT-JOIN-facts plan, including all-zero grid buckets.
+- matryoshka cosines: shared products array slice-folds vs per-k zip_with
+  recomputation (bit-exact, incl. the zero-norm NULL-guard path).
 """
 from __future__ import annotations
 
@@ -278,6 +287,169 @@ def test_triangles_adjacency_closure_on_known_graph(spark, tmp_path):
     plan = formatted_plan(got, "simple")
     assert "array_intersect" in plan, plan
     assert "LeftSemi" not in plan, plan
+
+
+def test_kgram_semi_join_matches_stats_join(spark, tmp_path):
+    """text_kgram_dup_profile's r14 closure (min!=max dup test, left-semi
+    dup-position count, row-local n_grams) against the pre-r14
+    countDistinct+stats-join formulation, on a fixture the sf data does
+    not cover: a doc REPEATING its own gram (same h twice in one doc must
+    NOT count as duplicated), a doc with zero duplicated grams, and a
+    shared 8-token gram across two docs."""
+    from process_nwb_spark.relational.core import all_queries
+    from process_nwb_spark.relational.llm_ops import _KG
+
+    shared = " ".join(f"s{i}" for i in range(_KG))            # 8 tokens
+    self_rep = " ".join(f"r{i}" for i in range(_KG)) + " x " \
+        + " ".join(f"r{i}" for i in range(_KG))               # h twice, 1 doc
+    rows = [(1, shared + " aa bb cc"),
+            (2, "zz " + shared),
+            (3, self_rep),
+            (4, " ".join(f"u{i}" for i in range(_KG + 2))),   # all unique
+            (5, "too short")]
+    d = str(tmp_path / "kgram")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("source", F.lit("s")) \
+        .write.parquet(f"{d}/documents.parquet")
+
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_ratio"])
+           for r in all_queries()["text_kgram_dup_profile"].fn(
+               spark, d).collect()}
+
+    # pre-r14 reference: df-count the gram table, join every position
+    words = F.split("text", " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(words) - _KG),
+        lambda i: F.md5(F.array_join(F.slice(words, i + 1, _KG), " ")))
+    g = (spark.read.parquet(f"{d}/documents.parquet")
+         .filter(F.size(words) >= _KG)
+         .select("doc_id", F.explode(sh).alias("h")))
+    stats = g.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    dup = F.when(F.col("ndocs") >= 2, 1).otherwise(0)
+    ref = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_ratio"])
+           for r in g.join(stats, "h").groupBy("doc_id")
+           .agg(F.count("*").cast("bigint").alias("n_grams"),
+                F.sum(dup).cast("bigint").alias("n_dup_grams"),
+                F.round(F.sum(dup).cast("double") / F.count("*"), 4)
+                .alias("dup_ratio")).collect()}
+    assert got == ref
+    assert got[3][1] == 0            # self-repeat is NOT a duplicate
+    assert got[1][1] >= 1 and got[2][1] >= 1   # the shared gram is
+    assert 5 not in got              # short doc drops on both paths
+
+
+def test_cms_from_vocab_counts_matches_instance_fold(spark):
+    """agg_count_min_sketch's r14 sketch build (sum of exact_cnt over the
+    vocab table) is cell-for-cell the instance-explode fold it replaced:
+    cms[r][idx] counts token INSTANCES either way."""
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b a"), (3, "d")],
+        "doc_id long, text string")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    bucket = F.expr("CAST(conv(substr(md5(concat(w, ':', "
+                    "CAST(r AS STRING))), 1, 2), 16, 10) AS INT)")
+    ref = dict(((r["r"], r["idx"]), r["c"]) for r in
+               tok.select("w", rows).select("r", bucket.alias("idx"))
+               .groupBy("r", "idx")
+               .agg(F.count("*").cast("bigint").alias("c")).collect())
+    exact = tok.groupBy("w").agg(F.count("*").cast("bigint")
+                                 .alias("exact_cnt"))
+    got = dict(((r["r"], r["idx"]), r["c"]) for r in
+               exact.select("w", "exact_cnt", rows)
+               .select("r", bucket.alias("idx"), "exact_cnt")
+               .groupBy("r", "idx")
+               .agg(F.sum("exact_cnt").cast("bigint").alias("c")).collect())
+    assert got == ref and len(got) > 0
+
+
+def test_psi_aggregate_before_grid_matches_join_then_agg(spark):
+    """dq_psi_drift's r14 shape (conditional counts folded BEFORE the
+    grid join, the streaming twin's shape) produces the same complete
+    (event_type, bkt, cb, cc) grid as the pre-r14 grid-LEFT-JOIN-facts
+    plan — including all-zero buckets that exist only in the grid."""
+    from process_nwb_spark.relational.dataprep import (
+        psi_bucketize, psi_cent_col, psi_edges, psi_grid)
+
+    ev = spark.createDataFrame(
+        [("a", 0.01 * i, i >= 60) for i in range(100)]
+        + [("b", 1.0, False)] * 10,            # type b: baseline only —
+        "event_type string, value double, cur boolean")  # cc all zero
+    cents = ev.select("event_type", psi_cent_col("value"),
+                      (~F.col("cur")).alias("is_base"))
+    edges = psi_edges(cents.filter("is_base"))
+
+    ref = {(r["event_type"], r["bkt"]): (r["cb"], r["cc"]) for r in
+           (psi_grid(edges)
+            .join(psi_bucketize(cents, edges)
+                  .select("event_type", "is_base", "bkt"),
+                  ["event_type", "bkt"], "left")
+            .groupBy("event_type", "bkt")
+            .agg(F.coalesce(F.sum(F.when(F.col("is_base"), 1)
+                                  .otherwise(0)), F.lit(0)).alias("cb"),
+                 F.coalesce(F.sum(F.when(~F.col("is_base"), 1)
+                                  .otherwise(0)), F.lit(0)).alias("cc"))
+            ).collect()}
+    bc = (psi_bucketize(cents, edges)
+          .groupBy("event_type", "bkt")
+          .agg(F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("b"),
+               F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("n")))
+    got = {(r["event_type"], r["bkt"]): (r["cb"], r["cc"]) for r in
+           (psi_grid(edges).join(bc, ["event_type", "bkt"], "left")
+            .select("event_type", "bkt",
+                    F.coalesce("b", F.lit(0)).alias("cb"),
+                    F.coalesce("n", F.lit(0)).alias("cc"))).collect()}
+    assert got == ref
+    # the all-zero current side of type b survives the agg-first shape
+    assert sum(cc for (t, _), (_, cc) in got.items() if t == "b") == 0
+    assert sum(cb for (t, _), (cb, _) in got.items() if t == "b") == 10
+
+
+def test_matryoshka_shared_products_cosines_bitexact(spark):
+    """the r14 shared-products rewrite folds slices of ONE products array;
+    each prefix sum adds the same doubles in the same order as the per-k
+    zip_with recomputation, so cosines are bit-identical — exercised on a
+    fixture with a zero-norm prefix (NULL-guard path)."""
+    vecs = [(0, [1.0, 2.0, 3.0, 4.0]),
+            (1, [0.0, 0.0, 1.0, -1.0]),     # zero-norm 2-prefix
+            (2, [0.3, -0.7, 0.1, 0.9])]
+    e = spark.createDataFrame(vecs, "vec_id long, emb array<double>")
+    q = spark.createDataFrame([([0.5, -0.5, 2.0, 1.0],)],
+                              "qv array<double>")
+    pair = e.crossJoin(F.broadcast(q))
+
+    def cos_old(k):
+        dot = F.aggregate(
+            F.zip_with(F.slice("emb", 1, k), F.slice("qv", 1, k),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        nrm = lambda c: F.sqrt(F.aggregate(   # noqa: E731
+            F.transform(F.slice(c, 1, k), lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x))
+        prod = nrm("emb") * nrm("qv")
+        return F.round(dot / F.when(prod != 0.0, prod), 6)
+
+    w = pair.select(
+        "vec_id",
+        F.zip_with("emb", "qv", lambda x, y: x * y).alias("_p"),
+        F.transform("emb", lambda x: x * x).alias("_e"),
+        F.transform("qv", lambda x: x * x).alias("_q"))
+
+    def cos_new(k):
+        fold = lambda c: F.aggregate(   # noqa: E731
+            F.slice(c, 1, k), F.lit(0.0), lambda acc, x: acc + x)
+        prod = F.sqrt(fold("_e")) * F.sqrt(fold("_q"))
+        return F.round(fold("_p") / F.when(prod != 0.0, prod), 6)
+
+    for k in (2, 4):
+        old = {r["vec_id"]: r["c"] for r in
+               pair.select("vec_id", cos_old(k).alias("c")).collect()}
+        new = {r["vec_id"]: r["c"] for r in
+               w.select("vec_id", cos_new(k).alias("c")).collect()}
+        assert old == new
+    # the zero-norm prefix really exercised the NULL guard
+    assert {r["vec_id"]: r["c"] for r in
+            w.select("vec_id", cos_new(2).alias("c")).collect()}[1] is None
 
 
 def test_containment_shingle_table_is_persisted_once(spark):
