@@ -2947,18 +2947,35 @@ def text_ngram_containment(spark, sf_dir):
     sh = _shingles_df(spark, sf_dir, k=3)
     df_cut = (sh.groupBy("sh").agg(F.count("*").alias("d"))
               .filter(F.col("d") <= 50))
-    # shf feeds THREE consumers (sizes + both self-join sides); without
-    # the persist each recomputes the explode+df-cut join from the scan
-    # (r14: 3.4 -> 2.5 s at sf0.1, outputs byte-equal) — the same
-    # persisted-shingles discipline ngram_jaccard_pairs uses
-    shf = fresh_persist("cont_shf", sh.join(df_cut.select("sh"), "sh"))
-    sizes = (shf.groupBy("doc_id")
+    shf = sh.join(df_cut.select("sh"), "sh")
+    # ONE shingle-keyed fold of the df-kept doc set — bounded at <= 50
+    # ids per shingle BY the cut above, so the agg buffer is
+    # metadata-sized at any corpus size — riding the df-cut join's
+    # existing sh partitioning. The shared-shingle SELF-JOIN (two more
+    # sh exchanges + sorts of the whole shingle table) and the
+    # full-table doc_id exchange behind `sizes` are gone: pairs and
+    # per-doc sizes are row-local explodes of the folded set (the
+    # corpus_source_overlap idiom, r14). Persisted because both
+    # branches consume it (r14: 2.5 -> measured below; outputs
+    # byte-equal, pinned vs python sets in test_round7b_faces).
+    sets = fresh_persist(
+        "cont_sets",
+        shf.groupBy("sh").agg(F.array_sort(F.collect_set("doc_id"))
+                              .alias("ds")))
+    sizes = (sets.select(F.explode("ds").alias("doc_id"))
+             .groupBy("doc_id")
              .agg(F.count("*").cast("bigint").alias("sz")))
-    a = shf.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = shf.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (a.join(b, "sh")
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
+    # all (a < b) doc pairs of each shingle's sorted set, emitted
+    # row-locally (fan-out <= 50^2/2 per shingle) and counted per pair —
+    # the exact multiset the shingle-keyed self-join produced
+    combos = F.expr(
+        "flatten(transform(sequence(0, size(ds) - 2),"
+        " i -> transform(sequence(i + 1, size(ds) - 1),"
+        " j -> struct(ds[i] AS a, ds[j] AS b))))")
+    inter = (sets.filter(F.size("ds") >= 2)
+             .select(F.explode(combos).alias("p"))
+             .groupBy(F.col("p.a").alias("doc_a"),
+                      F.col("p.b").alias("doc_b"))
              .agg(F.count("*").cast("bigint").alias("n_common")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"),
                       F.col("sz").alias("size_a"))

@@ -453,10 +453,10 @@ def test_matryoshka_shared_products_cosines_bitexact(spark):
 
 
 def test_containment_shingle_table_is_persisted_once(spark):
-    """text_ngram_containment's df-cut shingle table feeds three
-    consumers (sizes + both self-join sides); the r14 persist pins the
-    plan so each consumer reads the one cached table instead of
-    recomputing the explode+df-cut join from the documents scan."""
+    """text_ngram_containment's folded per-shingle doc-set table feeds
+    two consumers (row-local sizes + pair explodes); the r14 persist pins
+    the plan so each consumer reads the one cached table instead of
+    recomputing the explode+df-cut+fold from the documents scan."""
     from process_nwb_spark.plans.inspect import formatted_plan
     from process_nwb_spark.relational.core import all_queries
 
