@@ -87,6 +87,19 @@ DRIVER_PRIORITY = (
     # ---- (a-opt) faces whose PLAN was rewritten in the r14
     # OPTIMIZATION phase (outputs pinned hash-identical at
     # sf0.001/0.01/0.1 before commit; re-sample first): ----
+    "text_kgram_dup_profile",  # min!=max dup test + left-semi dup-
+    #   position count + row-local n_grams (was countDistinct + full
+    #   stats join + full-width doc_id exchange)
+    "dq_psi_drift",            # conditional counts folded BEFORE the
+    #   grid join (the streaming twin's shape); grid-sized counts
+    #   persisted (was 12 fact scans / 8 percentile passes)
+    "agg_count_min_sketch",    # sketch folded from the vocab count
+    #   table (was a x4 token-instance explode + 4 md5/instance)
+    "embed_matryoshka_budget",  # shared product/square arrays, prefix
+    #   slice-folds (bit-identical sums, 1/3 the multiplies)
+    "embed_matryoshka_recall",  # same shared-fold helper
+    "corpus_source_overlap",   # shingle self-join folded into ONE
+    #   |sources|-bounded collect_set + row-local pair explode
     "agg_trimmed_mean",        # value-histogram trim (was 3-task window)
     "join_sortmerge_large",    # per-order partial agg below the join
     "join_asof",               # packed per-customer arrays, no fan-out
@@ -109,8 +122,9 @@ DRIVER_PRIORITY = (
     "hybrid_search_rrf",       # same query-pruned df rewrite
     "graph_triangles",         # adjacency-intersect closure (no wedge
     #   table: the sum-d+^2-row exchange + 41M-row sort are gone)
-    "text_ngram_containment",  # df-cut shingle table persisted once
-    #   (fed 3 consumers; was recomputed from the scan for each)
+    "text_ngram_containment",  # self-join folded into a df-bounded
+    #   per-shingle collect_set + row-local pair/size explodes (first
+    #   persisted-once in this round, then folded)
     # ---- (a0) faces ADDED in r14 (never driver-sampled) ----
     "mix_dedup_budget",  # ADDED r14 third batch: waterfilling on
     #   UNIQUE-token capacities after exact dedup

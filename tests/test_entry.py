@@ -43,7 +43,10 @@ def test_r14_window_is_staleness_ordered():
     re-proved the first 7 of the r7 cohort). The cohort sets derive
     from CORRECTNESS_r{01..13}.json (the per-face last-sampled-round
     fold) plus OPTIMIZATION_r14.md's per-operator log."""
-    opt_rewritten = ["agg_trimmed_mean", "join_sortmerge_large",
+    opt_rewritten = ["text_kgram_dup_profile", "dq_psi_drift",
+                     "agg_count_min_sketch", "embed_matryoshka_budget",
+                     "embed_matryoshka_recall", "corpus_source_overlap",
+                     "agg_trimmed_mean", "join_sortmerge_large",
                      "join_asof", "simhash_fingerprints",
                      "simhash_near_pairs", "doc_fingerprint_winnow",
                      "text_token_counts", "jaccard_threshold_sweep",
@@ -87,6 +90,7 @@ def test_r14_window_is_staleness_ordered():
     assert head[n0:n0 + len(touched_r14)] == touched_r14
     n1 = n0 + len(touched_r14)
     assert r7_remaining == set(head[n1:n1 + len(r7_remaining)])
-    # 22 plan-rewritten + 16 added/touched (4 third-batch adds are in
-    # the rewritten block) + stale r7 cohort
-    assert len(head) == 22 + 16 + 41
+    # 28 plan-rewritten (22 from the build-phase window + 6 from the
+    # optimization session's second pass) + 16 added/touched (4
+    # third-batch adds are in the rewritten block) + stale r7 cohort
+    assert len(head) == 28 + 16 + 41
