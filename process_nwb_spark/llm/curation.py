@@ -259,6 +259,16 @@ def assemble_v3(documents: DataFrame, batch_size: int = 8,
             F.regexp_count("clean_text", F.lit(r"\w+")).cast("bigint"))
          .withColumn("fp", norm_fp_col("clean_text"))
          .withColumn("score_key", diversity_score_col("clean_text")))
+    # the scored frame feeds the keep-agg, the keep-join probe side, and
+    # (through them) both references the batch rank makes — without the
+    # persist the collapse+gopher+fingerprint regex stack (the whole
+    # program's compute) re-executes per reference: 8 parquet scans in
+    # the unpersisted sf0.1 plan, and the bench's ratio 1.08 showed the
+    # program was ~all fixed recompute, not data. Same fresh_persist
+    # discipline as the oracled faces (guide §5: reused AND expensive).
+    from ..relational.core import fresh_persist
+
+    d = fresh_persist("assemble_v3_scored", d)
     keep = (d.groupBy("fp")
             .agg(F.max(F.struct(F.col("score_key"),
                                 (-F.col("doc_id")).alias("nd"))).alias("b"))
