@@ -23,6 +23,17 @@ def _words(col="text"):
     return F.split(col, " ")
 
 
+def _shingle_array(words, k: int):
+    """The DISTINCT word-k-gram array of one document — the row-local
+    core doc_shingles explodes; exported separately so faces that only
+    need the per-doc COUNT (dedup_ngram_coverage) reuse the identical
+    construction without paying the explode."""
+    # sequence(0, size-k) inclusive -> size-k+1 shingles
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.size(words) - k),
+                    lambda i: F.array_join(F.slice(words, i + 1, k), " ")))
+
+
 def doc_shingles(docs, k: int = 3, id_col: str = "doc_id"):
     """Distinct word-k-gram shingles (id_col, sh) for ANY (id_col, text)
     frame — the one shingle construction every dedup/contamination face
@@ -39,10 +50,7 @@ def doc_shingles(docs, k: int = 3, id_col: str = "doc_id"):
     # on a 2-word doc would otherwise hit 'array indices start at 1' at
     # runtime)
     d = docs.filter(F.size(words) >= k)
-    # sequence(0, size-k) inclusive -> size-k+1 shingles
-    sh = F.transform(F.sequence(F.lit(0), F.size(words) - k),
-                     lambda i: F.array_join(F.slice(words, i + 1, k), " "))
-    return d.select(id_col, F.explode(F.array_distinct(sh)).alias("sh"))
+    return d.select(id_col, F.explode(_shingle_array(words, k)).alias("sh"))
 
 
 def _shingles_df(spark, sf_dir, k: int = 3):
@@ -3200,6 +3208,14 @@ def split_leakage_safe(spark, sf_dir):
         "dedup_exact/dedup_keep_list)",
 )
 def dedup_ngram_coverage(spark, sf_dir):
+    # r14 optimization note: an owner-count fold + row-local shingle
+    # count (the text_kgram_dup_profile shape) was implemented and
+    # MEASURED SLOWER at both sf0.1 (1.51 -> 2.15 min) and sf1
+    # (3.52 -> 3.88): unlike that face there is no two-phase distinct
+    # agg to remove here — the post-join doc agg is already map-side
+    # combined, so its exchange carries |docs| rows, while the
+    # "row-local" count re-runs the whole split+distinct shingle
+    # construction a second time. Rejected; the join shape stays.
     sh = _shingles_df(spark, sf_dir)
     owners = sh.groupBy("sh").agg(F.min("doc_id").alias("owner"))
     dup = (F.col("owner") < F.col("doc_id")).cast("int")
