@@ -156,6 +156,15 @@ def assemble_v2(documents: DataFrame, capacity: int = 2048,
     dup_frac = (1 - F.size(F.array_distinct(w_arr)).cast("double")
                 / F.size(w_arr))
     kept = kept.filter(dup_frac <= max_dup_word_frac)
+    # the gated frame feeds the bigram stream (three references through
+    # the model aggs) AND the final score join — unpersisted, the whole
+    # curate stack re-executed per reference (16 parquet scans in the
+    # sf0.1 plan; the assemble_v3 defect, worse). Same fresh_persist
+    # discipline; the vocabulary-sized pair table below is likewise
+    # read by both the scoring join and the head-count rollup.
+    from ..relational.core import fresh_persist
+
+    kept = fresh_persist("assemble_v2_kept", kept)
 
     # bigram LM over the gated corpus; model aggs are vocabulary-sized
     bg = kept.select(
@@ -164,7 +173,9 @@ def assemble_v2(documents: DataFrame, capacity: int = 2048,
             "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
             " (x, i) -> struct(x AS w1, split(text, ' ')[i + 1] AS w2))"))
         .alias("b")).select("doc_id", "b.w1", "b.w2")
-    pair_c = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    pair_c = fresh_persist(
+        "assemble_v2_pairc",
+        bg.groupBy("w1", "w2").agg(F.count("*").alias("c2")))
     head_c = pair_c.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # no broadcast hints: the model tables are vocabulary-sized (see
     # text_lm_score) — AQE picks broadcast while they fit
