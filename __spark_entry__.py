@@ -28,10 +28,11 @@ def _configure(spark: SparkSession) -> SparkSession:
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
-        # cached self-join intermediates keep their partitioning (see
-        # session.py) — without it every cached frame re-exchanges
+        # AQE inside cached-plan builds (see session.py for the r15
+        # cold-JVM adjudication; env override keeps it parameterised)
         ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-         "true"),
+         "false" if os.environ.get("SPARK_GRAFT_CACHED_PLAN_AQE",
+                                   "1") == "0" else "true"),
         # engine semantics are non-ANSI (session.py); Spark 4 defaults ANSI on
         ("spark.sql.ansi.enabled", "false"),
     ]:

@@ -162,6 +162,15 @@ def assemble_v2(documents: DataFrame, capacity: int = 2048,
     # sf0.1 plan; the assemble_v3 defect, worse). Same fresh_persist
     # discipline; the vocabulary-sized pair table below is likewise
     # read by both the scoring join and the head-count rollup.
+    # SCALE TRADEOFF (documented, not narrowable): unlike assemble_v3,
+    # `text` must stay in this cache — the bigram stream reads the RAW
+    # text (the LM scores pre-redaction text by design) and clean_text
+    # is derived from the same raw text after the score gate, so the
+    # persisted frame is corpus-sized with one text column. persist()'s
+    # MEMORY_AND_DISK default makes an over-memory corpus spill rather
+    # than fail; library callers outside the bench should
+    # clear_persist_slots() (or unpersist) when done with the result —
+    # the slot keeps at most one copy per process by construction.
     from ..relational.core import fresh_persist
 
     kept = fresh_persist("assemble_v2_kept", kept)
@@ -277,9 +286,19 @@ def assemble_v3(documents: DataFrame, batch_size: int = 8,
     # the unpersisted sf0.1 plan, and the bench's ratio 1.08 showed the
     # program was ~all fixed recompute, not data. Same fresh_persist
     # discipline as the oracled faces (guide §5: reused AND expensive).
+    # r15 (guide §5/§2.3 — cache only what downstream reads): project
+    # the persist to exactly the columns the rest of the program
+    # touches. Raw `text` (corpus-sized, fully superseded by
+    # clean_text here) and the per-rule Gopher flag/metric columns
+    # (already folded into n_rules_failed) never escape this function,
+    # so caching them doubled the corpus-sized bytes per row for
+    # nothing. persist() stays at its MEMORY_AND_DISK default, so an
+    # over-memory corpus spills instead of evicting/failing.
     from ..relational.core import fresh_persist
 
-    d = fresh_persist("assemble_v3_scored", d)
+    d = fresh_persist("assemble_v3_scored", d.select(
+        "doc_id", "lang", "source", "n_tokens", "n_collapsed",
+        "n_rules_failed", "fp", "score_key", "clean_text"))
     keep = (d.groupBy("fp")
             .agg(F.max(F.struct(F.col("score_key"),
                                 (-F.col("doc_id")).alias("nd"))).alias("b"))

@@ -40,6 +40,67 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# on-disk footprint cache for dim_broadcast: (sf_dir, table) -> bytes.
+# Pure file metadata (os.stat), never query results — the gate decision
+# for a given input directory is deterministic and re-stat'ing per face
+# call would only add syscalls.
+_TABLE_BYTES: dict = {}
+
+
+def _table_disk_bytes(sf_dir: str, name: str) -> int:
+    import os
+
+    key = (sf_dir, name)
+    if key not in _TABLE_BYTES:
+        path = f"{sf_dir}/{name}.parquet"
+        total = 0
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        else:
+            try:
+                total = os.path.getsize(path)
+            except OSError:
+                total = 0
+        _TABLE_BYTES[key] = total
+    return _TABLE_BYTES[key]
+
+
+def dim_broadcast(df: DataFrame, sf_dir: str, *tables: str) -> DataFrame:
+    """Size-gated broadcast hint for scale-factor-growing dimension tables
+    (customer/part/supplier tier). `F.broadcast` ignores size and Spark
+    HARD-FAILS a broadcast relation past 8 GB / 512 M rows (guide §3.1),
+    so an unconditional hint on an SF-growing table turns 100 TB inputs
+    into a planner error. This helper hints only while every named source
+    table's ON-DISK parquet footprint under sf_dir is below the gate
+    (SPARK_GRAFT_BCAST_GATE_MB, default 512 MB ~ <=2-3 GB in-memory at
+    typical zstd-parquet expansion, comfortably under the 8 GB cap);
+    above it the frame is returned unhinted and AQE picks the strategy
+    from runtime sizes. The decision is file metadata only (no Spark
+    job), deterministic per input dir, and at every benched SF the gated
+    tables are <3 MB on disk, so benched plans are byte-identical to the
+    old unconditional hint. Fixed-cardinality tables (nation/region,
+    1-row scalars, k-bounded codebooks) keep their plain F.broadcast —
+    they do not grow with SF.
+
+    `df` may be any projection/filter/join derived from the named
+    tables: on-disk size of the full sources is a conservative upper
+    bound for any row/column subset of them."""
+    import os
+
+    gate_mb = float(os.environ.get("SPARK_GRAFT_BCAST_GATE_MB", "512"))
+    total = sum(_table_disk_bytes(sf_dir, t) for t in tables)
+    if total <= gate_mb * 1024 * 1024:
+        from pyspark.sql import functions as F
+
+        return F.broadcast(df)
+    return df
+
+
 def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     """Round-robin repartition a *small* input that fans out heavily
     downstream (shingle explosion, per-bit explode, plane dot products).

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .core import T, query
+from .core import T, query, dim_broadcast
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -151,7 +151,7 @@ def stream_dedup_first(spark, sf_dir):
 def stream_static_join(spark, sf_dir):
     e = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     c = T(spark, sf_dir, "customer")
-    return e.join(F.broadcast(c), e.user_id == c.c_custkey).select(
+    return e.join(dim_broadcast(c, sf_dir, "customer"), e.user_id == c.c_custkey).select(
         "event_id", "event_type", "c_name", "c_mktsegment")
 
 
@@ -1408,7 +1408,7 @@ def orders_gap_stats(spark, sf_dir):
                                    F.lag(F.col("o_orderdate").cast("date"))
                                    .over(w)))
             .filter(F.col("gap_days").isNotNull()))
-    return (gaps.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+    return (gaps.join(dim_broadcast(c.select("c_custkey", "c_mktsegment"), sf_dir, "customer"),
                       gaps.o_custkey == F.col("c_custkey"))
             .groupBy(F.col("c_mktsegment").alias("segment"))
             .agg(F.count("*").cast("bigint").alias("n_gaps"),
@@ -2309,9 +2309,10 @@ def ts_corr_matrix(spark, sf_dir):
 def abtest_welch_t(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
-    x = (o.join(F.broadcast(
+    x = (o.join(dim_broadcast(
             c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-            .select("c_custkey", F.col("c_mktsegment").alias("seg"))),
+            .select("c_custkey", F.col("c_mktsegment").alias("seg")),
+            sf_dir, "customer"),
             F.col("o_custkey") == F.col("c_custkey"))
          .select("seg", F.floor(F.col("o_totalprice") * 100 + 0.5)
                  .cast("bigint").alias("cents")))
@@ -2822,8 +2823,9 @@ def ts_holt_winters(spark, sf_dir):
 def agg_revenue_concentration(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
-    rev = (o.join(F.broadcast(c.select("c_custkey",
-                                       F.col("c_mktsegment").alias("seg"))),
+    rev = (o.join(dim_broadcast(c.select("c_custkey",
+                                          F.col("c_mktsegment").alias("seg")),
+                              sf_dir, "customer"),
                   F.col("o_custkey") == F.col("c_custkey"))
            .groupBy("seg", F.col("o_custkey").alias("ck"))
            .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)
@@ -2972,9 +2974,10 @@ def win_rolling_distinct_users(spark, sf_dir):
 def abtest_mann_whitney(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
-    x = (o.join(F.broadcast(
+    x = (o.join(dim_broadcast(
             c.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
-            .select("c_custkey", F.col("c_mktsegment").alias("seg"))),
+            .select("c_custkey", F.col("c_mktsegment").alias("seg")),
+            sf_dir, "customer"),
             F.col("o_custkey") == F.col("c_custkey"))
          .select("seg", F.floor(F.col("o_totalprice") * 100 + 0.5)
                  .cast("bigint").alias("v")))
@@ -3050,8 +3053,9 @@ def abtest_mann_whitney(spark, sf_dir):
 def agg_gini_coefficient(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
-    rev = (o.join(F.broadcast(c.select("c_custkey",
-                                       F.col("c_mktsegment").alias("seg"))),
+    rev = (o.join(dim_broadcast(c.select("c_custkey",
+                                          F.col("c_mktsegment").alias("seg")),
+                              sf_dir, "customer"),
                   F.col("o_custkey") == F.col("c_custkey"))
            .groupBy("seg", F.col("o_custkey").alias("ck"))
            .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5)

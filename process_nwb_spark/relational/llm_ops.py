@@ -25,9 +25,11 @@ def _words(col="text"):
 
 def _shingle_array(words, k: int):
     """The DISTINCT word-k-gram array of one document — the row-local
-    core doc_shingles explodes; exported separately so faces that only
-    need the per-doc COUNT (dedup_ngram_coverage) reuse the identical
-    construction without paying the explode."""
+    core doc_shingles explodes. (A dedup_ngram_coverage rewrite reusing
+    this without the explode was measured slower and rejected — see the
+    note at dedup_ngram_coverage — so doc_shingles is the only caller;
+    kept separate because the array form is the unit the rejection A/B
+    and the winnow/kgram row-local faces reason about.)"""
     # sequence(0, size-k) inclusive -> size-k+1 shingles
     return F.array_distinct(
         F.transform(F.sequence(F.lit(0), F.size(words) - k),
@@ -2966,6 +2968,13 @@ def text_ngram_containment(spark, sf_dir):
     # corpus_source_overlap idiom, r14). Persisted because both
     # branches consume it (r14: 2.5 -> measured below; outputs
     # byte-equal, pinned vs python sets in test_round7b_faces).
+    # INVARIANT the fold depends on: (doc_id, sh) pairs are UNIQUE in
+    # shf — doc_shingles array_distincts per doc and emits one row per
+    # (doc, shingle) — so collect_set == collect_list here and the
+    # set fold reproduces the self-join's multiset counts exactly. A
+    # documents fixture carrying duplicate doc_id rows would break
+    # that equivalence (the set would silently dedup what the join
+    # counted with multiplicity).
     sets = fresh_persist(
         "cont_sets",
         shf.groupBy("sh").agg(F.array_sort(F.collect_set("doc_id"))

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .core import T, query
+from .core import T, dim_broadcast, query
 
 
 # --------------------------------------------------------------------------
@@ -80,7 +80,7 @@ def join_inner_broadcast(spark, sf_dir):
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(dim_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(n.n_name.alias("nation"), r.r_name.alias("region"))
@@ -1352,7 +1352,7 @@ def star_local_revenue(spark, sf_dir):
 def basket_lift_pairs(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     p = T(spark, sf_dir, "part")
-    items = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    items = (li.join(dim_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
              .select(F.col("l_orderkey").alias("okey"),
                      F.col("p_type").alias("t"))
              .distinct())
@@ -1616,7 +1616,7 @@ def star_topk_unshipped(spark, sf_dir):
     li = (T(spark, sf_dir, "lineitem")
           .filter(F.col("l_shipdate").cast("date") > F.lit("1995-03-15"))
           .select("l_orderkey", "l_extendedprice", "l_discount"))
-    return (o.join(F.broadcast(c.select("c_custkey")),
+    return (o.join(dim_broadcast(c.select("c_custkey"), sf_dir, "customer"),
                    o.o_custkey == F.col("c_custkey"))
             .join(li, o.o_orderkey == li.l_orderkey)
             .groupBy(F.col("l_orderkey").alias("orderkey"),
@@ -1681,8 +1681,8 @@ def star_market_share(spark, sf_dir):
         F.col("n_name").alias("supp_nation"))
     r = (T(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
          .select("r_regionkey"))
-    sales = (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-             .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+    sales = (li.join(dim_broadcast(p, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey"))
+             .join(dim_broadcast(s, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
              .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
              .join(c, F.col("c_custkey") == F.col("o_custkey"))
              .join(F.broadcast(n1),
@@ -1737,7 +1737,7 @@ def sub_small_qty_revenue(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity",
                                              "l_extendedprice")
     w = Window.partitionBy("l_partkey")
-    return (li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return (li.join(dim_broadcast(p, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey"))
             .withColumn("avg_qty", F.avg("l_quantity").over(w))
             .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
             .groupBy("p_brand")
@@ -1800,7 +1800,7 @@ def sub_late_sole_supplier(spark, sf_dir):
             .select(F.element_at("late_supps", 1).alias("culprit")))
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (sole.groupBy("culprit").agg(F.count("*").alias("numwait"))
-            .join(F.broadcast(s), F.col("s_suppkey") == F.col("culprit"))
+            .join(dim_broadcast(s, sf_dir, "supplier"), F.col("s_suppkey") == F.col("culprit"))
             .select("s_suppkey", "s_name", "numwait"))
 
 
@@ -1890,9 +1890,9 @@ def star_nation_volume(spark, sf_dir):
              & (F.col("cust_nation") == "NATION_7"))
             | ((F.col("supp_nation") == "NATION_7")
                & (F.col("cust_nation") == "NATION_3")))
-    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    return (li.join(dim_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
             .join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(dim_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
             .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
             .filter(pair)
@@ -1989,7 +1989,7 @@ def promo_revenue_share(spark, sf_dir):
           .select("l_partkey", _net4().alias("net4")))
     p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
     promo = F.when(F.col("p_type") == "ECONOMY", F.col("net4")).otherwise(0)
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(dim_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
             .agg(F.round(F.sum(promo).cast("double") * F.lit(100.0)
                          / F.sum("net4").cast("double"), 4)
                  .alias("promo_share")))
@@ -2026,7 +2026,7 @@ def top_revenue_suppliers(spark, sf_dir):
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (rev.crossJoin(F.broadcast(mx))
             .filter(F.col("total4") == F.col("mx"))
-            .join(F.broadcast(s), F.col("s_suppkey") == F.col("suppkey"))
+            .join(dim_broadcast(s, sf_dir, "supplier"), F.col("s_suppkey") == F.col("suppkey"))
             .select("s_suppkey", "s_name",
                     (F.col("total4").cast("double") / F.lit(10000.0))
                     .alias("total_revenue")))
@@ -2059,7 +2059,7 @@ def disjunctive_revenue(spark, sf_dir):
         (F.col("p_brand") == brand)
         & F.col("p_size").between(1, size_hi)
         & F.col("l_quantity").between(q_lo, q_hi))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(dim_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
             .filter(arm("Brand#3", 5, 1, 11) | arm("Brand#12", 10, 10, 20)
                     | arm("Brand#20", 15, 20, 30))
             .agg((F.sum("net4").cast("double") / F.lit(10000.0))
@@ -2179,7 +2179,7 @@ def min_cost_supplier(spark, sf_dir):
                  .join(F.broadcast(r), F.col("n_regionkey")
                        == F.col("r_regionkey"))
                  .select("s_suppkey"))
-    cost = (li.join(F.broadcast(asia_supp),
+    cost = (li.join(dim_broadcast(asia_supp, sf_dir, "supplier"),
                     li.l_suppkey == F.col("s_suppkey"))
             .groupBy("l_partkey", "l_suppkey")
             .agg(F.min("uc").alias("unit_cost")))
@@ -2198,8 +2198,8 @@ def min_cost_supplier(spark, sf_dir):
     out = (cost.join(best, (cost.l_partkey == F.col("bk"))
                      & (cost.unit_cost == F.col("min_cost")))
            .drop("bk", "min_cost")
-           .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
-           .join(F.broadcast(sd), F.col("l_suppkey") == F.col("sk"))
+           .join(dim_broadcast(p, sf_dir, "part"), cost.l_partkey == p.p_partkey)
+           .join(dim_broadcast(sd, sf_dir, "supplier"), F.col("l_suppkey") == F.col("sk"))
            .join(F.broadcast(nd), F.col("snk") == F.col("nk"))
            .select("s_acctbal", "s_name", "n_name", "p_partkey",
                    F.col("unit_cost").alias("supply_cost"),
@@ -2278,8 +2278,8 @@ def product_type_profit(spark, sf_dir):
     amount = (F.col("net4")
               - F.round(F.col("p_retailprice") * F.col("l_quantity")
                         * 1000).cast("bigint"))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    return (li.join(dim_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
+            .join(dim_broadcast(s, sf_dir, "supplier"), li.l_suppkey == s.s_suppkey)
             .join(o, li.l_orderkey == o.o_orderkey)
             .join(F.broadcast(n), F.col("s_nationkey")
                   == F.col("n_nationkey"))
@@ -2326,7 +2326,7 @@ def returned_top_customers(spark, sf_dir):
           .select("l_orderkey", _net4().alias("net4")))
     n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(dim_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("c_custkey", "c_name", "n_name")
             .agg(F.sum("net4").alias("rev4"))
@@ -2371,7 +2371,7 @@ def important_part_value(spark, sf_dir):
          .filter(F.col("n_name") == "NATION_5").select("n_nationkey"))
     supp5 = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
              .select("s_suppkey"))
-    val = (li.join(F.broadcast(supp5), li.l_suppkey == F.col("s_suppkey"))
+    val = (li.join(dim_broadcast(supp5, sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"))
            .groupBy("l_partkey").agg(F.sum("net4").alias("value4")))
     # global total as an empty-partition window over the per-part AGGREGATE
     # (part-dim-sized, tiny next to the fact) — one fact scan, where a
@@ -2415,9 +2415,9 @@ def supplier_cnt_by_part(spark, sf_dir):
          .select("p_partkey", "p_brand", "p_type", "p_size"))
     bad = (T(spark, sf_dir, "supplier")
            .filter(F.col("s_acctbal") < 0.0).select("s_suppkey"))
-    return (li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+    return (li.join(dim_broadcast(bad, sf_dir, "supplier"), li.l_suppkey == bad.s_suppkey,
                     "left_anti")
-            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(dim_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
             .groupBy("p_brand", "p_type", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
 
@@ -2464,7 +2464,7 @@ def surge_part_suppliers(spark, sf_dir):
          .filter(F.col("p_name").like("small%")).select("p_partkey"))
     in97 = ((F.col("l_shipdate").cast("date") >= F.lit("1997-01-01"))
             & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01")))
-    shipped = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    shipped = (li.join(dim_broadcast(p, sf_dir, "part"), li.l_partkey == p.p_partkey)
                .groupBy("l_suppkey", "l_partkey")
                .agg(F.sum(F.when(in97, F.col("qty")).otherwise(F.lit(0)))
                     .alias("qty97"),
@@ -2520,7 +2520,7 @@ def mv_incremental_merge(spark, sf_dir):
         c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
         n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
         return (li.join(o, li.l_orderkey == o.o_orderkey)
-                .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+                .join(dim_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
                 .join(F.broadcast(n), F.col("c_nationkey")
                       == F.col("n_nationkey"))
                 .groupBy(F.col("n_name").alias("nation"),
@@ -2664,7 +2664,7 @@ def agg_exact_median_selection(spark, sf_dir):
 def agg_weighted_median(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     p = T(spark, sf_dir, "part")
-    w = (li.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+    w = (li.join(dim_broadcast(p.select("p_partkey", "p_brand", "p_size"), sf_dir, "part"),
                  F.col("l_partkey") == F.col("p_partkey"))
          .groupBy(F.col("p_brand").alias("brand"),
                   F.col("p_size").alias("v"))

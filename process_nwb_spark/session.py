@@ -25,20 +25,21 @@ def get_spark(app_name: str = "process-nwb-spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # r14 optimization: let cached (persisted) plans RETAIN their
-        # output partitioning/ordering under AQE (default false wraps
-        # every InMemoryRelation in an AQE plan whose partitioning is
-        # opaque, so every join/agg over a cached frame re-exchanges it
-        # even when the cache is already partitioned on the join key).
-        # The engine persists self-joined intermediates everywhere
-        # (tiles, shingles, LSH bands — core.fresh_persist), and this
-        # removes whole cached-frame re-shuffles at ANY scale: measured
-        # at sf0.1 minhash_lsh_candidates 0.83 -> 0.50 s,
-        # ngram_jaccard_pairs 1.27 -> 1.10 s, dedup_embed_cosine
-        # 1.54 -> 1.36 s; hash-stability re-proven at 7/64 shuffle
-        # partitions after the change.
+        # r14 optimization, r15 re-adjudicated: AQE inside cached-plan
+        # materialization (default false wraps every InMemoryRelation in
+        # an AQE plan whose own stages are NOT adaptively optimized).
+        # r14's warm min-of-6 showed wins (minhash_lsh_candidates
+        # 0.83 -> 0.50 s), but the r14 driver's COLD median-of-5 showed
+        # the two most cache-dependent faces at 0.50-0.51x — the conf
+        # adds adaptive stage planning per cache build, a fixed cost a
+        # cold JVM pays in full at sub-second scale. The r15 cold-JVM
+        # A/B (fresh process per run, both orders — see
+        # OPTIMIZATION_r15.md) settles it under the driver's own
+        # conditions; SPARK_GRAFT_CACHED_PLAN_AQE=1/0 overrides either
+        # way so the cluster-scale setting stays parameterised.
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-                "true")
+                "false" if os.environ.get(
+                    "SPARK_GRAFT_CACHED_PLAN_AQE", "1") == "0" else "true")
         # Arrow is the JVM<->Python interchange for every kernel.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

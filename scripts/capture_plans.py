@@ -1,7 +1,7 @@
-"""Capture .explain("formatted") for named registry faces into plans/r14/.
+"""Capture .explain("formatted") for named registry faces into plans/r15/.
 
 Usage: python scripts/capture_plans.py <suffix> [name ...]
-  suffix: 'before' or 'after' — file becomes plans/r14/<name>_<suffix>.txt
+  suffix: 'before' or 'after' — file becomes plans/r15/<name>_<suffix>.txt
   names : default = the bench HEADLINE list.
 
 The plan is captured at the default sf0.1 input (SPARK_GRAFT_SF_DIR
@@ -36,7 +36,7 @@ def main() -> None:
         import bench
 
         names = list(bench.HEADLINE)
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(REPO, "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
     exec_final = os.environ.get("CAPTURE_EXEC") == "1"
     for name in names:
