@@ -565,6 +565,96 @@ def bench_assemble_v3(spark, sf_dir: str) -> dict:
     return out
 
 
+# The most expensive sf1 faces (r14 record) — the core-count comparison
+# is run on THESE, not the sub-second headline: at 0.2-3 s/query the
+# headline measures stage-launch overhead, and the r14 8-vs-32-core
+# block could not distinguish serial from parallel shapes (every ratio
+# 0.38-1.11; the r14 verdict's scaling finding). Multi-second sf1 faces
+# give the task-level parallelism something to amortize against.
+CORES_SCALING_FACES = ["graph_triangles", "embed_matryoshka_budget",
+                       "text_ngram_containment", "corpus_source_overlap"]
+
+
+def bench_cores_scaling(spark, registry, sf_dir: str):
+    """Same-run core-count scaling on the expensive sf1 faces: re-time
+    CORES_SCALING_FACES (+ the assemble_v3 composition) on the 10x
+    scale-up at the session's core count AND at a reduced count
+    (SPARK_GRAFT_BENCH_CORES_LOW, default 8), with a fresh session per
+    count so shuffle partitions match cores. ratio_* = low/full: a
+    parallel face approaches cores_full/cores_low (4.0 at 32/8), an
+    overhead-bound face sits near 1. Both sessions run in this same
+    bench process back-to-back, so they sample the same ambient window
+    (the r13/r14 cross-run comparisons could not).
+
+    Returns the stopped-session state: the caller's next section (the
+    curve) launches its own child JVM and the stale parent handle's
+    stop() is a no-op, so no session leaks past this section."""
+    import statistics
+
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus_full = int(cpus_env) if str(cpus_env).isdigit() else 32
+    cores_low = int(os.environ.get("SPARK_GRAFT_BENCH_CORES_LOW", "8"))
+    if cpus_full <= cores_low:
+        return {"skipped": f"session cores {cpus_full} <= low "
+                           f"{cores_low}; nothing to compare"}
+    dest = os.path.join(tempfile.gettempdir(), "spark_graft_bench", "sf1x10")
+    from process_nwb_spark.benchdata import gen_scaled_dir
+    gen_scaled_dir(spark, sf_dir, 10, dest)   # cached after bench_sf1
+
+    passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_CORES_RUNS", "2")))
+    from process_nwb_spark.llm.curation import assemble_v3
+    from process_nwb_spark.relational.core import T, clear_persist_slots
+    from process_nwb_spark.session import get_spark
+
+    def _one_count(n: int) -> dict:
+        s = get_spark(f"bench-cores-{n}", master=f"local[{n}]",
+                      shuffle_partitions=n, **{
+                          "spark.driver.extraJavaOptions": "-Xlog:disable"})
+        try:
+            s.sparkContext.setJobDescription(f"cores-scaling warmup [{n}]")
+            s.read.parquet(f"{dest}/nation.parquet").collect()
+            samples: dict[str, list[float]] = {
+                f: [] for f in CORES_SCALING_FACES + ["assemble_v3"]}
+            for _ in range(passes):
+                for f in CORES_SCALING_FACES:
+                    s.sparkContext.setJobDescription(
+                        f"cores-scaling {f} [{n}]")
+                    samples[f].append(_timed_face(registry, f, s, dest))
+                    clear_persist_slots()
+                s.sparkContext.setJobDescription(
+                    f"cores-scaling assemble_v3 [{n}]")
+                samples["assemble_v3"].append(
+                    _timed_noop(assemble_v3(T(s, dest, "documents"))))
+                clear_persist_slots()
+            return {f: {"min": round(min(v), 3),
+                        "median": round(statistics.median(v), 3)}
+                    for f, v in samples.items()}
+        finally:
+            try:
+                s.stop()
+            except Exception:
+                pass
+
+    # full first, then low: the session handed in is already at full
+    # cores but carries earlier sections' JVM residue — a fresh session
+    # per count keeps the two sides symmetric.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    full_times = _one_count(cpus_full)
+    low_times = _one_count(cores_low)
+    out = {}
+    for f, ft in full_times.items():
+        lt = low_times[f]
+        out[f] = {"full": ft, "low": lt,
+                  "ratio_min": round(lt["min"] / ft["min"], 2),
+                  "ratio_median": round(lt["median"] / ft["median"], 2)}
+    return {"cpus_full": cpus_full, "cores_low": cores_low,
+            "n_passes": passes, "sf": "sf1 (10x scale-up)",
+            "queries": out}
+
+
 # once-only per-point injection state for the retry-path tests
 # (SPARK_GRAFT_BENCH_INJECT_FAIL=curve-point-once): the FIRST attempt of
 # every point raises, the retry succeeds. `curve-point-always` raises on
@@ -1190,6 +1280,16 @@ def main():
             _guarded("skew", lambda: bench_skew(spark))
             _guarded("assemble_v3",
                      lambda: bench_assemble_v3(spark, sf_dir))
+            # core-count scaling on the EXPENSIVE sf1 faces (r14 verdict:
+            # the sub-second headline cannot measure scaling). Runs last
+            # among the in-process sections because it stops/relaunches
+            # sessions; the stale `spark` handle's stop() below is then
+            # a no-op. SPARK_GRAFT_BENCH_CORES_SECTION=0 disables.
+            if os.environ.get("SPARK_GRAFT_BENCH_CORES_SECTION",
+                              "1") != "0":
+                _guarded("cores_scaling",
+                         lambda: bench_cores_scaling(spark, registry,
+                                                     sf_dir))
             # the curve runs in a SUBPROCESS with a fresh 32g heap of its
             # own (_run_curve_child); stop this session AND kill the
             # gateway JVM first — spark.stop() alone leaves the 32g JVM

@@ -174,25 +174,39 @@ def graph_pagerank(spark, sf_dir):
 def graph_triangles(spark, sf_dir):
     from .core import fresh_persist
 
-    # lines feeds both sides of the pair self-join; edges feeds degree,
-    # orientation AND the edge-count stat; deg feeds du/dv/stats;
-    # oriented feeds the adjacency fold and both closure join sides.
-    # NONE of these reuse
-    # without an explicit persist (no ReusedExchange across the self-join
-    # split — measured 28 lineitem scans / 74 exchanges uncached, 15.5 s
-    # at sf0.1 vs 3.4 s persisted). fresh_persist drops the previous
-    # call's copy so bench passes recompute honestly.
-    lines = fresh_persist("tri_lines",
-                          T(spark, sf_dir, "lineitem")
-                          .select(F.col("l_orderkey").alias("ok"),
-                                  F.col("l_partkey").alias("pk"))
-                          .distinct())
-    b = lines.select(F.col("ok").alias("ok2"), F.col("pk").alias("pk2"))
+    # edges feeds degree, orientation AND the edge-count stat; deg feeds
+    # du/dv/stats; oriented feeds the adjacency fold and both closure
+    # join sides. NONE of these reuse without an explicit persist (no
+    # ReusedExchange across the self-join split — measured 28 lineitem
+    # scans / 74 exchanges uncached, 15.5 s at sf0.1 vs 3.4 s
+    # persisted). fresh_persist drops the previous call's copy so bench
+    # passes recompute honestly.
+    #
+    # r15 edge construction (guide §2.3 — aggregate before you fan out):
+    # the r14 plan built edges from a DISTINCT (ok, pk) table self-joined
+    # on ok — one lineitem-wide distinct exchange, then TWO more ok-keyed
+    # exchanges + sorts for the SMJ, then the (u, v) distinct. The same
+    # edge set folds from ONE groupBy(ok) collect_set: each order's
+    # distinct part set is basket-bounded (TPC-H baskets are <= ~7
+    # parts, never hub-sized), and all (u < v) pairs are emitted
+    # row-locally from the sorted set — collect_set dedups exactly what
+    # the old DISTINCT did, and pairs of a sorted array satisfy u < v by
+    # construction, so the pair multiset entering the (u, v) distinct is
+    # identical. Three lineitem-scale exchanges + two sorts become one
+    # map-side-combined exchange. The size >= 2 filter is REQUIRED, not
+    # cosmetic: sequence(0, -1) on a 1-part basket would step backwards.
+    li = T(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy(F.col("l_orderkey").alias("ok"))
+               .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps")))
+    pair_combos = F.expr(
+        "flatten(transform(sequence(0, size(ps) - 2),"
+        " i -> transform(sequence(i + 1, size(ps) - 1),"
+        " j -> struct(ps[i] AS u, ps[j] AS v))))")
     edges = fresh_persist(
         "tri_edges",
-        lines.join(b, (F.col("ok") == F.col("ok2"))
-                   & (F.col("pk") < F.col("pk2")))
-        .select(F.col("pk").alias("u"), F.col("pk2").alias("v"))
+        baskets.filter(F.size("ps") >= 2)
+        .select(F.explode(pair_combos).alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct())
     deg = fresh_persist(
         "tri_deg",

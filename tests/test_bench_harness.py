@@ -49,6 +49,11 @@ def _run_bench(tmp_path, inject: str, extra_env: dict | None = None):
         # the headline itself must be cheap here; scaling never runs
         SPARK_GRAFT_BENCH_DRIVER_MEM="8g",
     )
+    # cores_scaling relaunches sessions and re-times the expensive sf1
+    # faces — far too heavy for these contract tests; off unless a test
+    # opts in via extra_env (the fault-isolation test injects a failure
+    # into it, which raises before any session work)
+    env.setdefault("SPARK_GRAFT_BENCH_CORES_SECTION", "0")
     # stderr MERGED into stdout: the driver's tail capture is combined,
     # and the r11 loss happened on the combined stream — assert on it
     r = subprocess.run(
@@ -81,11 +86,12 @@ def _check_merged_contract(r):
 
 
 def test_bench_headline_survives_scaling_failures(tmp_path):
-    r, full_out, _ = _run_bench(tmp_path,
-                                inject="sf1,skew,assemble_v3,curve")
+    r, full_out, _ = _run_bench(
+        tmp_path, inject="sf1,skew,assemble_v3,cores_scaling,curve",
+        extra_env={"SPARK_GRAFT_BENCH_CORES_SECTION": "1"})
     _check_merged_contract(r)
     full = json.loads(full_out.read_text())
-    for section in ("sf1", "skew", "assemble_v3",
+    for section in ("sf1", "skew", "assemble_v3", "cores_scaling",
                     "signal_multi_series_curve"):
         assert "err" in full[section], (
             f"section {section} should have recorded its injected "
