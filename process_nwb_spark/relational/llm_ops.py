@@ -298,22 +298,36 @@ def _jaccard_candidate_pairs(spark, sf_dir):
         "n_docs", F.count("*").over(Window.partitionBy("sh")))
         .filter(F.col("n_docs") <= 100)
         .select("doc_id", "sh"))
-    # MERGE hint: the self-join input is an exploded shingle table — at
-    # corpus scale it can never broadcast, and locally the size-estimated
-    # broadcast pick re-executes the whole window sub-plan for the build
-    # side (no exchange reuse) — measured 4.3s -> 1.3s at sf0.1 with SMJ.
-    # The single-slot persist then makes the explode+window stage itself
-    # single-pass across the two join sides (no ReusedExchange either).
+    # r15 (guide §2.3/§2.4 — the containment/source-overlap fold idiom
+    # applied to the remaining shingle self-join): `filtered` leaves the
+    # window hash-partitioned by sh, so ONE collect_set(doc_id) fold
+    # rides that partitioning with NO new exchange, its buffer bounded
+    # at <= 100 ids BY the df cut above — and all (a < b) doc pairs of
+    # each shingle's sorted set are emitted row-locally, the exact
+    # multiset the SMJ self-join produced ((doc_id, sh) pairs are
+    # unique in `filtered`: doc_shingles array_distincts per doc — the
+    # same invariant the containment fold documents). This replaces the
+    # sort-merge self-join AND halves the cache traffic (one
+    # InMemoryTableScan instead of two join sides); the persisted frame
+    # is the folded set table (one row per shingle, sorted id array)
+    # feeding both the pair explode and the per-doc sizes fold.
+    # A/B and plan diff in OPTIMIZATION_r15.md / plans/r15/.
     from .core import fresh_persist
 
-    filtered = fresh_persist("ngram_filtered_shingles", filtered)
-    sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = filtered.hint("merge").alias("a")
-    b = filtered.hint("merge").alias("b")
+    sets = fresh_persist(
+        "ngram_shingle_sets",
+        filtered.groupBy("sh").agg(
+            F.array_sort(F.collect_set("doc_id")).alias("ds")))
+    sizes = (sets.select(F.explode("ds").alias("doc_id"))
+             .groupBy("doc_id").agg(F.count("*").alias("n_sh")))
+    pair_combos = F.expr(
+        "flatten(transform(sequence(0, size(ds) - 2),"
+        " i -> transform(sequence(i + 1, size(ds) - 1),"
+        " j -> struct(ds[i] AS a, ds[j] AS b))))")
     pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        sets.filter(F.size("ds") >= 2)
+        .select(F.explode(pair_combos).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"),

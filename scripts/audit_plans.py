@@ -1,4 +1,4 @@
-"""Registry-wide physical-plan audit -> plans/r14/AUDIT.json.
+"""Registry-wide physical-plan audit -> plans/r15/AUDIT.json.
 
 For every registry face, build the DataFrame at SPARK_GRAFT_SF_DIR
 (default sf0.01 - plan SHAPE is scale-invariant; building at the small
@@ -109,7 +109,7 @@ def main() -> None:
             print(f"{i + 1}/{len(todo)}", flush=True)
     spark.stop()
 
-    out_path = os.path.join(REPO, "plans", "r14", "AUDIT.json")
+    out_path = os.path.join(REPO, "plans", "r15", "AUDIT.json")
     with open(out_path, "w") as f:
         json.dump({"sf_dir": SF, "n_faces": len(results),
                    "faces": results}, f, indent=1, sort_keys=True)
